@@ -1,0 +1,199 @@
+package graft.keys
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Big-endian byte codec for BIGINT keys ↔ BinaryType salted keys.
+  *
+  * The reference stores row keys as raw `byte[]` compared unsigned
+  * lexicographically (reference: wd/DistributedScanner.java:127-128).
+  * For non-negative longs, big-endian encoding makes unsigned-lexicographic
+  * binary order equal numeric order, so a salted binary key sorts exactly
+  * like the HBase layout (see SURVEY.md §7.5). All expressions here are
+  * built-ins (hex/lpad/to_binary/conv) → whole-stage codegen, no UDFs.
+  */
+object KeyCodec {
+  /** 8-byte big-endian binary of a non-negative BIGINT column. */
+  def beBytes8(key: Column): Column =
+    to_binary(lpad(hex(key), 16, "0"), lit("hex"))
+
+  /** `width`-byte big-endian binary of a small non-negative int column. */
+  def beBytes(v: Column, width: Int): Column =
+    to_binary(lpad(hex(v), width * 2, "0"), lit("hex"))
+
+  /** Decode an 8-byte big-endian binary back to BIGINT (non-negative). */
+  def beLong(bin: Column): Column =
+    conv(hex(bin), 16, 10).cast("bigint")
+}
+
+/** The reference's 31-polynomial key hash, in closed form.
+  *
+  * Reference: wd/RowKeyDistributorByHashPrefix.java:102-108 iterates
+  * `h = h*31 + b` over the key bytes with Java 32-bit wrap. Iterated
+  * mod-2^32 equals the closed-form polynomial sum mod 2^32, so for an
+  * 8-byte big-endian key we can evaluate
+  *   h = Σ byte_i * 31^(7-i)  (mod 2^32),  then two's-complement sign.
+  * Max magnitude ≈ 255 * Σ 31^i < 2^46 — fits in BIGINT, so the identical
+  * arithmetic runs in DuckDB for the oracle (SURVEY.md §7.4b).
+  *
+  * Deviation (documented, SURVEY.md §4 quirk 1): the reference uses
+  * `Math.abs(h) % mod` which breaks on Integer.MIN_VALUE; we use pmod,
+  * which is always non-negative.
+  */
+object Hash31 {
+  /** 31^7, 31^6, ..., 31^0 — coefficient for big-endian byte i. */
+  val Pow31: IndexedSeq[Long] = (0 until 8).map(i => math.pow(31, 7 - i).toLong)
+  private val Wrap = 4294967296L // 2^32
+  private val SignBit = 2147483648L // 2^31
+
+  /** Java-int-semantics hash of the 8 BE bytes of a non-negative BIGINT. */
+  def hash32(key: Column): Column = {
+    val unsigned = (0 until 8)
+      .map(i => shiftright(key, (7 - i) * 8).bitwiseAND(lit(255L)) * lit(Pow31(i)))
+      .reduce(_ + _) % lit(Wrap)
+    when(unsigned >= lit(SignBit), unsigned - lit(Wrap)).otherwise(unsigned)
+  }
+
+  def bucket(key: Column, n: Int): Column = pmod(hash32(key), lit(n.toLong))
+
+  /** The same formula as DuckDB SQL text — generated from the same
+    * constants so the oracle can never drift from the Spark expression. */
+  def duckHash32(keyExpr: String): String = {
+    val sum = (0 until 8)
+      .map(i => s"((($keyExpr) >> ${(7 - i) * 8}) & 255) * ${Pow31(i)}")
+      .mkString(" + ")
+    s"(CASE WHEN (($sum) % $Wrap) >= $SignBit THEN (($sum) % $Wrap) - $Wrap ELSE ($sum) % $Wrap END)"
+  }
+
+  def duckBucket(keyExpr: String, n: Int): String = {
+    val h = duckHash32(keyExpr)
+    s"((($h) % $n + $n) % $n)"
+  }
+}
+
+/** Distributor = salting strategy. Mirrors the reference's
+  * AbstractRowKeyDistributor / Hasher contracts
+  * (wd/AbstractRowKeyDistributor.java:32-37,
+  * wd/RowKeyDistributorByHashPrefix.java:39-43) re-expressed as Column
+  * algebra: a distributor knows its bucket count, its salted-key prefix
+  * width in bytes, and how to assign a bucket to each row.
+  */
+sealed trait Distributor {
+  def numBuckets: Int
+  /** Salted-key prefix width in bytes (0 = identity / no salting). */
+  def prefixLength: Int
+  /** Add a `bucket` column to `df` derived from BIGINT key column `key`. */
+  def withBucket(df: DataFrame, key: Column): DataFrame
+  /** Config-string payload, reference Parametrizable.getParamsToStore()
+    * (wd/Parametrizable.java:24-27). */
+  def params: String
+}
+
+/** Deterministic hash salting — reference RowKeyDistributorByHashPrefix
+  * with OneByteSimpleHash (wd/RowKeyDistributorByHashPrefix.java:45-109).
+  * n ∈ 1..256 (reference :57-63). Bucket recomputable from the key alone,
+  * so point gets prune to one bucket (README:75-78).
+  */
+final case class HashPrefix(numBuckets: Int) extends Distributor {
+  require(numBuckets >= 1 && numBuckets <= 256, s"buckets 1..256, got $numBuckets")
+  val prefixLength = 1
+  def bucket(key: Column): Column = Hash31.bucket(key, numBuckets)
+  def withBucket(df: DataFrame, key: Column): DataFrame =
+    df.withColumn("bucket", bucket(key))
+  def params: String = numBuckets.toString
+}
+
+/** Round-robin salting — reference RowKeyDistributorByOneBytePrefix
+  * (wd/RowKeyDistributorByOneBytePrefix.java:47-53): a stateful counter,
+  * NOT a function of the key. Faithful batch translation assigns
+  * row_number over an explicit insertion order, mod n — deterministic
+  * given the ordering (SURVEY.md §7.4a). n ≤ 127 (reference :29).
+  * Append-only semantics: rewriting a key may land a different bucket
+  * (reference README:75-78) — documented, mirrored.
+  */
+final case class RoundRobin(numBuckets: Int, insertionOrder: String) extends Distributor {
+  require(numBuckets >= 1 && numBuckets <= 127, s"buckets 1..127, got $numBuckets")
+  val prefixLength = 1
+  def withBucket(df: DataFrame, key: Column): DataFrame =
+    df.withColumn(
+      "bucket",
+      pmod(row_number().over(Window.orderBy(col(insertionOrder))) - 1, lit(numBuckets))
+        .cast("bigint"))
+  def params: String = s"$numBuckets--$insertionOrder"
+}
+
+/** Degenerate no-op salting — reference IdentityHash test hasher
+  * (wd-test/RowKeyDistributorByHashPrefix_IdentityHashTest.java:8-36):
+  * empty prefix, prefixLength 0, single bucket. */
+case object Identity extends Distributor {
+  val numBuckets = 1
+  val prefixLength = 0
+  def withBucket(df: DataFrame, key: Column): DataFrame =
+    df.withColumn("bucket", lit(0L))
+  def params: String = ""
+}
+
+/** Multi-byte-prefix hashing — reference MultiBytesPrefixHash test hasher
+  * (wd-test/RowKeyDistributorByHashPrefix_MultiBytesPrefixHashTest.java:8-39):
+  * 2-byte prefixes, bucket keyed on the key's low byte mod n (:15-17).
+  * Unlike the reference we derive scan intervals from a canonically
+  * sorted prefix set (SURVEY.md §4 quirk 2). */
+final case class MultiBytePrefix(numBuckets: Int) extends Distributor {
+  require(numBuckets >= 1 && numBuckets <= 65536)
+  val prefixLength = 2
+  def bucket(key: Column): Column = pmod(key.bitwiseAND(lit(255L)), lit(numBuckets.toLong))
+  def withBucket(df: DataFrame, key: Column): DataFrame =
+    df.withColumn("bucket", bucket(key))
+  def params: String = numBuckets.toString
+}
+
+/** Salted-key algebra over BinaryType columns — the reference's
+  * Bytes.add / Bytes.tail byte juggling as built-in concat/substring
+  * (SURVEY.md §1.2; reference wd/RowKeyDistributorByOneBytePrefix.java:49,57).
+  */
+object Salt {
+  /** distributedKey = prefix ⧺ originalKey
+    * (reference wd/RowKeyDistributorByOneBytePrefix.java:49). */
+  def saltedKey(bucket: Column, key: Column, prefixLength: Int): Column =
+    if (prefixLength == 0) KeyCodec.beBytes8(key)
+    else concat(KeyCodec.beBytes(bucket, prefixLength), KeyCodec.beBytes8(key))
+
+  /** originalKey = distributedKey[prefixLength:]
+    * (reference wd/RowKeyDistributorByOneBytePrefix.java:55-58). O4. */
+  def unsalt(salted: Column, prefixLength: Int): Column =
+    substring(salted, prefixLength + 1, Int.MaxValue)
+
+  /** Decode the original BIGINT key back out of a salted binary key. */
+  def originalKey(salted: Column, prefixLength: Int): Column =
+    KeyCodec.beLong(unsalt(salted, prefixLength))
+
+  /** O5 key fan-out: all N candidate buckets for each row — the
+    * reference's only 1→N generator
+    * (wd/RowKeyDistributorByOneBytePrefix.java:60-72), as a built-in
+    * explode(sequence(...)) — no custom Generator needed. */
+  def allBuckets(n: Int): Column =
+    explode(sequence(lit(0), lit(n - 1)))
+}
+
+/** Config-string codec — reference Parametrizable round-trip
+  * (wd/Parametrizable.java:24-27; nesting delimiter "--" per
+  * wd/RowKeyDistributorByHashPrefix.java:28,137-152). Pure Scala. */
+object DistributorCodec {
+  private val Delim = "--"
+
+  def encode(d: Distributor): String = d match {
+    case HashPrefix(n)        => s"HashPrefix$Delim$n"
+    case RoundRobin(n, order) => s"RoundRobin$Delim$n$Delim$order"
+    case Identity             => "Identity"
+    case MultiBytePrefix(n)   => s"MultiBytePrefix$Delim$n"
+  }
+
+  def decode(s: String): Distributor = s.split(Delim).toList match {
+    case "HashPrefix" :: n :: Nil           => HashPrefix(n.toInt)
+    case "RoundRobin" :: n :: order :: Nil  => RoundRobin(n.toInt, order)
+    case "Identity" :: Nil                  => Identity
+    case "MultiBytePrefix" :: n :: Nil      => MultiBytePrefix(n.toInt)
+    case other => throw new IllegalArgumentException(s"bad distributor config: $s")
+  }
+}

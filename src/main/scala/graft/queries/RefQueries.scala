@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.keys._
+import graft.scan.DistributedScan
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [REF] query surface — one entry per reference operator (SURVEY.md §2.1),
+  * expressed over the harness `events` table with `event_id` /
+  * `unix_micros(ts)` as the row key. Every query is deterministic and has
+  * a DuckDB oracle in [[RefQueries.oracle]]; the 31-poly bucket formula in
+  * the oracle is GENERATED from the same constants as the Spark expression
+  * (graft.keys.Hash31.duckBucket) so they cannot drift.
+  */
+object RefQueries {
+  private val N = 16 // buckets for the standard hash-salted layout
+  private val dist = HashPrefix(N)
+
+  // scan window: [2024-01-10, 2024-01-20) as epoch micros (UTC)
+  private val T1 = 1704844800000000L // 2024-01-10T00:00:00Z
+  private val T2 = 1705708800000000L // 2024-01-20T00:00:00Z
+
+  /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's vectorized
+    * reader only accepts as a bigint of epoch nanos (legacy nanosAsLong
+    * conf — set per-session here so queries are self-contained). We
+    * immediately derive `ts_us` (epoch micros, integer division — the
+    * data is micro-precision) which matches DuckDB's epoch_us(ts). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .drop("ts")
+  }
+
+  /** events + deterministic hash bucket column (O2). */
+  private def salted(s: SparkSession, dir: String): DataFrame =
+    dist.withBucket(events(s, dir), col("event_id"))
+
+  private val duckBucket = Hash31.duckBucket("event_id", N)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O2: deterministic hash salting — bucket distribution (mirrors the
+    // evenness test wd-test/OneByteSimpleHashTest.java:83-100)
+    "q_salt_hash_dist" -> ((s, dir) =>
+      salted(s, dir).groupBy("bucket").agg(count(lit(1)).as("cnt")).orderBy("bucket")),
+
+    // O1: round-robin salting, batch-deterministic via row_number over
+    // explicit insertion order (SURVEY.md §7.4a)
+    "q_salt_roundrobin_dist" -> ((s, dir) =>
+      RoundRobin(N, "event_id").withBucket(events(s, dir), col("event_id"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt")).orderBy("bucket")),
+
+    // O4: salt → unsalt round-trip through real BinaryType key algebra
+    "q_salt_unsalt_roundtrip" -> ((s, dir) =>
+      salted(s, dir).select(
+        col("event_id"),
+        Salt.originalKey(
+          Salt.saltedKey(col("bucket"), col("event_id"), dist.prefixLength),
+          dist.prefixLength).as("recovered"))
+        .orderBy("event_id")),
+
+    // O5: key fan-out — all N candidate buckets per key (explode(sequence))
+    "q_fanout_keys" -> ((s, dir) =>
+      events(s, dir).filter(col("event_id") < 64)
+        .select(col("event_id"), Salt.allBuckets(N).as("b"))
+        .select(col("event_id"), col("b").cast("bigint").as("bucket"))
+        .orderBy("event_id", "bucket")),
+
+    // O6: interval fan-out materialized — N per-bucket [prefix⧺start, prefix⧺stop)
+    "q_interval_fanout" -> ((s, _) =>
+      DistributedScan.distributedIntervals(s, dist, T1, T2)),
+
+    // O6+O7+O8: THE flagship — ordered range scan over the salted layout;
+    // global order by original key restored (the reference's k-way merge)
+    "q_range_scan_ordered" -> ((s, dir) => {
+      val t = salted(s, dir).withColumn("key_us", col("ts_us"))
+      DistributedScan.rangeScan(t, col("key_us"), T1, T2)
+        .select("event_id", "key_us", "event_type", "value")
+        .orderBy("key_us", "event_id")
+    }),
+
+    // O9: point get (hash mode adds the bucket predicate → partition prune)
+    "q_point_get" -> ((s, dir) =>
+      DistributedScan.pointGet(salted(s, dir), col("event_id"), 4242L, dist)
+        .select("event_id", "ts_us", "user_id", "event_type", "value", "props")),
+
+    // O11: the reference's one aggregation — count rows with non-empty value
+    "q_scan_count" -> ((s, dir) =>
+      DistributedScan.countNonEmpty(
+        events(s, dir).filter(col("ts_us") >= T1 && col("ts_us") < T2),
+        col("props"))),
+
+    // §3.3 MR-path parity: per-bucket stats, bucket-local semantics
+    "q_per_bucket_stats" -> ((s, dir) =>
+      salted(s, dir).groupBy("bucket").agg(
+        count(lit(1)).as("cnt"),
+        min("event_id").as("min_key"),
+        max("event_id").as("max_key")).orderBy("bucket")),
+
+    // top-k = orderBy + limit (TakeOrderedAndProjectExec)
+    "q_topk" -> ((s, dir) =>
+      events(s, dir).orderBy(col("value").desc, col("event_id"))
+        .limit(100).select("event_id", "value", "event_type")),
+
+    // set op: union-all of two bucket-subset scans (O8/O10 union semantics)
+    "q_union_buckets" -> ((s, dir) => {
+      val t = salted(s, dir)
+      t.filter(col("bucket") < 8).select("event_id", "bucket")
+        .union(t.filter(col("bucket") >= 8).select("event_id", "bucket"))
+        .orderBy("event_id")
+    }),
+
+    // O13: debug dump — capped ordered sample with rendered salted key
+    "q_debug_dump" -> ((s, dir) =>
+      DistributedScan.debugDump(salted(s, dir), col("event_id"), dist)
+        .select("event_id", "bucket", "salted_key_hex", "event_type")),
+
+    // O12: config-string codec round-trip (Parametrizable semantics)
+    "q_config_roundtrip" -> ((s, _) => {
+      import s.implicits._
+      Seq(HashPrefix(16), RoundRobin(12, "event_id"), Identity, MultiBytePrefix(3))
+        .map { d =>
+          val enc = DistributorCodec.encode(d)
+          (enc, DistributorCodec.encode(DistributorCodec.decode(enc)))
+        }
+        .toDF("config", "roundtrip").orderBy("config")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_salt_hash_dist" ->
+      s"""SELECT $duckBucket AS bucket, count(*) AS cnt
+          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_salt_roundrobin_dist" ->
+      s"""SELECT bucket, count(*) AS cnt FROM (
+            SELECT ((row_number() OVER (ORDER BY event_id)) - 1) % $N AS bucket
+            FROM events) GROUP BY 1 ORDER BY 1""",
+
+    "q_salt_unsalt_roundtrip" ->
+      "SELECT event_id, event_id AS recovered FROM events ORDER BY event_id",
+
+    "q_fanout_keys" ->
+      s"""SELECT event_id, bucket FROM events
+          CROSS JOIN (SELECT unnest(range($N)) AS bucket) b
+          WHERE event_id < 64 ORDER BY event_id, bucket""",
+
+    "q_interval_fanout" ->
+      s"""SELECT bucket,
+            lower(lpad(to_hex(bucket), 2, '0') || lpad(to_hex($T1), 16, '0')) AS start_hex,
+            lower(lpad(to_hex(bucket), 2, '0') || lpad(to_hex($T2), 16, '0')) AS stop_hex
+          FROM (SELECT unnest(range($N)) AS bucket) ORDER BY bucket""",
+
+    "q_range_scan_ordered" ->
+      s"""SELECT event_id, epoch_us(ts) AS key_us, event_type, value
+          FROM events
+          WHERE epoch_us(ts) >= $T1 AND epoch_us(ts) < $T2
+          ORDER BY key_us, event_id""",
+
+    "q_point_get" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+         FROM events WHERE event_id = 4242""",
+
+    "q_scan_count" ->
+      s"""SELECT count(*) AS cnt FROM events
+          WHERE epoch_us(ts) >= $T1 AND epoch_us(ts) < $T2
+            AND props IS NOT NULL AND length(props) > 0""",
+
+    "q_per_bucket_stats" ->
+      s"""SELECT $duckBucket AS bucket, count(*) AS cnt,
+            min(event_id) AS min_key, max(event_id) AS max_key
+          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_topk" ->
+      """SELECT event_id, value, event_type FROM events
+         ORDER BY value DESC, event_id LIMIT 100""",
+
+    "q_union_buckets" ->
+      s"""SELECT event_id, bucket FROM (
+            SELECT event_id, $duckBucket AS bucket FROM events
+              WHERE $duckBucket < 8
+            UNION ALL
+            SELECT event_id, $duckBucket AS bucket FROM events
+              WHERE $duckBucket >= 8)
+          ORDER BY event_id""",
+
+    "q_debug_dump" ->
+      s"""SELECT event_id, bucket,
+            lower(lpad(to_hex(bucket), 2, '0') || lpad(to_hex(event_id), 16, '0')) AS salted_key_hex,
+            event_type
+          FROM (SELECT event_id, event_type, $duckBucket AS bucket FROM events)
+          ORDER BY event_id LIMIT 1000""",
+
+    "q_config_roundtrip" ->
+      """SELECT * FROM (VALUES
+           ('HashPrefix--16', 'HashPrefix--16'),
+           ('RoundRobin--12--event_id', 'RoundRobin--12--event_id'),
+           ('Identity', 'Identity'),
+           ('MultiBytePrefix--3', 'MultiBytePrefix--3')) t(config, roundtrip)
+         ORDER BY config"""
+  )
+}

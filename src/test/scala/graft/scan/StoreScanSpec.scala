@@ -1,0 +1,107 @@
+package graft.scan
+
+import graft.SparkSuite
+import graft.keys._
+import graft.store.SaltedStore
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end salted store + distributed scan — mirrors the reference's
+  * integration suite (wd-test/RowKeyDistributorTestBase.java): zigzag
+  * non-monotonic writes, expected-count-while-writing, global-order and
+  * in-range assertions, for several distributor configs. */
+class StoreScanSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val tmp = Files.createTempDirectory("graft-store").toString
+
+  // zigzag keys as in wd-test/RowKeyDistributorTestBase.java:142 —
+  // 500, 499, 502, 497, 504 ... deliberately non-monotonic inserts
+  private val base = 500L
+  private val zigzag: Seq[Long] =
+    (0 until 500).map(i => if (i % 2 == 0) base + i else base - i)
+
+  private val start = 400L
+  private val stop = 800L
+  private val expectedInRange = zigzag.count(k => k >= start && k < stop)
+
+  private def writeAndRead(dist: Distributor, path: String) = {
+    val df = zigzag.zipWithIndex.map { case (k, i) => (k, s"v$i") }.toDF("k", "v")
+    SaltedStore.write(df, $"k", dist, path)
+    SaltedStore.read(spark, path)
+  }
+
+  for (
+    (name, dist) <- Seq(
+      "roundrobin-12" -> RoundRobin(12, "k"), // ref test: 12 buckets
+      "hash-15" -> HashPrefix(15),            // ref test: 15 buckets
+      "identity" -> Identity,                 // ref degenerate hasher
+      "multibyte-3" -> MultiBytePrefix(3))    // ref 2-byte-prefix hasher
+  ) test(s"bounded range scan: global order + exact count + in-range [$name]") {
+    val t = writeAndRead(dist, s"$tmp/$name")
+    val got = DistributedScan.rangeScan(t, $"k", start, stop)
+      .select("k").as[Long].collect()
+    assert(got.length == expectedInRange)
+    assert(got.toSeq == got.sorted.toSeq, "global original-key order")
+    assert(got.forall(k => k >= start && k < stop))
+  }
+
+  test("unbounded scan returns everything in order") {
+    val t = writeAndRead(HashPrefix(15), s"$tmp/unbounded")
+    val got = DistributedScan.rangeScanFrom(t, $"k", Long.MinValue)
+      .select("k").as[Long].collect()
+    assert(got.length == zigzag.length)
+    assert(got.toSeq == zigzag.sorted)
+  }
+
+  test("point get finds the row; hash mode prunes to one bucket partition") {
+    val dist = HashPrefix(15)
+    val t = writeAndRead(dist, s"$tmp/pointget")
+    val k = 504L // zigzag writes evens ≥500 and odds <500; 504 is present
+    val got = DistributedScan.pointGet(t, $"k", k, dist)
+    assert(got.select("k").as[Long].collect().toSeq == Seq(k))
+    // partition pruning visible in the physical plan's partition filters
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected bucket partition filter in plan:\n$plan")
+  }
+
+  test("range predicate is pushed down to the parquet scan") {
+    val t = writeAndRead(HashPrefix(15), s"$tmp/pushdown")
+    val plan = DistributedScan.rangeScan(t, $"k", start, stop)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(k,"),
+      s"expected pushed range filter in plan:\n$plan")
+  }
+
+  test("per-bucket mode: bucket-local order only (MR-path parity, §3.3)") {
+    val t = writeAndRead(HashPrefix(15), s"$tmp/perbucket")
+    val sortedWithin = DistributedScan.perBucket(t, $"k")
+      .select("bucket", "k").as[(Long, Long)]
+      .mapPartitions { it =>
+        val rows = it.toSeq
+        Iterator.single(rows.map(_._2).sliding(2).forall {
+          case Seq(a, b) => a <= b
+          case _         => true
+        })
+      }.collect()
+    assert(sortedWithin.forall(identity), "each partition sorted by key")
+  }
+
+  test("countNonEmpty counts only rows with non-empty value (O11)") {
+    val df = Seq((1L, "x"), (2L, ""), (3L, null.asInstanceOf[String]), (4L, "y"))
+      .toDF("k", "v")
+    val cnt = DistributedScan.countNonEmpty(df, $"v").as[Long].head()
+    assert(cnt == 2L)
+  }
+
+  test("bucketed layout: every bucket directory is written and keys recoverable") {
+    val dist = HashPrefix(15)
+    val t = SaltedStore.read(spark, s"$tmp/hash-15")
+    val buckets = t.select("bucket").distinct().as[Long].collect().sorted
+    assert(buckets.length > 1 && buckets.forall(b => b >= 0 && b < 15))
+    // recomputed bucket matches the stored partition value
+    val mismatches = t.filter(Hash31.bucket($"k", 15) =!= $"bucket").count()
+    assert(mismatches == 0L)
+  }
+}
