@@ -1,0 +1,281 @@
+package graft.queries
+
+import Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] analytic surface (SURVEY.md §2.2): joins, aggregations, window
+  * functions, as-of join, cube, set ops, date/JSON scalar functions —
+  * none exist in the reference (documented absent there); these are the
+  * harness-mandated extensions, built Spark-first.
+  *
+  * Scale notes (100 TB thinking, verified via .explain):
+  * - dimension joins broadcast (region/nation/customer) — no shuffle of
+  *   the fact side beyond the aggregation's own exchange;
+  * - aggregates are partial+final hash aggs (map-side combine);
+  * - money sums run in DECIMAL (exact, order-insensitive) and convert to
+  *   DOUBLE only at the output boundary — oracle parity can't be broken
+  *   by float summation order;
+  * - the as-of join is the union+running-max pattern: one shuffle on
+  *   user_id, no range-join explosion.
+  */
+object AnalyticQueries {
+
+  // 6-hour tumbling window in micros (batch twin of the streaming window)
+  private val WinUs = 21600000000L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style flag/status rollup over lineitem
+    "q1_agg" -> ((s, dir) =>
+      lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // 3-way join: revenue by market segment (broadcast the dimension)
+    "q_join_revenue" -> ((s, dir) =>
+      lineitem(s, dir)
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          countDistinct("o_orderkey").as("n_orders"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+        .orderBy("c_mktsegment")),
+
+    // 4-way star join: order volume by region / nation (broadcast dims)
+    "q_join_nation_region" -> ((s, dir) =>
+      orders(s, dir)
+        .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy("r_name", "n_name")),
+
+    // anti join: customers with no orders
+    "q_join_anti" -> ((s, dir) =>
+      customer(s, dir)
+        .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // semi join: customers with ≥1 order, counted per segment
+    "q_join_semi" -> ((s, dir) =>
+      customer(s, dir)
+        .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")),
+
+    // ranking + lag analytics per user over event time
+    "q_window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      events(s, dir)
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
+        .filter(col("user_id") < 10)
+        .select("user_id", "event_id", "rn", "gap_us")
+        .orderBy("user_id", "rn")
+    }),
+
+    // running (prefix) sum per user — frame clause
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .withColumn("running_value", sum(dec(col("value"))).over(w).cast("double"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy("ts_us", "event_id")).cast("bigint"))
+        .filter(col("user_id") < 10)
+        .select("user_id", "rn", "event_id", "running_value")
+        .orderBy("user_id", "rn")
+    }),
+
+    // as-of join: for each purchase, the user's most recent click at-or-
+    // before it. Union + running-max over one user_id shuffle — the
+    // scalable as-of pattern (no per-row range probe, no join explosion).
+    "q_asof_click_before_purchase" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("click_ts",
+          when(col("event_type") === "click", col("ts_us")))
+        .withColumn("last_click_us", max("click_ts").over(w))
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts_us", "last_click_us")
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // grouping sets: cube over (event_type, day)
+    "q_cube" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("day",
+          to_date(timestamp_micros(col("ts_us"))).cast("string"))
+        .cube("event_type", "day")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("total_value"))
+        .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)),
+
+    // set ops beyond the reference's implicit union
+    "q_intersect" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.filter(col("event_type") === "click").select("user_id")
+        .intersect(e.filter(col("event_type") === "purchase").select("user_id"))
+        .orderBy("user_id")
+    }),
+    "q_except" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.filter(col("event_type") === "error").select("user_id")
+        .except(e.filter(col("event_type") === "signup").select("user_id"))
+        .orderBy("user_id")
+    }),
+
+    // JSON scalar function over the props column
+    "q_json_props" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // date functions: daily activity rollup
+    "q_date_daily" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("day",
+          to_date(timestamp_micros(col("ts_us"))).cast("string"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("user_id").as("users"),
+          sum(dec(col("value"))).cast("double").as("total_value"))
+        .orderBy("day")),
+
+    // tumbling 6h window agg — the deterministic batch twin of the
+    // Structured Streaming ingest (graft.streaming)
+    "q_window_tumbling" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("win_start_us", expr(s"(ts_us div $WinUs) * $WinUs"))
+        .groupBy("win_start_us", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("total_value"))
+        .orderBy("win_start_us", "event_type"))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_join_revenue" ->
+      """SELECT c_mktsegment,
+           count(DISTINCT o_orderkey) AS n_orders,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_join_nation_region" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+
+    "q_join_semi" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_window_funcs" ->
+      """SELECT user_id, event_id, rn, gap_us FROM (
+           SELECT user_id, event_id,
+             row_number() OVER w AS rn,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+         WHERE user_id < 10 ORDER BY user_id, rn""",
+
+    "q_window_running" ->
+      """SELECT user_id, rn, event_id, running_value FROM (
+           SELECT user_id, event_id,
+             row_number() OVER w AS rn,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+         WHERE user_id < 10 ORDER BY user_id, rn""",
+
+    "q_asof_click_before_purchase" ->
+      """SELECT user_id, event_id, ts_us, last_click_us FROM (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+             max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+           FROM events WHERE event_type IN ('click', 'purchase'))
+         WHERE event_type = 'purchase'
+         ORDER BY user_id, ts_us, event_id""",
+
+    "q_cube" ->
+      """SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events
+         GROUP BY CUBE (1, 2)
+         ORDER BY event_type NULLS FIRST, day NULLS FIRST""",
+
+    "q_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'purchase'
+         ORDER BY user_id""",
+
+    "q_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'error'
+         EXCEPT
+         SELECT user_id FROM events WHERE event_type = 'signup'
+         ORDER BY user_id""",
+
+    "q_json_props" ->
+      """SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           count(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_date_daily" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS n,
+           count(DISTINCT user_id) AS users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_window_tumbling" ->
+      s"""SELECT (epoch_us(ts) // $WinUs) * $WinUs AS win_start_us, event_type,
+            count(*) AS n,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+          FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+  )
+}

@@ -20,17 +20,8 @@ object RefQueries {
   private val T1 = 1704844800000000L // 2024-01-10T00:00:00Z
   private val T2 = 1705708800000000L // 2024-01-20T00:00:00Z
 
-  /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's vectorized
-    * reader only accepts as a bigint of epoch nanos (legacy nanosAsLong
-    * conf — set per-session here so queries are self-contained). We
-    * immediately derive `ts_us` (epoch micros, integer division — the
-    * data is micro-precision) which matches DuckDB's epoch_us(ts). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
-      .drop("ts")
-  }
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
 
   /** events + deterministic hash bucket column (O2). */
   private def salted(s: SparkSession, dir: String): DataFrame =
