@@ -9,9 +9,9 @@ object SparkEntry {
     RefQueries.queries("q_range_scan_ordered")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RefQueries.queries ++ AnalyticQueries.queries
+    RefQueries.queries ++ AnalyticQueries.queries ++ PipelineQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RefQueries.oracle ++ AnalyticQueries.oracle
+    RefQueries.oracle ++ AnalyticQueries.oracle ++ PipelineQueries.oracle
 }

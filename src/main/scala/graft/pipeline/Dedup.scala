@@ -1,0 +1,156 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Deduplication operators for LLM training-data pipelines
+  * (SURVEY.md §2.2 [EXT]): exact (content-hash groupBy), MinHash+LSH
+  * (shingle → minhash → band → bucket-join), SimHash, n-gram Jaccard.
+  *
+  * Cross-engine parity strategy (the Hash31.duckBucket pattern): every
+  * hash is md5 — identical hex text in Spark and DuckDB — and MinHash
+  * "permutations" are min() over salted md5 strings, so signatures are
+  * engine-independent. All similarity ratios are int/int divisions →
+  * bit-identical doubles.
+  *
+  * Scale (100 TB): exact dedup is one hash-shuffle on a 128-bit digest.
+  * MinHash-LSH is the scalable fuzzy path: per-row signature (narrow,
+  * codegen'd) → explode to B band rows → ONE hash-shuffle groupBy/join on
+  * the band signature; candidate verification touches only bucket-local
+  * pairs. LSH banding IS hash-prefix bucketing — O2 generalized
+  * (reference salting: wd/RowKeyDistributorByHashPrefix.java:111-114;
+  * band bucket = salted key prefix, verified pairs = the per-bucket scan).
+  * Never O(n²): pairwise work is confined to same-bucket candidates.
+  */
+object Dedup {
+
+  // ---- MinHash ------------------------------------------------------------
+
+  /** Number of MinHash permutations and LSH banding shape (B bands × R
+    * rows; K = B*R). sim ≈ s survives banding with p = 1-(1-s^R)^B:
+    * R=3, B=4 → s=0.9: 0.996, s=0.3: 0.10 — the standard near-dup knee. */
+  val K = 12
+  val Bands = 4
+  val Rows = 3
+  require(K == Bands * Rows)
+
+  /** MinHash permutation family: affine maps h_p(x) = (A_p·x + B_p) mod P
+    * over ONE md5-derived 32-bit base hash per shingle — 12 integer ops
+    * instead of 12 md5 calls per shingle (12× cheaper in the hot loop; at
+    * 100 TB the signature pass is the dominant narrow stage). A_p is kept
+    * under 2^20 so A_p·x < 2^52 — no BIGINT overflow in either engine
+    * (DuckDB errors on int64 overflow; Spark would wrap silently). */
+  val P: Long = 4294967291L // largest prime < 2^32
+  val PermA: IndexedSeq[Long] =
+    (0 until K).map(p => ((1103515245L * (p + 1) + 12345L) % 1048573L) | 1L)
+  val PermB: IndexedSeq[Long] =
+    (0 until K).map(p => (69069L * (p + 1) + 1L) % P)
+
+  /** 32-bit base hash of a shingle (first 8 md5 hex chars). */
+  def baseHash32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("bigint")
+
+  def duckBaseHash32(s: String): String =
+    (1 to 8).map { c =>
+      val digit = s"(instr('0123456789abcdef', substr(md5($s), $c, 1)) - 1)"
+      val scale = math.pow(16, 8 - c).toLong
+      s"$digit * $scale"
+    }.mkString("(", " + ", ")")
+
+  /** One MinHash "permutation": min over shingles of the p-th affine map
+    * of the base hash (column `x`). */
+  def minhashAggs(xCol: String): Seq[Column] =
+    (0 until K).map(p =>
+      min((col(xCol) * PermA(p) + PermB(p)) % P).as(s"h$p"))
+
+  def duckMinhashAggs(xExpr: String): Seq[String] =
+    (0 until K).map(p =>
+      s"min((($xExpr) * ${PermA(p)} + ${PermB(p)}) % $P) AS h$p")
+
+  /** Band signatures from the K signature columns h0..h{K-1} (bigints,
+    * rendered in decimal — identical text in both engines). */
+  def bandSig(b: Int): Column =
+    md5(concat_ws("|", (0 until Rows).map(r => col(s"h${b * Rows + r}").cast("string")): _*))
+
+  def duckBandSig(b: Int): String =
+    (0 until Rows).map(r => s"CAST(h${b * Rows + r} AS VARCHAR)")
+      .mkString("md5(", " || '|' || ", ")")
+
+  /** doc_id × band → (band, sig) rows, ready for the LSH bucket-join. */
+  def bandRows(sig: DataFrame, idCol: String): DataFrame =
+    sig.select(
+      col(idCol),
+      explode(array((0 until Bands).map(b =>
+        struct(lit(b).as("band"), bandSig(b).as("sig"))): _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+
+  /** Candidate pairs (a < b) sharing any band bucket — the ONE shuffle of
+    * the LSH path (self-equi-join on (band, sig); at scale a hash join on
+    * a high-entropy key, AQE-skew-safe). */
+  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
+    val l = bands.as("l")
+    val r = bands.as("r")
+    l.join(r, col(s"l.band") === col(s"r.band") && col(s"l.sig") === col(s"r.sig")
+        && col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"))
+      .distinct()
+  }
+
+  // ---- Jaccard ------------------------------------------------------------
+
+  /** Exact Jaccard over distinct shingle sets via |A∩B| = |A|+|B|-|A∪B|
+    * — pure int arithmetic, then one int/int division (exact parity). */
+  def jaccard(sa: Column, sb: Column): Column = {
+    val na = size(array_distinct(sa))
+    val nb = size(array_distinct(sb))
+    val nu = size(array_distinct(concat(sa, sb)))
+    (na + nb - nu).cast("double") / nu.cast("double")
+  }
+
+  def duckJaccard(sa: String, sb: String): String = {
+    val na = s"len(list_distinct($sa))"
+    val nb = s"len(list_distinct($sb))"
+    val nu = s"len(list_distinct(list_concat($sa, $sb)))"
+    s"(CAST($na + $nb - $nu AS DOUBLE) / CAST($nu AS DOUBLE))"
+  }
+
+  // ---- SimHash ------------------------------------------------------------
+
+  /** SimHash width in bits. Token hash = first 4 hex chars of md5 (16-bit,
+    * engine-independent); bit j of the signature is the sign of
+    * Σ_tokens (±1 by token-hash bit j). */
+  val SimBits = 16
+
+  /** 16-bit token hash from md5 hex (conv is case-insensitive). */
+  def tokenHash16(t: Column): Column =
+    conv(substring(md5(t), 1, 4), 16, 10).cast("bigint")
+
+  def duckTokenHash16(t: String): String =
+    (1 to 4).map { c =>
+      val digit = s"(instr('0123456789abcdef', substr(md5($t), $c, 1)) - 1)"
+      val scale = math.pow(16, 4 - c).toLong
+      s"$digit * $scale"
+    }.mkString("(", " + ", ")")
+
+  /** Per-bit ±1 vote aggregations over exploded tokens (column hv). */
+  def simhashVotes(hv: Column): Seq[Column] =
+    (0 until SimBits).map(j =>
+      sum(when(shiftright(hv, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$j"))
+
+  def duckSimhashVotes(hv: String): Seq[String] =
+    (0 until SimBits).map(j =>
+      s"CAST(SUM(CASE WHEN (($hv) >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v$j")
+
+  /** Pack the vote signs into the final signature. */
+  def simhashPack: Column =
+    (0 until SimBits).map(j => when(col(s"v$j") > 0L, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _).cast("bigint")
+
+  def duckSimhashPack: String =
+    (0 until SimBits).map(j => s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString("CAST(", " + ", " AS BIGINT)")
+
+  /** Hamming distance between two signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("bigint")
+  def duckHamming(a: String, b: String): String = s"CAST(bit_count(xor($a, $b)) AS BIGINT)"
+}

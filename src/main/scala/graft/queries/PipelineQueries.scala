@@ -1,0 +1,451 @@
+package graft.queries
+
+import Tables._
+import graft.pipeline._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] LLM-training-data pipeline surface (SURVEY.md §2.2 [EXT]):
+  * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+  * embedding-cosine), similarity search (brute-force + LSH-bucketed ANN),
+  * text analysis, multimodal feature extraction, plus scalar-function
+  * coverage. None of this exists in the reference (documented absent,
+  * SURVEY.md §2.2) — it is the north-star extension mandated by
+  * BASELINE.json, built Spark-first.
+  *
+  * Oracle-by-construction: the corpus has no natural duplicates (500
+  * distinct docs), so dedup queries build corpus ∪ mutated-copy — the
+  * same trick the reference's tests use (compute the expected answer
+  * while writing the data, wd-test/RowKeyDistributorTestBase.java:138-150).
+  * Every DuckDB oracle is GENERATED from the same constants as the Spark
+  * expression (md5 hashes, sequential double folds) so results are
+  * bit-identical — see graft.pipeline.{TextAnalysis,Dedup,Similarity}.
+  */
+object PipelineQueries {
+  import TextAnalysis._
+  import Dedup._
+  import Similarity._
+
+  // ---- shared corpus builders (Spark + generated DuckDB twins) ----------
+
+  /** documents ∪ verbatim copy (ids +100000): exact-dup corpus. */
+  private def exactCorpus(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    base.union(base.select(col("doc_id") + 100000L, col("text")))
+  }
+  private val duckExactCorpus =
+    """corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 100000 AS doc_id, text FROM documents)"""
+
+  /** documents ∪ near-dup copy (ids +100000, last 2 tokens dropped):
+    * fuzzy-dup corpus — pairs (d, d+100000) have shingle-Jaccard ≈ 0.9. */
+  private def fuzzyCorpus(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val mutated = docs
+      .withColumn("w", tokens(col("text")))
+      .filter(size(col("w")) >= 5)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        array_join(slice(col("w"), lit(1), size(col("w")) - 2), " ").as("text"))
+    base.union(mutated)
+  }
+  private val duckFuzzyCorpus =
+    s"""corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 100000 AS doc_id, array_to_string(w[1:len(w)-2], ' ') AS text
+         FROM (SELECT doc_id, ${duckTokens("text")} AS w FROM documents)
+         WHERE len(w) >= 5)"""
+
+  /** corpus → per-doc distinct shingle set + the pos-0 blocking shingle
+    * (via the codegen'd shingle stream; the collect_set groupBy reuses
+    * the stream's doc_id partitioning — no extra exchange). */
+  private def shingleSets(corpus: DataFrame): DataFrame =
+    shingleRows(corpus).groupBy("doc_id")
+      .agg(collect_set(col("s")).as("sh"), min_by(col("s"), col("pos")).as("s0"))
+
+  private val duckShingled =
+    s"""sh AS (
+         SELECT doc_id, w, ${duckShingles3("w")} AS sh
+         FROM (SELECT doc_id, ${duckTokens("text")} AS w FROM corpus)
+         WHERE len(w) >= 3)"""
+
+  /** MinHash signatures (h0..h{K-1}): one base hash per shingle row, K
+    * affine permutations aggregated with min — partial+final hash agg on
+    * the already-doc_id-partitioned shingle stream. */
+  private def minhashSigs(corpus: DataFrame): DataFrame =
+    shingleRows(corpus)
+      .withColumn("x", baseHash32(col("s")))
+      .groupBy("doc_id")
+      .agg(minhashAggs("x").head, minhashAggs("x").tail: _*)
+  private val duckMinhashSigs =
+    s"""e AS (SELECT doc_id, ${duckBaseHash32("s")} AS x
+              FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+        sig AS (SELECT doc_id, ${duckMinhashAggs("x").mkString(", ")} FROM e GROUP BY doc_id)"""
+
+  // ---- queries ------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // text analysis: token counting (whitespace + BPE-ish regex), length
+    // stats, stopword ratio, rule-based quality score — narrow codegen'd
+    // projections, run at scan speed at any scale
+    "q_text_stats" -> ((s, dir) =>
+      documents(s, dir)
+        .withColumn("w", tokens(col("text")))
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("bigint").as("n_chars"),
+          size(col("w")).cast("bigint").as("n_tokens"),
+          size(bpeTokens(col("text"))).cast("bigint").as("n_tokens_bpe"),
+          (sumTokenLen(col("w")).cast("double") / size(col("w")).cast("double")).as("avg_token_len"),
+          (markerCount(col("w"), Stopwords).cast("double") / size(col("w")).cast("double")).as("stopword_ratio"))
+        .withColumn("quality",
+          (when(col("n_tokens").between(10, 2000), 1L).otherwise(0L)
+            + when(col("stopword_ratio") >= 0.02, 1L).otherwise(0L)
+            + when(col("avg_token_len").between(3.0, 8.0), 1L).otherwise(0L)))
+        .orderBy("doc_id")),
+
+    // language ID (marker-word heuristic) → confusion matrix vs labels
+    "q_text_langid" -> ((s, dir) => {
+      val scored = LangMarkers.foldLeft(
+        documents(s, dir).withColumn("w", tokens(col("text")))) {
+        case (df, (l, words)) => df.withColumn(s"s_$l", markerCount(col("w"), words))
+      }
+      scored.withColumn("lang_pred", langPredict(l => col(s"s_$l")))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")
+    }),
+
+    // document fingerprinting: whole-doc md5 + winnowing (min shingle hash)
+    "q_text_fingerprint" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val fp = docs.select(col("doc_id"),
+        fingerprint(tokens(col("text"))).as("fp"))
+      val win = shingleRows(docs).groupBy("doc_id")
+        .agg(min(md5(col("s"))).as("fp_winnow"))
+      fp.join(win, "doc_id").orderBy("doc_id")
+    }),
+
+    // exact dedup: one hash-shuffle groupBy on the content digest;
+    // survivor = min id (deterministic keep-first policy)
+    "q_dedup_exact" -> ((s, dir) =>
+      exactCorpus(documents(s, dir))
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("survivor"), count(lit(1)).as("n_copies"))
+        .select("survivor", "n_copies")
+        .orderBy("survivor")),
+
+    // MinHash signatures as a first-class operator output
+    "q_minhash_signature" -> ((s, dir) =>
+      minhashSigs(fuzzyCorpus(documents(s, dir))).orderBy("doc_id")),
+
+    // MinHash-LSH fuzzy dedup, full pipeline: signature → bands → bucket
+    // join (the ONE shuffle) → candidate pairs → exact-Jaccard verify.
+    // LSH banding IS the reference's hash-prefix bucketing generalized.
+    "q_dedup_minhash_lsh" -> ((s, dir) => {
+      val corpus = fuzzyCorpus(documents(s, dir))
+      // ONE per-doc aggregation computes the MinHash signature AND the
+      // exact shingle set for the verify stage — single shuffle, reused
+      // (at scale: the sketch pass reads the corpus once)
+      val sketchAggs = collect_set(col("s")).as("sh") +: minhashAggs("x")
+      val sketch = shingleRows(corpus)
+        .withColumn("x", baseHash32(col("s")))
+        .groupBy("doc_id")
+        .agg(sketchAggs.head, sketchAggs.tail: _*)
+      val bands = bandRows(sketch, "doc_id")
+      val l = bands.select(col("doc_id").as("a"), col("band"), col("sig"))
+      val r = bands.select(col("doc_id").as("b"), col("band").as("band_r"), col("sig").as("sig_r"))
+      val cand = l.join(r,
+          col("band") === col("band_r") && col("sig") === col("sig_r") && col("a") < col("b"))
+        .select("a", "b").distinct()
+      val sa = sketch.select(col("doc_id").as("a"), col("sh").as("sha"))
+      val sb = sketch.select(col("doc_id").as("b"), col("sh").as("shb"))
+      cand.join(sa, "a").join(sb, "b")
+        .withColumn("jaccard", jaccard(col("sha"), col("shb")))
+        .filter(col("jaccard") >= 0.5)
+        .select("a", "b", "jaccard")
+        .orderBy("a", "b")
+    }),
+
+    // n-gram Jaccard dedup without LSH: blocked pairwise (block key = the
+    // first 3-gram — high-entropy, so blocks stay small and the pairwise
+    // stage never goes quadratic; the tiny-vocab first TOKEN would not)
+    "q_dedup_ngram_jaccard" -> ((s, dir) => {
+      val sets = shingleSets(fuzzyCorpus(documents(s, dir)))
+      val l = sets.select(col("doc_id").as("a"), col("s0").as("blk"),
+        col("sh").as("sha"))
+      val r = sets.select(col("doc_id").as("b"), col("s0").as("blk_r"),
+        col("sh").as("shb"))
+      l.join(r, col("blk") === col("blk_r") && col("a") < col("b"))
+        .withColumn("jaccard", jaccard(col("sha"), col("shb")))
+        .filter(col("jaccard") >= 0.5)
+        .select("a", "b", "jaccard")
+        .orderBy("a", "b")
+    }),
+
+    // SimHash near-dup: 16-bit signatures; hamming(original, mutation)
+    "q_dedup_simhash" -> ((s, dir) => {
+      val toks = fuzzyCorpus(documents(s, dir))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .withColumn("hv", tokenHash16(col("t")))
+      val votes = toks.groupBy("doc_id")
+        .agg(simhashVotes(col("hv")).head, simhashVotes(col("hv")).tail: _*)
+      val sigs = votes.select(col("doc_id"), simhashPack.as("simhash"))
+      val a = sigs.filter(col("doc_id") < 100000L)
+        .select(col("doc_id"), col("simhash").as("sim_orig"))
+      val b = sigs.filter(col("doc_id") >= 100000L)
+        .select((col("doc_id") - 100000L).as("doc_id"), col("simhash").as("sim_mut"))
+      a.join(b, "doc_id")
+        .withColumn("ham", hamming(col("sim_orig"), col("sim_mut")))
+        .orderBy("doc_id")
+    }),
+
+    // embedding-cosine near-dup: sign-LSH bucket join (scaling by +2 is
+    // direction-preserving → constructed dup lands in the same bucket)
+    "q_dedup_embedding" -> ((s, dir) => {
+      val v0 = embeddings(s, dir).select(col("vec_id"), vd(col("embedding")).as("v"))
+      val corpus = v0.union(
+        v0.select(col("vec_id") + 100000L, transform(col("v"), x => x * 2.0)))
+      val m = corpus
+        .withColumn("bucket", signBucket(col("v")))
+        .withColumn("n2", norm2(col("v")))
+      val l = m.select(col("vec_id").as("a"), col("v").as("va"), col("n2").as("n2a"), col("bucket"))
+      val r = m.select(col("vec_id").as("b"), col("v").as("vb"), col("n2").as("n2b"),
+        col("bucket").as("bucket_r"))
+      l.join(r, col("bucket") === col("bucket_r") && col("a") < col("b"))
+        .withColumn("cos", cosine(dot(col("va"), col("vb")), col("n2a"), col("n2b")))
+        .filter(col("cos") > 0.999)
+        .select("a", "b", "cos")
+        .orderBy("a", "b")
+    }),
+
+    // similarity search, correctness baseline: brute-force cosine top-k —
+    // small query set broadcast against a linear corpus scan, no shuffle
+    // of the corpus side
+    "q_knn_cosine_brute" -> ((s, dir) => {
+      val v = embeddings(s, dir).select(col("vec_id"), vd(col("embedding")).as("v"))
+      val q = v.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), norm2(col("v")).as("qn2"))
+      val c = v.filter(col("vec_id") >= 5)
+        .withColumn("n2", norm2(col("v")))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      broadcast(q).crossJoin(c)
+        .withColumn("cos", cosine(dot(col("qv"), col("v")), col("qn2"), col("n2")))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 10)
+        .select("q_id", "vec_id", "cos", "rnk")
+        .orderBy("q_id", "rnk")
+    }),
+
+    // similarity search, scale path: sign-LSH bucketed ANN — the cross
+    // product becomes a hash-equi-join on the bucket id
+    "q_knn_cosine_lsh" -> ((s, dir) => {
+      val v = embeddings(s, dir).select(col("vec_id"), vd(col("embedding")).as("v"))
+      val q = v.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          norm2(col("v")).as("qn2"), signBucket(col("v")).as("qbucket"))
+      val c = v.filter(col("vec_id") >= 5)
+        .withColumn("n2", norm2(col("v")))
+        .withColumn("bucket", signBucket(col("v")))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      broadcast(q).join(c, col("qbucket") === col("bucket"))
+        .withColumn("cos", cosine(dot(col("qv"), col("v")), col("qn2"), col("n2")))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 5)
+        .select("q_id", "vec_id", "cos", "rnk")
+        .orderBy("q_id", "rnk")
+    }),
+
+    // multimodal: binary payload + typed metadata; SQL-expressible feature
+    // extraction (mean byte, frame sample) — the mapPartitions decode stub
+    // is exercised in MultimodalSpec
+    "q_media_features" -> ((s, dir) => {
+      val media = Multimodal.mediaTable(documents(s, dir))
+      media.select(
+        col("doc_id"), col("mime"), col("width"), col("height"), col("n_frames"),
+        length(col("payload")).cast("bigint").as("n_bytes"),
+        Multimodal.meanByte(Multimodal.byteValues(col("payload"), 32), 32).as("mean_byte"),
+        Multimodal.frameHex(col("payload"), pmod(col("doc_id"), col("n_frames"))).as("frame_hex"))
+        .orderBy("doc_id")
+    }),
+
+    // scalar-function coverage: strings
+    "q_string_funcs" -> ((s, dir) =>
+      customer(s, dir).select(
+        col("c_custkey"),
+        upper(col("c_name")).as("up_name"),
+        substring(col("c_name"), 10, 9).as("digits"),
+        length(col("c_name")).cast("bigint").as("name_len"),
+        concat(col("c_mktsegment"), lit("-"), col("c_nationkey").cast("string")).as("tag"),
+        lpad(col("c_custkey").cast("string"), 6, "0").as("padded"),
+        reverse(col("c_name")).as("rev"),
+        instr(col("c_name"), "#").cast("bigint").as("hash_pos"))
+        .orderBy("c_custkey")),
+
+    // scalar-function coverage: math (only cross-engine-exact fns: abs,
+    // floor/ceil, sqrt (IEEE correctly-rounded), pmod, greatest/least)
+    "q_math_funcs" -> ((s, dir) =>
+      lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("abs_disc"),
+        floor(col("l_extendedprice")).cast("bigint").as("floor_price"),
+        ceil(col("l_quantity")).cast("bigint").as("ceil_qty"),
+        sqrt(col("l_extendedprice")).as("sqrt_price"),
+        pmod(col("l_orderkey"), lit(7L)).as("mod7"),
+        greatest(col("l_discount"), col("l_tax")).as("max_rate"),
+        least(col("l_discount"), col("l_tax")).as("min_rate"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // approx distinct (HLL) vs exact — no DuckDB oracle (sketch internals
+    // differ by design); driver records the weaker rows-only check
+    "q_approx_distinct" -> ((s, dir) =>
+      events(s, dir).agg(
+        approx_count_distinct("user_id").as("approx_users"),
+        countDistinct("user_id").as("exact_users")))
+  )
+
+  // ---- oracles ------------------------------------------------------------
+
+  def oracle: Map[String, String] = {
+    val stop = duckMarkerCount("w", Stopwords)
+    Map(
+      "q_text_stats" ->
+        s"""SELECT doc_id, n_chars, n_tokens, n_tokens_bpe, avg_token_len, stopword_ratio,
+              (CASE WHEN n_tokens BETWEEN 10 AND 2000 THEN 1 ELSE 0 END
+               + CASE WHEN stopword_ratio >= 0.02 THEN 1 ELSE 0 END
+               + CASE WHEN avg_token_len BETWEEN 3.0 AND 8.0 THEN 1 ELSE 0 END)::BIGINT AS quality
+            FROM (
+              SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                CAST(len(w) AS BIGINT) AS n_tokens,
+                CAST(len(${duckBpeTokens("text")}) AS BIGINT) AS n_tokens_bpe,
+                CAST(${duckSumTokenLen("w")} AS DOUBLE) / CAST(len(w) AS DOUBLE) AS avg_token_len,
+                CAST($stop AS DOUBLE) / CAST(len(w) AS DOUBLE) AS stopword_ratio
+              FROM (SELECT doc_id, text, ${duckTokens("text")} AS w FROM documents))
+            ORDER BY doc_id""",
+
+      "q_text_langid" -> {
+        val scores = LangMarkers
+          .map { case (l, ws) => s"${duckMarkerCount("w", ws)} AS s_$l" }.mkString(", ")
+        s"""SELECT lang, lang_pred, count(*) AS n FROM (
+              SELECT lang, ${duckLangPredict(l => s"s_$l")} AS lang_pred FROM (
+                SELECT lang, $scores
+                FROM (SELECT lang, ${duckTokens("text")} AS w FROM documents)))
+            GROUP BY 1, 2 ORDER BY 1, 2"""
+      },
+
+      "q_text_fingerprint" ->
+        s"""WITH corpus AS (SELECT doc_id, text FROM documents), $duckShingled
+            SELECT doc_id, ${duckFingerprint("w")} AS fp, ${duckWinnow("sh")} AS fp_winnow
+            FROM sh ORDER BY doc_id""",
+
+      "q_dedup_exact" ->
+        s"""WITH $duckExactCorpus
+            SELECT min(doc_id) AS survivor, count(*) AS n_copies
+            FROM corpus GROUP BY md5(text) ORDER BY survivor""",
+
+      "q_minhash_signature" ->
+        s"""WITH $duckFuzzyCorpus, $duckShingled, $duckMinhashSigs
+            SELECT * FROM sig ORDER BY doc_id""",
+
+      "q_dedup_minhash_lsh" -> {
+        val bandSelects = (0 until Bands).map(b =>
+          s"SELECT doc_id, $b AS band, ${duckBandSig(b)} AS bsig FROM sig").mkString(" UNION ALL ")
+        s"""WITH $duckFuzzyCorpus, $duckShingled, $duckMinhashSigs,
+              bands AS ($bandSelects),
+              cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                       FROM bands l JOIN bands r
+                       ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id),
+              j AS (SELECT a, b, ${duckJaccard("sa.sh", "sb.sh")} AS jaccard
+                    FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b)
+            SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY a, b"""
+      },
+
+      "q_dedup_ngram_jaccard" ->
+        s"""WITH $duckFuzzyCorpus, $duckShingled,
+              j AS (SELECT l.doc_id AS a, r.doc_id AS b, ${duckJaccard("l.sh", "r.sh")} AS jaccard
+                    FROM sh l JOIN sh r ON l.sh[1] = r.sh[1] AND l.doc_id < r.doc_id)
+            SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY a, b""",
+
+      "q_dedup_simhash" ->
+        s"""WITH $duckFuzzyCorpus,
+              tok AS (SELECT doc_id, unnest(${duckTokens("text")}) AS t FROM corpus),
+              h AS (SELECT doc_id, ${duckTokenHash16("t")} AS hv FROM tok),
+              votes AS (SELECT doc_id, ${duckSimhashVotes("hv").mkString(", ")} FROM h GROUP BY doc_id),
+              sigs AS (SELECT doc_id, $duckSimhashPack AS simhash FROM votes)
+            SELECT a.doc_id AS doc_id, a.simhash AS sim_orig, b.simhash AS sim_mut,
+              ${duckHamming("a.simhash", "b.simhash")} AS ham
+            FROM sigs a JOIN sigs b ON b.doc_id = a.doc_id + 100000
+            ORDER BY a.doc_id""",
+
+      "q_dedup_embedding" ->
+        s"""WITH v0 AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
+              corpus AS (SELECT vec_id, v FROM v0
+                         UNION ALL
+                         SELECT vec_id + 100000, list_transform(v, x -> x * 2.0) FROM v0),
+              m AS (SELECT vec_id, v, ${duckSignBucket("v")} AS bucket, ${duckNorm2("v")} AS n2 FROM corpus),
+              p AS (SELECT l.vec_id AS a, r.vec_id AS b,
+                      ${duckCosine(duckDot("l.v", "r.v"), "l.n2", "r.n2")} AS cos
+                    FROM m l JOIN m r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+            SELECT a, b, cos FROM p WHERE cos > 0.999 ORDER BY a, b""",
+
+      "q_knn_cosine_brute" ->
+        s"""WITH v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
+              q AS (SELECT vec_id AS q_id, v AS qv, ${duckNorm2("v")} AS qn2 FROM v WHERE vec_id < 5),
+              c AS (SELECT vec_id, v, ${duckNorm2("v")} AS n2 FROM v WHERE vec_id >= 5),
+              s AS (SELECT q_id, vec_id, ${duckCosine(duckDot("qv", "v"), "qn2", "n2")} AS cos FROM q, c),
+              r AS (SELECT q_id, vec_id, cos,
+                      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+                    FROM s)
+            SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""",
+
+      "q_knn_cosine_lsh" ->
+        s"""WITH v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
+              q AS (SELECT vec_id AS q_id, v AS qv, ${duckNorm2("v")} AS qn2,
+                      ${duckSignBucket("v")} AS qbucket FROM v WHERE vec_id < 5),
+              c AS (SELECT vec_id, v, ${duckNorm2("v")} AS n2,
+                      ${duckSignBucket("v")} AS bucket FROM v WHERE vec_id >= 5),
+              s AS (SELECT q_id, vec_id, ${duckCosine(duckDot("qv", "v"), "qn2", "n2")} AS cos
+                    FROM q JOIN c ON qbucket = bucket),
+              r AS (SELECT q_id, vec_id, cos,
+                      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+                    FROM s)
+            SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
+
+      "q_media_features" ->
+        s"""WITH media AS (${Multimodal.duckMediaTable})
+            SELECT doc_id, mime, width, height, n_frames,
+              CAST(octet_length(unhex(payload_hex)) AS BIGINT) AS n_bytes,
+              ${Multimodal.duckMeanByte(Multimodal.duckByteValues("payload_hex", 32), 32)} AS mean_byte,
+              ${Multimodal.duckFrameHex("payload_hex", "doc_id % n_frames")} AS frame_hex
+            FROM media ORDER BY doc_id""",
+
+      "q_string_funcs" ->
+        """SELECT c_custkey,
+             upper(c_name) AS up_name,
+             substr(c_name, 10, 9) AS digits,
+             CAST(length(c_name) AS BIGINT) AS name_len,
+             c_mktsegment || '-' || CAST(c_nationkey AS VARCHAR) AS tag,
+             lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS padded,
+             reverse(c_name) AS rev,
+             CAST(instr(c_name, '#') AS BIGINT) AS hash_pos
+           FROM customer ORDER BY c_custkey""",
+
+      "q_math_funcs" ->
+        """SELECT l_orderkey, l_linenumber,
+             abs(l_discount - 0.05) AS abs_disc,
+             CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+             CAST(ceil(l_quantity) AS BIGINT) AS ceil_qty,
+             sqrt(l_extendedprice) AS sqrt_price,
+             ((l_orderkey % 7) + 7) % 7 AS mod7,
+             greatest(l_discount, l_tax) AS max_rate,
+             least(l_discount, l_tax) AS min_rate
+           FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+      // q_approx_distinct: deliberately no oracle (HLL sketch ≠ exact);
+      // driver records rows-only.
+    )
+  }
+}

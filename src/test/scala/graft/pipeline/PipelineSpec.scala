@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import graft.SparkSuite
+import graft.queries.PipelineQueries
+import org.apache.spark.sql.functions._
+
+/** Specs for the [EXT] pipeline operators (dedup / similarity / text).
+  * The DuckDB oracle (tools/check.py) is the cross-engine gate; these
+  * assert the operator-level invariants. */
+class PipelineSpec extends SparkSuite {
+  private def q(name: String) = PipelineQueries.queries(name)(spark, sf())
+
+  test("exact dedup halves the doubled corpus, keeps min id") {
+    val out = q("q_dedup_exact").collect()
+    assert(out.length == 500) // 1000-row corpus → 500 distinct texts
+    assert(out.forall(_.getLong(1) == 2)) // every text exactly twice
+    assert(out.forall(_.getLong(0) < 100000L)) // survivor is the original
+  }
+
+  test("minhash-lsh finds every constructed near-dup pair") {
+    val pairs = q("q_dedup_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every original with ≥5 tokens must pair with its mutation: LSH at
+    // J≈0.9 with B=4,R=3 catches with p≈0.996 per pair; the constructed
+    // corpus is fixed (seed data), so this is deterministic here
+    val docs = graft.queries.Tables.documents(spark, sf())
+      .withColumn("n", size(TextAnalysis.tokens(col("text"))))
+      .filter(col("n") >= 5).select("doc_id")
+      .collect().map(_.getLong(0))
+    val found = docs.count(d => pairs.contains((d, d + 100000L)))
+    assert(found >= docs.length * 95 / 100, s"found $found of ${docs.length}")
+  }
+
+  test("jaccard of identical sets is 1.0, disjoint is 0.0") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq("a b c", "b c d"), Seq("a b c", "b c d")),
+      (Seq("a b c"), Seq("x y z"))).toDF("sa", "sb")
+    val j = df.select(Dedup.jaccard(col("sa"), col("sb"))).as[Double].collect()
+    assert(j(0) == 1.0 && j(1) == 0.0)
+  }
+
+  test("simhash of original vs mutation is close in hamming") {
+    val rows = q("q_dedup_simhash").collect()
+    assert(rows.length == 500)
+    val avgHam = rows.map(_.getLong(3)).sum.toDouble / rows.length
+    assert(avgHam < 4.0, s"avg hamming $avgHam") // near-dups stay close
+  }
+
+  test("embedding near-dup finds all 500 scaled copies") {
+    val pairs = q("q_dedup_embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.count { case (a, b) => b == a + 100000L } == 500)
+  }
+
+  test("brute-force knn: top-10 per query, self-consistent cosines") {
+    val rows = q("q_knn_cosine_brute").collect()
+    assert(rows.length == 50) // 5 queries × 10
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { g =>
+      val cos = g.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(cos.zip(cos.tail).forall { case (x, y) => x >= y }, "descending")
+      assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
+  test("lsh knn results are a subset of brute-force candidate space") {
+    val lsh = q("q_knn_cosine_lsh").collect()
+    // every LSH hit shares the query's sign bucket by construction; ranks
+    // are contiguous from 1 within each query
+    lsh.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getLong(3)).sorted.sameElements(1L to g.length))
+    }
+  }
+
+  test("language id is deterministic and covers all labels") {
+    val m = q("q_text_langid").collect()
+    assert(m.map(_.getLong(2)).sum == 500)
+  }
+
+  test("text stats: ratios in range, quality 0..3") {
+    val rows = q("q_text_stats").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val ratio = r.getDouble(5)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      val quality = r.getLong(6)
+      assert(quality >= 0 && quality <= 3)
+    }
+  }
+
+  test("fingerprints: md5-shaped, winnow is a valid shingle hash") {
+    val rows = q("q_text_fingerprint").collect()
+    assert(rows.forall(_.getString(1).matches("[0-9a-f]{32}")))
+    assert(rows.forall(_.getString(2).matches("[0-9a-f]{32}")))
+  }
+}
