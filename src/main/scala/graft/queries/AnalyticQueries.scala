@@ -24,6 +24,8 @@ object AnalyticQueries {
 
   // 6-hour tumbling window in micros (batch twin of the streaming window)
   private val WinUs = 21600000000L
+  // 1-hour session gap in micros (batch twin of streaming sessionization)
+  private val SessGapUs = 3600000000L
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style flag/status rollup over lineitem
@@ -167,7 +169,15 @@ object AnalyticQueries {
         .groupBy("win_start_us", "event_type")
         .agg(count(lit(1)).as("n"),
           sum(dec(col("value"))).cast("double").as("total_value"))
-        .orderBy("win_start_us", "event_type"))
+        .orderBy("win_start_us", "event_type")),
+
+    // gap-based sessionization (1h gap) — batch twin of the streaming
+    // flatMapGroupsWithState sessionizer (graft.streaming.sessionize);
+    // one user_id shuffle, two window passes, then a hash agg.
+    "q_sessionize" -> ((s, dir) =>
+      graft.streaming.StreamingIngest
+        .sessionizeBatch(events(s, dir).select("user_id", "ts_us"), SessGapUs)
+        .orderBy("user_id", "sess_id"))
   )
 
   def oracle: Map[String, String] = Map(
@@ -276,6 +286,21 @@ object AnalyticQueries {
       s"""SELECT (epoch_us(ts) // $WinUs) * $WinUs AS win_start_us, event_type,
             count(*) AS n,
             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-          FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_sessionize" ->
+      s"""SELECT user_id, sess_id, min(ts_us) AS sess_start,
+            max(ts_us) AS sess_end, count(*) AS clicks
+          FROM (
+            SELECT user_id, ts_us,
+              SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+            FROM (
+              SELECT user_id, epoch_us(ts) AS ts_us,
+                CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) > $SessGapUs
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events))
+          GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

@@ -1,0 +1,145 @@
+package graft.streaming
+
+import graft.keys.Distributor
+import graft.store.SaltedStore
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+import java.sql.Timestamp
+
+/** Open-session accumulator for [[StreamingIngest.sessionize]] — top-level
+  * so the state encoder's generated code can construct it. */
+case class SessionState(sessStart: Long, sessEnd: Long, nClicks: Long)
+
+/** Structured Streaming front end for the salted store — the [EXT]
+  * streaming surface of SURVEY.md §2.2.
+  *
+  * The reference's motivating workload is streaming-shaped: monotonically
+  * increasing time-series keys hot-spotting one region server (reference
+  * README:9-18); the library itself only ever ran in batch clients. Here
+  * the same salting algebra (graft.keys) is applied continuously:
+  * `readStream → salt → foreachBatch(append bucketed parquet)`. Every
+  * micro-batch lands one sorted file per bucket, which is exactly the
+  * HBase memstore-flush analog — N buckets take writes concurrently and
+  * range scans keep min/max row-group skipping within each bucket.
+  *
+  * At scale: the only wide exchange per micro-batch is the repartition on
+  * the small int bucket column; state for windowed aggregation is bounded
+  * by the watermark; nothing accumulates on the driver.
+  */
+object StreamingIngest {
+
+  /** Continuous salted ingest: append each micro-batch to the bucketed
+    * layout at `path` using the same write path as batch (SaltedStore).
+    * Start with `.start()` on the returned writer (caller sets
+    * checkpointLocation / trigger).
+    *
+    * foreachBatch rather than a plain parquet sink because the salt +
+    * repartition + sortWithinPartitions pipeline needs a batch DataFrame;
+    * semantics are at-least-once per micro-batch, idempotent for the
+    * deterministic hash distributor (same row → same bucket, same file
+    * sort position — reference README:75-78's argument for hash mode).
+    */
+  def saltedWriter(stream: DataFrame, keyCol: Column, dist: Distributor,
+                   path: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        SaltedStore.write(batch, keyCol, dist, path, mode = "append")
+      }
+
+  /** Event-time tumbling window aggregation with late-data discipline:
+    * rows later than `watermarkDelay` behind the max seen event time are
+    * dropped, so state is bounded (SURVEY.md §2.2 streaming bullet).
+    * Output: (window_start, window_end, event_type, cnt, sum_value).
+    */
+  def tumblingCounts(events: DataFrame, tsCol: String, watermarkDelay: String,
+                     windowLen: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"),
+              col("window.end").as("window_end"),
+              col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Sliding-window variant: windows of `windowLen` every `slide`. */
+  def slidingCounts(events: DataFrame, tsCol: String, watermarkDelay: String,
+                    windowLen: String, slide: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+              col("window.end").as("window_end"),
+              col("event_type"), col("cnt"))
+
+  // ---- custom state: gap-based sessionization --------------------------
+
+  /** Input row for sessionization. */
+  case class Click(user_id: Long, ts: Timestamp)
+  /** One closed session: [start, end] with its click count. */
+  case class Session(user_id: Long, start: Timestamp, end: Timestamp, clicks: Long)
+
+  /** Gap-based sessions per user via flatMapGroupsWithState — the
+    * KeyValueGroupedDataset custom-state path (SURVEY.md §2.2). A session
+    * closes when no click arrives within `gapMs` of its last event
+    * (event-time timeout, so state expires with the watermark, bounded
+    * regardless of user cardinality).
+    */
+  def sessionize(clicks: Dataset[Click], gapMs: Long,
+                 watermarkDelay: String): Dataset[Session] = {
+    import clicks.sparkSession.implicits._
+    clicks
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Click], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, new Timestamp(s.sessStart), new Timestamp(s.sessEnd), s.nClicks))
+          } else {
+            val ts = rows.map(_.ts.getTime).toArray.sorted
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(s) if t - s.sessEnd <= gapMs =>
+                  cur = Some(s.copy(sessEnd = math.max(s.sessEnd, t), nClicks = s.nClicks + 1))
+                case Some(s) =>
+                  closed ::= Session(user, new Timestamp(s.sessStart), new Timestamp(s.sessEnd), s.nClicks)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.sessEnd + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Batch replay of the same sessionization, for oracle-checkable parity:
+    * identical gap semantics expressed as window functions (a new session
+    * starts where the gap from the previous click exceeds gapMs).
+    */
+  def sessionizeBatch(clicks: DataFrame, gapUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+    clicks
+      .withColumn("prev_ts", lag("ts_us", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum("new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_id")
+      .agg(min("ts_us").as("sess_start"), max("ts_us").as("sess_end"),
+           count(lit(1)).as("clicks"))
+  }
+}

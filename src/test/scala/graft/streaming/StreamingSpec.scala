@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.keys.HashPrefix
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSuite {
+  import StreamingIngest._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("salted streaming ingest appends bucketed sorted parquet per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("salted_stream").toString
+    val ckpt = Files.createTempDirectory("salted_stream_ckpt").toString
+
+    val mem = MemoryStream[(Long, Double)]
+    val stream = mem.toDF().toDF("k", "v")
+    val dist = HashPrefix(8)
+    val q = saltedWriter(stream, col("k"), dist, dir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+
+    mem.addData((1L to 500L).map(i => (i, i * 0.5)): _*)
+    val run1 = q.start(); run1.awaitTermination()
+    mem.addData((501L to 1000L).map(i => (i, i * 0.5)): _*)
+    val run2 = q.start(); run2.awaitTermination()
+
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 1000)
+    // every row in the bucket the hash distributor assigns
+    val misplaced = back.filter(col("bucket") =!= graft.keys.Hash31.bucket(col("k"), 8)).count()
+    assert(misplaced === 0)
+    // all 8 buckets took writes (the point of salting)
+    assert(back.select("bucket").distinct().count() === 8)
+  }
+
+  test("tumbling window counts with watermark drop late rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val agg = tumblingCounts(
+      mem.toDF().toDF("ts", "event_type", "value"),
+      "ts", watermarkDelay = "10 seconds", windowLen = "1 minute")
+
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("tumbling").start()
+
+    mem.addData(
+      (ts("2026-01-01 00:00:10"), "click", 1.0),
+      (ts("2026-01-01 00:00:50"), "click", 2.0),
+      (ts("2026-01-01 00:01:05"), "view", 3.0))
+    q.processAllAvailable()
+    // advance watermark past minute 0 → its windows finalize
+    mem.addData((ts("2026-01-01 00:03:00"), "view", 4.0))
+    q.processAllAvailable()
+    // this row is far behind the watermark (00:02:50) → dropped
+    mem.addData((ts("2026-01-01 00:00:30"), "click", 99.0))
+    q.processAllAvailable()
+    mem.addData((ts("2026-01-01 00:05:00"), "view", 5.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("tumbling")
+      .select("window_start", "event_type", "cnt", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(rows.contains((ts("2026-01-01 00:00:00"), "click", 2L, 3.0))) // late row NOT counted
+    assert(rows.contains((ts("2026-01-01 00:01:00"), "view", 1L, 3.0)))
+  }
+
+  test("gap sessionization via flatMapGroupsWithState matches batch replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Click]
+    val sessions = sessionize(mem.toDS(), gapMs = 30000L, watermarkDelay = "0 seconds")
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sessions").start()
+
+    // user 1: two sessions (gap 40s between click 2 and 3); user 2: one
+    mem.addData(
+      Click(1, ts("2026-01-01 00:00:00")), Click(1, ts("2026-01-01 00:00:20")),
+      Click(1, ts("2026-01-01 00:01:00")),
+      Click(2, ts("2026-01-01 00:00:05")))
+    q.processAllAvailable()
+    // push watermark far ahead so event-time timeouts fire and close all
+    mem.addData(Click(99, ts("2026-01-01 01:00:00")))
+    q.processAllAvailable()
+    mem.addData(Click(99, ts("2026-01-01 02:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sessions")
+      .filter($"user_id" < 99)
+      .select("user_id", "start", "end", "clicks")
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    assert(got === Set(
+      (1L, ts("2026-01-01 00:00:00"), ts("2026-01-01 00:00:20"), 2L),
+      (1L, ts("2026-01-01 00:01:00"), ts("2026-01-01 00:01:00"), 1L),
+      (2L, ts("2026-01-01 00:00:05"), ts("2026-01-01 00:00:05"), 1L)))
+
+    // batch replay over the same rows gives the same sessions
+    val batch = Seq((1L, 0L), (1L, 20000000L), (1L, 60000000L), (2L, 5000000L))
+      .toDF("user_id", "ts_us")
+    val replay = sessionizeBatch(batch, gapUs = 30000000L)
+      .select("user_id", "sess_start", "sess_end", "clicks")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(replay === Set(
+      (1L, 0L, 20000000L, 2L), (1L, 60000000L, 60000000L, 1L),
+      (2L, 5000000L, 5000000L, 1L)))
+  }
+}
