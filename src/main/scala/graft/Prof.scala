@@ -3,19 +3,21 @@ import org.apache.spark.sql.SparkSession
 import graft.queries.PipelineQueries
 object Prof {
   def main(args: Array[String]): Unit = {
-    val s = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val s = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
     def t(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
-      println(f"PROF $name%-26s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
+      println(f"PROF $name%-30s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
     }
-    for (r <- 1 to 3) {
-      t(s"dedup_embedding r$r")(PipelineQueries.queries("q_dedup_embedding")(s, dir).count())
-      t(s"knn_brute r$r")(PipelineQueries.queries("q_knn_cosine_brute")(s, dir).count())
+    val qs = args.toSeq match {
+      case Nil => Seq("q_text_stats", "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard")
+      case xs  => xs
     }
+    for (r <- 1 to 3; q <- qs)
+      t(s"$q r$r")(SparkEntry.queries(q)(s, dir).count())
     s.stop()
   }
 }

@@ -45,23 +45,19 @@ object TextAnalysis {
       i => array_join(slice(w, i + 1, lit(3)), " "))
 
   /** The hot-path shingler: corpus(doc_id, text) → one row per 3-shingle
-    * (doc_id, pos, s). posexplode + window-lead stays entirely inside
-    * whole-stage codegen (measured 4-5× faster than the transform() HOF,
-    * which Spark evaluates interpreted), at the cost of one doc_id
-    * shuffle — which downstream per-doc aggregations (MinHash groupBy,
-    * collect_set) then REUSE: the exchange is already on their key, so
-    * the whole dedup pipeline pays exactly one shuffle before the LSH
-    * band join. Docs with <3 tokens vanish (lead(2) is null) — same
-    * guard as the HOF form. */
-  def shingleRows(corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val wnd = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
-    corpus.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
-      .withColumn("t1", lead("t", 1).over(wnd))
-      .withColumn("t2", lead("t", 2).over(wnd))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), col("pos"),
-        concat_ws(" ", col("t"), col("t1"), col("t2")).as("s"))
-  }
+    * (doc_id, pos, s), via the custom WordShingles Generator
+    * (graft.functions.ShingleGenerator). NARROW — no exchange, no sort:
+    * shingles materialize in place, so downstream per-doc aggregations
+    * (MinHash mins, collect_set) run their partial step map-side and only
+    * one pre-aggregated row per doc crosses the shuffle. (Two rejected
+    * alternatives, both measured slower: transform() HOF — interpreted
+    * per-element closures; posexplode + window-lead — exchanges and sorts
+    * every token row before shingles exist.) Docs with <3 non-empty
+    * tokens produce no rows — same guard as the HOF form. */
+  def shingleRows(corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    corpus.select(col("doc_id"),
+      graft.functions.WordShingles.wordShingles(split(col("text"), " "), 3)
+        .as(Seq("pos", "s")))
 
   def duckShingles3(w: String): String =
     s"list_transform(range(len($w)-2), i -> array_to_string(($w)[i+1:i+3], ' '))"

@@ -151,10 +151,15 @@ object PipelineQueries {
       // exact shingle set for the verify stage — single shuffle, reused
       // (at scale: the sketch pass reads the corpus once)
       val sketchAggs = collect_set(col("s")).as("sh") +: minhashAggs("x")
+      // persist: the sketch feeds the band explode AND both sides of the
+      // verify join — without it the whole shingle+agg pipeline runs 3×.
+      // At scale this is the materialized sketch table every production
+      // MinHash pipeline writes before the bucket join.
       val sketch = shingleRows(corpus)
         .withColumn("x", baseHash32(col("s")))
         .groupBy("doc_id")
         .agg(sketchAggs.head, sketchAggs.tail: _*)
+        .persist()
       val bands = bandRows(sketch, "doc_id")
       val l = bands.select(col("doc_id").as("a"), col("band"), col("sig"))
       val r = bands.select(col("doc_id").as("b"), col("band").as("band_r"), col("sig").as("sig_r"))
@@ -174,7 +179,8 @@ object PipelineQueries {
     // first 3-gram — high-entropy, so blocks stay small and the pairwise
     // stage never goes quadratic; the tiny-vocab first TOKEN would not)
     "q_dedup_ngram_jaccard" -> ((s, dir) => {
-      val sets = shingleSets(fuzzyCorpus(documents(s, dir)))
+      // persist: both sides of the blocked self-join read the same sets
+      val sets = shingleSets(fuzzyCorpus(documents(s, dir))).persist()
       val l = sets.select(col("doc_id").as("a"), col("s0").as("blk"),
         col("sh").as("sha"))
       val r = sets.select(col("doc_id").as("b"), col("s0").as("blk_r"),
@@ -212,6 +218,7 @@ object PipelineQueries {
       val m = corpus
         .withColumn("bucket", signBucket(col("v")))
         .withColumn("n2", norm2(col("v")))
+        .persist()
       val l = m.select(col("vec_id").as("a"), col("v").as("va"), col("n2").as("n2a"), col("bucket"))
       val r = m.select(col("vec_id").as("b"), col("v").as("vb"), col("n2").as("n2b"),
         col("bucket").as("bucket_r"))
