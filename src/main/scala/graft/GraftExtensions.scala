@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions.{DotProduct, WordShingles}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions as SQL functions, so `spark.sql` users get them
+  * without touching the Scala Column API:
+  *
+  *   spark.sql("SELECT dot_product(a.v, b.v) FROM ...")
+  *   spark.sql("SELECT word_shingles(split(text, ' '), 3) FROM docs")
+  *
+  * Activate with
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * or programmatically via `SparkSession.builder.withExtensions(new
+  * GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.dotProduct)
+    ext.injectFunction(GraftExtensions.wordShingles)
+  }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  val dotProduct: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_product"),
+    info("dot_product",
+      "dot_product(a, b) - Sequential-fold dot product of two array<double> vectors."),
+    { args =>
+      require(args.length == 2, s"dot_product expects 2 arguments, got ${args.length}")
+      DotProduct(args(0), args(1))
+    })
+
+  val wordShingles: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("word_shingles"),
+    info("word_shingles",
+      "word_shingles(tokens, n) - Generator emitting (pos, s) for every n-token shingle."),
+    { args =>
+      require(args.length == 2, s"word_shingles expects 2 arguments, got ${args.length}")
+      val n = args(1) match {
+        case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+        case other => throw new IllegalArgumentException(
+          s"word_shingles width must be a literal, got $other")
+      }
+      WordShingles(args(0), n)
+    })
+}

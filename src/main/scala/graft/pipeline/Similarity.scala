@@ -68,4 +68,44 @@ object Similarity {
     (0 until SignBits).map { i =>
       s"CASE WHEN ($v)[${i * (D / SignBits) + 1}] > 0 THEN ${1L << i} ELSE 0 END"
     }.mkString("CAST(", " + ", " AS BIGINT)")
+
+  // ---- IVF (inverted-file) index ------------------------------------------
+  // Coarse-quantize the corpus into C cells (nearest centroid by cosine),
+  // probe the NProbe closest cells per query, exact-re-rank inside them.
+  // Centroids are collected to the driver and inlined as LITERALS, so cell
+  // assignment is one narrow codegen'd projection over the corpus — the
+  // broadcast-the-quantizer pattern that holds at 100 TB (the corpus is
+  // never shuffled to build the index; only the probe equi-join moves
+  // candidate rows). Centroid choice here is deterministic (a fixed id
+  // range) for oracle reproducibility; at scale you'd fit them with
+  // k-means|| — the index build and query path are identical either way.
+
+  /** Cell count and probe width. */
+  val IvfC = 16
+  val IvfProbe = 4
+
+  /** Driver-side sequential-fold ‖c‖² — same association order as
+    * DotProduct/duckNorm2, so literal norms are bit-identical. */
+  def norm2Scala(c: Seq[Double]): Double = c.foldLeft(0.0)((a, x) => a + x * x)
+
+  /** cosine(row vector, literal centroid) as a codegen'd projection. */
+  def cosToCentroid(v: Column, n2: Column, cent: Seq[Double]): Column =
+    cosine(dot(v, typedlit(cent)), n2, lit(norm2Scala(cent)))
+
+  /** Nearest-centroid cell id: argmax cosine, ties to the SMALLEST cid —
+    * array_max over (cos, -cid) structs compares lexicographically, so a
+    * tie on cos picks the larger -cid = smaller cid. Identical to
+    * row_number ordered by (cos DESC, cid ASC) rank 1 on the oracle side.
+    * Linear-size expression (a naive when-chain fold doubles the tree per
+    * centroid — 2^C nodes — and OOMs the planner). */
+  def ivfCell(v: Column, n2: Column, cents: IndexedSeq[Seq[Double]]): Column = {
+    val entries = cents.indices.map(i =>
+      struct(cosToCentroid(v, n2, cents(i)).as("c"), lit(-i.toLong).as("negCid")))
+    (-array_max(array(entries: _*)).getField("negCid")).as("cell")
+  }
+
+  /** All (cid, cos-to-centroid) pairs for a row — probe-ranking input. */
+  def ivfCellCosines(v: Column, n2: Column, cents: IndexedSeq[Seq[Double]]): Column =
+    explode(array(cents.indices.map(i =>
+      struct(lit(i.toLong).as("cid"), cosToCentroid(v, n2, cents(i)).as("ccos"))): _*))
 }

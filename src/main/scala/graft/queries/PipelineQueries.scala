@@ -266,6 +266,38 @@ object PipelineQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // similarity search, IVF variant: coarse-quantize the corpus into C
+    // cells (nearest of C broadcast literal centroids — one narrow
+    // codegen'd projection, corpus never shuffled to build the index),
+    // probe the NProbe best cells per query, exact re-rank inside them
+    "q_knn_cosine_ivf" -> ((s, dir) => {
+      val v = embeddings(s, dir).select(col("vec_id"), vd(col("embedding")).as("v"))
+      val cents: IndexedSeq[Seq[Double]] = v
+        .filter(col("vec_id").between(5, 4 + IvfC)).orderBy("vec_id")
+        .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+      val c = v.filter(col("vec_id") >= 5)
+        .withColumn("n2", norm2(col("v")))
+        .withColumn("cell", ivfCell(col("v"), col("n2"), cents))
+      val q = v.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), norm2(col("v")).as("qn2"))
+      val probes = q
+        .select(col("q_id"), col("qv"), col("qn2"),
+          ivfCellCosines(col("qv"), col("qn2"), cents).as("p"))
+        .select(col("q_id"), col("qv"), col("qn2"),
+          col("p.cid").as("cell"), col("p.ccos").as("ccos"))
+        .withColumn("prnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell"))))
+        .filter(col("prnk") <= IvfProbe)
+        .select("q_id", "qv", "qn2", "cell")
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      broadcast(probes).join(c, "cell")
+        .withColumn("cos", cosine(dot(col("qv"), col("v")), col("qn2"), col("n2")))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 10)
+        .select("q_id", "vec_id", "cos", "rnk")
+        .orderBy("q_id", "rnk")
+    }),
+
     // multimodal: binary payload + typed metadata; SQL-expressible feature
     // extraction (mean byte, frame sample) — the mapPartitions decode stub
     // is exercised in MultimodalSpec
@@ -421,6 +453,33 @@ object PipelineQueries {
                       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
                     FROM s)
             SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
+
+      "q_knn_cosine_ivf" ->
+        s"""WITH v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
+              vn AS (SELECT vec_id, v, ${duckNorm2("v")} AS n2 FROM v),
+              cents AS (SELECT vec_id - 5 AS cid, v AS cv, n2 AS cn2
+                        FROM vn WHERE vec_id BETWEEN 5 AND ${4 + IvfC}),
+              corpus AS (SELECT vec_id, v, n2 FROM vn WHERE vec_id >= 5),
+              asg AS (SELECT vec_id, v, n2, cid AS cell FROM (
+                        SELECT x.vec_id, x.v, x.n2, c.cid,
+                          row_number() OVER (PARTITION BY x.vec_id
+                            ORDER BY ${duckCosine(duckDot("x.v", "c.cv"), "x.n2", "c.cn2")} DESC, c.cid) AS rn
+                        FROM corpus x CROSS JOIN cents c)
+                      WHERE rn = 1),
+              q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM vn WHERE vec_id < 5),
+              probes AS (SELECT q_id, qv, qn2, cid AS cell FROM (
+                           SELECT q.q_id, q.qv, q.qn2, c.cid,
+                             row_number() OVER (PARTITION BY q.q_id
+                               ORDER BY ${duckCosine(duckDot("q.qv", "c.cv"), "q.qn2", "c.cn2")} DESC, c.cid) AS prnk
+                           FROM q CROSS JOIN cents c)
+                         WHERE prnk <= $IvfProbe),
+              sc AS (SELECT q_id, x.vec_id AS vec_id,
+                       ${duckCosine(duckDot("p.qv", "x.v"), "p.qn2", "x.n2")} AS cos
+                     FROM probes p JOIN asg x ON p.cell = x.cell),
+              r AS (SELECT q_id, vec_id, cos,
+                      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+                    FROM sc)
+            SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""",
 
       "q_media_features" ->
         s"""WITH media AS (${Multimodal.duckMediaTable})

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exercises the custom-function SQL surface. `withExtensions` only
+  * applies when this suite creates the first session in the JVM (other
+  * suites' getOrCreate would win the race), so the registration triples
+  * are also applied directly to the active session's function registry —
+  * the same (identifier, info, builder) path injectFunction uses. */
+class GraftExtensionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("GraftExtensionsSpec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    for (f <- Seq(GraftExtensions.dotProduct, GraftExtensions.wordShingles))
+      s.sessionState.functionRegistry.registerFunction(f._1, f._2, f._3)
+    s
+  }
+
+  test("dot_product is callable from SQL") {
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(r === 32.0)
+  }
+
+  test("word_shingles is callable from SQL as a generator") {
+    val rows = spark.sql(
+      """SELECT id, s.pos, s.s
+         FROM VALUES (1, 'a b c d') AS t(id, text)
+         LATERAL VIEW word_shingles(split(text, ' '), 3) s AS pos, s""")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toList
+    assert(rows === List((1, 0, "a b c"), (1, 1, "b c d")))
+  }
+}
