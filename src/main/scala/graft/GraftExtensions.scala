@@ -13,6 +13,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   spark.sql("SELECT dot_product(a.v, b.v) FROM ...")
   *   spark.sql("SELECT word_shingles(split(text, ' '), 3) FROM docs")
   *
+  * and injects the [[graft.plans.DivRangePushdown]] optimizer rule
+  * (derived-time-unit key predicates become parquet-pushable raw bounds).
+  *
   * Activate with
   *   .config("spark.sql.extensions", "graft.GraftExtensions")
   * or programmatically via `SparkSession.builder.withExtensions(new
@@ -22,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotProduct)
     ext.injectFunction(GraftExtensions.wordShingles)
+    ext.injectOptimizerRule(_ => graft.plans.DivRangePushdown)
   }
 }
 
