@@ -171,6 +171,23 @@ object AnalyticQueries {
           sum(dec(col("value"))).cast("double").as("total_value"))
         .orderBy("win_start_us", "event_type")),
 
+    // skew-safe two-phase aggregation: low-cardinality hot keys
+    // (event_type) spread over 8 salts, partial per (key, salt), combined
+    // per key — result provably identical to the direct groupBy (oracle)
+    "q_salted_agg" -> ((s, dir) =>
+      graft.operators.SaltedAgg.aggregate(
+        events(s, dir).withColumn("dec_value", dec(col("value"))),
+        keys = Seq("event_type"),
+        spreadCol = col("user_id"),
+        aggs = Seq(
+          "n" -> (col("value"), "count"),
+          "total" -> (col("dec_value"), "sum"),
+          "min_value" -> (col("value"), "min"),
+          "max_value" -> (col("value"), "max")),
+        salts = 8)
+        .withColumn("total", col("total").cast("double"))
+        .orderBy("event_type")),
+
     // gap-based sessionization (1h gap) — batch twin of the streaming
     // flatMapGroupsWithState sessionizer (graft.streaming.sessionize);
     // one user_id shuffle, two window passes, then a hash agg.
@@ -287,6 +304,12 @@ object AnalyticQueries {
             count(*) AS n,
             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_salted_agg" ->
+      """SELECT event_type, count(value) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           min(value) AS min_value, max(value) AS max_value
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "q_sessionize" ->
       s"""SELECT user_id, sess_id, min(ts_us) AS sess_start,

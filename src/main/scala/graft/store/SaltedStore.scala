@@ -29,9 +29,13 @@ import org.apache.spark.sql.functions._
   */
 object SaltedStore {
   /** Write `df` as a salted bucketed table at `path`. `keyCol` must be a
-    * non-negative BIGINT column (timestamps: pass `unix_micros(ts)`). */
+    * non-negative BIGINT column (timestamps: pass `unix_micros(ts)`).
+    * `format`: any Spark batch sink — parquet (default; columnar +
+    * min/max row-group skipping), orc (same properties), json/csv
+    * (interchange; no statistics, so range scans lose row-group pruning
+    * — the bucket partition pruning still applies). */
   def write(df: DataFrame, keyCol: Column, dist: Distributor, path: String,
-            mode: String = "overwrite"): Unit = {
+            mode: String = "overwrite", format: String = "parquet"): Unit = {
     dist
       .withBucket(df, keyCol)
       .repartition(col("bucket"))
@@ -39,11 +43,16 @@ object SaltedStore {
       .write
       .partitionBy("bucket")
       .mode(mode)
-      .parquet(path)
+      .format(format)
+      .save(path)
   }
 
   /** Read a salted bucketed table back. The `bucket` partition column
-    * comes back as a partition-pruning-capable column. */
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    * comes back as a partition-pruning-capable column. For schemaless
+    * formats (csv) pass the schema via `schemaDDL` to avoid inference. */
+  def read(spark: SparkSession, path: String, format: String = "parquet",
+           schemaDDL: Option[String] = None): DataFrame = {
+    val r = spark.read.format(format)
+    schemaDDL.fold(r)(s => r.schema(s)).load(path)
+  }
 }

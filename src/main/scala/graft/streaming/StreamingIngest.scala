@@ -75,6 +75,16 @@ object StreamingIngest {
               col("window.end").as("window_end"),
               col("event_type"), col("cnt"))
 
+  /** Streaming exact dedup at ingest: drop rows whose `idCols` already
+    * appeared within the watermark horizon — the streaming twin of the
+    * batch exact-dedup operator (graft.pipeline.Dedup). State is bounded:
+    * seen-keys older than the watermark are evicted, which is the only
+    * dedup contract that can hold on an unbounded stream. */
+  def dedupWithinWatermark(stream: DataFrame, tsCol: String,
+                           watermarkDelay: String, idCols: String*): DataFrame =
+    stream.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols.toSeq)
+
   // ---- custom state: gap-based sessionization --------------------------
 
   /** Input row for sessionization. */

@@ -95,6 +95,21 @@ class StoreScanSpec extends SparkSuite {
     assert(cnt == 2L)
   }
 
+  test("store round-trips through orc, json and csv sinks too") {
+    val df = zigzag.zipWithIndex.map { case (k, i) => (k, s"v$i") }.toDF("k", "v")
+    val dist = HashPrefix(8)
+    for (fmt <- Seq("orc", "json", "csv")) {
+      val path = s"$tmp/fmt-$fmt"
+      SaltedStore.write(df, $"k", dist, path, format = fmt)
+      val schema = if (fmt == "csv") Some("k LONG, v STRING") else None
+      val back = SaltedStore.read(spark, path, fmt, schema)
+      assert(back.count() === zigzag.length.toLong, s"format $fmt")
+      val got = DistributedScan.rangeScan(back, col("k").cast("long"), start, stop)
+        .select(col("k").cast("long")).as[Long].collect()
+      assert(got.length === expectedInRange && got.toSeq == got.sorted.toSeq, s"format $fmt")
+    }
+  }
+
   test("bucketed layout: every bucket directory is written and keys recoverable") {
     val dist = HashPrefix(15)
     val t = SaltedStore.read(spark, s"$tmp/hash-15")

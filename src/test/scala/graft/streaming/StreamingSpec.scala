@@ -74,6 +74,32 @@ class StreamingSpec extends SparkSuite {
     assert(rows.contains((ts("2026-01-01 00:01:00"), "view", 1L, 3.0)))
   }
 
+  test("dedupWithinWatermark drops repeats inside the horizon, keeps state bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val deduped = dedupWithinWatermark(
+      mem.toDF().toDF("id", "ts"), "ts", "10 minutes", "id")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedup").start()
+
+    mem.addData((1L, ts("2026-01-01 00:00:00")), (2L, ts("2026-01-01 00:00:30")))
+    q.processAllAvailable()
+    // id 1 again within the horizon → dropped; id 3 is new → kept
+    mem.addData((1L, ts("2026-01-01 00:01:00")), (3L, ts("2026-01-01 00:02:00")))
+    q.processAllAvailable()
+    // push watermark far past the horizon, then id 1 may legally reappear
+    mem.addData((99L, ts("2026-01-01 01:00:00")))
+    q.processAllAvailable()
+    mem.addData((1L, ts("2026-01-01 00:59:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("dedup").select("id").as[Long].collect().toList
+    assert(ids.count(_ == 1L) === 2, s"id 1 once per horizon, got $ids")
+    assert(ids.count(_ == 2L) === 1 && ids.count(_ == 3L) === 1)
+  }
+
   test("gap sessionization via flatMapGroupsWithState matches batch replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
