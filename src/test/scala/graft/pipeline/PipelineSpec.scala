@@ -8,6 +8,17 @@ import org.apache.spark.sql.functions._
   * The DuckDB oracle (tools/check.py) is the cross-engine gate; these
   * assert the operator-level invariants. */
 class PipelineSpec extends SparkSuite {
+
+  test("connectedComponents propagates min label across chains and stars") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), star 10-{11,12,13}, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (10L, 13L), (20L, 21L)).toDF("a", "b")
+    val got = graft.pipeline.Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
   private def q(name: String) = PipelineQueries.queries(name)(spark, sf())
 
   test("exact dedup halves the doubled corpus, keeps min id") {
