@@ -67,3 +67,32 @@ object SaltedAgg {
       }).as(name)
     }
 }
+
+/** Skew-safe equi-join by key salting — for when the LARGE side has hot
+  * join keys and the other side is too big to broadcast outright. The
+  * large side's rows get a deterministic salt in 0..salts-1; every small-
+  * side row is replicated once per salt (explode of a literal sequence);
+  * the join key becomes (keys ⧺ salt), so one hot key's rows spread over
+  * `salts` reducers instead of funneling into one.
+  *
+  * This is the write-salting idea (reference README:9-27) applied to the
+  * join shuffle; AQE's skew-join split handles sort-merge cases
+  * adaptively, but an explicit salt is deterministic, works for any join
+  * strategy, and — like the reference's hash mode (README:75-78) — is
+  * reproducible across retries because the salt is a hash, not a random.
+  * Cost: small side shuffles `salts`× its size; choose `salts` ≈ the
+  * skew factor, not the cluster size.
+  */
+object SaltedJoin {
+  /** Inner equi-join of `large` and `small` on `keys`, spreading each
+    * large-side key over `salts` partitions. `spreadCol` (a high-
+    * cardinality large-side column, NOT a key) drives the salt. */
+  def join(large: DataFrame, small: DataFrame, keys: Seq[String],
+           spreadCol: Column, salts: Int): DataFrame = {
+    require(salts >= 1)
+    val l = large.withColumn("__salt", pmod(hash(spreadCol), lit(salts)))
+    val r = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, keys :+ "__salt").drop("__salt")
+  }
+}

@@ -128,4 +128,45 @@ object TextAnalysis {
   def winnow(sh: Column): Column = array_min(transform(sh, s => md5(s)))
   def duckWinnow(sh: String): String =
     s"list_aggregate(list_transform($sh, s -> md5(s)), 'min')"
+
+  /** Full winnowing (Schleimer/Wilkerson/Aiken MOSS scheme): slide a
+    * window of `w` consecutive shingle hashes along the doc, keep each
+    * window's minimum, fingerprint = the distinct selected values. Any
+    * two docs sharing a run of >= w+2 tokens share a fingerprint value —
+    * the guarantee global min-hash cannot give. Shingle stream is narrow
+    * (WordShingles generator); the per-doc window sort is the one
+    * shuffle; complete windows only (trailing partial windows excluded). */
+  val WinnowW = 4
+  def winnowRows(corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(0, WinnowW - 1)
+    shingleRows(corpus)
+      .withColumn("h", graft.pipeline.Dedup.baseHash32(col("s")))
+      .withColumn("wm", min("h").over(frame))
+      .withColumn("wn", count("h").over(frame))
+      .filter(col("wn") === WinnowW)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("wm"))).as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("bigint").as("n_fp"),
+        array_join(transform(col("fps"), f => f.cast("string")), "-").as("fp_str"))
+  }
+
+  def duckWinnowRows(corpusSelect: String): String =
+    s"""SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+          array_to_string(fps, '-') AS fp_str
+        FROM (
+          SELECT doc_id, list(DISTINCT wm ORDER BY wm) AS fps
+          FROM (
+            SELECT doc_id,
+              min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wm,
+              count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wn
+            FROM (
+              SELECT doc_id, pos - 1 AS pos, ${Dedup.duckBaseHash32("s")} AS h
+              FROM (SELECT doc_id, unnest(sh) AS s, generate_subscripts(sh, 1) AS pos
+                    FROM ($corpusSelect))))
+          WHERE wn = ${WinnowW}
+          GROUP BY doc_id)"""
 }

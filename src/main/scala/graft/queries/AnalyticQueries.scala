@@ -188,6 +188,20 @@ object AnalyticQueries {
         .withColumn("total", col("total").cast("double"))
         .orderBy("event_type")),
 
+    // skew-safe salted join: hot large-side keys spread over 4 salts,
+    // small side replicated per salt — result identical to the plain join
+    "q_salted_join" -> ((s, dir) => {
+      val l = lineitem(s, dir)
+        .select(col("l_suppkey").as("suppkey"), col("l_quantity"), col("l_partkey"))
+      val r = supplier(s, dir)
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      graft.operators.SaltedJoin.join(l, r, Seq("suppkey"), col("l_partkey"), salts = 4)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+        .orderBy("s_nationkey")
+    }),
+
     // gap-based sessionization (1h gap) — batch twin of the streaming
     // flatMapGroupsWithState sessionizer (graft.streaming.sessionize);
     // one user_id shuffle, two window passes, then a hash agg.
@@ -310,6 +324,12 @@ object AnalyticQueries {
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
            min(value) AS min_value, max(value) AS max_value
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY 1 ORDER BY 1""",
 
     "q_sessionize" ->
       s"""SELECT user_id, sess_id, min(ts_us) AS sess_start,

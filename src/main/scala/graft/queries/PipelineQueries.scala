@@ -159,6 +159,12 @@ object PipelineQueries {
       fp.join(win, "doc_id").orderBy("doc_id")
     }),
 
+    // full winnowing fingerprint (MOSS): distinct window-min shingle
+    // hashes — guarantees shared fingerprints for shared runs of tokens
+    "q_text_winnow" -> ((s, dir) =>
+      TextAnalysis.winnowRows(documents(s, dir).select(col("doc_id"), col("text")))
+        .orderBy("doc_id")),
+
     // exact dedup: one hash-shuffle groupBy on the content digest;
     // survivor = min id (deterministic keep-first policy)
     "q_dedup_exact" -> ((s, dir) =>
@@ -390,6 +396,11 @@ object PipelineQueries {
         s"""WITH corpus AS (SELECT doc_id, text FROM documents), $duckShingled
             SELECT doc_id, ${duckFingerprint("w")} AS fp, ${duckWinnow("sh")} AS fp_winnow
             FROM sh ORDER BY doc_id""",
+
+      "q_text_winnow" ->
+        s"""WITH corpus AS (SELECT doc_id, text FROM documents), $duckShingled
+            SELECT * FROM (${TextAnalysis.duckWinnowRows("SELECT doc_id, sh FROM sh")})
+            ORDER BY doc_id""",
 
       "q_dedup_exact" ->
         s"""WITH $duckExactCorpus
