@@ -128,6 +128,33 @@ object AnalyticQueries {
           sum(dec(col("value"))).cast("double").as("total_value"))
         .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)),
 
+    // rollup (hierarchical grouping sets): region → nation → total
+    "q_rollup" -> ((s, dir) =>
+      orders(s, dir)
+        .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name", "o_totalprice")
+        // Column-arg rollup: the String-arg overload resolves through a
+        // path that trips the ambiguous-self-join check on multi-join
+        // lineage (Column args resolve cleanly)
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)),
+
+    // exact percentiles (sort-based; identical linear interpolation in
+    // both engines) per group
+    "q_percentiles" -> ((s, dir) =>
+      lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+          expr("percentile(l_extendedprice, 0.75)").as("p75_price"),
+          expr("percentile(l_extendedprice, 0.99)").as("p99_price"))
+        .orderBy("l_returnflag")),
+
     // set ops beyond the reference's implicit union
     "q_intersect" -> ((s, dir) => {
       val e = events(s, dir)
@@ -287,6 +314,24 @@ object AnalyticQueries {
          FROM events
          GROUP BY CUBE (1, 2)
          ORDER BY event_type NULLS FIRST, day NULLS FIRST""",
+
+    "q_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50_qty,
+           quantile_cont(l_extendedprice, 0.25) AS p25_price,
+           quantile_cont(l_extendedprice, 0.75) AS p75_price,
+           quantile_cont(l_extendedprice, 0.99) AS p99_price
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "q_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'click'
