@@ -120,4 +120,25 @@ object FakeCodec {
     val frameLen = math.max(payload.length / math.max(nFrames, 1), 1)
     (mean, payload.slice(0, frameLen))
   }
+
+  /** STUB resize: map a (width × height) payload to (w2 × h2) by nearest-
+    * neighbor byte striding — deterministic stand-in for a real image
+    * scaler, with the real signature (bytes + source dims → bytes). */
+  def resize(payload: Array[Byte], width: Int, height: Int,
+             w2: Int, h2: Int): Array[Byte] = {
+    require(w2 >= 1 && h2 >= 1)
+    val out = new Array[Byte](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val sx = (x.toLong * width / w2).toInt
+        val sy = (y.toLong * height / h2).toInt
+        out(y * w2 + x) = payload(((sy * width + sx) % payload.length).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
 }

@@ -47,6 +47,19 @@ class MultimodalSpec extends SparkSuite {
       "payload column must be pruned from the scan")
   }
 
+  test("resize stub: nearest-neighbor striding, distributed via mapPartitions") {
+    implicit val s = spark
+    import s.implicits._
+    val resized = media.as[MediaRow].mapPartitions(_.map { m =>
+      (m.doc_id, FakeCodec.resize(m.payload, m.width, m.height, 4, 4))
+    }).collect()
+    assert(resized.length == 500)
+    resized.foreach { case (_, bytes) => assert(bytes.length == 16) }
+    // deterministic: same input → same output
+    val again = FakeCodec.resize(Array[Byte](1, 2, 3, 4), 2, 2, 4, 4)
+    assert(again.toSeq == FakeCodec.resize(Array[Byte](1, 2, 3, 4), 2, 2, 4, 4).toSeq)
+  }
+
   test("frame sampling slices the right 8-byte window") {
     val r = media.filter(col("doc_id") === 7)
       .select(col("payload"),
