@@ -95,6 +95,32 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "et", "est", "dans"),
     "zh" -> Seq("的", "是", "了"))
 
+  /** Char n-gram profiles for the n-gram language-ID variant: a few
+    * signature character trigrams/bigrams per language. Occurrence
+    * counting is (len(text) - len(replace(text, g, ''))) / len(g) —
+    * pure integer arithmetic, identical in both engines. */
+  val LangNgrams: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he ", "ing"),
+    "de" -> Seq("sch", "ein", "der"),
+    "es" -> Seq("ción", "los", " el "),
+    "fr" -> Seq("eau", "les", " est "),
+    "zh" -> Seq("的", "是", "了"))
+
+  /** Occurrences of literal `g` in `text` via length difference. */
+  def ngramCount(text: Column, g: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(g), "")))
+      / lit(g.length)).cast("bigint")
+  def duckNgramCount(text: String, g: String): String = {
+    val esc = g.replace("'", "''")
+    s"CAST((length($text) - length(replace($text, '$esc', ''))) // ${g.length} AS BIGINT)"
+  }
+
+  /** Per-language n-gram score: Σ occurrences of its signature n-grams. */
+  def ngramScore(text: Column, grams: Seq[String]): Column =
+    grams.map(g => ngramCount(text, g)).reduce(_ + _)
+  def duckNgramScore(text: String, grams: Seq[String]): String =
+    grams.map(g => duckNgramCount(text, g)).mkString("(", " + ", ")")
+
   /** Predicted language from score columns s_<lang> (argmax, ties by
     * declaration order, all-zero → 'und'). */
   def langPredict(score: String => Column): Column = {

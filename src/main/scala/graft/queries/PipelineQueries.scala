@@ -149,6 +149,17 @@ object PipelineQueries {
         .orderBy("lang", "lang_pred")
     }),
 
+    // language ID, char-n-gram variant: score by signature trigram/bigram
+    // occurrence counts (pure length arithmetic — codegen'd, scan-speed)
+    "q_text_langid_ngram" -> ((s, dir) => {
+      val scored = LangNgrams.foldLeft(documents(s, dir)) {
+        case (df, (l, grams)) => df.withColumn(s"s_$l", ngramScore(col("text"), grams))
+      }
+      scored.withColumn("lang_pred", langPredict(l => col(s"s_$l")))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")
+    }),
+
     // document fingerprinting: whole-doc md5 + winnowing (min shingle hash)
     "q_text_fingerprint" -> ((s, dir) => {
       val docs = documents(s, dir).select(col("doc_id"), col("text"))
@@ -389,6 +400,15 @@ object PipelineQueries {
               SELECT lang, ${duckLangPredict(l => s"s_$l")} AS lang_pred FROM (
                 SELECT lang, $scores
                 FROM (SELECT lang, ${duckTokens("text")} AS w FROM documents)))
+            GROUP BY 1, 2 ORDER BY 1, 2"""
+      },
+
+      "q_text_langid_ngram" -> {
+        val scores = LangNgrams
+          .map { case (l, gs) => s"${duckNgramScore("text", gs)} AS s_$l" }.mkString(", ")
+        s"""SELECT lang, lang_pred, count(*) AS n FROM (
+              SELECT lang, ${duckLangPredict(l => s"s_$l")} AS lang_pred FROM (
+                SELECT lang, $scores FROM documents))
             GROUP BY 1, 2 ORDER BY 1, 2"""
       },
 
