@@ -113,6 +113,9 @@ object PipelineQueries {
       .withColumn("jaccard", jaccard(col("sha"), col("shb")))
       .filter(col("jaccard") >= 0.5)
       .select("a", "b", "jaccard")
+      // persisted so the clusters query (same canonical plan) reuses the
+      // verified pairs instead of re-running candidate join + verify
+      .persist()
   }
 
   // ---- queries ------------------------------------------------------------
