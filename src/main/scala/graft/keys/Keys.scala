@@ -111,15 +111,41 @@ final case class HashPrefix(numBuckets: Int) extends Distributor {
   * given the ordering (SURVEY.md §7.4a). n ≤ 127 (reference :29).
   * Append-only semantics: rewriting a key may land a different bucket
   * (reference README:75-78) — documented, mirrored.
+  *
+  * Scale: the naive translation is `row_number over (ORDER BY order)` —
+  * an unpartitioned window that funnels the whole table through ONE task.
+  * Instead the global index is computed with the two-pass pattern
+  * (what RDD zipWithIndex does internally): range-partition by the
+  * insertion order, per-partition row_number (partitioned window — fully
+  * parallel), plus broadcast per-partition offsets from a tiny count
+  * job (one row per partition on the driver, never row data). Requires
+  * `insertionOrder` to be a unique total order, which the reference's
+  * insertion sequence is by construction.
   */
 final case class RoundRobin(numBuckets: Int, insertionOrder: String) extends Distributor {
   require(numBuckets >= 1 && numBuckets <= 127, s"buckets 1..127, got $numBuckets")
   val prefixLength = 1
-  def withBucket(df: DataFrame, key: Column): DataFrame =
-    df.withColumn(
-      "bucket",
-      pmod(row_number().over(Window.orderBy(col(insertionOrder))) - 1, lit(numBuckets))
-        .cast("bigint"))
+  def withBucket(df: DataFrame, key: Column): DataFrame = {
+    val ordered = df
+      .repartitionByRange(col(insertionOrder))
+      .sortWithinPartitions(insertionOrder)
+      .withColumn("__pid", spark_partition_id())
+    val counts = ordered.groupBy("__pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // offset of partition p = total rows in partitions with id < p
+    val offsets = counts
+      .scanLeft((0, 0L, 0L)) { case ((_, _, acc), (pid, c)) => (pid, acc, acc + c) }
+      .tail.map { case (pid, off, _) => (pid, off) }
+    import ordered.sparkSession.implicits._
+    val offsetsDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
+    ordered
+      .join(offsetsDf, "__pid")
+      .withColumn("__rn",
+        row_number().over(
+          Window.partitionBy("__pid").orderBy(insertionOrder)).cast("bigint") - 1L)
+      .withColumn("bucket", pmod(col("__rn") + col("__off"), lit(numBuckets.toLong)))
+      .drop("__pid", "__rn", "__off")
+  }
   def params: String = s"$numBuckets--$insertionOrder"
 }
 
