@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.SparkSuite
+import graft.SparkEntry
+
+/** Physical-plan regression guards: the shapes the 100 TB design relies
+  * on — dimension broadcasts, pushed filters, map-side partial
+  * aggregation, the top-k operator — must survive refactors. A query can
+  * be value-correct and still have lost the plan that makes it scale;
+  * these specs fail on that silently-degraded state. */
+class PlanShapeSpec extends SparkSuite {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf("sf0.01")).queryExecution.executedPlan.toString
+
+  test("q1_agg: filter pushed to parquet, partial+final hash aggregation") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(p.contains("partial_sum"), "map-side combine must be present")
+  }
+
+  test("q_range_scan_ordered: derived key bound reaches the parquet scan") {
+    val p = plan("q_range_scan_ordered")
+    assert(p.contains("GreaterThanOrEqual(ts,"), s"ts lower bound not pushed:\n$p")
+    assert(p.contains("LessThan(ts,"), "ts upper bound not pushed")
+  }
+
+  test("star joins broadcast every dimension") {
+    val p = plan("q_join_nation_region")
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 3,
+      "customer, nation and region must all broadcast")
+  }
+
+  test("q_topk plans TakeOrderedAndProject, not a global sort") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("knn brute force: query side broadcasts, corpus never shuffles") {
+    val p = plan("q_knn_cosine_brute")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("knn LSH + IVF: cross product replaced by a hash join on the bucket/cell") {
+    assert(plan("q_knn_cosine_lsh").contains("BroadcastHashJoin"))
+    assert(plan("q_knn_cosine_ivf").contains("BroadcastHashJoin"))
+  }
+
+  test("exact dedup aggregates partially before its one exchange") {
+    val p = plan("q_dedup_exact")
+    assert(p.contains("partial_min") || p.contains("partial_count"))
+  }
+
+  test("minhash signatures partial-aggregate map-side (narrow shingle generator)") {
+    val p = plan("q_minhash_signature")
+    assert(p.contains("partial_min"), "per-doc min aggs must start map-side")
+    assert(p.contains("Generate wordshingles"),
+      "narrow shingle generator missing from the plan")
+  }
+}
