@@ -106,6 +106,25 @@ object RefQueries {
       DistributedScan.debugDump(salted(s, dir), col("event_id"), dist)
         .select("event_id", "bucket", "salted_key_hex", "event_type")),
 
+    // Dynamic-qualifier KV mode (SURVEY.md §1.1 schema row: HBase's
+    // schemaless CF:qualifier→value model as a MapType column): build the
+    // qualifier map per row, then map_keys / element_at access — the
+    // read-side algebra a reference user has over qualifiers
+    "q_kv_qualifiers" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("kv", map(
+          lit("type"), col("event_type"),
+          lit("value"), format_number(col("value"), 2),
+          lit("user"), col("user_id").cast("string")))
+        .filter(col("event_id") < 1000)
+        .select(
+          col("event_id"),
+          array_join(sort_array(map_keys(col("kv"))), ",").as("qualifiers"),
+          size(col("kv")).cast("bigint").as("n_qualifiers"),
+          element_at(col("kv"), "type").as("q_type"),
+          element_at(col("kv"), "user").as("q_user"))
+        .orderBy("event_id")),
+
     // O12: config-string codec round-trip (Parametrizable semantics)
     "q_config_roundtrip" -> ((s, _) => {
       import s.implicits._
@@ -181,6 +200,14 @@ object RefQueries {
             event_type
           FROM (SELECT event_id, event_type, $duckBucket AS bucket FROM events)
           ORDER BY event_id LIMIT 1000""",
+
+    // oracle = the semantic answer (the map algebra collapses to known
+    // constants on this fixed qualifier set — DuckDB MAP quirks avoided)
+    "q_kv_qualifiers" ->
+      """SELECT event_id, 'type,user,value' AS qualifiers,
+           CAST(3 AS BIGINT) AS n_qualifiers,
+           event_type AS q_type, CAST(user_id AS VARCHAR) AS q_user
+         FROM events WHERE event_id < 1000 ORDER BY event_id""",
 
     "q_config_roundtrip" ->
       """SELECT * FROM (VALUES
