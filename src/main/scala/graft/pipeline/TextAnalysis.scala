@@ -106,10 +106,13 @@ object TextAnalysis {
     "fr" -> Seq("eau", "les", " est "),
     "zh" -> Seq("的", "是", "了"))
 
-  /** Occurrences of literal `g` in `text` via length difference. */
-  def ngramCount(text: Column, g: String): Column =
-    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(g), "")))
-      / lit(g.length)).cast("bigint")
+  /** Occurrences of literal `g` in `text` via length difference (literal
+    * `replace`, not regexp — lighter generated code and no regex engine
+    * in the row loop). */
+  def ngramCount(text: Column, g: String): Column = {
+    val cleaned = call_function("replace", text, lit(g), lit(""))
+    ((length(text) - length(cleaned)) / lit(g.length)).cast("bigint")
+  }
   def duckNgramCount(text: String, g: String): String = {
     val esc = g.replace("'", "''")
     s"CAST((length($text) - length(replace($text, '$esc', ''))) // ${g.length} AS BIGINT)"
@@ -122,14 +125,19 @@ object TextAnalysis {
     grams.map(g => duckNgramCount(text, g)).mkString("(", " + ", ")")
 
   /** Predicted language from score columns s_<lang> (argmax, ties by
-    * declaration order, all-zero → 'und'). */
+    * declaration order, all-zero → 'und'). Single array_max over
+    * (score, -idx) structs: each score expression is referenced ONCE —
+    * the equivalent pairwise when-chain inlines every score ~O(langs)
+    * times and multiplies codegen compile time (scores are non-negative,
+    * so best.score = 0 ⟺ all zero). */
   def langPredict(score: String => Column): Column = {
     val langs = LangMarkers.map(_._1)
-    val allZero = langs.map(l => score(l) === 0L).reduce(_ && _)
-    langs.foldRight(lit("und"): Column) { (l, els) =>
-      val geAll = langs.filter(_ != l).map(o => score(l) >= score(o)).reduce(_ && _)
-      when(!allZero && geAll, lit(l)).otherwise(els)
+    val entries = langs.zipWithIndex.map { case (l, i) =>
+      struct(score(l).as("sc"), lit(-i).as("negIdx"))
     }
+    val best = array_max(array(entries: _*))
+    when(best.getField("sc") === 0L, lit("und"))
+      .otherwise(element_at(typedlit(langs), -best.getField("negIdx") + 1))
   }
 
   def duckLangPredict(score: String => String): String = {
