@@ -50,6 +50,15 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("partial_min") || p.contains("partial_count"))
   }
 
+  test("round-robin salting never plans an unpartitioned window") {
+    val p = plan("q_salt_roundrobin_dist")
+    // the two-pass global index windows by partition id; a regression to
+    // Window.orderBy(...) with no partitioning serializes the table
+    assert(!p.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"),
+      s"unpartitioned Window found:\n$p")
+    assert(p.contains("__pid"), "two-pass partition-id window expected")
+  }
+
   test("minhash signatures partial-aggregate map-side (narrow shingle generator)") {
     val p = plan("q_minhash_signature")
     assert(p.contains("partial_min"), "per-doc min aggs must start map-side")

@@ -74,6 +74,25 @@ class StreamingSpec extends SparkSuite {
     assert(rows.contains((ts("2026-01-01 00:01:00"), "view", 1L, 3.0)))
   }
 
+  test("sliding windows assign rows to every overlapping window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val agg = slidingCounts(mem.toDF().toDF("ts", "event_type", "value"),
+      "ts", watermarkDelay = "0 seconds", windowLen = "2 minutes", slide = "1 minute")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("sliding").start()
+    mem.addData((ts("2026-01-01 00:01:30"), "click", 1.0))
+    q.processAllAvailable()
+    mem.addData((ts("2026-01-01 00:30:00"), "view", 1.0)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val wins = spark.table("sliding").filter($"event_type" === "click")
+      .select("window_start").as[Timestamp].collect().toSet
+    // a 2m window sliding 1m → the 00:01:30 click lands in two windows
+    assert(wins === Set(ts("2026-01-01 00:00:00"), ts("2026-01-01 00:01:00")))
+  }
+
   test("dedupWithinWatermark drops repeats inside the horizon, keeps state bounded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
