@@ -30,6 +30,20 @@ object DistributedScan {
   def rangeScanFrom(table: DataFrame, key: Column, start: Long): DataFrame =
     table.filter(key >= start).orderBy(key)
 
+  /** Streaming-iterator consumption of the ordered scan — the reference's
+    * pull-based ResultScanner contract (wd/DistributedScanner.java:61-86:
+    * batched `next(nbRows)`, nothing materialized ahead of the consumer).
+    * `toLocalIterator` on the range-partitioned sort pulls ONE sorted
+    * partition at a time to the driver: the executors hold the sorted
+    * runs (the per-bucket scanners), the driver consumes them in range
+    * order (the k-way merge's output order), and peak driver memory is
+    * one partition, not the result set (SURVEY.md §7.5). */
+  def orderedIterator(table: DataFrame, key: Column, start: Long,
+                      stop: Long): Iterator[org.apache.spark.sql.Row] = {
+    import scala.jdk.CollectionConverters._
+    rangeScan(table, key, start, stop).toLocalIterator().asScala
+  }
+
   /** O9 point get. On a hash-salted table the added `bucket = hash(k)`
     * predicate partition-prunes to ONE bucket — an improvement over the
     * reference, which always fans to all prefixes

@@ -46,6 +46,14 @@ class StoreScanSpec extends SparkSuite {
     assert(got.forall(k => k >= start && k < stop))
   }
 
+  test("orderedIterator pulls rows in global key order (pull-based scanner parity)") {
+    val t = writeAndRead(HashPrefix(15), s"$tmp/iter")
+    val it = DistributedScan.orderedIterator(t.select(col("k")), $"k", start, stop)
+    val keys = it.map(_.getLong(0)).toList
+    assert(keys.length == expectedInRange)
+    assert(keys == keys.sorted)
+  }
+
   test("unbounded scan returns everything in order") {
     val t = writeAndRead(HashPrefix(15), s"$tmp/unbounded")
     val got = DistributedScan.rangeScanFrom(t, $"k", Long.MinValue)
