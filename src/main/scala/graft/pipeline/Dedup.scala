@@ -162,6 +162,17 @@ object Dedup {
     labels
   }
 
+  /** Apply dedup: keep only cluster survivors. `labels` is the
+    * connectedComponents output (node, label); a document survives iff it
+    * is not a non-label member of some cluster (docs in no cluster pass
+    * through untouched). One left-anti join — the standard final stage of
+    * a fuzzy-dedup pipeline, linear in the corpus. */
+  def applyDedup(corpus: DataFrame, labels: DataFrame, idCol: String): DataFrame = {
+    val losers = labels.filter(col("node") =!= col("label"))
+      .select(col("node").as("__loser"))
+    corpus.join(losers, corpus(idCol) === col("__loser"), "left_anti")
+  }
+
   /** DuckDB twin: min reachable node via a recursive CTE over the same
     * symmetrized edges (UNION-distinct guarantees termination). `pairsCte`
     * must define pairs(a, b). */

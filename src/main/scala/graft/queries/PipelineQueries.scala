@@ -205,6 +205,16 @@ object PipelineQueries {
       Dedup.connectedComponents(lshVerifiedPairs(s, dir).select("a", "b"))
         .orderBy("node")),
 
+    // end-to-end fuzzy dedup: corpus → clusters → cleaned corpus (cluster
+    // survivors + unclustered docs), one anti-join over the corpus
+    "q_dedup_apply" -> ((s, dir) => {
+      val corpus = fuzzyCorpus(documents(s, dir))
+      val labels = Dedup.connectedComponents(lshVerifiedPairs(s, dir).select("a", "b"))
+      Dedup.applyDedup(corpus, labels, "doc_id")
+        .select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // n-gram Jaccard dedup without LSH: blocked pairwise (block key = the
     // first 3-gram — high-entropy, so blocks stay small and the pairwise
     // stage never goes quadratic; the tiny-vocab first TOKEN would not)
@@ -460,6 +470,24 @@ object PipelineQueries {
               p AS (SELECT a, b FROM j WHERE jaccard >= 0.5),
               ${duckConnectedComponents("p")}
             SELECT node, label FROM cc ORDER BY node"""
+      },
+
+      "q_dedup_apply" -> {
+        val bandSelects = (0 until Bands).map(b =>
+          s"SELECT doc_id, $b AS band, ${duckBandSig(b)} AS bsig FROM sig").mkString(" UNION ALL ")
+        s"""WITH RECURSIVE $duckFuzzyCorpus, $duckShingled, $duckMinhashSigs,
+              bands AS ($bandSelects),
+              cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                       FROM bands l JOIN bands r
+                       ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id),
+              j AS (SELECT a, b, ${duckJaccard("sa.sh", "sb.sh")} AS jaccard
+                    FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b),
+              p AS (SELECT a, b FROM j WHERE jaccard >= 0.5),
+              ${duckConnectedComponents("p")}
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+            FROM corpus
+            WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> label)
+            ORDER BY doc_id"""
       },
 
       "q_dedup_ngram_jaccard" ->
