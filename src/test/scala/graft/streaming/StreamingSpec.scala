@@ -119,6 +119,35 @@ class StreamingSpec extends SparkSuite {
     assert(ids.count(_ == 2L) === 1 && ids.count(_ == 3L) === 1)
   }
 
+  test("parquet file-source stream: windowed counts equal the batch result") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("events_stream_src").toString
+    val rows = (0 until 600).map { i =>
+      (new Timestamp(ts("2026-01-01 00:00:00").getTime + i * 1000L),
+        if (i % 3 == 0) "click" else "view", i.toDouble)
+    }
+    rows.toDF("ts", "event_type", "value").write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+      .parquet(dir)
+    val agg = tumblingCounts(stream, "ts", "1 minute", "5 minutes")
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("filestream").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("filestream")
+      .select("window_start", "event_type", "cnt")
+      .as[(Timestamp, String, Long)].collect().toSet
+    val batch = rows.toDF("ts", "event_type", "value")
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select($"window.start", $"event_type", $"cnt")
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(streamed === batch)
+  }
+
   test("gap sessionization via flatMapGroupsWithState matches batch replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
