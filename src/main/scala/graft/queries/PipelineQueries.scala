@@ -306,6 +306,25 @@ object PipelineQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // brute-force knn via the bounded top-k UDAF: k-entry partial buffers
+    // combine map-side, k rows per partition reach the final — no full
+    // per-group sort (the row_number formulation sorts every candidate)
+    "q_knn_topk_agg" -> ((s, dir) => {
+      val v = embeddings(s, dir).select(col("vec_id"), vd(col("embedding")).as("v"))
+      val q = v.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), norm2(col("v")).as("qn2"))
+      val c = v.filter(col("vec_id") >= 5).withColumn("n2", norm2(col("v")))
+      val top = graft.functions.TopKByScore.topK(10)
+      broadcast(q).crossJoin(c)
+        .withColumn("cos", cosine(dot(col("qv"), col("v")), col("qn2"), col("n2")))
+        .groupBy("q_id")
+        .agg(top(col("cos"), col("vec_id")).as("tk"))
+        .select(col("q_id"), posexplode(col("tk")).as(Seq("p", "e")))
+        .select(col("q_id"), col("e._2").as("vec_id"), col("e._1").as("cos"),
+          (col("p") + 1).cast("bigint").as("rnk"))
+        .orderBy("q_id", "rnk")
+    }),
+
     // similarity search, IVF variant: coarse-quantize the corpus into C
     // cells (nearest of C broadcast literal centroids — one narrow
     // codegen'd projection, corpus never shuffled to build the index),
@@ -519,6 +538,18 @@ object PipelineQueries {
             SELECT a, b, cos FROM p WHERE cos > 0.999 ORDER BY a, b""",
 
       "q_knn_cosine_brute" ->
+        s"""WITH v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
+              q AS (SELECT vec_id AS q_id, v AS qv, ${duckNorm2("v")} AS qn2 FROM v WHERE vec_id < 5),
+              c AS (SELECT vec_id, v, ${duckNorm2("v")} AS n2 FROM v WHERE vec_id >= 5),
+              s AS (SELECT q_id, vec_id, ${duckCosine(duckDot("qv", "v"), "qn2", "n2")} AS cos FROM q, c),
+              r AS (SELECT q_id, vec_id, cos,
+                      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+                    FROM s)
+            SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""",
+
+      // same semantics as q_knn_cosine_brute — the UDAF must reproduce the
+      // row_number formulation exactly (score desc, id asc, top 10)
+      "q_knn_topk_agg" ->
         s"""WITH v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
               q AS (SELECT vec_id AS q_id, v AS qv, ${duckNorm2("v")} AS qn2 FROM v WHERE vec_id < 5),
               c AS (SELECT vec_id, v, ${duckNorm2("v")} AS n2 FROM v WHERE vec_id >= 5),
