@@ -130,16 +130,23 @@ final case class RoundRobin(numBuckets: Int, insertionOrder: String) extends Dis
       .repartitionByRange(col(insertionOrder))
       .sortWithinPartitions(insertionOrder)
       .withColumn("__pid", spark_partition_id())
-    val counts = ordered.groupBy("__pid").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    // offset of partition p = total rows in partitions with id < p
-    val offsets = counts
-      .scanLeft((0, 0L, 0L)) { case ((_, _, acc), (pid, c)) => (pid, acc, acc + c) }
-      .tail.map { case (pid, off, _) => (pid, off) }
-    import ordered.sparkSession.implicits._
-    val offsetsDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
+    // Per-partition counts → exclusive prefix-sum offsets, computed INSIDE
+    // the same plan as the final join (no collect job): both branches sit
+    // on the identical range exchange, which ReuseExchange plans once, so
+    // they observe the same partition ids by construction. The previous
+    // two-job formulation (collect counts, then re-run the plan) could see
+    // two different partitionings and silently drop rows on the inner
+    // __pid join. The offsets window is over ~numPartitions rows — trivial.
+    val wOff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ordered.groupBy("__pid").count()
+      .withColumn("__off", coalesce(sum("count").over(wOff), lit(0L)))
+      .select("__pid", "__off")
     ordered
-      .join(offsetsDf, "__pid")
+      .join(broadcast(offsets), Seq("__pid"), "left")
+      // belt-and-braces: if exchange reuse ever failed AND the two
+      // computations diverged, fail loudly instead of mis-bucketing
+      .withColumn("__off", coalesce(col("__off"),
+        raise_error(concat(lit("round-robin: no offset for partition "), col("__pid")))))
       .withColumn("__rn",
         row_number().over(
           Window.partitionBy("__pid").orderBy(insertionOrder)).cast("bigint") - 1L)

@@ -156,9 +156,21 @@ object Dedup {
       converged = updated.filter(col("next_label") =!= col("label")).count() == 0L
       val prev = labels
       labels = updated.select(col("node"), col("next_label").as("label")).persist()
+      // materialize the new labels from updated's cache, then drop BOTH
+      // intermediates — without this, one cached (node,label,next_label)
+      // set accumulated per round for the life of the session
+      labels.count()
+      updated.unpersist()
       prev.unpersist()
       i += 1
     }
+    // labels is fully materialized (count above; seed-only path forced
+    // here), so the inputs can be released too. The returned labels stays
+    // cached — it is the result and callers typically reuse it twice
+    // (cluster listing + applyDedup).
+    labels.count()
+    p.unpersist()
+    edges.unpersist()
     labels
   }
 

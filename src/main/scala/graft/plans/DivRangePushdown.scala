@@ -49,9 +49,13 @@ object DivRangePushdown extends Rule[LogicalPlan] {
     case other     => Seq(other)
   }
 
-  /** Least x with x div k >= c (k > 0); None on Long overflow. */
-  private def lowerBound(c: Long, k: Long): Option[Long] = {
-    val b = if (c >= 1) BigInt(c) * k else (BigInt(c) - 1) * k + 1
+  /** Least x with x div k >= c (k > 0); None on Long overflow. Takes the
+    * threshold as BigInt so callers can form the successor c+1 without
+    * wrapping at Long.MaxValue (c+1 in Long arithmetic would wrap to
+    * Long.MinValue and yield an always-false `x < lb` conjunct that
+    * silently drops every row). */
+  private def lowerBound(c: BigInt, k: Long): Option[Long] = {
+    val b = if (c >= 1) c * k else (c - 1) * k + 1
     if (b.isValidLong) Some(b.toLong) else None
   }
 
@@ -65,16 +69,16 @@ object DivRangePushdown extends Rule[LogicalPlan] {
 
   private def derive(p: Expression): Seq[Expression] = p match {
     case GreaterThanOrEqual(DivByConst(a, k), Literal(c: Long, LongType)) =>
-      lowerBound(c, k).map(b => GreaterThanOrEqual(a, Literal(b, LongType))).toSeq
+      lowerBound(BigInt(c), k).map(b => GreaterThanOrEqual(a, Literal(b, LongType))).toSeq
     case GreaterThan(DivByConst(a, k), Literal(c: Long, LongType)) =>
-      lowerBound(c + 1, k).map(b => GreaterThanOrEqual(a, Literal(b, LongType))).toSeq
+      lowerBound(BigInt(c) + 1, k).map(b => GreaterThanOrEqual(a, Literal(b, LongType))).toSeq
     case LessThan(DivByConst(a, k), Literal(c: Long, LongType)) =>
-      lowerBound(c, k).map(b => LessThan(a, Literal(b, LongType))).toSeq
+      lowerBound(BigInt(c), k).map(b => LessThan(a, Literal(b, LongType))).toSeq
     case LessThanOrEqual(DivByConst(a, k), Literal(c: Long, LongType)) =>
-      lowerBound(c + 1, k).map(b => LessThan(a, Literal(b, LongType))).toSeq
+      lowerBound(BigInt(c) + 1, k).map(b => LessThan(a, Literal(b, LongType))).toSeq
     case EqualTo(DivByConst(a, k), Literal(c: Long, LongType)) =>
-      (lowerBound(c, k).map(b => GreaterThanOrEqual(a, Literal(b, LongType))) ++
-        lowerBound(c + 1, k).map(b => LessThan(a, Literal(b, LongType)))).toSeq
+      (lowerBound(BigInt(c), k).map(b => GreaterThanOrEqual(a, Literal(b, LongType))) ++
+        lowerBound(BigInt(c) + 1, k).map(b => LessThan(a, Literal(b, LongType)))).toSeq
     // literal-on-left mirrors
     case GreaterThanOrEqual(l @ Literal(_, LongType), d @ DivByConst(_, _)) =>
       derive(LessThanOrEqual(d, l))

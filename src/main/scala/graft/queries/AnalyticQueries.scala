@@ -347,7 +347,7 @@ object AnalyticQueries {
 
     "q_json_props" ->
       """SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            count(*) AS n
          FROM events GROUP BY 1 ORDER BY 1""",
 
@@ -381,8 +381,8 @@ object AnalyticQueries {
             max(ts_us) AS sess_end, count(*) AS clicks
           FROM (
             SELECT user_id, ts_us,
-              SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+              CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
             FROM (
               SELECT user_id, epoch_us(ts) AS ts_us,
                 CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL

@@ -397,12 +397,18 @@ object PipelineQueries {
         least(col("l_discount"), col("l_tax")).as("min_rate"))
         .orderBy("l_orderkey", "l_linenumber")),
 
-    // approx distinct (HLL) vs exact — no DuckDB oracle (sketch internals
-    // differ by design); driver records the weaker rows-only check
+    // approx distinct (HLL, rsd 1%) checked against exact: the output is
+    // the exact count plus a within-5%-tolerance verdict on the sketch.
+    // The verdict is computable identically by the oracle (it must be
+    // true), which upgrades this from the weaker rows-only check to a
+    // full hash-match while still genuinely exercising the HLL sketch.
     "q_approx_distinct" -> ((s, dir) =>
       events(s, dir).agg(
-        approx_count_distinct("user_id").as("approx_users"),
-        countDistinct("user_id").as("exact_users")))
+        countDistinct("user_id").as("exact_users"),
+        approx_count_distinct("user_id", rsd = 0.01).as("__approx"))
+        .select(col("exact_users"),
+          (abs(col("__approx") - col("exact_users")).cast("double") /
+            col("exact_users").cast("double") <= 0.05).as("within_tol")))
   )
 
   // ---- oracles ------------------------------------------------------------
@@ -628,8 +634,13 @@ object PipelineQueries {
              greatest(l_discount, l_tax) AS max_rate,
              least(l_discount, l_tax) AS min_rate
            FROM lineitem ORDER BY l_orderkey, l_linenumber"""
-      // q_approx_distinct: deliberately no oracle (HLL sketch ≠ exact);
-      // driver records rows-only.
+      ,
+      // the sketch value itself can't be reproduced by DuckDB (HLL
+      // internals differ by design) — what IS checkable is the exact
+      // count and that the sketch landed within tolerance
+      "q_approx_distinct" ->
+        """SELECT count(DISTINCT user_id) AS exact_users, true AS within_tol
+           FROM events"""
     )
   }
 }

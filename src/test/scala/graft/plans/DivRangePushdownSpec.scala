@@ -42,6 +42,22 @@ class DivRangePushdownSpec extends SparkSuite {
       s"no pushed equality window in:\n$eqScan")
   }
 
+  test("Long.MaxValue threshold does not wrap to an always-false bound") {
+    import spark.implicits._
+    val df = Seq(-5L, 0L, 7L, Long.MaxValue).toDF("x")
+    // x div 1 <= Long.MaxValue is a tautology; a wrapped successor would
+    // have added `x < Long.MinValue` and dropped every row
+    val le = df.filter(expr("x div 1") <= Long.MaxValue).as[Long].collect().sorted.toList
+    assert(le === List(-5L, 0L, 7L, Long.MaxValue))
+    // equality at the top of the domain must keep its one matching row
+    val eq = df.filter(expr("x div 1") === Long.MaxValue).as[Long].collect().toList
+    assert(eq === List(Long.MaxValue))
+    // strict > Long.MaxValue is empty, but via an empty derivation (None),
+    // not a wrapped bound — the original predicate still decides
+    val gt = df.filter(expr("x div 1") > Long.MaxValue).count()
+    assert(gt === 0L)
+  }
+
   test("negative and zero thresholds use the truncation-correct bound") {
     import spark.implicits._
     val df = Seq(-2001L, -2000L, -1999L, -1001L, -1000L, -999L, -1L, 0L, 999L, 1000L)
