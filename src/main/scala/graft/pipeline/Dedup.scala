@@ -123,55 +123,69 @@ object Dedup {
     finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  /** Eager lineage cut: reliable checkpoint when the session has a
+    * checkpoint dir (the right choice on a real cluster — survives
+    * executor loss), local (block-manager) checkpoint otherwise. Either
+    * way the returned frame's plan is a flat scan, so per-round actions
+    * stop re-analyzing the whole upstream pipeline, and dropped
+    * intermediates are reclaimed by the ContextCleaner instead of
+    * accumulating as pinned cache entries. */
+  private def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   private def connectedComponentsLoop(pairs: DataFrame, maxIter: Int): DataFrame = {
+    val spark = pairs.sparkSession
     // persist the input: symmetrization reads it twice (upstream pair
     // generation — an LSH pipeline — must not run twice)
     val p = pairs.persist()
-    val edges = p.select(col("a").as("x"), col("b").as("y"))
-      .union(p.select(col("b").as("x"), col("a").as("y")))
-      .distinct().persist()
-    // seed with the min direct neighbor — saves one full round
-    var labels = edges.groupBy(col("x").as("node"))
-      .agg(least(min(col("y")), first(col("x"))).as("label")).persist()
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      // neighbor propagation: min label over direct neighbors
-      val neighborMin = edges
-        .join(labels.select(col("node").as("y2"), col("label")), col("y") === col("y2"))
-        .groupBy(col("x")).agg(min("label").as("nlabel"))
-      val l1 = labels
-        .join(neighborMin, col("node") === col("x"), "left")
-        .select(col("node"), col("label"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("l1"))
-      // path halving: follow the label's own label (labels only ever
-      // decrease, so label(l1) <= l1) — O(log diameter) rounds instead of
-      // O(diameter) on chain-shaped components
-      val updated = l1
-        .join(labels.select(col("node").as("pn"), col("label").as("pl")),
-          col("l1") === col("pn"), "left")
-        .select(col("node"), col("label"),
-          least(col("l1"), coalesce(col("pl"), col("l1"))).as("next_label"))
-        .persist()
-      converged = updated.filter(col("next_label") =!= col("label")).count() == 0L
-      val prev = labels
-      labels = updated.select(col("node"), col("next_label").as("label")).persist()
-      // materialize the new labels from updated's cache, then drop BOTH
-      // intermediates — without this, one cached (node,label,next_label)
-      // set accumulated per round for the life of the session
-      labels.count()
-      updated.unpersist()
-      prev.unpersist()
-      i += 1
-    }
-    // labels is fully materialized (count above; seed-only path forced
-    // here), so the inputs can be released too. The returned labels stays
-    // cached — it is the result and callers typically reuse it twice
-    // (cluster listing + applyDedup).
-    labels.count()
-    p.unpersist()
-    edges.unpersist()
-    labels
+    // No distinct: pairs are unique (a < b) by construction upstream, so
+    // the two symmetrized directions cannot collide, and every consumer
+    // below is a min-aggregation — duplicate edges could not change the
+    // result anyway. Dropping it removes a full shuffle.
+    val edges = cut(p.select(col("a").as("x"), col("b").as("y"))
+      .union(p.select(col("b").as("x"), col("a").as("y"))))
+    val nEdges = edges.count()
+    p.unpersist() // edges is materialized; the input cache is dead weight
+    // AQE is off for the loop (see connectedComponents), so size the loop
+    // shuffles manually: the label/edge sets are typically orders of
+    // magnitude smaller than the corpus that produced them, and a tiny
+    // graph sharded over the session's full partition count pays pure
+    // scheduling overhead per round. ~500k edges per partition, capped at
+    // the session setting (a 100 TB corpus keeps its full parallelism).
+    val sessParts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val loopParts = math.max(1, math.min(sessParts.toLong, nEdges / 500000L + 1L)).toInt
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    try {
+      // seed with the min direct neighbor — saves one full round
+      var labels = cut(edges.groupBy(col("x").as("node"))
+        .agg(least(min(col("y")), first(col("x"))).as("label")))
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        // neighbor propagation: min label over direct neighbors
+        val neighborMin = edges
+          .join(labels.select(col("node").as("y2"), col("label")), col("y") === col("y2"))
+          .groupBy(col("x")).agg(min("label").as("nlabel"))
+        val l1 = labels
+          .join(neighborMin, col("node") === col("x"), "left")
+          .select(col("node"), col("label"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("l1"))
+        // path halving: follow the label's own label (labels only ever
+        // decrease, so label(l1) <= l1) — O(log diameter) rounds instead of
+        // O(diameter) on chain-shaped components
+        val updated = cut(l1
+          .join(labels.select(col("node").as("pn"), col("label").as("pl")),
+            col("l1") === col("pn"), "left")
+          .select(col("node"), col("label"),
+            least(col("l1"), coalesce(col("pl"), col("l1"))).as("next_label")))
+        converged = updated.filter(col("next_label") =!= col("label")).count() == 0L
+        labels = updated.select(col("node"), col("next_label").as("label"))
+        i += 1
+      }
+      labels
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Apply dedup: keep only cluster survivors. `labels` is the

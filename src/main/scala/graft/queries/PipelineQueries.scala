@@ -86,16 +86,20 @@ object PipelineQueries {
         sig AS (SELECT doc_id, ${duckMinhashAggs("x").mkString(", ")} FROM e GROUP BY doc_id)"""
 
   /** The full MinHash-LSH pipeline up to verified near-dup pairs
-    * (jaccard >= 0.5): signature + shingle set in ONE per-doc aggregation
-    * (single shuffle; at scale the sketch pass reads the corpus once),
-    * band explode, bucket self-join, exact-Jaccard verify. The sketch is
-    * persisted — it feeds the band explode AND both sides of the verify
-    * join; without it the whole shingle+agg pipeline runs 3×. At scale
-    * this is the materialized sketch table every production MinHash
-    * pipeline writes before the bucket join. */
+    * (jaccard >= 0.5): signature + shingle-hash set in ONE per-doc
+    * aggregation (single shuffle; at scale the sketch pass reads the
+    * corpus once), band explode, bucket self-join, exact-Jaccard verify
+    * over the 32-bit shingle hashes. Hashed — not string — shingle sets
+    * are what a production sketch table stores: the per-doc payload drops
+    * ~10× (bigint vs ~30-char shingle text) through the sketch shuffle,
+    * and verification becomes integer set intersection. The oracle
+    * computes Jaccard over the identical hash sets, so parity holds
+    * exactly. The sketch is persisted — it feeds the band explode AND
+    * both sides of the verify join; without it the whole shingle+agg
+    * pipeline runs 3×. */
   private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     val corpus = fuzzyCorpus(documents(s, dir))
-    val sketchAggs = collect_set(col("s")).as("sh") +: minhashAggs("x")
+    val sketchAggs = collect_set(col("x")).as("sh") +: minhashAggs("x")
     val sketch = shingleRows(corpus)
       .withColumn("x", baseHash32(col("s")))
       .groupBy("doc_id")
@@ -477,8 +481,9 @@ object PipelineQueries {
               cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
                        FROM bands l JOIN bands r
                        ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id),
+              shx AS (SELECT doc_id, list(x) AS sh FROM e GROUP BY doc_id),
               j AS (SELECT a, b, ${duckJaccard("sa.sh", "sb.sh")} AS jaccard
-                    FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b)
+                    FROM cand JOIN shx sa ON sa.doc_id = a JOIN shx sb ON sb.doc_id = b)
             SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY a, b"""
       },
 
@@ -490,8 +495,9 @@ object PipelineQueries {
               cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
                        FROM bands l JOIN bands r
                        ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id),
+              shx AS (SELECT doc_id, list(x) AS sh FROM e GROUP BY doc_id),
               j AS (SELECT a, b, ${duckJaccard("sa.sh", "sb.sh")} AS jaccard
-                    FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b),
+                    FROM cand JOIN shx sa ON sa.doc_id = a JOIN shx sb ON sb.doc_id = b),
               p AS (SELECT a, b FROM j WHERE jaccard >= 0.5),
               ${duckConnectedComponents("p")}
             SELECT node, label FROM cc ORDER BY node"""
@@ -505,8 +511,9 @@ object PipelineQueries {
               cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
                        FROM bands l JOIN bands r
                        ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id),
+              shx AS (SELECT doc_id, list(x) AS sh FROM e GROUP BY doc_id),
               j AS (SELECT a, b, ${duckJaccard("sa.sh", "sb.sh")} AS jaccard
-                    FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b),
+                    FROM cand JOIN shx sa ON sa.doc_id = a JOIN shx sb ON sb.doc_id = b),
               p AS (SELECT a, b FROM j WHERE jaccard >= 0.5),
               ${duckConnectedComponents("p")}
             SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
