@@ -108,4 +108,52 @@ object Similarity {
   def ivfCellCosines(v: Column, n2: Column, cents: IndexedSeq[Seq[Double]]): Column =
     explode(array(cents.indices.map(i =>
       struct(lit(i.toLong).as("cid"), cosToCentroid(v, n2, cents(i)).as("ccos"))): _*))
+
+  // ---- learned coarse quantizer (Lloyd iterations) ------------------------
+
+  /** Fixed-point scale for centroid accumulation. Floating-point means are
+    * partition-order-dependent, so a distributed average could differ from
+    * the oracle's in the last bits and flip a cell assignment. Instead
+    * each coordinate is quantized to round(x·10⁶) as BIGINT — integer sums
+    * are exact and order-insensitive in any engine — and divided back out
+    * once, driver-side. 1e-6 is far below embedding noise; the quantizer
+    * this trains is unaffected. */
+  val QuantScale: Double = 1e6
+
+  /** Distributed Lloyd iterations for the IVF coarse quantizer, seeded
+    * deterministically (production k-means|| sampling is not reproducible
+    * across engines, which this library's oracle contract requires; the
+    * index build and query path are identical either way).
+    *
+    * Per iteration: assign each corpus row to its nearest centroid (the
+    * codegen'd literal argmax — a narrow projection, corpus never
+    * shuffled), then per-(cell, coordinate) quantized sums via
+    * posexplode + partial/final hash agg (ONE shuffle of C·D·parallelism
+    * combiner rows, independent of corpus size), collect the C·D sums to
+    * the driver, and rebuild the literal centroids. Cells that lose all
+    * members keep their previous centroid. */
+  def lloyd(corpus: org.apache.spark.sql.DataFrame, seed: IndexedSeq[Seq[Double]],
+            iters: Int): IndexedSeq[Seq[Double]] = {
+    var cents = seed
+    for (_ <- 0 until iters) {
+      val sums = corpus
+        .withColumn("cell", ivfCell(col("v"), col("n2"), cents))
+        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .withColumn("xq", round(col("x") * lit(QuantScale)).cast("bigint"))
+        .groupBy("cell", "i")
+        .agg(sum("xq").as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getLong(0))
+      cents = cents.indices.map { c =>
+        byCell.get(c.toLong).fold(cents(c)) { rows =>
+          val arr = new Array[Double](cents(c).size)
+          rows.foreach { r =>
+            arr(r.getInt(1)) = r.getLong(2).toDouble / (QuantScale * r.getLong(3))
+          }
+          arr.toIndexedSeq
+        }
+      }
+    }
+    cents
+  }
 }

@@ -361,6 +361,42 @@ object PipelineQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // IVF with a LEARNED coarse quantizer: 2 deterministic Lloyd
+    // iterations (fixed-point centroid accumulation — see
+    // Similarity.lloyd) from the fixed-id seed, then the same
+    // probe-and-rerank path as q_knn_cosine_ivf. The oracle replays the
+    // identical iterations relationally (assignment = cross join +
+    // row_number; means = quantized integer sums), so the learned
+    // centroids are bit-identical across engines.
+    "q_knn_cosine_ivf_kmeans" -> ((s, dir) => {
+      val v = embeddings(s, dir).select(col("vec_id"), vd(col("embedding")).as("v"))
+      val corpus = v.filter(col("vec_id") >= 5)
+        .withColumn("n2", norm2(col("v"))).persist()
+      val seed: IndexedSeq[Seq[Double]] = corpus
+        .filter(col("vec_id").between(5, 4 + IvfC)).orderBy("vec_id")
+        .select("v").collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+      val cents = Similarity.lloyd(corpus, seed, iters = 2)
+      val c = corpus.withColumn("cell", ivfCell(col("v"), col("n2"), cents))
+      val q = v.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), norm2(col("v")).as("qn2"))
+      val probes = q
+        .select(col("q_id"), col("qv"), col("qn2"),
+          ivfCellCosines(col("qv"), col("qn2"), cents).as("p"))
+        .select(col("q_id"), col("qv"), col("qn2"),
+          col("p.cid").as("cell"), col("p.ccos").as("ccos"))
+        .withColumn("prnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell"))))
+        .filter(col("prnk") <= IvfProbe)
+        .select("q_id", "qv", "qn2", "cell")
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      broadcast(probes).join(c, "cell")
+        .withColumn("cos", cosine(dot(col("qv"), col("v")), col("qn2"), col("n2")))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 10)
+        .select("q_id", "vec_id", "cos", "rnk")
+        .orderBy("q_id", "rnk")
+    }),
+
     // multimodal: binary payload + typed metadata; SQL-expressible feature
     // extraction (mean byte, frame sample) — the mapPartitions decode stub
     // is exercised in MultimodalSpec
@@ -611,6 +647,54 @@ object PipelineQueries {
                       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
                     FROM sc)
             SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""",
+
+      "q_knn_cosine_ivf_kmeans" -> {
+        // one relational Lloyd iteration: argmax assignment against the
+        // previous centroid CTE, quantized per-(cell, coord) integer sums,
+        // list re-assembly, empty-cell fallback to the previous centroid
+        def lloydIter(prev: String, next: String): String =
+          s"""asg_$next AS (SELECT vec_id, v, n2, cid AS cell FROM (
+                SELECT x.vec_id, x.v, x.n2, c.cid,
+                  row_number() OVER (PARTITION BY x.vec_id
+                    ORDER BY ${duckCosine(duckDot("x.v", "c.cv"), "x.n2", "c.cn2")} DESC, c.cid) AS rn
+                FROM corpus x CROSS JOIN $prev c) WHERE rn = 1),
+              sum_$next AS (SELECT cell, i, SUM(CAST(round(v[i+1] * 1000000.0) AS BIGINT)) AS sx,
+                              count(*) AS n
+                            FROM asg_$next CROSS JOIN range($D) r(i) GROUP BY cell, i),
+              mean_$next AS (SELECT cell AS cid,
+                               list(CAST(sx AS DOUBLE) / (1000000.0 * n) ORDER BY i) AS cv
+                             FROM sum_$next GROUP BY cell),
+              $next AS (SELECT p.cid, coalesce(m.cv, p.cv) AS cv,
+                          ${duckNorm2("coalesce(m.cv, p.cv)")} AS cn2
+                        FROM $prev p LEFT JOIN mean_$next m ON p.cid = m.cid)"""
+        s"""WITH v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
+              vn AS (SELECT vec_id, v, ${duckNorm2("v")} AS n2 FROM v),
+              corpus AS (SELECT vec_id, v, n2 FROM vn WHERE vec_id >= 5),
+              cent0 AS (SELECT vec_id - 5 AS cid, v AS cv, n2 AS cn2
+                        FROM vn WHERE vec_id BETWEEN 5 AND ${4 + IvfC}),
+              ${lloydIter("cent0", "cent1")},
+              ${lloydIter("cent1", "cent2")},
+              asg AS (SELECT vec_id, v, n2, cid AS cell FROM (
+                        SELECT x.vec_id, x.v, x.n2, c.cid,
+                          row_number() OVER (PARTITION BY x.vec_id
+                            ORDER BY ${duckCosine(duckDot("x.v", "c.cv"), "x.n2", "c.cn2")} DESC, c.cid) AS rn
+                        FROM corpus x CROSS JOIN cent2 c)
+                      WHERE rn = 1),
+              q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM vn WHERE vec_id < 5),
+              probes AS (SELECT q_id, qv, qn2, cid AS cell FROM (
+                           SELECT q.q_id, q.qv, q.qn2, c.cid,
+                             row_number() OVER (PARTITION BY q.q_id
+                               ORDER BY ${duckCosine(duckDot("q.qv", "c.cv"), "q.qn2", "c.cn2")} DESC, c.cid) AS prnk
+                           FROM q CROSS JOIN cent2 c)
+                         WHERE prnk <= $IvfProbe),
+              sc AS (SELECT q_id, x.vec_id AS vec_id,
+                       ${duckCosine(duckDot("p.qv", "x.v"), "p.qn2", "x.n2")} AS cos
+                     FROM probes p JOIN asg x ON p.cell = x.cell),
+              r AS (SELECT q_id, vec_id, cos,
+                      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+                    FROM sc)
+            SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk"""
+      },
 
       "q_media_features" ->
         s"""WITH media AS (${Multimodal.duckMediaTable})

@@ -76,6 +76,42 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("lloyd converges to cluster means; empty cells keep their seed") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    // two tight clusters on orthogonal axes + a seed that captures nothing
+    def vec(axis: Int, mag: Double): Seq[Double] =
+      Seq.tabulate(4)(i => if (i == axis) mag else 0.0)
+    val corpus = ((1 to 10).map(i => (i.toLong, vec(0, 1.0 + i * 0.01))) ++
+      (11 to 20).map(i => (i.toLong, vec(1, 2.0 + i * 0.01))))
+      .toDF("vec_id", "v")
+      .withColumn("n2", Similarity.norm2(col("v")))
+    val seed = IndexedSeq(vec(0, 1.0), vec(1, 1.0), vec(2, 1.0))
+    val cents = Similarity.lloyd(corpus, seed, iters = 2)
+    // cell 0/1 centroids land on the (quantized) means of their clusters
+    val m0 = (1 to 10).map(i => 1.0 + i * 0.01).sum / 10
+    val m1 = (11 to 20).map(i => 2.0 + i * 0.01).sum / 10
+    assert(math.abs(cents(0)(0) - m0) < 1e-5 && cents(0)(1) == 0.0)
+    assert(math.abs(cents(1)(1) - m1) < 1e-5 && cents(1)(0) == 0.0)
+    // axis-2 seed attracts no members (all vectors orthogonal to it) and
+    // must survive untouched
+    assert(cents(2) === vec(2, 1.0))
+  }
+
+  test("kmeans ivf knn: never beats brute force, recalls most top-1s") {
+    val brute = q("q_knn_cosine_brute").collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val got = q("q_knn_cosine_ivf_kmeans").collect()
+    assert(got.length == 50)
+    // an ANN top-1 can only lose to the exact top-1, never exceed it
+    val top1 = got.filter(_.getLong(3) == 1L)
+    assert(top1.length == 5)
+    assert(top1.forall(r => r.getDouble(2) <= brute((r.getLong(0), 1L))._2 + 1e-12))
+    // 4-of-16-cell probing should still recall most exact winners
+    val recalled = top1.count(r => brute((r.getLong(0), 1L))._1 == r.getLong(1))
+    assert(recalled >= 3, s"top-1 recall $recalled/5 too low for nprobe=${graft.pipeline.Similarity.IvfProbe}")
+  }
+
   test("lsh knn results are a subset of brute-force candidate space") {
     val lsh = q("q_knn_cosine_lsh").collect()
     // every LSH hit shares the query's sign bucket by construction; ranks
