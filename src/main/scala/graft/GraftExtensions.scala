@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, WordShingles}
+import graft.functions.{DotProduct, MinHashSketch, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotProduct)
     ext.injectFunction(GraftExtensions.wordShingles)
+    ext.injectFunction(GraftExtensions.minhashSketch)
     ext.injectOptimizerRule(_ => graft.plans.DivRangePushdown)
   }
 }
@@ -54,5 +55,14 @@ object GraftExtensions {
           s"word_shingles width must be a literal, got $other")
       }
       WordShingles(args(0), n)
+    })
+
+  val minhashSketch: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sketch"),
+    info("minhash_sketch",
+      "minhash_sketch(x) - Aggregate: K-permutation MinHash signature (array<bigint>) over a BIGINT base-hash column."),
+    { args =>
+      require(args.length == 1, s"minhash_sketch expects 1 argument, got ${args.length}")
+      MinHashSketch(args(0)).toAggregateExpression()
     })
 }
