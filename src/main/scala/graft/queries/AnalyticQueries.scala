@@ -26,6 +26,8 @@ object AnalyticQueries {
   private val WinUs = 21600000000L
   // 1-hour session gap in micros (batch twin of streaming sessionization)
   private val SessGapUs = 3600000000L
+  // 10-minute attribution window in micros (range-join funnel)
+  private val FunnelWinUs = 600000000L
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style flag/status rollup over lineitem
@@ -229,6 +231,25 @@ object AnalyticQueries {
         .orderBy("s_nationkey")
     }),
 
+    // scalable range join (point-in-interval via coarse time buckets —
+    // graft.operators.RangeJoin): clicks from any user in the 10 minutes
+    // before each purchase. A raw BETWEEN join would plan as a
+    // nested-loop; the bucket decomposition turns it into one equi-join.
+    "q_range_join_funnel" -> ((s, dir) => {
+      val e = events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts_us").as("cts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts_us").as("pts"))
+        .withColumn("lo", col("pts") - lit(FunnelWinUs))
+      graft.operators.RangeJoin
+        .pointInInterval(clicks, purchases, col("cts"), col("lo"), col("pts"),
+          width = FunnelWinUs)
+        .groupBy("purchase_id")
+        .agg(count(lit(1)).as("n_clicks"), min("cts").as("first_click_us"))
+        .orderBy("purchase_id")
+    }),
+
     // gap-based sessionization (1h gap) — batch twin of the streaming
     // flatMapGroupsWithState sessionizer (graft.streaming.sessionize);
     // one user_id shuffle, two window passes, then a hash agg.
@@ -375,6 +396,16 @@ object AnalyticQueries {
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          GROUP BY 1 ORDER BY 1""",
+
+    "q_range_join_funnel" ->
+      s"""SELECT p.event_id AS purchase_id, count(*) AS n_clicks,
+            min(c.ts_us) AS first_click_us
+          FROM (SELECT event_id, epoch_us(ts) AS ts_us FROM events
+                WHERE event_type = 'purchase') p
+          JOIN (SELECT event_id, epoch_us(ts) AS ts_us FROM events
+                WHERE event_type = 'click') c
+            ON c.ts_us >= p.ts_us - $FunnelWinUs AND c.ts_us < p.ts_us
+          GROUP BY 1 ORDER BY 1""",
 
     "q_sessionize" ->
       s"""SELECT user_id, sess_id, min(ts_us) AS sess_start,

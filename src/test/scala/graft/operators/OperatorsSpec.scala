@@ -40,4 +40,30 @@ class OperatorsSpec extends SparkSuite {
     assert(salted === plain)
     assert(!salted.exists(_._1 == "kX") && !salted.exists(_._1 == "k2"))
   }
+
+  test("RangeJoin equals the naive BETWEEN join, without a nested loop") {
+    // points 0..999 at stride 10; intervals of assorted lengths incl.
+    // bucket-straddling and empty ones
+    val points = (0L until 1000L by 10L).toDF("pt").withColumn("pid", col("pt") / 10)
+    val intervals = Seq(
+      (1L, 0L, 25L), (2L, 25L, 100L), (3L, 95L, 105L), (4L, 500L, 500L),
+      (5L, 990L, 10000L), (6L, 130L, 131L), (7L, 0L, 1000L))
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, intervals,
+        col("pt"), col("lo"), col("hi"), width = 50L)
+      .select("iid", "pt").as[(Long, Long)].collect().toSet
+    val naive = points.join(intervals, col("lo") <= col("pt") && col("pt") < col("hi"))
+      .select("iid", "pt").as[(Long, Long)].collect().toSet
+    assert(got === naive)
+    // and each pair matched exactly once (no bucket-overlap duplicates)
+    val withDups = RangeJoin.pointInInterval(points, intervals,
+      col("pt"), col("lo"), col("hi"), width = 50L).count()
+    assert(withDups === naive.size)
+    // the plan is an equi-join on the bucket, not a nested loop
+    val plan = RangeJoin.pointInInterval(points, intervals,
+      col("pt"), col("lo"), col("hi"), width = 50L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$plan")
+  }
 }
