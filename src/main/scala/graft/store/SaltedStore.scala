@@ -55,4 +55,61 @@ object SaltedStore {
     val r = spark.read.format(format)
     schemaDDL.fold(r)(s => r.schema(s)).load(path)
   }
+
+  /** Write as a Spark BUCKETED TABLE (metastore `bucketBy` + `sortBy` on
+    * the key): beyond directory-partitioned salting, this records the
+    * hash-distribution in table metadata, so joins and aggregations
+    * between tables bucketed the same way on the same key run WITHOUT any
+    * shuffle — Catalyst sees the required distribution already satisfied.
+    * That is the full Spark-native realization of the reference's
+    * bucket-co-location idea: at 100 TB, the fact-to-fact join that would
+    * shuffle terabytes becomes a per-bucket merge of pre-sorted files.
+    * (Directory partitioning by a bucket COLUMN — `write()` above — gives
+    * pruning but not co-location; Spark only trusts bucketing metadata.) */
+  def writeBucketedTable(df: DataFrame, keyCol: Column, nBuckets: Int,
+                         table: String, mode: String = "overwrite"): Unit =
+    df.repartition(nBuckets, keyCol)
+      .write
+      .bucketBy(nBuckets, colName(keyCol))
+      .sortBy(colName(keyCol))
+      .mode(mode)
+      .format("parquet")
+      .saveAsTable(table)
+
+  private def colName(c: Column): String = c.toString
+
+  /** Compact a salted bucketed layout in place — the minor-compaction
+    * analog of the HBase flush/compact cycle the reference's write path
+    * feeds (each streaming micro-batch appends one small sorted file per
+    * bucket; a day of 1-minute batches is 1440 files/bucket, and scan
+    * cost becomes file-open cost). Rewrites each bucket directory to
+    * ⌈bytes/targetBytes⌉ files, re-sorted by `keyCol` (a per-bucket sort,
+    * never a global shuffle), then atomically swaps directories. Run it
+    * out-of-band, like HBase compactions. */
+  def compact(spark: SparkSession, path: String, keyCol: Column,
+              targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val buckets = fs.listStatus(new Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+    buckets.foreach { b =>
+      val bytes = fs.listStatus(b.getPath).filterNot(_.getPath.getName.startsWith("_"))
+        .map(_.getLen).sum
+      val nFiles = math.max(1, (bytes / targetBytes).toInt +
+        (if (bytes % targetBytes > 0) 1 else 0))
+      val tmp = new Path(b.getPath.getParent, s".compact_${b.getPath.getName}")
+      // range-repartition on the key: each output file covers a DISJOINT
+      // key range, so post-compaction min/max row-group skipping prunes
+      // whole files, not just row groups
+      spark.read.parquet(b.getPath.toString)
+        .repartitionByRange(nFiles, keyCol)
+        .sortWithinPartitions(keyCol)
+        .write.mode("overwrite").parquet(tmp.toString)
+      // swap: old dir out, compacted dir in (metadata-only renames)
+      val old = new Path(b.getPath.getParent, s".old_${b.getPath.getName}")
+      fs.rename(b.getPath, old)
+      fs.rename(tmp, b.getPath)
+      fs.delete(old, true)
+    }
+  }
 }

@@ -127,4 +127,54 @@ class StoreScanSpec extends SparkSuite {
     val mismatches = t.filter(Hash31.bucket($"k", 15) =!= $"bucket").count()
     assert(mismatches == 0L)
   }
+
+  test("co-bucketed tables join with NO shuffle exchange") {
+    val left = (1L to 2000L).map(i => (i, i * 2.0)).toDF("k", "v")
+    val right = (1L to 2000L by 2L).map(i => (i, s"dim$i")).toDF("k", "name")
+    SaltedStore.writeBucketedTable(left, col("k"), 8, "t_fact_bkt")
+    SaltedStore.writeBucketedTable(right, col("k"), 8, "t_dim_bkt")
+    try {
+      // disable broadcast so the join would otherwise need a shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("t_fact_bkt").join(spark.table("t_dim_bkt"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-bucketed join still shuffles:\n$plan")
+      assert(joined.count() === 1000L)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS t_fact_bkt")
+      spark.sql("DROP TABLE IF EXISTS t_dim_bkt")
+    }
+  }
+
+  test("compact merges small files per bucket, preserving data and order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact_store").toString
+    val dist = HashPrefix(4)
+    // 6 appends = 6 small files per bucket (streaming micro-batch analog)
+    (0 until 6).foreach { b =>
+      val part = ((b * 500L + 1) to (b * 500L + 500L)).map(i => (i, i * 1.5)).toDF("k", "v")
+      SaltedStore.write(part, col("k"), dist, dir, mode = "append")
+    }
+    def bucketFiles(b: Int) = new java.io.File(s"$dir/bucket=$b")
+      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    val before = (0 until 4).map(bucketFiles)
+    assert(before.forall(_ >= 6), s"expected >=6 files per bucket, got $before")
+    val beforeData = spark.read.parquet(dir).select("k", "v", "bucket")
+      .as[(Long, Double, Long)].collect().toSet
+
+    SaltedStore.compact(spark, dir, col("k"))
+
+    val after = (0 until 4).map(bucketFiles)
+    assert(after.forall(_ == 1), s"expected 1 file per bucket, got $after")
+    val afterData = spark.read.parquet(dir).select("k", "v", "bucket")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(afterData === beforeData)
+    // within each compacted file the keys are sorted (scan order parity)
+    (0 until 4).foreach { b =>
+      val ks = spark.read.parquet(s"$dir/bucket=$b").select("k").as[Long].collect()
+      assert(ks.sameElements(ks.sorted), s"bucket $b not sorted after compact")
+    }
+  }
 }
