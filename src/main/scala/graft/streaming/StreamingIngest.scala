@@ -88,6 +88,27 @@ object StreamingIngest {
               col("window.end").as("window_end"),
               col("event_type"), col("cnt"))
 
+  /** Stream-stream interval join (click attribution): each purchase joins
+    * the same user's clicks from the preceding `windowSec` seconds. Both
+    * sides carry watermarks and the join condition bounds the event-time
+    * distance, so Spark can evict buffered rows once the watermark passes
+    * their match horizon — state stays bounded on unbounded streams (the
+    * stream-stream analog of the batch RangeJoin/as-of operators).
+    * Columns: (user_id, click_id, click_ts, purchase_id, purchase_ts). */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+                       watermarkDelay: String, windowSec: Long): DataFrame = {
+    val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
+      col("ts").as("click_ts")).withWatermark("click_ts", watermarkDelay)
+    val p = purchases.select(col("user_id").as("p_user_id"),
+      col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
+  }
+
   /** Streaming exact dedup at ingest: drop rows whose `idCols` already
     * appeared within the watermark horizon — the streaming twin of the
     * batch exact-dedup operator (graft.pipeline.Dedup). State is bounded:

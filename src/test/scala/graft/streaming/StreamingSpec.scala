@@ -148,6 +148,40 @@ class StreamingSpec extends SparkSuite {
     assert(streamed === batch)
   }
 
+  test("stream-stream interval join attributes purchases to recent clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val joined = clickAttribution(
+      clicks.toDF().toDF("user_id", "event_id", "ts"),
+      purchases.toDF().toDF("user_id", "event_id", "ts"),
+      watermarkDelay = "1 minute", windowSec = 600L)
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("attribution").start()
+
+    clicks.addData((1L, 100L, ts("2026-01-01 00:00:00")),
+                   (1L, 101L, ts("2026-01-01 00:08:00")),
+                   (2L, 102L, ts("2026-01-01 00:00:00")))
+    // u1 buys 9 min after click 100 (in-window for both clicks);
+    // u2 buys 20 min after click 102 (outside the 10-min window);
+    // u3 buys with no clicks at all
+    purchases.addData((1L, 200L, ts("2026-01-01 00:09:00")),
+                      (2L, 201L, ts("2026-01-01 00:20:00")),
+                      (3L, 202L, ts("2026-01-01 00:05:00")))
+    q.processAllAvailable()
+    // advance both watermarks so results finalize
+    clicks.addData((98L, 999L, ts("2026-01-01 01:00:00")))
+    purchases.addData((99L, 998L, ts("2026-01-01 01:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("attribution")
+      .select("user_id", "click_id", "purchase_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 100L, 200L), (1L, 101L, 200L)))
+  }
+
   test("gap sessionization via flatMapGroupsWithState matches batch replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
