@@ -85,15 +85,29 @@ object Dedup {
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
 
   /** Candidate pairs (a < b) sharing any band bucket — the ONE shuffle of
-    * the LSH path (self-equi-join on (band, sig); at scale a hash join on
-    * a high-entropy key, AQE-skew-safe). */
-  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
-    val l = bands.as("l")
-    val r = bands.as("r")
-    l.join(r, col(s"l.band") === col(s"r.band") && col(s"l.sig") === col(s"r.sig")
-        && col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"))
+    * the LSH path: group the band rows by (band, sig) and expand each
+    * bucket's member list to its id pairs in place. One exchange total; a
+    * self-equi-join formulation would shuffle the band rows twice and run
+    * a join besides. Near-dup buckets are tiny (most hold 2-3 ids), so
+    * the in-bucket m·(m-1)/2 expansion is negligible — and at 100 TB a
+    * pathological hot bucket (boilerplate text) shows up HERE as one
+    * oversized list, which is the right place to cap or sample it. */
+  def candidatePairs(bands: DataFrame, idCol: String): DataFrame =
+    bands.groupBy("band", "sig")
+      .agg(collect_set(col(idCol)).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(candidatePairsOf(col("ids"))).as("p"))
+      .select(col("p.a"), col("p.b"))
       .distinct()
+
+  /** All a<b pairs from an id array (HOF — interpreted, but bucket lists
+    * are tiny; the sorted pass makes pair order canonical). */
+  private def candidatePairsOf(ids: Column): Column = {
+    val sorted = array_sort(ids)
+    filter(
+      flatten(transform(sorted, a =>
+        transform(sorted, b => struct(a.as("a"), b.as("b"))))),
+      p => p.getField("a") < p.getField("b"))
   }
 
   // ---- duplicate clusters (connected components) --------------------------

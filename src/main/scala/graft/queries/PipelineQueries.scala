@@ -111,12 +111,7 @@ object PipelineQueries {
       .select(col("doc_id") :: col("sh") ::
         (0 until K).map(p => element_at(col("sig"), p + 1).as(s"h$p")).toList: _*)
       .persist()
-    val bands = bandRows(sketch, "doc_id")
-    val l = bands.select(col("doc_id").as("a"), col("band"), col("sig"))
-    val r = bands.select(col("doc_id").as("b"), col("band").as("band_r"), col("sig").as("sig_r"))
-    val cand = l.join(r,
-        col("band") === col("band_r") && col("sig") === col("sig_r") && col("a") < col("b"))
-      .select("a", "b").distinct()
+    val cand = candidatePairs(bandRows(sketch, "doc_id"), "doc_id")
     val sa = sketch.select(col("doc_id").as("a"), col("sh").as("sha"))
     val sb = sketch.select(col("doc_id").as("b"), col("sh").as("shb"))
     cand.join(sa, "a").join(sb, "b")
