@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, MinHashSketch, WordShingles}
+import graft.functions.{DotProduct, DotProductInt8, MinHashSketch, QuantizeInt8, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotProduct)
     ext.injectFunction(GraftExtensions.wordShingles)
     ext.injectFunction(GraftExtensions.minhashSketch)
+    ext.injectFunction(GraftExtensions.quantizeInt8)
+    ext.injectFunction(GraftExtensions.dotInt8)
     ext.injectOptimizerRule(_ => graft.plans.DivRangePushdown)
   }
 }
@@ -64,5 +66,23 @@ object GraftExtensions {
     { args =>
       require(args.length == 1, s"minhash_sketch expects 1 argument, got ${args.length}")
       MinHashSketch(args(0)).toAggregateExpression()
+    })
+
+  val quantizeInt8: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("quantize_int8"),
+    info("quantize_int8",
+      "quantize_int8(v) - array<double> vector to int8-packed BINARY (symmetric scale 127)."),
+    { args =>
+      require(args.length == 1, s"quantize_int8 expects 1 argument, got ${args.length}")
+      QuantizeInt8(args(0))
+    })
+
+  val dotInt8: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_int8"),
+    info("dot_int8",
+      "dot_int8(a, b) - Integer dot product of two int8-packed BINARY vectors."),
+    { args =>
+      require(args.length == 2, s"dot_int8 expects 2 arguments, got ${args.length}")
+      DotProductInt8(args(0), args(1))
     })
 }

@@ -109,6 +109,18 @@ object Similarity {
     explode(array(cents.indices.map(i =>
       struct(lit(i.toLong).as("cid"), cosToCentroid(v, n2, cents(i)).as("ccos"))): _*))
 
+  // ---- int8 scalar quantization (graft.functions.Int8Expressions) --------
+
+  /** DuckDB twin of QuantizeInt8 as an integer list (the oracle has no
+    * packed-byte type; the integers are what the bytes mean). */
+  def duckQuantInt8(v: String): String =
+    s"list_transform(range($D), i -> CAST(least(greatest(round(($v)[i+1] * 127), -127), 127) AS BIGINT))"
+
+  /** DuckDB twin of DotProductInt8 (integer fold — exact, so association
+    * order is irrelevant; written sequentially for symmetry). */
+  def duckDotInt8(a: String, b: String): String =
+    s"list_reduce(list_transform(range($D), i -> ($a)[i+1] * ($b)[i+1]), (acc, x) -> acc + x)"
+
   // ---- learned coarse quantizer (Lloyd iterations) ------------------------
 
   /** Fixed-point scale for centroid accumulation. Floating-point means are

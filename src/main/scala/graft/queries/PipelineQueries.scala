@@ -362,6 +362,33 @@ object PipelineQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // int8 scalar-quantized knn: the approximate scan runs over 4×-packed
+    // int8 vectors with integer dot products (native codegen'd
+    // expressions), then only the approximate top-30 touches the
+    // full-precision vectors for exact cosine re-ranking — the standard
+    // SQ8 recall/footprint trade every production vector store offers.
+    "q_knn_cosine_sq8" -> ((s, dir) => {
+      val v = embeddings(s, dir).select(col("vec_id"), vd(col("embedding")).as("v"))
+      val corpus = v.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("v"), norm2(col("v")).as("n2"),
+          graft.functions.Int8Functions.quantizeInt8(col("v")).as("q8"))
+      val q = v.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          norm2(col("v")).as("qn2"),
+          graft.functions.Int8Functions.quantizeInt8(col("v")).as("qq8"))
+      val wA = Window.partitionBy("q_id").orderBy(col("adot").desc, col("vec_id"))
+      val wE = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      corpus.crossJoin(broadcast(q))
+        .withColumn("adot", graft.functions.Int8Functions.dotInt8(col("qq8"), col("q8")))
+        .withColumn("arnk", row_number().over(wA))
+        .filter(col("arnk") <= 30)
+        .withColumn("cos", cosine(dot(col("qv"), col("v")), col("qn2"), col("n2")))
+        .withColumn("rnk", row_number().over(wE).cast("bigint"))
+        .filter(col("rnk") <= 10)
+        .select("q_id", "vec_id", "cos", "rnk")
+        .orderBy("q_id", "rnk")
+    }),
+
     // IVF with a LEARNED coarse quantizer: 2 deterministic Lloyd
     // iterations (fixed-point centroid accumulation — see
     // Similarity.lloyd) from the fixed-id seed, then the same
@@ -644,6 +671,26 @@ object PipelineQueries {
               sc AS (SELECT q_id, x.vec_id AS vec_id,
                        ${duckCosine(duckDot("p.qv", "x.v"), "p.qn2", "x.n2")} AS cos
                      FROM probes p JOIN asg x ON p.cell = x.cell),
+              r AS (SELECT q_id, vec_id, cos,
+                      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+                    FROM sc)
+            SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""",
+
+      "q_knn_cosine_sq8" ->
+        s"""WITH v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
+              vn AS (SELECT vec_id, v, ${duckNorm2("v")} AS n2 FROM v),
+              corpus AS (SELECT vec_id, v, n2, ${duckQuantInt8("v")} AS q8
+                         FROM vn WHERE vec_id >= 5),
+              q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, ${duckQuantInt8("v")} AS qq8
+                    FROM vn WHERE vec_id < 5),
+              a AS (SELECT q_id, vec_id, qv, qn2, v, n2,
+                      ${duckDotInt8("qq8", "q8")} AS adot
+                    FROM q CROSS JOIN corpus),
+              t AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY adot DESC, vec_id) AS arnk FROM a),
+              sc AS (SELECT q_id, vec_id,
+                       ${duckCosine(duckDot("qv", "v"), "qn2", "n2")} AS cos
+                     FROM t WHERE arnk <= 30),
               r AS (SELECT q_id, vec_id, cos,
                       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
                     FROM sc)
