@@ -146,6 +146,28 @@ object PipelineQueries {
             + when(col("avg_token_len").between(3.0, 8.0), 1L).otherwise(0L)))
         .orderBy("doc_id")),
 
+    // the canonical training-data cleaning pipeline END-TO-END: doubled
+    // corpus → exact dedup (content-hash survivor election) → token/
+    // quality filters → the cleaned corpus. Composes the operators the
+    // rest of this file verifies in isolation; at 100 TB this plan is two
+    // exchanges (dedup groupBy + survivor join), everything else narrow.
+    "q_corpus_clean" -> ((s, dir) => {
+      val corpus = exactCorpus(documents(s, dir))
+      val survivors = corpus.groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      corpus.join(survivors, Seq("doc_id"), "left_semi")
+        .withColumn("w", tokens(col("text")))
+        .select(
+          col("doc_id"),
+          size(col("w")).cast("bigint").as("n_tokens"),
+          (sumTokenLen(col("w")).cast("double") / size(col("w")).cast("double")).as("avg_token_len"),
+          (markerCount(col("w"), Stopwords).cast("double") / size(col("w")).cast("double")).as("stopword_ratio"))
+        .filter(col("n_tokens").between(10, 2000)
+          && col("stopword_ratio") >= 0.02
+          && col("avg_token_len").between(3.0, 8.0))
+        .orderBy("doc_id")
+    }),
+
     // language ID (marker-word heuristic) → confusion matrix vs labels
     "q_text_langid" -> ((s, dir) => {
       val scored = LangMarkers.foldLeft(
@@ -497,6 +519,22 @@ object PipelineQueries {
                 CAST(${duckSumTokenLen("w")} AS DOUBLE) / CAST(len(w) AS DOUBLE) AS avg_token_len,
                 CAST($stop AS DOUBLE) / CAST(len(w) AS DOUBLE) AS stopword_ratio
               FROM (SELECT doc_id, text, ${duckTokens("text")} AS w FROM documents))
+            ORDER BY doc_id""",
+
+      "q_corpus_clean" ->
+        s"""WITH $duckExactCorpus,
+              surv AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+              ded AS (SELECT c.doc_id, c.text FROM corpus c
+                      WHERE c.doc_id IN (SELECT doc_id FROM surv)),
+              st AS (SELECT doc_id,
+                       CAST(len(w) AS BIGINT) AS n_tokens,
+                       CAST(${duckSumTokenLen("w")} AS DOUBLE) / CAST(len(w) AS DOUBLE) AS avg_token_len,
+                       CAST(${duckMarkerCount("w", Stopwords)} AS DOUBLE) / CAST(len(w) AS DOUBLE) AS stopword_ratio
+                     FROM (SELECT doc_id, ${duckTokens("text")} AS w FROM ded))
+            SELECT doc_id, n_tokens, avg_token_len, stopword_ratio FROM st
+            WHERE n_tokens BETWEEN 10 AND 2000
+              AND stopword_ratio >= 0.02
+              AND avg_token_len BETWEEN 3.0 AND 8.0
             ORDER BY doc_id""",
 
       "q_text_langid" -> {
