@@ -51,16 +51,23 @@ object StreamingIngest {
     stream.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val hconf = batch.sparkSession.sessionState.newHadoopConf()
-        val commitDir = new org.apache.hadoop.fs.Path(path, "_graft_commits")
-        val fs = commitDir.getFileSystem(hconf)
-        val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
-        if (!fs.exists(marker)) {
-          SaltedStore.write(batch, keyCol, dist, path, mode = "append")
-          fs.mkdirs(commitDir)
-          fs.create(marker, true).close()
-        }
+        writeBatchIdempotent(batch, batchId, keyCol, dist, path)
       }
+
+  /** One micro-batch append, skipped when `batchId` is already in the
+    * commit log — exposed for direct testing of the replay path. */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long, keyCol: Column,
+                           dist: Distributor, path: String): Unit = {
+    val hconf = batch.sparkSession.sessionState.newHadoopConf()
+    val commitDir = new org.apache.hadoop.fs.Path(path, "_graft_commits")
+    val fs = commitDir.getFileSystem(hconf)
+    val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+    if (!fs.exists(marker)) {
+      SaltedStore.write(batch, keyCol, dist, path, mode = "append")
+      fs.mkdirs(commitDir)
+      fs.create(marker, true).close()
+    }
+  }
 
   /** Event-time tumbling window aggregation with late-data discipline:
     * rows later than `watermarkDelay` behind the max seen event time are

@@ -59,6 +59,19 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("__pid"), "two-pass partition-id window expected")
   }
 
+  test("round-robin offsets reuse the ONE range exchange after execution") {
+    // the offset subplan and the main plan must observe the identical
+    // range partitioning; a second independent range exchange would mean
+    // two samplings that can disagree (the silent row-drop ADVICE bug)
+    val df = SparkEntry.queries("q_salt_roundrobin_dist")(spark, sf("sf0.01"))
+    df.collect() // AQE finalizes reuse at runtime
+    val p = df.queryExecution.executedPlan.toString
+    val ranges = "Exchange rangepartitioning".r.findAllIn(p).length
+    val reused = p.contains("ReusedExchange") || p.contains("TableCacheQueryStage")
+    assert(ranges <= 1 || reused,
+      s"expected a single (or reused) range exchange, found $ranges without reuse:\n$p")
+  }
+
   test("minhash signatures partial-aggregate map-side (narrow shingle generator)") {
     val p = plan("q_minhash_signature")
     assert(p.contains("partial_min"), "per-doc min aggs must start map-side")

@@ -41,6 +41,21 @@ class StreamingSpec extends SparkSuite {
     assert(back.select("bucket").distinct().count() === 8)
   }
 
+  test("replayed micro-batch (same batchId) does not duplicate rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("idempotent_sink").toString
+    val dist = HashPrefix(4)
+    val batch = (1L to 100L).map(i => (i, i * 0.5)).toDF("k", "v")
+    writeBatchIdempotent(batch, batchId = 0L, col("k"), dist, dir)
+    // failure replay: same batchId arrives again → skipped via commit log
+    writeBatchIdempotent(batch, batchId = 0L, col("k"), dist, dir)
+    assert(spark.read.parquet(dir).count() === 100)
+    // the next batchId appends normally
+    val batch2 = (101L to 150L).map(i => (i, i * 0.5)).toDF("k", "v")
+    writeBatchIdempotent(batch2, batchId = 1L, col("k"), dist, dir)
+    assert(spark.read.parquet(dir).count() === 150)
+  }
+
   test("tumbling window counts with watermark drop late rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
