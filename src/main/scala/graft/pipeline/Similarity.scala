@@ -34,6 +34,11 @@ object Similarity {
   def vd(v: Column): Column = v.cast("array<double>")
   def duckVd(v: String): String = s"($v)::DOUBLE[]"
 
+  /** Sub-dimension variants of the fold helpers (PQ subspaces). */
+  def duckDotN(a: String, b: String, n: Int): String =
+    s"list_reduce(list_transform(range($n), i -> ($a)[i+1] * ($b)[i+1]), (acc, x) -> acc + x)"
+  def duckNorm2N(v: String, n: Int): String = duckDotN(v, v, n)
+
   /** Sequential-fold dot product — the custom codegen'd Catalyst
     * expression (graft.functions.DotProduct): a tight primitive loop
     * inside whole-stage codegen. Spark's `aggregate` HOF evaluates its
@@ -132,6 +137,61 @@ object Similarity {
     * this trains is unaffected. */
   val QuantScale: Double = 1e6
 
+  // ---- product quantization (PQ-ADC) --------------------------------------
+
+  /** PQ geometry: M subspaces of SubD dims (M·SubD = D), PqK centroids
+    * per sub-codebook → a D-dim float vector encodes to M small codes. */
+  val PqM = 8
+  val PqSubD: Int = D / PqM
+  val PqK = 8
+
+  /** L2 nearest-centroid score: argmin_c ‖x−c‖² = argmax_c (x·c − ‖c‖²/2)
+    * — exact identity, so the argmax form (one dot + a literal) is the
+    * codegen-friendly assignment. */
+  def pqScore(xm: Column, cent: Seq[Double]): Column =
+    dot(xm, typedlit(cent)) - lit(norm2Scala(cent) / 2.0)
+
+  /** Sub-codebook cell id (ties to the smallest cid — same struct-argmax
+    * pattern as [[ivfCell]], same oracle tiebreak). */
+  def pqCell(xm: Column, cents: IndexedSeq[Seq[Double]]): Column = {
+    val entries = cents.indices.map(i =>
+      struct(pqScore(xm, cents(i)).as("s"), lit(-i.toLong).as("negCid")))
+    -array_max(array(entries: _*)).getField("negCid")
+  }
+
+  /** One Lloyd pass under L2 assignment for a sub-codebook, same
+    * fixed-point (quantized integer sum) centroid update as [[lloyd]].
+    * `corpus` carries the SLICED vectors in column `v`. */
+  def lloydL2(corpus: org.apache.spark.sql.DataFrame, seed: IndexedSeq[Seq[Double]],
+              iters: Int): IndexedSeq[Seq[Double]] = {
+    var cents = seed
+    for (_ <- 0 until iters) {
+      val sums = corpus
+        .withColumn("cell", pqCell(col("v"), cents))
+        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .withColumn("xq", round(col("x") * lit(QuantScale)).cast("bigint"))
+        .groupBy("cell", "i")
+        .agg(sum("xq").as("sx"), count(lit(1)).as("n"))
+        .collect()
+      cents = rebuildCentroids(cents, sums)
+    }
+    cents
+  }
+
+  private def rebuildCentroids(prev: IndexedSeq[Seq[Double]],
+                               sums: Array[org.apache.spark.sql.Row]): IndexedSeq[Seq[Double]] = {
+    val byCell = sums.groupBy(_.getLong(0))
+    prev.indices.map { c =>
+      byCell.get(c.toLong).fold(prev(c)) { rows =>
+        val arr = new Array[Double](prev(c).size)
+        rows.foreach { r =>
+          arr(r.getInt(1)) = r.getLong(2).toDouble / (QuantScale * r.getLong(3))
+        }
+        arr.toIndexedSeq
+      }
+    }
+  }
+
   /** Distributed Lloyd iterations for the IVF coarse quantizer, seeded
     * deterministically (production k-means|| sampling is not reproducible
     * across engines, which this library's oracle contract requires; the
@@ -155,16 +215,7 @@ object Similarity {
         .groupBy("cell", "i")
         .agg(sum("xq").as("sx"), count(lit(1)).as("n"))
         .collect()
-      val byCell = sums.groupBy(_.getLong(0))
-      cents = cents.indices.map { c =>
-        byCell.get(c.toLong).fold(cents(c)) { rows =>
-          val arr = new Array[Double](cents(c).size)
-          rows.foreach { r =>
-            arr(r.getInt(1)) = r.getLong(2).toDouble / (QuantScale * r.getLong(3))
-          }
-          arr.toIndexedSeq
-        }
-      }
+      cents = rebuildCentroids(cents, sums)
     }
     cents
   }

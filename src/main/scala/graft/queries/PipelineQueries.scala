@@ -384,6 +384,50 @@ object PipelineQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // product-quantized knn (PQ-ADC): M=8 sub-codebooks of K=8 centroids
+    // trained with one fixed-point Lloyd pass per subspace; the corpus
+    // encodes to 8 small codes per vector, each query precomputes its
+    // M×K lookup table ONCE, and the approximate scan per corpus row is
+    // just M table lookups and adds — the asymmetric-distance trick that
+    // makes PQ the standard billion-vector index. Exact cosine re-ranks
+    // the approximate top-30. The oracle replays training, encoding and
+    // ADC relationally with the same ordered summation.
+    "q_knn_cosine_pq" -> ((s, dir) => {
+      val v = embeddings(s, dir).select(col("vec_id"), vd(col("embedding")).as("v"))
+      val corpus = v.filter(col("vec_id") >= 5)
+        .withColumn("n2", norm2(col("v"))).persist()
+      def sl(c: Column, m: Int) = slice(c, m * PqSubD + 1, PqSubD)
+      val books: IndexedSeq[IndexedSeq[Seq[Double]]] = (0 until PqM).map { m =>
+        val sub = corpus.select(col("vec_id"), sl(col("v"), m).as("v"))
+        val seed = sub.filter(col("vec_id").between(5, 4 + PqK)).orderBy("vec_id")
+          .select("v").collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+        Similarity.lloydL2(sub, seed, iters = 1)
+      }
+      val coded = (0 until PqM).foldLeft(corpus) { (df, m) =>
+        df.withColumn(s"code_$m", pqCell(sl(col("v"), m), books(m)))
+      }
+      val q0 = v.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), norm2(col("v")).as("qn2"))
+      // per-query LUTs: computed once per query row BEFORE the join
+      val q = (0 until PqM).foldLeft(q0) { (df, m) =>
+        df.withColumn(s"lut_$m", array(books(m).map(c =>
+          dot(sl(col("qv"), m), typedlit(c))): _*))
+      }
+      val adot = (0 until PqM).map(m =>
+        element_at(col(s"lut_$m"), col(s"code_$m").cast("int") + 1)).reduce(_ + _)
+      val wA = Window.partitionBy("q_id").orderBy(col("adot").desc, col("vec_id"))
+      val wE = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      coded.crossJoin(broadcast(q))
+        .withColumn("adot", adot)
+        .withColumn("arnk", row_number().over(wA))
+        .filter(col("arnk") <= 30)
+        .withColumn("cos", cosine(dot(col("qv"), col("v")), col("qn2"), col("n2")))
+        .withColumn("rnk", row_number().over(wE).cast("bigint"))
+        .filter(col("rnk") <= 10)
+        .select("q_id", "vec_id", "cos", "rnk")
+        .orderBy("q_id", "rnk")
+    }),
+
     // int8 scalar-quantized knn: the approximate scan runs over 4×-packed
     // int8 vectors with integer dot products (native codegen'd
     // expressions), then only the approximate top-30 touches the
@@ -713,6 +757,67 @@ object PipelineQueries {
                       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
                     FROM sc)
             SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""",
+
+      "q_knn_cosine_pq" -> {
+        def lo(m: Int) = m * PqSubD + 1
+        def hi(m: Int) = (m + 1) * PqSubD
+        // one sub-codebook: slice, seed from fixed ids, one L2 Lloyd pass
+        // (quantized integer means), re-encode, per-query dot table
+        def bookCtes(m: Int): String =
+          s"""sub_$m AS (SELECT vec_id, v[${lo(m)}:${hi(m)}] AS sv FROM corpus),
+              seed_$m AS (SELECT vec_id - 5 AS cid, sv AS cv,
+                            ${duckNorm2N("sv", PqSubD)} AS cn2
+                          FROM sub_$m WHERE vec_id BETWEEN 5 AND ${4 + PqK}),
+              asg_$m AS (SELECT vec_id, sv, cid AS cell FROM (
+                           SELECT x.vec_id, x.sv, c.cid, row_number() OVER (
+                             PARTITION BY x.vec_id
+                             ORDER BY (${duckDotN("x.sv", "c.cv", PqSubD)} - c.cn2 / 2) DESC, c.cid) AS rn
+                           FROM sub_$m x CROSS JOIN seed_$m c) WHERE rn = 1),
+              sum_$m AS (SELECT cell, i, SUM(CAST(round(sv[i+1] * 1000000.0) AS BIGINT)) AS sx,
+                           count(*) AS n
+                         FROM asg_$m CROSS JOIN range($PqSubD) r(i) GROUP BY cell, i),
+              mean_$m AS (SELECT cell AS cid,
+                            list(CAST(sx AS DOUBLE) / (1000000.0 * n) ORDER BY i) AS cv
+                          FROM sum_$m GROUP BY cell),
+              cent_$m AS (SELECT p.cid, coalesce(mm.cv, p.cv) AS cv,
+                            ${duckNorm2N("coalesce(mm.cv, p.cv)", PqSubD)} AS cn2
+                          FROM seed_$m p LEFT JOIN mean_$m mm ON p.cid = mm.cid),
+              code_$m AS (SELECT vec_id, cid FROM (
+                            SELECT x.vec_id, c.cid, row_number() OVER (
+                              PARTITION BY x.vec_id
+                              ORDER BY (${duckDotN("x.sv", "c.cv", PqSubD)} - c.cn2 / 2) DESC, c.cid) AS rn
+                            FROM sub_$m x CROSS JOIN cent_$m c) WHERE rn = 1),
+              qd_$m AS (SELECT q_id, cid,
+                          ${duckDotN(s"qv[${lo(m)}:${hi(m)}]", "c.cv", PqSubD)} AS d
+                        FROM q CROSS JOIN cent_$m c)"""
+        val codesUnion = (0 until PqM).map(m =>
+          s"SELECT vec_id, $m AS m, cid FROM code_$m").mkString(" UNION ALL ")
+        val qdsUnion = (0 until PqM).map(m =>
+          s"SELECT q_id, $m AS m, cid, d FROM qd_$m").mkString(" UNION ALL ")
+        s"""WITH v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
+              vn AS (SELECT vec_id, v, ${duckNorm2("v")} AS n2 FROM v),
+              corpus AS (SELECT vec_id, v, n2 FROM vn WHERE vec_id >= 5),
+              q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM vn WHERE vec_id < 5),
+              ${(0 until PqM).map(bookCtes).mkString(",\n")},
+              codes AS ($codesUnion),
+              qds AS ($qdsUnion),
+              pair AS (SELECT qds.q_id, codes.vec_id, qds.m, qds.d
+                       FROM codes JOIN qds ON codes.m = qds.m AND codes.cid = qds.cid),
+              appx AS (SELECT q_id, vec_id,
+                         list_reduce(list(d ORDER BY m), (acc, x) -> acc + x) AS adot
+                       FROM pair GROUP BY 1, 2),
+              t AS (SELECT q_id, vec_id, row_number() OVER (
+                      PARTITION BY q_id ORDER BY adot DESC, vec_id) AS arnk FROM appx),
+              sc AS (SELECT t.q_id, t.vec_id,
+                       ${duckCosine(duckDot("q.qv", "x.v"), "q.qn2", "x.n2")} AS cos
+                     FROM t JOIN q ON q.q_id = t.q_id
+                            JOIN corpus x ON x.vec_id = t.vec_id
+                     WHERE t.arnk <= 30),
+              r AS (SELECT q_id, vec_id, cos,
+                      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+                    FROM sc)
+            SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk"""
+      },
 
       "q_knn_cosine_sq8" ->
         s"""WITH v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),

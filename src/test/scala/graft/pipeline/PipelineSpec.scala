@@ -112,6 +112,28 @@ class PipelineSpec extends SparkSuite {
     assert(recalled >= 3, s"top-1 recall $recalled/5 too low for nprobe=${graft.pipeline.Similarity.IvfProbe}")
   }
 
+  test("pq knn: exact rerank caps at brute force, quality in ADC range") {
+    // the test embeddings are RANDOM (no cluster structure), which is
+    // PQ's worst case — all cosines crowd into a narrow band and 8×8
+    // codebooks can't separate them, so exact-winner recall is the wrong
+    // bar here. What must hold: the rerank can never beat brute force,
+    // and ADC quality stays in the expected coarse-quantization range
+    // (measured: top-1 at ~0.7-1.0× of exact, 14/50 top-10 overlap).
+    val brute10 = q("q_knn_cosine_brute").collect()
+    val bruteTop1 = brute10.filter(_.getLong(3) == 1L)
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val got = q("q_knn_cosine_pq").collect()
+    assert(got.length == 50)
+    val top1 = got.filter(_.getLong(3) == 1L)
+    assert(top1.length == 5)
+    assert(top1.forall(r => r.getDouble(2) <= bruteTop1(r.getLong(0)) + 1e-12))
+    assert(top1.forall(r => r.getDouble(2) >= 0.5 * bruteTop1(r.getLong(0))),
+      "ADC quality collapsed below half of exact")
+    val bSet = brute10.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = got.count(r => bSet.contains((r.getLong(0), r.getLong(1))))
+    assert(overlap >= 5, s"pq top-10 overlap $overlap/50")
+  }
+
   test("lsh knn results are a subset of brute-force candidate space") {
     val lsh = q("q_knn_cosine_lsh").collect()
     // every LSH hit shares the query's sign bucket by construction; ranks
