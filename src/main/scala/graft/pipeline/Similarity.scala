@@ -159,33 +159,46 @@ object Similarity {
     -array_max(array(entries: _*)).getField("negCid")
   }
 
-  /** One Lloyd pass under L2 assignment for a sub-codebook, same
-    * fixed-point (quantized integer sum) centroid update as [[lloyd]].
-    * `corpus` carries the SLICED vectors in column `v`. */
-  def lloydL2(corpus: org.apache.spark.sql.DataFrame, seed: IndexedSeq[Seq[Double]],
-              iters: Int): IndexedSeq[Seq[Double]] = {
-    var cents = seed
+  /** All M sub-codebooks trained TOGETHER, one Spark job per Lloyd
+    * iteration: the M per-subspace assignments are independent columns of
+    * the same corpus row, so they stack into one explode → posexplode →
+    * (m, cell, i) aggregation whose output is M·K·SubD tiny rows. Same
+    * fixed-point (quantized integer sum) centroid update as [[lloyd]];
+    * cells that lose all members keep their previous centroid. A
+    * per-subspace loop would run M separate jobs per iteration for no
+    * extra information. `corpus` carries the FULL vectors in column `v`. */
+  def pqTrain(corpus: org.apache.spark.sql.DataFrame,
+              seeds: IndexedSeq[IndexedSeq[Seq[Double]]],
+              iters: Int): IndexedSeq[IndexedSeq[Seq[Double]]] = {
+    var books = seeds
     for (_ <- 0 until iters) {
-      val sums = corpus
-        .withColumn("cell", pqCell(col("v"), cents))
-        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+      val stacked = corpus
+        .select(explode(array((0 until PqM).map { m =>
+          val sv = slice(col("v"), m * PqSubD + 1, PqSubD)
+          struct(lit(m).as("m"), pqCell(sv, books(m)).as("cell"), sv.as("sv"))
+        }: _*)).as("s"))
+        .select(col("s.m"), col("s.cell"), posexplode(col("s.sv")).as(Seq("i", "x")))
         .withColumn("xq", round(col("x") * lit(QuantScale)).cast("bigint"))
-        .groupBy("cell", "i")
+        .groupBy("m", "cell", "i")
         .agg(sum("xq").as("sx"), count(lit(1)).as("n"))
         .collect()
-      cents = rebuildCentroids(cents, sums)
+      val byM = stacked.groupBy(_.getInt(0))
+      books = books.indices.map { m =>
+        byM.get(m).fold(books(m))(rows => rebuildCentroids(books(m),
+          rows.map(r => (r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))))
+      }
     }
-    cents
+    books
   }
 
   private def rebuildCentroids(prev: IndexedSeq[Seq[Double]],
-                               sums: Array[org.apache.spark.sql.Row]): IndexedSeq[Seq[Double]] = {
-    val byCell = sums.groupBy(_.getLong(0))
+                               sums: Iterable[(Long, Int, Long, Long)]): IndexedSeq[Seq[Double]] = {
+    val byCell = sums.groupBy(_._1)
     prev.indices.map { c =>
       byCell.get(c.toLong).fold(prev(c)) { rows =>
         val arr = new Array[Double](prev(c).size)
-        rows.foreach { r =>
-          arr(r.getInt(1)) = r.getLong(2).toDouble / (QuantScale * r.getLong(3))
+        rows.foreach { case (_, i, sx, n) =>
+          arr(i) = sx.toDouble / (QuantScale * n)
         }
         arr.toIndexedSeq
       }
@@ -215,7 +228,8 @@ object Similarity {
         .groupBy("cell", "i")
         .agg(sum("xq").as("sx"), count(lit(1)).as("n"))
         .collect()
-      cents = rebuildCentroids(cents, sums)
+      cents = rebuildCentroids(cents,
+        sums.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))))
     }
     cents
   }

@@ -397,12 +397,14 @@ object PipelineQueries {
       val corpus = v.filter(col("vec_id") >= 5)
         .withColumn("n2", norm2(col("v"))).persist()
       def sl(c: Column, m: Int) = slice(c, m * PqSubD + 1, PqSubD)
-      val books: IndexedSeq[IndexedSeq[Seq[Double]]] = (0 until PqM).map { m =>
-        val sub = corpus.select(col("vec_id"), sl(col("v"), m).as("v"))
-        val seed = sub.filter(col("vec_id").between(5, 4 + PqK)).orderBy("vec_id")
-          .select("v").collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
-        Similarity.lloydL2(sub, seed, iters = 1)
-      }
+      // ONE collect for all M seed sets (sliced driver-side), ONE job per
+      // training iteration for all M sub-codebooks (Similarity.pqTrain)
+      val seedVecs = corpus.filter(col("vec_id").between(5, 4 + PqK))
+        .orderBy("vec_id").select("v")
+        .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+      val seeds = (0 until PqM).map(m =>
+        seedVecs.map(v => v.slice(m * PqSubD, (m + 1) * PqSubD): Seq[Double]))
+      val books = Similarity.pqTrain(corpus, seeds, iters = 1)
       val coded = (0 until PqM).foldLeft(corpus) { (df, m) =>
         df.withColumn(s"code_$m", pqCell(sl(col("v"), m), books(m)))
       }
