@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashSketch)
     ext.injectFunction(GraftExtensions.quantizeInt8)
     ext.injectFunction(GraftExtensions.dotInt8)
+    ext.injectFunction(GraftExtensions.hash31)
+    ext.injectFunction(GraftExtensions.hash31Bucket)
+    ext.injectFunction(GraftExtensions.saltedKey)
+    ext.injectFunction(GraftExtensions.originalKey)
     ext.injectOptimizerRule(_ => graft.plans.DivRangePushdown)
   }
 }
@@ -84,5 +88,78 @@ object GraftExtensions {
     { args =>
       require(args.length == 2, s"dot_int8 expects 2 arguments, got ${args.length}")
       DotProductInt8(args(0), args(1))
+    })
+
+  // ---- key algebra as SQL (the [REF] salting core for spark.sql users) ----
+  // Built from concrete catalyst nodes, NOT via the Column API: a Column
+  // converted mid-analysis yields a lazy ColumnNodeExpression leaf that
+  // the analyzer never resolves inside a function builder (fails at
+  // codegen with "Cannot generate code for expression: columnnodeexpression").
+
+  private def foldableInt(e: Expression, what: String): Int = e match {
+    case f if f.foldable => f.eval().asInstanceOf[Number].intValue()
+    case other => throw new IllegalArgumentException(s"$what must be a literal, got $other")
+  }
+
+  import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, CaseWhen, Cast, Concat,
+    Conv, GreaterThanOrEqual, Hex, Literal, Pmod, Remainder, ShiftRight, StringLPad, Substring,
+    Subtract, ToBinary}
+  import org.apache.spark.sql.types.LongType
+
+  /** Catalyst twin of graft.keys.Hash31.hash32 (same constants). */
+  private def hash31Expr(key: Expression): Expression = {
+    val terms = (0 until 8).map { i =>
+      org.apache.spark.sql.catalyst.expressions.Multiply(
+        BitwiseAnd(ShiftRight(key, Literal((7 - i) * 8)), Literal(255L)),
+        Literal(graft.keys.Hash31.Pow31(i)))
+    }
+    val wrap = Literal(4294967296L)
+    val sum = Remainder(
+      terms.reduceLeft[Expression]((a, b) => Add(a, b)), wrap)
+    CaseWhen(Seq((GreaterThanOrEqual(sum, Literal(2147483648L)), Subtract(sum, wrap))), Some(sum))
+  }
+
+  /** Catalyst twin of graft.keys.KeyCodec.beBytes (width-byte BE binary). */
+  private def beBytesExpr(v: Expression, width: Int): Expression =
+    ToBinary(StringLPad(Hex(v), Literal(width * 2), Literal("0")), Some(Literal("hex")), false)
+
+  val hash31: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hash31"),
+    info("hash31",
+      "hash31(key) - The reference 31-polynomial hash (Java int semantics) of a BIGINT key's 8 BE bytes."),
+    { args =>
+      require(args.length == 1, s"hash31 expects 1 argument, got ${args.length}")
+      hash31Expr(args(0))
+    })
+
+  val hash31Bucket: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hash31_bucket"),
+    info("hash31_bucket",
+      "hash31_bucket(key, n) - Deterministic salt bucket pmod(hash31(key), n); n a literal in 1..256."),
+    { args =>
+      require(args.length == 2, s"hash31_bucket expects 2 arguments, got ${args.length}")
+      Pmod(hash31Expr(args(0)), Literal(foldableInt(args(1), "hash31_bucket n").toLong))
+    })
+
+  val saltedKey: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("salted_key"),
+    info("salted_key",
+      "salted_key(bucket, key, prefixLen) - BINARY distributed key: prefixLen-byte BE bucket ++ 8-byte BE key."),
+    { args =>
+      require(args.length == 3, s"salted_key expects 3 arguments, got ${args.length}")
+      val pl = foldableInt(args(2), "salted_key prefixLen")
+      val keyBytes = beBytesExpr(args(1), 8)
+      if (pl == 0) keyBytes else Concat(Seq(beBytesExpr(args(0), pl), keyBytes))
+    })
+
+  val originalKey: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("original_key"),
+    info("original_key",
+      "original_key(salted, prefixLen) - Recover the BIGINT key from a salted BINARY key."),
+    { args =>
+      require(args.length == 2, s"original_key expects 2 arguments, got ${args.length}")
+      val pl = foldableInt(args(1), "original_key prefixLen")
+      Cast(Conv(Hex(Substring(args(0), Literal(pl + 1), Literal(Int.MaxValue))),
+        Literal(16), Literal(10)), LongType)
     })
 }

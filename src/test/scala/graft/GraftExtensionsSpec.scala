@@ -37,4 +37,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toList
     assert(rows === List((1, 0, "a b c"), (1, 1, "b c d")))
   }
+
+  test("key algebra is callable from SQL: hash, bucket, salt, unsalt") {
+    import spark.implicits._
+    val got = spark.sql(
+      """SELECT k,
+           hash31(k) AS h,
+           hash31_bucket(k, 16) AS b,
+           original_key(salted_key(hash31_bucket(k, 16), k, 1), 1) AS back
+         FROM VALUES (0L), (42L), (123456789L) AS t(k)""")
+      .as[(Long, Long, Long, Long)].collect().toList
+    got.foreach { case (k, h, b, back) =>
+      assert(back === k, "salt → unsalt must round-trip")
+      assert(b >= 0 && b < 16)
+      // SQL function agrees with the Column API
+      val viaCol = Seq(k).toDF("k")
+        .select(graft.keys.Hash31.hash32(org.apache.spark.sql.functions.col("k")))
+        .as[Long].head()
+      assert(h === viaCol)
+    }
+  }
 }
