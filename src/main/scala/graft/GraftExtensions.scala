@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, DotProductInt8, MinHashSketch, QuantizeInt8, WordShingles}
+import graft.functions.{DotProduct, DotProductInt8, MinHashSketch, QuantizeInt8, WordShingles, ZOrderKey}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashSketch)
     ext.injectFunction(GraftExtensions.quantizeInt8)
     ext.injectFunction(GraftExtensions.dotInt8)
+    ext.injectFunction(GraftExtensions.zorderKey)
     ext.injectFunction(GraftExtensions.hash31)
     ext.injectFunction(GraftExtensions.hash31Bucket)
     ext.injectFunction(GraftExtensions.saltedKey)
@@ -88,6 +89,15 @@ object GraftExtensions {
     { args =>
       require(args.length == 2, s"dot_int8 expects 2 arguments, got ${args.length}")
       DotProductInt8(args(0), args(1))
+    })
+
+  val zorderKey: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("zorder_key"),
+    info("zorder_key",
+      "zorder_key(a, b) - Morton interleave of two [0, 2^32) BIGINTs into one z-order BIGINT key."),
+    { args =>
+      require(args.length == 2, s"zorder_key expects 2 arguments, got ${args.length}")
+      ZOrderKey(args(0), args(1))
     })
 
   // ---- key algebra as SQL (the [REF] salting core for spark.sql users) ----

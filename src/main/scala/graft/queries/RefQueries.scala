@@ -134,10 +134,41 @@ object RefQueries {
           (enc, DistributorCodec.encode(DistributorCodec.decode(enc)))
         }
         .toDF("config", "roundtrip").orderBy("config")
+    }),
+
+    // Z-order keyed 2-D box scan: a table laid out sorted by
+    // zorder_key(user_id, day) prunes row groups for box predicates on
+    // BOTH dimensions via min/max on the single z key. The query applies
+    // the conservative pushable z-range [z(lo), z(hi)] (interleaving is
+    // componentwise monotone, so the box is contained in it) plus the
+    // exact residual box — the same pushdown-plus-residual shape as
+    // RangeJoin and the hash-mode point get.
+    "q_zorder_scan" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("day_num", expr("ts_us div 86400000000"))
+      val z = graft.functions.ZOrderFunctions.zorderKey(col("user_id"), col("day_num"))
+      val zLo = graft.functions.ZOrderKey.spread(20L) | (graft.functions.ZOrderKey.spread(19725L) << 1)
+      val zHi = graft.functions.ZOrderKey.spread(90L) | (graft.functions.ZOrderKey.spread(19740L) << 1)
+      e.withColumn("zkey", z)
+        .filter(col("zkey").between(zLo, zHi) &&
+          col("user_id").between(20, 90) && col("day_num").between(19725, 19740))
+        .select("event_id", "user_id", "day_num", "zkey")
+        .orderBy("event_id")
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "q_zorder_scan" -> {
+      val z = graft.functions.ZOrderFunctions.duckZorder("user_id", "day_num")
+      val zLo = graft.functions.ZOrderKey.spread(20L) | (graft.functions.ZOrderKey.spread(19725L) << 1)
+      val zHi = graft.functions.ZOrderKey.spread(90L) | (graft.functions.ZOrderKey.spread(19740L) << 1)
+      s"""SELECT event_id, user_id, day_num, $z AS zkey
+          FROM (SELECT event_id, user_id, epoch_us(ts) // 86400000000 AS day_num FROM events)
+          WHERE $z BETWEEN $zLo AND $zHi
+            AND user_id BETWEEN 20 AND 90 AND day_num BETWEEN 19725 AND 19740
+          ORDER BY event_id"""
+    },
+
     "q_salt_hash_dist" ->
       s"""SELECT $duckBucket AS bucket, count(*) AS cnt
           FROM events GROUP BY 1 ORDER BY 1""",
