@@ -231,6 +231,38 @@ object AnalyticQueries {
         .orderBy("s_nationkey")
     }),
 
+    // TPC-H Q3 shape (shipping-priority top-k): selective dimension
+    // filter broadcast against two fact tables, grouped revenue, top-10
+    // by revenue — the canonical "filter early, broadcast the small
+    // side, TakeOrderedAndProject the result" analytic plan
+    "q_tpch_q3" -> ((s, dir) =>
+      lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1996-06-30"))
+        .join(orders(s, dir).filter(col("o_orderdate") < lit("1996-07-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, dir).filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+        .withColumn("o_orderdate", col("o_orderdate").cast("string"))),
+
+    // gap sessions via the BUILT-IN session_window aggregation — the
+    // Spark-first twin of q_sessionize (same strictly-greater gap rule,
+    // verified; window end = last event + gap)
+    "q_session_window" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("clicks"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("sess_start"),
+          unix_micros(col("session_window.end")).as("sess_end_excl"),
+          col("clicks"))
+        .orderBy("user_id", "sess_start")),
+
     // scalable range join (point-in-interval via coarse time buckets —
     // graft.operators.RangeJoin): clicks from any user in the 10 minutes
     // before each purchase. A raw BETWEEN join would plan as a
@@ -396,6 +428,34 @@ object AnalyticQueries {
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          GROUP BY 1 ORDER BY 1""",
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderdate, l_orderkey
+         LIMIT 10""",
+
+    "q_session_window" ->
+      s"""SELECT user_id, min(ts_us) AS sess_start,
+            max(ts_us) + $SessGapUs AS sess_end_excl, count(*) AS clicks
+          FROM (
+            SELECT user_id, ts_us,
+              CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+            FROM (
+              SELECT user_id, epoch_us(ts) AS ts_us,
+                CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) > $SessGapUs
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events))
+          GROUP BY user_id, sess_id ORDER BY user_id, sess_start""",
 
     "q_range_join_funnel" ->
       s"""SELECT p.event_id AS purchase_id, count(*) AS n_clicks,
