@@ -533,6 +533,62 @@ object PipelineQueries {
         least(col("l_discount"), col("l_tax")).as("min_rate"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // approx quantiles (Greenwald-Khanna sketch) checked against exact:
+    // same oracle pattern as q_approx_distinct — emit the exact values
+    // plus within-tolerance verdicts on the sketch, all of which the
+    // oracle recomputes (the verdicts must be true), upgrading a
+    // sketch-valued query to a full hash-match.
+    "q_approx_quantiles" -> ((s, dir) => {
+      val e = events(s, dir)
+      val Array(a50, a99) =
+        e.stat.approxQuantile("value", Array(0.5, 0.99), 0.01)
+      // verdicts check the sketch's ACTUAL guarantee — the returned value
+      // sits within ±eps of the target RANK (a value-distance band would
+      // be wrong for long-tailed columns); eps 0.01 + slack
+      def rankOk(a: Double, target: Double): Column =
+        (count(when(col("value") <= a, 1)).cast("double") / count(lit(1)) >= target - 0.015) &&
+          (count(when(col("value") < a, 1)).cast("double") / count(lit(1)) <= target + 0.015)
+      e.agg(
+        expr("percentile(value, 0.5)").as("p50_exact"),
+        expr("percentile(value, 0.99)").as("p99_exact"),
+        rankOk(a50, 0.5).as("p50_ok"),
+        rankOk(a99, 0.99).as("p99_ok"))
+    }),
+
+    // bloom-filter build + probe (the runtime-filter sketch): the filter
+    // is an OR of per-row bit sets, so its bits are insertion-order
+    // independent and the probe results are deterministic. Checked by its
+    // CONTRACT: zero false negatives over every inserted key, and a
+    // false-positive rate over disjoint keys within the configured bound
+    // — both recomputable by the oracle as literal truths.
+    "q_bloom_filter" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val e = events(s, dir)
+      val inserted = e.filter(col("user_id") < 75).select(col("event_id"))
+      // BloomFilterAggregate / BloomFilterMightContain are the engine's
+      // runtime-filter internals (not in the SQL registry) — constructed
+      // directly, the same bridge pattern as the custom expressions
+      val bfAgg = ColumnBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          ColumnBridge.expression(xxhash64(col("event_id"))),
+          ColumnBridge.expression(lit(10000L)),
+          ColumnBridge.expression(lit(100000L))).toAggregateExpression())
+      // the built filter ships to the probe side as a CONSTANT (Spark's
+      // might_contain requires a literal/scalar-subquery filter — exactly
+      // how the engine's own runtime filters broadcast)
+      val bfBytes = inserted.agg(bfAgg.as("bf")).head().getAs[Array[Byte]]("bf")
+      val probed = e.select(col("event_id"), col("user_id"))
+        .withColumn("hit", ColumnBridge.column(
+          new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            ColumnBridge.expression(lit(bfBytes)),
+            ColumnBridge.expression(xxhash64(col("event_id"))))))
+      probed.agg(
+        count(when(col("user_id") < 75, 1)).as("n_inserted"),
+        (count(when(col("user_id") < 75 && !col("hit"), 1)) === 0).as("no_false_negatives"),
+        (count(when(col("user_id") >= 75 && col("hit"), 1)).cast("double") /
+          count(when(col("user_id") >= 75, 1)).cast("double") <= 0.05).as("fp_rate_ok"))
+    }),
+
     // approx distinct (HLL, rsd 1%) checked against exact: the output is
     // the exact count plus a within-5%-tolerance verdict on the sketch.
     // The verdict is computable identically by the oracle (it must be
@@ -924,7 +980,17 @@ object PipelineQueries {
       // count and that the sketch landed within tolerance
       "q_approx_distinct" ->
         """SELECT count(DISTINCT user_id) AS exact_users, true AS within_tol
-           FROM events"""
+           FROM events""",
+
+      "q_approx_quantiles" ->
+        """SELECT quantile_cont(value, 0.5) AS p50_exact,
+             quantile_cont(value, 0.99) AS p99_exact,
+             true AS p50_ok, true AS p99_ok
+           FROM events""",
+
+      "q_bloom_filter" ->
+        """SELECT count(*) AS n_inserted, true AS no_false_negatives, true AS fp_rate_ok
+           FROM events WHERE user_id < 75"""
     )
   }
 }
