@@ -145,6 +145,36 @@ object AnalyticQueries {
           sum(dec(col("o_totalprice"))).cast("double").as("total"))
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)),
 
+    // arbitrary GROUPING SETS (the general form under cube/rollup) with
+    // grouping_id disambiguating the null-as-total rows — via spark.sql,
+    // exercising the SQL entry point over a registered view
+    "q_grouping_sets" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("day",
+          to_date(timestamp_micros(col("ts_us"))).cast("string"))
+        .createOrReplaceTempView("events_gs")
+      s.sql(
+        """SELECT event_type, day, grouping__id AS gid,
+             count(*) AS n, count(DISTINCT user_id) AS users
+           FROM events_gs
+           GROUP BY GROUPING SETS ((event_type), (day), (event_type, day), ())
+           ORDER BY gid, event_type NULLS FIRST, day NULLS FIRST"""
+        .replace("grouping__id", "CAST(grouping_id() AS BIGINT)"))
+    }),
+
+    // pivot: event-type counts as columns, one row per day — the
+    // wide-format reshape; each output column is a filtered count, so
+    // the oracle states it as CASE aggregation
+    "q_pivot" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("day",
+          to_date(timestamp_micros(col("ts_us"))).cast("string"))
+        .groupBy("day")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("day")),
+
     // exact percentiles (sort-based; identical linear interpolation in
     // both engines) per group
     "q_percentiles" -> ((s, dir) =>
@@ -428,6 +458,24 @@ object AnalyticQueries {
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          GROUP BY 1 ORDER BY 1""",
+
+    "q_grouping_sets" ->
+      """SELECT event_type, day,
+           CAST(GROUPING(event_type, day) AS BIGINT) AS gid,
+           count(*) AS n, count(DISTINCT user_id) AS users
+         FROM (SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id
+               FROM events)
+         GROUP BY GROUPING SETS ((event_type), (day), (event_type, day), ())
+         ORDER BY gid, event_type NULLS FIRST, day NULLS FIRST""",
+
+    "q_pivot" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "q_tpch_q3" ->
       """SELECT l_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority,
