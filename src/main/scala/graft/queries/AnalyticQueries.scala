@@ -91,6 +91,40 @@ object AnalyticQueries {
         .orderBy("user_id", "rn")
     }),
 
+    // extended window analytics: distribution ranks and positional values
+    // over the same per-user event-time ordering
+    "q_window_analytics" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      events(s, dir)
+        .filter(col("user_id") < 10)
+        .select(
+          col("user_id"), col("event_id"),
+          ntile(4).over(w).cast("bigint").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          first("event_id").over(wFull).as("first_event"),
+          last("event_id").over(wFull).as("last_event"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // date/time scalar breadth over the event timestamps
+    "q_date_funcs" -> ((s, dir) =>
+      events(s, dir)
+        .filter(col("event_id") < 500)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .select(
+          col("event_id"),
+          year(col("ts")).cast("bigint").as("y"),
+          quarter(col("ts")).cast("bigint").as("q"),
+          month(col("ts")).cast("bigint").as("m"),
+          dayofmonth(col("ts")).cast("bigint").as("d"),
+          hour(col("ts")).cast("bigint").as("h"),
+          date_add(to_date(col("ts")), 30).cast("string").as("plus30"),
+          last_day(to_date(col("ts"))).cast("string").as("month_end"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).cast("bigint").as("days_since"))
+        .orderBy("event_id")),
+
     // running (prefix) sum per user — frame clause
     "q_window_running" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
@@ -379,6 +413,32 @@ object AnalyticQueries {
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
          WHERE user_id < 10 ORDER BY user_id, rn""",
+
+    "q_window_analytics" ->
+      """SELECT user_id, event_id,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           first_value(event_id) OVER wf AS first_event,
+           last_value(event_id) OVER wf AS last_event
+         FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)
+         WHERE user_id < 10
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id),
+                wf AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY user_id, event_id""",
+
+    "q_date_funcs" ->
+      """SELECT event_id,
+           CAST(year(ts) AS BIGINT) AS y,
+           CAST(quarter(ts) AS BIGINT) AS q,
+           CAST(month(ts) AS BIGINT) AS m,
+           CAST(day(ts) AS BIGINT) AS d,
+           CAST(hour(ts) AS BIGINT) AS h,
+           strftime(CAST(ts AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+           strftime(last_day(CAST(ts AS DATE)), '%Y-%m-%d') AS month_end,
+           CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS days_since
+         FROM events WHERE event_id < 500 ORDER BY event_id""",
 
     "q_asof_click_before_purchase" ->
       """SELECT user_id, event_id, ts_us, last_click_us FROM (
