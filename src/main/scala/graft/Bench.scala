@@ -14,14 +14,17 @@ object Bench {
     // untimed session warmup: first parquet-footer read, first shuffle and
     // first codegen otherwise land on whichever query happens to run first
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted-name order: Map iteration order varies with hashing, which
+    // made cross-round per-query comparisons noisy (whichever of the
+    // cache-sharing dedup queries ran first absorbed the pipeline build)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

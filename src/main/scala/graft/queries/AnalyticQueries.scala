@@ -235,6 +235,21 @@ object AnalyticQueries {
         .orderBy("user_id")
     }),
 
+    // null-safe equality join (<=>): null keys MATCH each other, unlike
+    // plain = which drops them — the semantic gap every dedup-by-key
+    // pipeline hits when key extraction can fail
+    "q_null_safe_join" -> ((s, dir) => {
+      val e = events(s, dir)
+        .withColumn("k", when(pmod(col("user_id"), lit(10)) === 0, lit(null)).otherwise(col("user_id")))
+      val l = e.filter(col("event_type") === "click")
+        .groupBy("k").agg(count(lit(1)).as("n_clicks"))
+      val r = e.filter(col("event_type") === "purchase")
+        .groupBy(col("k").as("k2")).agg(count(lit(1)).as("n_purchases"))
+      l.join(r, col("k") <=> col("k2"))
+        .select(col("k"), col("n_clicks"), col("n_purchases"))
+        .orderBy(col("k").asc_nulls_first)
+    }),
+
     // JSON scalar function over the props column
     "q_json_props" -> ((s, dir) =>
       events(s, dir)
@@ -487,6 +502,16 @@ object AnalyticQueries {
          EXCEPT
          SELECT user_id FROM events WHERE event_type = 'signup'
          ORDER BY user_id""",
+
+    "q_null_safe_join" ->
+      """WITH e AS (SELECT CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id END AS k,
+                      event_type
+                   FROM events),
+            l AS (SELECT k, count(*) AS n_clicks FROM e WHERE event_type = 'click' GROUP BY k),
+            r AS (SELECT k AS k2, count(*) AS n_purchases FROM e WHERE event_type = 'purchase' GROUP BY k)
+          SELECT k, n_clicks, n_purchases
+          FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k2
+          ORDER BY k NULLS FIRST""",
 
     "q_json_props" ->
       """SELECT event_type,
