@@ -40,8 +40,12 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       ptCol: Column, loCol: Column, hiCol: Column,
                       width: Long): DataFrame = {
+    // drop empty intervals first: lo >= hi matches nothing, and Spark's
+    // sequence(a, b) with a > b would emit a DESCENDING bucket range —
+    // harmless junk here (the residual predicate rejects it) but wasted
+    // join input
     val p = points.withColumn("__pb", floorDiv(ptCol, width))
-    val i = intervals.withColumn("__ib",
+    val i = intervals.filter(loCol < hiCol).withColumn("__ib",
       explode(sequence(floorDiv(loCol, width), floorDiv(hiCol - lit(1L), width))))
     p.join(i, col("__pb") === col("__ib") && loCol <= ptCol && ptCol < hiCol)
       .drop("__pb", "__ib")
