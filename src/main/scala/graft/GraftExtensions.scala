@@ -116,8 +116,11 @@ object GraftExtensions {
     Subtract, ToBinary}
   import org.apache.spark.sql.types.LongType
 
-  /** Catalyst twin of graft.keys.Hash31.hash32 (same constants). */
-  private def hash31Expr(key: Expression): Expression = {
+  /** Catalyst twin of graft.keys.Hash31.hash32 (same constants). The key
+    * is cast to BIGINT first — an INT column fed to the byte-shift
+    * arithmetic directly would silently hash a different bit pattern. */
+  private def hash31Expr(key0: Expression): Expression = {
+    val key = Cast(key0, LongType)
     val terms = (0 until 8).map { i =>
       org.apache.spark.sql.catalyst.expressions.Multiply(
         BitwiseAnd(ShiftRight(key, Literal((7 - i) * 8)), Literal(255L)),
@@ -129,9 +132,27 @@ object GraftExtensions {
     CaseWhen(Seq((GreaterThanOrEqual(sum, Literal(2147483648L)), Subtract(sum, wrap))), Some(sum))
   }
 
-  /** Catalyst twin of graft.keys.KeyCodec.beBytes (width-byte BE binary). */
-  private def beBytesExpr(v: Expression, width: Int): Expression =
-    ToBinary(StringLPad(Hex(v), Literal(width * 2), Literal("0")), Some(Literal("hex")), false)
+  /** Catalyst twin of graft.keys.KeyCodec.beBytes (width-byte BE binary),
+    * range-checked: StringLPad TRUNCATES hex digits beyond the target
+    * width, so a bucket value that doesn't fit in `width` bytes would
+    * silently encode a different bucket and the row would sort into the
+    * wrong key range. Nothing ties a SQL caller's bucket expression to a
+    * validated distributor, so the check must live in the expression. */
+  private def beBytesExpr(v: Expression, width: Int): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{If, LessThan, Or, RaiseError}
+    val b = Cast(v, LongType)
+    val inRange =
+      if (width >= 8) GreaterThanOrEqual(b, Literal(0L))
+      else org.apache.spark.sql.catalyst.expressions.And(
+        GreaterThanOrEqual(b, Literal(0L)), LessThan(b, Literal(1L << (8 * width))))
+    If(inRange,
+      ToBinary(StringLPad(Hex(b), Literal(width * 2), Literal("0")),
+        Some(Literal("hex")), false),
+      Cast(new RaiseError(Concat(Seq(
+        Literal(s"salted_key: value out of range for a $width-byte field: "),
+        Cast(b, org.apache.spark.sql.types.StringType)))),
+        org.apache.spark.sql.types.BinaryType))
+  }
 
   val hash31: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("hash31"),

@@ -91,22 +91,29 @@ case class DotProductInt8(left: Expression, right: Expression) extends BinaryExp
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[Array[Byte]]
     val y = b.asInstanceOf[Array[Byte]]
-    val n = math.min(x.length, y.length)
+    // mismatched dimensionality means corrupted or mixed embeddings — a
+    // silently truncated partial dot would look plausible and skew the
+    // ANN ranking; fail loudly (same contract as zorder_key's range check)
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"dot_int8: vector length mismatch (${x.length} vs ${y.length})")
     var s = 0L
     var i = 0
-    while (i < n) { s += x(i).toLong * y(i).toLong; i += 1 }
+    while (i < x.length) { s += x(i).toLong * y(i).toLong; i += 1 }
     s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
       val i = ctx.freshName("i")
       s"""
-      final int $n = java.lang.Math.min($a.length, $b.length);
+      if ($a.length != $b.length) {
+        throw new IllegalArgumentException(
+          "dot_int8: vector length mismatch (" + $a.length + " vs " + $b.length + ")");
+      }
       long $sum = 0L;
-      for (int $i = 0; $i < $n; $i++) {
+      for (int $i = 0; $i < $a.length; $i++) {
         $sum += (long) $a[$i] * (long) $b[$i];
       }
       ${ev.value} = $sum;

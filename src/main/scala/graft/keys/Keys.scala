@@ -140,18 +140,27 @@ final case class RoundRobin(numBuckets: Int, insertionOrder: String) extends Dis
     val wOff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     val offsets = ordered.groupBy("__pid").count()
       .withColumn("__off", coalesce(sum("count").over(wOff), lit(0L)))
-      .select("__pid", "__off")
+      .select(col("__pid"), col("__off"), col("count").as("__cnt"))
     ordered
       .join(broadcast(offsets), Seq("__pid"), "left")
       // belt-and-braces: if exchange reuse ever failed AND the two
-      // computations diverged, fail loudly instead of mis-bucketing
+      // computations diverged, fail loudly instead of mis-bucketing. Two
+      // detectors, because divergence has two shapes: a pid missing from
+      // the offsets entirely (null __off), or — the sneaky one — the same
+      // pid set with SHIFTED boundaries, where every pid still joins but
+      // per-pid counts differ; total rows are conserved, so at least one
+      // partition then exceeds its counted size and trips the __cnt check.
       .withColumn("__off", coalesce(col("__off"),
         raise_error(concat(lit("round-robin: no offset for partition "), col("__pid")))))
       .withColumn("__rn",
         row_number().over(
           Window.partitionBy("__pid").orderBy(insertionOrder)).cast("bigint") - 1L)
+      .withColumn("__rn", when(col("__rn") < col("__cnt"), col("__rn"))
+        .otherwise(raise_error(concat(
+          lit("round-robin: partition "), col("__pid"),
+          lit(" larger than its counted size — range exchange diverged")))))
       .withColumn("bucket", pmod(col("__rn") + col("__off"), lit(numBuckets.toLong)))
-      .drop("__pid", "__rn", "__off")
+      .drop("__pid", "__rn", "__off", "__cnt")
   }
   def params: String = s"$numBuckets--$insertionOrder"
 }

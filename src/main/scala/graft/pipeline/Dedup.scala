@@ -141,9 +141,14 @@ object Dedup {
     * checkpoint dir (the right choice on a real cluster — survives
     * executor loss), local (block-manager) checkpoint otherwise. Either
     * way the returned frame's plan is a flat scan, so per-round actions
-    * stop re-analyzing the whole upstream pipeline, and dropped
-    * intermediates are reclaimed by the ContextCleaner instead of
-    * accumulating as pinned cache entries. */
+    * stop re-analyzing the whole upstream pipeline, and no pinned cache
+    * entries accumulate. Cleanup differs by mode: LOCAL checkpoint blocks
+    * are reclaimed by the ContextCleaner when the RDD is dropped;
+    * RELIABLE checkpoint files persist for the application's lifetime
+    * unless `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+    * (default false) — set it in long-running sessions that run dedup
+    * repeatedly, or the checkpoint dir grows by one label-set copy per
+    * iteration per run. */
   private def cut(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()

@@ -76,7 +76,15 @@ object SaltedStore {
       .format("parquet")
       .saveAsTable(table)
 
-  private def colName(c: Column): String = c.toString
+  private def colName(c: Column): String = {
+    val n = c.toString
+    // bucketBy takes a NAME; a computed expression would be silently
+    // mis-parsed — materialize it as a column first
+    require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"writeBucketedTable needs a plain column reference, got '$n' " +
+        "(withColumn(...) the expression first)")
+    n
+  }
 
   /** Compact a salted bucketed layout in place — the minor-compaction
     * analog of the HBase flush/compact cycle the reference's write path
@@ -84,8 +92,15 @@ object SaltedStore {
     * bucket; a day of 1-minute batches is 1440 files/bucket, and scan
     * cost becomes file-open cost). Rewrites each bucket directory to
     * ⌈bytes/targetBytes⌉ files, re-sorted by `keyCol` (a per-bucket sort,
-    * never a global shuffle), then atomically swaps directories. Run it
-    * out-of-band, like HBase compactions. */
+    * never a global shuffle), then swaps directories.
+    *
+    * The swap is TWO renames, not one atomic operation: run compaction in
+    * a maintenance window, like HBase major compactions — a reader that
+    * lists the table between the renames misses that bucket, and a crash
+    * between them leaves the data parked in a dot-prefixed dir
+    * (recoverable by renaming `.old_bucket=N` back). Every rename result
+    * is checked, so a filesystem refusal aborts loudly with the original
+    * data still in place rather than stranding it. */
   def compact(spark: SparkSession, path: String, keyCol: Column,
               targetBytes: Long = 128L * 1024 * 1024): Unit = {
     import org.apache.hadoop.fs.Path
@@ -105,10 +120,14 @@ object SaltedStore {
         .repartitionByRange(nFiles, keyCol)
         .sortWithinPartitions(keyCol)
         .write.mode("overwrite").parquet(tmp.toString)
-      // swap: old dir out, compacted dir in (metadata-only renames)
+      // swap: old dir out, compacted dir in — check each step; a failed
+      // first rename leaves the original untouched, a failed second is
+      // recoverable from .old_*
       val old = new Path(b.getPath.getParent, s".old_${b.getPath.getName}")
-      fs.rename(b.getPath, old)
-      fs.rename(tmp, b.getPath)
+      require(fs.rename(b.getPath, old),
+        s"compact: could not move ${b.getPath} aside; bucket left untouched")
+      require(fs.rename(tmp, b.getPath),
+        s"compact: could not move $tmp into place; original preserved at $old")
       fs.delete(old, true)
     }
   }

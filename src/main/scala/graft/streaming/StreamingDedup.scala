@@ -63,12 +63,15 @@ object StreamingDedup {
     * emitted the first time a doc collides with an already-claimed band
     * bucket (at most one mark per (doc, band); downstream consumers
     * dedupe to per-doc drops with a distinct or any-semantics join).
-    * `watermarkDelay` bounds both late data and state lifetime. */
+    * `horizonMs` bounds both late data (as the watermark delay) and a
+    * bucket claim's lifetime — it is a Long, not an interval string,
+    * because the state function needs the same number for its expiry
+    * arithmetic. */
   def lshDedupMarks(docs: DataFrame, tsCol: String,
-                    watermarkDelay: String): Dataset[DupMark] = {
+                    horizonMs: Long): Dataset[DupMark] = {
     import docs.sparkSession.implicits._
     docs
-      .withWatermark(tsCol, watermarkDelay)
+      .withWatermark(tsCol, s"$horizonMs milliseconds")
       .select(col("doc_id"), col(tsCol).as("ts"),
         explode(bandSigs(col("text"))).as("sig"))
       .as[BandHit]
@@ -78,11 +81,18 @@ object StreamingDedup {
         (sig: String, rows: Iterator[BandHit], state: GroupState[BandOwner]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
+            val wm = state.getCurrentWatermarkMs()
+            // a claim whose horizon the watermark has already passed is
+            // expired even if its timeout callback hasn't fired yet (new
+            // data for the group arrives in the same batch that advanced
+            // the watermark): honoring it would both mark docs against a
+            // dead claim AND re-arm a timeout in the past, which the
+            // state API rejects — killing the whole query
+            var owner = state.getOption.filter(o => o.tsMs + horizonMs > wm)
             // arrival order within a micro-batch is not a time order —
             // process the group's rows in (event time, doc_id) order so
             // "first seen" is well-defined and replay-stable
             val sorted = rows.toArray.sortBy(h => (h.ts.getTime, h.doc_id))
-            var owner = state.getOption
             val marks = Iterator.unfold(0) { i =>
               if (i >= sorted.length) None
               else {
@@ -96,11 +106,14 @@ object StreamingDedup {
                 }
               }
             }.flatten.toList
-            owner.foreach { o =>
-              state.update(o)
-              // evict once the watermark passes the owner's claim — a
-              // later same-sig doc outside the horizon is a fresh claim
-              state.setTimeoutTimestamp(o.tsMs, watermarkDelay)
+            owner match {
+              case Some(o) =>
+                state.update(o)
+                // evict once the watermark passes the claim's horizon;
+                // clamp above the current watermark (setTimeoutTimestamp
+                // rejects timestamps at or before it)
+                state.setTimeoutTimestamp(math.max(o.tsMs + horizonMs, wm + 1))
+              case None => state.remove()
             }
             marks.iterator
           }

@@ -46,26 +46,39 @@ object StreamingIngest {
     * that narrow window — same contract as Spark's own file sink when
     * its _spark_metadata log is bypassed).
     */
+  /** `commitTag` namespaces the commit log per logical QUERY: Spark
+    * numbers every query's batches from 0, so two different queries (or
+    * one restarted with a fresh checkpoint) writing to the same path
+    * would otherwise collide on batchIds and the second query's early
+    * batches would be silently skipped as "already committed". Give each
+    * query lifecycle (i.e. each checkpoint location) its own tag. */
   def saltedWriter(stream: DataFrame, keyCol: Column, dist: Distributor,
-                   path: String): DataStreamWriter[org.apache.spark.sql.Row] =
+                   path: String, commitTag: String = "q0"): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeBatchIdempotent(batch, batchId, keyCol, dist, path)
+        writeBatchIdempotent(batch, batchId, keyCol, dist, path, commitTag)
       }
 
-  /** One micro-batch append, skipped when `batchId` is already in the
-    * commit log — exposed for direct testing of the replay path. */
+  /** One micro-batch append, skipped (with a log line — silence here is
+    * how batchId collisions turn into invisible data loss) when the
+    * (commitTag, batchId) pair is already in the commit log — exposed for
+    * direct testing of the replay path. */
   def writeBatchIdempotent(batch: DataFrame, batchId: Long, keyCol: Column,
-                           dist: Distributor, path: String): Unit = {
+                           dist: Distributor, path: String,
+                           commitTag: String = "q0"): Unit = {
     val hconf = batch.sparkSession.sessionState.newHadoopConf()
-    val commitDir = new org.apache.hadoop.fs.Path(path, "_graft_commits")
+    val commitDir = new org.apache.hadoop.fs.Path(path, s"_graft_commits/$commitTag")
     val fs = commitDir.getFileSystem(hconf)
     val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
     if (!fs.exists(marker)) {
       SaltedStore.write(batch, keyCol, dist, path, mode = "append")
       fs.mkdirs(commitDir)
       fs.create(marker, true).close()
+    } else {
+      System.err.println(
+        s"[graft] skipping already-committed batch $batchId (tag $commitTag) at $path — " +
+          "if this is a NEW query writing to an existing store, pass a fresh commitTag")
     }
   }
 

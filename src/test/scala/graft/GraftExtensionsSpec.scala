@@ -38,6 +38,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(rows === List((1, 0, "a b c"), (1, 1, "b c d")))
   }
 
+  test("salted_key rejects a bucket that does not fit the prefix width") {
+    // lpad would silently TRUNCATE 300 (hex 12C) to bucket 0x12 — must
+    // raise instead
+    val ex = intercept[Exception] {
+      spark.sql("SELECT salted_key(300L, 1L, 1)").collect()
+    }
+    assert(ex.getMessage.contains("salted_key") ||
+      (ex.getCause != null && ex.getCause.getMessage.contains("salted_key")))
+  }
+
   test("key algebra is callable from SQL: hash, bucket, salt, unsalt") {
     import spark.implicits._
     val got = spark.sql(

@@ -43,6 +43,17 @@ class Int8Spec extends SparkSuite {
     assert(viaExpr.toList === viaScala.toList)
   }
 
+  test("dot_int8 rejects mismatched vector lengths") {
+    val ex = intercept[Exception] {
+      Seq((Seq(1.0, 1.0), Seq(1.0, 1.0, 1.0))).toDF("a", "b")
+        .select(Int8Functions.dotInt8(
+          Int8Functions.quantizeInt8(col("a")),
+          Int8Functions.quantizeInt8(col("b")))).collect()
+    }
+    assert(ex.getMessage.contains("length mismatch") ||
+      (ex.getCause != null && ex.getCause.getMessage.contains("length mismatch")))
+  }
+
   test("SQL functions registered via GraftExtensions") {
     Seq(Seq(1.0, -1.0)).toDF("v").createOrReplaceTempView("i8_in")
     val got = spark.sql(

@@ -20,7 +20,7 @@ class StreamingDedupSpec extends SparkSuite {
 
     val mem = MemoryStream[(Long, Timestamp, String)]
     val marks = StreamingDedup.lshDedupMarks(
-      mem.toDF().toDF("doc_id", "ts", "text"), "ts", "10 minutes")
+      mem.toDF().toDF("doc_id", "ts", "text"), "ts", 600000L)
     val q = marks.writeStream.outputMode("append").format("memory")
       .queryName("lsh_marks").start()
 
@@ -59,7 +59,7 @@ class StreamingDedupSpec extends SparkSuite {
 
     val mem = MemoryStream[(Long, Timestamp, String)]
     val marks = StreamingDedup.lshDedupMarks(
-      mem.toDF().toDF("doc_id", "ts", "text"), "ts", "10 minutes")
+      mem.toDF().toDF("doc_id", "ts", "text"), "ts", 600000L)
     val q = marks.writeStream.outputMode("append").format("memory")
       .queryName("lsh_marks_corpus").start()
     mem.addData(docs.map(d => (d._1, ts("2026-01-01 00:00:00"), d._2)).toSeq: _*)
