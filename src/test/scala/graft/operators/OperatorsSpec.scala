@@ -41,6 +41,25 @@ class OperatorsSpec extends SparkSuite {
     assert(!salted.exists(_._1 == "kX") && !salted.exists(_._1 == "k2"))
   }
 
+  test("RangeJoin equals the naive join on randomized workloads") {
+    val rnd = new scala.util.Random(1234)
+    // random points/intervals including empties, touching bounds, spans
+    // much longer than the bucket width, and width not dividing bounds
+    for (width <- Seq(7L, 50L, 1000L)) {
+      val points = List.fill(300)(rnd.nextInt(5000).toLong).distinct.toDF("pt")
+      val intervals = List.fill(80) {
+        val lo = rnd.nextInt(5000).toLong
+        (rnd.nextLong().abs % 100000, lo, lo + rnd.nextInt(400) - 10) // some empty
+      }.toDF("iid", "lo", "hi")
+      val got = RangeJoin.pointInInterval(points, intervals,
+          col("pt"), col("lo"), col("hi"), width)
+        .select("iid", "pt").as[(Long, Long)].collect().sorted.toList
+      val naive = points.join(intervals, col("lo") <= col("pt") && col("pt") < col("hi"))
+        .select("iid", "pt").as[(Long, Long)].collect().sorted.toList
+      assert(got === naive, s"width=$width")
+    }
+  }
+
   test("RangeJoin equals the naive BETWEEN join, without a nested loop") {
     // points 0..999 at stride 10; intervals of assorted lengths incl.
     // bucket-straddling and empty ones
