@@ -86,6 +86,30 @@ object SaltedStore {
     n
   }
 
+  /** Operational stats for a salted bucketed layout — the counterpart of
+    * HBase's per-region metrics for deciding when to compact or re-salt:
+    * one row per bucket with file count, bytes, row count, and the key
+    * range actually present. File facts come from a driver-side listing
+    * (cheap, no data read); row counts and key ranges run as ONE
+    * bucket-grouped aggregation over parquet metadata/columns. */
+  def describe(spark: SparkSession, path: String, keyCol: Column): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.listStatus(new Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .map { b =>
+        val fsz = fs.listStatus(b.getPath)
+          .filterNot(_.getPath.getName.startsWith("_")).map(_.getLen)
+        (b.getPath.getName.stripPrefix("bucket=").toLong, fsz.length.toLong, fsz.sum)
+      }.toSeq.toDF("bucket", "n_files", "bytes")
+    val rows = spark.read.parquet(path)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(keyCol).as("min_key"), max(keyCol).as("max_key"))
+    files.join(rows, Seq("bucket"), "left").orderBy("bucket")
+  }
+
   /** Compact a salted bucketed layout in place — the minor-compaction
     * analog of the HBase flush/compact cycle the reference's write path
     * feeds (each streaming micro-batch appends one small sorted file per

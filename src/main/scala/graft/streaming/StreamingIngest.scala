@@ -108,6 +108,30 @@ object StreamingIngest {
               col("window.end").as("window_end"),
               col("event_type"), col("cnt"))
 
+  /** Streaming windowed top-k ("trending"): event counts per (tumbling
+    * window, key), finalized by the watermark, then reduced to the top-k
+    * keys per window. The ranking is a per-window sort over at most the
+    * distinct-key count — it runs in the foreachBatch epilogue because a
+    * window's ranking is only meaningful once the watermark CLOSES the
+    * window; rows arrive append-mode exactly once per closed window, so
+    * the sink sees each window's final ranking exactly once. `sink`
+    * receives (window_start, key, cnt, rnk ≤ k). */
+  def trendingTopK(events: DataFrame, tsCol: String, keyCol: String,
+                   watermarkDelay: String, windowLen: String, k: Int)(
+      sink: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col(keyCol), col("cnt"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("window_start").orderBy(col("cnt").desc, col(keyCol))
+        sink(batch.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k))
+      }
+
   /** Stream-stream interval join (click attribution): each purchase joins
     * the same user's clicks from the preceding `windowSec` seconds. Both
     * sides carry watermarks and the join condition bounds the event-time

@@ -148,6 +148,21 @@ class StoreScanSpec extends SparkSuite {
     }
   }
 
+  test("describe reports per-bucket files, bytes, rows, and key ranges") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("describe_store").toString
+    val df = (1L to 4000L).map(i => (i, i * 2.0)).toDF("k", "v")
+    SaltedStore.write(df, col("k"), HashPrefix(4), dir)
+    val d = SaltedStore.describe(spark, dir, col("k")).collect()
+    assert(d.map(_.getLong(0)).sorted.sameElements(0L until 4L))
+    assert(d.map(_.getLong(3)).sum === 4000L) // n_rows across buckets
+    d.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(2) > 0) // files, bytes
+      assert(r.getLong(4) >= 1L && r.getLong(5) <= 4000L) // key range sane
+      assert(r.getLong(4) <= r.getLong(5))
+    }
+  }
+
   test("compact merges small files per bucket, preserving data and order") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("compact_store").toString

@@ -163,6 +163,33 @@ class StreamingSpec extends SparkSuite {
     assert(streamed === batch)
   }
 
+  test("trending top-k ranks closed windows exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Timestamp, String, Long, Int)]
+    val writer = trendingTopK(
+      mem.toDF().toDF("ts", "item"), "ts", "item",
+      watermarkDelay = "0 seconds", windowLen = "1 minute", k = 2) { ranked =>
+      out ++= ranked.select("window_start", "item", "cnt", "rnk")
+        .as[(Timestamp, String, Long, Int)].collect()
+    }
+    val q = writer.start()
+    // minute 0: a×3, b×2, c×1 → top-2 is (a, b)
+    mem.addData(
+      (ts("2026-01-01 00:00:01"), "a"), (ts("2026-01-01 00:00:02"), "a"),
+      (ts("2026-01-01 00:00:03"), "a"), (ts("2026-01-01 00:00:10"), "b"),
+      (ts("2026-01-01 00:00:11"), "b"), (ts("2026-01-01 00:00:20"), "c"))
+    q.processAllAvailable()
+    // advance the watermark past minute 0 so its window closes
+    mem.addData((ts("2026-01-01 00:05:00"), "z"))
+    q.processAllAvailable()
+    q.stop()
+    val m0 = out.filter(_._1 == ts("2026-01-01 00:00:00"))
+      .map(r => (r._2, r._3, r._4)).toSet
+    assert(m0 === Set(("a", 3L, 1), ("b", 2L, 2)))
+  }
+
   test("stream-stream interval join attributes purchases to recent clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
