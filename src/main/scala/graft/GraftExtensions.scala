@@ -139,13 +139,17 @@ object GraftExtensions {
     * wrong key range. Nothing ties a SQL caller's bucket expression to a
     * validated distributor, so the check must live in the expression. */
   private def beBytesExpr(v: Expression, width: Int): Expression = {
-    import org.apache.spark.sql.catalyst.expressions.{If, LessThan, Or, RaiseError}
+    import org.apache.spark.sql.catalyst.expressions.{If, IsNull, LessThan, Or, RaiseError}
     val b = Cast(v, LongType)
     val inRange =
       if (width >= 8) GreaterThanOrEqual(b, Literal(0L))
       else org.apache.spark.sql.catalyst.expressions.And(
         GreaterThanOrEqual(b, Literal(0L)), LessThan(b, Literal(1L << (8 * width))))
-    If(inRange,
+    // NULL input propagates as a NULL key (standard SQL semantics and the
+    // Column-API behavior); only genuinely out-of-range values raise —
+    // without the IsNull arm, If treats the null predicate as false and a
+    // single null row would abort the whole job
+    If(Or(IsNull(b), inRange),
       ToBinary(StringLPad(Hex(b), Literal(width * 2), Literal("0")),
         Some(Literal("hex")), false),
       Cast(new RaiseError(Concat(Seq(

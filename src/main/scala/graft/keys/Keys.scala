@@ -18,9 +18,24 @@ object KeyCodec {
   def beBytes8(key: Column): Column =
     to_binary(lpad(hex(key), 16, "0"), lit("hex"))
 
-  /** `width`-byte big-endian binary of a small non-negative int column. */
-  def beBytes(v: Column, width: Int): Column =
-    to_binary(lpad(hex(v), width * 2, "0"), lit("hex"))
+  /** `width`-byte big-endian binary of a small non-negative int column.
+    * Range-checked: lpad TRUNCATES hex digits beyond the target width, so
+    * a value that doesn't fit would silently encode a DIFFERENT value and
+    * the salted key would sort into the wrong bucket range. Validated
+    * distributors never produce such values, but this is public Column
+    * API reachable with arbitrary expressions. NULL propagates. */
+  def beBytes(v: Column, width: Int): Column = {
+    val checked =
+      if (width >= 8) when(v.isNull || v >= 0, v)
+        .otherwise(raise_error(concat(
+          lit("beBytes: negative value for a "), lit(width), lit("-byte field: "),
+          v.cast("string"))))
+      else when(v.isNull || (v >= 0 && v < (1L << (8 * width))), v)
+        .otherwise(raise_error(concat(
+          lit("beBytes: value out of range for a "), lit(width), lit("-byte field: "),
+          v.cast("string"))))
+    to_binary(lpad(hex(checked), width * 2, "0"), lit("hex"))
+  }
 
   /** Decode an 8-byte big-endian binary back to BIGINT (non-negative). */
   def beLong(bin: Column): Column =

@@ -79,8 +79,10 @@ object SaltedStore {
   private def colName(c: Column): String = {
     val n = c.toString
     // bucketBy takes a NAME; a computed expression would be silently
-    // mis-parsed — materialize it as a column first
-    require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
+    // mis-parsed. Reject expression syntax (parens/spaces/quotes) rather
+    // than whitelisting identifier characters — column names with
+    // hyphens, leading digits, or unicode are legal and must pass.
+    require(!n.exists(ch => ch == '(' || ch == ')' || ch == ' ' || ch == '\''),
       s"writeBucketedTable needs a plain column reference, got '$n' " +
         "(withColumn(...) the expression first)")
     n
@@ -92,7 +94,9 @@ object SaltedStore {
     * range actually present. File facts come from a driver-side listing
     * (cheap, no data read); row counts and key ranges run as ONE
     * bucket-grouped aggregation over parquet metadata/columns. */
-  def describe(spark: SparkSession, path: String, keyCol: Column): DataFrame = {
+  def describe(spark: SparkSession, path: String, keyCol: Column,
+               format: String = "parquet",
+               schemaDDL: Option[String] = None): DataFrame = {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
@@ -103,7 +107,7 @@ object SaltedStore {
           .filterNot(_.getPath.getName.startsWith("_")).map(_.getLen)
         (b.getPath.getName.stripPrefix("bucket=").toLong, fsz.length.toLong, fsz.sum)
       }.toSeq.toDF("bucket", "n_files", "bytes")
-    val rows = spark.read.parquet(path)
+    val rows = read(spark, path, format, schemaDDL)
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_rows"),
         min(keyCol).as("min_key"), max(keyCol).as("max_key"))

@@ -71,7 +71,13 @@ object StreamingIngest {
     val commitDir = new org.apache.hadoop.fs.Path(path, s"_graft_commits/$commitTag")
     val fs = commitDir.getFileSystem(hconf)
     val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
-    if (!fs.exists(marker)) {
+    // stores written before tags existed kept markers directly under
+    // _graft_commits/<batchId>; honor them for the default tag, or a
+    // restarted pre-tag query would re-append its committed batches
+    val legacy = new org.apache.hadoop.fs.Path(path, s"_graft_commits/$batchId")
+    val committed = fs.exists(marker) ||
+      (commitTag == "q0" && fs.isFile(legacy))
+    if (!committed) {
       SaltedStore.write(batch, keyCol, dist, path, mode = "append")
       fs.mkdirs(commitDir)
       fs.create(marker, true).close()
@@ -113,12 +119,15 @@ object StreamingIngest {
     * keys per window. The ranking is a per-window sort over at most the
     * distinct-key count — it runs in the foreachBatch epilogue because a
     * window's ranking is only meaningful once the watermark CLOSES the
-    * window; rows arrive append-mode exactly once per closed window, so
-    * the sink sees each window's final ranking exactly once. `sink`
-    * receives (window_start, key, cnt, rnk ≤ k). */
+    * window. Append mode emits each closed window once per SUCCESSFUL
+    * run, but foreachBatch replays a micro-batch after a failure, so the
+    * sink is at-least-once per window and receives the batchId to earn
+    * idempotence the same way [[writeBatchIdempotent]] does (skip or
+    * overwrite by batchId). `sink` receives the batchId and a frame of
+    * (window_start, key, cnt, rnk ≤ k). */
   def trendingTopK(events: DataFrame, tsCol: String, keyCol: String,
                    watermarkDelay: String, windowLen: String, k: Int)(
-      sink: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
     events
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
@@ -126,10 +135,10 @@ object StreamingIngest {
       .select(col("window.start").as("window_start"), col(keyCol), col("cnt"))
       .writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("window_start").orderBy(col("cnt").desc, col(keyCol))
-        sink(batch.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k))
+        sink(batch.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k), batchId)
       }
 
   /** Stream-stream interval join (click attribution): each purchase joins

@@ -170,7 +170,7 @@ class StreamingSpec extends SparkSuite {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Timestamp, String, Long, Int)]
     val writer = trendingTopK(
       mem.toDF().toDF("ts", "item"), "ts", "item",
-      watermarkDelay = "0 seconds", windowLen = "1 minute", k = 2) { ranked =>
+      watermarkDelay = "0 seconds", windowLen = "1 minute", k = 2) { (ranked, _) =>
       out ++= ranked.select("window_start", "item", "cnt", "rnk")
         .as[(Timestamp, String, Long, Int)].collect()
     }
