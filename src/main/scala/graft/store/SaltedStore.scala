@@ -35,7 +35,8 @@ object SaltedStore {
     * (interchange; no statistics, so range scans lose row-group pruning
     * — the bucket partition pruning still applies). */
   def write(df: DataFrame, keyCol: Column, dist: Distributor, path: String,
-            mode: String = "overwrite", format: String = "parquet"): Unit = {
+            mode: String = "overwrite", format: String = "parquet",
+            options: Map[String, String] = Map.empty): Unit = {
     dist
       .withBucket(df, keyCol)
       .repartition(col("bucket"))
@@ -44,6 +45,10 @@ object SaltedStore {
       .partitionBy("bucket")
       .mode(mode)
       .format(format)
+      // sink options pass through untouched — e.g. compression=zstd for
+      // cold data (denser than the snappy default; at 100 TB the storage
+      // and scan-IO delta is a real cost lever)
+      .options(options)
       .save(path)
   }
 

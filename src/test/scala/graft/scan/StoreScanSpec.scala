@@ -148,6 +148,19 @@ class StoreScanSpec extends SparkSuite {
     }
   }
 
+  test("zstd-compressed store round-trips and actually writes zstd files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("zstd_store").toString
+    val df = (1L to 2000L).map(i => (i, s"row-$i" * 10)).toDF("k", "payload")
+    SaltedStore.write(df, col("k"), HashPrefix(4), dir,
+      options = Map("compression" -> "zstd"))
+    assert(spark.read.parquet(dir).count() === 2000)
+    val files = new java.io.File(s"$dir/bucket=0").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(files.nonEmpty && files.forall(_.contains(".zstd.")),
+      s"expected zstd parquet files, got ${files.toList}")
+  }
+
   test("describe reports per-bucket files, bytes, rows, and key ranges") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("describe_store").toString
