@@ -589,6 +589,27 @@ object PipelineQueries {
           count(when(col("user_id") >= 75, 1)).cast("double") <= 0.05).as("fp_rate_ok"))
     }),
 
+    // heavy hitters (frequent-items sketch): freqItems guarantees a
+    // SUPERSET of the items above the support threshold (false positives
+    // allowed, false negatives not) — so the checkable contract is that
+    // every exactly-frequent item was found, plus the exact frequent set
+    // itself
+    "q_freq_items" -> ((s, dir) => {
+      val e = events(s, dir)
+      val found = e.select("event_type").stat.freqItems(Seq("event_type"), 0.15)
+        .head().getSeq[String](0).toSet
+      val exact = e.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .withColumn("total", sum("n").over())
+        .filter(col("n").cast("double") / col("total") > 0.15)
+        .select("event_type")
+      exact.agg(
+        // string-rendered, not an array column: the oracle comparator
+        // (like most row-hash tooling) can't sort/hash array cells
+        array_join(sort_array(collect_list(col("event_type"))), ",").as("frequent"),
+        (count(lit(1)) === count(when(col("event_type").isInCollection(found), 1)))
+          .as("all_found"))
+    }),
+
     // approx distinct (HLL, rsd 1%) checked against exact: the output is
     // the exact count plus a within-5%-tolerance verdict on the sketch.
     // The verdict is computable identically by the oracle (it must be
@@ -990,7 +1011,16 @@ object PipelineQueries {
 
       "q_bloom_filter" ->
         """SELECT count(*) AS n_inserted, true AS no_false_negatives, true AS fp_rate_ok
-           FROM events WHERE user_id < 75"""
+           FROM events WHERE user_id < 75""",
+
+      "q_freq_items" ->
+        """SELECT array_to_string(list_sort(list(event_type)), ',') AS frequent,
+             true AS all_found
+           FROM (SELECT event_type
+                 FROM (SELECT event_type, count(*) AS n,
+                         SUM(count(*)) OVER () AS total
+                       FROM events GROUP BY event_type)
+                 WHERE CAST(n AS DOUBLE) / total > 0.15)"""
     )
   }
 }
