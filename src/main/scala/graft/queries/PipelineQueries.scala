@@ -368,9 +368,8 @@ object PipelineQueries {
         .select(col("vec_id").as("q_id"), col("v").as("qv"), norm2(col("v")).as("qn2"))
       val probes = q
         .select(col("q_id"), col("qv"), col("qn2"),
-          ivfCellCosines(col("qv"), col("qn2"), cents).as("p"))
-        .select(col("q_id"), col("qv"), col("qn2"),
-          col("p.cid").as("cell"), col("p.ccos").as("ccos"))
+          posexplode(ivfCellCosines(col("qv"), col("qn2"), cents)).as(Seq("cell", "ccos")))
+        .withColumn("cell", col("cell").cast("bigint"))
         .withColumn("prnk", row_number().over(
           Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell"))))
         .filter(col("prnk") <= IvfProbe)
@@ -410,10 +409,10 @@ object PipelineQueries {
       }
       val q0 = v.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), norm2(col("v")).as("qn2"))
-      // per-query LUTs: computed once per query row BEFORE the join
+      // per-query LUTs: computed once per query row BEFORE the join (one
+      // native centroid_scores per subspace, not K literal dot subtrees)
       val q = (0 until PqM).foldLeft(q0) { (df, m) =>
-        df.withColumn(s"lut_$m", array(books(m).map(c =>
-          dot(sl(col("qv"), m), typedlit(c))): _*))
+        df.withColumn(s"lut_$m", pqLut(sl(col("qv"), m), books(m)))
       }
       val adot = (0 until PqM).map(m =>
         element_at(col(s"lut_$m"), col(s"code_$m").cast("int") + 1)).reduce(_ + _)
@@ -477,9 +476,8 @@ object PipelineQueries {
         .select(col("vec_id").as("q_id"), col("v").as("qv"), norm2(col("v")).as("qn2"))
       val probes = q
         .select(col("q_id"), col("qv"), col("qn2"),
-          ivfCellCosines(col("qv"), col("qn2"), cents).as("p"))
-        .select(col("q_id"), col("qv"), col("qn2"),
-          col("p.cid").as("cell"), col("p.ccos").as("ccos"))
+          posexplode(ivfCellCosines(col("qv"), col("qn2"), cents)).as(Seq("cell", "ccos")))
+        .withColumn("cell", col("cell").cast("bigint"))
         .withColumn("prnk", row_number().over(
           Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell"))))
         .filter(col("prnk") <= IvfProbe)

@@ -1,0 +1,90 @@
+package graft.functions
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class CentroidSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(7)
+  private val D = 8
+  private val cents: IndexedSeq[Seq[Double]] =
+    IndexedSeq.fill(5)(Seq.fill(D)(rnd.nextDouble() * 2 - 1))
+
+  private def dotSeq(a: Seq[Double], b: Seq[Double]): Double =
+    a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+  private def n2(a: Seq[Double]): Double = dotSeq(a, a)
+
+  test("nearest_centroid cosine matches the reference argmax with smallest-cid ties") {
+    val vecs = (1 to 100).map(_ => Seq.fill(D)(rnd.nextDouble() * 2 - 1))
+    val df = vecs.toDF("v").withColumn("n2v",
+      graft.functions.VectorFunctions.dotProduct(col("v"), col("v")))
+    val got = df.select(
+      CentroidFunctions.nearestCentroidCosine(col("v"), col("n2v"), cents)).as[Long].collect()
+    val exp = vecs.map { v =>
+      val scores = cents.map(c => dotSeq(v, c) / (math.sqrt(n2(v)) * math.sqrt(n2(c))))
+      scores.zipWithIndex.maxBy { case (s, i) => (s, -i) }._2.toLong
+    }
+    assert(got.toList === exp.toList)
+  }
+
+  test("nearest_centroid pq matches argmin L2 via the dot identity") {
+    val vecs = (1 to 50).map(_ => Seq.fill(D)(rnd.nextDouble() * 2 - 1))
+    val df = vecs.toDF("v")
+    val got = df.select(
+      CentroidFunctions.nearestCentroidPq(col("v"), cents)).as[Long].collect()
+    val exp = vecs.map { v =>
+      val l2 = cents.map(c => v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+      l2.zipWithIndex.minBy { case (s, i) => (s, i) }._2.toLong
+    }
+    assert(got.toList === exp.toList)
+  }
+
+  test("exact tie goes to the smallest centroid id") {
+    // duplicate centroid → identical scores at cid 1 and 3; 1 must win
+    val dup = IndexedSeq(cents(0), cents(2), cents(1), cents(2))
+    val v = Seq.fill(D)(0.5)
+    val df = Seq(v).toDF("v").withColumn("n2v", lit(n2(v)))
+    val got = df.select(
+      CentroidFunctions.nearestCentroidCosine(col("v"), col("n2v"), dup)).as[Long].head()
+    val scores = dup.map(c => dotSeq(v, c) / (math.sqrt(n2(v)) * math.sqrt(n2(c))))
+    val expected = scores.zipWithIndex.maxBy { case (s, i) => (s, -i) }._2.toLong
+    assert(got === expected)
+    // sanity: the winner's duplicate twin scored identically
+    assert(scores.count(_ == scores(got.toInt)) >= (if (expected == 1L) 2 else 1))
+  }
+
+  test("centroid_scores array equals per-centroid sequential-fold dots/cosines") {
+    val v = Seq.fill(D)(rnd.nextDouble())
+    val df = Seq(v).toDF("v").withColumn("n2v", lit(n2(v)))
+    val cos = df.select(CentroidFunctions.centroidCosines(col("v"), col("n2v"), cents))
+      .as[Seq[Double]].head()
+    val dots = df.select(CentroidFunctions.centroidDots(col("v"), cents))
+      .as[Seq[Double]].head()
+    cents.indices.foreach { i =>
+      assert(dots(i) === dotSeq(v, cents(i)))
+      assert(cos(i) === dotSeq(v, cents(i)) / (math.sqrt(n2(v)) * math.sqrt(n2(cents(i)))))
+    }
+  }
+
+  test("interpreted eval matches codegen (whole-stage off vs on)") {
+    val vecs = (1 to 64).map(_ => Seq.fill(D)(rnd.nextDouble() * 2 - 1))
+    val df = vecs.toDF("v").withColumn("n2v",
+      graft.functions.VectorFunctions.dotProduct(col("v"), col("v")))
+    def run(): (List[Long], List[Seq[Double]]) = (
+      df.select(CentroidFunctions.nearestCentroidCosine(col("v"), col("n2v"), cents))
+        .as[Long].collect().toList,
+      df.select(CentroidFunctions.centroidCosines(col("v"), col("n2v"), cents))
+        .as[Seq[Double]].collect().toList)
+    val on = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val off = run()
+      assert(on === off)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+}
