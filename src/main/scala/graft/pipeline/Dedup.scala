@@ -84,31 +84,54 @@ object Dedup {
         struct(lit(b).as("band"), bandSig(b).as("sig"))): _*)).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
 
+  /** Default hot-bucket cap: a bucket at the cap expands to ~130k pairs —
+    * large but bounded; past it a bucket is boilerplate, not near-dups. */
+  val MaxBucket = 512
+
   /** Candidate pairs (a < b) sharing any band bucket — the ONE shuffle of
     * the LSH path: group the band rows by (band, sig) and expand each
     * bucket's member list to its id pairs in place. One exchange total; a
     * self-equi-join formulation would shuffle the band rows twice and run
     * a join besides. Near-dup buckets are tiny (most hold 2-3 ids), so
-    * the in-bucket m·(m-1)/2 expansion is negligible — and at 100 TB a
-    * pathological hot bucket (boilerplate text) shows up HERE as one
-    * oversized list, which is the right place to cap or sample it. */
-  def candidatePairs(bands: DataFrame, idCol: String): DataFrame =
+    * the in-bucket m·(m-1)/2 expansion is negligible.
+    *
+    * HOT-BUCKET CAP: at 100 TB a boilerplate band bucket (every page
+    * sharing a header) can hold millions of members, and m²/2 expansion
+    * of ONE such bucket is quadratic in the corpus. Buckets larger than
+    * `maxBucket` are truncated to their `maxBucket` smallest ids
+    * (deterministic sorted-prefix sample, so results are reproducible and
+    * oracle-replayable) before pair expansion — bounding any bucket's
+    * output at maxBucket·(maxBucket−1)/2 pairs. Truncation only weakens
+    * recall for documents whose every band is boilerplate-hot; genuine
+    * near-dups still collide on their other B−1 bands. Use
+    * [[oversizedBuckets]] to surface what was capped. */
+  def candidatePairs(bands: DataFrame, idCol: String,
+                     maxBucket: Int = MaxBucket): DataFrame =
     bands.groupBy("band", "sig")
       .agg(collect_set(col(idCol)).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(candidatePairsOf(col("ids"))).as("p"))
+      .select(explode(candidatePairsOf(
+        slice(array_sort(col("ids")), 1, maxBucket))).as("p"))
       .select(col("p.a"), col("p.b"))
       .distinct()
 
-  /** All a<b pairs from an id array (HOF — interpreted, but bucket lists
-    * are tiny; the sorted pass makes pair order canonical). */
-  private def candidatePairsOf(ids: Column): Column = {
-    val sorted = array_sort(ids)
+  /** Diagnostic for the cap: (band, sig, n_ids) of every bucket whose
+    * member list exceeds `maxBucket` — the operator-facing "what got
+    * sampled" report (same single exchange as candidatePairs; run it on
+    * the same band rows when auditing a capped run). */
+  def oversizedBuckets(bands: DataFrame, idCol: String,
+                       maxBucket: Int = MaxBucket): DataFrame =
+    bands.groupBy("band", "sig")
+      .agg(count_distinct(col(idCol)).as("n_ids"))
+      .filter(col("n_ids") > maxBucket)
+
+  /** All a<b pairs from a SORTED id array (HOF — interpreted, but bucket
+    * lists are small post-cap; sorted input makes pair order canonical). */
+  private def candidatePairsOf(sortedIds: Column): Column =
     filter(
-      flatten(transform(sorted, a =>
-        transform(sorted, b => struct(a.as("a"), b.as("b"))))),
+      flatten(transform(sortedIds, a =>
+        transform(sortedIds, b => struct(a.as("a"), b.as("b"))))),
       p => p.getField("a") < p.getField("b"))
-  }
 
   // ---- duplicate clusters (connected components) --------------------------
 

@@ -164,4 +164,41 @@ class PipelineSpec extends SparkSuite {
     assert(rows.forall(_.getString(1).matches("[0-9a-f]{32}")))
     assert(rows.forall(_.getString(2).matches("[0-9a-f]{32}")))
   }
+
+  test("hot-bucket cap bounds pair expansion on an adversarial corpus") {
+    import spark.implicits._
+    // worst case: EVERY doc lands in the SAME bucket of every band (all
+    // band rows share one sig) — uncapped expansion would be n²/2 pairs
+    val n = 5000
+    val bands = (0L until n.toLong).flatMap(id =>
+      (0 until Dedup.Bands).map(b => (id, b, "boilerplate-sig")))
+      .toDF("doc_id", "band", "sig")
+    val cap = 100
+    val pairs = Dedup.candidatePairs(bands, "doc_id", maxBucket = cap)
+    val got = pairs.count()
+    // each band contributes the SAME sorted-prefix sample → same pairs →
+    // distinct collapses them; bounded at cap·(cap−1)/2, never ~12.5M
+    assert(got == cap.toLong * (cap - 1) / 2, s"got $got pairs")
+    // the capped sample is the smallest ids: max id seen must be cap−1
+    val maxId = pairs.agg(max(greatest(col("a"), col("b")))).as[Long].head()
+    assert(maxId == cap - 1L)
+    // and the diagnostic surfaces exactly the oversized buckets
+    val over = Dedup.oversizedBuckets(bands, "doc_id", maxBucket = cap)
+      .collect()
+    assert(over.length == Dedup.Bands)
+    assert(over.forall(_.getLong(2) == n.toLong))
+  }
+
+  test("hot-bucket cap is inert below the threshold") {
+    import spark.implicits._
+    // three tiny buckets → full pair expansion, no truncation
+    val bands = Seq(
+      (1L, 0, "s1"), (2L, 0, "s1"), (3L, 0, "s1"),
+      (4L, 1, "s2"), (5L, 1, "s2"),
+      (9L, 2, "s3")).toDF("doc_id", "band", "sig")
+    val pairs = Dedup.candidatePairs(bands, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+    assert(Dedup.oversizedBuckets(bands, "doc_id").isEmpty)
+  }
 }
