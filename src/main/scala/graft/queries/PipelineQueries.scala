@@ -59,13 +59,6 @@ object PipelineQueries {
          FROM (SELECT doc_id, ${duckTokens("text")} AS w FROM documents)
          WHERE len(w) >= 5)"""
 
-  /** corpus → per-doc distinct shingle set + the pos-0 blocking shingle
-    * (via the codegen'd shingle stream; the collect_set groupBy reuses
-    * the stream's doc_id partitioning — no extra exchange). */
-  private def shingleSets(corpus: DataFrame): DataFrame =
-    shingleRows(corpus).groupBy("doc_id")
-      .agg(collect_set(col("s")).as("sh"), min_by(col("s"), col("pos")).as("s0"))
-
   private val duckShingled =
     s"""sh AS (
          SELECT doc_id, w, ${duckShingles3("w")} AS sh
@@ -242,17 +235,28 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
-    // n-gram Jaccard dedup without LSH: blocked pairwise (block key = the
-    // first 3-gram — high-entropy, so blocks stay small and the pairwise
-    // stage never goes quadratic; the tiny-vocab first TOKEN would not)
+    // exact n-gram STRING-Jaccard dedup, banded-MinHash blocking: the
+    // block key is the LSH band signature (Dedup.bandSig), not a content
+    // prefix — a corpus where many docs share an opening phrase
+    // (boilerplate headers, guaranteed at 100 TB) made a first-shingle
+    // block quadratic, while band buckets only group near-WHOLE-document
+    // matches and inherit candidatePairs' hot-bucket cap. Verification is
+    // exact Jaccard over the distinct shingle STRINGS (vs the hashed sets
+    // of q_dedup_minhash_lsh).
     "q_dedup_ngram_jaccard" -> ((s, dir) => {
-      // persist: both sides of the blocked self-join read the same sets
-      val sets = shingleSets(fuzzyCorpus(documents(s, dir))).persist()
-      val l = sets.select(col("doc_id").as("a"), col("s0").as("blk"),
-        col("sh").as("sha"))
-      val r = sets.select(col("doc_id").as("b"), col("s0").as("blk_r"),
-        col("sh").as("shb"))
-      l.join(r, col("blk") === col("blk_r") && col("a") < col("b"))
+      // persist: feeds the band explode AND both sides of the verify join
+      val sets = shingleRows(fuzzyCorpus(documents(s, dir)))
+        .withColumn("x", baseHash32(col("s")))
+        .groupBy("doc_id")
+        .agg(collect_set(col("s")).as("sh"),
+          graft.functions.MinHashFunctions.minhashSketch(col("x")).as("sig"))
+        .select(col("doc_id") :: col("sh") ::
+          (0 until K).map(p => element_at(col("sig"), p + 1).as(s"h$p")).toList: _*)
+        .persist()
+      val cand = candidatePairs(bandRows(sets, "doc_id"), "doc_id")
+      val l = sets.select(col("doc_id").as("a"), col("sh").as("sha"))
+      val r = sets.select(col("doc_id").as("b"), col("sh").as("shb"))
+      cand.join(l, "a").join(r, "b")
         .withColumn("jaccard", jaccard(col("sha"), col("shb")))
         .filter(col("jaccard") >= 0.5)
         .select("a", "b", "jaccard")
@@ -745,11 +749,18 @@ object PipelineQueries {
             ORDER BY doc_id"""
       },
 
-      "q_dedup_ngram_jaccard" ->
-        s"""WITH $duckFuzzyCorpus, $duckShingled,
-              j AS (SELECT l.doc_id AS a, r.doc_id AS b, ${duckJaccard("l.sh", "r.sh")} AS jaccard
-                    FROM sh l JOIN sh r ON l.sh[1] = r.sh[1] AND l.doc_id < r.doc_id)
-            SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY a, b""",
+      "q_dedup_ngram_jaccard" -> {
+        val bandSelects = (0 until Bands).map(b =>
+          s"SELECT doc_id, $b AS band, ${duckBandSig(b)} AS bsig FROM sig").mkString(" UNION ALL ")
+        s"""WITH $duckFuzzyCorpus, $duckShingled, $duckMinhashSigs,
+              bands AS ($bandSelects),
+              cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                       FROM bands l JOIN bands r
+                       ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id),
+              j AS (SELECT a, b, ${duckJaccard("sa.sh", "sb.sh")} AS jaccard
+                    FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b)
+            SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY a, b"""
+      },
 
       "q_dedup_simhash" ->
         s"""WITH $duckFuzzyCorpus,
