@@ -70,6 +70,32 @@ object RefQueries {
         .orderBy("key_us", "event_id")
     }),
 
+    // O3+O6-O8 with a MULTI-BYTE prefix: full write→scan cycle through the
+    // 2-byte salted binary key algebra, mirroring the reference's
+    // MultiBytesPrefixHash test (wd-test/RowKeyDistributorByHashPrefix_
+    // MultiBytesPrefixHashTest.java:8-39 — 2-byte prefixes, 3 buckets on
+    // the key's low byte). Rows are salted, each bucket's physical
+    // [prefix⧺start, prefix⧺stop) interval is derived (O6), membership is
+    // tested on the BINARY salted key (unsigned lexicographic — HBase
+    // order), and the original key is recovered by unsalting (O4) to
+    // restore global order (O8).
+    "q_range_scan_multibyte" -> ((s, dir) => {
+      val d = MultiBytePrefix(3)
+      val t = events(s, dir).withColumn("key_us", col("ts_us"))
+      val saltedT = d.withBucket(t, col("key_us"))
+        .withColumn("skey", Salt.saltedKey(col("bucket"), col("key_us"), d.prefixLength))
+      val iv = DistributedScan.distributedIntervals(s, d, T1, T2)
+        .select(col("bucket"),
+          to_binary(col("start_hex"), lit("hex")).as("lo"),
+          to_binary(col("stop_hex"), lit("hex")).as("hi"))
+      saltedT.join(broadcast(iv), "bucket")
+        .filter(col("skey") >= col("lo") && col("skey") < col("hi"))
+        .select(col("event_id"),
+          Salt.originalKey(col("skey"), d.prefixLength).as("key_us"),
+          col("bucket"))
+        .orderBy("key_us", "event_id")
+    }),
+
     // O9: point get (hash mode adds the bucket predicate → partition prune)
     "q_point_get" -> ((s, dir) =>
       DistributedScan.pointGet(salted(s, dir), col("event_id"), 4242L, dist)
@@ -196,6 +222,22 @@ object RefQueries {
       s"""SELECT event_id, epoch_us(ts) AS key_us, event_type, value
           FROM events
           WHERE epoch_us(ts) >= $T1 AND epoch_us(ts) < $T2
+          ORDER BY key_us, event_id""",
+
+    "q_range_scan_multibyte" ->
+      s"""WITH t AS (SELECT event_id, epoch_us(ts) AS key_us,
+                       ((epoch_us(ts) & 255) % 3 + 3) % 3 AS bucket
+                     FROM events),
+            sk AS (SELECT event_id, key_us, bucket,
+                     lower(lpad(to_hex(bucket), 4, '0') || lpad(to_hex(key_us), 16, '0')) AS skey
+                   FROM t),
+            iv AS (SELECT bucket,
+                     lower(lpad(to_hex(bucket), 4, '0') || lpad(to_hex($T1), 16, '0')) AS lo,
+                     lower(lpad(to_hex(bucket), 4, '0') || lpad(to_hex($T2), 16, '0')) AS hi
+                   FROM (SELECT unnest(range(3)) AS bucket))
+          SELECT event_id, key_us, sk.bucket AS bucket
+          FROM sk JOIN iv ON sk.bucket = iv.bucket
+          WHERE skey >= lo AND skey < hi
           ORDER BY key_us, event_id""",
 
     "q_point_get" ->
