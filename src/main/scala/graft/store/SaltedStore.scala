@@ -52,13 +52,57 @@ object SaltedStore {
       .save(path)
   }
 
+  /** Marker file denoting a compaction swap in flight (see [[compact]]).
+    * Underscore-prefixed, so Spark's file listing never reads it as data. */
+  val CompactingMarker = "_graft_compacting"
+
   /** Read a salted bucketed table back. The `bucket` partition column
     * comes back as a partition-pruning-capable column. For schemaless
-    * formats (csv) pass the schema via `schemaDDL` to avoid inference. */
+    * formats (csv) pass the schema via `schemaDDL` to avoid inference.
+    *
+    * Mid-compaction fallback: if the [[CompactingMarker]] is present, a
+    * bucket may be mid-swap — its live data parked at `.old_bucket=N`
+    * with no visible `bucket=N`. Such buckets are unioned back in from
+    * the parked directory (with the partition column restored), so a
+    * reader overlapping a compaction — or arriving after a crash between
+    * the two renames — sees the complete table instead of silently
+    * missing a bucket. */
   def read(spark: SparkSession, path: String, format: String = "parquet",
            schemaDDL: Option[String] = None): DataFrame = {
-    val r = spark.read.format(format)
-    schemaDDL.fold(r)(s => r.schema(s)).load(path)
+    import org.apache.hadoop.fs.Path
+    def load(p: String) = {
+      val r = spark.read.format(format)
+      schemaDDL.fold(r)(s => r.schema(s)).load(p)
+    }
+    val base = load(path)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(root, CompactingMarker))) base
+    else {
+      val stranded = strandedOldBuckets(fs, root)
+      if (stranded.isEmpty) base
+      else {
+        val bucketType = base.schema("bucket").dataType
+        stranded.foldLeft(base) { case (acc, (dir, n)) =>
+          val parked = load(dir.toString)
+            .withColumn("bucket", lit(n).cast(bucketType))
+            .select(base.columns.map(col): _*)
+          acc.union(parked)
+        }
+      }
+    }
+  }
+
+  /** `.old_bucket=N` dirs whose `bucket=N` is currently missing — the
+    * mid-swap (or crashed-swap) buckets a reader must recover. */
+  private def strandedOldBuckets(fs: org.apache.hadoop.fs.FileSystem,
+                                 root: org.apache.hadoop.fs.Path): Seq[(org.apache.hadoop.fs.Path, Long)] = {
+    import org.apache.hadoop.fs.Path
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".old_bucket="))
+      .map(s => (s.getPath, s.getPath.getName.stripPrefix(".old_bucket=").toLong))
+      .filter { case (_, n) => !fs.exists(new Path(root, s"bucket=$n")) }
+      .toSeq
   }
 
   /** Write as a Spark BUCKETED TABLE (metastore `bucketBy` + `sortBy` on
@@ -104,14 +148,22 @@ object SaltedStore {
                schemaDDL: Option[String] = None): DataFrame = {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
-    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-    val files = fs.listStatus(new Path(path))
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val visible = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-      .map { b =>
-        val fsz = fs.listStatus(b.getPath)
+      .map(b => (b.getPath, b.getPath.getName.stripPrefix("bucket=").toLong)).toSeq
+    // mid-swap fallback, same contract as read(): a bucket parked at
+    // .old_bucket=N with no visible bucket=N still counts
+    val parked =
+      if (fs.exists(new Path(root, CompactingMarker))) strandedOldBuckets(fs, root)
+      else Seq.empty
+    val files = (visible ++ parked)
+      .map { case (dir, n) =>
+        val fsz = fs.listStatus(dir)
           .filterNot(_.getPath.getName.startsWith("_")).map(_.getLen)
-        (b.getPath.getName.stripPrefix("bucket=").toLong, fsz.length.toLong, fsz.sum)
-      }.toSeq.toDF("bucket", "n_files", "bytes")
+        (n, fsz.length.toLong, fsz.sum)
+      }.toDF("bucket", "n_files", "bytes")
     val rows = read(spark, path, format, schemaDDL)
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_rows"),
@@ -127,19 +179,25 @@ object SaltedStore {
     * ⌈bytes/targetBytes⌉ files, re-sorted by `keyCol` (a per-bucket sort,
     * never a global shuffle), then swaps directories.
     *
-    * The swap is TWO renames, not one atomic operation: run compaction in
-    * a maintenance window, like HBase major compactions — a reader that
-    * lists the table between the renames misses that bucket, and a crash
-    * between them leaves the data parked in a dot-prefixed dir
-    * (recoverable by renaming `.old_bucket=N` back). Every rename result
-    * is checked, so a filesystem refusal aborts loudly with the original
-    * data still in place rather than stranding it. */
+    * The swap is TWO renames, not one atomic operation, but the window is
+    * closed for cooperating readers: a [[CompactingMarker]] is written
+    * before each bucket's swap and removed after it, and `read`/`describe`
+    * fall back to the parked `.old_bucket=N` directory whenever the
+    * marker is up and `bucket=N` is missing — so a reader overlapping the
+    * swap (or arriving after a crash between the renames) sees the
+    * complete table. A crash also leaves the marker in place, which makes
+    * the stranded state self-describing until an operator renames
+    * `.old_bucket=N` back. Every rename result is checked, so a
+    * filesystem refusal aborts loudly with the original data still in
+    * place rather than stranding it. */
   def compact(spark: SparkSession, path: String, keyCol: Column,
               targetBytes: Long = 128L * 1024 * 1024): Unit = {
     import org.apache.hadoop.fs.Path
-    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-    val buckets = fs.listStatus(new Path(path))
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val buckets = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+    val marker = new Path(root, CompactingMarker)
     buckets.foreach { b =>
       val bytes = fs.listStatus(b.getPath).filterNot(_.getPath.getName.startsWith("_"))
         .map(_.getLen).sum
@@ -153,14 +211,18 @@ object SaltedStore {
         .repartitionByRange(nFiles, keyCol)
         .sortWithinPartitions(keyCol)
         .write.mode("overwrite").parquet(tmp.toString)
-      // swap: old dir out, compacted dir in — check each step; a failed
-      // first rename leaves the original untouched, a failed second is
-      // recoverable from .old_*
+      // swap under the marker: old dir out, compacted dir in — check each
+      // step; a failed first rename leaves the original untouched, a
+      // failed second is recoverable from .old_* (and readers keep
+      // serving it via the marker fallback meanwhile)
       val old = new Path(b.getPath.getParent, s".old_${b.getPath.getName}")
+      val m = fs.create(marker, true)
+      try m.writeUTF(b.getPath.getName) finally m.close()
       require(fs.rename(b.getPath, old),
         s"compact: could not move ${b.getPath} aside; bucket left untouched")
       require(fs.rename(tmp, b.getPath),
         s"compact: could not move $tmp into place; original preserved at $old")
+      fs.delete(marker, false)
       fs.delete(old, true)
     }
   }

@@ -205,4 +205,42 @@ class StoreScanSpec extends SparkSuite {
       assert(ks.sameElements(ks.sorted), s"bucket $b not sorted after compact")
     }
   }
+
+  test("reader mid-compaction-swap sees the full table via the marker fallback") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact_swap").toString
+    val dist = HashPrefix(4)
+    val df = (1L to 2000L).map(i => (i, i * 1.5)).toDF("k", "v")
+    SaltedStore.write(df, col("k"), dist, dir)
+    val full = SaltedStore.read(spark, dir).select("k", "v", "bucket")
+      .as[(Long, Double, Long)].collect().toSet
+
+    // freeze the compact swap window for bucket 2: data parked at
+    // .old_bucket=2, no visible bucket=2, marker up — exactly the state
+    // between compact's two renames (or after a crash there)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def p(s: String) = new org.apache.hadoop.fs.Path(dir, s)
+    assert(fs.rename(p("bucket=2"), p(".old_bucket=2")))
+    val m = fs.create(p(SaltedStore.CompactingMarker), true)
+    try m.writeUTF("bucket=2") finally m.close()
+
+    // plain spark.read would now silently drop bucket 2...
+    val naive = spark.read.parquet(dir).count()
+    assert(naive < full.size, "test setup: bucket 2 should be invisible to a naive read")
+    // ...but the store reader recovers it, with the partition col restored
+    val got = SaltedStore.read(spark, dir).select("k", "v", "bucket")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(got === full)
+    // describe also reports all 4 buckets
+    val desc = SaltedStore.describe(spark, dir, col("k"))
+      .select("bucket", "n_rows").as[(Long, Long)].collect().toMap
+    assert(desc.keySet === Set(0L, 1L, 2L, 3L))
+    assert(desc.values.sum === full.size.toLong)
+
+    // swap completes: marker down, bucket visible again → fallback inert
+    assert(fs.rename(p(".old_bucket=2"), p("bucket=2")))
+    fs.delete(p(SaltedStore.CompactingMarker), false)
+    assert(SaltedStore.read(spark, dir).count() === full.size.toLong)
+  }
 }
