@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, DotProductInt8, MinHashSketch, QuantizeInt8, WordShingles, ZOrderKey}
+import graft.functions.{CentroidScores, DotProduct, DotProductInt8, MinHashSketch, NearestCentroid, QuantizeInt8, WordShingles, ZOrderKey}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
@@ -29,6 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.quantizeInt8)
     ext.injectFunction(GraftExtensions.dotInt8)
     ext.injectFunction(GraftExtensions.zorderKey)
+    ext.injectFunction(GraftExtensions.nearestCentroid)
+    ext.injectFunction(GraftExtensions.centroidScores)
     ext.injectFunction(GraftExtensions.hash31)
     ext.injectFunction(GraftExtensions.hash31Bucket)
     ext.injectFunction(GraftExtensions.saltedKey)
@@ -98,6 +100,60 @@ object GraftExtensions {
     { args =>
       require(args.length == 2, s"zorder_key expects 2 arguments, got ${args.length}")
       ZOrderKey(args(0), args(1))
+    })
+
+  /** Extract a literal codebook (array<array<double>>) from a foldable
+    * expression — the SQL-surface route into the codebook expressions,
+    * whose codebook is expression DATA, not a child subtree. */
+  private def foldableCodebook(e: Expression, what: String): Seq[Seq[Double]] = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, NumericType}
+    require(e.foldable, s"$what must be a literal array<array<double>>, got $e")
+    // SQL numeric literals parse as DECIMAL; accept any numeric element
+    // type by folding through a cast to array<array<double>>
+    val widened = e.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => e
+      case ArrayType(ArrayType(_: NumericType, _), _) =>
+        Cast(e, ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false))
+      case other => throw new IllegalArgumentException(
+        s"$what must be array<array<double>>, got $other")
+    }
+    val outer = widened.eval().asInstanceOf[ArrayData]
+    (0 until outer.numElements()).map { c =>
+      val inner = outer.getArray(c)
+      (0 until inner.numElements()).map(inner.getDouble).toIndexedSeq
+    }.toIndexedSeq
+  }
+
+  private def foldableString(e: Expression, what: String): String = e match {
+    case f if f.foldable => String.valueOf(f.eval())
+    case other => throw new IllegalArgumentException(s"$what must be a literal, got $other")
+  }
+
+  val nearestCentroid: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nearest_centroid"),
+    info("nearest_centroid",
+      "nearest_centroid(v, n2, codebook[, mode]) - Cell id (BIGINT) of the best-scoring centroid in a " +
+        "literal array<array<double>> codebook; mode 'cosine' (default, n2 = dot(v,v)) or 'pq' (L2 argmin); " +
+        "ties to the smallest id."),
+    { args =>
+      require(args.length == 3 || args.length == 4,
+        s"nearest_centroid expects 3 or 4 arguments, got ${args.length}")
+      val mode = if (args.length == 4) foldableString(args(3), "nearest_centroid mode") else "cosine"
+      NearestCentroid(args(0), args(1), foldableCodebook(args(2), "nearest_centroid codebook"), mode)
+    })
+
+  val centroidScores: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("centroid_scores"),
+    info("centroid_scores",
+      "centroid_scores(v, n2, codebook[, mode]) - array<double> of per-centroid scores against a literal " +
+        "array<array<double>> codebook; mode 'cosine' (default), 'pq' or 'dot'."),
+    { args =>
+      require(args.length == 3 || args.length == 4,
+        s"centroid_scores expects 3 or 4 arguments, got ${args.length}")
+      val mode = if (args.length == 4) foldableString(args(3), "centroid_scores mode") else "cosine"
+      CentroidScores(args(0), args(1), foldableCodebook(args(2), "centroid_scores codebook"), mode)
     })
 
   // ---- key algebra as SQL (the [REF] salting core for spark.sql users) ----

@@ -116,6 +116,36 @@ object PipelineQueries {
       .persist()
   }
 
+  /** IVF knn oracle — shared by q_knn_cosine_ivf and its persisted-index
+    * twin q_knn_cosine_ivf_indexed (same cells, probes and ranking; the
+    * index only changes where the cells live). */
+  private lazy val duckIvfKnn: String =
+    s"""WITH v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
+          vn AS (SELECT vec_id, v, ${duckNorm2("v")} AS n2 FROM v),
+          cents AS (SELECT vec_id - 5 AS cid, v AS cv, n2 AS cn2
+                    FROM vn WHERE vec_id BETWEEN 5 AND ${4 + IvfC}),
+          corpus AS (SELECT vec_id, v, n2 FROM vn WHERE vec_id >= 5),
+          asg AS (SELECT vec_id, v, n2, cid AS cell FROM (
+                    SELECT x.vec_id, x.v, x.n2, c.cid,
+                      row_number() OVER (PARTITION BY x.vec_id
+                        ORDER BY ${duckCosine(duckDot("x.v", "c.cv"), "x.n2", "c.cn2")} DESC, c.cid) AS rn
+                    FROM corpus x CROSS JOIN cents c)
+                  WHERE rn = 1),
+          q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM vn WHERE vec_id < 5),
+          probes AS (SELECT q_id, qv, qn2, cid AS cell FROM (
+                       SELECT q.q_id, q.qv, q.qn2, c.cid,
+                         row_number() OVER (PARTITION BY q.q_id
+                           ORDER BY ${duckCosine(duckDot("q.qv", "c.cv"), "q.qn2", "c.cn2")} DESC, c.cid) AS prnk
+                       FROM q CROSS JOIN cents c)
+                     WHERE prnk <= $IvfProbe),
+          sc AS (SELECT q_id, x.vec_id AS vec_id,
+                   ${duckCosine(duckDot("p.qv", "x.v"), "p.qn2", "x.n2")} AS cos
+                 FROM probes p JOIN asg x ON p.cell = x.cell),
+          r AS (SELECT q_id, vec_id, cos,
+                  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+                FROM sc)
+        SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk"""
+
   // ---- queries ------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -434,6 +464,28 @@ object PipelineQueries {
         .withColumn("rnk", row_number().over(wE).cast("bigint"))
         .filter(col("rnk") <= 10)
         .select("q_id", "vec_id", "cos", "rnk")
+        .orderBy("q_id", "rnk")
+    }),
+
+    // IVF probe against a PERSISTED partitioned index (pipeline.VectorIndex):
+    // the corpus is written partitioned by its IVF cell — the reference's
+    // salted bucketed layout with a learned hash — and the probe equi-join
+    // on the cell PARTITION column lets the scan skip unprobed cell=N
+    // directories via dynamic partition pruning. Same math and output as
+    // q_knn_cosine_ivf (the oracle is identical); what changes is WHERE
+    // the cells live: on disk, pruned at file-listing time, instead of a
+    // full-corpus projection per query.
+    "q_knn_cosine_ivf_indexed" -> ((s, dir) => {
+      val v = embeddings(s, dir).select(col("vec_id"), vd(col("embedding")).as("v"))
+      val cents: IndexedSeq[Seq[Double]] = v
+        .filter(col("vec_id").between(5, 4 + IvfC)).orderBy("vec_id")
+        .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_vindex_${Integer.toHexString(dir.hashCode)}"
+      VectorIndex.write(v.filter(col("vec_id") >= 5), col("v"), cents, path)
+      val q = v.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      VectorIndex.probeSet(s, path, "vec_id", "v", q, "q_id", "qv",
+        cents, IvfProbe, 10)
         .orderBy("q_id", "rnk")
     }),
 
@@ -823,32 +875,12 @@ object PipelineQueries {
                     FROM s)
             SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
 
-      "q_knn_cosine_ivf" ->
-        s"""WITH v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
-              vn AS (SELECT vec_id, v, ${duckNorm2("v")} AS n2 FROM v),
-              cents AS (SELECT vec_id - 5 AS cid, v AS cv, n2 AS cn2
-                        FROM vn WHERE vec_id BETWEEN 5 AND ${4 + IvfC}),
-              corpus AS (SELECT vec_id, v, n2 FROM vn WHERE vec_id >= 5),
-              asg AS (SELECT vec_id, v, n2, cid AS cell FROM (
-                        SELECT x.vec_id, x.v, x.n2, c.cid,
-                          row_number() OVER (PARTITION BY x.vec_id
-                            ORDER BY ${duckCosine(duckDot("x.v", "c.cv"), "x.n2", "c.cn2")} DESC, c.cid) AS rn
-                        FROM corpus x CROSS JOIN cents c)
-                      WHERE rn = 1),
-              q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM vn WHERE vec_id < 5),
-              probes AS (SELECT q_id, qv, qn2, cid AS cell FROM (
-                           SELECT q.q_id, q.qv, q.qn2, c.cid,
-                             row_number() OVER (PARTITION BY q.q_id
-                               ORDER BY ${duckCosine(duckDot("q.qv", "c.cv"), "q.qn2", "c.cn2")} DESC, c.cid) AS prnk
-                           FROM q CROSS JOIN cents c)
-                         WHERE prnk <= $IvfProbe),
-              sc AS (SELECT q_id, x.vec_id AS vec_id,
-                       ${duckCosine(duckDot("p.qv", "x.v"), "p.qn2", "x.n2")} AS cos
-                     FROM probes p JOIN asg x ON p.cell = x.cell),
-              r AS (SELECT q_id, vec_id, cos,
-                      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
-                    FROM sc)
-            SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""",
+      "q_knn_cosine_ivf" -> duckIvfKnn,
+
+      // identical math to q_knn_cosine_ivf — the Spark side materializes
+      // the cell assignment as a partitioned index and prunes partitions,
+      // but cells, probes and ranking are the same relations
+      "q_knn_cosine_ivf_indexed" -> duckIvfKnn,
 
       "q_knn_cosine_pq" -> {
         def lo(m: Int) = m * PqSubD + 1

@@ -67,6 +67,25 @@ class CentroidSpec extends SparkSuite {
     }
   }
 
+  test("SQL functions registered via GraftExtensions") {
+    val book = cents.map(c => c.mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+    Seq(Seq.fill(D)(0.3)).toDF("v").createOrReplaceTempView("cent_in")
+    val cell = spark.sql(
+      s"SELECT nearest_centroid(v, dot_product(v, v), $book) FROM cent_in")
+      .collect().head.getLong(0)
+    assert(cell >= 0 && cell < cents.size)
+    val pqCell = spark.sql(
+      s"SELECT nearest_centroid(v, 0.0d, $book, 'pq') FROM cent_in")
+      .collect().head.getLong(0)
+    assert(pqCell >= 0 && pqCell < cents.size)
+    val scores = spark.sql(
+      s"SELECT centroid_scores(v, 0.0d, $book, 'dot') FROM cent_in")
+      .as[Seq[Double]].head()
+    val v = Seq.fill(D)(0.3)
+    cents.indices.foreach(i => assert(scores(i) === dotSeq(v, cents(i))))
+  }
+
   test("interpreted eval matches codegen (whole-stage off vs on)") {
     val vecs = (1 to 64).map(_ => Seq.fill(D)(rnd.nextDouble() * 2 - 1))
     val df = vecs.toDF("v").withColumn("n2v",

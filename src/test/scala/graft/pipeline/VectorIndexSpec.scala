@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index: layout, pruning, and parity with the unindexed
+  * IVF query (the scale claim is that ONLY probed cell=N partitions are
+  * read — checked here against the actual scanned files/plan). */
+class VectorIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val D = 16
+  private val rnd = new scala.util.Random(11)
+  private def vec() = Seq.fill(D)(rnd.nextDouble() * 2 - 1)
+  private val cents: IndexedSeq[Seq[Double]] = IndexedSeq.fill(8)(vec())
+
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("vindex").toString
+    val corpus = (0L until 400L).map(i => (i, vec())).toDF("vec_id", "v")
+    VectorIndex.write(corpus, col("v"), cents, d)
+    d
+  }
+
+  test("index write lays out one cell=N partition per non-empty cell") {
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("cell=")).sorted
+    assert(dirs.nonEmpty && dirs.forall(_.matches("cell=\\d+")))
+    // stored rows keep id, vector, norm and the partition cell
+    val cols = VectorIndex.read(spark, dir).columns.toSet
+    assert(Set("vec_id", "v", "n2", "cell").subsetOf(cols))
+  }
+
+  test("static probe reads ONLY the probed cell partitions") {
+    val q = vec()
+    val nProbe = 2
+    val probed = VectorIndex.probeCells(q, cents, nProbe).toSet
+    val df = VectorIndex.probe(spark, dir, "vec_id", "v", q, cents, nProbe, k = 5)
+    // the cell IN (...) predicate must land in PartitionFilters — pruning
+    // at file-listing time, not a post-scan filter (inputFiles can't show
+    // this: it lists the relation before partition filters apply)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters:"))
+      .getOrElse(fail(s"no PartitionFilters line in:\n$plan"))
+    val inSet = "IN \\(([0-9,]+)\\)".r.findFirstMatchIn(pf)
+      .getOrElse(fail(s"no IN (...) partition filter in: $pf"))
+      .group(1).split(",").map(_.toLong).toSet
+    assert(pf.contains("cell") && inSet == probed,
+      s"expected cell IN $probed partition filter, got: $pf")
+    // and the results really come only from those cells
+    val cells = df.collect().map(_.getLong(0)).toSet
+    val cellOf = VectorIndex.read(spark, dir)
+      .select(col("vec_id"), col("cell").cast("bigint")).as[(Long, Long)]
+      .collect().toMap
+    assert(cells.forall(id => probed.contains(cellOf(id))))
+  }
+
+  test("probe top-k equals brute force within the probed cells") {
+    val q = vec()
+    val qn2 = q.foldLeft(0.0)((a, x) => a + x * x)
+    val probed = VectorIndex.probeCells(q, cents, 3)
+    val got = VectorIndex.probe(spark, dir, "vec_id", "v", q, cents, 3, 10)
+      .as[(Long, Double)].collect().toList
+    val exp = VectorIndex.read(spark, dir)
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+      .collect()
+      .map { case (id, v) =>
+        val dot = q.zip(v).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+        val n2 = v.foldLeft(0.0)((a, x) => a + x * x)
+        (id, dot / (math.sqrt(qn2) * math.sqrt(n2)))
+      }
+      .sortBy { case (id, cos) => (-cos, id) }.take(10).toList
+    assert(got.map(_._1) === exp.map(_._1))
+  }
+
+  test("probeSet joins on the partition column with dynamic partition pruning") {
+    val qs = (900L to 902L).map(i => (i, vec())).toDF("q_id", "qv")
+    val df = VectorIndex.probeSet(spark, dir, "vec_id", "v", qs, "q_id", "qv",
+      cents, nProbe = 2, k = 5)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the cell partition column:\n$plan")
+    // per query: k results, ranked by cosine
+    val rows = df.collect()
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 5))
+  }
+}
