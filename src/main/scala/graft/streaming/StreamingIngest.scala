@@ -66,7 +66,16 @@ object StreamingIngest {
     * direct testing of the replay path. */
   def writeBatchIdempotent(batch: DataFrame, batchId: Long, keyCol: Column,
                            dist: Distributor, path: String,
-                           commitTag: String = "q0"): Unit = {
+                           commitTag: String = "q0"): Unit =
+    withBatchCommit(batch, batchId, path, commitTag) {
+      SaltedStore.write(batch, keyCol, dist, path, mode = "append")
+    }
+
+  /** The commit-log discipline shared by every foreachBatch sink here:
+    * run `write` once per (commitTag, batchId), record the marker after
+    * the files land, skip replays loudly. */
+  private def withBatchCommit(batch: DataFrame, batchId: Long, path: String,
+                              commitTag: String)(write: => Unit): Unit = {
     val hconf = batch.sparkSession.sessionState.newHadoopConf()
     val commitDir = new org.apache.hadoop.fs.Path(path, s"_graft_commits/$commitTag")
     val fs = commitDir.getFileSystem(hconf)
@@ -78,7 +87,7 @@ object StreamingIngest {
     val committed = fs.exists(marker) ||
       (commitTag == "q0" && fs.isFile(legacy))
     if (!committed) {
-      SaltedStore.write(batch, keyCol, dist, path, mode = "append")
+      write
       fs.mkdirs(commitDir)
       fs.create(marker, true).close()
     } else {
@@ -87,6 +96,33 @@ object StreamingIngest {
           "if this is a NEW query writing to an existing store, pass a fresh commitTag")
     }
   }
+
+  /** Continuous vector-index ingest: each micro-batch of (id, vector)
+    * rows is cell-assigned with the broadcast codebook (one narrow
+    * nearest_centroid projection) and appended to the partitioned IVF
+    * layout at `path` — the streaming twin of
+    * graft.pipeline.VectorIndex.write, under the same idempotent commit
+    * log as [[saltedWriter]]. The index stays probe-consistent while it
+    * grows: every appended file lands inside its `cell=N` partition, so
+    * static and DPP probes see new vectors on their next file listing.
+    * (Centroids are FROZEN for the life of the writer, as in any
+    * production IVF ingest; re-training is a batch re-index.) */
+  def vectorIndexWriter(stream: DataFrame, vecCol: Column,
+                        cents: IndexedSeq[Seq[Double]], path: String,
+                        commitTag: String = "q0"): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeVectorBatchIdempotent(batch, batchId, vecCol, cents, path, commitTag)
+      }
+
+  /** One idempotent vector-index micro-batch append (testing seam). */
+  def writeVectorBatchIdempotent(batch: DataFrame, batchId: Long, vecCol: Column,
+                                 cents: IndexedSeq[Seq[Double]], path: String,
+                                 commitTag: String = "q0"): Unit =
+    withBatchCommit(batch, batchId, path, commitTag) {
+      graft.pipeline.VectorIndex.write(batch, vecCol, cents, path, mode = "append")
+    }
 
   /** Event-time tumbling window aggregation with late-data discipline:
     * rows later than `watermarkDelay` behind the max seen event time are

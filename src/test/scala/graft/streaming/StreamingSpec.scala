@@ -56,6 +56,52 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(dir).count() === 150)
   }
 
+  test("streaming vector-index ingest: cells assigned, appends idempotent, probes see growth") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("vindex_stream").toString
+    val ckpt = Files.createTempDirectory("vindex_stream_ckpt").toString
+    val D = 8
+    val rnd = new scala.util.Random(3)
+    def vec() = Seq.fill(D)(rnd.nextDouble() * 2 - 1)
+    val cents: IndexedSeq[Seq[Double]] = IndexedSeq.fill(4)(vec())
+
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val stream = mem.toDF().toDF("vec_id", "v")
+    val q = vectorIndexWriter(stream, col("v"), cents, dir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+
+    val batch1 = (0L until 100L).map(i => (i, vec()))
+    mem.addData(batch1: _*)
+    val run1 = q.start(); run1.awaitTermination()
+    val n1 = graft.pipeline.VectorIndex.read(spark, dir).count()
+    assert(n1 === 100)
+
+    val batch2 = (100L until 180L).map(i => (i, vec()))
+    mem.addData(batch2: _*)
+    val run2 = q.start(); run2.awaitTermination()
+    val idx = graft.pipeline.VectorIndex.read(spark, dir)
+    assert(idx.count() === 180)
+    // every appended row carries the cell its vector hashes to (frozen
+    // codebook — batch and streaming assignment agree)
+    val misassigned = idx.filter(col("cell").cast("bigint") =!=
+      graft.functions.CentroidFunctions.nearestCentroidCosine(
+        col("v"), graft.functions.VectorFunctions.dotProduct(col("v"), col("v")), cents))
+      .count()
+    assert(misassigned === 0)
+    // replay of an already-committed batch is skipped
+    writeVectorBatchIdempotent(batch1.toDF("vec_id", "v"), batchId = 0L, col("v"), cents, dir)
+    assert(graft.pipeline.VectorIndex.read(spark, dir).count() === 180)
+    // a static probe on the grown index reads only probed partitions
+    val probeQ = vec()
+    val probed = graft.pipeline.VectorIndex.probeCells(probeQ, cents, 2)
+    val got = graft.pipeline.VectorIndex
+      .probe(spark, dir, "vec_id", "v", probeQ, cents, nProbe = 2, k = 3).collect()
+    assert(got.length === 3)
+    assert(probed.length === 2)
+  }
+
   test("tumbling window counts with watermark drop late rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
