@@ -371,6 +371,32 @@ object PipelineQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // multi-probe sign-LSH: probe the query's exact bucket PLUS every
+    // 1-bit-flip neighbor (SignBits+1 probes) — the standard recall lever
+    // for LSH ANN at scale: recall grows without touching the corpus
+    // layout, and the probe fan-out stays a broadcast equi-join (probes ×
+    // queries is tiny; the corpus is still hash-bucketed, never scanned)
+    "q_knn_cosine_lsh_multiprobe" -> ((s, dir) => {
+      val v = embeddings(s, dir).select(col("vec_id"), vd(col("embedding")).as("v"))
+      val q0 = v.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          norm2(col("v")).as("qn2"), signBucket(col("v")).as("qbucket"))
+      val probes = q0.select(col("q_id"), col("qv"), col("qn2"),
+        explode(array(col("qbucket") +:
+          (0 until SignBits).map(i => col("qbucket").bitwiseXOR(lit(1L << i))): _*))
+          .as("pbucket"))
+      val c = v.filter(col("vec_id") >= 5)
+        .withColumn("n2", norm2(col("v")))
+        .withColumn("bucket", signBucket(col("v")))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      broadcast(probes).join(c, col("pbucket") === col("bucket"))
+        .withColumn("cos", cosine(dot(col("qv"), col("v")), col("qn2"), col("n2")))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 10)
+        .select("q_id", "vec_id", "cos", "rnk")
+        .orderBy("q_id", "rnk")
+    }),
+
     // brute-force knn via the bounded top-k UDAF: k-entry partial buffers
     // combine map-side, k rows per partition reach the final — no full
     // per-group sort (the row_number formulation sorts every candidate)
@@ -874,6 +900,24 @@ object PipelineQueries {
                       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
                     FROM s)
             SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
+
+      "q_knn_cosine_lsh_multiprobe" -> {
+        val flips = "qbucket" +:
+          (0 until SignBits).map(i => s"xor(qbucket, ${1L << i})")
+        s"""WITH v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
+              q AS (SELECT vec_id AS q_id, v AS qv, ${duckNorm2("v")} AS qn2,
+                      ${duckSignBucket("v")} AS qbucket FROM v WHERE vec_id < 5),
+              probes AS (SELECT q_id, qv, qn2,
+                           unnest([${flips.mkString(", ")}]) AS pbucket FROM q),
+              c AS (SELECT vec_id, v, ${duckNorm2("v")} AS n2,
+                      ${duckSignBucket("v")} AS bucket FROM v WHERE vec_id >= 5),
+              s AS (SELECT q_id, vec_id, ${duckCosine(duckDot("qv", "v"), "qn2", "n2")} AS cos
+                    FROM probes JOIN c ON pbucket = bucket),
+              r AS (SELECT q_id, vec_id, cos,
+                      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+                    FROM s)
+            SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk"""
+      },
 
       "q_knn_cosine_ivf" -> duckIvfKnn,
 

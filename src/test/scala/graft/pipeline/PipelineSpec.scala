@@ -165,6 +165,25 @@ class PipelineSpec extends SparkSuite {
     assert(rows.forall(_.getString(2).matches("[0-9a-f]{32}")))
   }
 
+  test("multi-probe lsh candidate pool dominates exact-bucket lsh per rank") {
+    // the multiprobe candidate pool is a superset (exact bucket + 1-bit
+    // flips), so at every rank its cosine is >= the exact-bucket cosine —
+    // NOT pairwise containment: a same-bucket hit can be displaced from
+    // the top-k by a better neighbor-bucket candidate, which is the point
+    def byRank(name: String) = q(name).collect()
+      .map(r => ((r.getLong(0), r.getLong(3)), r.getDouble(2))).toMap
+    val exact = byRank("q_knn_cosine_lsh")
+    val multi = byRank("q_knn_cosine_lsh_multiprobe")
+    assert(exact.nonEmpty)
+    exact.foreach { case ((qid, rnk), cosE) =>
+      val cosM = multi.getOrElse((qid, rnk),
+        fail(s"multiprobe missing rank $rnk for query $qid present in exact lsh"))
+      assert(cosM >= cosE, s"q$qid rank $rnk: multiprobe $cosM < exact $cosE")
+    }
+    // and the enlarged pool yields at least as many ranked results
+    assert(multi.size >= exact.size)
+  }
+
   test("hot-bucket cap bounds pair expansion on an adversarial corpus") {
     import spark.implicits._
     // worst case: EVERY doc lands in the SAME bucket of every band (all
