@@ -577,6 +577,36 @@ object PipelineQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // corpus construction: DETERMINISTIC stratified sampling — keep a
+    // per-language rate by thresholding a content-independent hash of the
+    // doc id (md5, so the same doc always makes the same cut on any
+    // engine/cluster/run — the reproducibility a training-data pipeline
+    // needs; a rand() sample is neither reproducible nor oracle-checkable).
+    // Narrow filter at scan speed: no shuffle, prunes to 3 columns.
+    "q_sample_stratified" -> ((s, dir) =>
+      documents(s, dir)
+        .withColumn("h", pmod(baseHash32(concat(col("doc_id").cast("string"), lit(":sample"))), lit(100L)))
+        .filter(col("h") < when(col("lang") === "en", 50L).otherwise(20L))
+        .select("doc_id", "lang", "h")
+        .orderBy("doc_id")),
+
+    // corpus construction: per-language TOKEN-BUDGET fill — take docs in
+    // id order per language until the running token count exceeds the
+    // budget (how training mixes hit per-language token targets). The
+    // running sum is a per-lang window: ordered budget-fill is inherently
+    // sequential per language, so the shuffle key is lang; a skewed
+    // (giant) language would use the RoundRobin two-pass global-index
+    // pattern (keys/Keys.scala) over that language alone.
+    "q_token_budget" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      documents(s, dir)
+        .withColumn("n_tokens", size(tokens(col("text"))).cast("bigint"))
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .filter(col("cum_tokens") <= 2000L)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+        .orderBy("lang", "doc_id")
+    }),
+
     // multimodal: binary payload + typed metadata; SQL-expressible feature
     // extraction (mean byte, frame sample) — the mapPartitions decode stub
     // is exercised in MultimodalSpec
@@ -1054,6 +1084,24 @@ object PipelineQueries {
                     FROM sc)
             SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk"""
       },
+
+      "q_sample_stratified" ->
+        s"""SELECT doc_id, lang, h FROM (
+              SELECT doc_id, lang,
+                ${duckBaseHash32("(CAST(doc_id AS VARCHAR) || ':sample')")} % 100 AS h
+              FROM documents)
+            WHERE h < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+            ORDER BY doc_id""",
+
+      "q_token_budget" ->
+        s"""SELECT doc_id, lang, n_tokens, cum_tokens FROM (
+              SELECT doc_id, lang, n_tokens,
+                CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum_tokens
+              FROM (SELECT doc_id, lang,
+                      CAST(len(${duckTokens("text")}) AS BIGINT) AS n_tokens
+                    FROM documents))
+            WHERE cum_tokens <= 2000
+            ORDER BY lang, doc_id""",
 
       "q_media_features" ->
         s"""WITH media AS (${Multimodal.duckMediaTable})
