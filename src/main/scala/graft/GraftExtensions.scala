@@ -120,9 +120,16 @@ object GraftExtensions {
         s"$what must be array<array<double>>, got $other")
     }
     val outer = widened.eval().asInstanceOf[ArrayData]
+    require(outer != null, s"$what must not be NULL")
     (0 until outer.numElements()).map { c =>
+      require(!outer.isNullAt(c), s"$what: centroid $c is NULL")
       val inner = outer.getArray(c)
-      (0 until inner.numElements()).map(inner.getDouble).toIndexedSeq
+      (0 until inner.numElements()).map { i =>
+        // getDouble on a null slot silently unboxes to 0.0 — a malformed
+        // codebook would mis-assign every cell with no error
+        require(!inner.isNullAt(i), s"$what: centroid $c coordinate $i is NULL")
+        inner.getDouble(i)
+      }.toIndexedSeq
     }.toIndexedSeq
   }
 

@@ -125,6 +125,18 @@ object Dedup {
       .agg(count_distinct(col(idCol)).as("n_ids"))
       .filter(col("n_ids") > maxBucket)
 
+  /** DuckDB twin of [[candidatePairs]] INCLUDING the hot-bucket cap, so
+    * the oracle stays bit-equal on corpora where a bucket overflows (the
+    * cap is part of the operator's semantics, not a Spark-side shortcut).
+    * Expects a CTE `bands(doc_id, band, bsig)`; defines `bkt` and
+    * `cand(a, b)`. */
+  def duckCandidatePairs(cap: Int = MaxBucket): String =
+    s"""bkt AS (SELECT band, bsig, list_sort(list(DISTINCT doc_id))[1:$cap] AS ids
+                FROM bands GROUP BY band, bsig HAVING count(DISTINCT doc_id) > 1),
+        cand AS (SELECT DISTINCT x.a AS a, y.b AS b
+                 FROM bkt, unnest(bkt.ids) AS x(a), unnest(bkt.ids) AS y(b)
+                 WHERE x.a < y.b)"""
+
   /** All a<b pairs from a SORTED id array (HOF — interpreted, but bucket
     * lists are small post-cap; sorted input makes pair order canonical). */
   private def candidatePairsOf(sortedIds: Column): Column =

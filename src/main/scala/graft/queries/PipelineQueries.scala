@@ -94,12 +94,24 @@ object PipelineQueries {
     * exactly. The sketch is persisted — it feeds the band explode AND
     * both sides of the verify join; without it the whole shingle+agg
     * pipeline runs 3×. */
-  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame =
+    bandVerifiedPairs(s, dir, setCol = col("x"))
+      // persisted so the clusters query (same canonical plan) reuses the
+      // verified pairs instead of re-running candidate join + verify
+      .persist()
+
+  /** The shared banding+verify pipeline, parameterized on the set
+    * collected for exact-Jaccard verification: 32-bit shingle HASHES for
+    * the production LSH path (10× smaller sketch shuffle), shingle
+    * STRINGS for the n-gram-Jaccard query. Everything else — sketch
+    * aggregation, band explode, capped bucket expansion, two-sided
+    * verify join — is one implementation. */
+  private def bandVerifiedPairs(s: SparkSession, dir: String, setCol: Column): DataFrame = {
     val corpus = fuzzyCorpus(documents(s, dir))
     val sketch = shingleRows(corpus)
       .withColumn("x", baseHash32(col("s")))
       .groupBy("doc_id")
-      .agg(collect_set(col("x")).as("sh"),
+      .agg(collect_set(setCol).as("sh"),
         graft.functions.MinHashFunctions.minhashSketch(col("x")).as("sig"))
       .select(col("doc_id") :: col("sh") ::
         (0 until K).map(p => element_at(col("sig"), p + 1).as(s"h$p")).toList: _*)
@@ -111,9 +123,6 @@ object PipelineQueries {
       .withColumn("jaccard", jaccard(col("sha"), col("shb")))
       .filter(col("jaccard") >= 0.5)
       .select("a", "b", "jaccard")
-      // persisted so the clusters query (same canonical plan) reuses the
-      // verified pairs instead of re-running candidate join + verify
-      .persist()
   }
 
   /** IVF knn oracle — shared by q_knn_cosine_ivf and its persisted-index
@@ -273,25 +282,8 @@ object PipelineQueries {
     // matches and inherit candidatePairs' hot-bucket cap. Verification is
     // exact Jaccard over the distinct shingle STRINGS (vs the hashed sets
     // of q_dedup_minhash_lsh).
-    "q_dedup_ngram_jaccard" -> ((s, dir) => {
-      // persist: feeds the band explode AND both sides of the verify join
-      val sets = shingleRows(fuzzyCorpus(documents(s, dir)))
-        .withColumn("x", baseHash32(col("s")))
-        .groupBy("doc_id")
-        .agg(collect_set(col("s")).as("sh"),
-          graft.functions.MinHashFunctions.minhashSketch(col("x")).as("sig"))
-        .select(col("doc_id") :: col("sh") ::
-          (0 until K).map(p => element_at(col("sig"), p + 1).as(s"h$p")).toList: _*)
-        .persist()
-      val cand = candidatePairs(bandRows(sets, "doc_id"), "doc_id")
-      val l = sets.select(col("doc_id").as("a"), col("sh").as("sha"))
-      val r = sets.select(col("doc_id").as("b"), col("sh").as("shb"))
-      cand.join(l, "a").join(r, "b")
-        .withColumn("jaccard", jaccard(col("sha"), col("shb")))
-        .filter(col("jaccard") >= 0.5)
-        .select("a", "b", "jaccard")
-        .orderBy("a", "b")
-    }),
+    "q_dedup_ngram_jaccard" -> ((s, dir) =>
+      bandVerifiedPairs(s, dir, setCol = col("s")).orderBy("a", "b")),
 
     // SimHash near-dup: 16-bit signatures; hamming(original, mutation)
     "q_dedup_simhash" -> ((s, dir) => {
@@ -817,9 +809,7 @@ object PipelineQueries {
           s"SELECT doc_id, $b AS band, ${duckBandSig(b)} AS bsig FROM sig").mkString(" UNION ALL ")
         s"""WITH $duckFuzzyCorpus, $duckShingled, $duckMinhashSigs,
               bands AS ($bandSelects),
-              cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-                       FROM bands l JOIN bands r
-                       ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id),
+              ${duckCandidatePairs()},
               shx AS (SELECT doc_id, list(x) AS sh FROM e GROUP BY doc_id),
               j AS (SELECT a, b, ${duckJaccard("sa.sh", "sb.sh")} AS jaccard
                     FROM cand JOIN shx sa ON sa.doc_id = a JOIN shx sb ON sb.doc_id = b)
@@ -831,9 +821,7 @@ object PipelineQueries {
           s"SELECT doc_id, $b AS band, ${duckBandSig(b)} AS bsig FROM sig").mkString(" UNION ALL ")
         s"""WITH RECURSIVE $duckFuzzyCorpus, $duckShingled, $duckMinhashSigs,
               bands AS ($bandSelects),
-              cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-                       FROM bands l JOIN bands r
-                       ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id),
+              ${duckCandidatePairs()},
               shx AS (SELECT doc_id, list(x) AS sh FROM e GROUP BY doc_id),
               j AS (SELECT a, b, ${duckJaccard("sa.sh", "sb.sh")} AS jaccard
                     FROM cand JOIN shx sa ON sa.doc_id = a JOIN shx sb ON sb.doc_id = b),
@@ -847,9 +835,7 @@ object PipelineQueries {
           s"SELECT doc_id, $b AS band, ${duckBandSig(b)} AS bsig FROM sig").mkString(" UNION ALL ")
         s"""WITH RECURSIVE $duckFuzzyCorpus, $duckShingled, $duckMinhashSigs,
               bands AS ($bandSelects),
-              cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-                       FROM bands l JOIN bands r
-                       ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id),
+              ${duckCandidatePairs()},
               shx AS (SELECT doc_id, list(x) AS sh FROM e GROUP BY doc_id),
               j AS (SELECT a, b, ${duckJaccard("sa.sh", "sb.sh")} AS jaccard
                     FROM cand JOIN shx sa ON sa.doc_id = a JOIN shx sb ON sb.doc_id = b),
@@ -866,9 +852,7 @@ object PipelineQueries {
           s"SELECT doc_id, $b AS band, ${duckBandSig(b)} AS bsig FROM sig").mkString(" UNION ALL ")
         s"""WITH $duckFuzzyCorpus, $duckShingled, $duckMinhashSigs,
               bands AS ($bandSelects),
-              cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-                       FROM bands l JOIN bands r
-                       ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id),
+              ${duckCandidatePairs()},
               j AS (SELECT a, b, ${duckJaccard("sa.sh", "sb.sh")} AS jaccard
                     FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b)
             SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY a, b"""

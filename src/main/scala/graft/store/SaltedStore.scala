@@ -60,13 +60,20 @@ object SaltedStore {
     * comes back as a partition-pruning-capable column. For schemaless
     * formats (csv) pass the schema via `schemaDDL` to avoid inference.
     *
-    * Mid-compaction fallback: if the [[CompactingMarker]] is present, a
-    * bucket may be mid-swap — its live data parked at `.old_bucket=N`
-    * with no visible `bucket=N`. Such buckets are unioned back in from
-    * the parked directory (with the partition column restored), so a
-    * reader overlapping a compaction — or arriving after a crash between
-    * the two renames — sees the complete table instead of silently
-    * missing a bucket. */
+    * Mid-compaction discipline — the marker is checked BEFORE listing
+    * (listing first would capture a file index missing the in-swap
+    * bucket, then see the marker already cleared and return it as
+    * complete):
+    *  1. [[CompactingMarker]] up → a swap may be in flight. The swap is
+    *     two renames, so wait it out (bounded by
+    *     `spark.graft.compact.waitMs`, default 2000).
+    *  2. Marker cleared → normal read.
+    *  3. Marker persists → a compact crashed between its renames. That
+    *     state is STABLE (no concurrent mutation), so recover: union
+    *     every parked `.old_bucket=N` lacking a visible `bucket=N` back
+    *     in (partition column restored) — even when NO bucket is visible
+    *     (e.g. a single-bucket store), where the plain read would fail
+    *     schema inference outright. */
   def read(spark: SparkSession, path: String, format: String = "parquet",
            schemaDDL: Option[String] = None): DataFrame = {
     import org.apache.hadoop.fs.Path
@@ -74,14 +81,21 @@ object SaltedStore {
       val r = spark.read.format(format)
       schemaDDL.fold(r)(s => r.schema(s)).load(p)
     }
-    val base = load(path)
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(new Path(root, CompactingMarker))) base
-    else {
-      val stranded = strandedOldBuckets(fs, root)
-      if (stranded.isEmpty) base
-      else {
+    val marker = new Path(root, CompactingMarker)
+    if (!fs.exists(marker)) return load(path)
+    val waitMs = spark.conf.get("spark.graft.compact.waitMs", "2000").toLong
+    var waited = 0L
+    while (fs.exists(marker) && waited < waitMs) {
+      Thread.sleep(100); waited += 100
+    }
+    if (!fs.exists(marker)) return load(path)
+    // crashed compact: stable on-disk state — recover parked buckets
+    val stranded = strandedOldBuckets(fs, root)
+    if (stranded.isEmpty) load(path)
+    else scala.util.Try(load(path)) match {
+      case scala.util.Success(base) =>
         val bucketType = base.schema("bucket").dataType
         stranded.foldLeft(base) { case (acc, (dir, n)) =>
           val parked = load(dir.toString)
@@ -89,7 +103,12 @@ object SaltedStore {
             .select(base.columns.map(col): _*)
           acc.union(parked)
         }
-      }
+      case scala.util.Failure(_) =>
+        // nothing visible at all (every bucket parked): read the parked
+        // dirs alone; int matches partition-column type inference
+        stranded.map { case (dir, n) =>
+          load(dir.toString).withColumn("bucket", lit(n.toInt))
+        }.reduce(_ unionByName _)
     }
   }
 
@@ -179,17 +198,22 @@ object SaltedStore {
     * ⌈bytes/targetBytes⌉ files, re-sorted by `keyCol` (a per-bucket sort,
     * never a global shuffle), then swaps directories.
     *
-    * The swap is TWO renames, not one atomic operation, but the window is
-    * closed for cooperating readers: a [[CompactingMarker]] is written
-    * before each bucket's swap and removed after it, and `read`/`describe`
-    * fall back to the parked `.old_bucket=N` directory whenever the
-    * marker is up and `bucket=N` is missing — so a reader overlapping the
-    * swap (or arriving after a crash between the renames) sees the
-    * complete table. A crash also leaves the marker in place, which makes
-    * the stranded state self-describing until an operator renames
-    * `.old_bucket=N` back. Every rename result is checked, so a
-    * filesystem refusal aborts loudly with the original data still in
-    * place rather than stranding it. */
+    * The swap is TWO renames, not one atomic operation. READERS are
+    * protected: a [[CompactingMarker]] is written before each bucket's
+    * swap and removed after it; `read`/`describe` check the marker first,
+    * wait out an in-flight swap, and recover a crashed one from the
+    * parked `.old_bucket=N` directory — see [[read]]. A crash leaves the
+    * marker in place, which makes the stranded state self-describing
+    * until an operator renames `.old_bucket=N` back. Every rename result
+    * is checked, so a filesystem refusal aborts loudly with the original
+    * data still in place rather than stranding it.
+    *
+    * WRITERS are NOT protected: a file appended into `bucket=N` between
+    * this method's read of the bucket and its swap is swept into the
+    * parked dir and deleted with it — committed streaming batches would
+    * be lost while their commit markers survive. Run compaction when the
+    * store is not taking appends (the HBase major-compaction discipline);
+    * pausing the streaming writer for the store is sufficient. */
   def compact(spark: SparkSession, path: String, keyCol: Column,
               targetBytes: Long = 128L * 1024 * 1024): Unit = {
     import org.apache.hadoop.fs.Path

@@ -86,6 +86,16 @@ class CentroidSpec extends SparkSuite {
     cents.indices.foreach(i => assert(scores(i) === dotSeq(v, cents(i))))
   }
 
+  test("SQL codebook with a NULL coordinate is rejected, not zero-filled") {
+    val ex = intercept[Exception] {
+      spark.sql("SELECT nearest_centroid(array(1.0d), 1.0d, " +
+        "array(array(1.0d, cast(null as double)), array(0.0d, 1.0d)))").collect()
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("NULL")), s"got: ${messages(ex)}")
+  }
+
   test("interpreted eval matches codegen (whole-stage off vs on)") {
     val vecs = (1 to 64).map(_ => Seq.fill(D)(rnd.nextDouble() * 2 - 1))
     val df = vecs.toDF("v").withColumn("n2v",

@@ -208,6 +208,9 @@ class StoreScanSpec extends SparkSuite {
 
   test("reader mid-compaction-swap sees the full table via the marker fallback") {
     import spark.implicits._
+    // a persistent marker means a CRASHED compact; don't wait out the
+    // (simulated) swap in the test
+    spark.conf.set("spark.graft.compact.waitMs", "0")
     val dir = java.nio.file.Files.createTempDirectory("compact_swap").toString
     val dist = HashPrefix(4)
     val df = (1L to 2000L).map(i => (i, i * 1.5)).toDF("k", "v")
@@ -242,5 +245,23 @@ class StoreScanSpec extends SparkSuite {
     assert(fs.rename(p(".old_bucket=2"), p("bucket=2")))
     fs.delete(p(SaltedStore.CompactingMarker), false)
     assert(SaltedStore.read(spark, dir).count() === full.size.toLong)
+  }
+
+  test("crashed compact with EVERY bucket parked is still readable") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.compact.waitMs", "0")
+    val dir = java.nio.file.Files.createTempDirectory("compact_crash").toString
+    val df = (1L to 300L).map(i => (i, s"r$i")).toDF("k", "v")
+    SaltedStore.write(df, col("k"), graft.keys.Identity, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def p(s: String) = new org.apache.hadoop.fs.Path(dir, s)
+    // crash state on a single-bucket store: the ONLY bucket is parked —
+    // a plain read has no visible data files at all
+    assert(fs.rename(p("bucket=0"), p(".old_bucket=0")))
+    fs.create(p(SaltedStore.CompactingMarker), true).close()
+    val got = SaltedStore.read(spark, dir)
+    assert(got.count() === 300)
+    assert(got.filter(col("bucket") =!= 0).count() === 0)
   }
 }
