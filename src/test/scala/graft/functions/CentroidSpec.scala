@@ -86,6 +86,38 @@ class CentroidSpec extends SparkSuite {
     cents.indices.foreach(i => assert(scores(i) === dotSeq(v, cents(i))))
   }
 
+  test("property: argmax matches the struct-argmax reference on adversarial values") {
+    import org.scalacheck.Gen
+    // values that stress the ordering: ±0.0, ±Inf, NaN, tiny/huge magnitudes
+    val edgy = Gen.oneOf(
+      Gen.chooseNum(-1.0, 1.0),
+      Gen.oneOf(0.0, -0.0, Double.PositiveInfinity, Double.NegativeInfinity,
+        Double.NaN, 1e-300, -1e300))
+    val vecGen = Gen.listOfN(4, edgy).map(_.toSeq)
+    val books = Gen.listOfN(20, Gen.listOfN(3, vecGen)).sample.get
+    val vs = Gen.listOfN(20, vecGen).sample.get
+    // Spark's nan-safe double ordering (array_max semantics this replaces)
+    def nanSafeGt(a: Double, b: Double): Boolean =
+      if (a.isNaN) !b.isNaN
+      else if (b.isNaN) false
+      else a > b
+    books.zip(vs).foreach { case (book, v) =>
+      val cents = book.map(_.toIndexedSeq).toIndexedSeq
+      val df = Seq(v).toDF("v")
+      val got = df.select(CentroidFunctions.nearestCentroidPq(col("v"), cents))
+        .as[Long].head()
+      // reference: pq score via the same driver-side fold, first-wins ties
+      var best = Double.NegativeInfinity
+      var bestI = 0
+      cents.zipWithIndex.foreach { case (c, i) =>
+        val s = dotSeq(v, c) - n2(c) / 2.0
+        if (nanSafeGt(s, best)) { best = s; bestI = i }
+      }
+      assert(got === bestI.toLong,
+        s"v=$v book=$book: got $got expected $bestI")
+    }
+  }
+
   test("SQL codebook with a NULL coordinate is rejected, not zero-filled") {
     val ex = intercept[Exception] {
       spark.sql("SELECT nearest_centroid(array(1.0d), 1.0d, " +
