@@ -70,6 +70,16 @@ object RefQueries {
         .orderBy("key_us", "event_id")
     }),
 
+    // O6-O8, unbounded-stop variant: scan [start, ∞) — the reference's
+    // empty-stop-key branch (wd/AbstractRowKeyDistributor.java:50-57,
+    // exercised by wd-test/RowKeyDistributorTestBase.java:102-107)
+    "q_range_scan_unbounded" -> ((s, dir) => {
+      val t = salted(s, dir).withColumn("key_us", col("ts_us"))
+      DistributedScan.rangeScanFrom(t, col("key_us"), T2)
+        .select("event_id", "key_us", "event_type")
+        .orderBy("key_us", "event_id")
+    }),
+
     // O3+O6-O8 with a MULTI-BYTE prefix: full write→scan cycle through the
     // 2-byte salted binary key algebra, mirroring the reference's
     // MultiBytesPrefixHash test (wd-test/RowKeyDistributorByHashPrefix_
@@ -222,6 +232,12 @@ object RefQueries {
       s"""SELECT event_id, epoch_us(ts) AS key_us, event_type, value
           FROM events
           WHERE epoch_us(ts) >= $T1 AND epoch_us(ts) < $T2
+          ORDER BY key_us, event_id""",
+
+    "q_range_scan_unbounded" ->
+      s"""SELECT event_id, epoch_us(ts) AS key_us, event_type
+          FROM events
+          WHERE epoch_us(ts) >= $T2
           ORDER BY key_us, event_id""",
 
     "q_range_scan_multibyte" ->
