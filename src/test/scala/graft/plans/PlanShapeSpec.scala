@@ -44,6 +44,18 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("dimension joins broadcast the small side (no sort-merge on a dim table)") {
+    // region/nation/customer dims against fact tables must plan
+    // BroadcastHashJoin — a sort-merge here would shuffle the fact side
+    // on a join that moves kilobytes of dimension data
+    Seq("q_join_revenue", "q_join_nation_region", "q_tpch_q3").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf())
+        .queryExecution.explainString(FormattedMode)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: expected the dimension join to broadcast")
+    }
+  }
+
   test("ivf probe path joins candidates with a hash equi-join, not a nested loop") {
     Seq("q_knn_cosine_ivf", "q_knn_cosine_ivf_kmeans", "q_knn_cosine_lsh").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf())
