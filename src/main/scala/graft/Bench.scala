@@ -28,10 +28,18 @@ object Bench {
     // made cross-round per-query comparisons noisy (whichever of the
     // cache-sharing dedup queries ran first absorbed the pipeline build)
     val names = SparkEntry.queries.toSeq.sortBy(_._1).filter(p => only(p._1))
+    // a failed query must SURFACE, not read as a near-zero "speedup":
+    // record the error text per query and fail the whole run at the end
+    val errors = scala.collection.mutable.Map[String, String]()
     val samples = (1 to runs).map { _ =>
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try fn(spark, sfDir).count()
+        catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(1).mkString.take(200)
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }
@@ -39,11 +47,31 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val results = names.map { case (name, _) => name -> median(samples.map(_(name))) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
+    val qs = results.map { case (k, v) =>
+      errors.get(k) match {
+        case Some(msg) => s"${jstr(k)}:{" + s""""err":${jstr(msg)}}"""
+        case None => s"${jstr(k)}:$v"
+      }
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
+    val errCount = errors.size
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"n_errors":$errCount}"""
+    println(line)
+    // stdout gets truncated by log tails (BENCH_r03 lost its first 13
+    // queries and the total); the file copy is the authoritative record
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[graft] bench.json write failed: $e") }
     spark.stop()
+    if (errCount > 0) {
+      errors.foreach { case (k, m) => System.err.println(s"[graft] bench FAILED query $k: $m") }
+      sys.exit(1)
+    }
   }
 }

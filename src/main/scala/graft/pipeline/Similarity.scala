@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** [EXT] Similarity search over embedding columns (SURVEY.md §2.2 [EXT]):
@@ -73,6 +73,56 @@ object Similarity {
     (0 until SignBits).map { i =>
       s"CASE WHEN ($v)[${i * (D / SignBits) + 1}] > 0 THEN ${1L << i} ELSE 0 END"
     }.mkString("CAST(", " + ", " AS BIGINT)")
+
+  // ---- banded sign-LSH for near-dup self-join ------------------------------
+  // A SINGLE b-bit sign bucket self-join is quadratic at corpus scale:
+  // even uniform hashing yields N²/2^b candidate pairs, and real embedding
+  // distributions are anisotropic (some sign patterns are far hotter).
+  // The scale-safe blocking is the MinHash `Bands` pattern (Dedup.Bands):
+  // B independent sign bands over DISJOINT coordinate sets, pairs OR'd
+  // across bands, each band bucket capped via Dedup.candidatePairs — so
+  // any one bucket's expansion is bounded at maxBucket·(maxBucket−1)/2
+  // regardless of how skewed the sign distribution is. A true near-dup
+  // (cos → 1) has near-identical signs everywhere, so it collides in
+  // EVERY band; OR-ing only ADDS recall over the single-bucket join.
+
+  /** Band count and bits per band (disjoint coordinates; B·bits ≤ D). */
+  val EmbBands = 4
+  val EmbBandBits = 8
+
+  /** Coordinate for bit `i` of band `b` — interleaved so each band sees a
+    * spread of the embedding dimensions, never a contiguous run. */
+  def embBandCoord(b: Int, i: Int): Int = i * EmbBands + b
+
+  /** Packed 8-bit sign signature of band `b` (same sign test as
+    * [[signBucket]], band-disjoint coordinates). */
+  def embBandSig(v: Column, b: Int): Column =
+    (0 until EmbBandBits).map { i =>
+      when(element_at(v, embBandCoord(b, i) + 1) > 0.0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _).cast("bigint")
+
+  def duckEmbBandSig(v: String, b: Int): String =
+    (0 until EmbBandBits).map { i =>
+      s"CASE WHEN ($v)[${embBandCoord(b, i) + 1}] > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString("CAST(", " + ", " AS BIGINT)")
+
+  /** id × band → (id, band, sig) rows, shaped for [[Dedup.candidatePairs]]
+    * (which supplies the groupBy-bucket shuffle, the deterministic
+    * hot-bucket cap, and the in-bucket a<b pair expansion). */
+  def embBandRows(df: DataFrame, idCol: String, vecCol: Column): DataFrame =
+    df.select(
+      col(idCol),
+      explode(array((0 until EmbBands).map(b =>
+        struct(lit(b).as("band"), embBandSig(vecCol, b).as("sig"))): _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+
+  /** DuckDB twin of [[embBandRows]]: UNION ALL of the B per-band selects
+    * over a relation exposing (idExpr, vExpr). Emits doc_id/band/bsig —
+    * the column names [[Dedup.duckCandidatePairs]] expects. */
+  def duckEmbBandRows(from: String, idExpr: String, vExpr: String): String =
+    (0 until EmbBands).map(b =>
+      s"SELECT $idExpr AS doc_id, $b AS band, ${duckEmbBandSig(vExpr, b)} AS bsig FROM $from")
+      .mkString(" UNION ALL ")
 
   // ---- IVF (inverted-file) index ------------------------------------------
   // Coarse-quantize the corpus into C cells (nearest centroid by cosine),

@@ -125,6 +125,130 @@ object PipelineQueries {
       .select("a", "b", "jaccard")
   }
 
+  /** Brute-force knn oracle — also the ground truth the q_knn_recall
+    * oracle joins every approximate method against. */
+  private lazy val duckBruteKnn: String =
+    s"""WITH v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
+          q AS (SELECT vec_id AS q_id, v AS qv, ${duckNorm2("v")} AS qn2 FROM v WHERE vec_id < 5),
+          c AS (SELECT vec_id, v, ${duckNorm2("v")} AS n2 FROM v WHERE vec_id >= 5),
+          s AS (SELECT q_id, vec_id, ${duckCosine(duckDot("qv", "v"), "qn2", "n2")} AS cos FROM q, c),
+          r AS (SELECT q_id, vec_id, cos,
+                  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+                FROM s)
+        SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk"""
+
+  private lazy val duckLshKnn: String =
+    s"""WITH v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
+          q AS (SELECT vec_id AS q_id, v AS qv, ${duckNorm2("v")} AS qn2,
+                  ${duckSignBucket("v")} AS qbucket FROM v WHERE vec_id < 5),
+          c AS (SELECT vec_id, v, ${duckNorm2("v")} AS n2,
+                  ${duckSignBucket("v")} AS bucket FROM v WHERE vec_id >= 5),
+          s AS (SELECT q_id, vec_id, ${duckCosine(duckDot("qv", "v"), "qn2", "n2")} AS cos
+                FROM q JOIN c ON qbucket = bucket),
+          r AS (SELECT q_id, vec_id, cos,
+                  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+                FROM s)
+        SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  private lazy val duckLshMultiprobeKnn: String = {
+    val flips = "qbucket" +:
+      (0 until SignBits).map(i => s"xor(qbucket, ${1L << i})")
+    s"""WITH v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
+          q AS (SELECT vec_id AS q_id, v AS qv, ${duckNorm2("v")} AS qn2,
+                  ${duckSignBucket("v")} AS qbucket FROM v WHERE vec_id < 5),
+          probes AS (SELECT q_id, qv, qn2,
+                       unnest([${flips.mkString(", ")}]) AS pbucket FROM q),
+          c AS (SELECT vec_id, v, ${duckNorm2("v")} AS n2,
+                  ${duckSignBucket("v")} AS bucket FROM v WHERE vec_id >= 5),
+          s AS (SELECT q_id, vec_id, ${duckCosine(duckDot("qv", "v"), "qn2", "n2")} AS cos
+                FROM probes JOIN c ON pbucket = bucket),
+          r AS (SELECT q_id, vec_id, cos,
+                  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+                FROM s)
+        SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk"""
+  }
+
+  private lazy val duckSq8Knn: String =
+    s"""WITH v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
+          vn AS (SELECT vec_id, v, ${duckNorm2("v")} AS n2 FROM v),
+          corpus AS (SELECT vec_id, v, n2, ${duckQuantInt8("v")} AS q8
+                     FROM vn WHERE vec_id >= 5),
+          q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, ${duckQuantInt8("v")} AS qq8
+                FROM vn WHERE vec_id < 5),
+          a AS (SELECT q_id, vec_id, qv, qn2, v, n2,
+                  ${duckDotInt8("qq8", "q8")} AS adot
+                FROM q CROSS JOIN corpus),
+          t AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                  ORDER BY adot DESC, vec_id) AS arnk FROM a),
+          sc AS (SELECT q_id, vec_id,
+                   ${duckCosine(duckDot("qv", "v"), "qn2", "n2")} AS cos
+                 FROM t WHERE arnk <= 30),
+          r AS (SELECT q_id, vec_id, cos,
+                  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+                FROM sc)
+        SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk"""
+
+  private lazy val duckPqKnn: String = {
+    def lo(m: Int) = m * PqSubD + 1
+    def hi(m: Int) = (m + 1) * PqSubD
+    // one sub-codebook: slice, seed from fixed ids, one L2 Lloyd pass
+    // (quantized integer means), re-encode, per-query dot table
+    def bookCtes(m: Int): String =
+      s"""sub_$m AS (SELECT vec_id, v[${lo(m)}:${hi(m)}] AS sv FROM corpus),
+          seed_$m AS (SELECT vec_id - 5 AS cid, sv AS cv,
+                        ${duckNorm2N("sv", PqSubD)} AS cn2
+                      FROM sub_$m WHERE vec_id BETWEEN 5 AND ${4 + PqK}),
+          asg_$m AS (SELECT vec_id, sv, cid AS cell FROM (
+                       SELECT x.vec_id, x.sv, c.cid, row_number() OVER (
+                         PARTITION BY x.vec_id
+                         ORDER BY (${duckDotN("x.sv", "c.cv", PqSubD)} - c.cn2 / 2) DESC, c.cid) AS rn
+                       FROM sub_$m x CROSS JOIN seed_$m c) WHERE rn = 1),
+          sum_$m AS (SELECT cell, i, SUM(CAST(round(sv[i+1] * 1000000.0) AS BIGINT)) AS sx,
+                       count(*) AS n
+                     FROM asg_$m CROSS JOIN range($PqSubD) r(i) GROUP BY cell, i),
+          mean_$m AS (SELECT cell AS cid,
+                        list(CAST(sx AS DOUBLE) / (1000000.0 * n) ORDER BY i) AS cv
+                      FROM sum_$m GROUP BY cell),
+          cent_$m AS (SELECT p.cid, coalesce(mm.cv, p.cv) AS cv,
+                        ${duckNorm2N("coalesce(mm.cv, p.cv)", PqSubD)} AS cn2
+                      FROM seed_$m p LEFT JOIN mean_$m mm ON p.cid = mm.cid),
+          code_$m AS (SELECT vec_id, cid FROM (
+                        SELECT x.vec_id, c.cid, row_number() OVER (
+                          PARTITION BY x.vec_id
+                          ORDER BY (${duckDotN("x.sv", "c.cv", PqSubD)} - c.cn2 / 2) DESC, c.cid) AS rn
+                        FROM sub_$m x CROSS JOIN cent_$m c) WHERE rn = 1),
+          qd_$m AS (SELECT q_id, cid,
+                      ${duckDotN(s"qv[${lo(m)}:${hi(m)}]", "c.cv", PqSubD)} AS d
+                    FROM q CROSS JOIN cent_$m c)"""
+    val codesUnion = (0 until PqM).map(m =>
+      s"SELECT vec_id, $m AS m, cid FROM code_$m").mkString(" UNION ALL ")
+    val qdsUnion = (0 until PqM).map(m =>
+      s"SELECT q_id, $m AS m, cid, d FROM qd_$m").mkString(" UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
+          vn AS (SELECT vec_id, v, ${duckNorm2("v")} AS n2 FROM v),
+          corpus AS (SELECT vec_id, v, n2 FROM vn WHERE vec_id >= 5),
+          q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM vn WHERE vec_id < 5),
+          ${(0 until PqM).map(bookCtes).mkString(",\n")},
+          codes AS ($codesUnion),
+          qds AS ($qdsUnion),
+          pair AS (SELECT qds.q_id, codes.vec_id, qds.m, qds.d
+                   FROM codes JOIN qds ON codes.m = qds.m AND codes.cid = qds.cid),
+          appx AS (SELECT q_id, vec_id,
+                     list_reduce(list(d ORDER BY m), (acc, x) -> acc + x) AS adot
+                   FROM pair GROUP BY 1, 2),
+          t AS (SELECT q_id, vec_id, row_number() OVER (
+                  PARTITION BY q_id ORDER BY adot DESC, vec_id) AS arnk FROM appx),
+          sc AS (SELECT t.q_id, t.vec_id,
+                   ${duckCosine(duckDot("q.qv", "x.v"), "q.qn2", "x.n2")} AS cos
+                 FROM t JOIN q ON q.q_id = t.q_id
+                        JOIN corpus x ON x.vec_id = t.vec_id
+                 WHERE t.arnk <= 30),
+          r AS (SELECT q_id, vec_id, cos,
+                  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+                FROM sc)
+        SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk"""
+  }
+
   /** IVF knn oracle — shared by q_knn_cosine_ivf and its persisted-index
     * twin q_knn_cosine_ivf_indexed (same cells, probes and ranking; the
     * index only changes where the cells live). */
@@ -302,24 +426,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
-    // embedding-cosine near-dup: sign-LSH bucket join (scaling by +2 is
-    // direction-preserving → constructed dup lands in the same bucket)
+    // embedding-cosine near-dup: BANDED sign-LSH blocking (scaling by +2
+    // is direction-preserving → a constructed dup keeps every sign, so it
+    // collides in EVERY band). The r3 single 8-bit-bucket self-join was
+    // N²/256 pairs at corpus scale; here the block key is one of
+    // EmbBands=4 independent sign bands over disjoint coordinates, pairs
+    // OR'd across bands through Dedup.candidatePairs — the same one-
+    // exchange groupBy + DETERMINISTIC hot-bucket cap as MinHash-LSH, so
+    // an adversarial all-same-sign corpus expands to at most
+    // maxBucket·(maxBucket−1)/2 pairs per bucket instead of N²/2.
     "q_dedup_embedding" -> ((s, dir) => {
       val v0 = embeddings(s, dir).select(col("vec_id"), vd(col("embedding")).as("v"))
       val corpus = v0.union(
         v0.select(col("vec_id") + 100000L, transform(col("v"), x => x * 2.0)))
-      // persist: both self-join sides read the same bucketed view
-      // (measured: cache-hit warm runs are 2× faster AND the cold run is
-      // ~30% faster than recomputing the two narrow sides — r2's "4×
-      // regression" here was one cold sample; the median bench settles it)
-      val m = corpus
-        .withColumn("bucket", signBucket(col("v")))
-        .withColumn("n2", norm2(col("v")))
-        .persist()
-      val l = m.select(col("vec_id").as("a"), col("v").as("va"), col("n2").as("n2a"), col("bucket"))
-      val r = m.select(col("vec_id").as("b"), col("v").as("vb"), col("n2").as("n2b"),
-        col("bucket").as("bucket_r"))
-      l.join(r, col("bucket") === col("bucket_r") && col("a") < col("b"))
+      // persist: the band explode and both verify-join sides read it
+      val m = corpus.withColumn("n2", norm2(col("v"))).persist()
+      val cand = Dedup.candidatePairs(embBandRows(m, "vec_id", col("v")), "vec_id")
+      cand
+        .join(m.select(col("vec_id").as("a"), col("v").as("va"), col("n2").as("n2a")), "a")
+        .join(m.select(col("vec_id").as("b"), col("v").as("vb"), col("n2").as("n2b")), "b")
         .withColumn("cos", cosine(dot(col("va"), col("vb")), col("n2a"), col("n2b")))
         .filter(col("cos") > 0.999)
         .select("a", "b", "cos")
@@ -498,7 +623,10 @@ object PipelineQueries {
       val cents: IndexedSeq[Seq[Double]] = v
         .filter(col("vec_id").between(5, 4 + IvfC)).orderBy("vec_id")
         .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_vindex_${Integer.toHexString(dir.hashCode)}"
+      // pid-suffixed: two concurrent JVMs on the same sfDir (bench +
+      // verify) must not overwrite the index the other is probing
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_vindex_" +
+        s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
       VectorIndex.write(v.filter(col("vec_id") >= 5), col("v"), cents, path)
       val q = v.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
@@ -569,6 +697,27 @@ object PipelineQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // ANN recall report: recall@10 of every approximate knn method
+    // against the brute-force ground truth on the same data — the
+    // distribution-quality check the reference's evenness suite applies
+    // to salting (wd-test/OneByteSimpleHashTest.java:83-100), applied to
+    // the learned hashes. This is what makes the tuning knobs (SignBits,
+    // IvfProbe, rerank-30) visible: a user raising nProbe can SEE the
+    // recall it buys. n_hits = |method's top-k ∩ brute top-10| per query.
+    "q_knn_recall" -> ((s, dir) => {
+      val brute = queries("q_knn_cosine_brute")(s, dir).select("q_id", "vec_id")
+      val qids = brute.select("q_id").distinct()
+      Seq("lsh", "lsh_multiprobe", "ivf", "sq8", "pq").map { m =>
+        val appx = queries(s"q_knn_cosine_$m")(s, dir).select("q_id", "vec_id")
+        val hits = brute.join(appx, Seq("q_id", "vec_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("__n"))
+        qids.join(hits, Seq("q_id"), "left")
+          .select(lit(m).as("method"), col("q_id"),
+            coalesce(col("__n"), lit(0L)).as("n_hits"),
+            (coalesce(col("__n"), lit(0L)).cast("double") / lit(10.0)).as("recall_at_10"))
+      }.reduce(_ unionByName _).orderBy("method", "q_id")
+    }),
+
     // corpus construction: DETERMINISTIC stratified sampling — keep a
     // per-language rate by thresholding a content-independent hash of the
     // doc id (md5, so the same doc always makes the same cut on any
@@ -585,15 +734,37 @@ object PipelineQueries {
     // corpus construction: per-language TOKEN-BUDGET fill — take docs in
     // id order per language until the running token count exceeds the
     // budget (how training mixes hit per-language token targets). The
-    // running sum is a per-lang window: ordered budget-fill is inherently
-    // sequential per language, so the shuffle key is lang; a skewed
-    // (giant) language would use the RoundRobin two-pass global-index
-    // pattern (keys/Keys.scala) over that language alone.
+    // naive formulation — sum over Window.partitionBy(lang) — serializes
+    // each language into ONE task; at 100 TB the dominant language is
+    // most of the corpus in a single window partition. Instead the
+    // running sum uses the RoundRobin two-pass global-index pattern
+    // (keys/Keys.scala:140-184): range-partition by (lang, doc_id) so a
+    // giant language spans many partitions, per-(partition, lang) token
+    // sums roll into tiny broadcast offsets (≤ partitions × langs rows),
+    // and each task adds its offset to a partition-local running sum.
+    // Both branches sit on the same range exchange (ReuseExchange plans
+    // it once), so partition ids agree by construction; a missing offset
+    // fails loudly rather than mis-summing.
     "q_token_budget" -> ((s, dir) => {
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-      documents(s, dir)
+      val ordered = documents(s, dir)
         .withColumn("n_tokens", size(tokens(col("text"))).cast("bigint"))
-        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .select("doc_id", "lang", "n_tokens")
+        .repartitionByRange(col("lang"), col("doc_id"))
+        .sortWithinPartitions("lang", "doc_id")
+        .withColumn("__pid", spark_partition_id())
+      val wOff = Window.partitionBy("lang").orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = ordered.groupBy("__pid", "lang")
+        .agg(sum("n_tokens").as("__s"))
+        .withColumn("__off", coalesce(sum("__s").over(wOff), lit(0L)))
+        .select("__pid", "lang", "__off")
+      val wLocal = Window.partitionBy("__pid", "lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ordered
+        .join(broadcast(offsets), Seq("__pid", "lang"), "left")
+        .withColumn("__off", coalesce(col("__off"),
+          raise_error(concat(lit("token-budget: no offset for partition "), col("__pid")))))
+        .withColumn("cum_tokens", col("__off") + sum("n_tokens").over(wLocal))
         .filter(col("cum_tokens") <= 2000L)
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
         .orderBy("lang", "doc_id")
@@ -869,69 +1040,31 @@ object PipelineQueries {
             FROM sigs a JOIN sigs b ON b.doc_id = a.doc_id + 100000
             ORDER BY a.doc_id""",
 
+      // banded blocking mirrored exactly: same band signatures, same
+      // capped bucket expansion (duckCandidatePairs) — the cap is part of
+      // the operator's semantics, not a Spark-side shortcut
       "q_dedup_embedding" ->
         s"""WITH v0 AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
               corpus AS (SELECT vec_id, v FROM v0
                          UNION ALL
                          SELECT vec_id + 100000, list_transform(v, x -> x * 2.0) FROM v0),
-              m AS (SELECT vec_id, v, ${duckSignBucket("v")} AS bucket, ${duckNorm2("v")} AS n2 FROM corpus),
-              p AS (SELECT l.vec_id AS a, r.vec_id AS b,
+              m AS (SELECT vec_id, v, ${duckNorm2("v")} AS n2 FROM corpus),
+              bands AS (${duckEmbBandRows("m", "vec_id", "v")}),
+              ${Dedup.duckCandidatePairs()},
+              p AS (SELECT c.a, c.b,
                       ${duckCosine(duckDot("l.v", "r.v"), "l.n2", "r.n2")} AS cos
-                    FROM m l JOIN m r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+                    FROM cand c JOIN m l ON l.vec_id = c.a JOIN m r ON r.vec_id = c.b)
             SELECT a, b, cos FROM p WHERE cos > 0.999 ORDER BY a, b""",
 
-      "q_knn_cosine_brute" ->
-        s"""WITH v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
-              q AS (SELECT vec_id AS q_id, v AS qv, ${duckNorm2("v")} AS qn2 FROM v WHERE vec_id < 5),
-              c AS (SELECT vec_id, v, ${duckNorm2("v")} AS n2 FROM v WHERE vec_id >= 5),
-              s AS (SELECT q_id, vec_id, ${duckCosine(duckDot("qv", "v"), "qn2", "n2")} AS cos FROM q, c),
-              r AS (SELECT q_id, vec_id, cos,
-                      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
-                    FROM s)
-            SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""",
+      "q_knn_cosine_brute" -> duckBruteKnn,
 
       // same semantics as q_knn_cosine_brute — the UDAF must reproduce the
       // row_number formulation exactly (score desc, id asc, top 10)
-      "q_knn_topk_agg" ->
-        s"""WITH v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
-              q AS (SELECT vec_id AS q_id, v AS qv, ${duckNorm2("v")} AS qn2 FROM v WHERE vec_id < 5),
-              c AS (SELECT vec_id, v, ${duckNorm2("v")} AS n2 FROM v WHERE vec_id >= 5),
-              s AS (SELECT q_id, vec_id, ${duckCosine(duckDot("qv", "v"), "qn2", "n2")} AS cos FROM q, c),
-              r AS (SELECT q_id, vec_id, cos,
-                      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
-                    FROM s)
-            SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""",
+      "q_knn_topk_agg" -> duckBruteKnn,
 
-      "q_knn_cosine_lsh" ->
-        s"""WITH v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
-              q AS (SELECT vec_id AS q_id, v AS qv, ${duckNorm2("v")} AS qn2,
-                      ${duckSignBucket("v")} AS qbucket FROM v WHERE vec_id < 5),
-              c AS (SELECT vec_id, v, ${duckNorm2("v")} AS n2,
-                      ${duckSignBucket("v")} AS bucket FROM v WHERE vec_id >= 5),
-              s AS (SELECT q_id, vec_id, ${duckCosine(duckDot("qv", "v"), "qn2", "n2")} AS cos
-                    FROM q JOIN c ON qbucket = bucket),
-              r AS (SELECT q_id, vec_id, cos,
-                      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
-                    FROM s)
-            SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
+      "q_knn_cosine_lsh" -> duckLshKnn,
 
-      "q_knn_cosine_lsh_multiprobe" -> {
-        val flips = "qbucket" +:
-          (0 until SignBits).map(i => s"xor(qbucket, ${1L << i})")
-        s"""WITH v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
-              q AS (SELECT vec_id AS q_id, v AS qv, ${duckNorm2("v")} AS qn2,
-                      ${duckSignBucket("v")} AS qbucket FROM v WHERE vec_id < 5),
-              probes AS (SELECT q_id, qv, qn2,
-                           unnest([${flips.mkString(", ")}]) AS pbucket FROM q),
-              c AS (SELECT vec_id, v, ${duckNorm2("v")} AS n2,
-                      ${duckSignBucket("v")} AS bucket FROM v WHERE vec_id >= 5),
-              s AS (SELECT q_id, vec_id, ${duckCosine(duckDot("qv", "v"), "qn2", "n2")} AS cos
-                    FROM probes JOIN c ON pbucket = bucket),
-              r AS (SELECT q_id, vec_id, cos,
-                      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
-                    FROM s)
-            SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk"""
-      },
+      "q_knn_cosine_lsh_multiprobe" -> duckLshMultiprobeKnn,
 
       "q_knn_cosine_ivf" -> duckIvfKnn,
 
@@ -940,86 +1073,9 @@ object PipelineQueries {
       // but cells, probes and ranking are the same relations
       "q_knn_cosine_ivf_indexed" -> duckIvfKnn,
 
-      "q_knn_cosine_pq" -> {
-        def lo(m: Int) = m * PqSubD + 1
-        def hi(m: Int) = (m + 1) * PqSubD
-        // one sub-codebook: slice, seed from fixed ids, one L2 Lloyd pass
-        // (quantized integer means), re-encode, per-query dot table
-        def bookCtes(m: Int): String =
-          s"""sub_$m AS (SELECT vec_id, v[${lo(m)}:${hi(m)}] AS sv FROM corpus),
-              seed_$m AS (SELECT vec_id - 5 AS cid, sv AS cv,
-                            ${duckNorm2N("sv", PqSubD)} AS cn2
-                          FROM sub_$m WHERE vec_id BETWEEN 5 AND ${4 + PqK}),
-              asg_$m AS (SELECT vec_id, sv, cid AS cell FROM (
-                           SELECT x.vec_id, x.sv, c.cid, row_number() OVER (
-                             PARTITION BY x.vec_id
-                             ORDER BY (${duckDotN("x.sv", "c.cv", PqSubD)} - c.cn2 / 2) DESC, c.cid) AS rn
-                           FROM sub_$m x CROSS JOIN seed_$m c) WHERE rn = 1),
-              sum_$m AS (SELECT cell, i, SUM(CAST(round(sv[i+1] * 1000000.0) AS BIGINT)) AS sx,
-                           count(*) AS n
-                         FROM asg_$m CROSS JOIN range($PqSubD) r(i) GROUP BY cell, i),
-              mean_$m AS (SELECT cell AS cid,
-                            list(CAST(sx AS DOUBLE) / (1000000.0 * n) ORDER BY i) AS cv
-                          FROM sum_$m GROUP BY cell),
-              cent_$m AS (SELECT p.cid, coalesce(mm.cv, p.cv) AS cv,
-                            ${duckNorm2N("coalesce(mm.cv, p.cv)", PqSubD)} AS cn2
-                          FROM seed_$m p LEFT JOIN mean_$m mm ON p.cid = mm.cid),
-              code_$m AS (SELECT vec_id, cid FROM (
-                            SELECT x.vec_id, c.cid, row_number() OVER (
-                              PARTITION BY x.vec_id
-                              ORDER BY (${duckDotN("x.sv", "c.cv", PqSubD)} - c.cn2 / 2) DESC, c.cid) AS rn
-                            FROM sub_$m x CROSS JOIN cent_$m c) WHERE rn = 1),
-              qd_$m AS (SELECT q_id, cid,
-                          ${duckDotN(s"qv[${lo(m)}:${hi(m)}]", "c.cv", PqSubD)} AS d
-                        FROM q CROSS JOIN cent_$m c)"""
-        val codesUnion = (0 until PqM).map(m =>
-          s"SELECT vec_id, $m AS m, cid FROM code_$m").mkString(" UNION ALL ")
-        val qdsUnion = (0 until PqM).map(m =>
-          s"SELECT q_id, $m AS m, cid, d FROM qd_$m").mkString(" UNION ALL ")
-        s"""WITH v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
-              vn AS (SELECT vec_id, v, ${duckNorm2("v")} AS n2 FROM v),
-              corpus AS (SELECT vec_id, v, n2 FROM vn WHERE vec_id >= 5),
-              q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM vn WHERE vec_id < 5),
-              ${(0 until PqM).map(bookCtes).mkString(",\n")},
-              codes AS ($codesUnion),
-              qds AS ($qdsUnion),
-              pair AS (SELECT qds.q_id, codes.vec_id, qds.m, qds.d
-                       FROM codes JOIN qds ON codes.m = qds.m AND codes.cid = qds.cid),
-              appx AS (SELECT q_id, vec_id,
-                         list_reduce(list(d ORDER BY m), (acc, x) -> acc + x) AS adot
-                       FROM pair GROUP BY 1, 2),
-              t AS (SELECT q_id, vec_id, row_number() OVER (
-                      PARTITION BY q_id ORDER BY adot DESC, vec_id) AS arnk FROM appx),
-              sc AS (SELECT t.q_id, t.vec_id,
-                       ${duckCosine(duckDot("q.qv", "x.v"), "q.qn2", "x.n2")} AS cos
-                     FROM t JOIN q ON q.q_id = t.q_id
-                            JOIN corpus x ON x.vec_id = t.vec_id
-                     WHERE t.arnk <= 30),
-              r AS (SELECT q_id, vec_id, cos,
-                      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
-                    FROM sc)
-            SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk"""
-      },
+      "q_knn_cosine_pq" -> duckPqKnn,
 
-      "q_knn_cosine_sq8" ->
-        s"""WITH v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
-              vn AS (SELECT vec_id, v, ${duckNorm2("v")} AS n2 FROM v),
-              corpus AS (SELECT vec_id, v, n2, ${duckQuantInt8("v")} AS q8
-                         FROM vn WHERE vec_id >= 5),
-              q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, ${duckQuantInt8("v")} AS qq8
-                    FROM vn WHERE vec_id < 5),
-              a AS (SELECT q_id, vec_id, qv, qn2, v, n2,
-                      ${duckDotInt8("qq8", "q8")} AS adot
-                    FROM q CROSS JOIN corpus),
-              t AS (SELECT *, row_number() OVER (PARTITION BY q_id
-                      ORDER BY adot DESC, vec_id) AS arnk FROM a),
-              sc AS (SELECT q_id, vec_id,
-                       ${duckCosine(duckDot("qv", "v"), "qn2", "n2")} AS cos
-                     FROM t WHERE arnk <= 30),
-              r AS (SELECT q_id, vec_id, cos,
-                      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
-                    FROM sc)
-            SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""",
+      "q_knn_cosine_sq8" -> duckSq8Knn,
 
       "q_knn_cosine_ivf_kmeans" -> {
         // one relational Lloyd iteration: argmax assignment against the
@@ -1067,6 +1123,33 @@ object PipelineQueries {
                       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
                     FROM sc)
             SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk"""
+      },
+
+      // each approximate method's full oracle runs as a derived table
+      // (DuckDB allows WITH inside a subquery), joined against the brute
+      // ground truth — recall replayed relationally end to end
+      "q_knn_recall" -> {
+        val methods = Seq(
+          "lsh" -> duckLshKnn,
+          "lsh_multiprobe" -> duckLshMultiprobeKnn,
+          "ivf" -> duckIvfKnn,
+          "sq8" -> duckSq8Knn,
+          "pq" -> duckPqKnn)
+        val ctes = methods.map { case (m, q) =>
+          s"""m_$m AS (SELECT q_id, vec_id FROM ($q)),
+              h_$m AS (SELECT b.q_id, count(*) AS n FROM brute b
+                       JOIN m_$m x ON x.q_id = b.q_id AND x.vec_id = b.vec_id
+                       GROUP BY b.q_id),
+              r_$m AS (SELECT '$m' AS method, q.q_id,
+                         CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+                         CAST(coalesce(h.n, 0) AS DOUBLE) / 10.0 AS recall_at_10
+                       FROM qids q LEFT JOIN h_$m h ON h.q_id = q.q_id)"""
+        }.mkString(",\n")
+        val un = methods.map { case (m, _) => s"SELECT * FROM r_$m" }.mkString(" UNION ALL ")
+        s"""WITH brute AS (SELECT q_id, vec_id FROM ($duckBruteKnn)),
+              qids AS (SELECT DISTINCT q_id FROM brute),
+              $ctes
+            SELECT method, q_id, n_hits, recall_at_10 FROM ($un) ORDER BY method, q_id"""
       },
 
       "q_sample_stratified" ->

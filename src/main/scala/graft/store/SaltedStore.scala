@@ -65,17 +65,36 @@ object SaltedStore {
     * bucket, then see the marker already cleared and return it as
     * complete):
     *  1. [[CompactingMarker]] up → a swap may be in flight. The swap is
-    *     two renames, so wait it out (bounded by
-    *     `spark.graft.compact.waitMs`, default 2000).
-    *  2. Marker cleared → normal read.
-    *  3. Marker persists → a compact crashed between its renames. That
-    *     state is STABLE (no concurrent mutation), so recover: union
+    *     two renames per bucket, so wait it out (bounded by
+    *     `spark.graft.compact.waitMs` — default 2000 — PER BUCKET: a
+    *     multi-bucket compact recreates the marker once per bucket, so
+    *     a flat wait would misread a slow live compact as crashed).
+    *  2. Marker cleared → normal read. A marker appearing BETWEEN the
+    *     check and load's eager file listing is caught by a post-load
+    *     re-check, which retries through the marker path.
+    *  3. Marker persists past the scaled wait → PROBABLY a crashed
+    *     compact, but a slow rename (object-store copy-rename) can hold
+    *     it longer — so before recovering, re-verify the state is
+    *     actually at rest: marker mtime AND the bucket/.old listing must
+    *     be identical across two checks `spark.graft.compact.stabilityMs`
+    *     (default 200) apart, re-checked up to 5 rounds. Only then union
     *     every parked `.old_bucket=N` lacking a visible `bucket=N` back
     *     in (partition column restored) — even when NO bucket is visible
     *     (e.g. a single-bucket store), where the plain read would fail
-    *     schema inference outright. */
+    *     schema inference outright.
+    *
+    * This protection is BEST-EFFORT on filesystems with non-atomic or
+    * slow rename (object stores): a compactor that stalls longer than
+    * the scaled wait AND holds still through the stability checks is
+    * indistinguishable from a crash. On such stores, schedule compaction
+    * away from readers (the same discipline [[compact]] already demands
+    * of writers). */
   def read(spark: SparkSession, path: String, format: String = "parquet",
-           schemaDDL: Option[String] = None): DataFrame = {
+           schemaDDL: Option[String] = None): DataFrame =
+    readAttempt(spark, path, format, schemaDDL, retries = 2)
+
+  private def readAttempt(spark: SparkSession, path: String, format: String,
+                          schemaDDL: Option[String], retries: Int): DataFrame = {
     import org.apache.hadoop.fs.Path
     def load(p: String) = {
       val r = spark.read.format(format)
@@ -84,13 +103,55 @@ object SaltedStore {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new Path(root, CompactingMarker)
-    if (!fs.exists(marker)) return load(path)
+    if (!fs.exists(marker)) {
+      val df = load(path) // eager file listing happens here
+      // a compact may have started between the marker check and the
+      // listing — the index could be missing an in-swap bucket. Re-check
+      // and retry through the marker-wait path if so.
+      if (retries > 0 && fs.exists(marker))
+        return readAttempt(spark, path, format, schemaDDL, retries - 1)
+      return df
+    }
+    // scaled wait: one waitMs budget per bucket-ish dir (visible or parked)
     val waitMs = spark.conf.get("spark.graft.compact.waitMs", "2000").toLong
+    val nBuckets = math.max(1, fs.listStatus(root).count(s => s.isDirectory &&
+      (s.getPath.getName.startsWith("bucket=") ||
+        s.getPath.getName.startsWith(".old_bucket="))))
+    val totalWait = waitMs * nBuckets
     var waited = 0L
-    while (fs.exists(marker) && waited < waitMs) {
+    while (fs.exists(marker) && waited < totalWait) {
       Thread.sleep(100); waited += 100
     }
-    if (!fs.exists(marker)) return load(path)
+    if (!fs.exists(marker)) {
+      // swap completed during the wait: normal read, same post-load
+      // re-check as the fast path (bounded by retries — a marker that
+      // keeps flapping eventually falls through to the recovery union,
+      // which reads a superset of any consistent state)
+      val df = load(path)
+      if (retries > 0 && fs.exists(marker))
+        return readAttempt(spark, path, format, schemaDDL, retries - 1)
+      return df
+    }
+    // marker persisted: verify the state is at rest before calling it a
+    // crash — a live-but-slow compactor mutates mtime or the listing
+    val stabilityMs = spark.conf.get("spark.graft.compact.stabilityMs", "200").toLong
+    def snap(): (Long, Set[String]) = (
+      scala.util.Try(fs.getFileStatus(marker).getModificationTime).getOrElse(-1L),
+      fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+        .filter(n => n.startsWith("bucket=") || n.startsWith(".old_bucket=")).toSet)
+    var prev = snap()
+    var stable = false
+    var rounds = 0
+    while (!stable && rounds < 5) {
+      Thread.sleep(stabilityMs)
+      if (!fs.exists(marker))
+        return readAttempt(spark, path, format, schemaDDL, math.max(0, retries - 1))
+      val cur = snap()
+      if (cur == prev) stable = true else { prev = cur; rounds += 1 }
+    }
+    // 5 unstable rounds without the marker clearing: proceed best-effort
+    // (documented above) — the recovery union is still a superset-safe
+    // read of everything currently visible or parked
     // crashed compact: stable on-disk state — recover parked buckets
     val stranded = strandedOldBuckets(fs, root)
     if (stranded.isEmpty) load(path)
@@ -199,10 +260,12 @@ object SaltedStore {
     * never a global shuffle), then swaps directories.
     *
     * The swap is TWO renames, not one atomic operation. READERS are
-    * protected: a [[CompactingMarker]] is written before each bucket's
-    * swap and removed after it; `read`/`describe` check the marker first,
-    * wait out an in-flight swap, and recover a crashed one from the
-    * parked `.old_bucket=N` directory — see [[read]]. A crash leaves the
+    * protected on a best-effort basis: a [[CompactingMarker]] is written
+    * before each bucket's swap and removed after it; `read`/`describe`
+    * check the marker first, wait out an in-flight swap (scaled to the
+    * bucket count), verify the state is at rest, and recover a crashed
+    * one from the parked `.old_bucket=N` directory — see [[read]] for
+    * the residual races on slow-rename filesystems. A crash leaves the
     * marker in place, which makes the stranded state self-describing
     * until an operator renames `.old_bucket=N` back. Every rename result
     * is checked, so a filesystem refusal aborts loudly with the original

@@ -208,6 +208,50 @@ class PipelineSpec extends SparkSuite {
     assert(over.forall(_.getLong(2) == n.toLong))
   }
 
+  test("banded embedding blocking bounds pairs on an all-same-sign corpus") {
+    import spark.implicits._
+    // the bands must see DISJOINT coordinates, or they'd be correlated
+    // and OR-ing them would buy no independence
+    val coords = for {
+      b <- 0 until Similarity.EmbBands
+      i <- 0 until Similarity.EmbBandBits
+    } yield Similarity.embBandCoord(b, i)
+    assert(coords.distinct.size == coords.size)
+    assert(coords.forall(c => c >= 0 && c < Similarity.D))
+    // adversarial corpus: every vector strictly positive → identical sign
+    // pattern, so ALL n vectors land in ONE bucket of EVERY band (the
+    // anisotropic-embedding worst case). Uncapped expansion would be
+    // n²/2 ≈ 2M pairs; the cap bounds it at cap·(cap−1)/2.
+    val n = 2000
+    val vecs = (0L until n.toLong).map(id =>
+      (id, Array.tabulate(Similarity.D)(i => 0.5 + (id % 7) * 0.01 + i * 0.001)))
+      .toDF("vec_id", "v")
+    val cap = 64
+    val pairs = Dedup.candidatePairs(
+      Similarity.embBandRows(vecs, "vec_id", col("v")), "vec_id", maxBucket = cap)
+    assert(pairs.count() == cap.toLong * (cap - 1) / 2)
+    // every band truncates to the same smallest-id prefix, so the max id
+    // surviving the cap is cap−1 — deterministic, oracle-replayable
+    val maxId = pairs.agg(max(greatest(col("a"), col("b")))).as[Long].head()
+    assert(maxId == cap - 1L)
+  }
+
+  test("banded embedding blocking catches sign-identical near-dups") {
+    import spark.implicits._
+    // a scaled copy keeps every sign → collides in EVERY band; a vector
+    // with enough flipped signs shares no band and is never a candidate
+    val base = Array.tabulate(Similarity.D)(i => math.sin(i + 1.0))
+    val vecs = Seq(
+      (1L, base),
+      (2L, base.map(_ * 2.0)), // direction-preserving dup
+      (3L, base.map(-_)) // every sign flipped: no shared band bucket
+    ).toDF("vec_id", "v")
+    val pairs = Dedup.candidatePairs(
+      Similarity.embBandRows(vecs, "vec_id", col("v")), "vec_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("hot-bucket cap is inert below the threshold") {
     import spark.implicits._
     // three tiny buckets → full pair expansion, no truncation

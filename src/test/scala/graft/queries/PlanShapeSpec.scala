@@ -72,6 +72,37 @@ class PlanShapeSpec extends SparkSuite {
       s"expected a single (or reused) range exchange, found $ranges without reuse:\n$p")
   }
 
+  test("token budget never plans a per-language single-task window") {
+    val p = plan("q_token_budget")
+    // the r3 formulation windowed over partitionBy(lang) alone — the
+    // dominant language of a 100 TB corpus in ONE task. The two-pass
+    // pattern windows by (__pid, lang): partition-bounded, fully parallel.
+    assert(p.contains("__pid"), "two-pass partition-id window expected")
+    assert(!p.matches("(?s).*Window \\[[^\\]]*\\], \\[lang[#\\d]*\\], \\[doc_id.*"),
+      s"per-language window found — giant-language single task:\n$p")
+    assert(!p.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"),
+      s"unpartitioned Window found:\n$p")
+  }
+
+  test("token budget offsets reuse the ONE range exchange after execution") {
+    val df = SparkEntry.queries("q_token_budget")(spark, sf("sf0.01"))
+    df.collect() // AQE finalizes reuse at runtime
+    val p = df.queryExecution.executedPlan.toString
+    val ranges = "Exchange rangepartitioning".r.findAllIn(p).length
+    val reused = p.contains("ReusedExchange") || p.contains("TableCacheQueryStage")
+    assert(ranges <= 1 || reused,
+      s"expected a single (or reused) range exchange, found $ranges without reuse:\n$p")
+  }
+
+  test("banded embedding dedup plans one bucket groupBy, no self-equi-join blowup") {
+    val p = plan("q_dedup_embedding")
+    // the blocking stage must be the capped band-bucket aggregation
+    // (collect_set + slice), not a raw bucket=bucket self-join
+    assert(p.contains("collect_set"), s"band-bucket aggregation missing:\n$p")
+    assert(p.contains("partial_collect_set") || p.contains("objHashAggregate") ||
+      p.contains("ObjectHashAggregate"), "bucket agg should combine map-side")
+  }
+
   test("minhash signatures partial-aggregate map-side (narrow shingle generator)") {
     val p = plan("q_minhash_signature")
     assert(p.contains("partial_min"), "per-doc min aggs must start map-side")

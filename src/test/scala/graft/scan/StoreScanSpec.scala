@@ -209,8 +209,10 @@ class StoreScanSpec extends SparkSuite {
   test("reader mid-compaction-swap sees the full table via the marker fallback") {
     import spark.implicits._
     // a persistent marker means a CRASHED compact; don't wait out the
-    // (simulated) swap in the test
+    // (simulated) swap in the test. Restored in the finally — the session
+    // is shared, and a leaked 0 would disable the wait for later suites.
     spark.conf.set("spark.graft.compact.waitMs", "0")
+    try {
     val dir = java.nio.file.Files.createTempDirectory("compact_swap").toString
     val dist = HashPrefix(4)
     val df = (1L to 2000L).map(i => (i, i * 1.5)).toDF("k", "v")
@@ -245,11 +247,13 @@ class StoreScanSpec extends SparkSuite {
     assert(fs.rename(p(".old_bucket=2"), p("bucket=2")))
     fs.delete(p(SaltedStore.CompactingMarker), false)
     assert(SaltedStore.read(spark, dir).count() === full.size.toLong)
+    } finally spark.conf.unset("spark.graft.compact.waitMs")
   }
 
   test("crashed compact with EVERY bucket parked is still readable") {
     import spark.implicits._
     spark.conf.set("spark.graft.compact.waitMs", "0")
+    try {
     val dir = java.nio.file.Files.createTempDirectory("compact_crash").toString
     val df = (1L to 300L).map(i => (i, s"r$i")).toDF("k", "v")
     SaltedStore.write(df, col("k"), graft.keys.Identity, dir)
@@ -263,5 +267,6 @@ class StoreScanSpec extends SparkSuite {
     val got = SaltedStore.read(spark, dir)
     assert(got.count() === 300)
     assert(got.filter(col("bucket") =!= 0).count() === 0)
+    } finally spark.conf.unset("spark.graft.compact.waitMs")
   }
 }
