@@ -71,9 +71,14 @@ private[functions] trait CentroidKernel { self: BinaryExpression =>
         s"expected (array<double>, double), got $other")
     }
 
-  /** Scores for one row into `out` (length C). `n2` is ‖v‖² (cosine only). */
+  /** Scores for one row into `out` (length C). `n2` is ‖v‖² (cosine only).
+    * A vector whose length differs from the codebook dimension FAILS
+    * rather than silently truncating — a truncated dot product would
+    * mis-score (and mis-route) the row with no symptom. */
   protected def scoreRow(v: ArrayData, n2: Double, out: Array[Double]): Unit = {
-    val n = math.min(dim, v.numElements())
+    val n = v.numElements()
+    if (n != dim) throw new IllegalArgumentException(
+      s"centroid kernel: vector length $n != codebook dim $dim")
     val sq = math.sqrt(n2)
     var c = 0
     while (c < numCents) {
@@ -112,7 +117,11 @@ private[functions] trait CentroidKernel { self: BinaryExpression =>
     val i = ctx.freshName("i")
     val dot = ctx.freshName("dot")
     s"""
-    final int $n = java.lang.Math.min($dim, $v.numElements());
+    final int $n = $v.numElements();
+    if ($n != $dim) {
+      throw new IllegalArgumentException(
+        "centroid kernel: vector length " + $n + " != codebook dim " + $dim);
+    }
     final double $sq = java.lang.Math.sqrt($n2);
     final double[] $scores = new double[$numCents];
     for (int $c = 0; $c < $numCents; $c++) {

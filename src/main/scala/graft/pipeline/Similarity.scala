@@ -140,6 +140,14 @@ object Similarity {
   val IvfC = 16
   val IvfProbe = 4
 
+  /** Widened probe width — the IVF multi-probe recall lever. Unlike
+    * sign-LSH (whose bucket function has no ranking, forcing bit-flip
+    * probe heuristics), IVF's query-to-centroid cosine ranking IS the
+    * canonical multi-probe order: probing the next-ranked cells raises
+    * recall with the SAME persisted index, no rewrite — only the probe
+    * list (and the partitions the scan prunes to) widens. */
+  val IvfProbeWide = 8
+
   /** Driver-side sequential-fold ‖c‖² — same association order as
     * DotProduct/duckNorm2, so literal norms are bit-identical. */
   def norm2Scala(c: Seq[Double]): Double = c.foldLeft(0.0)((a, x) => a + x * x)

@@ -25,14 +25,85 @@ import org.apache.spark.sql.functions._
   */
 object VectorIndex {
 
+  /** Codebook manifest written alongside the index data. An index probed
+    * with centroids that differ from the ones it was written with would
+    * SILENTLY return wrong cells — so the write path records the
+    * codebook (and its hash) here, the append path refuses a divergent
+    * codebook, and every probe verifies before planning. Underscore-
+    * prefixed: Spark's file listing never reads it as data. */
+  val CodebookFile = "_graft_codebook.json"
+
+  /** Canonical text of a codebook — Double.toString round-trips exactly,
+    * so equal codebooks hash equal on any JVM. */
+  private def canonical(cents: IndexedSeq[Seq[Double]]): String =
+    cents.map(_.map(java.lang.Double.toString).mkString(",")).mkString(";")
+
+  def codebookHash(cents: IndexedSeq[Seq[Double]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(canonical(cents).getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private def fsOf(spark: SparkSession, path: String) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    (root.getFileSystem(spark.sessionState.newHadoopConf()), root)
+  }
+
+  private def writeCodebook(spark: SparkSession, path: String,
+                            cents: IndexedSeq[Seq[Double]]): Unit = {
+    val (fs, root) = fsOf(spark, path)
+    val json =
+      s"""{"hash":"${codebookHash(cents)}","n":${cents.size},"dim":${cents.head.size},
+         |"cents":[${cents.map(_.mkString("[", ",", "]")).mkString(",")}]}""".stripMargin
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, CodebookFile), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Hash recorded in the index's manifest, if one exists. */
+  def storedCodebookHash(spark: SparkSession, path: String): Option[String] = {
+    val (fs, root) = fsOf(spark, path)
+    val p = new org.apache.hadoop.fs.Path(root, CodebookFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      """"hash":"([0-9a-f]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    }
+  }
+
+  /** Fail loudly when `cents` differ from the codebook the index was
+    * written with. A manifest-less index (pre-versioning layout) only
+    * warns — there is nothing to verify against. */
+  def verifyCodebook(spark: SparkSession, path: String,
+                     cents: IndexedSeq[Seq[Double]]): Unit =
+    storedCodebookHash(spark, path) match {
+      case Some(h) if h != codebookHash(cents) =>
+        throw new IllegalStateException(
+          s"vector index at $path was built with a DIFFERENT codebook " +
+            s"(stored hash $h, supplied ${codebookHash(cents)}) — probing " +
+            "would silently return wrong cells. Re-index, or load the " +
+            s"stored codebook from $CodebookFile.")
+      case Some(_) => ()
+      case None => System.err.println(
+        s"[graft] vector index at $path has no $CodebookFile manifest " +
+          "(pre-versioning index) — probe codebook cannot be verified")
+    }
+
   /** Build the index: assign every vector its IVF cell (one fused
     * native projection — graft.functions.NearestCentroid) and write the
     * corpus partitioned by cell, each partition sorted by id for stable
-    * scans. `vecCol` must be array<double>. The stored columns are the
-    * caller's `df` columns plus `n2` (‖v‖², so probes never recompute
-    * norms) and the `cell` partition column. */
+    * scans. `vecCol` must be array<double> with entries of the codebook
+    * dimension (mismatched lengths fail in the kernel, never truncate).
+    * The stored columns are the caller's `df` columns plus `n2` (‖v‖²,
+    * so probes never recompute norms) and the `cell` partition column —
+    * the caller's frame must not already carry columns with those names
+    * (they would be silently clobbered). Appends verify the codebook
+    * against the manifest first; a diverged codebook fails the append. */
   def write(df: DataFrame, vecCol: Column, cents: IndexedSeq[Seq[Double]],
             path: String, mode: String = "overwrite"): Unit = {
+    require(!df.columns.contains("n2") && !df.columns.contains("cell"),
+      "VectorIndex.write reserves columns 'n2' and 'cell'; rename them in the input")
+    if (mode == "append") verifyCodebook(df.sparkSession, path, cents)
     val n2 = graft.functions.VectorFunctions.dotProduct(vecCol, vecCol)
     df.withColumn("n2", n2)
       .withColumn("cell",
@@ -42,11 +113,29 @@ object VectorIndex {
       .partitionBy("cell")
       .mode(mode)
       .parquet(path)
+    // after the data lands (overwrite clears the directory first)
+    writeCodebook(df.sparkSession, path, cents)
   }
 
   /** Read the whole index back (cell comes back partition-pruning-capable). */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Compact the cell-partitioned index in place: streaming ingest
+    * appends one file set per micro-batch per cell
+    * (StreamingIngest.vectorIndexWriter), so at streaming cadence probe
+    * cost becomes file-open cost — the same memstore-accumulation
+    * problem the salted store's compaction solves, on the `cell=N`
+    * layout. Reuses SaltedStore.compact's marker-guarded two-rename
+    * swap (each cell rewritten to ⌈bytes/targetBytes⌉ files sorted by
+    * `idCol`, never a global shuffle). Same writer discipline: pause
+    * the streaming writer while compacting — readers are best-effort
+    * protected by the marker, appenders are not. The codebook manifest
+    * is untouched (compaction moves rows, never re-assigns cells). */
+  def compact(spark: SparkSession, path: String, idCol: String,
+              targetBytes: Long = 128L * 1024 * 1024): Unit =
+    graft.store.SaltedStore.compact(spark, path, col(idCol), targetBytes,
+      partitionPrefix = "cell")
 
   /** Driver-side probe-cell ranking for ONE query vector: cells ordered
     * by cosine(q, centroid) descending, centroid id ascending — the same
@@ -69,6 +158,7 @@ object VectorIndex {
   def probe(spark: SparkSession, path: String, idCol: String, vecCol: String,
             q: Seq[Double], cents: IndexedSeq[Seq[Double]],
             nProbe: Int, k: Int): DataFrame = {
+    verifyCodebook(spark, path, cents)
     val cells = probeCells(q, cents, nProbe)
     val qn2 = q.foldLeft(0.0)((a, x) => a + x * x)
     read(spark, path)
@@ -90,6 +180,7 @@ object VectorIndex {
                queries: DataFrame, qIdCol: String, qVecCol: String,
                cents: IndexedSeq[Seq[Double]], nProbe: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    verifyCodebook(spark, path, cents)
     val qn2 = graft.functions.VectorFunctions.dotProduct(col(qVecCol), col(qVecCol))
     val probes = queries
       .withColumn("qn2", qn2)

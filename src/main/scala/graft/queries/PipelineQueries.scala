@@ -249,10 +249,11 @@ object PipelineQueries {
         SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk"""
   }
 
-  /** IVF knn oracle — shared by q_knn_cosine_ivf and its persisted-index
-    * twin q_knn_cosine_ivf_indexed (same cells, probes and ranking; the
-    * index only changes where the cells live). */
-  private lazy val duckIvfKnn: String =
+  /** IVF knn oracle at probe width `probe` — shared by q_knn_cosine_ivf
+    * and its persisted-index twins (same cells, probes and ranking; the
+    * index only changes where the cells live, and the multi-probe
+    * variant only widens the probe list). */
+  private def duckIvfKnnAt(probe: Int): String =
     s"""WITH v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
           vn AS (SELECT vec_id, v, ${duckNorm2("v")} AS n2 FROM v),
           cents AS (SELECT vec_id - 5 AS cid, v AS cv, n2 AS cn2
@@ -270,7 +271,7 @@ object PipelineQueries {
                          row_number() OVER (PARTITION BY q.q_id
                            ORDER BY ${duckCosine(duckDot("q.qv", "c.cv"), "q.qn2", "c.cn2")} DESC, c.cid) AS prnk
                        FROM q CROSS JOIN cents c)
-                     WHERE prnk <= $IvfProbe),
+                     WHERE prnk <= $probe),
           sc AS (SELECT q_id, x.vec_id AS vec_id,
                    ${duckCosine(duckDot("p.qv", "x.v"), "p.qn2", "x.n2")} AS cos
                  FROM probes p JOIN asg x ON p.cell = x.cell),
@@ -278,6 +279,30 @@ object PipelineQueries {
                   CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
                 FROM sc)
         SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk"""
+
+  private lazy val duckIvfKnn: String = duckIvfKnnAt(IvfProbe)
+  private lazy val duckIvfKnnWide: String = duckIvfKnnAt(IvfProbeWide)
+
+  /** The persisted-index IVF query at probe width `nProbe`: write the
+    * cell-partitioned index once (per process), then probe the query set
+    * through VectorIndex.probeSet — a broadcast equi-join on the cell
+    * partition column, dynamic-partition-pruning eligible. */
+  private def ivfIndexedKnn(s: SparkSession, dir: String, nProbe: Int): DataFrame = {
+    val v = embeddings(s, dir).select(col("vec_id"), vd(col("embedding")).as("v"))
+    val cents: IndexedSeq[Seq[Double]] = v
+      .filter(col("vec_id").between(5, 4 + IvfC)).orderBy("vec_id")
+      .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    // pid-suffixed: two concurrent JVMs on the same sfDir (bench +
+    // verify) must not overwrite the index the other is probing
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_vindex_" +
+      s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+    VectorIndex.write(v.filter(col("vec_id") >= 5), col("v"), cents, path)
+    val q = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    VectorIndex.probeSet(s, path, "vec_id", "v", q, "q_id", "qv",
+      cents, nProbe, 10)
+      .orderBy("q_id", "rnk")
+  }
 
   // ---- queries ------------------------------------------------------------
 
@@ -618,22 +643,16 @@ object PipelineQueries {
     // q_knn_cosine_ivf (the oracle is identical); what changes is WHERE
     // the cells live: on disk, pruned at file-listing time, instead of a
     // full-corpus projection per query.
-    "q_knn_cosine_ivf_indexed" -> ((s, dir) => {
-      val v = embeddings(s, dir).select(col("vec_id"), vd(col("embedding")).as("v"))
-      val cents: IndexedSeq[Seq[Double]] = v
-        .filter(col("vec_id").between(5, 4 + IvfC)).orderBy("vec_id")
-        .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
-      // pid-suffixed: two concurrent JVMs on the same sfDir (bench +
-      // verify) must not overwrite the index the other is probing
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_vindex_" +
-        s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
-      VectorIndex.write(v.filter(col("vec_id") >= 5), col("v"), cents, path)
-      val q = v.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      VectorIndex.probeSet(s, path, "vec_id", "v", q, "q_id", "qv",
-        cents, IvfProbe, 10)
-        .orderBy("q_id", "rnk")
-    }),
+    "q_knn_cosine_ivf_indexed" -> ((s, dir) => ivfIndexedKnn(s, dir, IvfProbe)),
+
+    // multi-probe over the SAME persisted index: the probe list widens
+    // to the IvfProbeWide best-ranked cells (IVF's centroid-cosine
+    // ranking IS the canonical multi-probe order — see
+    // Similarity.IvfProbeWide), recall rises, the index is untouched,
+    // and the scan still prunes to exactly the probed cell=N partitions
+    // via dynamic partition pruning (more partitions, same mechanism).
+    "q_knn_cosine_ivf_indexed_multiprobe" ->
+      ((s, dir) => ivfIndexedKnn(s, dir, IvfProbeWide)),
 
     // int8 scalar-quantized knn: the approximate scan runs over 4×-packed
     // int8 vectors with integer dot products (native codegen'd
@@ -707,7 +726,7 @@ object PipelineQueries {
     "q_knn_recall" -> ((s, dir) => {
       val brute = queries("q_knn_cosine_brute")(s, dir).select("q_id", "vec_id")
       val qids = brute.select("q_id").distinct()
-      Seq("lsh", "lsh_multiprobe", "ivf", "sq8", "pq").map { m =>
+      Seq("lsh", "lsh_multiprobe", "ivf", "ivf_indexed_multiprobe", "sq8", "pq").map { m =>
         val appx = queries(s"q_knn_cosine_$m")(s, dir).select("q_id", "vec_id")
         val hits = brute.join(appx, Seq("q_id", "vec_id"))
           .groupBy("q_id").agg(count(lit(1)).as("__n"))
@@ -1073,6 +1092,10 @@ object PipelineQueries {
       // but cells, probes and ranking are the same relations
       "q_knn_cosine_ivf_indexed" -> duckIvfKnn,
 
+      // same relations at the widened probe width — the multi-probe
+      // recall lever changes ONLY the prnk cutoff
+      "q_knn_cosine_ivf_indexed_multiprobe" -> duckIvfKnnWide,
+
       "q_knn_cosine_pq" -> duckPqKnn,
 
       "q_knn_cosine_sq8" -> duckSq8Knn,
@@ -1133,6 +1156,7 @@ object PipelineQueries {
           "lsh" -> duckLshKnn,
           "lsh_multiprobe" -> duckLshMultiprobeKnn,
           "ivf" -> duckIvfKnn,
+          "ivf_indexed_multiprobe" -> duckIvfKnnWide,
           "sq8" -> duckSq8Knn,
           "pq" -> duckPqKnn)
         val ctes = methods.map { case (m, q) =>

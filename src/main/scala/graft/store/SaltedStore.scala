@@ -278,12 +278,15 @@ object SaltedStore {
     * store is not taking appends (the HBase major-compaction discipline);
     * pausing the streaming writer for the store is sufficient. */
   def compact(spark: SparkSession, path: String, keyCol: Column,
-              targetBytes: Long = 128L * 1024 * 1024): Unit = {
+              targetBytes: Long = 128L * 1024 * 1024,
+              partitionPrefix: String = "bucket"): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // partitionPrefix generalizes the swap to any single-level partition
+    // layout — the streaming vector index reuses it on `cell=N` dirs
     val buckets = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partitionPrefix="))
     val marker = new Path(root, CompactingMarker)
     buckets.foreach { b =>
       val bytes = fs.listStatus(b.getPath).filterNot(_.getPath.getName.startsWith("_"))

@@ -74,6 +74,51 @@ class VectorIndexSpec extends SparkSuite {
     assert(got.map(_._1) === exp.map(_._1))
   }
 
+  test("probe with a stale codebook fails loudly") {
+    // the manifest written at index time is the versioning contract: a
+    // probe whose centroids differ from the stored ones would silently
+    // rank against the WRONG cells — it must throw instead
+    assert(VectorIndex.storedCodebookHash(spark, dir)
+      === Some(VectorIndex.codebookHash(cents)))
+    val stale = cents.updated(0, cents(0).map(_ + 0.25))
+    val e = intercept[IllegalStateException] {
+      VectorIndex.probe(spark, dir, "vec_id", "v", vec(), stale, 2, 5)
+    }
+    assert(e.getMessage.contains("DIFFERENT codebook"))
+    val e2 = intercept[IllegalStateException] {
+      VectorIndex.probeSet(spark, dir, "vec_id", "v",
+        Seq((1L, vec())).toDF("q_id", "qv"), "q_id", "qv", stale, 2, 5)
+    }
+    assert(e2.getMessage.contains("DIFFERENT codebook"))
+    // and an append with a diverged codebook is refused the same way
+    val batch = Seq((9999L, vec())).toDF("vec_id", "v")
+    intercept[IllegalStateException] {
+      VectorIndex.write(batch, col("v"), stale, dir, mode = "append")
+    }
+  }
+
+  test("write rejects reserved columns and wrong-dimension vectors") {
+    val clobber = Seq((1L, vec(), 0.0)).toDF("vec_id", "v", "n2")
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.write(clobber, col("v"), cents,
+        java.nio.file.Files.createTempDirectory("vx").toString)
+    }
+    assert(e.getMessage.contains("reserves columns"))
+    // a vector shorter than the codebook dim must FAIL in the kernel,
+    // not silently truncate the dot product (mis-scored cell otherwise)
+    val short = Seq((1L, Seq.fill(D / 2)(0.5))).toDF("vec_id", "v")
+    val e2 = intercept[Exception] {
+      VectorIndex.write(short, col("v"), cents,
+        java.nio.file.Files.createTempDirectory("vx2").toString)
+    }
+    assert(exceptionChain(e2).exists(_.getMessage != null) &&
+      exceptionChain(e2).exists(m => Option(m.getMessage).exists(_.contains("codebook dim"))),
+      s"expected a codebook-dim error, got: $e2")
+  }
+
+  private def exceptionChain(e: Throwable): List[Throwable] =
+    e :: Option(e.getCause).map(exceptionChain).getOrElse(Nil)
+
   test("probeSet joins on the partition column with dynamic partition pruning") {
     val qs = (900L to 902L).map(i => (i, vec())).toDF("q_id", "qv")
     val df = VectorIndex.probeSet(spark, dir, "vec_id", "v", qs, "q_id", "qv",

@@ -16,7 +16,10 @@ class PlanShapeSpec extends SparkSuite {
     * the small-query-side kNN scans. Everything else must be free of
     * nested loops AND cartesian products. */
   private val intentionalKnnScans = Set(
-    "q_knn_cosine_brute", "q_knn_topk_agg", "q_knn_cosine_sq8", "q_knn_cosine_pq")
+    "q_knn_cosine_brute", "q_knn_topk_agg", "q_knn_cosine_sq8", "q_knn_cosine_pq",
+    // recall joins every approximate method against the brute-force
+    // ground truth, so its plan contains brute's broadcast scan
+    "q_knn_recall")
 
   test("no BroadcastNestedLoopJoin or CartesianProduct outside the intentional kNN scans") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -102,6 +102,47 @@ class StreamingSpec extends SparkSuite {
     assert(probed.length === 2)
   }
 
+  test("streaming vector-index compaction: one file per cell, probes unchanged") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vindex_compact").toString
+    val D = 8
+    val rnd = new scala.util.Random(7)
+    def vec() = Seq.fill(D)(rnd.nextDouble() * 2 - 1)
+    val cents: IndexedSeq[Seq[Double]] = IndexedSeq.fill(4)(vec())
+    // 5 micro-batches → multiple file sets accumulate per cell (the
+    // memstore-accumulation problem compaction exists for)
+    (0 until 5).foreach { b =>
+      val batch = (b * 100L until (b + 1) * 100L).map(i => (i, vec()))
+      writeVectorBatchIdempotent(batch.toDF("vec_id", "v"), b.toLong, col("v"), cents, dir)
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def cellDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+    def dataFiles(p: org.apache.hadoop.fs.Path) = fs.listStatus(p)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+        && !f.getPath.getName.startsWith("."))
+    assert(cellDirs.nonEmpty)
+    assert(cellDirs.exists(c => dataFiles(c.getPath).length > 1),
+      "test setup: expected multi-file cells before compaction")
+    val probeQ = vec()
+    def probeNow() = graft.pipeline.VectorIndex
+      .probe(spark, dir, "vec_id", "v", probeQ, cents, nProbe = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    val before = probeNow()
+    graft.pipeline.VectorIndex.compact(spark, dir, "vec_id")
+    cellDirs.foreach(c => assert(dataFiles(c.getPath).length == 1,
+      s"${c.getPath} not compacted to one file"))
+    assert(probeNow() === before)
+    // the codebook manifest survives (compaction never re-assigns cells)
+    assert(graft.pipeline.VectorIndex.storedCodebookHash(spark, dir)
+      === Some(graft.pipeline.VectorIndex.codebookHash(cents)))
+    // and the streaming commit log survives: a replayed batch stays skipped
+    writeVectorBatchIdempotent(
+      (0L until 100L).map(i => (i, vec())).toDF("vec_id", "v"), 0L, col("v"), cents, dir)
+    assert(graft.pipeline.VectorIndex.read(spark, dir).count() === 500)
+  }
+
   test("tumbling window counts with watermark drop late rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
