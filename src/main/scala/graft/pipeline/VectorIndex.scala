@@ -117,9 +117,13 @@ object VectorIndex {
     writeCodebook(df.sparkSession, path, cents)
   }
 
-  /** Read the whole index back (cell comes back partition-pruning-capable). */
+  /** Read the whole index back (cell comes back partition-pruning-capable).
+    * Goes through SaltedStore's marker-aware read on the `cell=N` layout,
+    * so a probe during (or after a crash of) [[compact]] waits out the
+    * swap / recovers parked `.old_cell=N` dirs instead of silently
+    * missing a cell. */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    graft.store.SaltedStore.read(spark, path, partitionPrefix = "cell")
 
   /** Compact the cell-partitioned index in place: streaming ingest
     * appends one file set per micro-batch per cell

@@ -737,6 +737,48 @@ object PipelineQueries {
       }.reduce(_ unionByName _).orderBy("method", "q_id")
     }),
 
+    // benchmark DECONTAMINATION — the pipeline step every serious
+    // training corpus runs: flag training documents sharing any token
+    // n-gram with the held-out evaluation set, so benchmark text never
+    // leaks into training. The eval set is small BY DEFINITION, so its
+    // distinct shingle-hash set broadcasts and the training side stays a
+    // narrow scan + broadcast semi-join — no shuffle of the corpus at
+    // any scale (the dominant cost is the shingle projection, which runs
+    // at scan speed). Deterministic eval split (doc_id % 10 = 7) for
+    // oracle replay; output = contaminated doc → shared-shingle count.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val bench = shingleRows(docs.filter(pmod(col("doc_id"), lit(10L)) === 7L))
+        .select(baseHash32(col("s")).as("x")).distinct()
+      val train = shingleRows(docs.filter(pmod(col("doc_id"), lit(10L)) =!= 7L))
+        .withColumn("x", baseHash32(col("s")))
+      train.join(broadcast(bench), "x")
+        .groupBy("doc_id")
+        .agg(count_distinct(col("x")).as("n_shared"))
+        .orderBy("doc_id")
+    }),
+
+    // within-document REPETITION scoring (the Gopher/C4-style quality
+    // rule): fraction of 3-gram occurrences that are repeats, plus the
+    // hottest shingle's count — boilerplate and looping-generator text
+    // score high and get filtered. One groupBy per doc-shingle then one
+    // per doc; both aggregations combine map-side, and the per-doc state
+    // is bounded by document length — embarrassingly parallel at 100 TB.
+    "q_text_repetition" -> ((s, dir) => {
+      val counts = shingleRows(documents(s, dir).select(col("doc_id"), col("text")))
+        .groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
+      counts.groupBy("doc_id")
+        .agg(sum("c").as("n_shingles"),
+          count(lit(1)).as("n_distinct"),
+          max("c").as("max_rep"))
+        .withColumn("dup_frac",
+          (col("n_shingles") - col("n_distinct")).cast("double") /
+            col("n_shingles").cast("double"))
+        .withColumn("repetitive", col("dup_frac") > 0.2)
+        .select("doc_id", "n_shingles", "n_distinct", "max_rep", "dup_frac", "repetitive")
+        .orderBy("doc_id")
+    }),
+
     // corpus construction: DETERMINISTIC stratified sampling — keep a
     // per-language rate by thresholding a content-independent hash of the
     // doc id (md5, so the same doc always makes the same cut on any
@@ -1175,6 +1217,31 @@ object PipelineQueries {
               $ctes
             SELECT method, q_id, n_hits, recall_at_10 FROM ($un) ORDER BY method, q_id"""
       },
+
+      "q_decontaminate" ->
+        s"""WITH corpus AS (SELECT doc_id, text FROM documents), $duckShingled,
+              e AS (SELECT doc_id, ${duckBaseHash32("s")} AS x
+                    FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+              bench AS (SELECT DISTINCT x FROM e WHERE doc_id % 10 = 7),
+              train AS (SELECT doc_id, x FROM e WHERE doc_id % 10 <> 7)
+            SELECT t.doc_id, CAST(count(DISTINCT t.x) AS BIGINT) AS n_shared
+            FROM train t JOIN bench b ON t.x = b.x
+            GROUP BY t.doc_id ORDER BY t.doc_id""",
+
+      "q_text_repetition" ->
+        s"""WITH corpus AS (SELECT doc_id, text FROM documents), $duckShingled,
+              sc AS (SELECT doc_id, s, count(*) AS c
+                     FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+                     GROUP BY doc_id, s),
+              agg AS (SELECT doc_id,
+                        CAST(SUM(c) AS BIGINT) AS n_shingles,
+                        CAST(count(*) AS BIGINT) AS n_distinct,
+                        CAST(MAX(c) AS BIGINT) AS max_rep
+                      FROM sc GROUP BY doc_id)
+            SELECT doc_id, n_shingles, n_distinct, max_rep,
+              CAST(n_shingles - n_distinct AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS dup_frac,
+              (CAST(n_shingles - n_distinct AS DOUBLE) / CAST(n_shingles AS DOUBLE)) > 0.2 AS repetitive
+            FROM agg ORDER BY doc_id""",
 
       "q_sample_stratified" ->
         s"""SELECT doc_id, lang, h FROM (

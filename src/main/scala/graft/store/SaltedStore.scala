@@ -90,11 +90,13 @@ object SaltedStore {
     * away from readers (the same discipline [[compact]] already demands
     * of writers). */
   def read(spark: SparkSession, path: String, format: String = "parquet",
-           schemaDDL: Option[String] = None): DataFrame =
-    readAttempt(spark, path, format, schemaDDL, retries = 2)
+           schemaDDL: Option[String] = None,
+           partitionPrefix: String = "bucket"): DataFrame =
+    readAttempt(spark, path, format, schemaDDL, partitionPrefix, retries = 2)
 
   private def readAttempt(spark: SparkSession, path: String, format: String,
-                          schemaDDL: Option[String], retries: Int): DataFrame = {
+                          schemaDDL: Option[String], partitionPrefix: String,
+                          retries: Int): DataFrame = {
     import org.apache.hadoop.fs.Path
     def load(p: String) = {
       val r = spark.read.format(format)
@@ -109,14 +111,14 @@ object SaltedStore {
       // listing — the index could be missing an in-swap bucket. Re-check
       // and retry through the marker-wait path if so.
       if (retries > 0 && fs.exists(marker))
-        return readAttempt(spark, path, format, schemaDDL, retries - 1)
+        return readAttempt(spark, path, format, schemaDDL, partitionPrefix, retries - 1)
       return df
     }
     // scaled wait: one waitMs budget per bucket-ish dir (visible or parked)
     val waitMs = spark.conf.get("spark.graft.compact.waitMs", "2000").toLong
     val nBuckets = math.max(1, fs.listStatus(root).count(s => s.isDirectory &&
-      (s.getPath.getName.startsWith("bucket=") ||
-        s.getPath.getName.startsWith(".old_bucket="))))
+      (s.getPath.getName.startsWith(s"$partitionPrefix=") ||
+        s.getPath.getName.startsWith(s".old_$partitionPrefix="))))
     val totalWait = waitMs * nBuckets
     var waited = 0L
     while (fs.exists(marker) && waited < totalWait) {
@@ -129,7 +131,7 @@ object SaltedStore {
       // which reads a superset of any consistent state)
       val df = load(path)
       if (retries > 0 && fs.exists(marker))
-        return readAttempt(spark, path, format, schemaDDL, retries - 1)
+        return readAttempt(spark, path, format, schemaDDL, partitionPrefix, retries - 1)
       return df
     }
     // marker persisted: verify the state is at rest before calling it a
@@ -138,14 +140,16 @@ object SaltedStore {
     def snap(): (Long, Set[String]) = (
       scala.util.Try(fs.getFileStatus(marker).getModificationTime).getOrElse(-1L),
       fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
-        .filter(n => n.startsWith("bucket=") || n.startsWith(".old_bucket=")).toSet)
+        .filter(n => n.startsWith(s"$partitionPrefix=") ||
+          n.startsWith(s".old_$partitionPrefix=")).toSet)
     var prev = snap()
     var stable = false
     var rounds = 0
     while (!stable && rounds < 5) {
       Thread.sleep(stabilityMs)
       if (!fs.exists(marker))
-        return readAttempt(spark, path, format, schemaDDL, math.max(0, retries - 1))
+        return readAttempt(spark, path, format, schemaDDL, partitionPrefix,
+          math.max(0, retries - 1))
       val cur = snap()
       if (cur == prev) stable = true else { prev = cur; rounds += 1 }
     }
@@ -153,14 +157,14 @@ object SaltedStore {
     // (documented above) — the recovery union is still a superset-safe
     // read of everything currently visible or parked
     // crashed compact: stable on-disk state — recover parked buckets
-    val stranded = strandedOldBuckets(fs, root)
+    val stranded = strandedOldBuckets(fs, root, partitionPrefix)
     if (stranded.isEmpty) load(path)
     else scala.util.Try(load(path)) match {
       case scala.util.Success(base) =>
-        val bucketType = base.schema("bucket").dataType
+        val bucketType = base.schema(partitionPrefix).dataType
         stranded.foldLeft(base) { case (acc, (dir, n)) =>
           val parked = load(dir.toString)
-            .withColumn("bucket", lit(n).cast(bucketType))
+            .withColumn(partitionPrefix, lit(n).cast(bucketType))
             .select(base.columns.map(col): _*)
           acc.union(parked)
         }
@@ -168,20 +172,21 @@ object SaltedStore {
         // nothing visible at all (every bucket parked): read the parked
         // dirs alone; int matches partition-column type inference
         stranded.map { case (dir, n) =>
-          load(dir.toString).withColumn("bucket", lit(n.toInt))
+          load(dir.toString).withColumn(partitionPrefix, lit(n.toInt))
         }.reduce(_ unionByName _)
     }
   }
 
-  /** `.old_bucket=N` dirs whose `bucket=N` is currently missing — the
-    * mid-swap (or crashed-swap) buckets a reader must recover. */
+  /** `.old_<prefix>=N` dirs whose `<prefix>=N` is currently missing —
+    * the mid-swap (or crashed-swap) partitions a reader must recover. */
   private def strandedOldBuckets(fs: org.apache.hadoop.fs.FileSystem,
-                                 root: org.apache.hadoop.fs.Path): Seq[(org.apache.hadoop.fs.Path, Long)] = {
+                                 root: org.apache.hadoop.fs.Path,
+                                 partitionPrefix: String = "bucket"): Seq[(org.apache.hadoop.fs.Path, Long)] = {
     import org.apache.hadoop.fs.Path
     fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".old_bucket="))
-      .map(s => (s.getPath, s.getPath.getName.stripPrefix(".old_bucket=").toLong))
-      .filter { case (_, n) => !fs.exists(new Path(root, s"bucket=$n")) }
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s".old_$partitionPrefix="))
+      .map(s => (s.getPath, s.getPath.getName.stripPrefix(s".old_$partitionPrefix=").toLong))
+      .filter { case (_, n) => !fs.exists(new Path(root, s"$partitionPrefix=$n")) }
       .toSeq
   }
 

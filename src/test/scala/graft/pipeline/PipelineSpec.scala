@@ -208,6 +208,26 @@ class PipelineSpec extends SparkSuite {
     assert(over.forall(_.getLong(2) == n.toLong))
   }
 
+  test("decontamination flags only training docs, with positive overlap counts") {
+    val out = q("q_decontaminate").collect()
+    assert(out.nonEmpty)
+    // the eval split itself must never be flagged (it is removed, not
+    // scored), and every flagged doc shares at least one shingle
+    assert(out.forall(_.getLong(0) % 10 != 7))
+    assert(out.forall(_.getLong(1) > 0))
+  }
+
+  test("repetition score is a consistent fraction per document") {
+    val out = q("q_text_repetition").collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val (n, d, m, f) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(d <= n && m <= n && m >= 1)
+      assert(f >= 0.0 && f < 1.0)
+      assert(r.getBoolean(5) == (f > 0.2))
+    }
+  }
+
   test("banded embedding blocking bounds pairs on an all-same-sign corpus") {
     import spark.implicits._
     // the bands must see DISJOINT coordinates, or they'd be correlated

@@ -119,6 +119,33 @@ class VectorIndexSpec extends SparkSuite {
   private def exceptionChain(e: Throwable): List[Throwable] =
     e :: Option(e.getCause).map(exceptionChain).getOrElse(Nil)
 
+  test("crashed cell compaction leaves the index readable via marker recovery") {
+    spark.conf.set("spark.graft.compact.waitMs", "0")
+    try {
+      val d = java.nio.file.Files.createTempDirectory("vindex_crash").toString
+      val corpus = (0L until 200L).map(i => (i, vec())).toDF("vec_id", "v")
+      VectorIndex.write(corpus, col("v"), cents, d)
+      val fs = new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def p(s: String) = new org.apache.hadoop.fs.Path(d, s)
+      val firstCell = fs.listStatus(new org.apache.hadoop.fs.Path(d))
+        .map(_.getPath.getName).filter(_.startsWith("cell=")).sorted.head
+      // freeze the compact swap window: one cell parked, marker up —
+      // exactly the state a crashed VectorIndex.compact leaves behind
+      assert(fs.rename(p(firstCell), p(s".old_$firstCell")))
+      fs.create(p(graft.store.SaltedStore.CompactingMarker), true).close()
+      // a naive spark.read would silently drop that cell...
+      assert(spark.read.parquet(d).count() < 200)
+      // ...but the marker-aware index read recovers it
+      val recovered = VectorIndex.read(spark, d)
+      assert(recovered.count() === 200)
+      assert(recovered.select("cell").distinct().count()
+        === fs.listStatus(new org.apache.hadoop.fs.Path(d))
+          .count(s => s.getPath.getName.startsWith("cell=")
+            || s.getPath.getName.startsWith(".old_cell=")).toLong)
+    } finally spark.conf.unset("spark.graft.compact.waitMs")
+  }
+
   test("probeSet joins on the partition column with dynamic partition pruning") {
     val qs = (900L to 902L).map(i => (i, vec())).toDF("q_id", "qv")
     val df = VectorIndex.probeSet(spark, dir, "vec_id", "v", qs, "q_id", "qv",
