@@ -35,32 +35,33 @@ case class ZOrderKey(left: Expression, right: Expression) extends BinaryExpressi
       s"zorder_key expects (bigint, bigint), got $other")
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[Long]
-    val y = b.asInstanceOf[Long]
-    if (x < 0 || x > 0xffffffffL || y < 0 || y > 0xffffffffL)
-      throw new IllegalArgumentException(
-        s"zorder_key inputs must be in [0, 2^32), got ($x, $y)")
-    ZOrderKey.spread(x) | (ZOrderKey.spread(y) << 1)
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ZOrderKey.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long])
 
+  // ONE single-line statement: the previous inline form (an if/throw block
+  // plus a multi-line OR-of-spreads assignment) made Janino reject the
+  // generated method ("expression is not a type"), silently dropping the
+  // whole stage out of codegen — the scan then ran interpreted. A lone
+  // static call is the same shape every other graft expression generates
+  // and keeps the z-key inside whole-stage codegen.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      s"""
-      if ($a < 0L || $a > 4294967295L || $b < 0L || $b > 4294967295L) {
-        throw new IllegalArgumentException(
-          "zorder_key inputs must be in [0, 2^32), got (" + $a + ", " + $b + ")");
-      }
-      ${ev.value} = graft.functions.ZOrderKey.spread($a)
-                  | (graft.functions.ZOrderKey.spread($b) << 1);
-      """
-    })
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ZOrderKey.interleave($a, $b);")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
 
 object ZOrderKey {
+  /** Range-checked interleave — the single entry point both the
+    * interpreted and generated paths call. */
+  def interleave(x: Long, y: Long): Long = {
+    if (x < 0 || x > 0xffffffffL || y < 0 || y > 0xffffffffL)
+      throw new IllegalArgumentException(
+        s"zorder_key inputs must be in [0, 2^32), got ($x, $y)")
+    spread(x) | (spread(y) << 1)
+  }
+
   /** Spread the low 32 bits of x to the even bit positions of a long —
     * the standard mask sequence (each step doubles the gap). */
   def spread(x0: Long): Long = {

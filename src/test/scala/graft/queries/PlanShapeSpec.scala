@@ -94,6 +94,42 @@ class PlanShapeSpec extends SparkSuite {
       s"expected a single (or reused) range exchange, found $ranges without reuse:\n$p")
   }
 
+  test("global-index operators window by partition id, never one task") {
+    // quality deciles + deterministic shuffle sit on Corpus.withGlobalIndex;
+    // a regression to row_number over an unpartitioned window serializes
+    // the corpus (the offsets windows run over ~numPartitions rows only)
+    for (qn <- Seq("q_quality_deciles", "q_shuffle_deterministic")) {
+      val p = plan(qn)
+      assert(p.contains("__pid"), s"$qn: two-pass partition-id window expected")
+    }
+  }
+
+  test("global-index offsets reuse the ONE range exchange after execution") {
+    for (qn <- Seq("q_quality_deciles", "q_shuffle_deterministic", "q_pack_sequences")) {
+      val df = SparkEntry.queries(qn)(spark, sf("sf0.01"))
+      df.collect() // AQE finalizes reuse at runtime
+      val p = df.queryExecution.executedPlan.toString
+      val ranges = "Exchange rangepartitioning".r.findAllIn(p).length
+      val reused = p.contains("ReusedExchange") || p.contains("TableCacheQueryStage")
+      assert(ranges <= 1 || reused,
+        s"$qn: expected a single (or reused) range exchange, found $ranges without reuse:\n$p")
+    }
+  }
+
+  test("top-ngrams plans TakeOrderedAndProject with map-side partial counts") {
+    val p = plan("q_top_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort where top-k expected:\n$p")
+    assert(p.contains("partial_count"), "shingle counts must combine map-side")
+  }
+
+  test("paragraph dedup windows by chunk hash, aggregates partially") {
+    val p = plan("q_dedup_paragraph")
+    assert(!p.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"),
+      s"unpartitioned Window found:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-doc aggregation must start map-side")
+  }
+
   test("banded embedding dedup plans one bucket groupBy, no self-equi-join blowup") {
     val p = plan("q_dedup_embedding")
     // the blocking stage must be the capped band-bucket aggregation
