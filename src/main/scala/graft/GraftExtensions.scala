@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.saltedKey)
     ext.injectFunction(GraftExtensions.originalKey)
     ext.injectOptimizerRule(_ => graft.plans.DivRangePushdown)
+    // plans the naive single-task `row_number() OVER (ORDER BY ...)` as
+    // the two-pass range-shuffle + zipWithIndex exec (scale-safe global
+    // index even for naively-written SQL)
+    ext.injectPlannerStrategy(_ => graft.plans.GlobalRowNumberStrategy)
   }
 }
 

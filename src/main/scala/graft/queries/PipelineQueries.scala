@@ -309,6 +309,42 @@ object PipelineQueries {
       .orderBy("q_id", "rnk")
   }
 
+  /** Full dedup-pair oracle SQL, factored so the quality report can run
+    * each method as a derived table (the duckXxxKnn pattern). */
+  private lazy val duckLshPairsSql: String = {
+    val bandSelects = (0 until Bands).map(b =>
+      s"SELECT doc_id, $b AS band, ${duckBandSig(b)} AS bsig FROM sig").mkString(" UNION ALL ")
+    s"""WITH $duckFuzzyCorpus, $duckShingled, $duckMinhashSigs,
+          bands AS ($bandSelects),
+          ${duckCandidatePairs()},
+          shx AS (SELECT doc_id, list(x) AS sh FROM e GROUP BY doc_id),
+          j AS (SELECT a, b, ${duckJaccard("sa.sh", "sb.sh")} AS jaccard
+                FROM cand JOIN shx sa ON sa.doc_id = a JOIN shx sb ON sb.doc_id = b)
+        SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY a, b"""
+  }
+
+  private lazy val duckNgramPairsSql: String = {
+    val bandSelects = (0 until Bands).map(b =>
+      s"SELECT doc_id, $b AS band, ${duckBandSig(b)} AS bsig FROM sig").mkString(" UNION ALL ")
+    s"""WITH $duckFuzzyCorpus, $duckShingled, $duckMinhashSigs,
+          bands AS ($bandSelects),
+          ${duckCandidatePairs()},
+          j AS (SELECT a, b, ${duckJaccard("sa.sh", "sb.sh")} AS jaccard
+                FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b)
+        SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY a, b"""
+  }
+
+  private lazy val duckSimhashSql: String =
+    s"""WITH $duckFuzzyCorpus,
+          tok AS (SELECT doc_id, unnest(${duckTokens("text")}) AS t FROM corpus),
+          h AS (SELECT doc_id, ${duckTokenHash16("t")} AS hv FROM tok),
+          votes AS (SELECT doc_id, ${duckSimhashVotes("hv").mkString(", ")} FROM h GROUP BY doc_id),
+          sigs AS (SELECT doc_id, $duckSimhashPack AS simhash FROM votes)
+        SELECT a.doc_id AS doc_id, a.simhash AS sim_orig, b.simhash AS sim_mut,
+          ${duckHamming("a.simhash", "b.simhash")} AS ham
+        FROM sigs a JOIN sigs b ON b.doc_id = a.doc_id + 100000
+        ORDER BY a.doc_id"""
+
   /** PII patterns, shared verbatim by the Spark expression and the DuckDB
     * oracle. Kept to constructs Java regex and RE2 treat identically:
     * character classes (dash last), greedy +/{n} quantifiers, no
@@ -997,6 +1033,74 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // NAIVE global row_number, written as plain SQL — the query every
+    // untrained user writes. The GlobalRowNumberStrategy extension plans
+    // it as the two-pass range-shuffle + zipWithIndex exec instead of the
+    // single-task WindowExec, so this exact SQL scales; the plan guard in
+    // PlanShapeSpec asserts GlobalRowNumber is what actually runs. Order
+    // key (ts, event_id) is a unique total order → deterministic numbers.
+    "q_rownum_global" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""SELECT event_id, user_id,
+                 row_number() OVER (ORDER BY ts_us, event_id) AS rn
+               FROM events_v ORDER BY rn""")
+    }),
+
+    // TOKEN-RARITY quality score (unigram-LM-lite): mean corpus frequency
+    // of a doc's tokens plus its out-of-vocabulary count — docs full of
+    // rare/garbage tokens score low and get filtered. The scale trick is
+    // the standard one: only the top-K vocabulary is materialized
+    // (TakeOrderedAndProject, never a global sort of the vocab) and
+    // BROADCAST, so the corpus side stays a narrow scan + broadcast join;
+    // OOV tokens count as frequency 0. The per-doc aggregation combines
+    // map-side (docs are contiguous in scan partitions).
+    "q_token_rarity" -> ((s, dir) => {
+      val tok = documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t")).limit(1000)
+      tok.join(broadcast(vocab), Seq("t"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_oov"),
+          (sum(coalesce(col("c"), lit(0L))).cast("double")
+            / count(lit(1)).cast("double")).as("mean_freq"))
+        .orderBy("doc_id")
+    }),
+
+    // DEDUP QUALITY REPORT — per-method recall against the constructed
+    // ground truth (every ≥5-token doc pairs with its +100000 mutation),
+    // the q_knn_recall idea applied to the dedup family: a user tuning
+    // Bands/Rows or the SimHash threshold SEES the recall each setting
+    // buys, and false-positive pairs surface as n_extra. Ground truth is
+    // known by construction (the reference's write-side-expected-answer
+    // trick), so the report is exact, not sampled.
+    "q_dedup_quality" -> ((s, dir) => {
+      val truth = documents(s, dir)
+        .filter(size(tokens(col("text"))) >= 5)
+        .select(col("doc_id").as("a"), (col("doc_id") + 100000L).as("b"))
+        .withColumn("t", lit(1))
+      def report(method: String, found: DataFrame): DataFrame =
+        truth.join(found.withColumn("f", lit(1)), Seq("a", "b"), "full_outer")
+          .agg(
+            count(col("t")).as("n_truth"),
+            sum(when(col("t").isNotNull && col("f").isNotNull, 1L).otherwise(0L)).as("n_found"),
+            sum(when(col("f").isNotNull && col("t").isNull, 1L).otherwise(0L)).as("n_extra"))
+          .withColumn("recall",
+            col("n_found").cast("double") / col("n_truth").cast("double"))
+          .select(lit(method).as("method"), col("n_truth"), col("n_found"),
+            col("n_extra"), col("recall"))
+      val lsh = queries("q_dedup_minhash_lsh")(s, dir).select("a", "b")
+      val ngram = queries("q_dedup_ngram_jaccard")(s, dir).select("a", "b")
+      val sim = queries("q_dedup_simhash")(s, dir)
+        .filter(col("ham") <= 3)
+        .select(col("doc_id").as("a"), (col("doc_id") + 100000L).as("b"))
+      report("minhash_lsh", lsh)
+        .unionByName(report("ngram_jaccard", ngram))
+        .unionByName(report("simhash_ham3", sim))
+        .orderBy("method")
+    }),
+
     // multimodal: binary payload + typed metadata; SQL-expressible feature
     // extraction (mean byte, frame sample) — the mapPartitions decode stub
     // is exercised in MultimodalSpec
@@ -1202,17 +1306,7 @@ object PipelineQueries {
         s"""WITH $duckFuzzyCorpus, $duckShingled, $duckMinhashSigs
             SELECT * FROM sig ORDER BY doc_id""",
 
-      "q_dedup_minhash_lsh" -> {
-        val bandSelects = (0 until Bands).map(b =>
-          s"SELECT doc_id, $b AS band, ${duckBandSig(b)} AS bsig FROM sig").mkString(" UNION ALL ")
-        s"""WITH $duckFuzzyCorpus, $duckShingled, $duckMinhashSigs,
-              bands AS ($bandSelects),
-              ${duckCandidatePairs()},
-              shx AS (SELECT doc_id, list(x) AS sh FROM e GROUP BY doc_id),
-              j AS (SELECT a, b, ${duckJaccard("sa.sh", "sb.sh")} AS jaccard
-                    FROM cand JOIN shx sa ON sa.doc_id = a JOIN shx sb ON sb.doc_id = b)
-            SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY a, b"""
-      },
+      "q_dedup_minhash_lsh" -> duckLshPairsSql,
 
       "q_dedup_clusters" -> {
         val bandSelects = (0 until Bands).map(b =>
@@ -1245,27 +1339,9 @@ object PipelineQueries {
             ORDER BY doc_id"""
       },
 
-      "q_dedup_ngram_jaccard" -> {
-        val bandSelects = (0 until Bands).map(b =>
-          s"SELECT doc_id, $b AS band, ${duckBandSig(b)} AS bsig FROM sig").mkString(" UNION ALL ")
-        s"""WITH $duckFuzzyCorpus, $duckShingled, $duckMinhashSigs,
-              bands AS ($bandSelects),
-              ${duckCandidatePairs()},
-              j AS (SELECT a, b, ${duckJaccard("sa.sh", "sb.sh")} AS jaccard
-                    FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b)
-            SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY a, b"""
-      },
+      "q_dedup_ngram_jaccard" -> duckNgramPairsSql,
 
-      "q_dedup_simhash" ->
-        s"""WITH $duckFuzzyCorpus,
-              tok AS (SELECT doc_id, unnest(${duckTokens("text")}) AS t FROM corpus),
-              h AS (SELECT doc_id, ${duckTokenHash16("t")} AS hv FROM tok),
-              votes AS (SELECT doc_id, ${duckSimhashVotes("hv").mkString(", ")} FROM h GROUP BY doc_id),
-              sigs AS (SELECT doc_id, $duckSimhashPack AS simhash FROM votes)
-            SELECT a.doc_id AS doc_id, a.simhash AS sim_orig, b.simhash AS sim_mut,
-              ${duckHamming("a.simhash", "b.simhash")} AS ham
-            FROM sigs a JOIN sigs b ON b.doc_id = a.doc_id + 100000
-            ORDER BY a.doc_id""",
+      "q_dedup_simhash" -> duckSimhashSql,
 
       // banded blocking mirrored exactly: same band signatures, same
       // capped bucket expansion (duckCandidatePairs) — the cap is part of
@@ -1506,6 +1582,49 @@ object PipelineQueries {
                         FROM documents)
                   GROUP BY source)
             ORDER BY source""",
+
+      "q_rownum_global" ->
+        """SELECT event_id, user_id,
+             CAST(row_number() OVER (ORDER BY epoch_us(ts), event_id) AS INTEGER) AS rn
+           FROM events ORDER BY rn""",
+
+      "q_token_rarity" ->
+        s"""WITH tok AS (SELECT doc_id, unnest(${duckTokens("text")}) AS t FROM documents),
+              vc AS (SELECT t, CAST(count(*) AS BIGINT) AS c,
+                       row_number() OVER (ORDER BY count(*) DESC, t) AS rnk
+                     FROM tok GROUP BY t),
+              v AS (SELECT t, c FROM vc WHERE rnk <= 1000)
+            SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+              CAST(CAST(SUM(coalesce(v.c, 0)) AS BIGINT) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS mean_freq
+            FROM tok LEFT JOIN v ON tok.t = v.t
+            GROUP BY doc_id ORDER BY doc_id""",
+
+      "q_dedup_quality" -> {
+        def rep(cte: String, label: String, foundSql: String): String =
+          s"""r_$cte AS (
+                SELECT '$label' AS method,
+                  CAST(count(t) AS BIGINT) AS n_truth,
+                  CAST(SUM(CASE WHEN t IS NOT NULL AND f IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+                  CAST(SUM(CASE WHEN f IS NOT NULL AND t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_extra,
+                  CAST(SUM(CASE WHEN t IS NOT NULL AND f IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                    / CAST(count(t) AS DOUBLE) AS recall
+                FROM (SELECT * FROM truth
+                      FULL JOIN (SELECT a, b, 1 AS f FROM ($foundSql)) ff USING (a, b)))"""
+        val sims = s"""SELECT doc_id AS a, doc_id + 100000 AS b
+                       FROM ($duckSimhashSql) WHERE ham <= 3"""
+        s"""WITH truth AS (SELECT doc_id AS a, doc_id + 100000 AS b, 1 AS t
+                           FROM documents WHERE len(${duckTokens("text")}) >= 5),
+              ${rep("lsh", "minhash_lsh", s"SELECT a, b FROM ($duckLshPairsSql)")},
+              ${rep("ngram", "ngram_jaccard", s"SELECT a, b FROM ($duckNgramPairsSql)")},
+              ${rep("sim", "simhash_ham3", sims)}
+            SELECT method, n_truth, n_found, n_extra, recall
+            FROM (SELECT * FROM r_lsh UNION ALL SELECT * FROM r_ngram
+                  UNION ALL SELECT * FROM r_sim)
+            ORDER BY method"""
+      },
 
       "q_media_features" ->
         s"""WITH media AS (${Multimodal.duckMediaTable})

@@ -101,6 +101,29 @@ class CorpusSpec extends SparkSuite {
     }
   }
 
+  test("token rarity: oov bounded by token count, frequencies positive") {
+    val rows = q("q_token_rarity").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.forall { case (n, oov, f) => oov <= n && f >= 0.0 })
+    // OOV tokens exist exactly when the corpus vocabulary exceeds the
+    // top-1000 cut (at tiny SFs the whole vocab fits and 0 is correct)
+    val vocabSize = graft.queries.Tables.documents(spark, sf())
+      .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .select("t").distinct().count()
+    if (vocabSize > 1000)
+      assert(rows.map(_._2).sum > 0, "expected at least one OOV token corpus-wide")
+  }
+
+  test("dedup quality: recall near-perfect on the constructed corpus") {
+    val rows = q("q_dedup_quality").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    assert(rows.keySet == Set("minhash_lsh", "ngram_jaccard", "simhash_ham3"))
+    rows.foreach { case (m, (t, f, rec)) =>
+      assert(f <= t, s"$m found more truth pairs than exist")
+      assert(rec >= 0.95, s"$m recall $rec below the constructed-corpus floor")
+    }
+  }
+
   test("VectorIndex.ensure skips the rewrite when the codebook matches") {
     val rnd = new scala.util.Random(7)
     def vec() = Seq.fill(8)(rnd.nextDouble())

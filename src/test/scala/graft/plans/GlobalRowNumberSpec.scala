@@ -1,0 +1,74 @@
+package graft.plans
+
+import graft.SparkSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** GlobalRowNumberStrategy: the naive `row_number() OVER (ORDER BY ...)`
+  * must plan as the two-pass GlobalRowNumberExec (range shuffle +
+  * zipWithIndex) and produce numbers identical to the built-in
+  * single-task WindowExec on any unique total order. */
+class GlobalRowNumberSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def df = (0 until 10000).map(i => ((i * 2654435761L) % 100000, i.toLong))
+    .toDF("k", "id").repartition(7)
+
+  test("plans GlobalRowNumberExec for the unpartitioned row_number window") {
+    val out = df.withColumn("rn", row_number().over(Window.orderBy("k", "id")))
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalRowNumber"), s"expected GlobalRowNumberExec:\n$p")
+    assert(!p.contains("Window "), s"built-in WindowExec should be replaced:\n$p")
+  }
+
+  test("numbers match the built-in WindowExec on a unique order") {
+    val naive = df.withColumn("rn", row_number().over(Window.orderBy("k", "id")))
+    val got = naive.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") {
+      val p = naive.queryExecution.executedPlan.toString
+      naive.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    }
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("falls back to WindowExec when disabled, and for partitioned/other windows") {
+    withConf(GlobalRowNumberStrategy.ConfKey, "false") {
+      val p = df.withColumn("rn", row_number().over(Window.orderBy("k", "id")))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("Window "), s"disabled flag must restore WindowExec:\n$p")
+    }
+    val partitioned = df.withColumn("rn",
+      row_number().over(Window.partitionBy(col("k") % 10).orderBy("id")))
+    assert(!partitioned.queryExecution.executedPlan.toString.contains("GlobalRowNumber"))
+    val rank = df.withColumn("r", dense_rank().over(Window.orderBy("k", "id")))
+    assert(!rank.queryExecution.executedPlan.toString.contains("GlobalRowNumber"))
+  }
+
+  test("empty and single-row inputs number correctly") {
+    val empty = df.filter(col("id") < 0)
+      .withColumn("rn", row_number().over(Window.orderBy("id")))
+    assert(empty.count() == 0)
+    val one = df.filter(col("id") === 5L)
+      .withColumn("rn", row_number().over(Window.orderBy("id")))
+    assert(one.select("rn").as[Int].collect().toSeq == Seq(1))
+  }
+
+  test("SQL form rewrites too and survives a downstream filter") {
+    df.createOrReplaceTempView("grn_t")
+    val out = spark.sql(
+      "SELECT id, row_number() OVER (ORDER BY k, id) AS rn FROM grn_t")
+      .filter(col("rn") <= 100)
+    assert(out.queryExecution.executedPlan.toString.contains("GlobalRowNumber"))
+    val got = out.orderBy("rn").select("rn").as[Int].collect()
+    assert(got.toSeq == (1 to 100))
+  }
+
+  private def withConf[T](key: String, value: String)(body: => T): T = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+}

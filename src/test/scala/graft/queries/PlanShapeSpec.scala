@@ -116,6 +116,13 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("naive SQL row_number plans the two-pass exec, not single-task WindowExec") {
+    val p = plan("q_rownum_global")
+    assert(p.contains("GlobalRowNumber"), s"expected GlobalRowNumberExec:\n$p")
+    assert(p.contains("rangepartitioning") || p.contains("REPARTITION_BY"),
+      s"range exchange expected under the global row number:\n$p")
+  }
+
   test("top-ngrams plans TakeOrderedAndProject with map-side partial counts") {
     val p = plan("q_top_ngrams")
     assert(p.contains("TakeOrderedAndProject"), s"global sort where top-k expected:\n$p")
