@@ -1046,6 +1046,23 @@ object PipelineQueries {
                FROM events_v ORDER BY rn""")
     }),
 
+    // CONJUNCTIVE TERM SEARCH against the persisted inverted text index
+    // (pipeline.TextIndex): postings sharded by term hash — the
+    // reference's point-get bucket prune applied to term lookup. The
+    // probe computes the shard list driver-side (static partition
+    // pruning at file-listing time), reads only matching sorted runs,
+    // and ranks ALL-terms docs by summed tf. The oracle recomputes the
+    // same relation directly from documents — the index is lossless, so
+    // results match exactly.
+    "q_text_search" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_tindex_" +
+        s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+      TextIndex.ensure(documents(s, dir).select("doc_id", "text"), path)
+      TextIndex.searchAll(s, path, Seq("batch", "small", "scan"))
+        .orderBy(col("total_tf").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // TOKEN-RARITY quality score (unigram-LM-lite): mean corpus frequency
     // of a doc's tokens plus its out-of-vocabulary count — docs full of
     // rare/garbage tokens score low and get filtered. The scale trick is
@@ -1587,6 +1604,15 @@ object PipelineQueries {
         """SELECT event_id, user_id,
              CAST(row_number() OVER (ORDER BY epoch_us(ts), event_id) AS INTEGER) AS rn
            FROM events ORDER BY rn""",
+
+      "q_text_search" ->
+        s"""WITH tok AS (SELECT doc_id, unnest(${duckTokens("text")}) AS t FROM documents),
+              p AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS tf
+                    FROM tok GROUP BY t, doc_id),
+              m AS (SELECT doc_id, count(*) AS n, CAST(SUM(tf) AS BIGINT) AS total_tf
+                    FROM p WHERE t IN ('batch', 'small', 'scan') GROUP BY doc_id)
+            SELECT doc_id, total_tf FROM m WHERE n = 3
+            ORDER BY total_tf DESC, doc_id LIMIT 20""",
 
       "q_token_rarity" ->
         s"""WITH tok AS (SELECT doc_id, unnest(${duckTokens("text")}) AS t FROM documents),

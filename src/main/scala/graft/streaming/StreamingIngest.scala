@@ -124,6 +124,30 @@ object StreamingIngest {
       graft.pipeline.VectorIndex.write(batch, vecCol, cents, path, mode = "append")
     }
 
+  /** Continuous inverted-text-index ingest: each micro-batch of
+    * (doc_id, text) rows is tokenized, tf-counted and appended to the
+    * term-sharded postings layout at `path` — the streaming twin of
+    * graft.pipeline.TextIndex.write, under the same idempotent commit
+    * log. Search stays consistent while the index grows (appended files
+    * land inside their `shard=N` partition; searchAll aggregates per doc
+    * across files). Batches must carry DISJOINT doc sets — the standard
+    * append-ingest contract. Small files accumulate per batch; compact
+    * with TextIndex.compact under the marker-guarded swap. */
+  def textIndexWriter(stream: DataFrame, path: String,
+                      commitTag: String = "q0"): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeTextBatchIdempotent(batch, batchId, path, commitTag)
+      }
+
+  /** One idempotent text-index micro-batch append (testing seam). */
+  def writeTextBatchIdempotent(batch: DataFrame, batchId: Long, path: String,
+                               commitTag: String = "q0"): Unit =
+    withBatchCommit(batch, batchId, path, commitTag) {
+      graft.pipeline.TextIndex.write(batch, path, mode = "append")
+    }
+
   /** Event-time tumbling window aggregation with late-data discipline:
     * rows later than `watermarkDelay` behind the max seen event time are
     * dropped, so state is bounded (SURVEY.md §2.2 streaming bullet).
