@@ -71,9 +71,14 @@ object TextIndex {
       .repartition(col("shard"))
       .sortWithinPartitions("t", "doc_id")
       .write.partitionBy("shard").mode(mode).parquet(path)
+    // corpus size for ranked (idf) probes, accumulated across appends —
+    // counting distinct docs in THIS write's postings frame costs one
+    // tiny agg over data already shuffled
+    val n = postings.select("doc_id").distinct().count() +
+      (if (mode == "append") storedDocs(docs.sparkSession, path).getOrElse(0L) else 0L)
     val (fs, root) = fsOf(docs.sparkSession, path)
     val out = fs.create(new org.apache.hadoop.fs.Path(root, ManifestFile), true)
-    try out.write(s"""{"shards":$Shards}""".getBytes("UTF-8")) finally out.close()
+    try out.write(s"""{"shards":$Shards,"docs":$n}""".getBytes("UTF-8")) finally out.close()
   }
 
   /** Compact streaming-appended postings: one file set per micro-batch
@@ -87,7 +92,7 @@ object TextIndex {
     graft.store.SaltedStore.compact(spark, path, col("t"), targetBytes,
       partitionPrefix = "shard")
 
-  def storedShards(spark: SparkSession, path: String): Option[Int] = {
+  private def manifestField(spark: SparkSession, path: String, field: String): Option[Long] = {
     val (fs, root) = fsOf(spark, path)
     val p = new org.apache.hadoop.fs.Path(root, ManifestFile)
     if (!fs.exists(p)) None
@@ -95,9 +100,17 @@ object TextIndex {
       val in = fs.open(p)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      """"shards":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+      ("\"" + field + "\":(\\d+)").r.findFirstMatchIn(txt).map(_.group(1).toLong)
     }
   }
+
+  def storedShards(spark: SparkSession, path: String): Option[Int] =
+    manifestField(spark, path, "shards").map(_.toInt)
+
+  /** Total distinct docs indexed (manifest; accumulated over appends —
+    * exact under the disjoint-batch append contract). */
+  def storedDocs(spark: SparkSession, path: String): Option[Long] =
+    manifestField(spark, path, "docs")
 
   /** Idempotent build (the VectorIndex.ensure pattern): skip when a
     * complete index with the current shard count is already at `path`. */
@@ -107,14 +120,47 @@ object TextIndex {
     !fresh
   }
 
-  /** Conjunctive (all-terms) search against the persisted index: the
-    * probe computes the terms' shard list DRIVER-SIDE (the point-get
-    * prune — static `shard IN (...)`, partitions skipped at file-listing
-    * time), filters to the exact terms (sorted-run row-group skipping),
-    * and keeps docs matching ALL terms, ranked by summed tf. A stale or
-    * foreign layout fails loudly. */
-  def searchAll(spark: SparkSession, path: String, terms: Seq[String]): DataFrame = {
-    require(terms.nonEmpty, "searchAll needs at least one term")
+  /** BM25-lite ranked (ANY-terms) search: tf saturation
+    * tf·(k1+1)/(tf+k1) weighted by the rational Robertson idf
+    * (N−df+½)/(df+½) — deliberately WITHOUT the logarithm (a strictly
+    * monotone transform of classic BM25 idf), so scores are exact
+    * int-derived double arithmetic and reproducible bit-for-bit on any
+    * engine. df comes from the pruned shards (postings of the probed
+    * terms only — tiny), N from the manifest. Same static shard pruning
+    * as [[searchAll]]; no doc-length normalization (the synthetic-corpus
+    * docs are near-uniform; a production b-term would read a doc-length
+    * table the same way N is read). */
+  def searchRanked(spark: SparkSession, path: String, terms: Seq[String],
+                   k1: Double = 1.2): DataFrame = {
+    require(terms.nonEmpty, "searchRanked needs at least one term")
+    verifyLayout(spark, path)
+    val n = storedDocs(spark, path).getOrElse(throw new IllegalStateException(
+      s"text index at $path has no doc count in its manifest — rebuild to rank"))
+    val shards = terms.map(shardOfTerm).distinct
+    val postings = graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
+      .filter(col("shard").isin(shards: _*))
+      .filter(col("t").isin(terms: _*))
+      // re-aggregate per (t, doc): append-safe (postings may span files)
+      .groupBy("t", "doc_id").agg(sum("tf").as("tf"))
+    val df = postings.groupBy("t").agg(count_distinct(col("doc_id")).as("df"))
+    val tfSat = col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") + lit(k1))
+    val idf = (lit(n.toDouble) - col("df").cast("double") + 0.5) /
+      (col("df").cast("double") + 0.5)
+    postings.join(broadcast(df), "t")
+      .withColumn("w", tfSat * idf)
+      // fixed-point quantization BEFORE the per-doc sum: double addition
+      // is order-sensitive and partition order is not deterministic, so
+      // summing raw doubles would flip last-ulp bits run to run (the
+      // Similarity.lloyd trick; micro-score precision 1e-6 is far below
+      // any ranking-relevant difference)
+      .withColumn("wq", round(col("w") * 1000000.0).cast("bigint"))
+      .groupBy("doc_id")
+      .agg((sum("wq").cast("double") / 1000000.0).as("score"))
+      .select("doc_id", "score")
+  }
+
+  private def verifyLayout(spark: SparkSession, path: String): Unit =
     storedShards(spark, path) match {
       case Some(s) if s != Shards => throw new IllegalStateException(
         s"text index at $path was built with $s shards, probe expects $Shards " +
@@ -123,6 +169,16 @@ object TextIndex {
       case None => throw new IllegalStateException(
         s"no $ManifestFile manifest at $path — not a graft text index")
     }
+
+  /** Conjunctive (all-terms) search against the persisted index: the
+    * probe computes the terms' shard list DRIVER-SIDE (the point-get
+    * prune — static `shard IN (...)`, partitions skipped at file-listing
+    * time), filters to the exact terms (sorted-run row-group skipping),
+    * and keeps docs matching ALL terms, ranked by summed tf. A stale or
+    * foreign layout fails loudly. */
+  def searchAll(spark: SparkSession, path: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "searchAll needs at least one term")
+    verifyLayout(spark, path)
     val shards = terms.map(shardOfTerm).distinct
     // SaltedStore's marker-aware read on the shard layout: a probe during
     // (or after a crash of) compact waits out the swap instead of

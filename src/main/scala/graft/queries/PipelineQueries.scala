@@ -1063,6 +1063,22 @@ object PipelineQueries {
         .limit(20)
     }),
 
+    // BM25-lite RANKED search over the same index: tf saturation ×
+    // rational Robertson idf (no logarithm — a monotone transform of
+    // BM25's idf, so ranking is preserved and every score is exact
+    // rational-derived double arithmetic the oracle replays
+    // bit-for-bit). df comes from the pruned shards, N from the index
+    // manifest; per-doc sums are fixed-point quantized so partition
+    // order can't flip ulps.
+    "q_text_search_ranked" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_tindex_" +
+        s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+      TextIndex.ensure(documents(s, dir).select("doc_id", "text"), path)
+      TextIndex.searchRanked(s, path, Seq("batch", "small", "scan"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // TOKEN-RARITY quality score (unigram-LM-lite): mean corpus frequency
     // of a doc's tokens plus its out-of-vocabulary count — docs full of
     // rare/garbage tokens score low and get filtered. The scale trick is
@@ -1613,6 +1629,31 @@ object PipelineQueries {
                     FROM p WHERE t IN ('batch', 'small', 'scan') GROUP BY doc_id)
             SELECT doc_id, total_tf FROM m WHERE n = 3
             ORDER BY total_tf DESC, doc_id LIMIT 20""",
+
+      "q_text_search_ranked" -> {
+        // literals mirrored as Double.toString so decimal→double parsing
+        // agrees with Spark's driver-side constants (k1+1.0 is computed
+        // in Scala, not re-derived as 1.2+1.0 in SQL — the fold could
+        // differ in the last ulp from the literal 2.2)
+        val k1 = 1.2; val k1p1 = k1 + 1.0
+        s"""WITH tok AS (SELECT doc_id, unnest(${duckTokens("text")}) AS t FROM documents),
+              p AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS tf
+                    FROM tok GROUP BY t, doc_id),
+              q AS (SELECT * FROM p WHERE t IN ('batch', 'small', 'scan')),
+              d AS (SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM q GROUP BY t),
+              nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM p),
+              w AS (SELECT q.doc_id,
+                      CAST(round((CAST(q.tf AS DOUBLE) * CAST($k1p1 AS DOUBLE)
+                                    / (CAST(q.tf AS DOUBLE) + CAST($k1 AS DOUBLE)))
+                                 * ((n - CAST(d.df AS DOUBLE) + 0.5)
+                                    / (CAST(d.df AS DOUBLE) + 0.5))
+                                 * 1000000.0) AS BIGINT) AS wq
+                    FROM q JOIN d USING (t) CROSS JOIN nn)
+            SELECT doc_id,
+              CAST(CAST(SUM(wq) AS BIGINT) AS DOUBLE) / 1000000.0 AS score
+            FROM w GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT 20"""
+      },
 
       "q_token_rarity" ->
         s"""WITH tok AS (SELECT doc_id, unnest(${duckTokens("text")}) AS t FROM documents),
