@@ -25,24 +25,34 @@ import org.apache.spark.sql.functions._
   */
 object TextIndex {
 
-  /** Shard count. Like the salted store's bucket count this is part of
-    * the layout contract — probing with a different count would prune to
-    * the WRONG shards and silently miss postings, so it is recorded in a
-    * manifest and verified on probe (the VectorIndex codebook-hash
-    * pattern, failure mode and fix both inherited). */
-  val Shards = 16
+  /** Default shard count for NEW indexes. The count is a stored LAYOUT
+    * PARAMETER, not a compile-time contract: the writer records the count
+    * it used in the manifest and every probe reads it back and adapts its
+    * pruning arithmetic — the reference serializes distributor parameters
+    * the same way (wd/Parametrizable.java:24-27,
+    * wd/AbstractRowKeyDistributor.java:83-89) precisely so readers
+    * reconstruct writer parameters instead of hard-coding them. Size the
+    * count to the corpus at build time (postings ≈ corpus tokens; aim for
+    * shards of a few hundred GB so probe-time file listing stays O(terms ×
+    * files-per-shard), never O(corpus)); a 100 TB corpus wants hundreds of
+    * shards, a test corpus is fine with the default. Probing with a count
+    * other than the stored one would prune to the WRONG shards and
+    * silently miss postings — which is exactly why probes never take a
+    * count: they trust the manifest, and only a MISSING manifest is an
+    * error. */
+  val DefaultShards = 16
 
   val ManifestFile = "_graft_textindex.json"
 
   /** md5-derived term shard — identical arithmetic in DuckDB via
     * [[Dedup.duckBaseHash32]], so the oracle can replay pruning. */
-  def shardOf(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    pmod(Dedup.baseHash32(t), lit(Shards.toLong))
+  def shardOf(t: org.apache.spark.sql.Column, shards: Int): org.apache.spark.sql.Column =
+    pmod(Dedup.baseHash32(t), lit(shards.toLong))
 
-  def shardOfTerm(t: String): Long = {
+  def shardOfTerm(t: String, shards: Int): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 8), 16) % Shards
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) % shards
   }
 
   private def fsOf(spark: SparkSession, path: String) = {
@@ -53,32 +63,47 @@ object TextIndex {
   /** Build the index from `docs(doc_id, text)`: tokenize, count term
     * frequency per (term, doc), shard by term hash, write sorted
     * postings. The manifest lands strictly after the data (matching
-    * manifest ⇒ complete index — the ensure() contract). `append` (the
-    * streaming-ingest mode) verifies the shard contract first and
-    * requires batches with DISJOINT doc sets (the same contract as any
-    * append ingest); [[searchAll]] aggregates per doc across files, so
-    * a doc whose postings span batches still sums correctly. */
-  def write(docs: DataFrame, path: String, mode: String = "overwrite"): Unit = {
-    if (mode == "append") storedShards(docs.sparkSession, path).foreach { s =>
-      if (s != Shards) throw new IllegalStateException(
-        s"text index at $path has $s shards, writer expects $Shards — re-index")
-    }
-    val postings = docs
+    * manifest ⇒ complete index — the ensure() contract). `shards` sizes
+    * the layout for NEW indexes only; `append` (the streaming-ingest
+    * mode) ADOPTS the stored count — a later batch can never re-shard an
+    * existing layout — and requires batches with DISJOINT doc sets (the
+    * same contract as any append ingest); [[searchAll]] aggregates per
+    * doc across files, so a doc whose postings span batches still sums
+    * correctly.
+    *
+    * Single corpus pass: the tokenize→shuffle lineage executes exactly
+    * once (the parquet write). The doc count the manifest needs for idf
+    * is then harvested from the data just written — a doc_id-only
+    * column-pruned scan of the index, whose cost is bounded by postings
+    * size, never a second pass over the raw corpus. */
+  def write(docs: DataFrame, path: String, mode: String = "overwrite",
+            shards: Int = DefaultShards): Unit = {
+    require(shards > 0, s"shard count must be positive, got $shards")
+    val spark = docs.sparkSession
+    val (prevDocs, nShards) =
+      if (mode == "append")
+        (storedDocs(spark, path).getOrElse(0L),
+         storedShards(spark, path).getOrElse(shards))
+      else (0L, shards)
+    docs
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
       .groupBy("t", "doc_id").agg(count(lit(1)).as("tf"))
-      .withColumn("shard", shardOf(col("t")))
-    postings
+      .withColumn("shard", shardOf(col("t"), nShards))
       .repartition(col("shard"))
       .sortWithinPartitions("t", "doc_id")
       .write.partitionBy("shard").mode(mode).parquet(path)
-    // corpus size for ranked (idf) probes, accumulated across appends —
-    // counting distinct docs in THIS write's postings frame costs one
-    // tiny agg over data already shuffled
-    val n = postings.select("doc_id").distinct().count() +
-      (if (mode == "append") storedDocs(docs.sparkSession, path).getOrElse(0L) else 0L)
-    val (fs, root) = fsOf(docs.sparkSession, path)
+    // corpus size for ranked (idf) probes, accumulated across appends.
+    // In append mode only THIS batch's files are new — but batches carry
+    // disjoint doc sets, so counting this batch via its (tiny) doc list
+    // and adding the stored total is exact. Overwrite counts the index.
+    val n =
+      if (mode == "append")
+        prevDocs + docs.select("doc_id").distinct().count()
+      else
+        spark.read.parquet(path).select("doc_id").distinct().count()
+    val (fs, root) = fsOf(spark, path)
     val out = fs.create(new org.apache.hadoop.fs.Path(root, ManifestFile), true)
-    try out.write(s"""{"shards":$Shards,"docs":$n}""".getBytes("UTF-8")) finally out.close()
+    try out.write(s"""{"shards":$nShards,"docs":$n}""".getBytes("UTF-8")) finally out.close()
   }
 
   /** Compact streaming-appended postings: one file set per micro-batch
@@ -113,10 +138,13 @@ object TextIndex {
     manifestField(spark, path, "docs")
 
   /** Idempotent build (the VectorIndex.ensure pattern): skip when a
-    * complete index with the current shard count is already at `path`. */
-  def ensure(docs: DataFrame, path: String): Boolean = {
-    val fresh = storedShards(docs.sparkSession, path).contains(Shards)
-    if (!fresh) write(docs, path)
+    * complete index with the REQUESTED shard count is already at `path`;
+    * a layout built with a different count is rebuilt (ensure's caller
+    * is declaring the layout they want, unlike probes, which adapt). */
+  def ensure(docs: DataFrame, path: String,
+             shards: Int = DefaultShards): Boolean = {
+    val fresh = storedShards(docs.sparkSession, path).contains(shards)
+    if (!fresh) write(docs, path, shards = shards)
     !fresh
   }
 
@@ -133,10 +161,10 @@ object TextIndex {
   def searchRanked(spark: SparkSession, path: String, terms: Seq[String],
                    k1: Double = 1.2): DataFrame = {
     require(terms.nonEmpty, "searchRanked needs at least one term")
-    verifyLayout(spark, path)
+    val nShards = layoutShards(spark, path)
     val n = storedDocs(spark, path).getOrElse(throw new IllegalStateException(
       s"text index at $path has no doc count in its manifest — rebuild to rank"))
-    val shards = terms.map(shardOfTerm).distinct
+    val shards = terms.map(shardOfTerm(_, nShards)).distinct
     val postings = graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
       .filter(col("shard").isin(shards: _*))
       .filter(col("t").isin(terms: _*))
@@ -160,15 +188,17 @@ object TextIndex {
       .select("doc_id", "score")
   }
 
-  private def verifyLayout(spark: SparkSession, path: String): Unit =
-    storedShards(spark, path) match {
-      case Some(s) if s != Shards => throw new IllegalStateException(
-        s"text index at $path was built with $s shards, probe expects $Shards " +
-          "— pruning would silently miss postings. Re-index.")
-      case Some(_) => ()
-      case None => throw new IllegalStateException(
-        s"no $ManifestFile manifest at $path — not a graft text index")
-    }
+  /** The shard count every probe must use — read from the manifest, the
+    * single source of truth for the layout (the reference reconstructs
+    * distributor parameters from serialized params the same way,
+    * wd/AbstractRowKeyDistributor.java:83-89). Probes never take a count
+    * of their own: guessing one that differs from the writer's would
+    * prune to the WRONG shards and silently miss postings, so the only
+    * failure mode left is a missing manifest, which fails loudly. */
+  private def layoutShards(spark: SparkSession, path: String): Int =
+    storedShards(spark, path).getOrElse(throw new IllegalStateException(
+      s"no $ManifestFile manifest at $path — not a graft text index " +
+        "(the shard count is a stored layout parameter; a probe cannot guess it)"))
 
   /** Conjunctive (all-terms) search against the persisted index: the
     * probe computes the terms' shard list DRIVER-SIDE (the point-get
@@ -178,8 +208,8 @@ object TextIndex {
     * foreign layout fails loudly. */
   def searchAll(spark: SparkSession, path: String, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "searchAll needs at least one term")
-    verifyLayout(spark, path)
-    val shards = terms.map(shardOfTerm).distinct
+    val nShards = layoutShards(spark, path)
+    val shards = terms.map(shardOfTerm(_, nShards)).distinct
     // SaltedStore's marker-aware read on the shard layout: a probe during
     // (or after a crash of) compact waits out the swap instead of
     // silently missing a shard

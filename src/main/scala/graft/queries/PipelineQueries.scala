@@ -1057,7 +1057,10 @@ object PipelineQueries {
     "q_text_search" -> ((s, dir) => {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_tindex_" +
         s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
-      TextIndex.ensure(documents(s, dir).select("doc_id", "text"), path)
+      // deliberately NON-default shard count: the probe learns it from
+      // the manifest, proving the count is a stored layout parameter
+      // (at 100 TB you'd size this to keep shards at a few hundred GB)
+      TextIndex.ensure(documents(s, dir).select("doc_id", "text"), path, shards = 64)
       TextIndex.searchAll(s, path, Seq("batch", "small", "scan"))
         .orderBy(col("total_tf").desc, col("doc_id"))
         .limit(20)
@@ -1073,7 +1076,7 @@ object PipelineQueries {
     "q_text_search_ranked" -> ((s, dir) => {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_tindex_" +
         s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
-      TextIndex.ensure(documents(s, dir).select("doc_id", "text"), path)
+      TextIndex.ensure(documents(s, dir).select("doc_id", "text"), path, shards = 64)
       TextIndex.searchRanked(s, path, Seq("batch", "small", "scan"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)

@@ -25,7 +25,7 @@ class TextIndexSpec extends SparkSuite {
     val names = new java.io.File(dir).listFiles().map(_.getName)
     assert(names.exists(_.startsWith("shard=")))
     assert(names.contains(TextIndex.ManifestFile))
-    assert(TextIndex.storedShards(spark, dir).contains(TextIndex.Shards))
+    assert(TextIndex.storedShards(spark, dir).contains(TextIndex.DefaultShards))
   }
 
   test("conjunctive search matches a direct computation") {
@@ -44,7 +44,7 @@ class TextIndexSpec extends SparkSuite {
     val p = df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
     assert(p.contains("PartitionFilters"), s"no partition filters in:\n$p")
-    val shard = TextIndex.shardOfTerm("cat")
+    val shard = TextIndex.shardOfTerm("cat", TextIndex.DefaultShards)
     assert(p.contains(s"shard#") && p.contains("isnotnull(shard"),
       s"shard pruning predicate missing:\n$p")
     // the shard column arithmetic agrees between driver and executors
@@ -78,21 +78,57 @@ class TextIndexSpec extends SparkSuite {
     new java.io.File(d).listFiles().filter(_.getName.startsWith("shard="))
       .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
 
-  test("ensure is idempotent; a foreign shard count fails loudly") {
+  test("probe adapts to a non-default stored shard count") {
+    // the shard count is a stored layout parameter (the reference's
+    // serialized-params contract): the same corpus indexed with 5 shards
+    // must answer every query identically — probes read the count from
+    // the manifest and re-derive their pruning arithmetic from it
+    val d5 = java.nio.file.Files.createTempDirectory("tindex5").toString
+    TextIndex.write(docs, d5, shards = 5)
+    assert(TextIndex.storedShards(spark, d5).contains(5))
+    val got = TextIndex.searchAll(spark, d5, Seq("the", "of"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 4L)))
+    // and the layout really is 5-sharded (not default-sharded)
+    val shardDirs = new java.io.File(d5).listFiles()
+      .map(_.getName).filter(_.startsWith("shard="))
+      .map(_.stripPrefix("shard=").toInt)
+    assert(shardDirs.forall(s => s >= 0 && s < 5))
+    // ranked search adapts through the same manifest read
+    val ranked = TextIndex.searchRanked(spark, d5, Seq("cat"))
+      .orderBy(col("score").desc, col("doc_id"))
+    assert(ranked.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("append adopts the stored shard count, ignoring the writer default") {
+    val dA = java.nio.file.Files.createTempDirectory("tindexA").toString
+    TextIndex.write(Seq((1L, "alpha beta")).toDF("doc_id", "text"), dA, shards = 3)
+    // append WITHOUT passing shards — must adopt 3, not DefaultShards
+    TextIndex.write(Seq((2L, "alpha gamma")).toDF("doc_id", "text"), dA, mode = "append")
+    assert(TextIndex.storedShards(spark, dA).contains(3))
+    assert(TextIndex.storedDocs(spark, dA).contains(2L))
+    val got = TextIndex.searchAll(spark, dA, Seq("alpha"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L)))
+  }
+
+  test("ensure is idempotent; missing manifest fails loudly; diverged layout rebuilds") {
     val d2 = java.nio.file.Files.createTempDirectory("tindex2").toString
     assert(TextIndex.ensure(docs, d2), "first ensure writes")
     assert(!TextIndex.ensure(docs, d2), "second ensure reuses")
-    // corrupt the manifest to simulate an index from a different layout
-    // (through the Hadoop fs so the checksum sidecar stays consistent)
+    // a probe cannot guess the shard count: no manifest ⇒ loud failure
+    // (delete through the Hadoop fs so the checksum sidecar goes too)
     val root = new org.apache.hadoop.fs.Path(d2)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(new org.apache.hadoop.fs.Path(root, TextIndex.ManifestFile), true)
-    try out.write("""{"shards":8}""".getBytes("UTF-8")) finally out.close()
+    fs.delete(new org.apache.hadoop.fs.Path(root, TextIndex.ManifestFile), false)
     val e = intercept[IllegalStateException] {
       TextIndex.searchAll(spark, d2, Seq("cat"))
     }
-    assert(e.getMessage.contains("8 shards"))
-    // and ensure() rebuilds it
-    assert(TextIndex.ensure(docs, d2), "diverged layout rebuilds")
+    assert(e.getMessage.contains("manifest"))
+    // an index built with a different count than ensure() requests is
+    // rebuilt to the requested layout
+    assert(TextIndex.ensure(docs, d2), "missing manifest rebuilds")
+    assert(TextIndex.ensure(docs, d2, shards = 4), "diverged layout rebuilds")
+    assert(TextIndex.storedShards(spark, d2).contains(4))
   }
 }
