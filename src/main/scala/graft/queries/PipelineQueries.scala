@@ -1046,6 +1046,22 @@ object PipelineQueries {
                FROM events_v ORDER BY rn""")
     }),
 
+    // NAIVE GLOBAL rank()/dense_rank() — the same SQL-user trap as
+    // q_rownum_global but with TIES (many events per user), which
+    // row_number's two-pass rescue alone can't handle: rank needs the
+    // tie-run start, dense_rank the distinct-key prefix count. The
+    // extended GlobalRowNumberStrategy computes both in the one
+    // per-partition stats pass — exact because the range exchange
+    // co-locates equal sort keys, so tie runs never span partitions.
+    // PlanShapeSpec asserts no single-task WindowExec survives.
+    "q_rank_global" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""SELECT event_id, user_id,
+                 rank() OVER (ORDER BY user_id) AS rk,
+                 dense_rank() OVER (ORDER BY user_id) AS drk
+               FROM events_v ORDER BY user_id, event_id""")
+    }),
+
     // CONJUNCTIVE TERM SEARCH against the persisted inverted text index
     // (pipeline.TextIndex): postings sharded by term hash — the
     // reference's point-get bucket prune applied to term lookup. The
@@ -1623,6 +1639,12 @@ object PipelineQueries {
         """SELECT event_id, user_id,
              CAST(row_number() OVER (ORDER BY epoch_us(ts), event_id) AS INTEGER) AS rn
            FROM events ORDER BY rn""",
+
+      "q_rank_global" ->
+        """SELECT event_id, user_id,
+             CAST(rank() OVER (ORDER BY user_id) AS INTEGER) AS rk,
+             CAST(dense_rank() OVER (ORDER BY user_id) AS INTEGER) AS drk
+           FROM events ORDER BY user_id, event_id""",
 
       "q_text_search" ->
         s"""WITH tok AS (SELECT doc_id, unnest(${duckTokens("text")}) AS t FROM documents),

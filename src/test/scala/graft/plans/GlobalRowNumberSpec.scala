@@ -40,8 +40,34 @@ class GlobalRowNumberSpec extends SparkSuite {
     val partitioned = df.withColumn("rn",
       row_number().over(Window.partitionBy(col("k") % 10).orderBy("id")))
     assert(!partitioned.queryExecution.executedPlan.toString.contains("GlobalRowNumber"))
-    val rank = df.withColumn("r", dense_rank().over(Window.orderBy("k", "id")))
-    assert(!rank.queryExecution.executedPlan.toString.contains("GlobalRowNumber"))
+    // unsupported window functions over the same node opt the whole node out
+    val mixed = df.withColumn("r", rank().over(Window.orderBy("k")))
+      .withColumn("l", lag("id", 1).over(Window.orderBy("k")))
+    assert(!mixed.queryExecution.executedPlan.toString.contains("GlobalRowNumber"))
+  }
+
+  test("rank and dense_rank plan the two-pass exec and match WindowExec on ties") {
+    // k = i % 97 gives ~103-deep tie runs — boundary-spanning ties are
+    // the regression this guards (range partitioner must co-locate them)
+    val tied = (0 until 10000).map(i => ((i % 97).toLong, i.toLong))
+      .toDF("k", "id").repartition(7)
+    val out = tied
+      .withColumn("rk", rank().over(Window.orderBy("k")))
+      .withColumn("drk", dense_rank().over(Window.orderBy("k")))
+      .withColumn("rn", row_number().over(Window.orderBy("k")))
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalRowNumber"), s"expected GlobalRowNumberExec:\n$p")
+    assert(!p.contains("Window "), s"built-in WindowExec should be replaced:\n$p")
+    // rank/dense_rank are deterministic under ties; compare those exactly
+    val got = out.select("k", "id", "rk", "drk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).sorted
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") {
+      out.select("k", "id", "rk", "drk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).sorted
+    }
+    assert(got.toSeq == expected.toSeq)
+    // row_number stays a permutation within each tie class
+    assert(out.select("rn").as[Int].collect().sorted.toSeq == (1 to 10000))
   }
 
   test("empty and single-row inputs number correctly") {

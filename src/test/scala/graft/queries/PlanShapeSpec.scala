@@ -123,6 +123,15 @@ class PlanShapeSpec extends SparkSuite {
       s"range exchange expected under the global row number:\n$p")
   }
 
+  test("naive SQL global rank/dense_rank plans the two-pass exec too") {
+    val p = plan("q_rank_global")
+    assert(p.contains("GlobalRowNumber"), s"expected GlobalRowNumberExec:\n$p")
+    assert(!p.contains("Window "),
+      s"single-task WindowExec must not survive for global rank:\n$p")
+    assert(p.contains("rangepartitioning") || p.contains("REPARTITION_BY"),
+      s"range exchange expected under the global rank:\n$p")
+  }
+
   test("top-ngrams plans TakeOrderedAndProject with map-side partial counts") {
     val p = plan("q_top_ngrams")
     assert(p.contains("TakeOrderedAndProject"), s"global sort where top-k expected:\n$p")
