@@ -85,9 +85,17 @@ object TextIndex {
         (storedDocs(spark, path).getOrElse(0L),
          storedShards(spark, path).getOrElse(shards))
       else (0L, shards)
+    // POSITIONAL postings: each (term, doc) row carries the sorted token
+    // positions, the standard positional-index layout — phrase queries
+    // verify adjacency from the index alone, no document rescan. The
+    // cost is ~one int per corpus token; tf-only probes (searchAll /
+    // searchRanked) never pay it — parquet column pruning skips the
+    // positions column entirely.
     docs
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
-      .groupBy("t", "doc_id").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "t")))
+      .groupBy("t", "doc_id").agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("shard", shardOf(col("t"), nShards))
       .repartition(col("shard"))
       .sortWithinPartitions("t", "doc_id")
@@ -199,6 +207,47 @@ object TextIndex {
     storedShards(spark, path).getOrElse(throw new IllegalStateException(
       s"no $ManifestFile manifest at $path — not a graft text index " +
         "(the shard count is a stored layout parameter; a probe cannot guess it)"))
+
+  /** Exact-PHRASE search against the positional index: same driver-side
+    * shard prune as [[searchAll]] (the shard list of the phrase's
+    * DISTINCT terms), then adjacency is verified by position arithmetic
+    * on the fetched posting lists alone — the classic positional-index
+    * probe, never a document rescan. Each phrase slot i intersects the
+    * slot term's positions shifted by −i; a surviving position is the
+    * start of one occurrence, so `n_occurrences` counts exact phrase
+    * hits. Repeated terms work naturally (the same posting list joins
+    * once per slot with a different shift). Cost is bounded by the
+    * rarest term's posting list — the conjunctive-search bound — and the
+    * per-doc work is codegen'd array arithmetic (transform /
+    * array_intersect), no UDFs. */
+  def searchPhrase(spark: SparkSession, path: String, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "searchPhrase needs at least one term")
+    val nShards = layoutShards(spark, path)
+    val terms = phrase.distinct
+    val shards = terms.map(shardOfTerm(_, nShards)).distinct
+    import spark.implicits._
+    val slots = phrase.zipWithIndex.map { case (t, i) => (i, t) }.toDF("slot", "st")
+    val fetched = graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
+      .filter(col("shard").isin(shards: _*))
+      .filter(col("t").isin(terms: _*))
+      // append-safe: a doc's postings may span appended micro-batch files
+      .groupBy("t", "doc_id")
+      .agg(sort_array(flatten(collect_list(col("positions")))).as("positions"))
+    fetched.join(broadcast(slots), col("t") === col("st"))
+      .select(col("doc_id"), col("slot"),
+        transform(col("positions"), p => p - col("slot")).as("shifted"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_slots"),
+        array_sort(collect_list(struct(col("slot"), col("shifted")))).as("sl"))
+      // every slot's term must be present before intersecting
+      .filter(col("n_slots") === phrase.length)
+      .withColumn("occ", aggregate(
+        slice(col("sl"), 2, phrase.length - 1),
+        col("sl").getItem(0).getField("shifted"),
+        (acc, x) => array_intersect(acc, x.getField("shifted"))))
+      .select(col("doc_id"), size(col("occ")).as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+  }
 
   /** Conjunctive (all-terms) search against the persisted index: the
     * probe computes the terms' shard list DRIVER-SIDE (the point-get

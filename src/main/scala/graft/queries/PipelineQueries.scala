@@ -1098,6 +1098,20 @@ object PipelineQueries {
         .limit(20)
     }),
 
+    // EXACT-PHRASE search over the POSITIONAL index: adjacency verified
+    // by position arithmetic on the pruned posting lists alone (slot-i
+    // positions shifted by −i, intersected) — never a document rescan.
+    // Shard pruning is identical to q_text_search (the phrase's distinct
+    // terms); the oracle recomputes occurrences from documents with a
+    // positional self-join — the index stays lossless.
+    "q_text_phrase" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_tindex_" +
+        s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+      TextIndex.ensure(documents(s, dir).select("doc_id", "text"), path, shards = 64)
+      TextIndex.searchPhrase(s, path, Seq("scan", "query"))
+        .orderBy(col("n_occurrences").desc, col("doc_id"))
+    }),
+
     // TOKEN-RARITY quality score (unigram-LM-lite): mean corpus frequency
     // of a doc's tokens plus its out-of-vocabulary count — docs full of
     // rare/garbage tokens score low and get filtered. The scale trick is
@@ -1654,6 +1668,18 @@ object PipelineQueries {
                     FROM p WHERE t IN ('batch', 'small', 'scan') GROUP BY doc_id)
             SELECT doc_id, total_tf FROM m WHERE n = 3
             ORDER BY total_tf DESC, doc_id LIMIT 20""",
+
+      "q_text_phrase" ->
+        s"""WITH tok AS (SELECT doc_id, ${duckTokens("text")} AS ts FROM documents),
+              pos AS (SELECT doc_id, unnest(ts) AS t,
+                        unnest(generate_series(1, len(ts))) AS pos FROM tok)
+            SELECT p0.doc_id AS doc_id, CAST(count(*) AS INTEGER) AS n_occurrences
+            FROM pos p0
+            JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+                       AND p1.t = 'query'
+            WHERE p0.t = 'scan'
+            GROUP BY p0.doc_id
+            ORDER BY n_occurrences DESC, p0.doc_id""",
 
       "q_text_search_ranked" -> {
         // literals mirrored as Double.toString so decimal→double parsing

@@ -78,6 +78,31 @@ class TextIndexSpec extends SparkSuite {
     new java.io.File(d).listFiles().filter(_.getName.startsWith("shard="))
       .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
 
+  test("phrase search verifies adjacency from positions alone") {
+    // "the cat": doc 1 only (doc 3 has cat but not preceded by the)
+    val got = TextIndex.searchPhrase(spark, dir, Seq("the", "cat"))
+      .orderBy("doc_id").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 1)))
+    // both terms present but never adjacent: no hit
+    assert(TextIndex.searchPhrase(spark, dir, Seq("cat", "mat")).count() == 0)
+    // single-term phrase degenerates to tf
+    val one = TextIndex.searchPhrase(spark, dir, Seq("the"))
+      .orderBy("doc_id").as[(Long, Int)].collect().toSeq
+    assert(one == Seq((1L, 2), (2L, 3)))
+  }
+
+  test("phrase search handles repeated terms and multiple occurrences") {
+    val d6 = java.nio.file.Files.createTempDirectory("tindex6").toString
+    TextIndex.write(Seq(
+      (1L, "cat and dog and bird"),
+      (2L, "and dog and dog and"),
+      (3L, "dog and cat")).toDF("doc_id", "text"), d6, shards = 3)
+    // repeated-term phrase "and dog and": doc1 @1, doc2 @0 and @2
+    val got = TextIndex.searchPhrase(spark, d6, Seq("and", "dog", "and"))
+      .orderBy("doc_id").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 1), (2L, 2)))
+  }
+
   test("probe adapts to a non-default stored shard count") {
     // the shard count is a stored layout parameter (the reference's
     // serialized-params contract): the same corpus indexed with 5 shards
