@@ -44,6 +44,11 @@ object TextIndex {
 
   val ManifestFile = "_graft_textindex.json"
 
+  /** Layout format version. 2 = positional postings + denormalized doc
+    * length + token count in the manifest. ensure() rebuilds an
+    * older-format index; probes fail loudly on one. */
+  val Format = 2
+
   /** md5-derived term shard — identical arithmetic in DuckDB via
     * [[Dedup.duckBaseHash32]], so the oracle can replay pruning. */
   def shardOf(t: org.apache.spark.sql.Column, shards: Int): org.apache.spark.sql.Column =
@@ -80,38 +85,61 @@ object TextIndex {
             shards: Int = DefaultShards): Unit = {
     require(shards > 0, s"shard count must be positive, got $shards")
     val spark = docs.sparkSession
-    val (prevDocs, nShards) =
+    if (mode == "append") storedFormat(spark, path).foreach { f =>
+      if (f != Format) throw new IllegalStateException(
+        s"text index at $path has layout format $f, this writer produces " +
+          s"$Format — re-index before appending")
+    }
+    val (prevDocs, prevTokens, nShards) =
       if (mode == "append")
         (storedDocs(spark, path).getOrElse(0L),
+         storedTokens(spark, path).getOrElse(0L),
          storedShards(spark, path).getOrElse(shards))
-      else (0L, shards)
+      else (0L, 0L, shards)
     // POSITIONAL postings: each (term, doc) row carries the sorted token
     // positions, the standard positional-index layout — phrase queries
     // verify adjacency from the index alone, no document rescan. The
     // cost is ~one int per corpus token; tf-only probes (searchAll /
     // searchRanked) never pay it — parquet column pruning skips the
     // positions column entirely.
+    //
+    // Doc length `dl` is DENORMALIZED into the posting rows (computed
+    // before the explode, so it rides the one build shuffle as a 4-byte
+    // column): BM25's length normalization then needs no probe-time join
+    // against a corpus-sized doc-length table — the Lucene per-segment
+    // norms idea expressed as a posting column.
     docs
-      .select(col("doc_id"),
-        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "t")))
-      .groupBy("t", "doc_id").agg(count(lit(1)).as("tf"),
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        posexplode(col("toks")).as(Seq("pos", "t")))
+      .groupBy("t", "doc_id").agg(count(lit(1)).as("tf"), max("dl").as("dl"),
         sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("shard", shardOf(col("t"), nShards))
       .repartition(col("shard"))
       .sortWithinPartitions("t", "doc_id")
       .write.partitionBy("shard").mode(mode).parquet(path)
-    // corpus size for ranked (idf) probes, accumulated across appends.
-    // In append mode only THIS batch's files are new — but batches carry
-    // disjoint doc sets, so counting this batch via its (tiny) doc list
-    // and adding the stored total is exact. Overwrite counts the index.
-    val n =
-      if (mode == "append")
-        prevDocs + docs.select("doc_id").distinct().count()
-      else
-        spark.read.parquet(path).select("doc_id").distinct().count()
+    // corpus size (docs, tokens) for ranked (idf / avgdl) probes,
+    // accumulated across appends. In append mode only THIS batch's files
+    // are new — but batches carry disjoint doc sets, so counting this
+    // batch and adding the stored totals is exact. Overwrite harvests
+    // both from a (doc_id, tf)-pruned read-back of the written index —
+    // bounded by postings size, never a second corpus pass.
+    val (n, tokens) =
+      if (mode == "append") {
+        val r = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .agg(count_distinct(col("doc_id")), coalesce(sum(size(col("toks"))), lit(0L)))
+          .head()
+        (prevDocs + r.getLong(0), prevTokens + r.getLong(1))
+      } else {
+        val r = spark.read.parquet(path)
+          .agg(count_distinct(col("doc_id")), coalesce(sum("tf"), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      }
     val (fs, root) = fsOf(spark, path)
     val out = fs.create(new org.apache.hadoop.fs.Path(root, ManifestFile), true)
-    try out.write(s"""{"shards":$nShards,"docs":$n}""".getBytes("UTF-8")) finally out.close()
+    try out.write(
+      s"""{"format":$Format,"shards":$nShards,"docs":$n,"tokens":$tokens}"""
+        .getBytes("UTF-8")) finally out.close()
   }
 
   /** Compact streaming-appended postings: one file set per micro-batch
@@ -145,13 +173,24 @@ object TextIndex {
   def storedDocs(spark: SparkSession, path: String): Option[Long] =
     manifestField(spark, path, "docs")
 
+  /** Total corpus tokens indexed (manifest) — avgdl's numerator. */
+  def storedTokens(spark: SparkSession, path: String): Option[Long] =
+    manifestField(spark, path, "tokens")
+
+  /** Layout format version; pre-versioning indexes read as format 1. */
+  def storedFormat(spark: SparkSession, path: String): Option[Int] =
+    if (storedShards(spark, path).isEmpty) None
+    else Some(manifestField(spark, path, "format").map(_.toInt).getOrElse(1))
+
   /** Idempotent build (the VectorIndex.ensure pattern): skip when a
     * complete index with the REQUESTED shard count is already at `path`;
     * a layout built with a different count is rebuilt (ensure's caller
     * is declaring the layout they want, unlike probes, which adapt). */
   def ensure(docs: DataFrame, path: String,
              shards: Int = DefaultShards): Boolean = {
-    val fresh = storedShards(docs.sparkSession, path).contains(shards)
+    val spark = docs.sparkSession
+    val fresh = storedShards(spark, path).contains(shards) &&
+      storedFormat(spark, path).contains(Format)
     if (!fresh) write(docs, path, shards = shards)
     !fresh
   }
@@ -163,12 +202,19 @@ object TextIndex {
     * int-derived double arithmetic and reproducible bit-for-bit on any
     * engine. df comes from the pruned shards (postings of the probed
     * terms only — tiny), N from the manifest. Same static shard pruning
-    * as [[searchAll]]; no doc-length normalization (the synthetic-corpus
-    * docs are near-uniform; a production b-term would read a doc-length
-    * table the same way N is read). */
+    * as [[searchAll]].
+    *
+    * `b` is BM25's doc-length normalization: the tf saturation point
+    * scales by (1−b + b·dl/avgdl), so long documents need
+    * proportionally more term occurrences to score the same — `dl`
+    * comes straight off the posting rows (denormalized at build time,
+    * no doc-length-table join) and `avgdl` from the manifest's
+    * (tokens, docs) totals. b = 0 (the default) disables it and keeps
+    * the length-free scoring. */
   def searchRanked(spark: SparkSession, path: String, terms: Seq[String],
-                   k1: Double = 1.2): DataFrame = {
+                   k1: Double = 1.2, b: Double = 0.0): DataFrame = {
     require(terms.nonEmpty, "searchRanked needs at least one term")
+    require(b >= 0.0 && b <= 1.0, s"BM25 b must be in [0,1], got $b")
     val nShards = layoutShards(spark, path)
     val n = storedDocs(spark, path).getOrElse(throw new IllegalStateException(
       s"text index at $path has no doc count in its manifest — rebuild to rank"))
@@ -176,11 +222,25 @@ object TextIndex {
     val postings = graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
       .filter(col("shard").isin(shards: _*))
       .filter(col("t").isin(terms: _*))
-      // re-aggregate per (t, doc): append-safe (postings may span files)
-      .groupBy("t", "doc_id").agg(sum("tf").as("tf"))
+      // re-aggregate per (t, doc): append-safe (postings may span files);
+      // dl is per-doc constant, max() just survives the file split
+      .groupBy("t", "doc_id").agg(sum("tf").as("tf"), max("dl").as("dl"))
     val df = postings.groupBy("t").agg(count_distinct(col("doc_id")).as("df"))
+    // saturation denominator: tf + k1·(1−b + b·dl/avgdl); at b=0 the
+    // norm constant-folds to exactly k1 — bit-identical to the
+    // length-free scoring, so the same oracle covers both paths
+    val norm =
+      if (b == 0.0) lit(k1)
+      else {
+        val tokens = storedTokens(spark, path).getOrElse(
+          throw new IllegalStateException(
+            s"text index at $path predates the token-count manifest field " +
+              "— re-index to rank with b > 0"))
+        val avgdl = tokens.toDouble / n.toDouble
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl))
+      }
     val tfSat = col("tf").cast("double") * lit(k1 + 1.0) /
-      (col("tf").cast("double") + lit(k1))
+      (col("tf").cast("double") + norm)
     val idf = (lit(n.toDouble) - col("df").cast("double") + 0.5) /
       (col("df").cast("double") + 0.5)
     postings.join(broadcast(df), "t")

@@ -1098,6 +1098,22 @@ object PipelineQueries {
         .limit(20)
     }),
 
+    // FULL BM25 ranked search (doc-length normalization on): the
+    // saturation point scales by (1−b + b·dl/avgdl), so long documents
+    // need proportionally more occurrences to score the same. dl rides
+    // the posting rows (denormalized at build — no probe-time join
+    // against a corpus-sized doc-length table); avgdl comes from the
+    // manifest's (tokens, docs) totals. Same fixed-point quantization
+    // and rational idf as q_text_search_ranked.
+    "q_text_bm25" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_tindex_" +
+        s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+      TextIndex.ensure(documents(s, dir).select("doc_id", "text"), path, shards = 64)
+      TextIndex.searchRanked(s, path, Seq("batch", "small", "scan"), b = 0.75)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // EXACT-PHRASE search over the POSITIONAL index: adjacency verified
     // by position arithmetic on the pruned posting lists alone (slot-i
     // positions shifted by −i, intersected) — never a document rescan.
@@ -1700,6 +1716,41 @@ object PipelineQueries {
                                     / (CAST(d.df AS DOUBLE) + 0.5))
                                  * 1000000.0) AS BIGINT) AS wq
                     FROM q JOIN d USING (t) CROSS JOIN nn)
+            SELECT doc_id,
+              CAST(CAST(SUM(wq) AS BIGINT) AS DOUBLE) / 1000000.0 AS score
+            FROM w GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT 20"""
+      },
+
+      "q_text_bm25" -> {
+        // mirrors searchRanked(b = 0.75): every Scala-side driver
+        // constant (k1, k1+1, b, 1−b) is rendered via Double.toString,
+        // and avgdl is the SAME IEEE division of the same two integers
+        // (total tokens / docs) the Spark side reads from the manifest,
+        // so both engines compute bit-identical doubles
+        val k1 = 1.2; val k1p1 = k1 + 1.0; val b = 0.75; val omb = 1.0 - b
+        s"""WITH tok AS (SELECT doc_id, ${duckTokens("text")} AS ts FROM documents),
+              p AS (SELECT doc_id, unnest(ts) AS t FROM tok),
+              pt AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS tf
+                     FROM p GROUP BY t, doc_id),
+              q AS (SELECT * FROM pt WHERE t IN ('batch', 'small', 'scan')),
+              d AS (SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                    FROM q GROUP BY t),
+              dl AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl FROM tok),
+              nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n,
+                       CAST(CAST(SUM(tf) AS BIGINT) AS DOUBLE)
+                         / CAST(count(DISTINCT doc_id) AS DOUBLE) AS avgdl
+                     FROM pt),
+              w AS (SELECT q.doc_id,
+                      CAST(round((CAST(q.tf AS DOUBLE) * CAST($k1p1 AS DOUBLE)
+                                    / (CAST(q.tf AS DOUBLE)
+                                       + CAST($k1 AS DOUBLE)
+                                         * (CAST($omb AS DOUBLE)
+                                            + CAST($b AS DOUBLE) * dl.dl / nn.avgdl)))
+                                 * ((nn.n - CAST(d.df AS DOUBLE) + 0.5)
+                                    / (CAST(d.df AS DOUBLE) + 0.5))
+                                 * 1000000.0) AS BIGINT) AS wq
+                    FROM q JOIN d USING (t) JOIN dl USING (doc_id) CROSS JOIN nn)
             SELECT doc_id,
               CAST(CAST(SUM(wq) AS BIGINT) AS DOUBLE) / 1000000.0 AS score
             FROM w GROUP BY doc_id

@@ -103,6 +103,25 @@ class TextIndexSpec extends SparkSuite {
     assert(got == Seq((1L, 1), (2L, 2)))
   }
 
+  test("BM25 b-term: shorter doc outranks longer doc at equal tf") {
+    val dB = java.nio.file.Files.createTempDirectory("tindexB").toString
+    TextIndex.write(Seq(
+      (1L, "cat sat"),
+      (2L, "cat plus many many more filler tokens stretching this document out")
+    ).toDF("doc_id", "text"), dB, shards = 3)
+    // without length normalization both docs tie on tf=1
+    val flat = TextIndex.searchRanked(spark, dB, Seq("cat"))
+      .orderBy("doc_id").as[(Long, Double)].collect().toSeq
+    assert(flat(0)._2 == flat(1)._2, s"b=0 must ignore length: $flat")
+    // with b=0.75 the short doc scores strictly higher
+    val bm = TextIndex.searchRanked(spark, dB, Seq("cat"), b = 0.75)
+      .orderBy("doc_id").as[(Long, Double)].collect().toMap
+    assert(bm(1L) > bm(2L), s"length norm must favor the short doc: $bm")
+    // manifest carries the corpus totals avgdl derives from
+    assert(TextIndex.storedDocs(spark, dB).contains(2L))
+    assert(TextIndex.storedTokens(spark, dB).contains(13L))
+  }
+
   test("probe adapts to a non-default stored shard count") {
     // the shard count is a stored layout parameter (the reference's
     // serialized-params contract): the same corpus indexed with 5 shards
