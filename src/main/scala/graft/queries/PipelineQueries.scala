@@ -125,6 +125,24 @@ object PipelineQueries {
       .select("a", "b", "jaccard")
   }
 
+  /** SimHash signature pairs (orig vs +100000 mutation) with hamming
+    * distance — parameterized on the corpus so q_dedup_quality can feed
+    * it a persisted one instead of re-deriving the mutation corpus. */
+  private def simhashPairs(corpus: DataFrame): DataFrame = {
+    val toks = corpus
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .withColumn("hv", tokenHash16(col("t")))
+    val votes = toks.groupBy("doc_id")
+      .agg(simhashVotes(col("hv")).head, simhashVotes(col("hv")).tail: _*)
+    val sigs = votes.select(col("doc_id"), simhashPack.as("simhash"))
+    val a = sigs.filter(col("doc_id") < 100000L)
+      .select(col("doc_id"), col("simhash").as("sim_orig"))
+    val b = sigs.filter(col("doc_id") >= 100000L)
+      .select((col("doc_id") - 100000L).as("doc_id"), col("simhash").as("sim_mut"))
+    a.join(b, "doc_id")
+      .withColumn("ham", hamming(col("sim_orig"), col("sim_mut")))
+  }
+
   /** Brute-force knn oracle — also the ground truth the q_knn_recall
     * oracle joins every approximate method against. */
   private lazy val duckBruteKnn: String =
@@ -519,21 +537,8 @@ object PipelineQueries {
       bandVerifiedPairs(s, dir, setCol = col("s")).orderBy("a", "b")),
 
     // SimHash near-dup: 16-bit signatures; hamming(original, mutation)
-    "q_dedup_simhash" -> ((s, dir) => {
-      val toks = fuzzyCorpus(documents(s, dir))
-        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-        .withColumn("hv", tokenHash16(col("t")))
-      val votes = toks.groupBy("doc_id")
-        .agg(simhashVotes(col("hv")).head, simhashVotes(col("hv")).tail: _*)
-      val sigs = votes.select(col("doc_id"), simhashPack.as("simhash"))
-      val a = sigs.filter(col("doc_id") < 100000L)
-        .select(col("doc_id"), col("simhash").as("sim_orig"))
-      val b = sigs.filter(col("doc_id") >= 100000L)
-        .select((col("doc_id") - 100000L).as("doc_id"), col("simhash").as("sim_mut"))
-      a.join(b, "doc_id")
-        .withColumn("ham", hamming(col("sim_orig"), col("sim_mut")))
-        .orderBy("doc_id")
-    }),
+    "q_dedup_simhash" -> ((s, dir) =>
+      simhashPairs(fuzzyCorpus(documents(s, dir))).orderBy("doc_id")),
 
     // embedding-cosine near-dup: BANDED sign-LSH blocking (scaling by +2
     // is direction-preserving → a constructed dup keeps every sign, so it
@@ -1137,8 +1142,12 @@ object PipelineQueries {
     // OOV tokens count as frequency 0. The per-doc aggregation combines
     // map-side (docs are contiguous in scan partitions).
     "q_token_rarity" -> ((s, dir) => {
+      // persisted: both the vocab aggregation and the scoring join read
+      // the exploded token frame; without it the tokenize+explode runs
+      // twice (MEMORY_AND_DISK — spills rather than recomputes at scale)
       val tok = documents(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .persist()
       val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("t")).limit(1000)
       tok.join(broadcast(vocab), Seq("t"), "left")
@@ -1172,13 +1181,34 @@ object PipelineQueries {
             col("n_found").cast("double") / col("n_truth").cast("double"))
           .select(lit(method).as("method"), col("n_truth"), col("n_found"),
             col("n_extra"), col("recall"))
-      val lsh = queries("q_dedup_minhash_lsh")(s, dir).select("a", "b")
-      val ngram = queries("q_dedup_ngram_jaccard")(s, dir).select("a", "b")
-      val sim = queries("q_dedup_simhash")(s, dir)
+      // ONE shingle+signature pass serves both set-based methods: the
+      // sketch carries BOTH verify sets (shingle hashes for LSH, shingle
+      // strings for n-gram Jaccard), and the band candidate pairs are
+      // computed once — band signatures depend only on the MinHash
+      // signature, identical in both methods. SimHash reuses the
+      // persisted mutation corpus instead of re-deriving it. Results are
+      // bit-identical to the standalone queries (same sets, same
+      // candidates, same thresholds); only the 3× recompute is gone.
+      val corpus = fuzzyCorpus(documents(s, dir)).persist()
+      val sketch = shingleRows(corpus)
+        .withColumn("x", baseHash32(col("s")))
+        .groupBy("doc_id")
+        .agg(collect_set(col("x")).as("shx"), collect_set(col("s")).as("shs"),
+          graft.functions.MinHashFunctions.minhashSketch(col("x")).as("sig"))
+        .select(col("doc_id") :: col("shx") :: col("shs") ::
+          (0 until K).map(p => element_at(col("sig"), p + 1).as(s"h$p")).toList: _*)
+        .persist()
+      val cand = candidatePairs(bandRows(sketch, "doc_id"), "doc_id").persist()
+      def verified(set: String): DataFrame =
+        cand.join(sketch.select(col("doc_id").as("a"), col(set).as("sa")), "a")
+          .join(sketch.select(col("doc_id").as("b"), col(set).as("sb")), "b")
+          .filter(jaccard(col("sa"), col("sb")) >= 0.5)
+          .select("a", "b")
+      val sim = simhashPairs(corpus)
         .filter(col("ham") <= 3)
         .select(col("doc_id").as("a"), (col("doc_id") + 100000L).as("b"))
-      report("minhash_lsh", lsh)
-        .unionByName(report("ngram_jaccard", ngram))
+      report("minhash_lsh", verified("shx"))
+        .unionByName(report("ngram_jaccard", verified("shs")))
         .unionByName(report("simhash_ham3", sim))
         .orderBy("method")
     }),
