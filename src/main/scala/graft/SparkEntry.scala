@@ -14,4 +14,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RefQueries.oracle ++ AnalyticQueries.oracle ++ PipelineQueries.oracle
+  /** Queries backed by a persisted index built once per process —
+    * Bench warms these untimed (see PipelineQueries.indexBacked). */
+  def indexBackedQueries: Seq[String] = PipelineQueries.indexBacked
 }

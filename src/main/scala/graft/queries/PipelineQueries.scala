@@ -30,6 +30,17 @@ object PipelineQueries {
   // ---- shared corpus builders (Spark + generated DuckDB twins) ----------
 
   /** documents ∪ verbatim copy (ids +100000): exact-dup corpus. */
+  /** Queries probing a persisted on-disk index that ensure() builds once
+    * per process (vector index, text index). Bench warms these untimed:
+    * the one-off build otherwise lands inside whichever timed pass hits
+    * them first, and 3–4× "regressions" on identical code (round 6's
+    * q_knn_cosine_ivf* swings) were exactly this amortization leaking
+    * into probe medians. Build cost is a real number, but a different
+    * metric than probe cost — Bench reports it as its own field. */
+  val indexBacked: Seq[String] = Seq(
+    "q_knn_cosine_ivf_indexed", "q_knn_cosine_ivf_indexed_multiprobe",
+    "q_text_search", "q_text_search_ranked", "q_text_bm25", "q_text_phrase")
+
   private def exactCorpus(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
     base.union(base.select(col("doc_id") + 100000L, col("text")))
