@@ -39,7 +39,8 @@ object PipelineQueries {
     * metric than probe cost — Bench reports it as its own field. */
   val indexBacked: Seq[String] = Seq(
     "q_knn_cosine_ivf_indexed", "q_knn_cosine_ivf_indexed_multiprobe",
-    "q_text_search", "q_text_search_ranked", "q_text_bm25", "q_text_phrase")
+    "q_text_search", "q_text_search_ranked", "q_text_bm25", "q_text_phrase",
+    "q_text_stream_ingest")
 
   private def exactCorpus(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
@@ -135,6 +136,18 @@ object PipelineQueries {
       .filter(col("jaccard") >= 0.5)
       .select("a", "b", "jaccard")
   }
+
+  /** Conjunctive text-search oracle — recomputed from documents; shared
+    * by the one-shot (q_text_search) and streaming-ingested
+    * (q_text_stream_ingest) index queries, which must agree exactly. */
+  private lazy val duckConjunctiveSearchSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${duckTokens("text")}) AS t FROM documents),
+          p AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS tf
+                FROM tok GROUP BY t, doc_id),
+          m AS (SELECT doc_id, count(*) AS n, CAST(SUM(tf) AS BIGINT) AS total_tf
+                FROM p WHERE t IN ('batch', 'small', 'scan') GROUP BY doc_id)
+        SELECT doc_id, total_tf FROM m WHERE n = 3
+        ORDER BY total_tf DESC, doc_id LIMIT 20"""
 
   /** SimHash signature pairs (orig vs +100000 mutation) with hamming
     * distance — parameterized on the corpus so q_dedup_quality can feed
@@ -1114,6 +1127,28 @@ object PipelineQueries {
         .limit(20)
     }),
 
+    // STREAMING text-index ingest, batch twin (the q_sessionize
+    // convention): the corpus replayed as 3 disjoint micro-batches
+    // through the streaming foreachBatch path (idempotent commit log —
+    // re-runs skip committed batches), compacted under the
+    // marker-guarded swap, then probed with the SAME conjunctive search
+    // as q_text_search. The oracle recomputes from documents, so a
+    // green row proves the grown-then-compacted layout is lossless —
+    // the continuous-ingest consistency claim, checked end to end.
+    "q_text_stream_ingest" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_tstream_" +
+        s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+      val docs = documents(s, dir).select("doc_id", "text")
+      (0 until 3).foreach { b =>
+        graft.streaming.StreamingIngest.writeTextBatchIdempotent(
+          docs.filter(pmod(col("doc_id"), lit(3)) === b), b.toLong, path, "tq")
+      }
+      TextIndex.compact(s, path)
+      TextIndex.searchAll(s, path, Seq("batch", "small", "scan"))
+        .orderBy(col("total_tf").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // FULL BM25 ranked search (doc-length normalization on): the
     // saturation point scales by (1−b + b·dl/avgdl), so long documents
     // need proportionally more occurrences to score the same. dl rides
@@ -1717,14 +1752,12 @@ object PipelineQueries {
              CAST(dense_rank() OVER (ORDER BY user_id) AS INTEGER) AS drk
            FROM events ORDER BY user_id, event_id""",
 
-      "q_text_search" ->
-        s"""WITH tok AS (SELECT doc_id, unnest(${duckTokens("text")}) AS t FROM documents),
-              p AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS tf
-                    FROM tok GROUP BY t, doc_id),
-              m AS (SELECT doc_id, count(*) AS n, CAST(SUM(tf) AS BIGINT) AS total_tf
-                    FROM p WHERE t IN ('batch', 'small', 'scan') GROUP BY doc_id)
-            SELECT doc_id, total_tf FROM m WHERE n = 3
-            ORDER BY total_tf DESC, doc_id LIMIT 20""",
+      "q_text_search" -> duckConjunctiveSearchSql,
+
+      // identical oracle: the streaming-ingested, compacted index must
+      // answer exactly like the one-shot index (both are lossless views
+      // of documents)
+      "q_text_stream_ingest" -> duckConjunctiveSearchSql,
 
       "q_text_phrase" ->
         s"""WITH tok AS (SELECT doc_id, ${duckTokens("text")} AS ts FROM documents),

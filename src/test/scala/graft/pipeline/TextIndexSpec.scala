@@ -72,6 +72,17 @@ class TextIndexSpec extends SparkSuite {
     assert(shardFiles(d3) <= filesBefore)
     assert(new java.io.File(d3).listFiles().map(_.getName)
       .count(_.startsWith("shard=")) > 0)
+    // the grown-then-compacted index answers exactly like a one-shot
+    // index of the same docs — the continuous-ingest consistency claim
+    val dOne = java.nio.file.Files.createTempDirectory("tindex1shot").toString
+    TextIndex.write(
+      Seq((1L, "alpha beta"), (2L, "alpha gamma"), (3L, "alpha beta beta"))
+        .toDF("doc_id", "text"), dOne)
+    val oneShot = TextIndex.searchAll(spark, dOne, Seq("alpha", "beta"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(hits == oneShot)
+    assert(TextIndex.storedDocs(spark, d3) == TextIndex.storedDocs(spark, dOne))
+    assert(TextIndex.storedTokens(spark, d3) == TextIndex.storedTokens(spark, dOne))
   }
 
   private def shardFiles(d: String): Int =
