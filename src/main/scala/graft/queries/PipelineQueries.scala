@@ -1091,6 +1091,22 @@ object PipelineQueries {
                FROM events_v ORDER BY user_id, event_id""")
     }),
 
+    // The remaining naive global ranking family — percent_rank /
+    // cume_dist / ntile over an empty partition spec — through the same
+    // two-pass rescue. percent_rank derives from the tie-run start and
+    // total N; cume_dist needs the run END (the one lookahead case, run-
+    // buffered); ntile only the global index. Two window specs → two
+    // Window nodes, both rewritten (plan guard asserts neither survives
+    // as a single-task WindowExec).
+    "q_ntile_global" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""SELECT event_id, user_id,
+                 percent_rank() OVER (ORDER BY user_id) AS pr,
+                 cume_dist() OVER (ORDER BY user_id) AS cd,
+                 ntile(7) OVER (ORDER BY ts_us, event_id) AS nt
+               FROM events_v ORDER BY user_id, event_id""")
+    }),
+
     // CONJUNCTIVE TERM SEARCH against the persisted inverted text index
     // (pipeline.TextIndex): postings sharded by term hash — the
     // reference's point-get bucket prune applied to term lookup. The
@@ -1750,6 +1766,13 @@ object PipelineQueries {
         """SELECT event_id, user_id,
              CAST(rank() OVER (ORDER BY user_id) AS INTEGER) AS rk,
              CAST(dense_rank() OVER (ORDER BY user_id) AS INTEGER) AS drk
+           FROM events ORDER BY user_id, event_id""",
+
+      "q_ntile_global" ->
+        """SELECT event_id, user_id,
+             percent_rank() OVER (ORDER BY user_id) AS pr,
+             cume_dist() OVER (ORDER BY user_id) AS cd,
+             CAST(ntile(7) OVER (ORDER BY epoch_us(ts), event_id) AS INTEGER) AS nt
            FROM events ORDER BY user_id, event_id""",
 
       "q_text_search" -> duckConjunctiveSearchSql,

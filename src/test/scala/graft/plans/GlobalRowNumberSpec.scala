@@ -70,6 +70,33 @@ class GlobalRowNumberSpec extends SparkSuite {
     assert(out.select("rn").as[Int].collect().sorted.toSeq == (1 to 10000))
   }
 
+  test("percent_rank, cume_dist and ntile match WindowExec, incl. ties") {
+    val tied = (0 until 10000).map(i => ((i % 97).toLong, i.toLong))
+      .toDF("k", "id").repartition(7)
+    val out = tied
+      .withColumn("pr", percent_rank().over(Window.orderBy("k")))
+      .withColumn("cd", cume_dist().over(Window.orderBy("k")))
+      .withColumn("nt", ntile(7).over(Window.orderBy("k", "id")))
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalRowNumber"), s"expected GlobalRowNumberExec:\n$p")
+    assert(!p.contains("Window "), s"built-in WindowExec should be replaced:\n$p")
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))
+      .sorted
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") {
+      out.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))
+        .sorted
+    }
+    assert(got.toSeq == expected.toSeq)
+    // uneven ntile: 100 rows into 7 buckets — first 2 buckets get 15
+    val small = (0 until 100).map(i => (i.toLong, i.toLong)).toDF("k", "id")
+      .withColumn("nt", ntile(7).over(Window.orderBy("k")))
+    val sizes = small.groupBy("nt").count().orderBy("nt")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(sizes == Seq((1, 15L), (2, 15L), (3, 14L), (4, 14L), (5, 14L), (6, 14L), (7, 14L)))
+  }
+
   test("empty and single-row inputs number correctly") {
     val empty = df.filter(col("id") < 0)
       .withColumn("rn", row_number().over(Window.orderBy("id")))

@@ -132,6 +132,14 @@ class PlanShapeSpec extends SparkSuite {
       s"range exchange expected under the global rank:\n$p")
   }
 
+  test("naive SQL percent_rank/cume_dist/ntile: BOTH window nodes rewritten") {
+    val p = plan("q_ntile_global")
+    assert("GlobalRowNumber".r.findAllIn(p).length >= 2,
+      s"two GlobalRowNumberExec nodes expected (two window specs):\n$p")
+    assert(!p.contains("Window "),
+      s"single-task WindowExec must not survive for the ranking family:\n$p")
+  }
+
   test("top-ngrams plans TakeOrderedAndProject with map-side partial counts") {
     val p = plan("q_top_ngrams")
     assert(p.contains("TakeOrderedAndProject"), s"global sort where top-k expected:\n$p")
