@@ -153,6 +153,20 @@ object TextIndex {
     graft.store.SaltedStore.compact(spark, path, col("t"), targetBytes,
       partitionPrefix = "shard")
 
+  /** Compact only when some shard has accumulated more than
+    * `maxFilesPerShard` posting files (the flush-accumulation signal) —
+    * the call a periodic maintenance loop makes: steady state costs one
+    * directory listing, not a full index rewrite. Returns whether a
+    * compaction ran. */
+  def compactIfNeeded(spark: SparkSession, path: String,
+                      targetBytes: Long = 128L * 1024 * 1024,
+                      maxFilesPerShard: Int = 4): Boolean = {
+    val need = graft.store.SaltedStore.needsCompaction(
+      spark, path, maxFilesPerShard, partitionPrefix = "shard")
+    if (need) compact(spark, path, targetBytes)
+    need
+  }
+
   private def manifestField(spark: SparkSession, path: String, field: String): Option[Long] = {
     val (fs, root) = fsOf(spark, path)
     val p = new org.apache.hadoop.fs.Path(root, ManifestFile)

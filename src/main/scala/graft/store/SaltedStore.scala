@@ -256,6 +256,28 @@ object SaltedStore {
     files.join(rows, Seq("bucket"), "left").orderBy("bucket")
   }
 
+  /** Whether any partition directory has accumulated more than
+    * `maxFiles` data files — the flush-accumulation signal a maintenance
+    * loop keys compaction on (the HBase compaction-selection check).
+    * Pure filesystem listing, no Spark job: one listStatus per partition
+    * dir, the same listing [[compact]] itself starts with — so calling
+    * this every maintenance tick is free compared to one needless
+    * full-store rewrite. */
+  def needsCompaction(spark: SparkSession, path: String, maxFiles: Int = 4,
+                      partitionPrefix: String = "bucket"): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(root) && fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partitionPrefix="))
+      .exists { b =>
+        fs.listStatus(b.getPath).count { f =>
+          f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith(".")
+        } > maxFiles
+      }
+  }
+
   /** Compact a salted bucketed layout in place — the minor-compaction
     * analog of the HBase flush/compact cycle the reference's write path
     * feeds (each streaming micro-batch appends one small sorted file per

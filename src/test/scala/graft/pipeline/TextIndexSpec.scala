@@ -65,9 +65,14 @@ class TextIndexSpec extends SparkSuite {
     // replayed batch (same id) must be a no-op, not a double append
     graft.streaming.StreamingIngest.writeTextBatchIdempotent(b1, 1L, d3, "t")
     assert(hits == Seq((1L, 2L), (3L, 3L)))
-    // compaction merges the per-batch files, results unchanged
+    // compaction merges the per-batch files, results unchanged; the
+    // need-check fires on accumulated per-batch files and goes quiet
+    // once shards are single-file (the maintenance-loop contract)
     val filesBefore = shardFiles(d3)
-    TextIndex.compact(spark, d3)
+    assert(TextIndex.compactIfNeeded(spark, d3, maxFilesPerShard = 1),
+      "multi-file shards must trigger compaction")
+    assert(!TextIndex.compactIfNeeded(spark, d3, maxFilesPerShard = 1),
+      "compacted shards must not re-compact")
     assert(hits == Seq((1L, 2L), (3L, 3L)))
     assert(shardFiles(d3) <= filesBefore)
     assert(new java.io.File(d3).listFiles().map(_.getName)
