@@ -38,8 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.DivRangePushdown)
     // plans the naive single-task `row_number() OVER (ORDER BY ...)` as
     // the two-pass range-shuffle + zipWithIndex exec (scale-safe global
-    // index even for naively-written SQL)
+    // index even for naively-written SQL); covers all six ranking funcs
     ext.injectPlannerStrategy(_ => graft.plans.GlobalRowNumberStrategy)
+    // same rescue for the frameless offset functions lag()/lead():
+    // range shuffle + boundary-row stitch instead of SinglePartition
+    ext.injectPlannerStrategy(_ => graft.plans.GlobalOffsetWindowStrategy)
   }
 }
 

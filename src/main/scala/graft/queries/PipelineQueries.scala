@@ -1091,6 +1091,23 @@ object PipelineQueries {
                FROM events_v ORDER BY user_id, event_id""")
     }),
 
+    // NAIVE GLOBAL lag()/lead() — frameless OFFSET window functions,
+    // the other half of the single-task global-window trap. The
+    // GlobalOffsetWindowStrategy plans a range shuffle + boundary-row
+    // stitch: each partition receives the max-lag tail of its
+    // predecessors and max-lead head of its successors (a few rows,
+    // independent of data size) and runs a constant-memory sliding
+    // window locally. Mixed offsets and per-function defaults in one
+    // node; deltas computed against the lagged value.
+    "q_lag_global" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""SELECT event_id, user_id,
+                 lag(value, 1) OVER (ORDER BY ts_us, event_id) AS prev_value,
+                 lead(value, 2, -1.0) OVER (ORDER BY ts_us, event_id) AS next2_value,
+                 value - lag(value, 1, 0.0) OVER (ORDER BY ts_us, event_id) AS delta
+               FROM events_v ORDER BY ts_us, event_id""")
+    }),
+
     // The remaining naive global ranking family — percent_rank /
     // cume_dist / ntile over an empty partition spec — through the same
     // two-pass rescue. percent_rank derives from the tie-run start and
@@ -1777,6 +1794,13 @@ object PipelineQueries {
              cume_dist() OVER (ORDER BY user_id) AS cd,
              CAST(ntile(7) OVER (ORDER BY epoch_us(ts), event_id) AS INTEGER) AS nt
            FROM events ORDER BY user_id, event_id""",
+
+      "q_lag_global" ->
+        """SELECT event_id, user_id,
+             lag(value, 1) OVER (ORDER BY epoch_us(ts), event_id) AS prev_value,
+             lead(value, 2, -1.0) OVER (ORDER BY epoch_us(ts), event_id) AS next2_value,
+             value - lag(value, 1, 0.0) OVER (ORDER BY epoch_us(ts), event_id) AS delta
+           FROM events ORDER BY epoch_us(ts), event_id""",
 
       "q_text_search" -> duckConjunctiveSearchSql,
 

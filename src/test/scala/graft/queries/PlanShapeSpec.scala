@@ -132,6 +132,13 @@ class PlanShapeSpec extends SparkSuite {
       s"range exchange expected under the global rank:\n$p")
   }
 
+  test("naive SQL global lag/lead plans the boundary-stitch exec") {
+    val p = plan("q_lag_global")
+    assert(p.contains("GlobalOffsetWindow"), s"expected GlobalOffsetWindowExec:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"single-task WindowExec must not survive for global lag/lead:\n$p")
+  }
+
   test("naive SQL percent_rank/cume_dist/ntile: BOTH window nodes rewritten") {
     val p = plan("q_ntile_global")
     assert("GlobalRowNumber".r.findAllIn(p).length >= 2,
