@@ -43,6 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // same rescue for the frameless offset functions lag()/lead():
     // range shuffle + boundary-row stitch instead of SinglePartition
     ext.injectPlannerStrategy(_ => graft.plans.GlobalOffsetWindowStrategy)
+    // and for global RUNNING aggregates (sum/count/min/max/avg OVER
+    // (ORDER BY ...)): the distributed prefix scan
+    ext.injectPlannerStrategy(_ => graft.plans.GlobalRunningAggStrategy)
   }
 }
 

@@ -1108,6 +1108,24 @@ object PipelineQueries {
                FROM events_v ORDER BY ts_us, event_id""")
     }),
 
+    // NAIVE GLOBAL RUNNING AGGREGATE — `SUM(x) OVER (ORDER BY ts)`, the
+    // canonical cumulative total and the single most common global-
+    // window query. GlobalRunningAggStrategy plans the distributed
+    // prefix scan: per-partition partial buffers, driver prefix-merge
+    // (#partitions buffer rows — constant), local running aggregation
+    // seeded with the prefix. DECIMAL keeps the sum exact and order-
+    // insensitive (the established money-sum discipline), so the oracle
+    // hash-matches; count/max are exact by nature.
+    "q_running_global" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""SELECT event_id, user_id,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                   OVER (ORDER BY ts_us, event_id) AS DOUBLE) AS cum_value,
+                 COUNT(*) OVER (ORDER BY ts_us, event_id) AS cum_n,
+                 MAX(user_id) OVER (ORDER BY ts_us, event_id) AS max_user
+               FROM events_v ORDER BY ts_us, event_id""")
+    }),
+
     // The remaining naive global ranking family — percent_rank /
     // cume_dist / ntile over an empty partition spec — through the same
     // two-pass rescue. percent_rank derives from the tie-run start and
@@ -1800,6 +1818,14 @@ object PipelineQueries {
              lag(value, 1) OVER (ORDER BY epoch_us(ts), event_id) AS prev_value,
              lead(value, 2, -1.0) OVER (ORDER BY epoch_us(ts), event_id) AS next2_value,
              value - lag(value, 1, 0.0) OVER (ORDER BY epoch_us(ts), event_id) AS delta
+           FROM events ORDER BY epoch_us(ts), event_id""",
+
+      "q_running_global" ->
+        """SELECT event_id, user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)))
+               OVER (ORDER BY epoch_us(ts), event_id) AS DOUBLE) AS cum_value,
+             COUNT(*) OVER (ORDER BY epoch_us(ts), event_id) AS cum_n,
+             MAX(user_id) OVER (ORDER BY epoch_us(ts), event_id) AS max_user
            FROM events ORDER BY epoch_us(ts), event_id""",
 
       "q_text_search" -> duckConjunctiveSearchSql,

@@ -1,0 +1,99 @@
+package graft.plans
+
+import graft.SparkSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** GlobalRunningAggStrategy: naive `SUM(x) OVER (ORDER BY ...)` and
+  * friends must plan as the distributed prefix scan and produce values
+  * identical to the built-in single-task WindowExec on exact types. */
+class GlobalRunningAggSpec extends SparkSuite {
+  import spark.implicits._
+
+  // k = i % 97 gives ~103-deep tie runs; v exercises sums and extrema
+  private def tied = (0 until 10000)
+    .map(i => ((i % 97).toLong, ((i * 2654435761L) % 1000).toLong, i.toLong))
+    .toDF("k", "v", "id").repartition(7)
+
+  private def withConf[T](key: String, value: String)(body: => T): T = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("running sum/count/min/max/avg match WindowExec incl. RANGE tie peers") {
+    // bare ORDER BY = RANGE frame: tied rows share the run-end value
+    val w = Window.orderBy("k")
+    val out = tied
+      .withColumn("rs", sum("v").over(w))
+      .withColumn("rc", count(lit(1)).over(w))
+      .withColumn("rmin", min("v").over(w))
+      .withColumn("rmax", max("v").over(w))
+      .withColumn("ravg", avg(col("v").cast("decimal(20,4)")).over(w))
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalRunningAgg"), s"expected GlobalRunningAggExec:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"built-in WindowExec should be replaced:\n$p")
+    def snap(d: org.apache.spark.sql.DataFrame) = d
+      .select("k", "id", "rs", "rc", "rmin", "rmax", "ravg")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDecimal(6).toString)).sorted.toSeq
+    val got = snap(out)
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
+    assert(got == expected)
+  }
+
+  test("explicit ROWS frame: strict per-row prefix, mixed with RANGE in one query") {
+    val rows = Window.orderBy("k", "id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val range = Window.orderBy("k", "id")
+    val out = tied
+      .withColumn("rows_sum", sum("v").over(rows))
+      .withColumn("range_sum", sum("v").over(range))
+    assert(out.queryExecution.executedPlan.toString.contains("GlobalRunningAgg"))
+    def snap(d: org.apache.spark.sql.DataFrame) = d
+      .select("k", "id", "rows_sum", "range_sum")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val got = snap(out)
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
+    assert(got == expected)
+    // (k, id) is a unique order, so here ROWS == RANGE row-for-row
+    assert(got.forall(t => t._3 == t._4))
+  }
+
+  test("falls back for unsupported shapes") {
+    // partitioned running sums keep the built-in (already parallel)
+    val part = tied.withColumn("rs",
+      sum("v").over(Window.partitionBy(col("k") % 10).orderBy("id")))
+    assert(!part.queryExecution.executedPlan.toString.contains("GlobalRunningAgg"))
+    // sliding frames are not a prefix scan
+    val sliding = tied.withColumn("rs", sum("v").over(
+      Window.orderBy("k", "id").rowsBetween(-3, Window.currentRow)))
+    assert(!sliding.queryExecution.executedPlan.toString.contains("GlobalRunningAgg"))
+    // (distinct window aggregates are rejected by the analyzer itself,
+    // so the isDistinct=false guard can never see one)
+  }
+
+  test("empty input and single rows") {
+    val w = Window.orderBy("k")
+    val empty = tied.filter(col("id") < 0).withColumn("rs", sum("v").over(w))
+    assert(empty.count() == 0)
+    val one = tied.filter(col("id") === 5L).withColumn("rs", sum("v").over(w))
+    assert(one.select("rs").as[Long].collect().toSeq ==
+      Seq((5L * 2654435761L) % 1000))
+  }
+
+  test("SQL cumulative revenue survives a downstream filter") {
+    tied.createOrReplaceTempView("gra_t")
+    val out = spark.sql(
+      """SELECT id, SUM(v) OVER (ORDER BY k, id) AS cum FROM gra_t""")
+      .filter(col("cum") > 100L)
+    assert(out.queryExecution.executedPlan.toString.contains("GlobalRunningAgg"))
+    val got = out.orderBy("id").limit(5).collect()
+    assert(got.nonEmpty)
+  }
+}
