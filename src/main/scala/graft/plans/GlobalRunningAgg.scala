@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, CurrentRow, JoinedRow, MutableProjection, NamedExpression, RangeFrame, SortOrder, SpecificInternalRow, SpecifiedWindowFrame, UnboundedPreceding, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, DeclarativeAggregate}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, DeclarativeAggregate, First, Last}
 import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
@@ -55,7 +55,12 @@ object GlobalRunningAggStrategy extends SparkStrategy {
           AggregateExpression(f: DeclarativeAggregate, Complete, false, None, _),
           WindowSpecDefinition(_, _,
             SpecifiedWindowFrame(ft, UnboundedPreceding, CurrentRow))), _)
-        if f.deterministic =>
+        // First/Last declare deterministic=false because they are order-
+        // dependent in a groupBy — but a window's frame IS ordered, and
+        // this exec feeds them rows in exactly the sort order, so
+        // first_value/last_value are deterministic here (that is how
+        // WindowExec runs them too)
+        if f.deterministic || f.isInstanceOf[First] || f.isInstanceOf[Last] =>
       Some(RunningAgg(f, ft == RangeFrame, e.toAttribute))
     case _ => None
   }

@@ -1122,7 +1122,8 @@ object PipelineQueries {
                  CAST(SUM(CAST(value AS DECIMAL(18,2)))
                    OVER (ORDER BY ts_us, event_id) AS DOUBLE) AS cum_value,
                  COUNT(*) OVER (ORDER BY ts_us, event_id) AS cum_n,
-                 MAX(user_id) OVER (ORDER BY ts_us, event_id) AS max_user
+                 MAX(user_id) OVER (ORDER BY ts_us, event_id) AS max_user,
+                 first_value(user_id) OVER (ORDER BY ts_us, event_id) AS first_user
                FROM events_v ORDER BY ts_us, event_id""")
     }),
 
@@ -1825,7 +1826,8 @@ object PipelineQueries {
              CAST(SUM(CAST(value AS DECIMAL(18,2)))
                OVER (ORDER BY epoch_us(ts), event_id) AS DOUBLE) AS cum_value,
              COUNT(*) OVER (ORDER BY epoch_us(ts), event_id) AS cum_n,
-             MAX(user_id) OVER (ORDER BY epoch_us(ts), event_id) AS max_user
+             MAX(user_id) OVER (ORDER BY epoch_us(ts), event_id) AS max_user,
+             first_value(user_id) OVER (ORDER BY epoch_us(ts), event_id) AS first_user
            FROM events ORDER BY epoch_us(ts), event_id""",
 
       "q_text_search" -> duckConjunctiveSearchSql,

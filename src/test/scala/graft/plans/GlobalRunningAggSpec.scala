@@ -65,6 +65,24 @@ class GlobalRunningAggSpec extends SparkSuite {
     assert(got.forall(t => t._3 == t._4))
   }
 
+  test("first_value/last_value run distributed and match WindowExec") {
+    val w = Window.orderBy("k", "id")
+    val out = tied
+      .withColumn("fv", first("v").over(w))
+      .withColumn("lv", last("v").over(w))
+    assert(out.queryExecution.executedPlan.toString.contains("GlobalRunningAgg"))
+    def snap(d: org.apache.spark.sql.DataFrame) = d
+      .select("k", "id", "fv", "lv")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val got = snap(out)
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
+    assert(got == expected)
+    // first_value over the default frame is the globally-first value
+    val firstV = got.minBy(t => (t._1, t._2))._3
+    assert(got.forall(_._3 == firstV))
+  }
+
   test("falls back for unsupported shapes") {
     // partitioned running sums keep the built-in (already parallel)
     val part = tied.withColumn("rs",
