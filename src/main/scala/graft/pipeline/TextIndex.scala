@@ -323,6 +323,26 @@ object TextIndex {
       .filter(col("n_occurrences") > 0)
   }
 
+  /** PREFIX term search (vocabulary browse / autocomplete): terms
+    * matching `prefix` with their document frequency and total tf. A
+    * hash-sharded layout cannot prune shards for a prefix — the matching
+    * terms are unknown — so ALL shards are listed; but postings are
+    * SORTED by term within each shard, so the pushed StringStartsWith
+    * filter (visible as `PushedFilters` on the scan) skips every row
+    * group whose term min/max excludes the prefix range: read cost is
+    * O(matching postings + one row-group boundary per shard), listing
+    * cost O(shards) — the honest trade of hash sharding, and why the
+    * shard count is sized at build time, not compiled in. */
+  def searchPrefix(spark: SparkSession, path: String, prefix: String): DataFrame = {
+    require(prefix.nonEmpty, "searchPrefix needs a non-empty prefix")
+    layoutShards(spark, path) // fail loudly on a foreign/incomplete dir
+    graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
+      .filter(col("t").startsWith(prefix))
+      // append-safe: re-aggregate per (t, doc) before counting df
+      .groupBy("t", "doc_id").agg(sum("tf").as("tf"))
+      .groupBy("t").agg(count(lit(1)).as("df"), sum("tf").as("total_tf"))
+  }
+
   /** Conjunctive (all-terms) search against the persisted index: the
     * probe computes the terms' shard list DRIVER-SIDE (the point-get
     * prune — static `shard IN (...)`, partitions skipped at file-listing

@@ -1179,6 +1179,19 @@ object PipelineQueries {
         .limit(20)
     }),
 
+    // PREFIX term search (autocomplete / vocabulary browse): hash
+    // shards can't be pruned for a prefix, but the sorted-by-term
+    // layout pushes StringStartsWith into the parquet scan — row
+    // groups outside the prefix range are skipped in every shard, so
+    // read cost tracks matching postings, not index size.
+    "q_text_prefix" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_tindex_" +
+        s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+      TextIndex.ensure(documents(s, dir).select("doc_id", "text"), path, shards = 64)
+      TextIndex.searchPrefix(s, path, "s")
+        .orderBy(col("df").desc, col("t"))
+    }),
+
     // STREAMING text-index ingest, batch twin (the q_sessionize
     // convention): the corpus replayed as 3 disjoint micro-batches
     // through the streaming foreachBatch path (idempotent commit log —
@@ -1836,6 +1849,15 @@ object PipelineQueries {
       // answer exactly like the one-shot index (both are lossless views
       // of documents)
       "q_text_stream_ingest" -> duckConjunctiveSearchSql,
+
+      "q_text_prefix" ->
+        s"""WITH tok AS (SELECT doc_id, unnest(${duckTokens("text")}) AS t FROM documents),
+              p AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS tf
+                    FROM tok GROUP BY t, doc_id)
+            SELECT t, CAST(count(*) AS BIGINT) AS df,
+              CAST(SUM(tf) AS BIGINT) AS total_tf
+            FROM p WHERE t LIKE 's%' GROUP BY t
+            ORDER BY df DESC, t""",
 
       "q_text_phrase" ->
         s"""WITH tok AS (SELECT doc_id, ${duckTokens("text")} AS ts FROM documents),

@@ -119,6 +119,16 @@ class TextIndexSpec extends SparkSuite {
     assert(got == Seq((1L, 1), (2L, 2)))
   }
 
+  test("prefix search: df/tf per matching term, StartsWith pushed to the scan") {
+    val got = TextIndex.searchPrefix(spark, dir, "d")
+      .orderBy("t").as[(String, Long, Long)].collect().toSeq
+    // "day" (doc 2), "dog" (docs 2, 3)
+    assert(got == Seq(("day", 1L, 1L), ("dog", 2L, 2L)))
+    val p = TextIndex.searchPrefix(spark, dir, "d").queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("StartsWith"), s"StartsWith must reach the scan:\n$p")
+  }
+
   test("BM25 b-term: shorter doc outranks longer doc at equal tf") {
     val dB = java.nio.file.Files.createTempDirectory("tindexB").toString
     TextIndex.write(Seq(
