@@ -46,6 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // and for global RUNNING aggregates (sum/count/min/max/avg OVER
     // (ORDER BY ...)): the distributed prefix scan
     ext.injectPlannerStrategy(_ => graft.plans.GlobalRunningAggStrategy)
+    // and for global SLIDING frames (ROWS k PRECEDING — the moving
+    // average): boundary-row stitch + per-row frame folds
+    ext.injectPlannerStrategy(_ => graft.plans.GlobalSlidingAggStrategy)
   }
 }
 

@@ -1127,6 +1127,22 @@ object PipelineQueries {
                FROM events_v ORDER BY ts_us, event_id""")
     }),
 
+    // NAIVE GLOBAL MOVING AGGREGATE — `ROWS BETWEEN k PRECEDING AND
+    // CURRENT ROW`, the moving average. GlobalSlidingAggStrategy plans
+    // the lag-style boundary stitch (each partition receives its max-k
+    // predecessor rows) + per-row frame folds; each value is the same
+    // sequential fold WindowExec performs, so even double arithmetic
+    // matches bit-for-bit. Mixed widths in one query.
+    "q_moving_global" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""SELECT event_id, user_id,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (ORDER BY ts_us, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum,
+                 MAX(user_id) OVER (ORDER BY ts_us, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mov_max
+               FROM events_v ORDER BY ts_us, event_id""")
+    }),
+
     // The remaining naive global ranking family — percent_rank /
     // cume_dist / ntile over an empty partition spec — through the same
     // two-pass rescue. percent_rank derives from the tie-run start and
@@ -1832,6 +1848,14 @@ object PipelineQueries {
              lag(value, 1) OVER (ORDER BY epoch_us(ts), event_id) AS prev_value,
              lead(value, 2, -1.0) OVER (ORDER BY epoch_us(ts), event_id) AS next2_value,
              value - lag(value, 1, 0.0) OVER (ORDER BY epoch_us(ts), event_id) AS delta
+           FROM events ORDER BY epoch_us(ts), event_id""",
+
+      "q_moving_global" ->
+        """SELECT event_id, user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum,
+             MAX(user_id) OVER (ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mov_max
            FROM events ORDER BY epoch_us(ts), event_id""",
 
       "q_running_global" ->

@@ -132,6 +132,13 @@ class PlanShapeSpec extends SparkSuite {
       s"range exchange expected under the global rank:\n$p")
   }
 
+  test("naive SQL global moving aggregate plans the frame-fold exec") {
+    val p = plan("q_moving_global")
+    assert(p.contains("GlobalSlidingAgg"), s"expected GlobalSlidingAggExec:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"single-task WindowExec must not survive for the moving aggregate:\n$p")
+  }
+
   test("naive SQL global running sum plans the prefix-scan exec") {
     val p = plan("q_running_global")
     assert(p.contains("GlobalRunningAgg"), s"expected GlobalRunningAggExec:\n$p")
