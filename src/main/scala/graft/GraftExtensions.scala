@@ -49,6 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // and for global SLIDING frames (ROWS k PRECEDING — the moving
     // average): boundary-row stitch + per-row frame folds
     ext.injectPlannerStrategy(_ => graft.plans.GlobalSlidingAggStrategy)
+    // and for WHOLE-TABLE aggregates (`SUM(x) OVER ()` — share of
+    // total): partial buffers + driver merge + narrow constant attach,
+    // zero shuffle
+    ext.injectPlannerStrategy(_ => graft.plans.GlobalConstantAggStrategy)
   }
 }
 

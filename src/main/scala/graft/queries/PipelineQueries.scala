@@ -1196,6 +1196,25 @@ object PipelineQueries {
                FROM events_v ORDER BY user_id, event_id""")
     }),
 
+    // NAIVE WHOLE-TABLE window aggregate — `SUM(x) OVER ()`, the
+    // share-of-total query and the last common member of the global-
+    // window family. Stock Spark funnels the entire table through one
+    // task; GlobalConstantAggStrategy plans per-partition partial
+    // buffers + a driver merge + a narrow constant-attach pass — ZERO
+    // exchanges (the plan guard asserts no SinglePartition shuffle).
+    // DECIMAL keeps the total exact and order-insensitive; the share is
+    // one exact double division per row.
+    "q_share_global" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""SELECT event_id, user_id,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER () AS DOUBLE) AS total_value,
+                 COUNT(*) OVER () AS n_rows,
+                 MIN(value) OVER () AS min_value,
+                 CAST(value AS DOUBLE)
+                   / CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER () AS DOUBLE) AS share
+               FROM events_v ORDER BY event_id""")
+    }),
+
     // CONJUNCTIVE TERM SEARCH against the persisted inverted text index
     // (pipeline.TextIndex): postings sharded by term hash — the
     // reference's point-get bucket prune applied to term lookup. The
@@ -1905,6 +1924,15 @@ object PipelineQueries {
              MAX(user_id) OVER (ORDER BY epoch_us(ts), event_id) AS max_user,
              first_value(user_id) OVER (ORDER BY epoch_us(ts), event_id) AS first_user
            FROM events ORDER BY epoch_us(ts), event_id""",
+
+      "q_share_global" ->
+        """SELECT event_id, user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER () AS DOUBLE) AS total_value,
+             COUNT(*) OVER () AS n_rows,
+             MIN(value) OVER () AS min_value,
+             CAST(value AS DOUBLE)
+               / CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER () AS DOUBLE) AS share
+           FROM events ORDER BY event_id""",
 
       "q_text_search" -> duckConjunctiveSearchSql,
 

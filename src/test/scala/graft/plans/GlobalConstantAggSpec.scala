@@ -1,0 +1,91 @@
+package graft.plans
+
+import graft.SparkSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** GlobalConstantAggStrategy: naive `SUM(x) OVER ()` (the share-of-total
+  * query) must plan as the shuffle-free partial+merge+attach exec and
+  * produce values identical to the built-in single-task WindowExec. */
+class GlobalConstantAggSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def df = (0 until 10000)
+    .map(i => (i.toLong, ((i * 2654435761L) % 1000).toLong))
+    .toDF("id", "v").repartition(7)
+
+  private def withConf[T](key: String, value: String)(body: => T): T = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("whole-table sum/count/min/max/avg match WindowExec, zero exchanges") {
+    val w = Window.partitionBy()
+    val out = df
+      .withColumn("ts", sum("v").over(w))
+      .withColumn("tc", count(lit(1)).over(w))
+      .withColumn("tmin", min("v").over(w))
+      .withColumn("tmax", max("v").over(w))
+      .withColumn("tavg", avg(col("v").cast("decimal(20,4)")).over(w))
+      .withColumn("share", col("v").cast("double") / col("ts").cast("double"))
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalConstantAgg"), s"expected GlobalConstantAggExec:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"built-in WindowExec should be replaced:\n$p")
+    // the only Exchange is the test's own repartition(7); the rescue
+    // itself must add none — above all not the built-in's SinglePartition
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the whole-table rescue must not funnel into one task:\n$p")
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"the whole-table rescue must not add a shuffle:\n$p")
+    def snap(d: org.apache.spark.sql.DataFrame) = d
+      .select("id", "ts", "tc", "tmin", "tmax", "tavg", "share")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDecimal(5).toString, r.getDouble(6))).sorted.toSeq
+    val got = snap(out)
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
+    assert(got == expected)
+  }
+
+  test("SQL OVER () — explicit unbounded frame and empty table edge") {
+    df.createOrReplaceTempView("const_agg_v")
+    val out = spark.sql(
+      """SELECT id, v,
+           SUM(v) OVER () AS total,
+           SUM(v) OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS total2
+         FROM const_agg_v""")
+    assert(out.queryExecution.executedPlan.toString.contains("GlobalConstantAgg"))
+    val rows = out.collect()
+    assert(rows.length == 10000)
+    assert(rows.forall(r => r.getLong(2) == rows.head.getLong(2)))
+    assert(rows.forall(r => r.getLong(2) == r.getLong(3)))
+    // empty input: no rows out, no crash (merged buffer = initial values)
+    val empty = df.filter(col("v") < 0)
+      .withColumn("t", sum("v").over(Window.partitionBy()))
+    assert(empty.count() == 0)
+  }
+
+  test("null-heavy input: sum over all-null column is null, count skips nulls") {
+    val d = (0 until 100).map(i => (i.toLong, Option.empty[java.lang.Long]))
+      .toDF("id", "v").repartition(3)
+    val out = d
+      .withColumn("t", sum("v").over(Window.partitionBy()))
+      .withColumn("c", count(col("v")).over(Window.partitionBy()))
+    assert(out.queryExecution.executedPlan.toString.contains("GlobalConstantAgg"))
+    val r = out.head()
+    assert(r.isNullAt(2) && r.getLong(3) == 0L)
+  }
+
+  test("opt-out restores the built-in plan") {
+    val out = df.withColumn("t", sum("v").over(Window.partitionBy()))
+    withConf(GlobalRowNumberStrategy.ConfKey, "false") {
+      val p = out.queryExecution.executedPlan.toString
+      assert(!p.contains("GlobalConstantAgg"))
+      assert(p.contains("Window"), s"built-in WindowExec expected:\n$p")
+    }
+  }
+}

@@ -153,6 +153,15 @@ class PlanShapeSpec extends SparkSuite {
       s"single-task WindowExec must not survive for global lag/lead:\n$p")
   }
 
+  test("naive SQL whole-table SUM(x) OVER () plans the constant-attach exec") {
+    val p = plan("q_share_global")
+    assert(p.contains("GlobalConstantAgg"), s"expected GlobalConstantAggExec:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"single-task WindowExec must not survive for the whole-table aggregate:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"whole-table aggregate must not funnel into one task:\n$p")
+  }
+
   test("naive SQL percent_rank/cume_dist/ntile: BOTH window nodes rewritten") {
     val p = plan("q_ntile_global")
     assert("GlobalRowNumber".r.findAllIn(p).length >= 2,
