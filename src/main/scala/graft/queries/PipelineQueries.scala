@@ -1180,6 +1180,26 @@ object PipelineQueries {
                FROM events_v ORDER BY ts_us, event_id""")
     }),
 
+    // CENTERED / LOOKAHEAD moving frames — `ROWS BETWEEN k PRECEDING
+    // AND j FOLLOWING` (the smoothing window every time-series user
+    // writes) and the pure-lookahead `CURRENT ROW AND j FOLLOWING`.
+    // GlobalSlidingAggStrategy stitches BOTH boundaries: each partition
+    // receives its max-k predecessor tail and max-j successor head (the
+    // GlobalOffsetWindowExec stitch), then folds each row's frame from a
+    // trailing ring + lookahead queue — still one range exchange, still
+    // bit-exact vs the built-in (same fold association).
+    "q_moving_centered" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""SELECT event_id, user_id,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (ORDER BY ts_us, event_id
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) AS centered_sum,
+                 COUNT(*) OVER (ORDER BY ts_us, event_id
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS centered_n,
+                 MAX(user_id) OVER (ORDER BY ts_us, event_id
+                   ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS ahead_max
+               FROM events_v ORDER BY ts_us, event_id""")
+    }),
+
     // The remaining naive global ranking family — percent_rank /
     // cume_dist / ntile over an empty partition spec — through the same
     // two-pass rescue. percent_rank derives from the tie-run start and
@@ -1914,6 +1934,16 @@ object PipelineQueries {
                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum,
              MAX(user_id) OVER (ORDER BY epoch_us(ts), event_id
                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mov_max
+           FROM events ORDER BY epoch_us(ts), event_id""",
+
+      "q_moving_centered" ->
+        """SELECT event_id, user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) AS centered_sum,
+             COUNT(*) OVER (ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS centered_n,
+             MAX(user_id) OVER (ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS ahead_max
            FROM events ORDER BY epoch_us(ts), event_id""",
 
       "q_running_global" ->

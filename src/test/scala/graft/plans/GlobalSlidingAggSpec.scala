@@ -67,10 +67,44 @@ class GlobalSlidingAggSpec extends SparkSuite {
     assert(out.count() == 10000)
   }
 
-  test("falls back for following-bounded and partitioned frames") {
+  test("centered and lookahead frames match WindowExec bit-for-bit") {
     val w = Window.orderBy("k", "id")
-    val fol = df.withColumn("ms", sum("v").over(w.rowsBetween(-2, 2)))
-    assert(!fol.queryExecution.executedPlan.toString.contains("GlobalSlidingAgg"))
+    val out = df
+      .withColumn("ctr", sum("v").over(w.rowsBetween(-3, 3)))
+      .withColumn("ahead", max("id").over(w.rowsBetween(Window.currentRow, 5)))
+      .withColumn("trail", sum("v").over(w.rowsBetween(-6, Window.currentRow)))
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalSlidingAgg"), s"expected GlobalSlidingAggExec:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"built-in WindowExec should be replaced:\n$p")
+    def snap(d: org.apache.spark.sql.DataFrame) = d
+      .select("k", "id", "ctr", "ahead", "trail")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4))).sorted.toSeq
+    val got = snap(out)
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
+    assert(got == expected, "centered/lookahead frames must match the built-in exactly")
+  }
+
+  test("lookahead frames wider than a partition stitch through successors") {
+    val tiny = (0 until 12).map(i => (i.toLong, i.toLong)).toDF("k", "id")
+      .repartition(8)
+    val out = tiny
+      .withColumn("ms", sum("id").over(
+        Window.orderBy("k").rowsBetween(-1, 5)))
+      .orderBy("k").select("k", "ms").as[(Long, Long)].collect().toSeq
+    val expected = (0 until 12).map { i =>
+      (i.toLong, (math.max(0, i - 1) to math.min(11, i + 5)).map(_.toLong).sum)
+    }
+    assert(out == expected)
+  }
+
+  test("falls back for current-row-excluding and partitioned frames") {
+    val w = Window.orderBy("k", "id")
+    // a 5 PRECEDING .. 2 PRECEDING frame can be EMPTY near the table
+    // start — empty-frame null semantics are left to the built-in
+    val excl = df.withColumn("ms", sum("v").over(w.rowsBetween(-5, -2)))
+    assert(!excl.queryExecution.executedPlan.toString.contains("GlobalSlidingAgg"))
     val part = df.withColumn("ms", sum("v").over(
       Window.partitionBy(col("k") % 10).orderBy("id")
         .rowsBetween(-2, Window.currentRow)))

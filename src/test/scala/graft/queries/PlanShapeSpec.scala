@@ -139,6 +139,13 @@ class PlanShapeSpec extends SparkSuite {
       s"single-task WindowExec must not survive for the moving aggregate:\n$p")
   }
 
+  test("naive SQL centered/lookahead moving frames plan the frame-fold exec") {
+    val p = plan("q_moving_centered")
+    assert(p.contains("GlobalSlidingAgg"), s"expected GlobalSlidingAggExec:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"single-task WindowExec must not survive for centered frames:\n$p")
+  }
+
   test("naive SQL global running sum plans the prefix-scan exec") {
     val p = plan("q_running_global")
     assert(p.contains("GlobalRunningAgg"), s"expected GlobalRunningAggExec:\n$p")
