@@ -53,6 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // total): partial buffers + driver merge + narrow constant attach,
     // zero shuffle
     ext.injectPlannerStrategy(_ => graft.plans.GlobalConstantAggStrategy)
+    // and for RANGE-interval frames (`RANGE BETWEEN x PRECEDING AND
+    // CURRENT ROW` over ts — the time-series trailing window):
+    // value-window boundary stitch + tie-run frame folds
+    ext.injectPlannerStrategy(_ => graft.plans.GlobalRangeFrameStrategy)
   }
 }
 

@@ -1200,6 +1200,24 @@ object PipelineQueries {
                FROM events_v ORDER BY ts_us, event_id""")
     }),
 
+    // RANGE-INTERVAL trailing window — `RANGE BETWEEN 1h PRECEDING AND
+    // CURRENT ROW` over event time, THE time-series moving window. A
+    // value-based frame can't ship a fixed row count across partition
+    // boundaries; GlobalRangeFrameStrategy ships each partition's
+    // leading edge the predecessor rows within the interval (bounded by
+    // the frame's own row density) and folds tie runs locally —
+    // peer-inclusive, exactly the built-in's RANGE semantics, without
+    // the single task.
+    "q_range_frame_global" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""SELECT event_id, user_id,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (ORDER BY ts_us
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum,
+                 COUNT(*) OVER (ORDER BY ts_us
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS hour_n
+               FROM events_v ORDER BY ts_us, event_id""")
+    }),
+
     // The remaining naive global ranking family — percent_rank /
     // cume_dist / ntile over an empty partition spec — through the same
     // two-pass rescue. percent_rank derives from the tie-run start and
@@ -1944,6 +1962,14 @@ object PipelineQueries {
                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS centered_n,
              MAX(user_id) OVER (ORDER BY epoch_us(ts), event_id
                ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS ahead_max
+           FROM events ORDER BY epoch_us(ts), event_id""",
+
+      "q_range_frame_global" ->
+        """SELECT event_id, user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum,
+             COUNT(*) OVER (ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS hour_n
            FROM events ORDER BY epoch_us(ts), event_id""",
 
       "q_running_global" ->

@@ -1,0 +1,106 @@
+package graft.plans
+
+import graft.SparkSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** GlobalRangeFrameStrategy: naive global `RANGE BETWEEN x PRECEDING AND
+  * CURRENT ROW` must plan as the value-window stitch exec and match the
+  * built-in single-task WindowExec exactly — including tie-peer
+  * inclusion and null-key peer groups. */
+class GlobalRangeFrameSpec extends SparkSuite {
+  import spark.implicits._
+
+  // clustered keys with deliberate ties and gaps; v exercises sums
+  private def df = (0 until 10000)
+    .map(i => (((i * 2654435761L) % 3000) * 7, ((i * 48271) % 1000).toLong, i.toLong))
+    .toDF("k", "v", "id").repartition(7)
+
+  private def withConf[T](key: String, value: String)(body: => T): T = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("trailing value windows of mixed widths match WindowExec") {
+    val w = Window.orderBy("k")
+    val out = df
+      .withColumn("rs", sum("v").over(w.rangeBetween(-100, Window.currentRow)))
+      .withColumn("rc", count(lit(1)).over(w.rangeBetween(-1000, Window.currentRow)))
+      .withColumn("rmax", max("v").over(w.rangeBetween(-50, Window.currentRow)))
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalRangeFrame"), s"expected GlobalRangeFrameExec:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"built-in WindowExec should be replaced:\n$p")
+    def snap(d: org.apache.spark.sql.DataFrame) = d
+      .select("k", "id", "rs", "rc", "rmax")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted.toSeq
+    val got = snap(out)
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
+    assert(got == expected, "range frames must match the built-in exactly")
+  }
+
+  test("windows wider than a partition stitch through multiple predecessors") {
+    val tiny = (0 until 12).map(i => (i.toLong * 10, i.toLong)).toDF("k", "id")
+      .repartition(8)
+    val out = tiny
+      .withColumn("rs", sum("id").over(
+        Window.orderBy("k").rangeBetween(-50, Window.currentRow)))
+      .orderBy("k").select("k", "rs").as[(Long, Long)].collect().toSeq
+    val expected = (0 until 12).map { i =>
+      (i.toLong * 10, (math.max(0, i - 5) to i).map(_.toLong).sum)
+    }
+    assert(out == expected)
+  }
+
+  test("null order keys form their own peer group, matching the built-in") {
+    val d = (0 until 1000).map { i =>
+      (if (i % 17 == 0) None else Some((i % 300).toLong), i.toLong)
+    }.toDF("k", "id").repartition(5)
+    val out = d.withColumn("rc",
+      count(lit(1)).over(Window.orderBy("k").rangeBetween(-10, Window.currentRow)))
+    assert(out.queryExecution.executedPlan.toString.contains("GlobalRangeFrame"))
+    def snap(x: org.apache.spark.sql.DataFrame) = x.select("k", "id", "rc")
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getLong(1), r.getLong(2))).sorted.toSeq
+    val got = snap(out)
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
+    assert(got == expected)
+  }
+
+  test("SQL INTERVAL frame over a timestamp key rewrites and matches") {
+    val d = (0 until 2000)
+      .map(i => (((i * 2654435761L) % 7200).toLong, i.toLong))
+      .toDF("secs", "id")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+      .repartition(5)
+    d.createOrReplaceTempView("grf_ts")
+    val q = """SELECT id, COUNT(*) OVER (ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS c
+               FROM grf_ts"""
+    val out = spark.sql(q)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalRangeFrame"), s"INTERVAL frame must rewrite:\n$p")
+    def snap(x: org.apache.spark.sql.DataFrame) = x
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val got = snap(out)
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") {
+      snap(spark.sql(q))
+    }
+    assert(got == expected)
+  }
+
+  test("falls back for month intervals, descending order and FOLLOWING bounds") {
+    val w = Window.orderBy(col("k").desc)
+    val desc = df.withColumn("rs",
+      sum("v").over(w.rangeBetween(-100, Window.currentRow)))
+    assert(!desc.queryExecution.executedPlan.toString.contains("GlobalRangeFrame"))
+    val fol = df.withColumn("rs", sum("v").over(
+      Window.orderBy("k").rangeBetween(-100, 100)))
+    assert(!fol.queryExecution.executedPlan.toString.contains("GlobalRangeFrame"))
+  }
+}

@@ -146,6 +146,13 @@ class PlanShapeSpec extends SparkSuite {
       s"single-task WindowExec must not survive for centered frames:\n$p")
   }
 
+  test("naive SQL RANGE-interval trailing window plans the value-window exec") {
+    val p = plan("q_range_frame_global")
+    assert(p.contains("GlobalRangeFrame"), s"expected GlobalRangeFrameExec:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"single-task WindowExec must not survive for the range frame:\n$p")
+  }
+
   test("naive SQL global running sum plans the prefix-scan exec") {
     val p = plan("q_running_global")
     assert(p.contains("GlobalRunningAgg"), s"expected GlobalRunningAggExec:\n$p")
