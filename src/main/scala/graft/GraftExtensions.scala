@@ -43,6 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // same rescue for the frameless offset functions lag()/lead():
     // range shuffle + boundary-row stitch instead of SinglePartition
     ext.injectPlannerStrategy(_ => graft.plans.GlobalOffsetWindowStrategy)
+    // and their IGNORE NULLS variants (variable lookbehind): per-function
+    // non-null value rings + pending-FIFO lead resolution, stitched with
+    // boundary VALUES instead of boundary rows
+    ext.injectPlannerStrategy(_ => graft.plans.GlobalOffsetIgnoreNullsStrategy)
     // and for global RUNNING aggregates (sum/count/min/max/avg OVER
     // (ORDER BY ...)): the distributed prefix scan
     ext.injectPlannerStrategy(_ => graft.plans.GlobalRunningAggStrategy)

@@ -1145,6 +1145,25 @@ object PipelineQueries {
                FROM events_v ORDER BY ts_us, event_id""")
     }),
 
+    // lag/lead IGNORE NULLS — the gap-filling query of sparse series
+    // ("previous non-null reading"). The lookbehind is VARIABLE (the
+    // n-th non-null may be arbitrarily far back), so the rescue stitches
+    // boundary VALUES instead of boundary rows: per partition and per
+    // function the first/last n non-null inputs, locally a value ring
+    // (lag) and a pending-FIFO resolution (lead). Plan guard asserts the
+    // exec; nv is null on every non-click event, giving long null runs.
+    "q_lag_ignorenulls_global" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""SELECT event_id, user_id,
+                 lag(nv, 1) IGNORE NULLS OVER (ORDER BY ts_us, event_id) AS prev_nn,
+                 lag(nv, 3) IGNORE NULLS OVER (ORDER BY ts_us, event_id) AS prev3_nn,
+                 lead(nv, 2, -1.0) IGNORE NULLS OVER (ORDER BY ts_us, event_id) AS next2_nn
+               FROM (SELECT event_id, user_id, ts_us,
+                       CASE WHEN event_type = 'click' THEN value END AS nv
+                     FROM events_v)
+               ORDER BY ts_us, event_id""")
+    }),
+
     // NAIVE GLOBAL RUNNING AGGREGATE — `SUM(x) OVER (ORDER BY ts)`, the
     // canonical cumulative total and the single most common global-
     // window query. GlobalRunningAggStrategy plans the distributed
@@ -1945,6 +1964,17 @@ object PipelineQueries {
              lead(value, 2, -1.0) OVER (ORDER BY epoch_us(ts), event_id) AS next2_value,
              value - lag(value, 1, 0.0) OVER (ORDER BY epoch_us(ts), event_id) AS delta
            FROM events ORDER BY epoch_us(ts), event_id""",
+
+      // DuckDB puts IGNORE NULLS inside the call parens; semantics match
+      "q_lag_ignorenulls_global" ->
+        """SELECT event_id, user_id,
+             lag(nv, 1 IGNORE NULLS) OVER (ORDER BY ts_us, event_id) AS prev_nn,
+             lag(nv, 3 IGNORE NULLS) OVER (ORDER BY ts_us, event_id) AS prev3_nn,
+             lead(nv, 2, -1.0 IGNORE NULLS) OVER (ORDER BY ts_us, event_id) AS next2_nn
+           FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   CASE WHEN event_type = 'click' THEN value END AS nv
+                 FROM events)
+           ORDER BY ts_us, event_id""",
 
       "q_moving_global" ->
         """SELECT event_id, user_id,

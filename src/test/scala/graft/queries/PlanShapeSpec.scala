@@ -176,6 +176,14 @@ class PlanShapeSpec extends SparkSuite {
       s"whole-table aggregate must not funnel into one task:\n$p")
   }
 
+  test("naive SQL lag/lead IGNORE NULLS plans the value-stitch exec") {
+    val p = plan("q_lag_ignorenulls_global")
+    assert(p.contains("GlobalOffsetIgnoreNulls"),
+      s"expected GlobalOffsetIgnoreNullsExec:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"single-task WindowExec must not survive for IGNORE NULLS offsets:\n$p")
+  }
+
   test("naive SQL percent_rank/cume_dist/ntile: BOTH window nodes rewritten") {
     val p = plan("q_ntile_global")
     assert("GlobalRowNumber".r.findAllIn(p).length >= 2,
