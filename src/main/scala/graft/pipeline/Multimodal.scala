@@ -95,11 +95,50 @@ object Multimodal {
   def duckFrameHex(payloadHex: String, frameIdx: String): String =
     s"substr($payloadHex, ($frameIdx) * 16 + 1, 16)"
 
+  /** REAL media decode end to end: synthesize a deterministic grayscale
+    * image (pixel(i) = (doc_id·31 + i) mod 256) and an 8-bit PCM clip
+    * (same formula) per document, ENCODE them through the JDK's real
+    * codecs (ImageIO → PNG bytes, javax.sound → WAV bytes), then DECODE
+    * the opaque payloads back — ImageIO parses the PNG, AudioSystem
+    * parses the RIFF container — and extract features from the decoded
+    * rasters/samples: dimensions, mean luma, an 8×8 nearest-neighbor
+    * thumbnail mean, sample count, mean amplitude. Because the content
+    * formula is arithmetic, a SQL oracle can verify every decoded value
+    * exactly without any codec — a real decode path with an exact
+    * correctness gate.
+    *
+    * Scale: one narrow mapPartitions — no shuffle, no driver data; the
+    * per-task working set is one image + one clip at a time. This is the
+    * shape a production decode stage has (batched partition iterators
+    * over a binary payload column); only the synthesis half would be
+    * replaced by reading stored payloads. */
+  def synthDecodedMedia(documents: DataFrame)(implicit s: SparkSession): Dataset[DecodedMedia] = {
+    import s.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (16 + id % 64).toInt
+        val h = (16 + id % 48).toInt
+        val px = Array.tabulate(w * h)(i => ((id * 31 + i) % 256).toByte)
+        val png = ImageCodec.encodeGrayPng(px, w, h)
+        val (dw, dh, dec) = ImageCodec.decodeGray(png)
+        val meanLuma = dec.iterator.map(b => (b & 0xff).toLong).sum.toDouble / (dw * dh)
+        val thumb = ImageCodec.resizeNearest(dec, dw, dh, 8, 8)
+        val thumbMean = thumb.iterator.map(b => (b & 0xff).toLong).sum.toDouble / 64.0
+        val n = (256 + id % 512).toInt
+        val wav = AudioCodec.encodeWav(Array.tabulate(n)(i => ((id * 31 + i) % 256).toByte))
+        val smp = AudioCodec.decodeWav(wav)
+        val audioMean = smp.iterator.map(b => (b & 0xff).toLong).sum.toDouble / smp.length
+        DecodedMedia(id, dw.toLong, dh.toLong, meanLuma, thumbMean,
+          smp.length.toLong, audioMean)
+      }
+    }
+  }
+
   /** STUB decode: batch feature extraction over partition iterators — the
-    * real-decode call site. A production build would decode image/audio
-    * bytes here (lib absent in this container → deterministic fake: mean
-    * byte + first-frame sample). Plumbing (batching, schema, encoders) is
-    * the real thing. */
+    * real-decode call site for the remaining VIDEO path (the JDK bundles
+    * no video codec; images and audio decode for real via [[ImageCodec]]/
+    * [[AudioCodec]] in [[synthDecodedMedia]]). Plumbing (batching,
+    * schema, encoders) is the real thing. */
   def extractFeatures(media: Dataset[MediaRow])(implicit s: SparkSession): Dataset[MediaFeatures] = {
     import s.implicits._
     media.mapPartitions { rows =>
@@ -111,7 +150,104 @@ object Multimodal {
   }
 }
 
-/** The stubbed decoder (see [[Multimodal.extractFeatures]]). */
+/** One synthesized image row: REAL PNG bytes in `payload`. */
+final case class ImageRow(doc_id: Long, width: Int, height: Int,
+                          payload: Array[Byte])
+
+/** One synthesized audio row: REAL WAV bytes in `payload`. */
+final case class AudioRow(doc_id: Long, n_samples: Int, payload: Array[Byte])
+
+/** Decoded media features — every value derived from REAL codec output. */
+final case class DecodedMedia(doc_id: Long, width_px: Long, height_px: Long,
+                              mean_luma: Double, thumb_mean: Double,
+                              audio_n: Long, audio_mean: Double)
+
+/** REAL image codec on the JDK's built-in ImageIO (PNG/JPEG/BMP/GIF ship
+  * with the JVM — no external libs needed): grayscale encode, decode to
+  * raster samples, nearest-neighbor resample. Used by the media-decode
+  * pipeline; [[FakeCodec]] remains only for the video path (the JDK has
+  * no video codec — that stub is genuinely environment-blocked). */
+object ImageCodec {
+  import java.awt.image.BufferedImage
+  import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+  import javax.imageio.ImageIO
+
+  /** Encode 8-bit grayscale pixels (row-major, length w*h) as PNG. */
+  def encodeGrayPng(pixels: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    require(pixels.length == width * height,
+      s"pixel buffer ${pixels.length} != $width x $height")
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, width, height, pixels)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Decode an image payload to (width, height, grayscale samples) via
+    * ImageIO — the REAL decode call site. Works on any ImageIO-readable
+    * format; samples are the first band (= luma for grayscale). */
+  def decodeGray(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val samples = new Array[Int](w * h)
+    img.getRaster.getSamples(0, 0, w, h, 0, samples)
+    (w, h, samples.map(_.toByte))
+  }
+
+  /** Nearest-neighbor resample over DECODED pixels (deterministic
+    * arithmetic — sx = x*w/w2 integer division — so an oracle can
+    * replay the sampled indices exactly). */
+  def resizeNearest(pixels: Array[Byte], width: Int, height: Int,
+                    w2: Int, h2: Int): Array[Byte] = {
+    require(pixels.length == width * height && w2 >= 1 && h2 >= 1)
+    val out = new Array[Byte](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val sx = (x.toLong * width / w2).toInt
+        val sy = (y.toLong * height / h2).toInt
+        out(y * w2 + x) = pixels(sy * width + sx)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+}
+
+/** REAL audio codec on the JDK's built-in javax.sound.sampled (WAV/PCM
+  * ships with the JVM): 8-bit unsigned mono PCM encode + decode. */
+object AudioCodec {
+  import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+  import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+  private def pcm8Mono = new AudioFormat(
+    AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1, 8000f, false)
+
+  /** Encode 8-bit unsigned samples as a WAV file (RIFF header + PCM). */
+  def encodeWav(samples: Array[Byte]): Array[Byte] = {
+    val in = new AudioInputStream(
+      new ByteArrayInputStream(samples), pcm8Mono, samples.length.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Decode a WAV payload to its PCM samples via AudioSystem — the REAL
+    * decode call site (parses the RIFF container, not our writer). */
+  def decodeWav(payload: Array[Byte]): Array[Byte] = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    try in.readAllBytes() finally in.close()
+  }
+}
+
+/** The stubbed decoder (see [[Multimodal.extractFeatures]]) — retained
+  * for the VIDEO path only: the JDK bundles image (ImageIO) and audio
+  * (javax.sound) codecs, used for real by [[ImageCodec]]/[[AudioCodec]],
+  * but no video codec, so video decode stays a deterministic stand-in
+  * with the real plumbing shape. */
 object FakeCodec {
   /** Returns (mean byte value, first frame bytes). Real codecs plug in
     * here; signature and batch shape are what production code would use. */

@@ -1471,6 +1471,19 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // multimodal REAL decode: per doc a deterministic grayscale image +
+    // PCM clip are encoded through the JDK's REAL codecs (ImageIO → PNG,
+    // javax.sound → WAV) and decoded back from the opaque bytes; the
+    // features (dims, mean luma, 8×8 thumbnail mean, sample count, mean
+    // amplitude) come from the DECODED rasters/samples. The content
+    // formula is arithmetic, so DuckDB verifies every decoded value
+    // exactly with no codec — a real decode path under an exact oracle.
+    // One narrow mapPartitions: no shuffle, one image+clip in flight per
+    // task.
+    "q_media_decode" -> ((s, dir) =>
+      Multimodal.synthDecodedMedia(documents(s, dir))(s)
+        .toDF().orderBy("doc_id")),
+
     // scalar-function coverage: strings
     "q_string_funcs" -> ((s, dir) =>
       customer(s, dir).select(
@@ -2153,6 +2166,28 @@ object PipelineQueries {
               ${Multimodal.duckMeanByte(Multimodal.duckByteValues("payload_hex", 32), 32)} AS mean_byte,
               ${Multimodal.duckFrameHex("payload_hex", "doc_id % n_frames")} AS frame_hex
             FROM media ORDER BY doc_id""",
+
+      // replays the decode pipeline arithmetically: pixel/sample (i) =
+      // (doc_id·31 + i) % 256, dims/lengths from the same formulas the
+      // synthesizer uses — if Spark's ImageIO/AudioSystem round trip
+      // perturbed a single decoded value, the hash would diverge
+      "q_media_decode" ->
+        """SELECT doc_id,
+             CAST(16 + doc_id % 64 AS BIGINT) AS width_px,
+             CAST(16 + doc_id % 48 AS BIGINT) AS height_px,
+             CAST(list_sum(list_transform(range((16 + doc_id % 64) * (16 + doc_id % 48)),
+               i -> (doc_id * 31 + i) % 256)) AS DOUBLE)
+               / ((16 + doc_id % 64) * (16 + doc_id % 48)) AS mean_luma,
+             CAST(list_sum(list_transform(range(64), k ->
+               (doc_id * 31
+                  + ((k // 8) * (16 + doc_id % 48) // 8) * (16 + doc_id % 64)
+                  + ((k % 8) * (16 + doc_id % 64) // 8)) % 256)) AS DOUBLE)
+               / 64.0 AS thumb_mean,
+             CAST(256 + doc_id % 512 AS BIGINT) AS audio_n,
+             CAST(list_sum(list_transform(range(256 + doc_id % 512),
+               i -> (doc_id * 31 + i) % 256)) AS DOUBLE)
+               / (256 + doc_id % 512) AS audio_mean
+           FROM documents ORDER BY doc_id""",
 
       "q_string_funcs" ->
         """SELECT c_custkey,
