@@ -85,10 +85,23 @@ object TextIndex {
             shards: Int = DefaultShards): Unit = {
     require(shards > 0, s"shard count must be positive, got $shards")
     val spark = docs.sparkSession
-    if (mode == "append") storedFormat(spark, path).foreach { f =>
-      if (f != Format) throw new IllegalStateException(
-        s"text index at $path has layout format $f, this writer produces " +
-          s"$Format — re-index before appending")
+    if (mode == "append") {
+      storedFormat(spark, path).foreach { f =>
+        if (f != Format) throw new IllegalStateException(
+          s"text index at $path has layout format $f, this writer produces " +
+            s"$Format — re-index before appending")
+      }
+      // a tombstone cannot tell a doc's old postings from re-appended
+      // ones, so appending a deleted doc would leave BOTH hidden until
+      // the fold and then resurrect the stale postings too: refuse, and
+      // point at update() (delete → fold → append)
+      tombstones(spark, path).foreach { t =>
+        if (!docs.select(col("doc_id")).join(broadcast(t), Seq("doc_id"), "left_semi")
+              .isEmpty)
+          throw new IllegalStateException(
+            s"append batch contains tombstoned doc_ids — use TextIndex.update " +
+              s"(or compact $path first) to replace deleted documents")
+      }
     }
     val (prevDocs, prevTokens, nShards) =
       if (mode == "append")
@@ -143,27 +156,116 @@ object TextIndex {
         .getBytes("UTF-8")) finally out.close()
   }
 
+  /** Tombstone directory: parquet doc_id lists under an underscore-
+    * prefixed dir, so the postings read never picks them up as data. */
+  val DeletesDir = "_deletes"
+
+  private def deletesPath(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, DeletesDir)
+
+  /** DELETE documents from the index without rewriting it: append their
+    * ids as TOMBSTONES. Every probe anti-joins the tombstone set, so the
+    * docs disappear from results immediately; the postings themselves
+    * are dropped physically when [[compact]] next folds the tombstones
+    * into its rewrite — the Lucene delete-then-merge discipline, and the
+    * close of the full-re-index-on-refresh trap: a corpus refresh costs
+    * one tombstone append + one compaction of the index, never a
+    * re-tokenize of the corpus. Until the fold, manifest (docs, tokens)
+    * totals still include deleted docs — BM25 idf goes slightly stale,
+    * exactly as Lucene's doc stats do between merges. */
+  def delete(spark: SparkSession, path: String, docIds: Seq[Long]): Unit = {
+    import spark.implicits._
+    deleteDocs(spark, path, docIds.toDF("doc_id"))
+  }
+
+  /** [[delete]] with the ids as a DataFrame (`doc_id` column) — the form
+    * a corpus-scale refresh pipeline produces. */
+  def deleteDocs(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    layoutShards(spark, path) // fail loudly on a foreign/incomplete dir
+    val (_, root) = fsOf(spark, path)
+    ids.select(col("doc_id").cast("long")).distinct()
+      .write.mode("append").parquet(deletesPath(root).toString)
+  }
+
+  /** The live tombstone set, if any deletions are pending. */
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val (fs, root) = fsOf(spark, path)
+    val p = deletesPath(root)
+    if (fs.exists(p))
+      Some(spark.read.parquet(p.toString).select("doc_id").distinct())
+    else None
+  }
+
+  /** Whether deletions are pending (tombstones not yet folded). */
+  def hasPendingDeletes(spark: SparkSession, path: String): Boolean =
+    tombstones(spark, path).isDefined
+
+  /** Drop tombstoned docs from a postings frame — applied by every
+    * probe. The set broadcasts against the already-pruned postings. */
+  private def live(df: DataFrame, spark: SparkSession, path: String): DataFrame =
+    tombstones(spark, path)
+      .map(t => df.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      .getOrElse(df)
+
+  /** REPLACE documents in place: tombstone the old postings, fold them
+    * out (one index compaction — never a corpus re-tokenize), then
+    * append the new versions. The fold must come between delete and
+    * append: a tombstone cannot distinguish a doc's old postings from
+    * its re-added ones (postings carry no generation), which is also why
+    * [[write]] refuses a plain append of a tombstoned doc. */
+  def update(docs: DataFrame, path: String): Unit = {
+    val spark = docs.sparkSession
+    deleteDocs(spark, path, docs.select("doc_id"))
+    compact(spark, path)
+    write(docs, path, mode = "append")
+  }
+
   /** Compact streaming-appended postings: one file set per micro-batch
     * per shard accumulates until probe cost is file-open cost — the
     * memstore problem again, solved the same way: SaltedStore.compact's
     * marker-guarded two-rename swap on the `shard=N` layout, each shard
-    * rewritten sorted by term. Pause the streaming writer while
-    * compacting (same discipline as the salted store / vector index). */
+    * rewritten sorted by term. Pending TOMBSTONES are folded into the
+    * same rewrite (each shard anti-joins the deleted ids while it is
+    * being rewritten anyway — the fold is free), then cleared, and the
+    * manifest (docs, tokens) totals are recounted from the surviving
+    * postings — a column-pruned pass over an index this call just
+    * rewrote wholesale, so proportionally negligible, and the one
+    * moment the totals can be made exact again. Pause the streaming
+    * writer while compacting (same discipline as the salted store /
+    * vector index). */
   def compact(spark: SparkSession, path: String,
-              targetBytes: Long = 128L * 1024 * 1024): Unit =
+              targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val del = tombstones(spark, path)
     graft.store.SaltedStore.compact(spark, path, col("t"), targetBytes,
-      partitionPrefix = "shard")
+      partitionPrefix = "shard",
+      transform = del match {
+        case Some(t) => df => df.join(broadcast(t), Seq("doc_id"), "left_anti")
+        case None => identity
+      })
+    if (del.isDefined) {
+      val (fs, root) = fsOf(spark, path)
+      fs.delete(deletesPath(root), true)
+      val r = graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
+        .agg(count_distinct(col("doc_id")), coalesce(sum("tf"), lit(0L))).head()
+      val nShards = layoutShards(spark, path)
+      val out = fs.create(new org.apache.hadoop.fs.Path(root, ManifestFile), true)
+      try out.write(
+        s"""{"format":$Format,"shards":$nShards,"docs":${r.getLong(0)},"tokens":${r.getLong(1)}}"""
+          .getBytes("UTF-8")) finally out.close()
+    }
+  }
 
   /** Compact only when some shard has accumulated more than
-    * `maxFilesPerShard` posting files (the flush-accumulation signal) —
-    * the call a periodic maintenance loop makes: steady state costs one
-    * directory listing, not a full index rewrite. Returns whether a
-    * compaction ran. */
+    * `maxFilesPerShard` posting files (the flush-accumulation signal) or
+    * deletions are pending — the call a periodic maintenance loop makes:
+    * steady state costs one directory listing, not a full index rewrite.
+    * Returns whether a compaction ran. */
   def compactIfNeeded(spark: SparkSession, path: String,
                       targetBytes: Long = 128L * 1024 * 1024,
                       maxFilesPerShard: Int = 4): Boolean = {
-    val need = graft.store.SaltedStore.needsCompaction(
-      spark, path, maxFilesPerShard, partitionPrefix = "shard")
+    val need = hasPendingDeletes(spark, path) ||
+      graft.store.SaltedStore.needsCompaction(
+        spark, path, maxFilesPerShard, partitionPrefix = "shard")
     if (need) compact(spark, path, targetBytes)
     need
   }
@@ -234,9 +336,10 @@ object TextIndex {
     val n = storedDocs(spark, path).getOrElse(throw new IllegalStateException(
       s"text index at $path has no doc count in its manifest — rebuild to rank"))
     val shards = terms.map(shardOfTerm(_, nShards)).distinct
-    val postings = graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
-      .filter(col("shard").isin(shards: _*))
-      .filter(col("t").isin(terms: _*))
+    val postings = live(
+      graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
+        .filter(col("shard").isin(shards: _*))
+        .filter(col("t").isin(terms: _*)), spark, path)
       // re-aggregate per (t, doc): append-safe (postings may span files);
       // dl is per-doc constant, max() just survives the file split
       .groupBy("t", "doc_id").agg(sum("tf").as("tf"), max("dl").as("dl"))
@@ -302,9 +405,10 @@ object TextIndex {
     val shards = terms.map(shardOfTerm(_, nShards)).distinct
     import spark.implicits._
     val slots = phrase.zipWithIndex.map { case (t, i) => (i, t) }.toDF("slot", "st")
-    val fetched = graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
-      .filter(col("shard").isin(shards: _*))
-      .filter(col("t").isin(terms: _*))
+    val fetched = live(
+      graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
+        .filter(col("shard").isin(shards: _*))
+        .filter(col("t").isin(terms: _*)), spark, path)
       // append-safe: a doc's postings may span appended micro-batch files
       .groupBy("t", "doc_id")
       .agg(sort_array(flatten(collect_list(col("positions")))).as("positions"))
@@ -337,8 +441,8 @@ object TextIndex {
   def searchPrefix(spark: SparkSession, path: String, prefix: String): DataFrame = {
     require(prefix.nonEmpty, "searchPrefix needs a non-empty prefix")
     layoutShards(spark, path) // fail loudly on a foreign/incomplete dir
-    graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
-      .filter(col("t").startsWith(prefix))
+    live(graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
+        .filter(col("t").startsWith(prefix)), spark, path)
       // append-safe: re-aggregate per (t, doc) before counting df
       .groupBy("t", "doc_id").agg(sum("tf").as("tf"))
       .groupBy("t").agg(count(lit(1)).as("df"), sum("tf").as("total_tf"))
@@ -357,9 +461,9 @@ object TextIndex {
     // SaltedStore's marker-aware read on the shard layout: a probe during
     // (or after a crash of) compact waits out the swap instead of
     // silently missing a shard
-    graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
-      .filter(col("shard").isin(shards: _*))
-      .filter(col("t").isin(terms: _*))
+    live(graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
+        .filter(col("shard").isin(shards: _*))
+        .filter(col("t").isin(terms: _*)), spark, path)
       .groupBy("doc_id")
       // count_distinct, not count: a doc whose postings span appended
       // micro-batch files carries one row per (term, file-batch)

@@ -40,7 +40,7 @@ object PipelineQueries {
   val indexBacked: Seq[String] = Seq(
     "q_knn_cosine_ivf_indexed", "q_knn_cosine_ivf_indexed_multiprobe",
     "q_text_search", "q_text_search_ranked", "q_text_bm25", "q_text_phrase",
-    "q_text_stream_ingest")
+    "q_text_stream_ingest", "q_text_delete")
 
   /** Persist hygiene across repeated invocation. Bench runs every query
     * 3+ times per process and one process may touch several SF dirs, so a
@@ -172,16 +172,25 @@ object PipelineQueries {
   }
 
   /** Conjunctive text-search oracle — recomputed from documents; shared
-    * by the one-shot (q_text_search) and streaming-ingested
-    * (q_text_stream_ingest) index queries, which must agree exactly. */
-  private lazy val duckConjunctiveSearchSql: String =
-    s"""WITH tok AS (SELECT doc_id, unnest(${duckTokens("text")}) AS t FROM documents),
+    * by the one-shot (q_text_search), streaming-ingested
+    * (q_text_stream_ingest) and tombstone-folded (q_text_delete) index
+    * queries. `docFilter` narrows the corpus (the delete query's
+    * surviving-docs set). */
+  private def duckConjunctiveSearch(docFilter: String = "TRUE"): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${duckTokens("text")}) AS t
+                     FROM documents WHERE $docFilter),
           p AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS tf
                 FROM tok GROUP BY t, doc_id),
           m AS (SELECT doc_id, count(*) AS n, CAST(SUM(tf) AS BIGINT) AS total_tf
                 FROM p WHERE t IN ('batch', 'small', 'scan') GROUP BY doc_id)
         SELECT doc_id, total_tf FROM m WHERE n = 3
         ORDER BY total_tf DESC, doc_id LIMIT 20"""
+  private lazy val duckConjunctiveSearchSql: String = duckConjunctiveSearch()
+
+  /** Docs the q_text_delete query tombstones — several sit in the
+    * sf0.01 top-20 (73, 100, 418), so the fold provably changes the
+    * result, not just the bookkeeping. */
+  private val TextDeleteIds = Seq(5L, 13L, 73L, 100L, 418L)
 
   /** SimHash signature pairs (orig vs +100000 mutation) with hamming
     * distance — parameterized on the corpus so q_dedup_quality can feed
@@ -1376,6 +1385,29 @@ object PipelineQueries {
         .orderBy(col("n_occurrences").desc, col("doc_id"))
     }),
 
+    // DELETE → FOLD → SEARCH against the tombstoned text index: docs are
+    // tombstoned (visible to every probe immediately, no rewrite), then
+    // one compaction folds them out physically — each shard anti-joins
+    // the deleted ids during the rewrite it was doing anyway — clears the
+    // tombstones and recounts the manifest. The oracle recomputes the
+    // same conjunctive search over the SURVIVING docs only; several
+    // deleted ids sit in the undeleted top-20, so the fold provably
+    // changes the result. This closes the full-re-index-on-refresh trap:
+    // a corpus refresh costs a tombstone append + one index compaction,
+    // never a corpus re-tokenize.
+    "q_text_delete" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_tindex_del_" +
+        s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+      if (TextIndex.storedShards(s, path).isEmpty) {
+        TextIndex.write(documents(s, dir).select("doc_id", "text"), path, shards = 8)
+        TextIndex.delete(s, path, TextDeleteIds)
+        TextIndex.compact(s, path)
+      }
+      TextIndex.searchAll(s, path, Seq("batch", "small", "scan"))
+        .orderBy(col("total_tf").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // TOKEN-RARITY quality score (unigram-LM-lite): mean corpus frequency
     // of a doc's tokens plus its out-of-vocabulary count — docs full of
     // rare/garbage tokens score low and get filtered. The scale trick is
@@ -2039,6 +2071,11 @@ object PipelineQueries {
       // answer exactly like the one-shot index (both are lossless views
       // of documents)
       "q_text_stream_ingest" -> duckConjunctiveSearchSql,
+
+      // the tombstone-folded index must answer exactly like an index of
+      // the surviving docs alone
+      "q_text_delete" -> duckConjunctiveSearch(
+        s"doc_id NOT IN (${TextDeleteIds.mkString(", ")})"),
 
       "q_text_prefix" ->
         s"""WITH tok AS (SELECT doc_id, unnest(${duckTokens("text")}) AS t FROM documents),

@@ -306,7 +306,8 @@ object SaltedStore {
     * pausing the streaming writer for the store is sufficient. */
   def compact(spark: SparkSession, path: String, keyCol: Column,
               targetBytes: Long = 128L * 1024 * 1024,
-              partitionPrefix: String = "bucket"): Unit = {
+              partitionPrefix: String = "bucket",
+              transform: DataFrame => DataFrame = identity): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -323,8 +324,11 @@ object SaltedStore {
       val tmp = new Path(b.getPath.getParent, s".compact_${b.getPath.getName}")
       // range-repartition on the key: each output file covers a DISJOINT
       // key range, so post-compaction min/max row-group skipping prunes
-      // whole files, not just row groups
-      spark.read.parquet(b.getPath.toString)
+      // whole files, not just row groups. `transform` lets the caller
+      // fold per-row maintenance into the same rewrite (the text index
+      // drops tombstoned docs here) — compaction is the one moment every
+      // row is already being rewritten, so folding is free.
+      transform(spark.read.parquet(b.getPath.toString))
         .repartitionByRange(nFiles, keyCol)
         .sortWithinPartitions(keyCol)
         .write.mode("overwrite").parquet(tmp.toString)

@@ -182,6 +182,55 @@ class TextIndexSpec extends SparkSuite {
     assert(got == Seq((1L, 1L), (2L, 1L)))
   }
 
+  test("delete tombstones immediately, compaction folds physically") {
+    val dD = java.nio.file.Files.createTempDirectory("tindexD").toString
+    TextIndex.write(docs, dD, shards = 3)
+    TextIndex.delete(spark, dD, Seq(1L, 3L))
+    // every probe excludes the docs BEFORE any compaction
+    assert(TextIndex.searchAll(spark, dD, Seq("cat"))
+      .select("doc_id").as[Long].collect().isEmpty) // cat was in 1 and 3
+    assert(TextIndex.searchRanked(spark, dD, Seq("the"))
+      .select("doc_id").as[Long].collect().toSet == Set(2L)) // 1 deleted
+    assert(TextIndex.searchPhrase(spark, dD, Seq("the", "cat")).count() == 0)
+    // prefix c: "cat" (docs 1, 3 — deleted) and "completely" (doc 5)
+    assert(TextIndex.searchPrefix(spark, dD, "c")
+      .select("t").as[String].collect().toSeq == Seq("completely"))
+    assert(TextIndex.hasPendingDeletes(spark, dD))
+    // the maintenance gate fires on pending deletes, folds, clears, and
+    // refreshes the manifest from the surviving docs
+    assert(TextIndex.compactIfNeeded(spark, dD, maxFilesPerShard = 64))
+    assert(!TextIndex.hasPendingDeletes(spark, dD))
+    assert(!TextIndex.compactIfNeeded(spark, dD, maxFilesPerShard = 64))
+    // physical: the postings rows are gone, not just masked
+    assert(spark.read.parquet(dD).filter(col("doc_id").isin(1L, 3L)).count() == 0)
+    // manifest: docs 2, 4, 5 with 8 + 4 + 4 = 16 tokens
+    assert(TextIndex.storedDocs(spark, dD).contains(3L))
+    assert(TextIndex.storedTokens(spark, dD).contains(16L))
+    // results unchanged after the fold
+    assert(TextIndex.searchAll(spark, dD, Seq("cat")).count() == 0)
+  }
+
+  test("update replaces a doc; plain append of a deleted doc refuses") {
+    val dU = java.nio.file.Files.createTempDirectory("tindexU").toString
+    TextIndex.write(docs, dU, shards = 3)
+    // plain append of a tombstoned doc is ambiguous — must refuse
+    TextIndex.delete(spark, dU, Seq(1L))
+    val e = intercept[IllegalStateException] {
+      TextIndex.write(Seq((1L, "totally new text")).toDF("doc_id", "text"),
+        dU, mode = "append")
+    }
+    assert(e.getMessage.contains("update"))
+    // update = delete → fold → append: only the new content remains
+    TextIndex.update(Seq((1L, "falcon flies at night")).toDF("doc_id", "text"), dU)
+    assert(TextIndex.searchAll(spark, dU, Seq("falcon"))
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    // doc 1's old content is gone; "cat" survives only in untouched doc 3
+    assert(TextIndex.searchAll(spark, dU, Seq("cat"))
+      .select("doc_id").as[Long].collect().toSeq == Seq(3L))
+    // manifest reflects the replacement: still 5 docs
+    assert(TextIndex.storedDocs(spark, dU).contains(5L))
+  }
+
   test("ensure is idempotent; missing manifest fails loudly; diverged layout rebuilds") {
     val d2 = java.nio.file.Files.createTempDirectory("tindex2").toString
     assert(TextIndex.ensure(docs, d2), "first ensure writes")
