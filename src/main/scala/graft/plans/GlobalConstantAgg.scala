@@ -32,9 +32,14 @@ import org.apache.spark.sql.internal.SQLConf
   * cost as the agg-then-broadcast-join rewrite a careful user would
   * hand-write, without the join.)
   *
-  * Matches Window nodes with an empty partition spec, empty order spec
-  * (the bare `OVER ()`), and UNBOUNDED PRECEDING .. UNBOUNDED FOLLOWING
-  * frames over deterministic [[DeclarativeAggregate]]s, driven through
+  * Matches Window nodes with an empty partition spec and UNBOUNDED
+  * PRECEDING .. UNBOUNDED FOLLOWING frames — both the bare `OVER ()`
+  * (empty order spec) and the explicit `OVER (ORDER BY k ROWS/RANGE
+  * BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)` spelling: an
+  * order spec cannot change a whole-table frame, so the value is the
+  * same constant either way (order-SENSITIVE first/last_value fail the
+  * deterministic guard and keep the built-in path). Aggregates are
+  * deterministic [[DeclarativeAggregate]]s, driven through
   * their own init/update/merge/evaluate projections — sum/count/min/
   * max/avg and any other deterministic declarative aggregate, decimals
   * and all. (First/Last are excluded: with no order spec their value is
@@ -60,7 +65,7 @@ object GlobalConstantAggStrategy extends SparkStrategy {
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case w: logical.Window
-        if w.partitionSpec.isEmpty && w.orderSpec.isEmpty &&
+        if w.partitionSpec.isEmpty &&
           w.windowExpressions.nonEmpty &&
           w.windowExpressions.forall(funcOf(_).isDefined) &&
           SQLConf.get.getConfString(GlobalRowNumberStrategy.ConfKey, "true").toBoolean =>

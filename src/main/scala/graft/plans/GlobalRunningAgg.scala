@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, CurrentRow, JoinedRow, MutableProjection, NamedExpression, RangeFrame, SortOrder, SpecificInternalRow, SpecifiedWindowFrame, UnboundedPreceding, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, CurrentRow, Descending, JoinedRow, MutableProjection, NamedExpression, NullsFirst, NullsLast, RangeFrame, SortOrder, SpecificInternalRow, SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, DeclarativeAggregate, First, Last}
 import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -38,6 +38,19 @@ import org.apache.spark.sql.internal.SQLConf
   * exchange co-locates equal sort keys — a tie run never spans a
   * partition boundary. Mixed frames in one node are handled.
   *
+  * SUFFIX frames — `CURRENT ROW → UNBOUNDED FOLLOWING`, the "remaining
+  * total" query — are the mirror image and reuse this exec verbatim:
+  * the strategy flips every sort direction (and its null ordering), so
+  * the range exchange enumerates the table in exact reverse order and
+  * the same prefix scan computes the suffix. Frame SETS are identical
+  * under reversal ([peer-start, end] read backwards is [start,
+  * peer-end]), so order-insensitive aggregates match the built-in
+  * exactly; `first_value`/`last_value` are enumeration-sensitive and
+  * are swapped (the first row of a suffix frame is the LAST row fed in
+  * reverse), preserving ignoreNulls. Output rows emit in reverse key
+  * order — SQL attaches no meaning to result order, and any outer
+  * ORDER BY re-sorts.
+  *
   * Values match the built-in for exact types (integral, decimal,
   * count/min/max). For FLOATING-POINT sums the distributed plan
   * associates additions differently than a single sequential scan —
@@ -65,6 +78,28 @@ object GlobalRunningAggStrategy extends SparkStrategy {
     case _ => None
   }
 
+  private def suffixOf(e: NamedExpression): Option[RunningAgg] = e match {
+    case Alias(WindowExpression(
+          AggregateExpression(f: DeclarativeAggregate, Complete, false, None, _),
+          WindowSpecDefinition(_, _,
+            SpecifiedWindowFrame(ft, CurrentRow, UnboundedFollowing))), _)
+        if f.deterministic || f.isInstanceOf[First] || f.isInstanceOf[Last] =>
+      // reverse enumeration: the frame's first row is the last one fed
+      val g = f match {
+        case First(c, ign) => Last(c, ign)
+        case Last(c, ign)  => First(c, ign)
+        case other         => other
+      }
+      Some(RunningAgg(g, ft == RangeFrame, e.toAttribute))
+    case _ => None
+  }
+
+  private def reversed(s: SortOrder): SortOrder = SortOrder(
+    s.child,
+    if (s.direction == Ascending) Descending else Ascending,
+    if (s.nullOrdering == NullsFirst) NullsLast else NullsFirst,
+    s.sameOrderExpressions)
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case w: logical.Window
         if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
@@ -73,6 +108,13 @@ object GlobalRunningAggStrategy extends SparkStrategy {
           SQLConf.get.getConfString(GlobalRowNumberStrategy.ConfKey, "true").toBoolean =>
       GlobalRunningAggExec(w.orderSpec,
         w.windowExpressions.map(funcOf(_).get), planLater(w.child)) :: Nil
+    case w: logical.Window
+        if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
+          w.windowExpressions.nonEmpty &&
+          w.windowExpressions.forall(suffixOf(_).isDefined) &&
+          SQLConf.get.getConfString(GlobalRowNumberStrategy.ConfKey, "true").toBoolean =>
+      GlobalRunningAggExec(w.orderSpec.map(reversed),
+        w.windowExpressions.map(suffixOf(_).get), planLater(w.child)) :: Nil
     case _ => Nil
   }
 }

@@ -1281,6 +1281,33 @@ object PipelineQueries {
                FROM events_v ORDER BY event_id""")
     }),
 
+    // SUFFIX frames — `CURRENT ROW AND UNBOUNDED FOLLOWING`, the
+    // "remaining total" mirror of the running aggregate, plus the
+    // explicit whole-table frame WITH an order spec. Three window specs
+    // → three Window nodes: the ROWS-suffix node and the RANGE-suffix
+    // node both plan GlobalRunningAggExec over the REVERSED sort order
+    // (same prefix scan, enumerated backwards; first/last_value
+    // swapped), and the UNBOUNDED..UNBOUNDED node plans
+    // GlobalConstantAggExec (an order spec can't change a whole-table
+    // frame). No single-task WindowExec anywhere (plan guard).
+    "q_suffix_global" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""SELECT event_id, user_id,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (ORDER BY ts_us, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE) AS rem_value,
+                 COUNT(*) OVER (ORDER BY ts_us, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rem_n,
+                 MAX(user_id) OVER (ORDER BY ts_us, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rem_max_user,
+                 last_value(user_id) OVER (ORDER BY ts_us, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS final_user,
+                 COUNT(*) OVER (ORDER BY user_id
+                   RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ge_user_n,
+                 COUNT(*) OVER (ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n_total
+               FROM events_v ORDER BY ts_us, event_id""")
+    }),
+
     // CONJUNCTIVE TERM SEARCH against the persisted inverted text index
     // (pipeline.TextIndex): postings sharded by term hash — the
     // reference's point-get bucket prune applied to term lookup. The
@@ -2064,6 +2091,22 @@ object PipelineQueries {
              CAST(value AS DOUBLE)
                / CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER () AS DOUBLE) AS share
            FROM events ORDER BY event_id""",
+
+      "q_suffix_global" ->
+        """SELECT event_id, user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE) AS rem_value,
+             COUNT(*) OVER (ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rem_n,
+             MAX(user_id) OVER (ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rem_max_user,
+             last_value(user_id) OVER (ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS final_user,
+             COUNT(*) OVER (ORDER BY user_id
+               RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ge_user_n,
+             COUNT(*) OVER (ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n_total
+           FROM events ORDER BY epoch_us(ts), event_id""",
 
       "q_text_search" -> duckConjunctiveSearchSql,
 

@@ -69,6 +69,32 @@ class GlobalConstantAggSpec extends SparkSuite {
     assert(empty.count() == 0)
   }
 
+  test("ORDER BY with an explicit whole-table frame is still a constant — rescued") {
+    df.createOrReplaceTempView("const_agg_ord_v")
+    val out = spark.sql(
+      """SELECT id, v,
+           SUM(v) OVER (ORDER BY id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS total,
+           MAX(v) OVER (ORDER BY id
+             RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS vmax
+         FROM const_agg_ord_v""")
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalConstantAgg"), s"expected GlobalConstantAggExec:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    def snap(d: org.apache.spark.sql.DataFrame) = d
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val got = snap(out)
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
+    assert(got == expected)
+    // order-SENSITIVE first/last_value keep the built-in path
+    val fv = spark.sql(
+      """SELECT first_value(v) OVER (ORDER BY id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS f
+         FROM const_agg_ord_v""")
+    assert(!fv.queryExecution.executedPlan.toString.contains("GlobalConstantAgg"))
+  }
+
   test("null-heavy input: sum over all-null column is null, count skips nulls") {
     val d = (0 until 100).map(i => (i.toLong, Option.empty[java.lang.Long]))
       .toDF("id", "v").repartition(3)

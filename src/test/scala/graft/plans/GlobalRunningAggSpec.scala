@@ -96,6 +96,60 @@ class GlobalRunningAggSpec extends SparkSuite {
     // so the isDistinct=false guard can never see one)
   }
 
+  test("suffix frames: remaining sum/count/extrema match WindowExec, ROWS and RANGE") {
+    // ROWS on a unique order (deterministic) + RANGE with tie peers
+    val rows = Window.orderBy("k", "id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val range = Window.orderBy("k")
+      .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    val out = tied
+      .withColumn("rem_sum", sum("v").over(rows))
+      .withColumn("rem_n", count(lit(1)).over(rows))
+      .withColumn("rem_min", min("v").over(rows))
+      .withColumn("ge_n", count(lit(1)).over(range))
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalRunningAgg"), s"expected GlobalRunningAggExec:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"built-in WindowExec should be replaced:\n$p")
+    def snap(d: org.apache.spark.sql.DataFrame) = d
+      .select("k", "id", "rem_sum", "rem_n", "rem_min", "ge_n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sorted.toSeq
+    val got = snap(out)
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
+    assert(got == expected)
+    // last row's remaining set is just itself
+    val lastRow = got.maxBy(t => (t._1, t._2))
+    assert(lastRow._4 == 1L)
+  }
+
+  test("suffix first_value/last_value swap correctly, incl. ignoreNulls") {
+    val rows = Window.orderBy("k", "id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // null out ~1/3 of v so ignoreNulls has gaps to skip
+    val withNulls = tied.withColumn("vn",
+      when(col("id") % 3 === 0, lit(null).cast("long")).otherwise(col("v")))
+    val out = withNulls
+      .withColumn("fv", first("vn").over(rows))
+      .withColumn("lv", last("vn").over(rows))
+      .withColumn("fvi", first("vn", ignoreNulls = true).over(rows))
+      .withColumn("lvi", last("vn", ignoreNulls = true).over(rows))
+    assert(out.queryExecution.executedPlan.toString.contains("GlobalRunningAgg"))
+    def snap(d: org.apache.spark.sql.DataFrame) = d
+      .select("k", "id", "fv", "lv", "fvi", "lvi")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4)), Option(r.get(5))))
+      .sorted(Ordering.by((t: (Long, Long, Option[Any], Option[Any], Option[Any],
+        Option[Any])) => (t._1, t._2))).toSeq
+    val got = snap(out)
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
+    assert(got == expected)
+    // first_value of [current, end) is the current row's own value
+    val byId = withNulls.select("k", "id", "vn").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), Option(r.get(2)))).toMap
+    assert(got.forall(t => t._3 == byId((t._1, t._2))))
+  }
+
   test("empty input and single rows") {
     val w = Window.orderBy("k")
     val empty = tied.filter(col("id") < 0).withColumn("rs", sum("v").over(w))

@@ -160,6 +160,18 @@ class PlanShapeSpec extends SparkSuite {
       s"single-task WindowExec must not survive for the running aggregate:\n$p")
   }
 
+  test("naive SQL suffix frames plan the reversed prefix-scan exec") {
+    val p = plan("q_suffix_global")
+    // three window specs: two suffix nodes (reversed GlobalRunningAgg)
+    // and one explicit whole-table frame (GlobalConstantAgg)
+    assert("GlobalRunningAgg".r.findAllIn(p).length >= 2,
+      s"expected two GlobalRunningAggExec nodes for the suffix frames:\n$p")
+    assert(p.contains("GlobalConstantAgg"),
+      s"expected GlobalConstantAggExec for the ordered whole-table frame:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"single-task WindowExec must not survive for suffix frames:\n$p")
+  }
+
   test("naive SQL global lag/lead plans the boundary-stitch exec") {
     val p = plan("q_lag_global")
     assert(p.contains("GlobalOffsetWindow"), s"expected GlobalOffsetWindowExec:\n$p")
