@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.saltedKey)
     ext.injectFunction(GraftExtensions.originalKey)
     ext.injectOptimizerRule(_ => graft.plans.DivRangePushdown)
+    // split MIXED-category global Window nodes (running + suffix + rank
+    // over one ORDER BY land in one node) so each frame family reaches
+    // its rescue strategy instead of dragging the node to a single task
+    ext.injectOptimizerRule(_ => graft.plans.GlobalWindowSplit)
     // plans the naive single-task `row_number() OVER (ORDER BY ...)` as
     // the two-pass range-shuffle + zipWithIndex exec (scale-safe global
     // index even for naively-written SQL); covers all six ranking funcs

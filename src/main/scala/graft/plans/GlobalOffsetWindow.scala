@@ -48,6 +48,9 @@ object GlobalOffsetWindowStrategy extends SparkStrategy {
       case _ => None
     }
 
+  /** Per-expression categorizer for [[GlobalWindowSplit]]. */
+  private[plans] def rescuable(e: NamedExpression): Boolean = funcOf(e).isDefined
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case w: logical.Window
         if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&

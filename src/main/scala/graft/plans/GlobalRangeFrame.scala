@@ -79,14 +79,18 @@ object GlobalRangeFrameStrategy extends SparkStrategy {
     case _ => None
   }
 
+  /** Per-expression / node-level categorizers for [[GlobalWindowSplit]]. */
+  private[plans] def rescuable(e: NamedExpression): Boolean = funcOf(e).isDefined
+  private[plans] def orderRescuable(w: logical.Window): Boolean =
+    w.orderSpec.length == 1 && w.orderSpec.head.direction == Ascending &&
+      (w.orderSpec.head.child.dataType match {
+        case IntegerType | LongType | TimestampType => true
+        case _ => false
+      })
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case w: logical.Window
-        if w.partitionSpec.isEmpty && w.orderSpec.length == 1 &&
-          w.orderSpec.head.direction == Ascending &&
-          (w.orderSpec.head.child.dataType match {
-            case IntegerType | LongType | TimestampType => true
-            case _ => false
-          }) &&
+        if w.partitionSpec.isEmpty && orderRescuable(w) &&
           w.windowExpressions.nonEmpty &&
           w.windowExpressions.forall(funcOf(_).isDefined) &&
           SQLConf.get.getConfString(GlobalRowNumberStrategy.ConfKey, "true").toBoolean =>

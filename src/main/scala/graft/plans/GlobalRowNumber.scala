@@ -71,6 +71,9 @@ object GlobalRowNumberStrategy extends SparkStrategy {
     case _ => None
   }
 
+  /** Per-expression categorizer for [[GlobalWindowSplit]]. */
+  private[plans] def rescuable(e: NamedExpression): Boolean = funcOf(e).isDefined
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case w: logical.Window
         if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
@@ -151,6 +154,22 @@ case class GlobalRowNumberExec(order: Seq[SortOrder],
     val rowOffsets = stats.map(_._1).scanLeft(0L)(_ + _)
     val distOffsets = stats.map(_._2).scanLeft(0L)(_ + _)
     val totalRows = rowOffsets.last
+
+    // int-typed ranks (row_number/rank/dense_rank/ntile are IntegerType,
+    // as in WindowExec) cannot express positions past 2^31. The built-in
+    // silently wraps; mid-task toIntExact would fail deep into pass 2.
+    // The stats pass already knows N — refuse HERE, at the driver,
+    // before any output work starts.
+    val intRanked = modes.exists {
+      case RowNumF | RankF | DenseRankF | _: NTileF => true
+      case _ => false
+    }
+    if (intRanked && totalRows > Int.MaxValue)
+      throw new org.apache.spark.SparkException(
+        s"global ranking over $totalRows rows exceeds the IntegerType range " +
+          "of row_number/rank/dense_rank/ntile (2^31-1, same type as " +
+          "WindowExec, which silently wraps). Pre-aggregate or filter " +
+          "before ranking, or window by a partition key.")
 
     // pass 2: assign values partition-locally from the prefix offsets
     rdd.mapPartitionsWithIndex { (pid, iter) =>

@@ -94,6 +94,14 @@ object GlobalRunningAggStrategy extends SparkStrategy {
     case _ => None
   }
 
+  /** Per-expression categorizers for [[GlobalWindowSplit]] — running and
+    * suffix frames need OPPOSITE exchange directions, so they are
+    * distinct split groups. */
+  private[plans] def rescuableRunning(e: NamedExpression): Boolean =
+    funcOf(e).isDefined
+  private[plans] def rescuableSuffix(e: NamedExpression): Boolean =
+    suffixOf(e).isDefined
+
   private def reversed(s: SortOrder): SortOrder = SortOrder(
     s.child,
     if (s.direction == Ascending) Descending else Ascending,

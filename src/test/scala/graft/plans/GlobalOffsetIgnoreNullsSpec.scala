@@ -78,20 +78,27 @@ class GlobalOffsetIgnoreNullsSpec extends SparkSuite {
     assert(rows(99) == (99L, 0L, -1L))
   }
 
-  test("respect-nulls expressions are untouched; mixed nodes fall back safely") {
+  test("respect-nulls expressions are untouched; mixed nodes split per family") {
     df.createOrReplaceTempView("ign_t2")
     val plain = spark.sql(
       "SELECT id, lag(v, 1) OVER (ORDER BY id) AS p FROM ign_t2")
     val pp = plain.queryExecution.executedPlan.toString
     assert(pp.contains("GlobalOffsetWindow") && !pp.contains("GlobalOffsetIgnoreNulls"))
-    // mixed IGNORE/RESPECT in one OVER spec: both strategies decline,
-    // the built-in runs, and values are still correct
+    // mixed IGNORE/RESPECT in one OVER spec: GlobalWindowSplit separates
+    // the two families so BOTH rescue execs plan, and values still match
+    // the built-in
     val mixed = spark.sql(
       """SELECT id, lag(v, 1) OVER (ORDER BY id) AS a,
            lag(v, 1) IGNORE NULLS OVER (ORDER BY id) AS b
          FROM ign_t2""")
     val mp = mixed.queryExecution.executedPlan.toString
-    assert(!mp.contains("GlobalOffset"), s"mixed node must fall back:\n$mp")
-    assert(mixed.count() == 10000)
+    assert(mp.contains("GlobalOffsetWindow") && mp.contains("GlobalOffsetIgnoreNulls"),
+      s"mixed node must split into both rescue execs:\n$mp")
+    def snap(d: org.apache.spark.sql.DataFrame) = d
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+      .sortBy(_._1).toSeq
+    val got = snap(mixed)
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(mixed) }
+    assert(got == expected)
   }
 }

@@ -40,10 +40,13 @@ class GlobalRowNumberSpec extends SparkSuite {
     val partitioned = df.withColumn("rn",
       row_number().over(Window.partitionBy(col("k") % 10).orderBy("id")))
     assert(!partitioned.queryExecution.executedPlan.toString.contains("GlobalRowNumber"))
-    // unsupported window functions over the same node opt the whole node out
+    // a mixed rank+lag node no longer opts the node out: GlobalWindowSplit
+    // separates the families so each plans its own rescue exec
     val mixed = df.withColumn("r", rank().over(Window.orderBy("k")))
       .withColumn("l", lag("id", 1).over(Window.orderBy("k")))
-    assert(!mixed.queryExecution.executedPlan.toString.contains("GlobalRowNumber"))
+    val mp = mixed.queryExecution.executedPlan.toString
+    assert(mp.contains("GlobalRowNumber") && mp.contains("GlobalOffsetWindow"),
+      s"mixed node must split into both rescue execs:\n$mp")
   }
 
   test("rank and dense_rank plan the two-pass exec and match WindowExec on ties") {
