@@ -270,6 +270,67 @@ object TextIndex {
     need
   }
 
+  /** MERGE the index at `srcPath` into the index at `destPath` — the
+    * Lucene segment-merge step for independently built indexes (per-
+    * month corpora, per-tenant shards, a backfill next to the live
+    * index). The merge moves POSTINGS, never documents: src rows are
+    * re-sharded to the destination's stored shard count (one shuffle of
+    * src postings — corpus tokenization is never repeated) and appended
+    * as sorted runs; manifest (docs, tokens) totals add. Src is left
+    * untouched (delete it after, like a merged-away segment).
+    *
+    * Both sides' pending tombstones are folded FIRST (one compaction
+    * each, only if pending): totals can only add over live postings.
+    * Doc sets must be DISJOINT — the append contract; an overlapping doc
+    * would double-count tf in every probe — and are verified by default
+    * with one doc_id-level anti-semi join (postings-sized, column-
+    * pruned; pass `checkDisjoint = false` when the caller guarantees it
+    * structurally, e.g. time-partitioned corpora at 100 TB).
+    *
+    * The destination keeps its OWN shard count: the src layout's count
+    * is just another writer parameter being re-read and re-applied — the
+    * reference's recompute-prefix-without-read rationale (README:75-78)
+    * one more time. Finish with [[compactIfNeeded]] when src brought
+    * many small files. */
+  def merge(spark: SparkSession, destPath: String, srcPath: String,
+            checkDisjoint: Boolean = true): Unit = {
+    val destShards = layoutShards(spark, destPath)
+    layoutShards(spark, srcPath) // fail loudly before touching dest
+    Seq(destPath, srcPath).foreach { p =>
+      val f = storedFormat(spark, p)
+      if (!f.contains(Format)) throw new IllegalStateException(
+        s"text index at $p has layout format ${f.getOrElse(1)}, merge " +
+          s"requires $Format — re-index first")
+    }
+    if (hasPendingDeletes(spark, destPath)) compact(spark, destPath)
+    if (hasPendingDeletes(spark, srcPath)) compact(spark, srcPath)
+    val src = graft.store.SaltedStore.read(spark, srcPath, partitionPrefix = "shard")
+    if (checkDisjoint) {
+      val dest = graft.store.SaltedStore.read(spark, destPath, partitionPrefix = "shard")
+      val overlap = src.select("doc_id").distinct()
+        .join(dest.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      if (!overlap.isEmpty) throw new IllegalStateException(
+        s"merge of $srcPath into $destPath: doc sets overlap (e.g. doc_id " +
+          s"${overlap.head().getLong(0)}) — probes would double-count tf. " +
+          "Delete the overlapping docs from one side first (TextIndex.delete " +
+          "+ compact), or merge disjoint corpora only")
+    }
+    val (docsA, tokensA) = (storedDocs(spark, destPath).getOrElse(0L),
+      storedTokens(spark, destPath).getOrElse(0L))
+    val (docsB, tokensB) = (storedDocs(spark, srcPath).getOrElse(0L),
+      storedTokens(spark, srcPath).getOrElse(0L))
+    src
+      .withColumn("shard", shardOf(col("t"), destShards))
+      .repartition(col("shard"))
+      .sortWithinPartitions("t", "doc_id")
+      .write.partitionBy("shard").mode("append").parquet(destPath)
+    val (fs, root) = fsOf(spark, destPath)
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, ManifestFile), true)
+    try out.write(
+      s"""{"format":$Format,"shards":$destShards,"docs":${docsA + docsB},"tokens":${tokensA + tokensB}}"""
+        .getBytes("UTF-8")) finally out.close()
+  }
+
   private def manifestField(spark: SparkSession, path: String, field: String): Option[Long] = {
     val (fs, root) = fsOf(spark, path)
     val p = new org.apache.hadoop.fs.Path(root, ManifestFile)

@@ -40,7 +40,7 @@ object PipelineQueries {
   val indexBacked: Seq[String] = Seq(
     "q_knn_cosine_ivf_indexed", "q_knn_cosine_ivf_indexed_multiprobe",
     "q_text_search", "q_text_search_ranked", "q_text_bm25", "q_text_phrase",
-    "q_text_stream_ingest", "q_text_delete")
+    "q_text_stream_ingest", "q_text_delete", "q_text_merge")
 
   /** Persist hygiene across repeated invocation. Bench runs every query
     * 3+ times per process and one process may touch several SF dirs, so a
@@ -1308,6 +1308,28 @@ object PipelineQueries {
                FROM events_v ORDER BY ts_us, event_id""")
     }),
 
+    // MIXED-FAMILY global window — running + suffix + rank + lag +
+    // sliding over ONE order spec. The analyzer puts all five in a
+    // SINGLE Window node (grouping is by (partition, order), not by
+    // frame), which no per-family strategy could claim whole; the
+    // GlobalWindowSplit optimizer rule splits it into five homogeneous
+    // nodes, each planning its rescue exec — adjacency no longer
+    // reopens the single-task trap (plan guard asserts all five execs,
+    // zero surviving WindowExec).
+    "q_window_mixed_global" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""SELECT event_id, user_id,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                   OVER (ORDER BY ts_us, event_id) AS DOUBLE) AS cum_value,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (ORDER BY ts_us, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE) AS rem_value,
+                 rank() OVER (ORDER BY ts_us, event_id) AS rnk,
+                 lag(user_id, 1) OVER (ORDER BY ts_us, event_id) AS prev_user,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (ORDER BY ts_us, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov5
+               FROM events_v ORDER BY ts_us, event_id""")
+    }),
+
     // CONJUNCTIVE TERM SEARCH against the persisted inverted text index
     // (pipeline.TextIndex): postings sharded by term hash — the
     // reference's point-get bucket prune applied to term lookup. The
@@ -1378,6 +1400,35 @@ object PipelineQueries {
       // shards and pays only the directory listing
       TextIndex.compactIfNeeded(s, path, maxFilesPerShard = 2)
       TextIndex.searchAll(s, path, Seq("batch", "small", "scan"))
+        .orderBy(col("total_tf").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // INDEX MERGE — two indexes built independently over disjoint halves
+    // of the corpus (with DIFFERENT shard counts: 8 and 16), src merged
+    // into dest as a segment merge: src postings re-shard to dest's
+    // stored count in ONE postings shuffle (documents are never
+    // re-tokenized), manifest totals add, dest keeps its own layout.
+    // The merged index must answer conjunctive search exactly like an
+    // index of the full corpus — same oracle as q_text_search.
+    "q_text_merge" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_tmerge_" +
+        s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+      val (destPath, srcPath) = (s"${base}_dest", s"${base}_src")
+      val done = new org.apache.hadoop.fs.Path(destPath, "_graft_merge_done")
+      val fs = done.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(done)) { // idempotent across bench passes
+        fs.delete(new org.apache.hadoop.fs.Path(destPath), true)
+        fs.delete(new org.apache.hadoop.fs.Path(srcPath), true)
+        val docs = documents(s, dir).select("doc_id", "text")
+        TextIndex.write(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          destPath, shards = 8)
+        TextIndex.write(docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          srcPath, shards = 16)
+        TextIndex.merge(s, destPath, srcPath)
+        fs.create(done, true).close()
+      }
+      TextIndex.searchAll(s, destPath, Seq("batch", "small", "scan"))
         .orderBy(col("total_tf").desc, col("doc_id"))
         .limit(20)
     }),
@@ -2108,12 +2159,27 @@ object PipelineQueries {
                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n_total
            FROM events ORDER BY epoch_us(ts), event_id""",
 
+      "q_window_mixed_global" ->
+        """SELECT event_id, user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)))
+               OVER (ORDER BY epoch_us(ts), event_id) AS DOUBLE) AS cum_value,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE) AS rem_value,
+             rank() OVER (ORDER BY epoch_us(ts), event_id) AS rnk,
+             lag(user_id, 1) OVER (ORDER BY epoch_us(ts), event_id) AS prev_user,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov5
+           FROM events ORDER BY epoch_us(ts), event_id""",
+
       "q_text_search" -> duckConjunctiveSearchSql,
 
       // identical oracle: the streaming-ingested, compacted index must
       // answer exactly like the one-shot index (both are lossless views
       // of documents)
       "q_text_stream_ingest" -> duckConjunctiveSearchSql,
+
+      // the merged index is a lossless view of the full corpus too
+      "q_text_merge" -> duckConjunctiveSearchSql,
 
       // the tombstone-folded index must answer exactly like an index of
       // the surviving docs alone

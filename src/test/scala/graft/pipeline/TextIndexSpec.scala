@@ -231,6 +231,47 @@ class TextIndexSpec extends SparkSuite {
     assert(TextIndex.storedDocs(spark, dU).contains(5L))
   }
 
+  test("merge: different shard counts, dest layout kept, totals add, search is whole-corpus") {
+    val dA = java.nio.file.Files.createTempDirectory("tmergeA").toString
+    val dB = java.nio.file.Files.createTempDirectory("tmergeB").toString
+    val half1 = docs.filter(col("doc_id") % 2 === 1)
+    val half0 = docs.filter(col("doc_id") % 2 === 0)
+    TextIndex.write(half1, dA, shards = 4)
+    TextIndex.write(half0, dB, shards = 16)
+    TextIndex.merge(spark, dA, dB)
+    // dest keeps ITS shard count; totals are the sum of both manifests
+    assert(TextIndex.storedShards(spark, dA).contains(4))
+    assert(TextIndex.storedDocs(spark, dA).contains(5L))
+    val full = java.nio.file.Files.createTempDirectory("tmergeF").toString
+    TextIndex.write(docs, full, shards = 4)
+    def q(d: String) = TextIndex.searchAll(spark, d, Seq("the"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(q(dA) == q(full))
+    // re-sharded src postings are findable (doc 4 "of mice and men" was in src)
+    assert(TextIndex.searchAll(spark, dA, Seq("mice"))
+      .as[(Long, Long)].collect().toSeq == Seq((4L, 1L)))
+    // src untouched
+    assert(TextIndex.storedDocs(spark, dB).contains(2L))
+  }
+
+  test("merge refuses overlapping doc sets; folds pending tombstones first") {
+    val dA = java.nio.file.Files.createTempDirectory("tmergeC").toString
+    val dB = java.nio.file.Files.createTempDirectory("tmergeD").toString
+    TextIndex.write(docs.filter(col("doc_id") <= 3), dA, shards = 2)
+    TextIndex.write(docs.filter(col("doc_id") >= 3), dB, shards = 2)
+    val e = intercept[IllegalStateException] { TextIndex.merge(spark, dA, dB) }
+    assert(e.getMessage.contains("overlap"))
+    // tombstone the overlap on dest; merge must fold it before appending,
+    // so totals and search reflect survivors + src
+    TextIndex.delete(spark, dA, Seq(3L))
+    TextIndex.merge(spark, dA, dB)
+    assert(!TextIndex.hasPendingDeletes(spark, dA))
+    assert(TextIndex.storedDocs(spark, dA).contains(5L))
+    assert(TextIndex.searchAll(spark, dA, Seq("cat"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 1L), (3L, 1L)))
+  }
+
   test("ensure is idempotent; missing manifest fails loudly; diverged layout rebuilds") {
     val d2 = java.nio.file.Files.createTempDirectory("tindex2").toString
     assert(TextIndex.ensure(docs, d2), "first ensure writes")

@@ -172,6 +172,17 @@ class PlanShapeSpec extends SparkSuite {
       s"single-task WindowExec must not survive for suffix frames:\n$p")
   }
 
+  test("mixed-family window node splits: all five families rescued") {
+    val p = plan("q_window_mixed_global")
+    assert("GlobalRunningAgg".r.findAllIn(p).length >= 2,
+      s"expected running AND suffix GlobalRunningAggExec:\n$p")
+    assert(p.contains("GlobalRowNumber"), s"expected GlobalRowNumberExec:\n$p")
+    assert(p.contains("GlobalOffsetWindow"), s"expected GlobalOffsetWindowExec:\n$p")
+    assert(p.contains("GlobalSlidingAgg"), s"expected GlobalSlidingAggExec:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"single-task WindowExec must not survive the split:\n$p")
+  }
+
   test("naive SQL global lag/lead plans the boundary-stitch exec") {
     val p = plan("q_lag_global")
     assert(p.contains("GlobalOffsetWindow"), s"expected GlobalOffsetWindowExec:\n$p")
