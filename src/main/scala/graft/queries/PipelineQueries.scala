@@ -1246,6 +1246,28 @@ object PipelineQueries {
                FROM events_v ORDER BY ts_us, event_id""")
     }),
 
+    // CENTERED / LOOKAHEAD value windows — `RANGE BETWEEN 30m PRECEDING
+    // AND 30m FOLLOWING` (the time-series smoothing window) and the
+    // pure lookahead `CURRENT ROW AND 1h FOLLOWING`. The FOLLOWING side
+    // ships each partition's LEADING value-window to its predecessors
+    // (the successor-head stitch) and folds frames from a trailing
+    // deque + a bounded lookahead FIFO — shipped volume and lookahead
+    // memory are both bounded by one frame's own row span, never data
+    // size. Mixed widths share one node, one range exchange.
+    "q_range_centered_global" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""SELECT event_id, user_id,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (ORDER BY ts_us
+                   RANGE BETWEEN 1800000000 PRECEDING AND 1800000000 FOLLOWING) AS DOUBLE)
+                   AS centered_sum,
+                 COUNT(*) OVER (ORDER BY ts_us
+                   RANGE BETWEEN 1800000000 PRECEDING AND 1800000000 FOLLOWING)
+                   AS centered_n,
+                 COUNT(*) OVER (ORDER BY ts_us
+                   RANGE BETWEEN CURRENT ROW AND 3600000000 FOLLOWING) AS ahead_n
+               FROM events_v ORDER BY ts_us, event_id""")
+    }),
+
     // The remaining naive global ranking family — percent_rank /
     // cume_dist / ntile over an empty partition spec — through the same
     // two-pass rescue. percent_rank derives from the tie-run start and
@@ -2123,6 +2145,18 @@ object PipelineQueries {
                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum,
              COUNT(*) OVER (ORDER BY epoch_us(ts)
                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS hour_n
+           FROM events ORDER BY epoch_us(ts), event_id""",
+
+      "q_range_centered_global" ->
+        """SELECT event_id, user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (ORDER BY epoch_us(ts)
+               RANGE BETWEEN 1800000000 PRECEDING AND 1800000000 FOLLOWING) AS DOUBLE)
+               AS centered_sum,
+             COUNT(*) OVER (ORDER BY epoch_us(ts)
+               RANGE BETWEEN 1800000000 PRECEDING AND 1800000000 FOLLOWING)
+               AS centered_n,
+             COUNT(*) OVER (ORDER BY epoch_us(ts)
+               RANGE BETWEEN CURRENT ROW AND 3600000000 FOLLOWING) AS ahead_n
            FROM events ORDER BY epoch_us(ts), event_id""",
 
       "q_running_global" ->

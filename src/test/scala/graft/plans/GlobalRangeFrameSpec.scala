@@ -94,13 +94,62 @@ class GlobalRangeFrameSpec extends SparkSuite {
     assert(got == expected)
   }
 
-  test("falls back for month intervals, descending order and FOLLOWING bounds") {
+  test("centered and lookahead value windows of mixed widths match WindowExec") {
+    val w = Window.orderBy("k")
+    val out = df
+      .withColumn("cs", sum("v").over(w.rangeBetween(-100, 100)))
+      .withColumn("cc", count(lit(1)).over(w.rangeBetween(-300, 700)))
+      .withColumn("la", max("v").over(w.rangeBetween(Window.currentRow, 200)))
+      .withColumn("tr", sum("v").over(w.rangeBetween(-50, Window.currentRow)))
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalRangeFrame"), s"expected GlobalRangeFrameExec:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"built-in WindowExec should be replaced:\n$p")
+    def snap(d: org.apache.spark.sql.DataFrame) = d
+      .select("k", "id", "cs", "cc", "la", "tr")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sorted.toSeq
+    val got = snap(out)
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
+    assert(got == expected, "centered range frames must match the built-in exactly")
+  }
+
+  test("lookahead windows wider than a partition stitch through successors") {
+    val tiny = (0 until 12).map(i => (i.toLong * 10, i.toLong)).toDF("k", "id")
+      .repartition(8)
+    val out = tiny
+      .withColumn("rs", sum("id").over(
+        Window.orderBy("k").rangeBetween(Window.currentRow, 50)))
+      .orderBy("k").select("k", "rs").as[(Long, Long)].collect().toSeq
+    val expected = (0 until 12).map { i =>
+      (i.toLong * 10, (i to math.min(11, i + 5)).map(_.toLong).sum)
+    }
+    assert(out == expected)
+  }
+
+  test("null keys with FOLLOWING bounds: nulls stay outside arithmetic frames") {
+    val d = (0 until 1000).map { i =>
+      (if (i % 17 == 0) None else Some((i % 300).toLong), i.toLong)
+    }.toDF("k", "id").repartition(5)
+    val out = d.withColumn("rc",
+      count(lit(1)).over(Window.orderBy("k").rangeBetween(-10, 10)))
+    assert(out.queryExecution.executedPlan.toString.contains("GlobalRangeFrame"))
+    def snap(x: org.apache.spark.sql.DataFrame) = x.select("k", "id", "rc")
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getLong(1), r.getLong(2))).sorted.toSeq
+    val got = snap(out)
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
+    assert(got == expected)
+  }
+
+  test("falls back for month intervals and descending order") {
     val w = Window.orderBy(col("k").desc)
     val desc = df.withColumn("rs",
       sum("v").over(w.rangeBetween(-100, Window.currentRow)))
     assert(!desc.queryExecution.executedPlan.toString.contains("GlobalRangeFrame"))
-    val fol = df.withColumn("rs", sum("v").over(
-      Window.orderBy("k").rangeBetween(-100, 100)))
-    assert(!fol.queryExecution.executedPlan.toString.contains("GlobalRangeFrame"))
+    // peers-only RANGE CURRENT ROW..CURRENT ROW: left to the built-in
+    val peers = df.withColumn("rs", sum("v").over(
+      Window.orderBy("k").rangeBetween(Window.currentRow, Window.currentRow)))
+    assert(!peers.queryExecution.executedPlan.toString.contains("GlobalRangeFrame"))
   }
 }

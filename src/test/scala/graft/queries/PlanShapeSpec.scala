@@ -153,6 +153,13 @@ class PlanShapeSpec extends SparkSuite {
       s"single-task WindowExec must not survive for the range frame:\n$p")
   }
 
+  test("naive SQL centered RANGE-interval windows plan the value-window exec") {
+    val p = plan("q_range_centered_global")
+    assert(p.contains("GlobalRangeFrame"), s"expected GlobalRangeFrameExec:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"single-task WindowExec must not survive for centered range frames:\n$p")
+  }
+
   test("naive SQL global running sum plans the prefix-scan exec") {
     val p = plan("q_running_global")
     assert(p.contains("GlobalRunningAgg"), s"expected GlobalRunningAggExec:\n$p")
