@@ -150,6 +150,24 @@ class GlobalRunningAggSpec extends SparkSuite {
     assert(got.forall(t => t._3 == byId((t._1, t._2))))
   }
 
+  test("descending order: running and suffix frames both rescue and match") {
+    val w = Window.orderBy(col("k").desc, col("id").desc)
+    val out = tied
+      .withColumn("rs", sum("v").over(w))
+      .withColumn("rem", sum("v").over(
+        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    val p = out.queryExecution.executedPlan.toString
+    assert("GlobalRunningAgg".r.findAllIn(p).length >= 2,
+      s"DESC running and suffix must both rescue:\n$p")
+    def snap(d: org.apache.spark.sql.DataFrame) = d
+      .select("k", "id", "rs", "rem")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val got = snap(out)
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
+    assert(got == expected)
+  }
+
   test("empty input and single rows") {
     val w = Window.orderBy("k")
     val empty = tied.filter(col("id") < 0).withColumn("rs", sum("v").over(w))
