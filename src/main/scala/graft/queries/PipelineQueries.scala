@@ -1246,6 +1246,37 @@ object PipelineQueries {
                FROM events_v ORDER BY ts_us, event_id""")
     }),
 
+    // TIME-SERIES RESAMPLE + GAP FILL — the canonical downstream of a
+    // monotonic-key event store (the reference's workload, README:10-12):
+    // hourly rollup, a dense hour grid from ONE bounds row (explode
+    // sequence — the interval fan-out idea as a generator), left join,
+    // zeros for counts and LOCF (last observation carried forward) for
+    // values. LOCF is `last_value(x) IGNORE NULLS OVER (ORDER BY hour)`
+    // — a global running frame, planned by GlobalRunningAggStrategy
+    // (Last rides the prefix scan; ignoreNulls preserved), never a
+    // single task. At scale: the rollup is one hash agg over events;
+    // the grid is bounded by the time span (10 years ≈ 88k rows —
+    // broadcast side of the join).
+    "q_resample_locf" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""WITH hourly AS (
+                 SELECT ts_us DIV 3600000000 AS hour_bucket,
+                        COUNT(*) AS n,
+                        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+                 FROM events_v GROUP BY ts_us DIV 3600000000),
+               bounds AS (
+                 SELECT MIN(hour_bucket) AS lo, MAX(hour_bucket) AS hi FROM hourly),
+               grid AS (
+                 SELECT explode(sequence(lo, hi)) AS hour_bucket FROM bounds)
+               SELECT g.hour_bucket,
+                      COALESCE(h.n, 0) AS n,
+                      COALESCE(h.sum_value, CAST(0 AS DOUBLE)) AS sum_value,
+                      last_value(h.sum_value) IGNORE NULLS
+                        OVER (ORDER BY g.hour_bucket) AS locf_value
+               FROM grid g LEFT JOIN hourly h ON g.hour_bucket = h.hour_bucket
+               ORDER BY g.hour_bucket""")
+    }),
+
     // CENTERED / LOOKAHEAD value windows — `RANGE BETWEEN 30m PRECEDING
     // AND 30m FOLLOWING` (the time-series smoothing window) and the
     // pure lookahead `CURRENT ROW AND 1h FOLLOWING`. The FOLLOWING side
@@ -2146,6 +2177,22 @@ object PipelineQueries {
              COUNT(*) OVER (ORDER BY epoch_us(ts)
                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS hour_n
            FROM events ORDER BY epoch_us(ts), event_id""",
+
+      "q_resample_locf" ->
+        """WITH hourly AS (
+             SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
+                    COUNT(*) AS n,
+                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             FROM events GROUP BY 1),
+           bounds AS (SELECT MIN(hour_bucket) AS lo, MAX(hour_bucket) AS hi FROM hourly),
+           grid AS (SELECT unnest(generate_series(lo, hi)) AS hour_bucket FROM bounds)
+           SELECT g.hour_bucket,
+                  COALESCE(h.n, 0) AS n,
+                  COALESCE(h.sum_value, CAST(0 AS DOUBLE)) AS sum_value,
+                  last_value(h.sum_value IGNORE NULLS)
+                    OVER (ORDER BY g.hour_bucket) AS locf_value
+           FROM grid g LEFT JOIN hourly h ON g.hour_bucket = h.hour_bucket
+           ORDER BY g.hour_bucket""",
 
       "q_range_centered_global" ->
         """SELECT event_id, user_id,

@@ -160,6 +160,14 @@ class PlanShapeSpec extends SparkSuite {
       s"single-task WindowExec must not survive for centered range frames:\n$p")
   }
 
+  test("resample/LOCF: gap-fill window plans the prefix-scan exec") {
+    val p = plan("q_resample_locf")
+    assert(p.contains("GlobalRunningAgg"),
+      s"LOCF last_value IGNORE NULLS must ride the prefix scan:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"single-task WindowExec must not survive for LOCF:\n$p")
+  }
+
   test("naive SQL global running sum plans the prefix-scan exec") {
     val p = plan("q_running_global")
     assert(p.contains("GlobalRunningAgg"), s"expected GlobalRunningAggExec:\n$p")
