@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Skew-safe PARTITIONED running windows — the engine's hot-spot cure
+  * applied to the one Spark operator that still has the region-server
+  * failure mode built in.
+  *
+  * `SUM(x) OVER (PARTITION BY user ORDER BY ts)` hash-shuffles on the
+  * partition key: every row of a key lands in ONE task. That is
+  * parallel across keys but serial per key — a hot key (one user with a
+  * fifth of 100 TB) pins a single task, exactly the hot region server
+  * of the reference's README:9-27, resurfacing inside the cluster. AQE
+  * re-splits skewed JOINS but never windows; the built-in plan is a
+  * wall.
+  *
+  * The cure composes the engine's existing scale-safe primitives
+  * instead of a new exec:
+  *
+  *   1. GLOBAL running aggregates over `ORDER BY (key ⧺ order)` — the
+  *      range exchange spreads a hot key across MANY partitions, and
+  *      [[graft.plans.GlobalRunningAggStrategy]] plans the distributed
+  *      prefix scan (no single task anywhere).
+  *   2. Per-key totals (one partial+final hash agg — map-side combine
+  *      bounds the hot key's final-task input to one buffer per map
+  *      task).
+  *   3. The EXCLUSIVE key prefix: a second global running aggregate
+  *      over the per-key totals (#keys rows), minus the key's own
+  *      total.
+  *   4. One hash join on the key (null-safe — a NULL key is a group
+  *      like any other) attaches the offsets, and per-key running
+  *      value = global running value − preceding-keys prefix.
+  *      `row_number` per key falls out of the same subtraction on the
+  *      running count.
+  *
+  * The subtraction demands EXACT arithmetic: sums must be integral or
+  * DECIMAL (enforced — a float sum would smear rounding error across
+  * key boundaries; cast to DECIMAL first, to double after, like every
+  * oracle query in this repo). min/max are not invertible and are not
+  * offered — they would need a group-aware exec rather than algebra.
+  * All-null value runs inside a key yield NULL sums, matching the
+  * built-in (guarded by a non-null running count, not by luck).
+  *
+  * Cost vs the built-in: one range exchange + one hash agg + one
+  * key-sized join, against one hash exchange — comparable when keys
+  * are uniform, and the ONLY plan that finishes when they are not. Per
+  * task work is bounded by the range partitioner's split sizes,
+  * independent of key skew.
+  */
+object SkewWindow {
+
+  /** Per-key running sum / running count / row_number over
+    * `PARTITION BY keys ORDER BY order` with `ROWS UNBOUNDED PRECEDING
+    * .. CURRENT ROW` frames, skew-safe. `value` must be integral or
+    * decimal (exact subtraction). `order` must make rows unique within
+    * a key for deterministic output (the same requirement any ROWS
+    * frame has). Appends `sumName`, `cntName`, `rnName` columns. */
+  def runningExact(df: DataFrame, keys: Seq[String], order: Seq[String],
+                   value: Column,
+                   sumName: String = "run_sum", cntName: String = "run_n",
+                   rnName: String = "run_rn"): DataFrame = {
+    require(keys.nonEmpty && order.nonEmpty, "keys and order must be non-empty")
+    val valueType = df.select(value.as("__v")).schema.head.dataType
+    require(valueType match {
+      case _: org.apache.spark.sql.types.DecimalType => true
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }, s"runningExact needs an exact (integral/decimal) value, got $valueType — " +
+       "cast to DECIMAL first (double subtraction would smear rounding " +
+       "error across key boundaries)")
+
+    // 1) global prefix scan over (keys ++ order): the hot key SPANS range
+    // partitions instead of pinning one task; GlobalRunningAggStrategy
+    // plans the two-pass distributed prefix scan. One window node, three
+    // running aggregates, one range exchange.
+    val gw = Window.orderBy((keys ++ order).map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = df
+      .withColumn("__gsum", sum(value).over(gw))
+      .withColumn("__gnn", count(value).over(gw)) // non-null values seen
+      .withColumn("__gn", count(lit(1)).over(gw))
+
+    // 2) per-key totals — partial+final hash agg, map-side combined
+    val totals = df.groupBy(keys.map(col): _*)
+      .agg(sum(value).as("__kt"), count(value).as("__knn"),
+        count(lit(1)).as("__kc"))
+
+    // 3) exclusive prefix of the PRECEDING keys, in the same key order
+    // the global scan used — another rescued global running aggregate,
+    // over #keys rows. sum() skips NULL key totals (all-null groups);
+    // the key's own total subtracts back out via coalesce.
+    val kw = Window.orderBy(keys.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = totals
+      .withColumn("__ksum_in",
+        coalesce(sum(col("__kt")).over(kw), lit(0)) - coalesce(col("__kt"), lit(0)))
+      .withColumn("__knn_in", sum(col("__knn")).over(kw) - col("__knn"))
+      .withColumn("__kcnt_in", sum(col("__kc")).over(kw) - col("__kc"))
+      .select(keys.map(k => col(k).as(s"__k_$k")) ++
+        Seq(col("__ksum_in"), col("__knn_in"), col("__kcnt_in")): _*)
+
+    // 4) attach offsets and subtract; a key whose prefix holds no
+    // non-null value yields NULL, exactly the built-in's empty-sum
+    val joinCond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+    g.join(offsets, joinCond)
+      .withColumn(sumName,
+        when(col("__gnn") - col("__knn_in") > 0,
+          coalesce(col("__gsum"), lit(0)) - col("__ksum_in")))
+      .withColumn(cntName, col("__gn") - col("__kcnt_in"))
+      .withColumn(rnName, col(cntName))
+      .drop(keys.map(k => s"__k_$k") ++
+        Seq("__gsum", "__gnn", "__gn", "__ksum_in", "__knn_in", "__kcnt_in"): _*)
+  }
+}

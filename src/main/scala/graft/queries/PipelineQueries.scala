@@ -1246,6 +1246,27 @@ object PipelineQueries {
                FROM events_v ORDER BY ts_us, event_id""")
     }),
 
+    // SKEW-SAFE PARTITIONED RUNNING WINDOW — `SUM(v) OVER (PARTITION BY
+    // user ORDER BY ts)` puts every row of a key into ONE task; a hot
+    // user resurrects the reference's hot region server inside the
+    // cluster (AQE re-splits skewed joins, never windows).
+    // operators.SkewWindow composes the rescued global primitives
+    // instead: a global prefix scan over (key, order) — the hot key
+    // SPANS range partitions — plus per-key exclusive offsets from one
+    // hash agg + one #keys-row prefix scan, subtracted back (exact
+    // DECIMAL arithmetic; row_number falls out of the running count).
+    // The oracle replays the plain partitioned window.
+    "q_skew_window" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        col("ts_us"), col("value").cast("decimal(18,2)").as("dv"))
+      graft.operators.SkewWindow.runningExact(
+          ev, Seq("user_id"), Seq("ts_us", "event_id"), col("dv"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+        .select(col("event_id"), col("user_id"),
+          col("run_sum").cast("double").as("run_sum"),
+          col("run_n"), col("run_rn"))
+    }),
+
     // TIME-SERIES RESAMPLE + GAP FILL — the canonical downstream of a
     // monotonic-key event store (the reference's workload, README:10-12):
     // hourly rollup, a dense hour grid from ONE bounds row (explode
@@ -2177,6 +2198,17 @@ object PipelineQueries {
              COUNT(*) OVER (ORDER BY epoch_us(ts)
                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS hour_n
            FROM events ORDER BY epoch_us(ts), event_id""",
+
+      "q_skew_window" ->
+        """SELECT event_id, user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_n,
+             CAST(row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS BIGINT) AS run_rn
+           FROM events ORDER BY user_id, epoch_us(ts), event_id""",
 
       "q_resample_locf" ->
         """WITH hourly AS (

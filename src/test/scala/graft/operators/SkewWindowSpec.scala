@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SkewWindow: per-key running aggregates composed from the rescued
+  * global primitives must equal the built-in PARTITION BY window — on
+  * uniform keys, on a pathologically hot key, and on null keys/values —
+  * while planning NO per-key-partitioned window (the hot-task wall). */
+class SkewWindowSpec extends SparkSuite {
+  import spark.implicits._
+
+  // key 7 owns ~half the rows — the hot user; some null keys and values
+  private def skewed = (0 until 20000).map { i =>
+    val k: java.lang.Long =
+      if (i % 31 == 0) null else if (i % 2 == 0) 7L else (i % 13).toLong
+    val v: java.lang.Long =
+      if (i % 11 == 0) null else ((i * 2654435761L) % 1000)
+    (k, v, i.toLong)
+  }.toDF("k", "v", "id").repartition(9)
+
+  private def builtin = {
+    val w = Window.partitionBy("k").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    skewed
+      .withColumn("run_sum", sum("v").over(w))
+      .withColumn("run_n", count(lit(1)).over(w))
+      .withColumn("run_rn", row_number().over(
+        Window.partitionBy("k").orderBy("id")).cast("bigint"))
+  }
+
+  private def snap(d: org.apache.spark.sql.DataFrame) = d
+    .select("k", "id", "run_sum", "run_n", "run_rn")
+    .collect().map(r => (Option(r.get(0)).map(_.toString).getOrElse("null"),
+      r.getLong(1), Option(r.get(2)).map(_.toString).getOrElse("null"),
+      r.get(3).toString, r.get(4).toString))
+    .sortBy(t => (t._1, t._2)).toSeq
+
+  test("matches the built-in on a hot key, null keys and null values") {
+    val got = snap(SkewWindow.runningExact(
+      skewed, Seq("k"), Seq("id"), col("v")))
+    assert(got == snap(builtin))
+  }
+
+  test("plans no per-key-partitioned window — the hot key spans partitions") {
+    val out = SkewWindow.runningExact(skewed, Seq("k"), Seq("id"), col("v"))
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Window "),
+      s"no built-in WindowExec may appear — partitioned OR single-task:\n$p")
+    assert("GlobalRunningAgg".r.findAllIn(p).length >= 2,
+      s"both the row scan and the key-offset scan must be rescued:\n$p")
+    // the row-data path must ride the RANGE exchange (the hot key spans
+    // partitions); the only hash exchange on k feeds the per-key
+    // HashAggregate, whose input is map-side-combined partial buffers —
+    // one per map task per key, never the key's rows
+    assert(p.contains("Exchange rangepartitioning(k#"),
+      s"row data must range-partition over (k, order):\n$p")
+  }
+
+  test("decimal values stay exact; float values refuse") {
+    val d = skewed.withColumn("dv", col("v").cast("decimal(18,2)"))
+    val w = Window.partitionBy("k").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val got = SkewWindow.runningExact(d, Seq("k"), Seq("id"), col("dv"))
+      .select("k", "id", "run_sum")
+      .collect().map(r => (Option(r.get(0)).map(_.toString).getOrElse("null"),
+        r.getLong(1), Option(r.get(2)).map(_.toString).getOrElse("null")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val exp = d.withColumn("run_sum", sum("dv").over(w))
+      .select("k", "id", "run_sum")
+      .collect().map(r => (Option(r.get(0)).map(_.toString).getOrElse("null"),
+        r.getLong(1), Option(r.get(2)).map(_.toString).getOrElse("null")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == exp)
+    val e = intercept[IllegalArgumentException] {
+      SkewWindow.runningExact(
+        skewed.withColumn("f", col("v").cast("double")),
+        Seq("k"), Seq("id"), col("f"))
+    }
+    assert(e.getMessage.contains("exact"))
+  }
+}

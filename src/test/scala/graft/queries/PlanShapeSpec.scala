@@ -160,6 +160,14 @@ class PlanShapeSpec extends SparkSuite {
       s"single-task WindowExec must not survive for centered range frames:\n$p")
   }
 
+  test("skew-safe partitioned window: no WindowExec, row data range-partitioned") {
+    val p = plan("q_skew_window")
+    assert(!p.contains("Window "),
+      s"no built-in WindowExec may appear — partitioned OR single-task:\n$p")
+    assert("GlobalRunningAgg".r.findAllIn(p).length >= 2,
+      s"row scan AND key-offset scan must both ride the prefix-scan exec:\n$p")
+  }
+
   test("resample/LOCF: gap-fill window plans the prefix-scan exec") {
     val p = plan("q_resample_locf")
     assert(p.contains("GlobalRunningAgg"),
