@@ -114,4 +114,33 @@ object SkewWindow {
       .drop(keys.map(k => s"__k_$k") ++
         Seq("__gsum", "__gnn", "__gn", "__ksum_in", "__knn_in", "__kcnt_in"): _*)
   }
+
+  /** Per-key `lag`/`lead` (sessionization's workhorse), skew-safe. Rows
+    * of a key are CONTIGUOUS under the global (keys ⧺ order) sort, so
+    * the global n-th neighbor IS the per-key one exactly when its key
+    * matches — one rescued global offset window
+    * ([[graft.plans.GlobalOffsetWindowStrategy]]'s boundary-row stitch,
+    * no hash exchange on the key, no per-key task) plus a null-safe
+    * key-boundary guard. `exprs` maps output name → (input column,
+    * offset — negative = lag, positive = lead, `default` when the
+    * neighbor falls outside the key). Works for any value type —
+    * offsets move rows, no arithmetic. */
+  def offset(df: DataFrame, keys: Seq[String], order: Seq[String],
+             exprs: Seq[(String, (Column, Int, Column))]): DataFrame = {
+    require(keys.nonEmpty && order.nonEmpty, "keys and order must be non-empty")
+    require(exprs.nonEmpty, "at least one lag/lead expression")
+    require(exprs.forall(_._2._2 != 0), "offset 0 is the row itself")
+    val gw = Window.orderBy((keys ++ order).map(col): _*)
+    def shift(c: Column, off: Int): Column =
+      if (off < 0) lag(c, -off).over(gw) else lead(c, off).over(gw)
+    exprs.foldLeft(df) { case (d, (name, (in, off, dflt))) =>
+      // the neighbor must EXIST (a null key matching a missing-row null
+      // would silently swallow the default at table edges) and carry
+      // the same key, null-safely — then and only then the global
+      // neighbor is the per-key neighbor
+      val sameKey = (shift(lit(1), off).isNotNull +:
+        keys.map(k => shift(col(k), off) <=> col(k))).reduce(_ && _)
+      d.withColumn(name, when(sameKey, shift(in, off)).otherwise(dflt))
+    }
+  }
 }

@@ -1267,6 +1267,23 @@ object PipelineQueries {
           col("run_n"), col("run_rn"))
     }),
 
+    // SKEW-SAFE PER-KEY LAG/LEAD — sessionization's workhorse, same hot
+    // key problem as q_skew_window. Rows of a key are CONTIGUOUS under
+    // the global (key, order) range sort, so the global n-th neighbor
+    // IS the per-key one exactly when its key matches: one rescued
+    // GlobalOffsetWindow (boundary-row stitch) + a null-safe key guard,
+    // no hash exchange on the key, no per-key task.
+    "q_skew_lag" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.operators.SkewWindow.offset(
+          ev, Seq("user_id"), Seq("ts_us", "event_id"), Seq(
+            "prev_value" -> ((col("value"), -1, lit(null).cast("double"))),
+            "next_event" -> ((col("event_id"), 1, lit(-1L)))))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+        .select(col("event_id"), col("user_id"),
+          col("prev_value"), col("next_event"))
+    }),
+
     // TIME-SERIES RESAMPLE + GAP FILL — the canonical downstream of a
     // monotonic-key event store (the reference's workload, README:10-12):
     // hourly rollup, a dense hour grid from ONE bounds row (explode
@@ -2208,6 +2225,14 @@ object PipelineQueries {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_n,
              CAST(row_number() OVER (PARTITION BY user_id
                ORDER BY epoch_us(ts), event_id) AS BIGINT) AS run_rn
+           FROM events ORDER BY user_id, epoch_us(ts), event_id""",
+
+      "q_skew_lag" ->
+        """SELECT event_id, user_id,
+             lag(value, 1) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS prev_value,
+             lead(event_id, 1, -1) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS next_event
            FROM events ORDER BY user_id, epoch_us(ts), event_id""",
 
       "q_resample_locf" ->

@@ -58,6 +58,32 @@ class SkewWindowSpec extends SparkSuite {
       s"row data must range-partition over (k, order):\n$p")
   }
 
+  test("per-key lag/lead match the built-in incl. defaults, null keys, hot key") {
+    val got = SkewWindow.offset(skewed, Seq("k"), Seq("id"), Seq(
+        "prev_v" -> ((col("v"), -1, lit(-1L))),
+        "prev2_v" -> ((col("v"), -2, lit(null).cast("long"))),
+        "next_v" -> ((col("v"), 1, lit(-1L)))))
+      .select("k", "id", "prev_v", "prev2_v", "next_v")
+    val p = got.queryExecution.executedPlan.toString
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"no built-in WindowExec may appear:\n$p")
+    assert(p.contains("GlobalOffsetWindow"),
+      s"per-key lag/lead must ride the boundary-stitch exec:\n$p")
+    val w = Window.partitionBy("k").orderBy("id")
+    val exp = skewed
+      .withColumn("prev_v", lag("v", 1, -1L).over(w))
+      .withColumn("prev2_v", lag("v", 2).over(w))
+      .withColumn("next_v", lead("v", 1, -1L).over(w))
+      .select("k", "id", "prev_v", "prev2_v", "next_v")
+    def snap2(d: org.apache.spark.sql.DataFrame) = d
+      .collect().map(r => (Option(r.get(0)).map(_.toString).getOrElse("null"),
+        r.getLong(1), Option(r.get(2)).map(_.toString).getOrElse("null"),
+        Option(r.get(3)).map(_.toString).getOrElse("null"),
+        Option(r.get(4)).map(_.toString).getOrElse("null")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(snap2(got) == snap2(exp))
+  }
+
   test("decimal values stay exact; float values refuse") {
     val d = skewed.withColumn("dv", col("v").cast("decimal(18,2)"))
     val w = Window.partitionBy("k").orderBy("id")

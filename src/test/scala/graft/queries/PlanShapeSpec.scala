@@ -168,6 +168,14 @@ class PlanShapeSpec extends SparkSuite {
       s"row scan AND key-offset scan must both ride the prefix-scan exec:\n$p")
   }
 
+  test("skew-safe per-key lag/lead: boundary-stitch exec, no WindowExec") {
+    val p = plan("q_skew_lag")
+    assert(p.contains("GlobalOffsetWindow"),
+      s"per-key lag/lead must ride the boundary-stitch exec:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"no built-in WindowExec may appear:\n$p")
+  }
+
   test("resample/LOCF: gap-fill window plans the prefix-scan exec") {
     val p = plan("q_resample_locf")
     assert(p.contains("GlobalRunningAgg"),
