@@ -152,9 +152,13 @@ final case class RoundRobin(numBuckets: Int, insertionOrder: String) extends Dis
     // two-job formulation (collect counts, then re-run the plan) could see
     // two different partitionings and silently drop rows on the inner
     // __pid join. The offsets window is over ~numPartitions rows — trivial.
-    val wOff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    // inclusive running frame minus the row's own count = the exclusive
+    // prefix, phrased to ride the rescued GlobalRunningAggExec (zero
+    // built-in global WindowExecs anywhere in the engine)
+    val wOff = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = ordered.groupBy("__pid").count()
-      .withColumn("__off", coalesce(sum("count").over(wOff), lit(0L)))
+      .withColumn("__off", sum("count").over(wOff) - col("count"))
       .select(col("__pid"), col("__off"), col("count").as("__cnt"))
     ordered
       .join(broadcast(offsets), Seq("__pid"), "left")

@@ -33,14 +33,20 @@ object Corpus {
       .repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
-    val wOff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    // INCLUSIVE running frame minus the row's own count = the exclusive
+    // prefix — phrased this way (not `.. -1 PRECEDING`) so even these
+    // ~numPartitions-row windows ride the rescued GlobalRunningAgg /
+    // GlobalConstantAgg execs: zero built-in global WindowExecs (and
+    // zero single-partition warnings) anywhere in the engine
+    val wOff = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // per-partition counts → exclusive prefix-sum offsets + grand total,
     // computed INSIDE the same plan as the final join (no collect job) —
     // the offsets windows run over ~numPartitions rows, trivially
     val offsets = ordered.groupBy("__pid").count()
-      .withColumn("__off", coalesce(sum("count").over(wOff), lit(0L)))
+      .withColumn("__off", sum("count").over(wOff) - col("count"))
       .withColumn("__tot", sum("count").over(wAll))
       .select(col("__pid"), col("__off"), col("__tot"), col("count").as("__cnt"))
     ordered
