@@ -60,7 +60,8 @@ object SkewWindow {
   def runningExact(df: DataFrame, keys: Seq[String], order: Seq[String],
                    value: Column,
                    sumName: String = "run_sum", cntName: String = "run_n",
-                   rnName: String = "run_rn"): DataFrame = {
+                   rnName: String = "run_rn",
+                   nnName: Option[String] = None): DataFrame = {
     require(keys.nonEmpty && order.nonEmpty, "keys and order must be non-empty")
     val valueType = df.select(value.as("__v")).schema.head.dataType
     require(valueType match {
@@ -105,12 +106,14 @@ object SkewWindow {
     // 4) attach offsets and subtract; a key whose prefix holds no
     // non-null value yields NULL, exactly the built-in's empty-sum
     val joinCond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
-    g.join(offsets, joinCond)
+    val joined = g.join(offsets, joinCond)
       .withColumn(sumName,
         when(col("__gnn") - col("__knn_in") > 0,
           coalesce(col("__gsum"), lit(0)) - col("__ksum_in")))
       .withColumn(cntName, col("__gn") - col("__kcnt_in"))
       .withColumn(rnName, col(cntName))
+    nnName.fold(joined)(n =>
+        joined.withColumn(n, col("__gnn") - col("__knn_in")))
       .drop(keys.map(k => s"__k_$k") ++
         Seq("__gsum", "__gnn", "__gn", "__ksum_in", "__knn_in", "__kcnt_in"): _*)
   }
@@ -125,6 +128,43 @@ object SkewWindow {
     * offset — negative = lag, positive = lead, `default` when the
     * neighbor falls outside the key). Works for any value type —
     * offsets move rows, no arithmetic. */
+  /** Per-key SLIDING sum/count/avg over `ROWS k PRECEDING .. CURRENT
+    * ROW` (the per-user moving average), skew-safe. Because a key's
+    * rows are CONTIGUOUS under the global (keys ⧺ order) range sort,
+    * the global k-row sliding window IS the per-key window for every
+    * row past the key's first k — and inside those first k rows the
+    * frame clips to the key's running prefix, which [[runningExact]]
+    * already computes. One `when()` on the per-key row number splices
+    * the two; the global sliding scan
+    * ([[graft.plans.GlobalSlidingAggStrategy]]'s boundary stitch)
+    * REUSES the same range exchange as the running scan. Appends
+    * `sumName`, `cntName`, `avgName`; same exactness contract as
+    * [[runningExact]] (avg is emitted as DECIMAL sum / count cast
+    * double — document consumers cast as needed). min/max are not
+    * invertible in the clipped region and are not offered. */
+  def slidingExact(df: DataFrame, keys: Seq[String], order: Seq[String],
+                   value: Column, kPreceding: Int,
+                   sumName: String = "mov_sum", cntName: String = "mov_n",
+                   avgName: String = "mov_avg"): DataFrame = {
+    require(kPreceding > 0, s"kPreceding must be positive, got $kPreceding")
+    val base = runningExact(df, keys, order, value,
+      sumName = "__run_sum", cntName = "__run_n", rnName = "__run_rn",
+      nnName = Some("__run_nn"))
+    val gw = Window.orderBy((keys ++ order).map(col): _*)
+      .rowsBetween(-kPreceding, Window.currentRow)
+    val clipped = col("__run_rn") <= kPreceding
+    base
+      .withColumn("__gslide", sum(value).over(gw))
+      .withColumn("__gslide_nn", count(value).over(gw))
+      .withColumn(sumName, when(clipped, col("__run_sum")).otherwise(col("__gslide")))
+      .withColumn(cntName, when(clipped, col("__run_rn")).otherwise(lit(kPreceding + 1L)))
+      // avg divides by the NON-NULL count, like SQL's avg; all-null
+      // frames give NULL via the null sum
+      .withColumn(avgName, col(sumName).cast("double") /
+        when(clipped, col("__run_nn")).otherwise(col("__gslide_nn")).cast("double"))
+      .drop("__run_sum", "__run_n", "__run_rn", "__run_nn", "__gslide", "__gslide_nn")
+  }
+
   def offset(df: DataFrame, keys: Seq[String], order: Seq[String],
              exprs: Seq[(String, (Column, Int, Column))]): DataFrame = {
     require(keys.nonEmpty && order.nonEmpty, "keys and order must be non-empty")

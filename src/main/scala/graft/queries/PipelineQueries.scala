@@ -1267,6 +1267,24 @@ object PipelineQueries {
           col("run_n"), col("run_rn"))
     }),
 
+    // SKEW-SAFE PER-KEY MOVING AVERAGE — `ROWS 6 PRECEDING` per user.
+    // A key's rows are contiguous under the global range sort, so the
+    // global 7-row sliding window IS the per-key window everywhere
+    // except the key's first 6 rows, where the frame clips to the
+    // per-key running prefix — both rescued scans share ONE range
+    // exchange and one when() splices them. avg divides by the
+    // non-null count, like SQL's avg.
+    "q_skew_moving" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        col("ts_us"), col("value").cast("decimal(18,2)").as("dv"))
+      graft.operators.SkewWindow.slidingExact(
+          ev, Seq("user_id"), Seq("ts_us", "event_id"), col("dv"), kPreceding = 6)
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+        .select(col("event_id"), col("user_id"),
+          col("mov_sum").cast("double").as("mov_sum"),
+          col("mov_n"), col("mov_avg"))
+    }),
+
     // SKEW-SAFE PER-KEY LAG/LEAD — sessionization's workhorse, same hot
     // key problem as q_skew_window. Rows of a key are CONTIGUOUS under
     // the global (key, order) range sort, so the global n-th neighbor
@@ -2226,6 +2244,17 @@ object PipelineQueries {
              CAST(row_number() OVER (PARTITION BY user_id
                ORDER BY epoch_us(ts), event_id) AS BIGINT) AS run_rn
            FROM events ORDER BY user_id, epoch_us(ts), event_id""",
+
+      "q_skew_moving" ->
+        """SELECT event_id, user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov_sum,
+             COUNT(*) OVER w AS mov_n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               / COUNT(value) OVER w AS mov_avg
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+           ORDER BY user_id, epoch_us(ts), event_id""",
 
       "q_skew_lag" ->
         """SELECT event_id, user_id,

@@ -84,6 +84,28 @@ class SkewWindowSpec extends SparkSuite {
     assert(snap2(got) == snap2(exp))
   }
 
+  test("per-key sliding sum/count/avg match the built-in incl. the clipped head") {
+    val got = SkewWindow.slidingExact(skewed, Seq("k"), Seq("id"), col("v"), 5)
+      .select("k", "id", "mov_sum", "mov_n", "mov_avg")
+    val p = got.queryExecution.executedPlan.toString
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"no built-in WindowExec may appear:\n$p")
+    assert(p.contains("GlobalSlidingAgg") && p.contains("GlobalRunningAgg"),
+      s"sliding AND running scans must both be rescued:\n$p")
+    val w = Window.partitionBy("k").orderBy("id").rowsBetween(-5, Window.currentRow)
+    val exp = skewed
+      .withColumn("mov_sum", sum("v").over(w))
+      .withColumn("mov_n", count(lit(1)).over(w))
+      .withColumn("mov_avg", avg("v").over(w))
+      .select("k", "id", "mov_sum", "mov_n", "mov_avg")
+    def snap3(d: org.apache.spark.sql.DataFrame) = d
+      .collect().map(r => (Option(r.get(0)).map(_.toString).getOrElse("null"),
+        r.getLong(1), Option(r.get(2)).map(_.toString).getOrElse("null"),
+        r.get(3).toString, Option(r.get(4)).map(_.toString).getOrElse("null")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(snap3(got) == snap3(exp))
+  }
+
   test("decimal values stay exact; float values refuse") {
     val d = skewed.withColumn("dv", col("v").cast("decimal(18,2)"))
     val w = Window.partitionBy("k").orderBy("id")

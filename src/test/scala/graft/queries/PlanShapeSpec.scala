@@ -176,6 +176,14 @@ class PlanShapeSpec extends SparkSuite {
       s"no built-in WindowExec may appear:\n$p")
   }
 
+  test("skew-safe per-key moving average: both scans rescued, one exchange") {
+    val p = plan("q_skew_moving")
+    assert(p.contains("GlobalSlidingAgg") && p.contains("GlobalRunningAgg"),
+      s"sliding AND running scans must both be rescued:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"no built-in WindowExec may appear:\n$p")
+  }
+
   test("resample/LOCF: gap-fill window plans the prefix-scan exec") {
     val p = plan("q_resample_locf")
     assert(p.contains("GlobalRunningAgg"),
