@@ -172,6 +172,12 @@ object ImageCodec {
   import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
   import javax.imageio.ImageIO
 
+  // ImageIO's default stream cache is DISK-backed: every read/write
+  // spills through a temp file — a hidden fsync per image on a
+  // million-image batch. Memory-backed caching is strictly better for
+  // our in-memory byte[] payloads (JVM-global, set once per executor).
+  ImageIO.setUseCache(false)
+
   /** Encode 8-bit grayscale pixels (row-major, length w*h) as PNG. */
   def encodeGrayPng(pixels: Array[Byte], width: Int, height: Int): Array[Byte] = {
     require(pixels.length == width * height,
