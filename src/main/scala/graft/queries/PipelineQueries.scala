@@ -1246,6 +1246,28 @@ object PipelineQueries {
                FROM events_v ORDER BY ts_us, event_id""")
     }),
 
+    // GROUPED TOP-K — "top 5 documents per source", the query users
+    // write as a partitioned row_number + filter, which sorts every
+    // group's FULL candidate list through one task per group. The
+    // TopKByScore bounded-buffer UDAF keeps k entries per partial
+    // buffer and combines map-side: k rows per partition reach the
+    // final agg regardless of group size or skew. Total comparator
+    // (score desc, doc_id asc) makes it row-for-row identical to the
+    // row_number formulation the oracle replays.
+    "q_topk_grouped" -> ((s, dir) => {
+      val top = graft.functions.TopKByScore.topK(5)
+      documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("double").as("score"))
+        .groupBy("source")
+        .agg(top(col("score"), col("doc_id")).as("tk"))
+        .select(col("source"), posexplode(col("tk")).as(Seq("p", "e")))
+        .select(col("source"), col("e._2").as("doc_id"),
+          col("e._1").cast("bigint").as("n_tokens"),
+          (col("p") + 1).cast("bigint").as("rnk"))
+        .orderBy("source", "rnk")
+    }),
+
     // SKEW-SAFE PARTITIONED RUNNING WINDOW — `SUM(v) OVER (PARTITION BY
     // user ORDER BY ts)` puts every row of a key into ONE task; a hot
     // user resurrects the reference's hot region server inside the
@@ -2244,6 +2266,19 @@ object PipelineQueries {
              CAST(row_number() OVER (PARTITION BY user_id
                ORDER BY epoch_us(ts), event_id) AS BIGINT) AS run_rn
            FROM events ORDER BY user_id, epoch_us(ts), event_id""",
+
+      "q_topk_grouped" ->
+        s"""WITH scored AS (
+              SELECT source, doc_id,
+                CAST(len(${TextAnalysis.duckTokens("text")}) AS BIGINT) AS n_tokens
+              FROM documents),
+            ranked AS (
+              SELECT source, doc_id, n_tokens,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY n_tokens DESC, doc_id) AS rn
+              FROM scored)
+            SELECT source, doc_id, n_tokens, CAST(rn AS BIGINT) AS rnk
+            FROM ranked WHERE rn <= 5 ORDER BY source, rnk""",
 
       "q_skew_moving" ->
         """SELECT event_id, user_id,
