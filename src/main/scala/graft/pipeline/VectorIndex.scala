@@ -103,7 +103,17 @@ object VectorIndex {
             path: String, mode: String = "overwrite"): Unit = {
     require(!df.columns.contains("n2") && !df.columns.contains("cell"),
       "VectorIndex.write reserves columns 'n2' and 'cell'; rename them in the input")
-    if (mode == "append") verifyCodebook(df.sparkSession, path, cents)
+    if (mode == "append") {
+      verifyCodebook(df.sparkSession, path, cents)
+      // a tombstone cannot tell a vector's old row from a re-appended
+      // one — the fold would remove both. Refuse conservatively (write
+      // doesn't know the id column, so it cannot check overlap): compact
+      // first, or go through update()
+      if (hasPendingDeletes(df.sparkSession, path))
+        throw new IllegalStateException(
+          s"vector index at $path has pending deletes — compact it first " +
+            "(or use VectorIndex.update) before appending")
+    }
     val n2 = graft.functions.VectorFunctions.dotProduct(vecCol, vecCol)
     df.withColumn("n2", n2)
       .withColumn("cell",
@@ -136,6 +146,70 @@ object VectorIndex {
     !fresh
   }
 
+  /** Tombstone directory (underscore-prefixed — the cell-layout read
+    * never picks it up as data). Same delete-then-merge discipline as
+    * the text index: an embedding refresh costs one tombstone append +
+    * one compaction, never a corpus re-embed / re-shuffle. */
+  val DeletesDir = "_deletes"
+
+  private def deletesPath(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, DeletesDir)
+
+  /** DELETE vectors from the index without rewriting it: append their
+    * ids as tombstones. Probes anti-join the broadcast tombstone set
+    * (deletions visible immediately); [[compact]] folds them into the
+    * rewrite it performs anyway and clears them. */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    deleteIds(spark, path, ids.toDF("__del_id"))
+  }
+
+  /** [[delete]] with the ids as a single-column DataFrame. */
+  def deleteIds(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    require(ids.columns.length == 1,
+      s"ids frame must have exactly one column, got ${ids.columns.mkString(",")}")
+    storedCodebookHash(spark, path).getOrElse(throw new IllegalStateException(
+      s"no codebook manifest at $path — not a graft vector index"))
+    val (_, root) = fsOf(spark, path)
+    ids.select(col(ids.columns.head).cast("long").as("__del_id")).distinct()
+      .write.mode("append").parquet(deletesPath(root).toString)
+  }
+
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val (fs, root) = fsOf(spark, path)
+    val p = deletesPath(root)
+    if (fs.exists(p))
+      Some(spark.read.parquet(p.toString).select("__del_id").distinct())
+    else None
+  }
+
+  /** Whether deletions are pending (tombstones not yet folded). */
+  def hasPendingDeletes(spark: SparkSession, path: String): Boolean =
+    tombstones(spark, path).isDefined
+
+  /** Drop tombstoned vectors — applied by every probe. */
+  private def live(df: DataFrame, spark: SparkSession, path: String,
+                   idCol: String): DataFrame =
+    tombstones(spark, path)
+      .map(t => df.join(broadcast(t), col(idCol) === col("__del_id"), "left_anti"))
+      .getOrElse(df)
+
+  /** REPLACE vectors in place: tombstone the old rows, fold them out
+    * (one index compaction), then append the new versions — which may
+    * land in DIFFERENT cells (a refreshed embedding re-assigns
+    * naturally, because the old row is physically gone before the new
+    * one arrives). The fold must come between delete and append: a
+    * tombstone cannot tell a vector's old row from its re-added one,
+    * which is also why [[write]] refuses appends while deletes are
+    * pending. */
+  def update(df: DataFrame, vecCol: Column, cents: IndexedSeq[Seq[Double]],
+             path: String, idCol: String): Unit = {
+    val spark = df.sparkSession
+    deleteIds(spark, path, df.select(idCol))
+    compact(spark, path, idCol)
+    write(df, vecCol, cents, path, mode = "append")
+  }
+
   /** Read the whole index back (cell comes back partition-pruning-capable).
     * Goes through SaltedStore's marker-aware read on the `cell=N` layout,
     * so a probe during (or after a crash of) [[compact]] waits out the
@@ -156,9 +230,22 @@ object VectorIndex {
     * protected by the marker, appenders are not. The codebook manifest
     * is untouched (compaction moves rows, never re-assigns cells). */
   def compact(spark: SparkSession, path: String, idCol: String,
-              targetBytes: Long = 128L * 1024 * 1024): Unit =
+              targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val del = tombstones(spark, path)
     graft.store.SaltedStore.compact(spark, path, col(idCol), targetBytes,
-      partitionPrefix = "cell")
+      partitionPrefix = "cell",
+      transform = del match {
+        // fold pending tombstones into the rewrite (free — each cell is
+        // being rewritten anyway), then clear them
+        case Some(t) => df =>
+          df.join(broadcast(t), col(idCol) === col("__del_id"), "left_anti")
+        case None => identity
+      })
+    if (del.isDefined) {
+      val (fs, root) = fsOf(spark, path)
+      fs.delete(deletesPath(root), true)
+    }
+  }
 
   /** Driver-side probe-cell ranking for ONE query vector: cells ordered
     * by cosine(q, centroid) descending, centroid id ascending — the same
@@ -184,8 +271,8 @@ object VectorIndex {
     verifyCodebook(spark, path, cents)
     val cells = probeCells(q, cents, nProbe)
     val qn2 = q.foldLeft(0.0)((a, x) => a + x * x)
-    read(spark, path)
-      .filter(col("cell").isin(cells: _*))
+    live(read(spark, path)
+        .filter(col("cell").isin(cells: _*)), spark, path, idCol)
       .withColumn("cos",
         graft.functions.VectorFunctions.dotProduct(col(vecCol), typedlit(q)) /
           (sqrt(lit(qn2)) * sqrt(col("n2"))))
@@ -218,7 +305,10 @@ object VectorIndex {
       .filter(col("prnk") <= nProbe)
       .select(col(qIdCol), col(qVecCol), col("qn2"), col("cell"))
     val w = Window.partitionBy(qIdCol).orderBy(col("cos").desc, col(idCol))
-    broadcast(probes).join(read(spark, path), "cell")
+    // tombstone anti-join sits ABOVE the cell equi-join: dynamic
+    // partition pruning stays wired scan-to-join, and the anti-join
+    // only processes the probed cells' rows
+    live(broadcast(probes).join(read(spark, path), "cell"), spark, path, idCol)
       .withColumn("cos",
         graft.functions.VectorFunctions.dotProduct(col(qVecCol), col(vecCol)) /
           (sqrt(col("qn2")) * sqrt(col("n2"))))

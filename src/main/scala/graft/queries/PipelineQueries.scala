@@ -39,6 +39,7 @@ object PipelineQueries {
     * metric than probe cost — Bench reports it as its own field. */
   val indexBacked: Seq[String] = Seq(
     "q_knn_cosine_ivf_indexed", "q_knn_cosine_ivf_indexed_multiprobe",
+    "q_knn_delete",
     "q_text_search", "q_text_search_ranked", "q_text_bm25", "q_text_phrase",
     "q_text_stream_ingest", "q_text_delete", "q_text_merge")
 
@@ -338,12 +339,12 @@ object PipelineQueries {
     * and its persisted-index twins (same cells, probes and ranking; the
     * index only changes where the cells live, and the multi-probe
     * variant only widens the probe list). */
-  private def duckIvfKnnAt(probe: Int): String =
+  private def duckIvfKnnAt(probe: Int, corpusWhere: String = "vec_id >= 5"): String =
     s"""WITH v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
           vn AS (SELECT vec_id, v, ${duckNorm2("v")} AS n2 FROM v),
           cents AS (SELECT vec_id - 5 AS cid, v AS cv, n2 AS cn2
                     FROM vn WHERE vec_id BETWEEN 5 AND ${4 + IvfC}),
-          corpus AS (SELECT vec_id, v, n2 FROM vn WHERE vec_id >= 5),
+          corpus AS (SELECT vec_id, v, n2 FROM vn WHERE $corpusWhere),
           asg AS (SELECT vec_id, v, n2, cid AS cell FROM (
                     SELECT x.vec_id, x.v, x.n2, c.cid,
                       row_number() OVER (PARTITION BY x.vec_id
@@ -811,6 +812,40 @@ object PipelineQueries {
     // via dynamic partition pruning (more partitions, same mechanism).
     "q_knn_cosine_ivf_indexed_multiprobe" ->
       ((s, dir) => ivfIndexedKnn(s, dir, IvfProbeWide)),
+
+    // VECTOR DELETE/UPDATE on the persisted index — the embedding
+    // refresh path. delete() appends id TOMBSTONES (probes anti-join
+    // them — deletions visible immediately, no rewrite); compact()
+    // folds them into the cell rewrite it performs anyway and clears
+    // them; update() = delete → fold → append, and the re-added vector
+    // lands in its NEW nearest cell because the old row is physically
+    // gone first. Here every 7th corpus vector is deleted and folded;
+    // the oracle replays IVF probing over the surviving corpus — the
+    // deleted ids include former top-10 hits, so the fold provably
+    // bites.
+    "q_knn_delete" -> ((s, dir) => {
+      val v = embeddings(s, dir).select(col("vec_id"), vd(col("embedding")).as("v"))
+      val cents: IndexedSeq[Seq[Double]] = v
+        .filter(col("vec_id").between(5, 4 + IvfC)).orderBy("vec_id")
+        .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_vindexdel_" +
+        s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+      val done = new org.apache.hadoop.fs.Path(path, "_graft_del_done")
+      val fs = done.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(done)) { // idempotent across bench passes
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        VectorIndex.write(v.filter(col("vec_id") >= 5), col("v"), cents, path)
+        VectorIndex.deleteIds(s, path,
+          v.filter(col("vec_id") >= 5 && col("vec_id") % 7 === 0).select("vec_id"))
+        VectorIndex.compact(s, path, "vec_id")
+        fs.create(done, true).close()
+      }
+      val q = v.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      VectorIndex.probeSet(s, path, "vec_id", "v", q, "q_id", "qv",
+        cents, IvfProbe, 10)
+        .orderBy("q_id", "rnk")
+    }),
 
     // int8 scalar-quantized knn: the approximate scan runs over 4×-packed
     // int8 vectors with integer dot products (native codegen'd
@@ -1986,6 +2021,11 @@ object PipelineQueries {
       // the cell assignment as a partitioned index and prunes partitions,
       // but cells, probes and ranking are the same relations
       "q_knn_cosine_ivf_indexed" -> duckIvfKnn,
+
+      // the tombstone-folded index must answer exactly like an index
+      // of the surviving vectors alone
+      "q_knn_delete" -> duckIvfKnnAt(IvfProbe,
+        corpusWhere = "vec_id >= 5 AND vec_id % 7 != 0"),
 
       // same relations at the widened probe width — the multi-probe
       // recall lever changes ONLY the prnk cutoff

@@ -146,6 +146,42 @@ class VectorIndexSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.compact.waitMs")
   }
 
+  test("delete tombstones immediately; compact folds physically; update re-assigns cells") {
+    val d = java.nio.file.Files.createTempDirectory("vindexDel").toString
+    val corpus = (0L until 200L).map(i => (i, vec())).toDF("vec_id", "v")
+    VectorIndex.write(corpus, col("v"), cents, d)
+    val q = vec()
+    // pick a currently-returned id and delete it: it must vanish from
+    // the probe BEFORE any compaction (tombstone anti-join)
+    val top = VectorIndex.probe(spark, d, "vec_id", "v", q, cents, 8, 5)
+      .select("vec_id").as[Long].collect()
+    VectorIndex.delete(spark, d, Seq(top.head))
+    assert(VectorIndex.hasPendingDeletes(spark, d))
+    val after = VectorIndex.probe(spark, d, "vec_id", "v", q, cents, 8, 5)
+      .select("vec_id").as[Long].collect()
+    assert(!after.contains(top.head))
+    // appends refuse while deletes are pending
+    val more = Seq((900L, vec())).toDF("vec_id", "v")
+    val e = intercept[IllegalStateException] {
+      VectorIndex.write(more, col("v"), cents, d, mode = "append")
+    }
+    assert(e.getMessage.contains("pending deletes"))
+    // compact folds the tombstone physically and clears it
+    VectorIndex.compact(spark, d, "vec_id")
+    assert(!VectorIndex.hasPendingDeletes(spark, d))
+    assert(VectorIndex.read(spark, d).filter(col("vec_id") === top.head).isEmpty)
+    assert(VectorIndex.read(spark, d).count() == 199)
+    // update replaces a vector with one that lands in a DIFFERENT cell:
+    // exactly one row for the id afterwards, in the new cell
+    val victim = 5L
+    val newVec = cents(3).map(_ * 10.0) // unambiguously nearest centroid 3
+    VectorIndex.update(Seq((victim, newVec)).toDF("vec_id", "v"),
+      col("v"), cents, d, idCol = "vec_id")
+    val rows = VectorIndex.read(spark, d).filter(col("vec_id") === victim)
+      .select("cell").as[Int].collect()
+    assert(rows.length == 1 && rows.head == 3)
+  }
+
   test("probeSet joins on the partition column with dynamic partition pruning") {
     val qs = (900L to 902L).map(i => (i, vec())).toDF("q_id", "qv")
     val df = VectorIndex.probeSet(spark, dir, "vec_id", "v", qs, "q_id", "qv",
