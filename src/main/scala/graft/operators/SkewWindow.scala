@@ -165,6 +165,31 @@ object SkewWindow {
       .drop("__run_sum", "__run_n", "__run_rn", "__run_nn", "__gslide", "__gslide_nn")
   }
 
+  /** Per-key `rank` / `dense_rank` over `PARTITION BY keys ORDER BY
+    * order` (ascending), skew-safe. Ranks are PEER-RUN properties, so
+    * the computation collapses to runs first: one map-side-combined
+    * hash agg over (keys ⧺ order) yields each run's size, the exact
+    * prefix machinery of [[runningExact]] (over #runs rows — itself
+    * skew-safe) turns sizes into `rank` (exclusive prefix + 1) and
+    * `dense_rank` (the run's per-key row number), and one null-safe
+    * join on (keys ⧺ order) fans the two numbers back to the rows —
+    * distributed by the full tuple, so even a single hot (key, value)
+    * pair only costs its own join group. No WindowExec anywhere. */
+  def rankExact(df: DataFrame, keys: Seq[String], order: Seq[String],
+                rankName: String = "rnk", denseName: String = "drnk"): DataFrame = {
+    require(keys.nonEmpty && order.nonEmpty, "keys and order must be non-empty")
+    val runCols = keys ++ order
+    val runs = df.groupBy(runCols.map(col): _*).agg(count(lit(1)).as("__rc"))
+    val pref = runningExact(runs, keys, order, col("__rc"),
+        sumName = "__rsum", cntName = "__rn", rnName = "__rrn")
+      .withColumn(rankName, col("__rsum") - col("__rc") + lit(1L))
+      .withColumn(denseName, col("__rrn"))
+      .select(runCols.map(k => col(k).as(s"__r_$k")) :+
+        col(rankName) :+ col(denseName): _*)
+    val joinCond = runCols.map(k => col(k) <=> col(s"__r_$k")).reduce(_ && _)
+    df.join(pref, joinCond).drop(runCols.map(k => s"__r_$k"): _*)
+  }
+
   def offset(df: DataFrame, keys: Seq[String], order: Seq[String],
              exprs: Seq[(String, (Column, Int, Column))]): DataFrame = {
     require(keys.nonEmpty && order.nonEmpty, "keys and order must be non-empty")

@@ -1342,6 +1342,22 @@ object PipelineQueries {
           col("mov_n"), col("mov_avg"))
     }),
 
+    // SKEW-SAFE PER-KEY RANK/DENSE_RANK — ranks are peer-run
+    // properties, so the computation collapses to runs first: one hash
+    // agg over (user, value) run sizes, the exact prefix machinery
+    // turns sizes into rank (exclusive prefix + 1) and dense_rank (the
+    // run's per-key row number), one null-safe tuple join fans them
+    // back. No WindowExec, no per-key task, tie semantics identical to
+    // the built-in the oracle replays.
+    "q_skew_rank" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.operators.SkewWindow.rankExact(
+          ev.select(col("event_id"), col("user_id"), col("ts_us"), col("value")),
+          Seq("user_id"), Seq("value"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+        .select(col("event_id"), col("user_id"), col("rnk"), col("drnk"))
+    }),
+
     // SKEW-SAFE PER-KEY LAG/LEAD — sessionization's workhorse, same hot
     // key problem as q_skew_window. Rows of a key are CONTIGUOUS under
     // the global (key, order) range sort, so the global n-th neighbor
@@ -2330,6 +2346,12 @@ object PipelineQueries {
            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
            ORDER BY user_id, epoch_us(ts), event_id""",
+
+      "q_skew_rank" ->
+        """SELECT event_id, user_id,
+             CAST(rank() OVER (PARTITION BY user_id ORDER BY value) AS BIGINT) AS rnk,
+             CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY value) AS BIGINT) AS drnk
+           FROM events ORDER BY user_id, epoch_us(ts), event_id""",
 
       "q_skew_lag" ->
         """SELECT event_id, user_id,

@@ -106,6 +106,26 @@ class SkewWindowSpec extends SparkSuite {
     assert(snap3(got) == snap3(exp))
   }
 
+  test("per-key rank/dense_rank match the built-in incl. ties, null keys and values") {
+    // order by v: heavy ties (v has few distinct values per key), null
+    // order values form their own peer run
+    val got = SkewWindow.rankExact(skewed, Seq("k"), Seq("v"))
+      .select("k", "id", "rnk", "drnk")
+    val p = got.queryExecution.executedPlan.toString
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"no built-in WindowExec may appear:\n$p")
+    val w = Window.partitionBy("k").orderBy("v")
+    val exp = skewed
+      .withColumn("rnk", rank().over(w).cast("bigint"))
+      .withColumn("drnk", dense_rank().over(w).cast("bigint"))
+      .select("k", "id", "rnk", "drnk")
+    def snap4(d: org.apache.spark.sql.DataFrame) = d
+      .collect().map(r => (Option(r.get(0)).map(_.toString).getOrElse("null"),
+        r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(snap4(got) == snap4(exp))
+  }
+
   test("decimal values stay exact; float values refuse") {
     val d = skewed.withColumn("dv", col("v").cast("decimal(18,2)"))
     val w = Window.partitionBy("k").orderBy("id")
