@@ -174,18 +174,46 @@ object SkewWindow {
     * `dense_rank` (the run's per-key row number), and one null-safe
     * join on (keys ⧺ order) fans the two numbers back to the rows —
     * distributed by the full tuple, so even a single hot (key, value)
-    * pair only costs its own join group. No WindowExec anywhere. */
+    * pair only costs its own join group. No WindowExec anywhere.
+    * `percent_rank` ((rank−1)/(N−1), 0.0 for single-row keys — Spark's
+    * definition) and `cume_dist` (inclusive run-end prefix / N) are
+    * peer-run properties too and come almost free when requested: one
+    * extra per-key count agg joined back null-safely. */
   def rankExact(df: DataFrame, keys: Seq[String], order: Seq[String],
-                rankName: String = "rnk", denseName: String = "drnk"): DataFrame = {
+                rankName: String = "rnk", denseName: String = "drnk",
+                percentRankName: Option[String] = None,
+                cumeDistName: Option[String] = None): DataFrame = {
     require(keys.nonEmpty && order.nonEmpty, "keys and order must be non-empty")
     val runCols = keys ++ order
     val runs = df.groupBy(runCols.map(col): _*).agg(count(lit(1)).as("__rc"))
-    val pref = runningExact(runs, keys, order, col("__rc"),
+    val withRanks = runningExact(runs, keys, order, col("__rc"),
         sumName = "__rsum", cntName = "__rn", rnName = "__rrn")
       .withColumn(rankName, col("__rsum") - col("__rc") + lit(1L))
       .withColumn(denseName, col("__rrn"))
-      .select(runCols.map(k => col(k).as(s"__r_$k")) :+
-        col(rankName) :+ col(denseName): _*)
+    // percent_rank and cume_dist are peer-run properties too: they only
+    // additionally need the key's TOTAL row count — one tiny agg joined
+    // back null-safely on the keys
+    val pref0 =
+      if (percentRankName.isEmpty && cumeDistName.isEmpty) withRanks
+      else {
+        val totals = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__kn"))
+          .select(keys.map(k => col(k).as(s"__t_$k")) :+ col("__kn"): _*)
+        val cond = keys.map(k => col(k) <=> col(s"__t_$k")).reduce(_ && _)
+        val joined = withRanks.join(totals, cond)
+          .drop(keys.map(k => s"__t_$k"): _*)
+        val withPr = percentRankName.fold(joined)(n =>
+          // Spark defines percent_rank = (rank-1)/(N-1), 0.0 when N = 1
+          joined.withColumn(n, when(col("__kn") > 1L,
+            (col(rankName) - 1L).cast("double") / (col("__kn") - 1L).cast("double"))
+            .otherwise(lit(0.0))))
+        cumeDistName.fold(withPr)(n =>
+          // cume_dist = rows through the run END / N = inclusive prefix / N
+          withPr.withColumn(n,
+            col("__rsum").cast("double") / col("__kn").cast("double")))
+      }
+    val outCols = Seq(rankName, denseName) ++ percentRankName ++ cumeDistName
+    val pref = pref0.select(runCols.map(k => col(k).as(s"__r_$k")) ++
+      outCols.map(col): _*)
     val joinCond = runCols.map(k => col(k) <=> col(s"__r_$k")).reduce(_ && _)
     df.join(pref, joinCond).drop(runCols.map(k => s"__r_$k"): _*)
   }

@@ -1353,9 +1353,11 @@ object PipelineQueries {
       val ev = events(s, dir)
       graft.operators.SkewWindow.rankExact(
           ev.select(col("event_id"), col("user_id"), col("ts_us"), col("value")),
-          Seq("user_id"), Seq("value"))
+          Seq("user_id"), Seq("value"),
+          percentRankName = Some("prk"), cumeDistName = Some("cd"))
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
-        .select(col("event_id"), col("user_id"), col("rnk"), col("drnk"))
+        .select(col("event_id"), col("user_id"), col("rnk"), col("drnk"),
+          col("prk"), col("cd"))
     }),
 
     // SKEW-SAFE PER-KEY LAG/LEAD — sessionization's workhorse, same hot
@@ -2350,7 +2352,9 @@ object PipelineQueries {
       "q_skew_rank" ->
         """SELECT event_id, user_id,
              CAST(rank() OVER (PARTITION BY user_id ORDER BY value) AS BIGINT) AS rnk,
-             CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY value) AS BIGINT) AS drnk
+             CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY value) AS BIGINT) AS drnk,
+             percent_rank() OVER (PARTITION BY user_id ORDER BY value) AS prk,
+             cume_dist() OVER (PARTITION BY user_id ORDER BY value) AS cd
            FROM events ORDER BY user_id, epoch_us(ts), event_id""",
 
       "q_skew_lag" ->

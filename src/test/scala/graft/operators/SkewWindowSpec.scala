@@ -109,8 +109,9 @@ class SkewWindowSpec extends SparkSuite {
   test("per-key rank/dense_rank match the built-in incl. ties, null keys and values") {
     // order by v: heavy ties (v has few distinct values per key), null
     // order values form their own peer run
-    val got = SkewWindow.rankExact(skewed, Seq("k"), Seq("v"))
-      .select("k", "id", "rnk", "drnk")
+    val got = SkewWindow.rankExact(skewed, Seq("k"), Seq("v"),
+        percentRankName = Some("prk"), cumeDistName = Some("cd"))
+      .select("k", "id", "rnk", "drnk", "prk", "cd")
     val p = got.queryExecution.executedPlan.toString
     assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
       s"no built-in WindowExec may appear:\n$p")
@@ -118,10 +119,13 @@ class SkewWindowSpec extends SparkSuite {
     val exp = skewed
       .withColumn("rnk", rank().over(w).cast("bigint"))
       .withColumn("drnk", dense_rank().over(w).cast("bigint"))
-      .select("k", "id", "rnk", "drnk")
+      .withColumn("prk", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .select("k", "id", "rnk", "drnk", "prk", "cd")
     def snap4(d: org.apache.spark.sql.DataFrame) = d
       .collect().map(r => (Option(r.get(0)).map(_.toString).getOrElse("null"),
-        r.getLong(1), r.getLong(2), r.getLong(3)))
+        r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4).toString, r.getDouble(5).toString))
       .sortBy(t => (t._1, t._2)).toSeq
     assert(snap4(got) == snap4(exp))
   }
