@@ -218,6 +218,36 @@ object SkewWindow {
     df.join(pref, joinCond).drop(runCols.map(k => s"__r_$k"): _*)
   }
 
+  /** Per-key `ntile(b)` over `PARTITION BY keys ORDER BY order`
+    * (ascending, unique within a key — ntile is position-based),
+    * skew-safe: the per-key row number comes from [[runningExact]],
+    * the key's total from one tiny agg, and the bucket is Spark's own
+    * arithmetic (the first N mod b buckets take one extra row)
+    * evaluated as plain expressions — no WindowExec, no per-key task. */
+  def ntileExact(df: DataFrame, keys: Seq[String], order: Seq[String],
+                 buckets: Int, ntileName: String = "nt"): DataFrame = {
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    val base = runningExact(df, keys, order, lit(1L),
+      sumName = "__nsum", cntName = "__nn", rnName = "__nrn")
+    val totals = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__kn"))
+      .select(keys.map(k => col(k).as(s"__t_$k")) :+ col("__kn"): _*)
+    val cond = keys.map(k => col(k) <=> col(s"__t_$k")).reduce(_ && _)
+    // Spark's NTile arithmetic over (0-based position, N, b): buckets
+    // of size N div b, the first N mod b of them one row fatter.
+    // `div` (not `/`) — Spark's `/` on longs is DOUBLE division.
+    base.join(totals, cond)
+      .withColumn("__q", expr(s"__kn div $buckets"))
+      .withColumn("__r", col("__kn") % buckets)
+      .withColumn(ntileName, expr(
+        s"""CAST(CASE WHEN __kn <= $buckets THEN __nrn
+              WHEN (__nrn - 1) < (__q + 1) * __r
+                THEN (__nrn - 1) div (__q + 1) + 1
+              ELSE (__nrn - 1 - (__q + 1) * __r) div __q + __r + 1
+            END AS INT)"""))
+      .drop(keys.map(k => s"__t_$k") ++
+        Seq("__nsum", "__nn", "__nrn", "__kn", "__q", "__r"): _*)
+  }
+
   def offset(df: DataFrame, keys: Seq[String], order: Seq[String],
              exprs: Seq[(String, (Column, Int, Column))]): DataFrame = {
     require(keys.nonEmpty && order.nonEmpty, "keys and order must be non-empty")

@@ -1316,12 +1316,14 @@ object PipelineQueries {
     "q_skew_window" -> ((s, dir) => {
       val ev = events(s, dir).select(col("event_id"), col("user_id"),
         col("ts_us"), col("value").cast("decimal(18,2)").as("dv"))
-      graft.operators.SkewWindow.runningExact(
-          ev, Seq("user_id"), Seq("ts_us", "event_id"), col("dv"))
+      val run = graft.operators.SkewWindow.runningExact(
+        ev, Seq("user_id"), Seq("ts_us", "event_id"), col("dv"))
+      graft.operators.SkewWindow.ntileExact(
+          run, Seq("user_id"), Seq("ts_us", "event_id"), buckets = 7)
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
         .select(col("event_id"), col("user_id"),
           col("run_sum").cast("double").as("run_sum"),
-          col("run_n"), col("run_rn"))
+          col("run_n"), col("run_rn"), col("nt"))
     }),
 
     // SKEW-SAFE PER-KEY MOVING AVERAGE — `ROWS 6 PRECEDING` per user.
@@ -2322,7 +2324,9 @@ object PipelineQueries {
              COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_n,
              CAST(row_number() OVER (PARTITION BY user_id
-               ORDER BY epoch_us(ts), event_id) AS BIGINT) AS run_rn
+               ORDER BY epoch_us(ts), event_id) AS BIGINT) AS run_rn,
+             ntile(7) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS nt
            FROM events ORDER BY user_id, epoch_us(ts), event_id""",
 
       "q_topk_grouped" ->

@@ -130,6 +130,24 @@ class SkewWindowSpec extends SparkSuite {
     assert(snap4(got) == snap4(exp))
   }
 
+  test("per-key ntile matches the built-in across bucket counts and tiny keys") {
+    for (b <- Seq(1, 3, 7, 1000)) { // 1000 > every key's row count: degenerate path
+      val got = SkewWindow.ntileExact(skewed, Seq("k"), Seq("id"), b)
+        .select("k", "id", "nt")
+      val w = Window.partitionBy("k").orderBy("id")
+      val exp = skewed.withColumn("nt", ntile(b).over(w)).select("k", "id", "nt")
+      def snap5(d: org.apache.spark.sql.DataFrame) = d
+        .collect().map(r => (Option(r.get(0)).map(_.toString).getOrElse("null"),
+          r.getLong(1), r.getInt(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(snap5(got) == snap5(exp), s"ntile($b) diverged")
+    }
+    val p = SkewWindow.ntileExact(skewed, Seq("k"), Seq("id"), 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"no built-in WindowExec may appear:\n$p")
+  }
+
   test("decimal values stay exact; float values refuse") {
     val d = skewed.withColumn("dv", col("v").cast("decimal(18,2)"))
     val w = Window.partitionBy("k").orderBy("id")
