@@ -225,10 +225,16 @@ object SkewWindow {
     * arithmetic (the first N mod b buckets take one extra row)
     * evaluated as plain expressions — no WindowExec, no per-key task. */
   def ntileExact(df: DataFrame, keys: Seq[String], order: Seq[String],
-                 buckets: Int, ntileName: String = "nt"): DataFrame = {
+                 buckets: Int, ntileName: String = "nt",
+                 rnCol: Option[String] = None): DataFrame = {
     require(buckets >= 1, s"buckets must be positive, got $buckets")
-    val base = runningExact(df, keys, order, lit(1L),
-      sumName = "__nsum", cntName = "__nn", rnName = "__nrn")
+    // reuse a per-key row number the caller already computed (e.g.
+    // runningExact's rnName) instead of paying a second prefix scan
+    val base = rnCol match {
+      case Some(c) => df.withColumn("__nrn", col(c))
+      case None => runningExact(df, keys, order, lit(1L),
+        sumName = "__nsum", cntName = "__nn", rnName = "__nrn")
+    }
     val totals = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__kn"))
       .select(keys.map(k => col(k).as(s"__t_$k")) :+ col("__kn"): _*)
     val cond = keys.map(k => col(k) <=> col(s"__t_$k")).reduce(_ && _)

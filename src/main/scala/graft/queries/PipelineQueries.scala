@@ -1319,7 +1319,8 @@ object PipelineQueries {
       val run = graft.operators.SkewWindow.runningExact(
         ev, Seq("user_id"), Seq("ts_us", "event_id"), col("dv"))
       graft.operators.SkewWindow.ntileExact(
-          run, Seq("user_id"), Seq("ts_us", "event_id"), buckets = 7)
+          run, Seq("user_id"), Seq("ts_us", "event_id"), buckets = 7,
+          rnCol = Some("run_rn")) // reuse the prefix scan just computed
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
         .select(col("event_id"), col("user_id"),
           col("run_sum").cast("double").as("run_sum"),

@@ -146,6 +146,16 @@ class SkewWindowSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
       s"no built-in WindowExec may appear:\n$p")
+    // rnCol reuse: same values, no second prefix scan
+    val run = SkewWindow.runningExact(skewed, Seq("k"), Seq("id"), col("v"))
+    val reused = SkewWindow.ntileExact(run, Seq("k"), Seq("id"), 4,
+      rnCol = Some("run_rn")).select("k", "id", "nt")
+    val fresh = SkewWindow.ntileExact(skewed, Seq("k"), Seq("id"), 4)
+      .select("k", "id", "nt")
+    def snap6(d: org.apache.spark.sql.DataFrame) = d
+      .collect().map(r => (Option(r.get(0)).map(_.toString).getOrElse("null"),
+        r.getLong(1), r.getInt(2))).sortBy(t => (t._1, t._2)).toSeq
+    assert(snap6(reused) == snap6(fresh))
   }
 
   test("decimal values stay exact; float values refuse") {
