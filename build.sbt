@@ -27,4 +27,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ // fuzz-soak knobs reach the forked test JVM via env
+  sys.env.get("GRAFT_FUZZ_SEED").map(s => s"-Dgraft.fuzz.seed=$s").toSeq ++
+  sys.env.get("GRAFT_FUZZ_ROUNDS").map(r => s"-Dgraft.fuzz.rounds=$r").toSeq

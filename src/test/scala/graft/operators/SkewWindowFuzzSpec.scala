@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
 class SkewWindowFuzzSpec extends SparkSuite {
   import spark.implicits._
 
-  private val rnd = new scala.util.Random(8132026L)
+  // override for deep soaks: -Dgraft.fuzz.seed=… -Dgraft.fuzz.rounds=…
+  private val rnd = new scala.util.Random(
+    sys.props.getOrElse("graft.fuzz.seed", "8132026").toLong)
+  private val rounds = sys.props.getOrElse("graft.fuzz.rounds", "5").toInt
 
   private def randomDf(): DataFrame = {
     val n = 500 + rnd.nextInt(4000)
@@ -41,7 +44,7 @@ class SkewWindowFuzzSpec extends SparkSuite {
       Option(r.get(j)).map(_.toString).getOrElse("null")).mkString("|"))
     .sorted.toSeq
 
-  (0 until 5).foreach { round =>
+  (0 until rounds).foreach { round =>
     test(s"fuzz round $round: random method matches the built-in") {
       val df = randomDf()
       val w = Window.partitionBy("k").orderBy("id")

@@ -14,7 +14,10 @@ import org.apache.spark.sql.functions._
 class GlobalWindowFuzzSpec extends SparkSuite {
   import spark.implicits._
 
-  private val rnd = new scala.util.Random(20260812L)
+  // override for deep soaks: -Dgraft.fuzz.seed=… -Dgraft.fuzz.rounds=…
+  private val rnd = new scala.util.Random(
+    sys.props.getOrElse("graft.fuzz.seed", "20260812").toLong)
+  private val rounds = sys.props.getOrElse("graft.fuzz.rounds", "6").toInt
 
   private def withConf[T](key: String, value: String)(body: => T): T = {
     val prev = spark.conf.getOption(key)
@@ -76,7 +79,7 @@ class GlobalWindowFuzzSpec extends SparkSuite {
     }
   }
 
-  (0 until 6).foreach { round =>
+  (0 until rounds).foreach { round =>
     test(s"fuzz round $round: random frames match the built-in bit-for-bit") {
       val df = randomDf()
       val cols = (0 until 2 + rnd.nextInt(3)).map(randomColumn)
