@@ -1860,8 +1860,13 @@ object PipelineQueries {
       probed.agg(
         count(when(col("user_id") < 75, 1)).as("n_inserted"),
         (count(when(col("user_id") < 75 && !col("hit"), 1)) === 0).as("no_false_negatives"),
-        (count(when(col("user_id") >= 75 && col("hit"), 1)).cast("double") /
-          count(when(col("user_id") >= 75, 1)).cast("double") <= 0.05).as("fp_rate_ok"))
+        // nullif guards the disjoint-key count: at tiny scales the probe
+        // set can be EMPTY, and ANSI division by zero would kill the
+        // query — an empty set satisfies any FP bound vacuously
+        (coalesce(
+          count(when(col("user_id") >= 75 && col("hit"), 1)).cast("double") /
+            nullif(count(when(col("user_id") >= 75, 1)).cast("double"), lit(0.0)),
+          lit(0.0)) <= 0.05).as("fp_rate_ok"))
     }),
 
     // heavy hitters (frequent-items sketch): freqItems guarantees a
