@@ -65,6 +65,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // CURRENT ROW` over ts — the time-series trailing window):
     // value-window boundary stitch + tie-run frame folds
     ext.injectPlannerStrategy(_ => graft.plans.GlobalRangeFrameStrategy)
+    // and for nth_value (prefix / whole-table frames): the n-th frame
+    // row is the global n-th row — one driver-computed constant plus a
+    // narrow eligibility pass
+    ext.injectPlannerStrategy(_ => graft.plans.GlobalNthValueStrategy)
   }
 }
 

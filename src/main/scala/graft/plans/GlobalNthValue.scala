@@ -1,0 +1,252 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, CurrentRow, Expression, GenericInternalRow, IntegerLiteral, JoinedRow, NamedExpression, NthValue, SortOrder, SpecifiedWindowFrame, RangeFrame, UnboundedFollowing, UnboundedPreceding, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.plans.logical
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.internal.SQLConf
+
+/** Scale-safe planning for naive global `nth_value` — the last member
+  * of the SQL window-function surface without a rescue: `nth_value(x,
+  * n) OVER (ORDER BY …)` plans as a SinglePartition WindowExec in
+  * stock Spark, the whole table through one task to look up ONE value.
+  *
+  * The distributed shape is almost embarrassingly simple: over any
+  * prefix frame the n-th frame row IS the global n-th row, so its
+  * value `V` is a single driver-computable constant, and each row only
+  * needs an ELIGIBILITY test — does my frame reach n rows? So: one
+  * tiny job collects, per partition, its row count and its first
+  * ≤ max(n) input values per function (non-null ones for IGNORE
+  * NULLS, plus the non-null count); the driver prefix-sums the counts,
+  * finds the partition holding global position n, and reads V out of
+  * its collected head — bounded by n × #functions values, independent
+  * of data size. The second pass attaches V where the frame reaches n
+  * (global row index for ROWS, tie-run END index for RANGE — peers
+  * share their run-end frame; the n-th NON-NULL prefix count for
+  * IGNORE NULLS) and NULL elsewhere — exactly the built-in's
+  * semantics, at full parallelism.
+  *
+  * Matched frames: `UNBOUNDED PRECEDING .. CURRENT ROW` (ROWS and
+  * RANGE — the bare-ORDER-BY default) and the whole-table
+  * `UNBOUNDED .. UNBOUNDED` (eligibility = the table has n rows).
+  * Mixed frames / n / ignoreNulls in one node are fine.
+  *
+  * Opt-out: shares `spark.graft.globalRowNumber.enabled`.
+  */
+object GlobalNthValueStrategy extends SparkStrategy {
+  import GlobalNthValueExec.NthF
+
+  private def funcOf(e: NamedExpression): Option[NthF] = e match {
+    case Alias(WindowExpression(
+          NthValue(input, IntegerLiteral(n), ignoreNulls),
+          WindowSpecDefinition(_, _, SpecifiedWindowFrame(ft, lo, hi))), _)
+        if n > 0 =>
+      (lo, hi) match {
+        case (UnboundedPreceding, CurrentRow) =>
+          Some(NthF(input, n, ignoreNulls, isRange = ft == RangeFrame,
+            isFull = false, e.toAttribute))
+        case (UnboundedPreceding, UnboundedFollowing) =>
+          Some(NthF(input, n, ignoreNulls, isRange = false,
+            isFull = true, e.toAttribute))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Per-expression categorizer for [[GlobalWindowSplit]]. */
+  private[plans] def rescuable(e: NamedExpression): Boolean = funcOf(e).isDefined
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case w: logical.Window
+        if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
+          w.windowExpressions.nonEmpty &&
+          w.windowExpressions.forall(funcOf(_).isDefined) &&
+          SQLConf.get.getConfString(GlobalRowNumberStrategy.ConfKey, "true").toBoolean =>
+      GlobalNthValueExec(w.orderSpec,
+        w.windowExpressions.map(funcOf(_).get), planLater(w.child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object GlobalNthValueExec {
+  /** One nth_value column: `input` at frame position `n`. */
+  case class NthF(input: Expression, n: Int, ignoreNulls: Boolean,
+                  isRange: Boolean, isFull: Boolean, attr: Attribute)
+}
+
+/** Physical distributed nth_value: stats pass (row/non-null counts +
+  * bounded per-partition heads), driver lookup of the ONE value each
+  * function ever emits, then a narrow eligibility pass. */
+case class GlobalNthValueExec(order: Seq[SortOrder],
+                              funcs: Seq[GlobalNthValueExec.NthF],
+                              child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output ++ funcs.map(_.attr)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    OrderedDistribution(order) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
+  override def outputOrdering: Seq[SortOrder] = order
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val resultAttrs = output
+    val funcsLocal = funcs.toArray
+    val nF = funcsLocal.length
+    val keyExprs = order.map(_.child)
+    val anyRange = funcsLocal.exists(_.isRange)
+    val rdd = child.execute()
+
+    // pass 1: per partition — total rows, and per function its non-null
+    // count plus the first ≤ n candidate values (single-column rows)
+    val stats: Array[(Long, Array[Long], Array[Array[UnsafeRow]])] =
+      rdd.sparkContext.runJob(rdd, (iter: Iterator[InternalRow]) => {
+        val projs = funcsLocal.map(f =>
+          UnsafeProjection.create(Seq(f.input), childOutput))
+        val nn = new Array[Long](nF)
+        val heads = Array.fill(nF)(
+          new scala.collection.mutable.ArrayBuffer[UnsafeRow])
+        var rows = 0L
+        while (iter.hasNext) {
+          val row = iter.next()
+          var i = 0
+          while (i < nF) {
+            val v = projs(i)(row)
+            val isNull = v.isNullAt(0)
+            if (!isNull) nn(i) += 1
+            val counts = if (funcsLocal(i).ignoreNulls) !isNull else true
+            if (counts) {
+              val seen = if (funcsLocal(i).ignoreNulls) nn(i) else rows + 1
+              if (seen <= funcsLocal(i).n) heads(i) += v.copy()
+            }
+            i += 1
+          }
+          rows += 1
+        }
+        (rows, nn, heads.map(_.toArray))
+      })
+
+    val nParts = stats.length
+    val rowOffsets = stats.map(_._1).scanLeft(0L)(_ + _)
+    val nnOffsets: Array[Array[Long]] = Array.tabulate(nF) { i =>
+      stats.map(_._2(i)).scanLeft(0L)(_ + _)
+    }
+    val totalRows = rowOffsets.last
+
+    // driver: V_i = input_i at global (non-null) position n_i, read out
+    // of the owning partition's collected head — or absent when the
+    // table is too short
+    val values: Array[Option[UnsafeRow]] = Array.tabulate(nF) { i =>
+      val f = funcsLocal(i)
+      val offs = if (f.ignoreNulls) nnOffsets(i) else rowOffsets
+      if (offs.last < f.n) None
+      else {
+        val p = (0 until nParts).find(q => offs(q + 1) >= f.n).get
+        val local = (f.n - offs(p) - 1).toInt
+        Some(stats(p)._3(i)(local))
+      }
+    }
+
+    // pass 2: attach V where the frame reaches n. A function's frame
+    // reaches position `reach` = global row index (ROWS) / tie-run END
+    // index (RANGE, peers share) / table end (full frame); for IGNORE
+    // NULLS the same three, counted over non-null inputs.
+    rdd.mapPartitionsWithIndex { (pid, iter) =>
+      val attrTypes = funcsLocal.map(_.attr.dataType)
+      val projs = funcsLocal.map(f =>
+        UnsafeProjection.create(Seq(f.input), childOutput))
+      val outProj = UnsafeProjection.create(resultAttrs, resultAttrs)
+      val joinOut = new JoinedRow
+      var gidx = rowOffsets(pid)
+      val nnSeen = Array.tabulate(nF)(i => nnOffsets(i)(pid))
+
+      // per-row output values given this row's reach and the run-end
+      // reach (equal except inside a RANGE tie run)
+      def mkVals(rowIdx: Long, rowNn: Array[Long],
+                 endIdx: Long, endNn: Array[Long]): GenericInternalRow = {
+        val vals = new GenericInternalRow(nF)
+        var i = 0
+        while (i < nF) {
+          val f = funcsLocal(i)
+          val reach =
+            if (f.isFull) { if (f.ignoreNulls) nnOffsets(i).last else totalRows }
+            else if (f.isRange) { if (f.ignoreNulls) endNn(i) else endIdx }
+            else { if (f.ignoreNulls) rowNn(i) else rowIdx }
+          vals.update(i,
+            if (reach >= f.n) values(i).map(_.get(0, attrTypes(i))).orNull
+            else null)
+          i += 1
+        }
+        vals
+      }
+
+      if (!anyRange) {
+        iter.map { row =>
+          gidx += 1
+          var i = 0
+          while (i < nF) {
+            if (!projs(i)(row).isNullAt(0)) nnSeen(i) += 1
+            i += 1
+          }
+          outProj(joinOut(row, mkVals(gidx, nnSeen, gidx, nnSeen)))
+        }
+      } else {
+        // buffer one tie run at a time (the range exchange co-locates
+        // equal keys); per-row snapshots keep mixed ROWS functions
+        // per-row exact while RANGE functions share the run end
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        new Iterator[InternalRow] {
+          private val run = new scala.collection.mutable.ArrayBuffer[InternalRow]
+          private val rowIdxs = new scala.collection.mutable.ArrayBuffer[Long]
+          private val rowNns = new scala.collection.mutable.ArrayBuffer[Array[Long]]
+          private var runPos = 0
+          private var pendingNext: InternalRow = _
+
+          private def fillRun(): Unit = {
+            run.clear(); rowIdxs.clear(); rowNns.clear(); runPos = 0
+            if (pendingNext != null) { run += pendingNext; pendingNext = null }
+            else if (iter.hasNext) run += iter.next().copy()
+            else return
+            val runKey = keyProj(run.head).copy()
+            var done = false
+            while (!done && iter.hasNext) {
+              val r = iter.next().copy()
+              if (keyProj(r).equals(runKey)) run += r
+              else { pendingNext = r; done = true }
+            }
+            var j = 0
+            while (j < run.length) {
+              gidx += 1
+              var i = 0
+              while (i < nF) {
+                if (!projs(i)(run(j)).isNullAt(0)) nnSeen(i) += 1
+                i += 1
+              }
+              rowIdxs += gidx
+              rowNns += nnSeen.clone()
+              j += 1
+            }
+          }
+
+          override def hasNext: Boolean =
+            runPos < run.length || pendingNext != null || iter.hasNext
+
+          override def next(): InternalRow = {
+            if (runPos >= run.length) fillRun()
+            val row = run(runPos)
+            val vals = mkVals(rowIdxs(runPos), rowNns(runPos), gidx, nnSeen)
+            runPos += 1
+            outProj(joinOut(row, vals))
+          }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}

@@ -53,6 +53,7 @@ object GlobalWindowSplit extends Rule[LogicalPlan] {
       ordered && GlobalRunningAggStrategy.rescuableRunning(e),
       ordered && GlobalRunningAggStrategy.rescuableSuffix(e),
       ordered && GlobalSlidingAggStrategy.rescuable(e),
+      ordered && GlobalNthValueStrategy.rescuable(e),
       GlobalConstantAggStrategy.rescuable(e),
       GlobalRangeFrameStrategy.orderRescuable(w) && GlobalRangeFrameStrategy.rescuable(e))
     tests.indexWhere(identity) // -1 = no strategy claims it

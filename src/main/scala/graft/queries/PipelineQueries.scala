@@ -1468,6 +1468,24 @@ object PipelineQueries {
                FROM events_v ORDER BY event_id""")
     }),
 
+    // GLOBAL nth_value — the last window function to join the rescue.
+    // Over any prefix frame the n-th frame row IS the global n-th row:
+    // GlobalNthValueStrategy collects bounded per-partition heads (≤ n
+    // values), the driver reads the ONE value the function ever emits,
+    // and a narrow pass attaches it where the frame reaches n — where
+    // the built-in funnels the table through a single task to look up
+    // one value. IGNORE NULLS rides the same stats with non-null
+    // counting.
+    "q_nth_global" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""SELECT event_id, user_id,
+                 nth_value(value, 100) OVER (ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v100,
+                 nth_value(user_id, 2500) OVER (ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS u2500
+               FROM events_v ORDER BY ts_us, event_id""")
+    }),
+
     // SUFFIX frames — `CURRENT ROW AND UNBOUNDED FOLLOWING`, the
     // "remaining total" mirror of the running aggregate, plus the
     // explicit whole-table frame WITH an order spec. Three window specs
@@ -2420,6 +2438,14 @@ object PipelineQueries {
              CAST(value AS DOUBLE)
                / CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER () AS DOUBLE) AS share
            FROM events ORDER BY event_id""",
+
+      "q_nth_global" ->
+        """SELECT event_id, user_id,
+             nth_value(value, 100) OVER (ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v100,
+             nth_value(user_id, 2500) OVER (ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS u2500
+           FROM events ORDER BY epoch_us(ts), event_id""",
 
       "q_suffix_global" ->
         """SELECT event_id, user_id,

@@ -50,7 +50,7 @@ class GlobalWindowFuzzSpec extends SparkSuite {
     import org.apache.spark.sql.expressions.Window
     val unique = Window.orderBy("k", "id")
     val byK = Window.orderBy("k")
-    rnd.nextInt(8) match {
+    rnd.nextInt(9) match {
       case 0 => // running
         s"c$i" -> sum("v").over(unique.rowsBetween(Window.unboundedPreceding, Window.currentRow))
       case 1 => // suffix
@@ -76,6 +76,14 @@ class GlobalWindowFuzzSpec extends SparkSuite {
         if (rnd.nextBoolean())
           s"c$i" -> lag(col("v"), off, null, true).over(unique)
         else s"c$i" -> lead(col("v"), off, null, true).over(unique)
+      case 8 => // nth_value, random n / ignoreNulls / frame
+        val n = 1 + rnd.nextInt(500)
+        val ign = rnd.nextBoolean()
+        val frame =
+          if (rnd.nextBoolean())
+            unique.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          else unique.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        s"c$i" -> nth_value(col("v"), n, ign).over(frame)
     }
   }
 

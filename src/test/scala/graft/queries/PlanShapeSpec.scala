@@ -199,6 +199,13 @@ class PlanShapeSpec extends SparkSuite {
       s"single-task WindowExec must not survive for the running aggregate:\n$p")
   }
 
+  test("naive SQL global nth_value plans the constant-lookup exec") {
+    val p = plan("q_nth_global")
+    assert(p.contains("GlobalNthValue"), s"expected GlobalNthValueExec:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"single-task WindowExec must not survive for nth_value:\n$p")
+  }
+
   test("naive SQL suffix frames plan the reversed prefix-scan exec") {
     val p = plan("q_suffix_global")
     // three window specs: two suffix nodes (reversed GlobalRunningAgg)
