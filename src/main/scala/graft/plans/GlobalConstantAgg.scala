@@ -37,13 +37,17 @@ import org.apache.spark.sql.internal.SQLConf
   * (empty order spec) and the explicit `OVER (ORDER BY k ROWS/RANGE
   * BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)` spelling: an
   * order spec cannot change a whole-table frame, so the value is the
-  * same constant either way (order-SENSITIVE first/last_value fail the
-  * deterministic guard and keep the built-in path). Aggregates are
+  * same constant either way — for ORDER-INSENSITIVE aggregates.
+  * First/Last are excluded EXPLICITLY (Catalyst marks them
+  * deterministic, but their value depends on enumeration order, which
+  * this exec — unordered partials merged in partition order — does not
+  * honor; an ordered `first_value` is rewritten to the rescued
+  * `nth_value(x, 1)` by the optimizer, an ordered `last_value` keeps
+  * the built-in path). Aggregates are
   * deterministic [[DeclarativeAggregate]]s, driven through
   * their own init/update/merge/evaluate projections — sum/count/min/
   * max/avg and any other deterministic declarative aggregate, decimals
-  * and all. (First/Last are excluded: with no order spec their value is
-  * arbitrary in any plan.) For FLOATING-POINT sums the partial merge
+  * and all. For FLOATING-POINT sums the partial merge
   * associates additions differently than one sequential scan — last-ulp
   * differences, the same caveat as every parallel float sum.
   *
@@ -58,7 +62,9 @@ object GlobalConstantAggStrategy extends SparkStrategy {
           AggregateExpression(f: DeclarativeAggregate, Complete, false, None, _),
           WindowSpecDefinition(_, _,
             SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing))), _)
-        if f.deterministic =>
+        if f.deterministic &&
+          !f.isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.First] &&
+          !f.isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.Last] =>
       Some(ConstAgg(f, e.toAttribute))
     case _ => None
   }

@@ -87,12 +87,25 @@ class GlobalConstantAggSpec extends SparkSuite {
     val got = snap(out)
     val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
     assert(got == expected)
-    // order-SENSITIVE first/last_value keep the built-in path
+    // order-SENSITIVE functions must NOT take the orderless constant
+    // path: first_value is optimizer-rewritten to the rescued
+    // nth_value(x, 1); last_value keeps the built-in WindowExec
     val fv = spark.sql(
       """SELECT first_value(v) OVER (ORDER BY id
            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS f
          FROM const_agg_ord_v""")
-    assert(!fv.queryExecution.executedPlan.toString.contains("GlobalConstantAgg"))
+    val fp = fv.queryExecution.executedPlan.toString
+    assert(!fp.contains("GlobalConstantAgg") && fp.contains("GlobalNthValue"), fp)
+    val lv = spark.sql(
+      """SELECT id, last_value(v) OVER (ORDER BY id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS l
+         FROM const_agg_ord_v""")
+    val lp = lv.queryExecution.executedPlan.toString
+    assert(!lp.contains("GlobalConstantAgg") &&
+      lp.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")), lp)
+    // and the built-in value is the true ordered last
+    assert(lv.orderBy(col("id")).limit(1).collect()(0).getLong(1) ==
+      df.orderBy(col("id").desc).limit(1).collect()(0).getLong(1))
   }
 
   test("null-heavy input: sum over all-null column is null, count skips nulls") {

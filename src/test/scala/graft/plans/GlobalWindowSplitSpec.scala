@@ -50,18 +50,20 @@ class GlobalWindowSplitSpec extends SparkSuite {
 
   test("unclaimed family splits out alone and keeps the built-in, others rescue") {
     tied.createOrReplaceTempView("gws_t2")
-    // first_value over a whole-table frame is order-SENSITIVE: no
-    // strategy claims it; the split must leave it (and only it) on the
-    // built-in path while the running sum still rescues
+    // last_value over a whole-table frame is order-SENSITIVE and (unlike
+    // first_value, which the optimizer rewrites to the now-rescued
+    // nth_value(x, 1)) no strategy claims it; the split must leave it
+    // (and only it) on the built-in path while the running sum rescues
     val out = spark.sql(
       """SELECT id,
            SUM(v) OVER (ORDER BY k, id) AS run_sum,
-           first_value(v) OVER (ORDER BY k, id
+           last_value(v) OVER (ORDER BY k, id
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fv
          FROM gws_t2""")
     val p = out.queryExecution.executedPlan.toString
     assert(p.contains("GlobalRunningAgg"), s"running sum must still rescue:\n$p")
-    assert(p.contains("Window"), s"unclaimed first_value keeps WindowExec:\n$p")
+    assert(p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"unclaimed last_value keeps WindowExec:\n$p")
     def snap(d: org.apache.spark.sql.DataFrame) = d
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
     val got = snap(out)
