@@ -104,9 +104,15 @@ object SkewWindow {
         Seq(col("__ksum_in"), col("__knn_in"), col("__kcnt_in")): _*)
 
     // 4) attach offsets and subtract; a key whose prefix holds no
-    // non-null value yields NULL, exactly the built-in's empty-sum
+    // non-null value yields NULL, exactly the built-in's empty-sum.
+    // offsets is #keys rows by construction — BROADCAST it, so the fact
+    // side never shuffles on the key (a hash join keyed on the hot key
+    // would reintroduce the single hot task this operator exists to
+    // avoid). The skew regime this operator targets implies modest key
+    // cardinality (a billion distinct uniform keys have no hot key and
+    // want the built-in window); broadcast is the right default.
     val joinCond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
-    val joined = g.join(offsets, joinCond)
+    val joined = g.join(broadcast(offsets), joinCond)
       .withColumn(sumName,
         when(col("__gnn") - col("__knn_in") > 0,
           coalesce(col("__gsum"), lit(0)) - col("__ksum_in")))
@@ -199,7 +205,7 @@ object SkewWindow {
         val totals = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__kn"))
           .select(keys.map(k => col(k).as(s"__t_$k")) :+ col("__kn"): _*)
         val cond = keys.map(k => col(k) <=> col(s"__t_$k")).reduce(_ && _)
-        val joined = withRanks.join(totals, cond)
+        val joined = withRanks.join(broadcast(totals), cond)
           .drop(keys.map(k => s"__t_$k"): _*)
         val withPr = percentRankName.fold(joined)(n =>
           // Spark defines percent_rank = (rank-1)/(N-1), 0.0 when N = 1
@@ -241,7 +247,8 @@ object SkewWindow {
     // Spark's NTile arithmetic over (0-based position, N, b): buckets
     // of size N div b, the first N mod b of them one row fatter.
     // `div` (not `/`) — Spark's `/` on longs is DOUBLE division.
-    base.join(totals, cond)
+    // totals is #keys rows — broadcast (see runningExact's offsets join)
+    base.join(broadcast(totals), cond)
       .withColumn("__q", expr(s"__kn div $buckets"))
       .withColumn("__r", col("__kn") % buckets)
       .withColumn(ntileName, expr(

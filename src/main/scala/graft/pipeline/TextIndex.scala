@@ -109,6 +109,13 @@ object TextIndex {
          storedTokens(spark, path).getOrElse(0L),
          storedShards(spark, path).getOrElse(shards))
       else (0L, 0L, shards)
+    // an append with tombstones pending (of OTHER docs — overlap was
+    // refused above) must carry the pending counters forward
+    val (prevTDocs, prevTTokens) =
+      if (mode == "append")
+        (pendingDeletedDocs(spark, path).getOrElse(0L),
+         pendingDeletedTokens(spark, path).getOrElse(0L))
+      else (0L, 0L)
     // POSITIONAL postings: each (term, doc) row carries the sorted token
     // positions, the standard positional-index layout — phrase queries
     // verify adjacency from the index alone, no document rescan. The
@@ -149,11 +156,7 @@ object TextIndex {
     val (n, tokens) =
       (prevDocs + m("docs").asInstanceOf[Long],
        prevTokens + m("tokens").asInstanceOf[Long])
-    val (fs, root) = fsOf(spark, path)
-    val out = fs.create(new org.apache.hadoop.fs.Path(root, ManifestFile), true)
-    try out.write(
-      s"""{"format":$Format,"shards":$nShards,"docs":$n,"tokens":$tokens}"""
-        .getBytes("UTF-8")) finally out.close()
+    writeManifest(spark, path, nShards, n, tokens, prevTDocs, prevTTokens)
   }
 
   /** Tombstone directory: parquet doc_id lists under an underscore-
@@ -170,9 +173,12 @@ object TextIndex {
     * into its rewrite — the Lucene delete-then-merge discipline, and the
     * close of the full-re-index-on-refresh trap: a corpus refresh costs
     * one tombstone append + one compaction of the index, never a
-    * re-tokenize of the corpus. Until the fold, manifest (docs, tokens)
-    * totals still include deleted docs — BM25 idf goes slightly stale,
-    * exactly as Lucene's doc stats do between merges. */
+    * re-tokenize of the corpus. The manifest's PENDING counters
+    * (`tdocs`, `ttokens`) are updated in the same call — one
+    * column-pruned (doc_id, dl) pass over the postings, so ranked
+    * probes subtract the tombstoned mass and score against LIVE-corpus
+    * idf/avgdl immediately, without waiting for the fold (the one BM25
+    * staleness Lucene accepts between merges, closed here). */
   def delete(spark: SparkSession, path: String, docIds: Seq[Long]): Unit = {
     import spark.implicits._
     deleteDocs(spark, path, docIds.toDF("doc_id"))
@@ -181,10 +187,26 @@ object TextIndex {
   /** [[delete]] with the ids as a DataFrame (`doc_id` column) — the form
     * a corpus-scale refresh pipeline produces. */
   def deleteDocs(spark: SparkSession, path: String, ids: DataFrame): Unit = {
-    layoutShards(spark, path) // fail loudly on a foreign/incomplete dir
+    val nShards = layoutShards(spark, path) // fail loudly on a foreign dir
     val (_, root) = fsOf(spark, path)
     ids.select(col("doc_id").cast("long")).distinct()
       .write.mode("append").parquet(deletesPath(root).toString)
+    // recount the pending totals from the FULL live tombstone set (an
+    // append may repeat already-tombstoned ids — recount, don't
+    // increment): ids that never existed in the index match no posting
+    // and cost nothing; dl is per-doc constant, max() survives the
+    // file split. One column-pruned postings scan per delete batch.
+    val t = tombstones(spark, path).get
+    val affected = graft.store.SaltedStore
+      .read(spark, path, partitionPrefix = "shard")
+      .select("doc_id", "dl")
+      .join(broadcast(t), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(max("dl").as("dl"))
+      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+    writeManifest(spark, path, nShards,
+      storedDocs(spark, path).getOrElse(0L),
+      storedTokens(spark, path).getOrElse(0L),
+      affected.getLong(0), affected.getLong(1))
   }
 
   /** The live tombstone set, if any deletions are pending. */
@@ -248,10 +270,8 @@ object TextIndex {
       val r = graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
         .agg(count_distinct(col("doc_id")), coalesce(sum("tf"), lit(0L))).head()
       val nShards = layoutShards(spark, path)
-      val out = fs.create(new org.apache.hadoop.fs.Path(root, ManifestFile), true)
-      try out.write(
-        s"""{"format":$Format,"shards":$nShards,"docs":${r.getLong(0)},"tokens":${r.getLong(1)}}"""
-          .getBytes("UTF-8")) finally out.close()
+      // tombstones folded: totals exact again, pending counters to zero
+      writeManifest(spark, path, nShards, r.getLong(0), r.getLong(1))
     }
   }
 
@@ -324,11 +344,37 @@ object TextIndex {
       .repartition(col("shard"))
       .sortWithinPartitions("t", "doc_id")
       .write.partitionBy("shard").mode("append").parquet(destPath)
-    val (fs, root) = fsOf(spark, destPath)
-    val out = fs.create(new org.apache.hadoop.fs.Path(root, ManifestFile), true)
+    // both sides were compacted above, so no pending tombstone counters
+    // survive the merge. Atomic rename — a crash after the postings
+    // append leaves dest's OLD manifest: see writeManifest's recovery
+    // note (compact dest, don't re-run the merge).
+    writeManifest(spark, destPath, destShards, docsA + docsB, tokensA + tokensB)
+  }
+
+  /** Atomic manifest write: temp file + rename into place, so a reader
+    * never observes a torn manifest. A crash between a postings append
+    * and this rename leaves the OLD manifest — stale-but-consistent
+    * totals, made exact again by the next [[compact]] (which recounts
+    * from the surviving postings); re-running a crashed [[merge]] is NOT
+    * idempotent (its postings append already landed) — recover by
+    * compacting dest and re-deriving totals, not by re-merging.
+    * `tdocs`/`ttokens` are the PENDING tombstone totals (docs deleted
+    * but not yet folded, and their token mass), so ranked probes can
+    * score against live-corpus stats without waiting for a compaction. */
+  private def writeManifest(spark: SparkSession, path: String, shards: Int,
+                            docs: Long, tokens: Long,
+                            tdocs: Long = 0L, ttokens: Long = 0L): Unit = {
+    val (fs, root) = fsOf(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(root, ManifestFile + ".tmp")
+    val dst = new org.apache.hadoop.fs.Path(root, ManifestFile)
+    val out = fs.create(tmp, true)
     try out.write(
-      s"""{"format":$Format,"shards":$destShards,"docs":${docsA + docsB},"tokens":${tokensA + tokensB}}"""
+      (s"""{"format":$Format,"shards":$shards,"docs":$docs,""" +
+        s""""tokens":$tokens,"tdocs":$tdocs,"ttokens":$ttokens}""")
         .getBytes("UTF-8")) finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) throw new java.io.IOException(
+      s"text-index manifest rename failed: $tmp -> $dst")
   }
 
   private def manifestField(spark: SparkSession, path: String, field: String): Option[Long] = {
@@ -354,6 +400,16 @@ object TextIndex {
   /** Total corpus tokens indexed (manifest) — avgdl's numerator. */
   def storedTokens(spark: SparkSession, path: String): Option[Long] =
     manifestField(spark, path, "tokens")
+
+  /** Docs tombstoned but not yet folded by [[compact]] (manifest;
+    * absent on pre-counter manifests — probes then fall back to the
+    * stale-between-merges Lucene behavior). */
+  def pendingDeletedDocs(spark: SparkSession, path: String): Option[Long] =
+    manifestField(spark, path, "tdocs")
+
+  /** Token mass of the pending tombstoned docs (manifest). */
+  def pendingDeletedTokens(spark: SparkSession, path: String): Option[Long] =
+    manifestField(spark, path, "ttokens")
 
   /** Layout format version; pre-versioning indexes read as format 1. */
   def storedFormat(spark: SparkSession, path: String): Option[Int] =
@@ -394,8 +450,12 @@ object TextIndex {
     require(terms.nonEmpty, "searchRanked needs at least one term")
     require(b >= 0.0 && b <= 1.0, s"BM25 b must be in [0,1], got $b")
     val nShards = layoutShards(spark, path)
+    // LIVE doc count: manifest total minus the pending tombstone counter
+    // ([[deleteDocs]] maintains it), so idf/avgdl track deletions
+    // immediately instead of waiting for the next compaction fold
     val n = storedDocs(spark, path).getOrElse(throw new IllegalStateException(
-      s"text index at $path has no doc count in its manifest — rebuild to rank"))
+      s"text index at $path has no doc count in its manifest — rebuild to rank")) -
+      pendingDeletedDocs(spark, path).getOrElse(0L)
     val shards = terms.map(shardOfTerm(_, nShards)).distinct
     val postings = live(
       graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
@@ -414,7 +474,8 @@ object TextIndex {
         val tokens = storedTokens(spark, path).getOrElse(
           throw new IllegalStateException(
             s"text index at $path predates the token-count manifest field " +
-              "— re-index to rank with b > 0"))
+              "— re-index to rank with b > 0")) -
+          pendingDeletedTokens(spark, path).getOrElse(0L)
         val avgdl = tokens.toDouble / n.toDouble
         lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl))
       }

@@ -114,6 +114,24 @@ object VectorIndex {
           s"vector index at $path has pending deletes — compact it first " +
             "(or use VectorIndex.update) before appending")
     }
+    if (mode == "overwrite") {
+      // dynamic partition overwrite replaces only the cells this write
+      // touches: untouched cells AND the _deletes dir would survive, so
+      // stale tombstones would silently hide newly written vectors with
+      // reused ids. Refuse it — an index overwrite means the WHOLE index.
+      val ovwMode = df.sparkSession.conf
+        .get("spark.sql.sources.partitionOverwriteMode", "static")
+      require(!ovwMode.equalsIgnoreCase("dynamic"),
+        "VectorIndex.write(mode=overwrite) under " +
+          "spark.sql.sources.partitionOverwriteMode=dynamic is unsupported " +
+          "(stale cells/tombstones would survive); use static overwrite, " +
+          "or append + delete + compact for incremental refresh")
+      // drop tombstones of the index being replaced — they refer to the
+      // OLD generation and would hide re-used ids in the new one
+      val (fs, root) = fsOf(df.sparkSession, path)
+      val dp = deletesPath(root)
+      if (fs.exists(dp)) fs.delete(dp, true)
+    }
     val n2 = graft.functions.VectorFunctions.dotProduct(vecCol, vecCol)
     df.withColumn("n2", n2)
       .withColumn("cell",

@@ -39,11 +39,20 @@ import org.apache.spark.sql.internal.SQLConf
 object GlobalNthValueStrategy extends SparkStrategy {
   import GlobalNthValueExec.NthF
 
+  /** Upper bound on rescued n: the stats pass collects up to n candidate
+    * values PER PARTITION PER FUNCTION to the driver, so an adversarial
+    * `nth_value(x, 2^31-1)` would collect essentially the whole column.
+    * Past the cap the node falls back to the built-in single-task
+    * WindowExec, which runs the growing frame in bounded memory. */
+  val MaxNKey = "spark.graft.globalNthValue.maxN"
+  private def maxN: Int =
+    SQLConf.get.getConfString(MaxNKey, "4096").toInt
+
   private def funcOf(e: NamedExpression): Option[NthF] = e match {
     case Alias(WindowExpression(
           NthValue(input, IntegerLiteral(n), ignoreNulls),
           WindowSpecDefinition(_, _, SpecifiedWindowFrame(ft, lo, hi))), _)
-        if n > 0 =>
+        if n > 0 && n <= maxN =>
       (lo, hi) match {
         case (UnboundedPreceding, CurrentRow) =>
           Some(NthF(input, n, ignoreNulls, isRange = ft == RangeFrame,
@@ -199,6 +208,7 @@ case class GlobalNthValueExec(order: Seq[SortOrder],
         // equal keys); per-row snapshots keep mixed ROWS functions
         // per-row exact while RANGE functions share the run end
         val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        val sameRun = KeyRunEquality.create(keyExprs.map(_.dataType))
         new Iterator[InternalRow] {
           private val run = new scala.collection.mutable.ArrayBuffer[InternalRow]
           private val rowIdxs = new scala.collection.mutable.ArrayBuffer[Long]
@@ -215,7 +225,7 @@ case class GlobalNthValueExec(order: Seq[SortOrder],
             var done = false
             while (!done && iter.hasNext) {
               val r = iter.next().copy()
-              if (keyProj(r).equals(runKey)) run += r
+              if (sameRun(keyProj(r), runKey)) run += r
               else { pendingNext = r; done = true }
             }
             var j = 0

@@ -12,15 +12,28 @@ import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType}
 import org.apache.spark.unsafe.types.CalendarInterval
 
-/** Scale-safe planning for naive global RANGE-interval frames — the
-  * time-series value windows: the trailing `SUM(x) OVER (ORDER BY ts
-  * RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)`, the
-  * CENTERED smoothing window `RANGE BETWEEN 30m PRECEDING AND 30m
-  * FOLLOWING`, and the pure lookahead `CURRENT ROW AND 1h FOLLOWING` —
-  * plus their numeric-key twins over epoch micros. Stock Spark plans
-  * the empty-partition form as a SinglePartition WindowExec — the whole
-  * table through one task — like every other member of the
-  * global-window family this package rescues.
+/** Scale-safe planning for RANGE-interval frames — the time-series
+  * value windows: the trailing `SUM(x) OVER (ORDER BY ts RANGE BETWEEN
+  * INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)`, the CENTERED smoothing
+  * window `RANGE BETWEEN 30m PRECEDING AND 30m FOLLOWING`, and the pure
+  * lookahead `CURRENT ROW AND 1h FOLLOWING` — plus their numeric-key
+  * twins over epoch micros. Stock Spark plans the empty-partition form
+  * as a SinglePartition WindowExec — the whole table through one task —
+  * like every other member of the global-window family this package
+  * rescues.
+  *
+  * The PARTITIONED form (`PARTITION BY user ORDER BY ts RANGE ...` —
+  * THE per-entity time-series query) is claimed too: stock Spark hash
+  * exchanges on the partition key, so every row of a key lands in ONE
+  * task — a hot key (one user with a fifth of the data) resurrects the
+  * reference's hot region server (README:9-27) inside the cluster, and
+  * AQE re-splits skewed joins but never windows. Here the exchange is a
+  * RANGE exchange over (partition keys ⧺ order key): a hot key SPANS
+  * many partitions, each task's work is bounded by the range
+  * partitioner's split sizes independent of key skew, and because a
+  * key's rows are CONTIGUOUS under that sort, the same edge-stitching
+  * that repairs partition boundaries repairs them per key — stitched
+  * rows are simply dropped at key boundaries.
   *
   * A value frame `[K − x, K + y]` needs, per row, its key neighborhood.
   * After the range exchange that neighborhood is almost always
@@ -28,32 +41,37 @@ import org.apache.spark.unsafe.types.CalendarInterval
   * So one tiny job collects, per partition, its trailing x-window (the
   * rows with key ≥ maxKey − x — the same deque the local pass keeps),
   * its LEADING y-window (the rows with key ≤ minKey + y), and its
-  * first/last non-null keys; the driver then ships partition p every
-  * predecessor row with key ≥ minKey(p) − x and every successor row
-  * with key ≤ maxKey(p) + y. Shipped volume is bounded by the frame's
-  * own row density (the rows a single frame spans), not by data size —
-  * the honest cost of a value window, and exactly what the frame itself
-  * reads.
+  * first/last non-null keys — each restricted to the partition's
+  * first/last partition-key group, the only groups that can spill over
+  * an edge; the driver then ships partition p every predecessor row
+  * with key ≥ minKey(p) − x from predecessors ending in p's first
+  * group, and every successor row with key ≤ maxKey(p) + y from
+  * successors starting in p's last group. Shipped volume is bounded by
+  * the frame's own row density (the rows a single frame spans), not by
+  * data size — the honest cost of a value window, and exactly what the
+  * frame itself reads.
   *
   * Locally, rows are processed one TIE RUN at a time (the range
-  * exchange co-locates equal keys, so a run never spans partitions):
-  * the trailing deque is pruned to `key ≥ K − x`, runs are read AHEAD
-  * until the first run past `K + y` (a bounded lookahead FIFO — the
-  * frame's own forward span), and each aggregate folds deque + run +
-  * ahead + stitched successors left-to-right in key order — the same
-  * sequential fold WindowExec performs. Every row of the run shares the
-  * result — RANGE bounds are peer-inclusive in both engines. Rows with
-  * NULL keys form their own peer group (frame = the null run itself)
-  * and never enter any arithmetic frame, matching the built-in's
-  * null-peer semantics.
+  * exchange co-locates equal (part, key) tuples, so a run never spans
+  * partitions): the trailing deque is pruned to `key ≥ K − x` and
+  * CLEARED at each partition-key change, runs are read AHEAD until the
+  * first run past `K + y` or of a different partition key (a bounded
+  * lookahead FIFO — the frame's own forward span), and each aggregate
+  * folds deque + run + ahead + stitched successors left-to-right in key
+  * order — the same sequential fold WindowExec performs. Every row of
+  * the run shares the result — RANGE bounds are peer-inclusive in both
+  * engines. Rows with NULL order keys form their own peer group within
+  * their partition key (frame = the null run itself) and never enter
+  * any arithmetic frame, matching the built-in's null-peer semantics.
   *
-  * Matched shape: empty partition spec, ONE ascending order key of
-  * integer / bigint / timestamp type, all window expressions
-  * deterministic [[DeclarativeAggregate]]s over `RANGE` frames with a
-  * literal-or-CURRENT-ROW bound on each side (interval literals allowed
-  * on timestamp keys when month-free; month offsets are not fixed-width
-  * in micros). Mixed widths in one node are fine — each function reads
-  * its own slice of the shared deque / lookahead.
+  * Matched shape: any deterministic partition spec (including empty),
+  * ONE ascending order key of integer / bigint / timestamp type, all
+  * window expressions deterministic [[DeclarativeAggregate]]s over
+  * `RANGE` frames with a literal-or-CURRENT-ROW bound on each side
+  * (interval literals allowed on timestamp keys when month-free; month
+  * offsets are not fixed-width in micros). Mixed widths in one node are
+  * fine — each function reads its own slice of the shared deque /
+  * lookahead.
   *
   * Opt-out: shares `spark.graft.globalRowNumber.enabled`.
   */
@@ -104,11 +122,11 @@ object GlobalRangeFrameStrategy extends SparkStrategy {
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case w: logical.Window
-        if w.partitionSpec.isEmpty && orderRescuable(w) &&
+        if orderRescuable(w) && w.partitionSpec.forall(_.deterministic) &&
           w.windowExpressions.nonEmpty &&
           w.windowExpressions.forall(funcOf(_).isDefined) &&
           SQLConf.get.getConfString(GlobalRowNumberStrategy.ConfKey, "true").toBoolean =>
-      GlobalRangeFrameExec(w.orderSpec,
+      GlobalRangeFrameExec(w.partitionSpec, w.orderSpec,
         w.windowExpressions.map(funcOf(_).get), planLater(w.child)) :: Nil
     case _ => Nil
   }
@@ -118,23 +136,41 @@ object GlobalRangeFrameExec {
   /** One value-window aggregate over `[K − x, K + y]` in key units. */
   case class RangeAgg(agg: DeclarativeAggregate, x: Long, y: Long,
                       attr: Attribute)
+
+  /** Per-task edge summary for the boundary-stitch job. `firstGroup` /
+    * `lastGroup` are the task's first/last partition-key tuples;
+    * `firstKey` / `lastKey` the first/last NON-NULL order keys WITHIN
+    * those groups (the only groups that can continue across the task
+    * edge under the (part ⧺ key) range sort); `tail` / `head` the
+    * last/first group's trailing-x / leading-y value windows. */
+  private[plans] case class EdgeStats(
+      firstGroup: Option[UnsafeRow], lastGroup: Option[UnsafeRow],
+      firstKey: Option[Long], lastKey: Option[Long],
+      tail: Array[(Long, UnsafeRow)], head: Array[(Long, UnsafeRow)])
 }
 
 /** Physical distributed RANGE-frame aggregation: range-shuffled sorted
-  * input + one boundary job shipping each partition's missing edge
-  * value-windows (trailing for PRECEDING, leading for FOLLOWING), then
-  * tie-run-at-a-time frame folds over a trailing deque and a bounded
-  * lookahead FIFO. */
-case class GlobalRangeFrameExec(order: Seq[SortOrder],
+  * input (over partition keys ⧺ order key — a hot partition key spans
+  * tasks) + one boundary job shipping each partition's missing edge
+  * value-windows (trailing for PRECEDING, leading for FOLLOWING,
+  * clipped at partition-key boundaries), then tie-run-at-a-time frame
+  * folds over a trailing deque and a bounded lookahead FIFO. */
+case class GlobalRangeFrameExec(partition: Seq[Expression],
+                                order: Seq[SortOrder],
                                 funcs: Seq[GlobalRangeFrameExec.RangeAgg],
                                 child: SparkPlan) extends UnaryExecNode {
+  import GlobalRangeFrameExec.EdgeStats
 
   override def output: Seq[Attribute] = child.output ++ funcs.map(_.attr)
 
+  private def partOrders: Seq[SortOrder] =
+    partition.map(e => SortOrder(e, Ascending))
+
   override def requiredChildDistribution: Seq[Distribution] =
-    OrderedDistribution(order) :: Nil
-  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
-  override def outputOrdering: Seq[SortOrder] = order
+    OrderedDistribution(partOrders ++ order) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(partOrders ++ order)
+  override def outputOrdering: Seq[SortOrder] = partOrders ++ order
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -145,64 +181,92 @@ case class GlobalRangeFrameExec(order: Seq[SortOrder],
     val maxY = funcsLocal.map(_.y).max
     val keyExpr = order.head.child
     val keyIsInt = keyExpr.dataType == IntegerType
+    val partExprs = partition
     val rdd = child.execute()
 
-    // boundary job: per partition, (first/last non-null key, the
-    // trailing x-window = rows with key ≥ maxKey − maxX, the leading
-    // y-window = rows with key ≤ minKey + maxY). Both edge windows are
-    // the structures the local pass keeps anyway — memory bounded by
-    // one frame's row span.
-    val stats: Array[(Option[Long], Option[Long],
-        Array[(Long, UnsafeRow)], Array[(Long, UnsafeRow)])] =
+    // boundary job: per partition, the edge summary (first/last
+    // partition-key group, their first/last non-null keys, the trailing
+    // x-window of the LAST group = rows with key ≥ maxKey − maxX, and
+    // the leading y-window of the FIRST group = rows with key ≤ minKey
+    // + maxY). Both edge windows are the structures the local pass
+    // keeps anyway — memory bounded by one frame's row span. Interior
+    // partition-key groups start AND end inside the task (the sort puts
+    // a group's rows contiguously) and never need stitching.
+    val stats: Array[EdgeStats] =
       rdd.sparkContext.runJob(rdd, (iter: Iterator[InternalRow]) => {
         val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
         val keyProj = UnsafeProjection.create(Seq(keyExpr), childOutput)
+        val partProj = UnsafeProjection.create(partExprs, childOutput)
+        var firstGroup: UnsafeRow = null
+        var curGroup: UnsafeRow = null
+        var inFirstGroup = true
         var firstKey: Option[Long] = None
         var lastKey: Option[Long] = None
         val tail = new scala.collection.mutable.ArrayDeque[(Long, UnsafeRow)]
         val head = new scala.collection.mutable.ArrayBuffer[(Long, UnsafeRow)]
         while (iter.hasNext) {
           val row = iter.next()
+          val pr = partProj(row)
+          if (curGroup == null) { curGroup = pr.copy(); firstGroup = curGroup }
+          else if (!pr.equals(curGroup)) {
+            // new partition-key group: the previous group ended inside
+            // this task — its trailing window can never be needed by a
+            // successor of a DIFFERENT group; reset for the new one
+            curGroup = pr.copy()
+            inFirstGroup = false
+            lastKey = None
+            tail.clear()
+          }
           val kr = keyProj(row)
           if (!kr.isNullAt(0)) {
             val k = if (keyIsInt) kr.getInt(0).toLong else kr.getLong(0)
-            if (firstKey.isEmpty) firstKey = Some(k)
+            if (inFirstGroup && firstKey.isEmpty) firstKey = Some(k)
             lastKey = Some(k)
             if (maxX > 0) {
               tail += ((k, toUnsafe(row).copy()))
               while (tail.head._1 < k - maxX) tail.removeHead()
             }
-            if (maxY > 0 && k <= firstKey.get + maxY)
+            if (maxY > 0 && inFirstGroup && k <= firstKey.get + maxY)
               head += ((k, toUnsafe(row).copy()))
           }
         }
-        (firstKey, lastKey, tail.toArray, head.toArray)
+        EdgeStats(Option(firstGroup), Option(curGroup),
+          firstKey, lastKey, tail.toArray, head.toArray)
       })
     val nParts = stats.length
     // stitch (predecessor side): partition p receives every predecessor
-    // row with key ≥ minKey(p) − maxX (a subset of the collected tails,
-    // since minKey(p) ≥ every predecessor maxKey)
+    // row with key ≥ minKey(p) − maxX from predecessors whose LAST
+    // group equals p's FIRST group (a subset of the collected tails,
+    // since minKey(p) ≥ every same-group predecessor maxKey; the sort
+    // guarantees a group occupying both q and p fills everything
+    // between, so the equality filter IS the contiguity filter)
     val preTails: Array[Array[(Long, UnsafeRow)]] = Array.tabulate(nParts) { p =>
-      stats(p)._1 match {
-        case Some(minKey) if maxX > 0 =>
+      (stats(p).firstGroup, stats(p).firstKey) match {
+        case (Some(fg), Some(minKey)) if maxX > 0 =>
           val cut = minKey - maxX
-          (0 until p).iterator.flatMap(q => stats(q)._3.iterator)
+          (0 until p).iterator
+            .filter(q => stats(q).lastGroup.exists(_.equals(fg)))
+            .flatMap(q => stats(q).tail.iterator)
             .filter(_._1 >= cut).toArray
         case _ => Array.empty[(Long, UnsafeRow)]
       }
     }
     // stitch (successor side): partition p receives every successor row
-    // with key ≤ maxKey(p) + maxY (a subset of the collected heads,
-    // since maxKey(p) ≤ every successor minKey), in key order
+    // with key ≤ maxKey(p) + maxY from successors whose FIRST group
+    // equals p's LAST group, in key order
     val postHeads: Array[Array[(Long, UnsafeRow)]] = Array.tabulate(nParts) { p =>
-      stats(p)._2 match {
-        case Some(maxKey) if maxY > 0 =>
+      (stats(p).lastGroup, stats(p).lastKey) match {
+        case (Some(lg), Some(maxKey)) if maxY > 0 =>
           val cut = maxKey + maxY
-          (p + 1 until nParts).iterator.flatMap(q => stats(q)._4.iterator)
+          (p + 1 until nParts).iterator
+            .filter(q => stats(q).firstGroup.exists(_.equals(lg)))
+            .flatMap(q => stats(q).head.iterator)
             .filter(_._1 <= cut).toArray
         case _ => Array.empty[(Long, UnsafeRow)]
       }
     }
+    val firstGroups: Array[UnsafeRow] = stats.map(_.firstGroup.orNull)
+    val lastGroups: Array[UnsafeRow] = stats.map(_.lastGroup.orNull)
 
     rdd.mapPartitionsWithIndex { (pid, iter) =>
       val buffers = funcsLocal.map(f =>
@@ -221,20 +285,26 @@ case class GlobalRangeFrameExec(order: Seq[SortOrder],
           f.agg.aggBufferAttributes))
       val attrTypes = funcsLocal.map(_.attr.dataType)
       val keyProj = UnsafeProjection.create(Seq(keyExpr), childOutput)
+      val partProj = UnsafeProjection.create(partExprs, childOutput)
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val joinBI = new JoinedRow
       val joinOut = new JoinedRow
       val outProj = UnsafeProjection.create(resultAttrs, resultAttrs)
       val post = postHeads(pid)
+      val lastGroup = lastGroups(pid)
 
-      // one tie run: equal-key rows (or one run of null-key rows)
-      final class Run(val key: Long, val isNull: Boolean) {
+      // one tie run: equal (group, key) rows (or one run of null-key
+      // rows within a group)
+      final class Run(val group: UnsafeRow, val key: Long, val isNull: Boolean) {
         val rows = new scala.collection.mutable.ArrayBuffer[UnsafeRow]
       }
 
-      // trailing value-window, seeded with the stitched predecessor edge
+      // trailing value-window, seeded with the stitched predecessor
+      // edge (rows of this task's FIRST group by construction)
       val deque = new scala.collection.mutable.ArrayDeque[(Long, UnsafeRow)]
       preTails(pid).foreach(deque += _)
+      // the group the deque's rows belong to; cleared on group change
+      var dequeGroup: UnsafeRow = firstGroups(pid)
 
       new Iterator[InternalRow] {
         // runs read from iter but not yet emitted; head = current run
@@ -248,14 +318,17 @@ case class GlobalRangeFrameExec(order: Seq[SortOrder],
           if (readDone || !iter.hasNext) { readDone = true; return }
           var r = toUnsafe(iter.next()).copy()
           var kr = keyProj(r)
+          val pr = partProj(r)
           val isNull = kr.isNullAt(0)
           val key = if (isNull) 0L else if (keyIsInt) kr.getInt(0).toLong else kr.getLong(0)
-          // continue the previous run if this row is its peer
+          // continue the previous run if this row is its peer (same
+          // partition-key group AND same order key / both null)
           pending.lastOption match {
-            case Some(run) if run.isNull == isNull && (isNull || run.key == key) =>
+            case Some(run) if run.group.equals(pr) && run.isNull == isNull &&
+                (isNull || run.key == key) =>
               run.rows += r
             case _ =>
-              val run = new Run(key, isNull)
+              val run = new Run(pr.copy(), key, isNull)
               run.rows += r
               pending += run
           }
@@ -263,16 +336,18 @@ case class GlobalRangeFrameExec(order: Seq[SortOrder],
         }
 
         /** Read ahead until the lookahead horizon for key K is covered:
-          * a run with key > K + maxY exists, a null run follows (null
-          * keys are outside every arithmetic frame), or input ends.
-          * At maxY = 0 this still reads one run past K — which is what
-          * COMPLETES the current tie run before its frame is folded. */
+          * a run with key > K + maxY or of a different partition-key
+          * group exists, a null run follows (null keys are outside
+          * every arithmetic frame), or input ends. At maxY = 0 this
+          * still reads one run past K — which is what COMPLETES the
+          * current tie run before its frame is folded. */
         private def fillAhead(k: Long): Unit = {
           var done = false
           while (!done) {
             val last = pending.lastOption
             val covered = last.exists(r =>
-              (r ne cur) && (r.isNull || r.key > k + maxY))
+              (r ne cur) && (r.isNull || !r.group.equals(cur.group) ||
+                r.key > k + maxY))
             if (covered || readDone) done = true else readRun()
           }
         }
@@ -282,6 +357,11 @@ case class GlobalRangeFrameExec(order: Seq[SortOrder],
           if (pending.isEmpty) return
           cur = pending.head
           curPos = 0
+          // partition-key boundary: the trailing window never crosses it
+          if (dequeGroup == null || !dequeGroup.equals(cur.group)) {
+            deque.clear()
+            dequeGroup = cur.group
+          }
           if (cur.isNull) {
             // null peer group: frame = the run itself — complete it first
             while (!readDone && pending.length < 2) readRun()
@@ -299,6 +379,8 @@ case class GlobalRangeFrameExec(order: Seq[SortOrder],
             val k = cur.key
             fillAhead(k)
             while (deque.nonEmpty && deque.head._1 < k - maxX) deque.removeHead()
+            // stitched successors only continue this task's LAST group
+            val stitchPost = lastGroup != null && lastGroup.equals(cur.group)
             var i = 0
             while (i < funcsLocal.length) {
               val f = funcsLocal(i)
@@ -315,14 +397,16 @@ case class GlobalRangeFrameExec(order: Seq[SortOrder],
               while (j < cur.rows.length) {
                 updates(i)(joinBI(buffers(i), cur.rows(j))); j += 1
               }
-              // 3) lookahead runs within this function's y-width
+              // 3) lookahead runs within this function's y-width and
+              // this run's partition-key group
               if (f.y > 0) {
                 val it = pending.iterator
                 it.next() // skip cur
                 var stop = false
                 while (!stop && it.hasNext) {
                   val r = it.next()
-                  if (r.isNull || r.key > k + f.y) stop = true
+                  if (r.isNull || !r.group.equals(cur.group) || r.key > k + f.y)
+                    stop = true
                   else {
                     var j2 = 0
                     while (j2 < r.rows.length) {
@@ -330,10 +414,13 @@ case class GlobalRangeFrameExec(order: Seq[SortOrder],
                     }
                   }
                 }
-                // 4) stitched successors past the partition end
-                var q = 0
-                while (q < post.length && post(q)._1 <= k + f.y) {
-                  updates(i)(joinBI(buffers(i), post(q)._2)); q += 1
+                // 4) stitched successors past the partition end (rows
+                // of the last group's continuation in later tasks)
+                if (stitchPost) {
+                  var q = 0
+                  while (q < post.length && post(q)._1 <= k + f.y) {
+                    updates(i)(joinBI(buffers(i), post(q)._2)); q += 1
+                  }
                 }
               }
               runVals.update(i, evals(i)(buffers(i)).get(0, attrTypes(i)))

@@ -48,8 +48,9 @@ import org.apache.spark.sql.types.IntegerType
   * one tie run at a time — memory bounded by the largest tie class,
   * exactly WindowExec's own buffering granularity, but per-partition
   * instead of whole-table. Tie DETECTION compares UnsafeRow key
-  * projections byte-wise — safe because UnsafeWriter canonicalizes NaN
-  * and -0.0.
+  * projections byte-wise for float-free keys (UnsafeWriter
+  * canonicalizes NaN) and via the SQL ordering when a FLOAT/DOUBLE key
+  * is present (`-0.0` and `0.0` are peers; see [[KeyRunEquality]]).
   *
   * Opt-out: set `spark.graft.globalRowNumber.enabled=false` to fall
   * back to the built-in single-task WindowExec.
@@ -140,10 +141,11 @@ case class GlobalRowNumberExec(order: Seq[SortOrder],
         var dist = 0L
         if (needKeys) {
           val proj = UnsafeProjection.create(keyExprs, childOutput)
+          val sameRun = KeyRunEquality.create(keyExprs.map(_.dataType))
           var prev: UnsafeRow = null
           while (iter.hasNext) {
             val k = proj(iter.next())
-            if (prev == null || !k.equals(prev)) { dist += 1; prev = k.copy() }
+            if (prev == null || !sameRun(k, prev)) { dist += 1; prev = k.copy() }
             cnt += 1
           }
         } else {
@@ -180,6 +182,8 @@ case class GlobalRowNumberExec(order: Seq[SortOrder],
       val proj = UnsafeProjection.create(resultAttrs, resultAttrs)
       val keyProj =
         if (needKeys) UnsafeProjection.create(keyExprs, childOutput) else null
+      val sameRun =
+        if (needKeys) KeyRunEquality.create(keyExprs.map(_.dataType)) else null
       var localDense = 0L // distinct keys seen so far in the partition
 
       // emits one row given its local position, tie-run bounds and the
@@ -235,7 +239,7 @@ case class GlobalRowNumberExec(order: Seq[SortOrder],
         var prev: UnsafeRow = null
         iter.map { row =>
           val k = keyProj(row)
-          if (prev == null || !k.equals(prev)) {
+          if (prev == null || !sameRun(k, prev)) {
             localDense += 1; runStart = localIdx; prev = k.copy()
           }
           val out = emit(row, localIdx, runStart, localIdx)
@@ -265,7 +269,7 @@ case class GlobalRowNumberExec(order: Seq[SortOrder],
             var done = false
             while (!done && iter.hasNext) {
               val r = iter.next().copy()
-              if (keyProj(r).equals(runKey)) buf += r
+              if (sameRun(keyProj(r), runKey)) buf += r
               else { nextKeyRow = r; done = true }
             }
           }

@@ -231,6 +231,7 @@ case class GlobalRunningAggExec(order: Seq[SortOrder],
         // iterator reuses its row), update through the whole run, then
         // emit. Mixed ROWS funcs keep their own per-row snapshots.
         val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        val sameRun = KeyRunEquality.create(keyExprs.map(_.dataType))
         val attrTypes = funcs.map(_.attr.dataType).toArray
         new Iterator[InternalRow] {
           private val run = new scala.collection.mutable.ArrayBuffer[InternalRow]
@@ -248,7 +249,7 @@ case class GlobalRunningAggExec(order: Seq[SortOrder],
             var done = false
             while (!done && iter.hasNext) {
               val r = iter.next().copy()
-              if (keyProj(r).equals(runKey)) run += r
+              if (sameRun(keyProj(r), runKey)) run += r
               else { pendingNext = r; done = true }
             }
             var j = 0

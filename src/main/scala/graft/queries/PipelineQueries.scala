@@ -40,8 +40,8 @@ object PipelineQueries {
   val indexBacked: Seq[String] = Seq(
     "q_knn_cosine_ivf_indexed", "q_knn_cosine_ivf_indexed_multiprobe",
     "q_knn_delete",
-    "q_text_search", "q_text_search_ranked", "q_text_bm25", "q_text_phrase",
-    "q_text_stream_ingest", "q_text_delete", "q_text_merge")
+    "q_text_search", "q_text_search_ranked", "q_text_bm25", "q_text_bm25_live",
+    "q_text_phrase", "q_text_stream_ingest", "q_text_delete", "q_text_merge")
 
   /** Persist hygiene across repeated invocation. Bench runs every query
     * 3+ times per process and one process may touch several SF dirs, so a
@@ -1380,6 +1380,28 @@ object PipelineQueries {
           col("prev_value"), col("next_event"))
     }),
 
+    // SKEW-SAFE PER-KEY RANGE-INTERVAL FRAME — the per-user trailing
+    // `INTERVAL 1 HOUR` window, THE per-entity time-series query, and
+    // the last window family still exposed to the hot-key trap.
+    // GlobalRangeFrameStrategy now claims PARTITION BY nodes directly:
+    // the exchange is a RANGE exchange over (user, ts) — a hot user
+    // SPANS many tasks — and the boundary stitch clips shipped edge
+    // windows at user boundaries (a key's rows are contiguous under
+    // that sort). Plain window SQL, no special API: any existing query
+    // gets the rescue. Exact DECIMAL inside, double at the boundary.
+    "q_skew_range" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        col("ts_us"), col("value").cast("decimal(18,2)").as("dv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-3600000000L, org.apache.spark.sql.expressions.Window.currentRow)
+      ev.withColumn("hour_sum", sum(col("dv")).over(w))
+        .withColumn("hour_n", count(lit(1)).over(w))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+        .select(col("event_id"), col("user_id"),
+          col("hour_sum").cast("double").as("hour_sum"), col("hour_n"))
+    }),
+
     // TIME-SERIES RESAMPLE + GAP FILL — the canonical downstream of a
     // monotonic-key event store (the reference's workload, README:10-12):
     // hourly rollup, a dense hour grid from ONE bounds row (explode
@@ -1649,6 +1671,28 @@ object PipelineQueries {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_tindex_" +
         s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
       TextIndex.ensure(documents(s, dir).select("doc_id", "text"), path, shards = 64)
+      TextIndex.searchRanked(s, path, Seq("batch", "small", "scan"), b = 0.75)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // BM25 OVER PENDING TOMBSTONES — ranked search immediately after a
+    // delete, BEFORE any compaction folds the tombstones out. The
+    // manifest's pending counters (tdocs + the deleted docs' token
+    // mass, maintained by deleteDocs in one column-pruned pass) let the
+    // probe subtract the dead mass, so idf's N and the length norm's
+    // avgdl are LIVE-corpus exact — the one BM25 staleness Lucene
+    // accepts between merges, closed. The oracle recomputes full BM25
+    // over the surviving docs only; matching scores prove both the
+    // candidate anti-join AND the stats subtraction.
+    "q_text_bm25_live" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_tindex_live_" +
+        s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+      if (TextIndex.storedShards(s, path).isEmpty) {
+        TextIndex.write(documents(s, dir).select("doc_id", "text"), path, shards = 8)
+        TextIndex.delete(s, path, TextDeleteIds)
+        // deliberately NO compact: tombstones stay pending
+      }
       TextIndex.searchRanked(s, path, Seq("batch", "small", "scan"), b = 0.75)
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)
@@ -2393,6 +2437,15 @@ object PipelineQueries {
                ORDER BY epoch_us(ts), event_id) AS next_event
            FROM events ORDER BY user_id, epoch_us(ts), event_id""",
 
+      "q_skew_range" ->
+        """SELECT event_id, user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS hour_n
+           FROM events ORDER BY user_id, epoch_us(ts), event_id""",
+
       "q_resample_locf" ->
         """WITH hourly AS (
              SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
@@ -2544,6 +2597,42 @@ object PipelineQueries {
         // so both engines compute bit-identical doubles
         val k1 = 1.2; val k1p1 = k1 + 1.0; val b = 0.75; val omb = 1.0 - b
         s"""WITH tok AS (SELECT doc_id, ${duckTokens("text")} AS ts FROM documents),
+              p AS (SELECT doc_id, unnest(ts) AS t FROM tok),
+              pt AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS tf
+                     FROM p GROUP BY t, doc_id),
+              q AS (SELECT * FROM pt WHERE t IN ('batch', 'small', 'scan')),
+              d AS (SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                    FROM q GROUP BY t),
+              dl AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl FROM tok),
+              nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n,
+                       CAST(CAST(SUM(tf) AS BIGINT) AS DOUBLE)
+                         / CAST(count(DISTINCT doc_id) AS DOUBLE) AS avgdl
+                     FROM pt),
+              w AS (SELECT q.doc_id,
+                      CAST(round((CAST(q.tf AS DOUBLE) * CAST($k1p1 AS DOUBLE)
+                                    / (CAST(q.tf AS DOUBLE)
+                                       + CAST($k1 AS DOUBLE)
+                                         * (CAST($omb AS DOUBLE)
+                                            + CAST($b AS DOUBLE) * dl.dl / nn.avgdl)))
+                                 * ((nn.n - CAST(d.df AS DOUBLE) + 0.5)
+                                    / (CAST(d.df AS DOUBLE) + 0.5))
+                                 * 1000000.0) AS BIGINT) AS wq
+                    FROM q JOIN d USING (t) JOIN dl USING (doc_id) CROSS JOIN nn)
+            SELECT doc_id,
+              CAST(CAST(SUM(wq) AS BIGINT) AS DOUBLE) / 1000000.0 AS score
+            FROM w GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT 20"""
+      },
+
+      "q_text_bm25_live" -> {
+        // q_text_bm25's twin over the SURVIVING docs only: the Spark
+        // side ranks pre-compaction (tombstones pending), subtracting
+        // the manifest's pending counters — so n and avgdl here are the
+        // same two live-corpus integers divided the same IEEE way
+        val k1 = 1.2; val k1p1 = k1 + 1.0; val b = 0.75; val omb = 1.0 - b
+        val surviving = TextDeleteIds.mkString(", ")
+        s"""WITH tok AS (SELECT doc_id, ${duckTokens("text")} AS ts FROM documents
+                         WHERE doc_id NOT IN ($surviving)),
               p AS (SELECT doc_id, unnest(ts) AS t FROM tok),
               pt AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS tf
                      FROM p GROUP BY t, doc_id),

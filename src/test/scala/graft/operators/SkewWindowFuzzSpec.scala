@@ -44,12 +44,21 @@ class SkewWindowFuzzSpec extends SparkSuite {
       Option(r.get(j)).map(_.toString).getOrElse("null")).mkString("|"))
     .sorted.toSeq
 
+  private def withConf[T](key: String, value: String)(body: => T): T = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   (0 until rounds).foreach { round =>
     test(s"fuzz round $round: random method matches the built-in") {
       val df = randomDf()
       val w = Window.partitionBy("k").orderBy("id")
       val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      rnd.nextInt(5) match {
+      rnd.nextInt(6) match {
         case 0 =>
           val got = SkewWindow.runningExact(df, Seq("k"), Seq("id"), col("v"))
             .select("k", "id", "run_sum", "run_n", "run_rn")
@@ -95,6 +104,25 @@ class SkewWindowFuzzSpec extends SparkSuite {
             .select("k", "id", "nt")
           val exp = df.withColumn("nt", ntile(b).over(w)).select("k", "id", "nt")
           assert(snap(got) == snap(exp), s"ntileExact($b) diverged (round $round)")
+        case 5 =>
+          // per-key RANGE-interval frame over a nullable value key:
+          // GlobalRangeFrameStrategy claims PARTITION BY nodes now (the
+          // range exchange spreads a hot key); expected = the built-in
+          // hash-exchange WindowExec with the rescue disabled
+          val x = rnd.nextInt(40); val y = rnd.nextInt(40)
+          val wr = Window.partitionBy("k").orderBy("v")
+            .rangeBetween(if (x + y == 0) -1 else -x, y)
+          val out = df
+            .withColumn("rc", count(lit(1)).over(wr))
+            .withColumn("rs", sum("v").over(wr))
+            .select("k", "v", "id", "rc", "rs")
+          val p = out.queryExecution.executedPlan.toString
+          assert(p.contains("GlobalRangeFrame"),
+            s"round $round: per-key range frame escaped the rescue:\n$p")
+          val got = snap(out)
+          val expected = withConf(
+            graft.plans.GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
+          assert(got == expected, s"per-key range frame diverged (round $round)")
       }
     }
   }

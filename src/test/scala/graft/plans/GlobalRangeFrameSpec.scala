@@ -142,6 +142,81 @@ class GlobalRangeFrameSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("PARTITION BY + RANGE frames plan the range exchange and match WindowExec") {
+    // per-key value windows with a HOT key (half the rows) that must
+    // span range partitions instead of pinning one task, plus null
+    // group keys (a group like any other) and null order keys
+    val d = (0 until 12000).map { i =>
+      val g: java.lang.Long =
+        if (i % 23 == 0) null
+        else if (i % 2 == 0) 7L
+        else (i * 2654435761L) % 40
+      val k: java.lang.Long =
+        if (i % 31 == 0) null else ((i * 48271L) % 500) * 3
+      (g, k, ((i * 16807) % 900).toLong, i.toLong)
+    }.toDF("g", "k", "v", "id").repartition(9)
+    val w = Window.partitionBy("g").orderBy("k")
+    val out = d
+      .withColumn("rs", sum("v").over(w.rangeBetween(-100, Window.currentRow)))
+      .withColumn("cc", count(lit(1)).over(w.rangeBetween(-60, 60)))
+      .withColumn("la", max("v").over(w.rangeBetween(Window.currentRow, 200)))
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalRangeFrame"), s"expected GlobalRangeFrameExec:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"built-in WindowExec should be replaced:\n$p")
+    assert(p.contains("rangepartitioning") && !p.contains("hashpartitioning(g"),
+      s"the exchange must be a RANGE exchange over (g, k) — a hash exchange " +
+        s"on g would pin the hot key to one task:\n$p")
+    def snap(x: org.apache.spark.sql.DataFrame) = x
+      .select("g", "k", "id", "rs", "cc", "la")
+      .collect().map(r => (0 until 6).map(j =>
+        Option(r.get(j)).map(_.toString).getOrElse("null")).mkString("|"))
+      .sorted.toSeq
+    val got = snap(out)
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
+    assert(got == expected, "per-key range frames must match the built-in exactly")
+  }
+
+  test("partitioned frames wider than a partition stitch across tasks per key") {
+    // two keys, 12 rows each, shuffled into 8 tasks: every key's rows
+    // span several tasks and both stitch directions cross key edges
+    val tiny = (0 until 24).map(i => (i % 2, (i / 2).toLong * 10, i.toLong))
+      .toDF("g", "k", "id").repartition(8)
+    val w = Window.partitionBy("g").orderBy("k")
+    val out = tiny
+      .withColumn("rs", sum("id").over(w.rangeBetween(-50, Window.currentRow)))
+      .withColumn("fs", sum("id").over(w.rangeBetween(Window.currentRow, 50)))
+    assert(out.queryExecution.executedPlan.toString.contains("GlobalRangeFrame"))
+    def snap(x: org.apache.spark.sql.DataFrame) = x.select("g", "k", "id", "rs", "fs")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted.toSeq
+    val got = snap(out)
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
+    assert(got == expected)
+  }
+
+  test("SQL per-user INTERVAL frame over a timestamp key rewrites and matches") {
+    val d = (0 until 3000)
+      .map(i => (i % 5, ((i * 2654435761L) % 7200).toLong, i.toLong))
+      .toDF("u", "secs", "id")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+      .repartition(6)
+    d.createOrReplaceTempView("grf_user_ts")
+    val q = """SELECT u, id, COUNT(*) OVER (PARTITION BY u ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS c
+               FROM grf_user_ts"""
+    val out = spark.sql(q)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalRangeFrame"), s"per-user INTERVAL frame must rewrite:\n$p")
+    def snap(x: org.apache.spark.sql.DataFrame) = x
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val got = snap(out)
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") {
+      snap(spark.sql(q))
+    }
+    assert(got == expected)
+  }
+
   test("falls back for month intervals and descending order") {
     val w = Window.orderBy(col("k").desc)
     val desc = df.withColumn("rs",

@@ -184,6 +184,16 @@ class PlanShapeSpec extends SparkSuite {
       s"no built-in WindowExec may appear:\n$p")
   }
 
+  test("skew-safe per-key RANGE-interval frame: range exchange, no WindowExec") {
+    val p = plan("q_skew_range")
+    assert(p.contains("GlobalRangeFrame"),
+      s"the per-user INTERVAL window must ride the value-window exec:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"no built-in WindowExec may appear:\n$p")
+    assert(!p.contains("hashpartitioning(user_id"),
+      s"a hash exchange on user_id would pin a hot user to one task:\n$p")
+  }
+
   test("resample/LOCF: gap-fill window plans the prefix-scan exec") {
     val p = plan("q_resample_locf")
     assert(p.contains("GlobalRunningAgg"),
