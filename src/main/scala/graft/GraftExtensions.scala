@@ -65,10 +65,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // CURRENT ROW` over ts — the time-series trailing window):
     // value-window boundary stitch + tie-run frame folds
     ext.injectPlannerStrategy(_ => graft.plans.GlobalRangeFrameStrategy)
-    // and for nth_value (prefix / whole-table frames): the n-th frame
-    // row is the global n-th row — one driver-computed constant plus a
-    // narrow eligibility pass
+    // and for nth_value (prefix / whole-table frames + ordered
+    // first/last_value from either end): the n-th frame row is the
+    // global n-th row — one driver-computed constant plus a narrow
+    // eligibility pass
     ext.injectPlannerStrategy(_ => graft.plans.GlobalNthValueStrategy)
+    // loud fallback: any global Window shape NO strategy claimed still
+    // plans the single-task built-in — warn + count at plan time, so
+    // the one-task-stage-at-100TB failure mode is visible in the logs
+    // before it hangs a cluster
+    ext.injectQueryPostPlannerStrategyRule(_ => graft.plans.GlobalWindowFallback)
   }
 }
 

@@ -42,8 +42,10 @@ import org.apache.spark.sql.internal.SQLConf
   * deterministic, but their value depends on enumeration order, which
   * this exec — unordered partials merged in partition order — does not
   * honor; an ordered `first_value` is rewritten to the rescued
-  * `nth_value(x, 1)` by the optimizer, an ordered `last_value` keeps
-  * the built-in path). Aggregates are
+  * `nth_value(x, 1)` by the optimizer, and an ordered `last_value` is
+  * claimed by [[GlobalNthValueStrategy]] as nth 1 FROM THE END — both
+  * ride the ordered constant-lookup exec, so excluding them here costs
+  * nothing). Aggregates are
   * deterministic [[DeclarativeAggregate]]s, driven through
   * their own init/update/merge/evaluate projections — sum/count/min/
   * max/avg and any other deterministic declarative aggregate, decimals

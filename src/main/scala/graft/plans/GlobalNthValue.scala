@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, CurrentRow, Expression, GenericInternalRow, IntegerLiteral, JoinedRow, NamedExpression, NthValue, SortOrder, SpecifiedWindowFrame, RangeFrame, UnboundedFollowing, UnboundedPreceding, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, First, Last}
 import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
@@ -34,6 +35,18 @@ import org.apache.spark.sql.internal.SQLConf
   * `UNBOUNDED .. UNBOUNDED` (eligibility = the table has n rows).
   * Mixed frames / n / ignoreNulls in one node are fine.
   *
+  * The ordered `first_value`/`last_value` over a whole-table frame ride
+  * the same machinery: first_value IS nth_value(x, 1) (Spark's own
+  * OptimizeWindowFunctions rewrites it; matched here too for safety),
+  * and last_value is nth_value(x, 1) FROM THE END — the stats pass
+  * keeps each partition's last ≤n candidates instead of its first, and
+  * the driver reads the value out of the tail-owning partition. That
+  * closes the one window shape that previously kept the single-task
+  * built-in (Last has no nth_value rewrite upstream). First/Last
+  * declare deterministic=false for groupBy reasons, but a whole-table
+  * frame over a sorted exchange feeds them rows in exactly the sort
+  * order — the same argument GlobalRunningAgg makes.
+  *
   * Opt-out: shares `spark.graft.globalRowNumber.enabled`.
   */
 object GlobalNthValueStrategy extends SparkStrategy {
@@ -62,6 +75,21 @@ object GlobalNthValueStrategy extends SparkStrategy {
             isFull = true, e.toAttribute))
         case _ => None
       }
+    // ordered last_value over the whole-table frame = nth 1 FROM END
+    case Alias(WindowExpression(
+          AggregateExpression(Last(input, ign), Complete, false, None, _),
+          WindowSpecDefinition(_, _,
+            SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing))), _) =>
+      Some(NthF(input, 1, ignoreNulls = ign, isRange = false,
+        isFull = true, e.toAttribute, fromEnd = true))
+    // ordered first_value over the whole-table frame = nth 1 (normally
+    // rewritten upstream by OptimizeWindowFunctions; matched for safety)
+    case Alias(WindowExpression(
+          AggregateExpression(First(input, ign), Complete, false, None, _),
+          WindowSpecDefinition(_, _,
+            SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing))), _) =>
+      Some(NthF(input, 1, ignoreNulls = ign, isRange = false,
+        isFull = true, e.toAttribute))
     case _ => None
   }
 
@@ -81,9 +109,11 @@ object GlobalNthValueStrategy extends SparkStrategy {
 }
 
 object GlobalNthValueExec {
-  /** One nth_value column: `input` at frame position `n`. */
+  /** One nth_value column: `input` at frame position `n` — counted from
+    * the frame's END when `fromEnd` (ordered last_value). */
   case class NthF(input: Expression, n: Int, ignoreNulls: Boolean,
-                  isRange: Boolean, isFull: Boolean, attr: Attribute)
+                  isRange: Boolean, isFull: Boolean, attr: Attribute,
+                  fromEnd: Boolean = false)
 }
 
 /** Physical distributed nth_value: stats pass (row/non-null counts +
@@ -111,7 +141,9 @@ case class GlobalNthValueExec(order: Seq[SortOrder],
     val rdd = child.execute()
 
     // pass 1: per partition — total rows, and per function its non-null
-    // count plus the first ≤ n candidate values (single-column rows)
+    // count plus the first ≤ n candidate values (single-column rows);
+    // for fromEnd functions the LAST ≤ n candidates instead (a bounded
+    // ring — memory identical either way)
     val stats: Array[(Long, Array[Long], Array[Array[UnsafeRow]])] =
       rdd.sparkContext.runJob(rdd, (iter: Iterator[InternalRow]) => {
         val projs = funcsLocal.map(f =>
@@ -124,13 +156,19 @@ case class GlobalNthValueExec(order: Seq[SortOrder],
           val row = iter.next()
           var i = 0
           while (i < nF) {
+            val f = funcsLocal(i)
             val v = projs(i)(row)
             val isNull = v.isNullAt(0)
             if (!isNull) nn(i) += 1
-            val counts = if (funcsLocal(i).ignoreNulls) !isNull else true
+            val counts = if (f.ignoreNulls) !isNull else true
             if (counts) {
-              val seen = if (funcsLocal(i).ignoreNulls) nn(i) else rows + 1
-              if (seen <= funcsLocal(i).n) heads(i) += v.copy()
+              if (f.fromEnd) {
+                heads(i) += v.copy()
+                if (heads(i).length > f.n) heads(i).remove(0)
+              } else {
+                val seen = if (f.ignoreNulls) nn(i) else rows + 1
+                if (seen <= f.n) heads(i) += v.copy()
+              }
             }
             i += 1
           }
@@ -146,14 +184,23 @@ case class GlobalNthValueExec(order: Seq[SortOrder],
     }
     val totalRows = rowOffsets.last
 
-    // driver: V_i = input_i at global (non-null) position n_i, read out
-    // of the owning partition's collected head — or absent when the
-    // table is too short
+    // driver: V_i = input_i at global (non-null) position n_i — counted
+    // from the table END for fromEnd functions — read out of the owning
+    // partition's collected head/tail; absent when the table is too short
     val values: Array[Option[UnsafeRow]] = Array.tabulate(nF) { i =>
       val f = funcsLocal(i)
       val offs = if (f.ignoreNulls) nnOffsets(i) else rowOffsets
       if (offs.last < f.n) None
-      else {
+      else if (f.fromEnd) {
+        // 1-based position from the START of the n-th-from-end candidate
+        val pos = offs.last - f.n + 1
+        val p = (0 until nParts).find(q => offs(q + 1) >= pos).get
+        val tail = stats(p)._3(i)
+        // distance from p's last candidate; < n by construction, so the
+        // value is inside p's bounded tail ring
+        val fromEndIdx = (offs(p + 1) - pos).toInt
+        Some(tail(tail.length - 1 - fromEndIdx))
+      } else {
         val p = (0 until nParts).find(q => offs(q + 1) >= f.n).get
         val local = (f.n - offs(p) - 1).toInt
         Some(stats(p)._3(i)(local))

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, CalendarIntervalType, DataType, DateType, DayTimeIntervalType, IntegerType, LongType, ShortType, TimestampType, YearMonthIntervalType}
 import org.apache.spark.unsafe.types.CalendarInterval
 
 /** Scale-safe planning for RANGE-interval frames — the time-series
@@ -65,13 +65,17 @@ import org.apache.spark.unsafe.types.CalendarInterval
   * any arithmetic frame, matching the built-in's null-peer semantics.
   *
   * Matched shape: any deterministic partition spec (including empty),
-  * ONE ascending order key of integer / bigint / timestamp type, all
-  * window expressions deterministic [[DeclarativeAggregate]]s over
-  * `RANGE` frames with a literal-or-CURRENT-ROW bound on each side
-  * (interval literals allowed on timestamp keys when month-free; month
-  * offsets are not fixed-width in micros). Mixed widths in one node are
-  * fine — each function reads its own slice of the shared deque /
-  * lookahead.
+  * ONE order key — ascending or descending, integer / bigint /
+  * timestamp / date type — and all window expressions deterministic
+  * [[DeclarativeAggregate]]s over `RANGE` frames with a
+  * literal-or-CURRENT-ROW bound on each side (day-time interval
+  * literals on timestamp keys; whole-day intervals or plain ints on
+  * date keys; month-bearing offsets are never fixed-width and fall
+  * back). DESCENDING keys are handled by negating the extracted key —
+  * under `ORDER BY ts DESC`, `x PRECEDING` means keys in [K, K+x],
+  * which is exactly [K'−x, K'] in negated key space, so the ascending
+  * machinery applies verbatim. Mixed widths in one node are fine — each
+  * function reads its own slice of the shared deque / lookahead.
   *
   * Opt-out: shares `spark.graft.globalRowNumber.enabled`.
   */
@@ -80,17 +84,32 @@ object GlobalRangeFrameStrategy extends SparkStrategy {
 
   private val MicrosPerDay = 86400000000L
 
-  /** Foldable bound → |width| in key units (micros for timestamp keys),
-    * requiring the bound's sign to match `sign` (PRECEDING bounds are
-    * negative, FOLLOWING positive); None for unsupported shapes. */
-  private def widthOf(bound: Expression, sign: Int): Option[Long] = bound match {
+  /** Foldable bound → |width| in key units (micros for timestamp keys,
+    * days for date keys), requiring the bound's sign to match `sign`
+    * (PRECEDING bounds are negative, FOLLOWING positive — in BOTH sort
+    * directions: Spark negates the offset arithmetic for descending
+    * orders, and so does the exec, so widths are direction-free); None
+    * for unsupported shapes. Bound TYPES are checked, not just values —
+    * a day-time interval and a bigint both eval to a Long, but they
+    * mean different units against a date key. */
+  private def widthOf(bound: Expression, sign: Int,
+                      keyType: DataType): Option[Long] = bound match {
     case CurrentRow => Some(0L)
     case e if e.foldable =>
-      val v = e.eval() match {
-        case i: java.lang.Integer => Some(i.longValue())
-        case l: java.lang.Long => Some(l.longValue())
-        case ci: CalendarInterval if ci.months == 0 =>
-          Some(ci.days * MicrosPerDay + ci.microseconds)
+      val isDate = keyType == DateType
+      val v = (e.dataType, e.eval()) match {
+        case (_, null) => None
+        case (_: DayTimeIntervalType, l: java.lang.Long) =>
+          // micros; over a DATE key the result type is timestamp — the
+          // window's key would no longer be the date column. Decline.
+          if (isDate) None else Some(l.longValue())
+        case (_: YearMonthIntervalType, _) => None // months aren't fixed-width
+        case (CalendarIntervalType, ci: CalendarInterval) if ci.months == 0 =>
+          if (isDate) {
+            if (ci.microseconds == 0L) Some(ci.days.toLong) else None
+          } else Some(ci.days * MicrosPerDay + ci.microseconds)
+        case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
+          Some(n.longValue())
         case _ => None
       }
       v.collect { case w if w * sign > 0 => math.abs(w) }
@@ -100,12 +119,13 @@ object GlobalRangeFrameStrategy extends SparkStrategy {
   private def funcOf(e: NamedExpression): Option[RangeAgg] = e match {
     case Alias(WindowExpression(
           AggregateExpression(f: DeclarativeAggregate, Complete, false, None, _),
-          WindowSpecDefinition(_, _,
+          WindowSpecDefinition(_, orderSpec,
             SpecifiedWindowFrame(RangeFrame, lo, hi))), _)
-        if f.deterministic =>
+        if f.deterministic && orderSpec.length == 1 =>
+      val keyType = orderSpec.head.child.dataType
       for {
-        x <- widthOf(lo, -1)
-        y <- widthOf(hi, 1)
+        x <- widthOf(lo, -1, keyType)
+        y <- widthOf(hi, 1, keyType)
         if x + y > 0 // both CURRENT ROW = peers-only; leave to the built-in
       } yield RangeAgg(f, x, y, e.toAttribute)
     case _ => None
@@ -114,9 +134,9 @@ object GlobalRangeFrameStrategy extends SparkStrategy {
   /** Per-expression / node-level categorizers for [[GlobalWindowSplit]]. */
   private[plans] def rescuable(e: NamedExpression): Boolean = funcOf(e).isDefined
   private[plans] def orderRescuable(w: logical.Window): Boolean =
-    w.orderSpec.length == 1 && w.orderSpec.head.direction == Ascending &&
+    w.orderSpec.length == 1 &&
       (w.orderSpec.head.child.dataType match {
-        case IntegerType | LongType | TimestampType => true
+        case IntegerType | LongType | TimestampType | DateType => true
         case _ => false
       })
 
@@ -180,7 +200,12 @@ case class GlobalRangeFrameExec(partition: Seq[Expression],
     val maxX = funcsLocal.map(_.x).max
     val maxY = funcsLocal.map(_.y).max
     val keyExpr = order.head.child
-    val keyIsInt = keyExpr.dataType == IntegerType
+    // DateType is physically an int (days since epoch)
+    val keyIsInt =
+      keyExpr.dataType == IntegerType || keyExpr.dataType == DateType
+    // descending keys are NEGATED into ascending space (negateExact:
+    // Long.MinValue would wrap silently — fail loudly instead)
+    val negate = order.head.direction != Ascending
     val partExprs = partition
     val rdd = child.execute()
 
@@ -219,7 +244,8 @@ case class GlobalRangeFrameExec(partition: Seq[Expression],
           }
           val kr = keyProj(row)
           if (!kr.isNullAt(0)) {
-            val k = if (keyIsInt) kr.getInt(0).toLong else kr.getLong(0)
+            val k0 = if (keyIsInt) kr.getInt(0).toLong else kr.getLong(0)
+            val k = if (negate) Math.negateExact(k0) else k0
             if (inFirstGroup && firstKey.isEmpty) firstKey = Some(k)
             lastKey = Some(k)
             if (maxX > 0) {
@@ -320,7 +346,8 @@ case class GlobalRangeFrameExec(partition: Seq[Expression],
           var kr = keyProj(r)
           val pr = partProj(r)
           val isNull = kr.isNullAt(0)
-          val key = if (isNull) 0L else if (keyIsInt) kr.getInt(0).toLong else kr.getLong(0)
+          val key0 = if (isNull) 0L else if (keyIsInt) kr.getInt(0).toLong else kr.getLong(0)
+          val key = if (negate && !isNull) Math.negateExact(key0) else key0
           // continue the previous run if this row is its peer (same
           // partition-key group AND same order key / both null)
           pending.lastOption match {

@@ -23,9 +23,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * forbids nested window functions), so the split is always semantics-
   * preserving; attribute ids are untouched. Each homogeneous node then
   * plans through its own strategy — and a category no strategy claims
-  * (e.g. an order-sensitive first_value over a whole-table frame) keeps
-  * the built-in WindowExec for JUST that group, never dragging the
-  * rescuable ones down with it.
+  * (e.g. a month-interval RANGE frame) keeps the built-in WindowExec
+  * for JUST that group, never dragging the rescuable ones down with it.
   *
   * Categories mirror the strategies' own per-expression guards
   * (delegated, not duplicated): ranking functions, lag/lead, lag/lead

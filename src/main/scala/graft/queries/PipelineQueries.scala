@@ -1497,14 +1497,23 @@ object PipelineQueries {
     // and a narrow pass attaches it where the frame reaches n — where
     // the built-in funnels the table through a single task to look up
     // one value. IGNORE NULLS rides the same stats with non-null
-    // counting.
+    // counting. The ordered first_value/last_value over the explicit
+    // whole-table frame ride the same exec (last_value = nth 1 FROM THE
+    // END — bounded per-partition TAIL rings; previously the one window
+    // shape that kept the single-task built-in).
     "q_nth_global" -> ((s, dir) => {
       events(s, dir).createOrReplaceTempView("events_v")
       s.sql("""SELECT event_id, user_id,
                  nth_value(value, 100) OVER (ORDER BY ts_us, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v100,
                  nth_value(user_id, 2500) OVER (ORDER BY ts_us, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS u2500
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS u2500,
+                 first_value(user_id) OVER (ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS u_first,
+                 last_value(value) OVER (ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS v_last,
+                 last_value(value) IGNORE NULLS OVER (ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS v_last_nn
                FROM events_v ORDER BY ts_us, event_id""")
     }),
 
@@ -2497,7 +2506,13 @@ object PipelineQueries {
              nth_value(value, 100) OVER (ORDER BY epoch_us(ts), event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v100,
              nth_value(user_id, 2500) OVER (ORDER BY epoch_us(ts), event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS u2500
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS u2500,
+             first_value(user_id) OVER (ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS u_first,
+             last_value(value) OVER (ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS v_last,
+             last_value(value IGNORE NULLS) OVER (ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS v_last_nn
            FROM events ORDER BY epoch_us(ts), event_id""",
 
       "q_suffix_global" ->

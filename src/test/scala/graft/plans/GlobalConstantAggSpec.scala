@@ -89,7 +89,7 @@ class GlobalConstantAggSpec extends SparkSuite {
     assert(got == expected)
     // order-SENSITIVE functions must NOT take the orderless constant
     // path: first_value is optimizer-rewritten to the rescued
-    // nth_value(x, 1); last_value keeps the built-in WindowExec
+    // nth_value(x, 1); last_value rides GlobalNthValue's from-end mode
     val fv = spark.sql(
       """SELECT first_value(v) OVER (ORDER BY id
            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS f
@@ -101,9 +101,10 @@ class GlobalConstantAggSpec extends SparkSuite {
            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS l
          FROM const_agg_ord_v""")
     val lp = lv.queryExecution.executedPlan.toString
-    assert(!lp.contains("GlobalConstantAgg") &&
-      lp.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")), lp)
-    // and the built-in value is the true ordered last
+    assert(!lp.contains("GlobalConstantAgg") && lp.contains("GlobalNthValue"), lp)
+    assert(!lp.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"ordered last_value must not keep the single-task built-in:\n$lp")
+    // and the rescued value is the true ordered last
     assert(lv.orderBy(col("id")).limit(1).collect()(0).getLong(1) ==
       df.orderBy(col("id").desc).limit(1).collect()(0).getLong(1))
   }

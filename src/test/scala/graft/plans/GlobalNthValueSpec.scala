@@ -101,4 +101,53 @@ class GlobalNthValueSpec extends SparkSuite {
     val expM = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(mixed) }
     assert(gotM == expM)
   }
+
+  test("ordered first/last_value over whole-table frames: nth from either end") {
+    tied.createOrReplaceTempView("nth_t5")
+    // v is null every 5th row and id 9999 % 5 != 0... make both branches
+    // matter: plain last_value picks the final row's v (null or not),
+    // IGNORE NULLS picks the final non-null v — tail rings differ
+    val q = """SELECT k, id,
+        first_value(v) OVER (ORDER BY k, id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS f,
+        first_value(v) IGNORE NULLS OVER (ORDER BY k, id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fn,
+        last_value(v) OVER (ORDER BY k, id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS l,
+        last_value(v) IGNORE NULLS OVER (ORDER BY k, id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS ln
+      FROM nth_t5"""
+    val out = spark.sql(q)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalNthValue"),
+      s"ordered first/last over full frames must ride the nth exec:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"single-task WindowExec must not survive:\n$p")
+    val got = snap(out)
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") {
+      snap(spark.sql(q))
+    }
+    assert(got == expected)
+    // all-null column: IGNORE NULLS has no candidate anywhere → NULL out
+    val allNull = (0 until 100).map(i => (i.toLong, null: java.lang.Long))
+      .toDF("id", "x").repartition(4)
+    allNull.createOrReplaceTempView("nth_t6")
+    val nn = spark.sql("""SELECT id, last_value(x) IGNORE NULLS OVER (ORDER BY id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS l FROM nth_t6""")
+    assert(nn.queryExecution.executedPlan.toString.contains("GlobalNthValue"))
+    assert(nn.collect().forall(_.isNullAt(1)))
+  }
+
+  test("nth_value past the n cap falls back to the built-in") {
+    val big = spark.sql(s"""SELECT id, nth_value(v, 100000) OVER (ORDER BY k, id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n FROM nth_t""")
+    assert(!big.queryExecution.executedPlan.toString.contains("GlobalNthValue"),
+      "n above spark.graft.globalNthValue.maxN must not collect driver heads")
+    withConf(GlobalNthValueStrategy.MaxNKey, "200000") {
+      val ok = spark.sql(s"""SELECT id, nth_value(v, 100000) OVER (ORDER BY k, id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n FROM nth_t""")
+      assert(ok.queryExecution.executedPlan.toString.contains("GlobalNthValue"),
+        "a raised cap must re-enable the rescue")
+    }
+  }
 }

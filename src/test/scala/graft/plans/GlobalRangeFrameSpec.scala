@@ -217,11 +217,80 @@ class GlobalRangeFrameSpec extends SparkSuite {
     assert(got == expected)
   }
 
-  test("falls back for month intervals and descending order") {
+  test("DESCENDING order keys rescue via key negation and match WindowExec") {
+    // global DESC trailing + centered, and per-key DESC trailing: under
+    // ORDER BY k DESC, `x PRECEDING` means keys in [K, K+x] — negated
+    // key space turns it back into the ascending frame
     val w = Window.orderBy(col("k").desc)
-    val desc = df.withColumn("rs",
-      sum("v").over(w.rangeBetween(-100, Window.currentRow)))
-    assert(!desc.queryExecution.executedPlan.toString.contains("GlobalRangeFrame"))
+    val out = df
+      .withColumn("rs", sum("v").over(w.rangeBetween(-100, Window.currentRow)))
+      .withColumn("cc", count(lit(1)).over(w.rangeBetween(-300, 700)))
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalRangeFrame"), s"DESC keys must rescue:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"built-in WindowExec should be replaced:\n$p")
+    def snap(d: org.apache.spark.sql.DataFrame) = d
+      .select("k", "id", "rs", "cc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sorted.toSeq
+    val got = snap(out)
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
+    assert(got == expected, "DESC range frames must match the built-in exactly")
+
+    val d2 = (0 until 2000).map { i =>
+      val g: java.lang.Long = if (i % 19 == 0) null else (i % 7).toLong
+      val k: java.lang.Long = if (i % 13 == 0) null else ((i * 48271L) % 400) * 3
+      (g, k, i.toLong)
+    }.toDF("g", "k", "id").repartition(6)
+    val out2 = d2.withColumn("rc", count(lit(1)).over(
+      Window.partitionBy("g").orderBy(col("k").desc)
+        .rangeBetween(-50, Window.currentRow)))
+    assert(out2.queryExecution.executedPlan.toString.contains("GlobalRangeFrame"))
+    def snap2(x: org.apache.spark.sql.DataFrame) = x.select("g", "k", "id", "rc")
+      .collect().map(r => (0 until 4).map(j =>
+        Option(r.get(j)).map(_.toString).getOrElse("null")).mkString("|"))
+      .sorted.toSeq
+    val got2 = snap2(out2)
+    val expected2 = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap2(out2) }
+    assert(got2 == expected2, "per-key DESC range frames must match the built-in")
+  }
+
+  test("DATE order keys rescue with int-literal (days) bounds and match") {
+    val d = (0 until 2000)
+      .map(i => (((i * 2654435761L) % 900).toInt, i.toLong))
+      .toDF("days", "id")
+      .withColumn("dt", date_add(lit(java.sql.Date.valueOf("2020-01-01")), col("days")))
+      .repartition(5)
+    // bounds on a DATE key must be INT (days) — the Column API emits
+    // BIGINT literals, which the analyzer rejects, so SQL it is
+    d.createOrReplaceTempView("grf_date")
+    val q = """SELECT days, id, COUNT(*) OVER (ORDER BY dt
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS rc
+               FROM grf_date"""
+    val out = spark.sql(q)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalRangeFrame"), s"date keys must rescue:\n$p")
+    def snap(x: org.apache.spark.sql.DataFrame) = x.select("days", "id", "rc")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val got = snap(out)
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") {
+      snap(spark.sql(q))
+    }
+    assert(got == expected, "date range frames must match the built-in exactly")
+  }
+
+  test("falls back for month intervals and peers-only frames") {
+    val d = (0 until 100)
+      .map(i => (((i * 2654435761L) % 7200).toLong, i.toLong))
+      .toDF("secs", "id")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    d.createOrReplaceTempView("grf_month_ts")
+    // month offsets are not fixed-width in micros: left to the built-in
+    val month = spark.sql(
+      """SELECT id, COUNT(*) OVER (ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW) AS c
+         FROM grf_month_ts""")
+    assert(!month.queryExecution.executedPlan.toString.contains("GlobalRangeFrame"))
     // peers-only RANGE CURRENT ROW..CURRENT ROW: left to the built-in
     val peers = df.withColumn("rs", sum("v").over(
       Window.orderBy("k").rangeBetween(Window.currentRow, Window.currentRow)))

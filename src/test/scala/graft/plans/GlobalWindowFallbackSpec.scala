@@ -1,0 +1,59 @@
+package graft.plans
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** GlobalWindowFallback: a global Window shape no strategy claims must
+  * WARN and count at plan time (the single-task stage would otherwise
+  * hang silently at scale); rescued shapes and opted-out sessions must
+  * not. */
+class GlobalWindowFallbackSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def df = (0 until 500)
+    .map(i => (((i * 2654435761L) % 7200).toLong, i.toLong))
+    .toDF("secs", "id")
+    .withColumn("ts", timestamp_seconds(col("secs")))
+
+  private def withConf[T](key: String, value: String)(body: => T): T = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("unclaimed month-interval frame counts a fallback; rescued shapes do not") {
+    df.createOrReplaceTempView("gwf_t")
+    val before = GlobalWindowFallback.fallbacks.get()
+    // month offsets are not fixed-width: no strategy claims this
+    val month = spark.sql(
+      """SELECT id, COUNT(*) OVER (ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW) AS c
+         FROM gwf_t""")
+    val p = month.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"the month frame must keep the built-in (that is the point):\n$p")
+    assert(GlobalWindowFallback.fallbacks.get() > before,
+      "planning a SinglePartition WindowExec must increment the fallback counter")
+
+    // a rescued running sum plans GlobalRunningAgg — no fallback counted
+    val after = GlobalWindowFallback.fallbacks.get()
+    val rescued = spark.sql("SELECT id, SUM(id) OVER (ORDER BY id) AS rs FROM gwf_t")
+    assert(rescued.queryExecution.executedPlan.toString.contains("GlobalRunningAgg"))
+    assert(GlobalWindowFallback.fallbacks.get() == after,
+      "rescued shapes must not count as fallbacks")
+  }
+
+  test("opt-out sessions are not warned: single-task plans are then chosen") {
+    df.createOrReplaceTempView("gwf_t2")
+    withConf(GlobalRowNumberStrategy.ConfKey, "false") {
+      val before = GlobalWindowFallback.fallbacks.get()
+      val out = spark.sql("SELECT id, SUM(id) OVER (ORDER BY id) AS rs FROM gwf_t2")
+      out.queryExecution.executedPlan // force planning
+      assert(GlobalWindowFallback.fallbacks.get() == before,
+        "with rescues opted out, the built-in plan is deliberate — no warning")
+    }
+  }
+}

@@ -50,7 +50,7 @@ class GlobalWindowFuzzSpec extends SparkSuite {
     import org.apache.spark.sql.expressions.Window
     val unique = Window.orderBy("k", "id")
     val byK = Window.orderBy("k")
-    rnd.nextInt(9) match {
+    rnd.nextInt(10) match {
       case 0 => // running
         s"c$i" -> sum("v").over(unique.rowsBetween(Window.unboundedPreceding, Window.currentRow))
       case 1 => // suffix
@@ -84,6 +84,12 @@ class GlobalWindowFuzzSpec extends SparkSuite {
             unique.rowsBetween(Window.unboundedPreceding, Window.currentRow)
           else unique.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         s"c$i" -> nth_value(col("v"), n, ign).over(frame)
+      case 9 => // ordered first/last over the whole-table frame
+        val full = unique.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        val ign = rnd.nextBoolean()
+        if (rnd.nextBoolean()) s"c$i" -> last_value(col("v"), lit(ign)).over(full)
+        else s"c$i" -> first_value(col("v"), lit(ign)).over(full)
     }
   }
 

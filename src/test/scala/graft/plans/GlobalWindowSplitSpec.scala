@@ -50,22 +50,24 @@ class GlobalWindowSplitSpec extends SparkSuite {
 
   test("unclaimed family splits out alone and keeps the built-in, others rescue") {
     tied.createOrReplaceTempView("gws_t2")
-    // last_value over a whole-table frame is order-SENSITIVE and (unlike
-    // first_value, which the optimizer rewrites to the now-rescued
-    // nth_value(x, 1)) no strategy claims it; the split must leave it
-    // (and only it) on the built-in path while the running sum rescues
+    // nth_value past the driver-head cap (spark.graft.globalNthValue.
+    // maxN) is deliberately unclaimed; the split must leave it (and
+    // only it) on the built-in path while the running sum rescues.
+    // (Ordered last_value over the whole-table frame — this test's
+    // previous unclaimed example — now rides GlobalNthValue from-end.)
     val out = spark.sql(
       """SELECT id,
            SUM(v) OVER (ORDER BY k, id) AS run_sum,
-           last_value(v) OVER (ORDER BY k, id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fv
+           nth_value(v, 100000) OVER (ORDER BY k, id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
          FROM gws_t2""")
     val p = out.queryExecution.executedPlan.toString
     assert(p.contains("GlobalRunningAgg"), s"running sum must still rescue:\n$p")
     assert(p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
-      s"unclaimed last_value keeps WindowExec:\n$p")
+      s"uncapped nth_value keeps WindowExec:\n$p")
     def snap(d: org.apache.spark.sql.DataFrame) = d
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.toString).getOrElse("null"))).sortBy(_._1).toSeq
     val got = snap(out)
     val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
     assert(got == expected)
