@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, CurrentRow, Descending, JoinedRow, MutableProjection, NamedExpression, NullsFirst, NullsLast, RangeFrame, SortOrder, SpecificInternalRow, SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, CurrentRow, Descending, Expression, JoinedRow, MutableProjection, NamedExpression, NullsFirst, NullsLast, RangeFrame, SortOrder, SpecificInternalRow, SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, DeclarativeAggregate, First, Last}
 import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -75,6 +75,17 @@ object GlobalRunningAggStrategy extends SparkStrategy {
         // WindowExec runs them too)
         if f.deterministic || f.isInstanceOf[First] || f.isInstanceOf[Last] =>
       Some(RunningAgg(f, ft == RangeFrame, e.toAttribute))
+    // nth_value(x, 1) over a prefix frame IS a running first_value —
+    // and it's what the optimizer rewrites first_value INTO
+    // (OptimizeWindowFunctions), so a PARTITION BY node mixing
+    // first_value with min/max/sum must be claimable here or the whole
+    // node falls back
+    case Alias(WindowExpression(
+          org.apache.spark.sql.catalyst.expressions.NthValue(
+            input, org.apache.spark.sql.catalyst.expressions.IntegerLiteral(1), ign),
+          WindowSpecDefinition(_, _,
+            SpecifiedWindowFrame(ft, UnboundedPreceding, CurrentRow))), _) =>
+      Some(RunningAgg(First(input, ign), ft == RangeFrame, e.toAttribute))
     case _ => None
   }
 
@@ -110,18 +121,18 @@ object GlobalRunningAggStrategy extends SparkStrategy {
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case w: logical.Window
-        if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
+        if w.partitionSpec.forall(_.deterministic) && w.orderSpec.nonEmpty &&
           w.windowExpressions.nonEmpty &&
           w.windowExpressions.forall(funcOf(_).isDefined) &&
           SQLConf.get.getConfString(GlobalRowNumberStrategy.ConfKey, "true").toBoolean =>
-      GlobalRunningAggExec(w.orderSpec,
+      GlobalRunningAggExec(w.partitionSpec, w.orderSpec,
         w.windowExpressions.map(funcOf(_).get), planLater(w.child)) :: Nil
     case w: logical.Window
-        if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
+        if w.partitionSpec.forall(_.deterministic) && w.orderSpec.nonEmpty &&
           w.windowExpressions.nonEmpty &&
           w.windowExpressions.forall(suffixOf(_).isDefined) &&
           SQLConf.get.getConfString(GlobalRowNumberStrategy.ConfKey, "true").toBoolean =>
-      GlobalRunningAggExec(w.orderSpec.map(reversed),
+      GlobalRunningAggExec(w.partitionSpec, w.orderSpec.map(reversed),
         w.windowExpressions.map(suffixOf(_).get), planLater(w.child)) :: Nil
     case _ => Nil
   }
@@ -134,17 +145,41 @@ object GlobalRunningAggExec {
                         attr: Attribute)
 }
 
-/** Physical distributed prefix scan over declarative aggregates. */
-case class GlobalRunningAggExec(order: Seq[SortOrder],
+/** Physical distributed prefix scan over declarative aggregates.
+  *
+  * With a non-empty `partition` spec this is the PER-KEY running
+  * window (`MIN(x) OVER (PARTITION BY user ORDER BY ts)` and friends)
+  * over a RANGE exchange on (partition keys ⧺ order key) — a hot key
+  * spans many tasks instead of pinning one (stock Spark's hash
+  * exchange puts every row of a key in ONE task; AQE re-splits skewed
+  * joins, never windows). A key's rows are contiguous under that
+  * sort, so per-key state is: reset the aggregation buffers at every
+  * key-group boundary, and seed each task's FIRST group from the
+  * chain of predecessor tasks holding the same group — pass 1 keeps
+  * one partial buffer over each task's LAST group only (reset on
+  * group change, so memory is one buffer regardless of group sizes),
+  * and the driver walks the partials once, carrying a merged buffer
+  * along runs of equal edge groups. The empty-partition (global) case
+  * is the same walk with every task in one group — the classic prefix
+  * merge. Works for ANY deterministic declarative aggregate: min/max
+  * included (no inverse needed — unlike subtraction-based per-key
+  * rewrites), first/last, decimals and all.
+  */
+case class GlobalRunningAggExec(partition: Seq[Expression],
+                                order: Seq[SortOrder],
                                 funcs: Seq[GlobalRunningAggExec.RunningAgg],
                                 child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output ++ funcs.map(_.attr)
 
+  private def partOrders: Seq[SortOrder] =
+    partition.map(e => SortOrder(e, Ascending))
+
   override def requiredChildDistribution: Seq[Distribution] =
-    OrderedDistribution(order) :: Nil
-  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
-  override def outputOrdering: Seq[SortOrder] = order
+    OrderedDistribution(partOrders ++ order) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(partOrders ++ order)
+  override def outputOrdering: Seq[SortOrder] = partOrders ++ order
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   // concatenated buffer layout across all functions
@@ -153,7 +188,11 @@ case class GlobalRunningAggExec(order: Seq[SortOrder],
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val resultAttrs = output
-    val keyExprs = order.map(_.child)
+    // tie runs are per (group, order key): group exprs prepended, so a
+    // run can never straddle a key-group boundary
+    val keyExprs = partition ++ order.map(_.child)
+    val partExprs = partition
+    val hasGroups = partExprs.nonEmpty
     val aggsLocal = funcs.map(_.agg)
     val isRangeLocal = funcs.map(_.isRange).toArray
     val anyRange = isRangeLocal.contains(true)
@@ -173,55 +212,106 @@ case class GlobalRunningAggExec(order: Seq[SortOrder],
       buf
     }
 
-    // pass 1: one partial buffer per partition (reads the materialized
-    // shuffle; cost = one streaming aggregation, no extra exchange)
-    val partials: Array[UnsafeRow] = rdd.sparkContext.runJob(rdd,
-      (iter: Iterator[InternalRow]) => {
+    // pass 1: per task — (first group, last group, partial buffer over
+    // the LAST group's rows only). Reads the materialized shuffle; cost
+    // = one streaming aggregation, no extra exchange; memory = one
+    // buffer (reset at each group change). With no partition spec every
+    // row is one group and the partial covers the whole task.
+    val stats: Array[(Option[UnsafeRow], Option[UnsafeRow], UnsafeRow)] =
+      rdd.sparkContext.runJob(rdd, (iter: Iterator[InternalRow]) => {
         val buf = newBuffer()
         val update = MutableProjection.create(updateExprs, bufAttrs ++ childOutput)
         update.target(buf)
+        val reinit = MutableProjection.create(initExprs, Nil)
+        reinit.target(buf)
+        val partProj = UnsafeProjection.create(partExprs, childOutput)
         val joinBI = new JoinedRow
-        while (iter.hasNext) update(joinBI(buf, iter.next()))
-        UnsafeProjection.create(bufAttrs, bufAttrs)(buf).copy()
+        var firstG: UnsafeRow = null
+        var curG: UnsafeRow = null
+        while (iter.hasNext) {
+          val row = iter.next()
+          if (hasGroups) {
+            val pr = partProj(row)
+            if (curG == null) { curG = pr.copy(); firstG = curG }
+            else if (!pr.equals(curG)) { curG = pr.copy(); reinit(InternalRow.empty) }
+          } else if (curG == null) { curG = partProj(row).copy(); firstG = curG }
+          update(joinBI(buf, row))
+        }
+        (Option(firstG), Option(curG),
+          UnsafeProjection.create(bufAttrs, bufAttrs)(buf).copy())
       })
 
-    // driver prefix-merge: prefix(p) = fold of partials 0..p-1. A few
-    // buffer-sized rows of work, independent of data size.
-    val nParts = partials.length
-    val prefixes = new Array[UnsafeRow](nParts)
+    // driver chain-merge: walk the task partials once, carrying the
+    // merged buffer of the current edge group; task p's seed is the
+    // carry exactly when its first group CONTINUES the chain (the sort
+    // guarantees a group spanning tasks fills everything between, so
+    // edge-group equality is the only test needed). Empty tasks carry
+    // through. A few buffer-sized merges, independent of data size —
+    // and with no partition spec this IS the classic prefix merge.
+    val nParts = stats.length
+    val seeds = new Array[UnsafeRow](nParts)
     locally {
-      val running = newBuffer()
+      val carry = newBuffer()
       val toUnsafe = UnsafeProjection.create(bufAttrs, bufAttrs)
       val merge = MutableProjection.create(mergeExprs, bufAttrs ++ inputBufAttrs)
-      merge.target(running)
+      merge.target(carry)
+      val reinit = MutableProjection.create(initExprs, Nil)
+      reinit.target(carry)
       val joinBB = new JoinedRow
+      val initSeed = toUnsafe(newBuffer()).copy()
+      var chainGroup: UnsafeRow = null
       var p = 0
       while (p < nParts) {
-        prefixes(p) = toUnsafe(running).copy()
-        merge(joinBB(running, partials(p)))
+        val (firstG, lastG, partial) = stats(p)
+        seeds(p) =
+          if (chainGroup != null && firstG.exists(_.equals(chainGroup)))
+            toUnsafe(carry).copy()
+          else initSeed
+        firstG match {
+          case Some(fg) =>
+            // the task's last group either continues the chain (task is
+            // one group joining it) or starts a new one
+            if (!(chainGroup != null && fg.equals(chainGroup) &&
+                lastG.exists(_.equals(fg)))) reinit(InternalRow.empty)
+            merge(joinBB(carry, partial))
+            chainGroup = lastG.orNull
+          case None => () // empty task: the chain passes through
+        }
         p += 1
       }
     }
+    val firstGroups: Array[UnsafeRow] = stats.map(_._1.orNull)
 
-    // pass 2: local running aggregation seeded with the prefix
+    // pass 2: local running aggregation, seeded with the first group's
+    // chain carry, buffers re-initialized at every group boundary
     rdd.mapPartitionsWithIndex { (pid, iter) =>
       val buf = new SpecificInternalRow(bufTypes)
-      val prefix = prefixes(pid)
+      val seed = seeds(pid)
       var i = 0
       while (i < bufTypes.length) {
-        buf.update(i, prefix.get(i, bufTypes(i)))
+        buf.update(i, seed.get(i, bufTypes(i)))
         i += 1
       }
       val update = MutableProjection.create(updateExprs, bufAttrs ++ childOutput)
       update.target(buf)
+      val reinit = MutableProjection.create(initExprs, Nil)
+      reinit.target(buf)
+      val partProj = UnsafeProjection.create(partExprs, childOutput)
       val evalProj = UnsafeProjection.create(evalExprs, bufAttrs)
       val outProj = UnsafeProjection.create(resultAttrs, resultAttrs)
       val joinBI = new JoinedRow
       val joinOut = new JoinedRow
+      var curG: UnsafeRow = firstGroups(pid)
 
       if (!anyRange) {
         // ROWS frames only: stream — update, then emit after each row
         iter.map { row =>
+          if (hasGroups) {
+            val pr = partProj(row)
+            if (curG == null || !pr.equals(curG)) {
+              curG = pr.copy(); reinit(InternalRow.empty)
+            }
+          }
           update(joinBI(buf, row))
           outProj(joinOut(row, evalProj(buf)))
         }
@@ -229,7 +319,9 @@ case class GlobalRunningAggExec(order: Seq[SortOrder],
         // RANGE (peer) semantics need the run-end value for every row of
         // a tie run: buffer one run at a time (rows copied — the scan
         // iterator reuses its row), update through the whole run, then
-        // emit. Mixed ROWS funcs keep their own per-row snapshots.
+        // emit. Mixed ROWS funcs keep their own per-row snapshots. Runs
+        // are keyed on (group ⧺ order key), so a group change always
+        // starts a new run — the buffer reset happens between runs.
         val keyProj = UnsafeProjection.create(keyExprs, childOutput)
         val sameRun = KeyRunEquality.create(keyExprs.map(_.dataType))
         val attrTypes = funcs.map(_.attr.dataType).toArray
@@ -251,6 +343,12 @@ case class GlobalRunningAggExec(order: Seq[SortOrder],
               val r = iter.next().copy()
               if (sameRun(keyProj(r), runKey)) run += r
               else { pendingNext = r; done = true }
+            }
+            if (hasGroups) {
+              val pr = partProj(run.head)
+              if (curG == null || !pr.equals(curG)) {
+                curG = pr.copy(); reinit(InternalRow.empty)
+              }
             }
             var j = 0
             while (j < run.length) {

@@ -58,6 +58,22 @@ object GlobalWindowSplit extends Rule[LogicalPlan] {
     tests.indexWhere(identity) // -1 = no strategy claims it
   }
 
+  /** Categories that rescue PARTITIONED nodes too (running, suffix,
+    * RANGE-interval — the families whose strategies claim PARTITION BY
+    * via the group-aware range exchange). A partitioned mixed node is
+    * split ONLY when every expression belongs to one of these: a
+    * partial split would trade the single hash exchange for a hash AND
+    * a range exchange with the hot-key wall still standing in the
+    * unclaimed group — worse than either extreme. */
+  private def partitionedCategoryOf(w: logical.Window, e: NamedExpression): Int = {
+    val ordered = w.orderSpec.nonEmpty
+    val tests: Seq[Boolean] = Seq(
+      ordered && GlobalRunningAggStrategy.rescuableRunning(e),
+      ordered && GlobalRunningAggStrategy.rescuableSuffix(e),
+      GlobalRangeFrameStrategy.orderRescuable(w) && GlobalRangeFrameStrategy.rescuable(e))
+    tests.indexWhere(identity)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case w: logical.Window
         if w.partitionSpec.isEmpty && w.windowExpressions.length > 1 &&
@@ -66,6 +82,19 @@ object GlobalWindowSplit extends Rule[LogicalPlan] {
       if (groups.size < 2 || groups.keysIterator.forall(_ < 0)) w
       else {
         // deterministic stack order; -1 (unclaimed) group goes outermost
+        val stacked = groups.toSeq.sortBy(-_._1).foldLeft(w.child) {
+          case (c, (_, es)) => w.copy(windowExpressions = es, child = c)
+        }
+        Project(w.output, stacked)
+      }
+    }
+    case w: logical.Window
+        if w.partitionSpec.nonEmpty && w.partitionSpec.forall(_.deterministic) &&
+          w.windowExpressions.length > 1 &&
+          conf.getConfString(GlobalRowNumberStrategy.ConfKey, "true").toBoolean => {
+      val groups = w.windowExpressions.groupBy(partitionedCategoryOf(w, _))
+      if (groups.size < 2 || groups.keysIterator.exists(_ < 0)) w
+      else {
         val stacked = groups.toSeq.sortBy(-_._1).foldLeft(w.child) {
           case (c, (_, es)) => w.copy(windowExpressions = es, child = c)
         }

@@ -1402,6 +1402,26 @@ object PipelineQueries {
           col("hour_sum").cast("double").as("hour_sum"), col("hour_n"))
     }),
 
+    // SKEW-SAFE PER-KEY RUNNING MIN/MAX — the one running family the
+    // subtraction algebra could never cover (min/max have no inverse).
+    // GlobalRunningAggStrategy now claims PARTITION BY nodes directly:
+    // a group-aware prefix scan over the (user, ts) RANGE exchange —
+    // buffers reset at key boundaries, each task's first key seeded
+    // from the driver-merged predecessor chain — so a hot user spans
+    // tasks and min/max/first/last all ride along, plain window SQL.
+    "q_skew_minmax" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""SELECT event_id, user_id,
+                 MIN(value) OVER w AS run_min,
+                 MAX(value) OVER w AS run_max,
+                 first_value(event_id) OVER w AS first_event,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_sum
+               FROM events_v
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               ORDER BY user_id, ts_us, event_id""")
+    }),
+
     // TIME-SERIES RESAMPLE + GAP FILL — the canonical downstream of a
     // monotonic-key event store (the reference's workload, README:10-12):
     // hourly rollup, a dense hour grid from ONE bounds row (explode
@@ -2454,6 +2474,17 @@ object PipelineQueries {
              COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS hour_n
            FROM events ORDER BY user_id, epoch_us(ts), event_id""",
+
+      "q_skew_minmax" ->
+        """SELECT event_id, user_id,
+             MIN(value) OVER w AS run_min,
+             MAX(value) OVER w AS run_max,
+             first_value(event_id) OVER w AS first_event,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_sum
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           ORDER BY user_id, epoch_us(ts), event_id""",
 
       "q_resample_locf" ->
         """WITH hourly AS (

@@ -58,7 +58,7 @@ class SkewWindowFuzzSpec extends SparkSuite {
       val df = randomDf()
       val w = Window.partitionBy("k").orderBy("id")
       val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      rnd.nextInt(6) match {
+      rnd.nextInt(7) match {
         case 0 =>
           val got = SkewWindow.runningExact(df, Seq("k"), Seq("id"), col("v"))
             .select("k", "id", "run_sum", "run_n", "run_rn")
@@ -123,6 +123,33 @@ class SkewWindowFuzzSpec extends SparkSuite {
           val expected = withConf(
             graft.plans.GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
           assert(got == expected, s"per-key range frame diverged (round $round)")
+        case 6 =>
+          // per-key running aggregates via plain window SQL:
+          // GlobalRunningAggStrategy claims PARTITION BY nodes now — a
+          // group-aware prefix scan over the (key, order) range exchange
+          // covers min/max too (no inverse needed). Random ROWS/RANGE
+          // frame; RANGE ties share run-end values per key.
+          val useRange = rnd.nextBoolean()
+          val w2 =
+            if (useRange) Window.partitionBy("k").orderBy("v")
+            else Window.partitionBy("k").orderBy("id")
+          val wf2 = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val frame = if (useRange) w2 else wf2
+          val out = df
+            .withColumn("rmin", min("v").over(frame))
+            .withColumn("rmax", max("v").over(frame))
+            .withColumn("rsum", sum("v").over(frame))
+            .withColumn("rcnt", count(lit(1)).over(frame))
+            .select("k", "v", "id", "rmin", "rmax", "rsum", "rcnt")
+          val p = out.queryExecution.executedPlan.toString
+          assert(p.contains("GlobalRunningAgg"),
+            s"round $round: per-key running frame escaped the rescue:\n$p")
+          assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+            s"round $round: built-in WindowExec survived:\n$p")
+          val got = snap(out)
+          val expected = withConf(
+            graft.plans.GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
+          assert(got == expected, s"per-key running agg diverged (round $round)")
       }
     }
   }

@@ -83,11 +83,26 @@ class GlobalRunningAggSpec extends SparkSuite {
     assert(got.forall(_._3 == firstV))
   }
 
-  test("falls back for unsupported shapes") {
-    // partitioned running sums keep the built-in (already parallel)
+  test("falls back for unsupported shapes; partitioned windows rescue") {
+    // partitioned running windows now RIDE the group-aware prefix scan
+    // over a RANGE exchange — a hot key spans tasks instead of pinning
+    // one (min/max included: resets at key boundaries need no inverse)
     val part = tied.withColumn("rs",
-      sum("v").over(Window.partitionBy(col("k") % 10).orderBy("id")))
-    assert(!part.queryExecution.executedPlan.toString.contains("GlobalRunningAgg"))
+        sum("v").over(Window.partitionBy(col("k") % 10).orderBy("id")))
+      .withColumn("rmin",
+        min("v").over(Window.partitionBy(col("k") % 10).orderBy("id")))
+    val pp = part.queryExecution.executedPlan.toString
+    assert(pp.contains("GlobalRunningAgg"), s"per-key running must rescue:\n$pp")
+    assert(pp.contains("rangepartitioning") && !pp.contains("hashpartitioning"),
+      s"the exchange must be a range exchange, not a hash on the key:\n$pp")
+    def snap(d: org.apache.spark.sql.DataFrame) = d
+      .select("k", "id", "rs", "rmin")
+      .collect().map(r => (0 until 4).map(j =>
+        Option(r.get(j)).map(_.toString).getOrElse("null")).mkString("|"))
+      .sorted.toSeq
+    val got = snap(part)
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(part) }
+    assert(got == expected, "per-key running aggs must match the built-in")
     // sliding frames are not a prefix scan
     val sliding = tied.withColumn("rs", sum("v").over(
       Window.orderBy("k", "id").rowsBetween(-3, Window.currentRow)))

@@ -194,6 +194,16 @@ class PlanShapeSpec extends SparkSuite {
       s"a hash exchange on user_id would pin a hot user to one task:\n$p")
   }
 
+  test("skew-safe per-key running min/max: group-aware prefix scan, no WindowExec") {
+    val p = plan("q_skew_minmax")
+    assert(p.contains("GlobalRunningAgg"),
+      s"per-key min/max must ride the group-aware prefix scan:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"no built-in WindowExec may appear:\n$p")
+    assert(!p.contains("hashpartitioning(user_id"),
+      s"a hash exchange on user_id would pin a hot user to one task:\n$p")
+  }
+
   test("resample/LOCF: gap-fill window plans the prefix-scan exec") {
     val p = plan("q_resample_locf")
     assert(p.contains("GlobalRunningAgg"),
