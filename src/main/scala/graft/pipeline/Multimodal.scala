@@ -135,10 +135,13 @@ object Multimodal {
   }
 
   /** STUB decode: batch feature extraction over partition iterators — the
-    * real-decode call site for the remaining VIDEO path (the JDK bundles
-    * no video codec; images and audio decode for real via [[ImageCodec]]/
-    * [[AudioCodec]] in [[synthDecodedMedia]]). Plumbing (batching,
-    * schema, encoders) is the real thing. */
+    * real-decode call site for the remaining VIDEO PIXEL path (the JDK
+    * bundles no video codec; images and audio decode for real via
+    * [[ImageCodec]]/[[AudioCodec]] in [[synthDecodedMedia]], and video
+    * CONTAINER metadata parses for real via [[VideoContainer]]'s
+    * ISO-BMFF box walk — only the pixel decode itself remains
+    * environment-blocked). Plumbing (batching, schema, encoders) is the
+    * real thing. */
   def extractFeatures(media: Dataset[MediaRow])(implicit s: SparkSession): Dataset[MediaFeatures] = {
     import s.implicits._
     media.mapPartitions { rows =>
@@ -250,10 +253,12 @@ object AudioCodec {
 }
 
 /** The stubbed decoder (see [[Multimodal.extractFeatures]]) — retained
-  * for the VIDEO path only: the JDK bundles image (ImageIO) and audio
-  * (javax.sound) codecs, used for real by [[ImageCodec]]/[[AudioCodec]],
-  * but no video codec, so video decode stays a deterministic stand-in
-  * with the real plumbing shape. */
+  * for the VIDEO PIXEL path only: the JDK bundles image (ImageIO) and
+  * audio (javax.sound) codecs, used for real by [[ImageCodec]]/
+  * [[AudioCodec]], and video CONTAINER metadata (duration, tracks,
+  * frame count, display size) parses for real via [[VideoContainer]];
+  * only the pixel decode itself has no JDK codec and stays a
+  * deterministic stand-in with the real plumbing shape. */
 object FakeCodec {
   /** Returns (mean byte value, first frame bytes). Real codecs plug in
     * here; signature and batch shape are what production code would use. */

@@ -1859,6 +1859,37 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // multimodal VIDEO metadata — REAL MP4 container round trip without
+    // a codec: per doc a structurally valid ISO-BMFF file (ftyp + moov
+    // with mvhd / per-stream trak / stts carrying real frame timing +
+    // mdat) is WRITTEN with pure box arithmetic, then PARSED back by an
+    // independent box walker (the ffprobe metadata walk: recurse only
+    // into spec-defined container boxes, skip leaves by their length
+    // field — the mdat payload is never read, so parse cost is dozens
+    // of header bytes per file at any payload size). The synthesis
+    // parameters are arithmetic in doc_id, so the oracle checks every
+    // PARSED field exactly. Only pixel decode remains stubbed (the JDK
+    // bundles no video codec); container metadata is now real.
+    "q_media_video_meta" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir).select(col("doc_id")).as[Long].mapPartitions { ids =>
+        ids.map { id =>
+          val w = (16 + id % 64).toInt; val h = (16 + id % 48).toInt
+          val delta = (20 + id % 30).toInt; val n = (8 + id % 32).toInt
+          val mdat = Array.tabulate(16)(i => ((id * 31 + i) % 256).toByte)
+          val mp4 = graft.pipeline.VideoContainer.encodeMp4(
+            w, h, timescale = 600, sampleDelta = delta, nFrames = n,
+            withAudio = id % 2 == 0, mdatPayload = mdat)
+          val m = graft.pipeline.VideoContainer.parseMp4(mp4)
+          (id, m.nTracks.toLong, m.width.toLong, m.height.toLong,
+            m.videoFrames, m.duration, m.duration * 1000L / m.timescale,
+            m.handlers.mkString(","))
+        }
+      }.toDF("doc_id", "n_tracks", "width_px", "height_px", "n_frames",
+          "duration_ticks", "duration_ms", "handlers")
+        .orderBy("doc_id")
+    }),
+
     // multimodal REAL decode: per doc a deterministic grayscale image +
     // PCM clip are encoded through the JDK's REAL codecs (ImageIO → PNG,
     // javax.sound → WAV) and decoded back from the opaque bytes; the
@@ -2772,6 +2803,17 @@ object PipelineQueries {
              CAST(list_sum(list_transform(range(256 + doc_id % 512),
                i -> (doc_id * 31 + i) % 256)) AS DOUBLE)
                / (256 + doc_id % 512) AS audio_mean
+           FROM documents ORDER BY doc_id""",
+
+      "q_media_video_meta" ->
+        """SELECT doc_id,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_tracks,
+             CAST(16 + doc_id % 64 AS BIGINT) AS width_px,
+             CAST(16 + doc_id % 48 AS BIGINT) AS height_px,
+             CAST(8 + doc_id % 32 AS BIGINT) AS n_frames,
+             CAST((8 + doc_id % 32) * (20 + doc_id % 30) AS BIGINT) AS duration_ticks,
+             CAST(((8 + doc_id % 32) * (20 + doc_id % 30)) * 1000 // 600 AS BIGINT) AS duration_ms,
+             CASE WHEN doc_id % 2 = 0 THEN 'vide,soun' ELSE 'vide' END AS handlers
            FROM documents ORDER BY doc_id""",
 
       "q_string_funcs" ->

@@ -115,4 +115,36 @@ class MultimodalSpec extends SparkSuite {
     val expected = payload.slice(idx * 8, idx * 8 + 8).map("%02x".format(_)).mkString
     assert(r.getString(1) == expected)
   }
+
+  test("mp4 container: write → independent box-walk parse round-trips the metadata") {
+    val mp4 = VideoContainer.encodeMp4(width = 640, height = 360,
+      timescale = 600, sampleDelta = 25, nFrames = 48, withAudio = true,
+      mdatPayload = Array.tabulate(100)(_.toByte))
+    val m = VideoContainer.parseMp4(mp4)
+    assert(m.nTracks == 2 && m.handlers == Seq("vide", "soun"))
+    assert(m.timescale == 600 && m.duration == 48L * 25)
+    assert(m.width == 640 && m.height == 360 && m.videoFrames == 48)
+    // video-only file
+    val solo = VideoContainer.parseMp4(VideoContainer.encodeMp4(
+      16, 16, 1000, 40, 250, withAudio = false))
+    assert(solo.nTracks == 1 && solo.handlers == Seq("vide") &&
+      solo.duration == 10000 && solo.videoFrames == 250)
+  }
+
+  test("mp4 parser skips unknown leaves by length and fails loudly on malformed") {
+    val mp4 = VideoContainer.encodeMp4(32, 24, 600, 30, 10, withAudio = false)
+    // prepend a spec-legal unknown box ('free'): parse must skip it
+    val free = Array[Byte](0, 0, 0, 12) ++ "free".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4)
+    val m = VideoContainer.parseMp4(free ++ mp4)
+    assert(m.width == 32 && m.height == 24 && m.videoFrames == 10)
+    // truncated mid-box: loud failure, not a zero-filled answer
+    intercept[IllegalArgumentException] {
+      VideoContainer.parseMp4(mp4.dropRight(mp4.length / 2))
+    }
+    // garbage bytes: no mvhd → loud failure
+    intercept[IllegalArgumentException] {
+      VideoContainer.parseMp4(Array.tabulate(64)(_.toByte))
+    }
+  }
 }
