@@ -2,14 +2,14 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, FrameLessOffsetWindowFunction, GenericInternalRow, JoinedRow, NamedExpression, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Expression, FrameLessOffsetWindowFunction, GenericInternalRow, JoinedRow, NamedExpression, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.internal.SQLConf
 
-/** Scale-safe planning for naive global lag()/lead().
+/** Scale-safe planning for naive lag()/lead().
   *
   * `lag(x) OVER (ORDER BY ...)` / `lead(x) OVER (ORDER BY ...)` with no
   * PARTITION BY are frameless OFFSET window functions: like the global
@@ -23,14 +23,26 @@ import org.apache.spark.sql.internal.SQLConf
   * collected in one tiny job and shipped driver-side (bounded by
   * offset × partitions rows, independent of data size).
   *
+  * PARTITIONED lag/lead — `lag(x) OVER (PARTITION BY user ORDER BY
+  * ts)`, sessionization's workhorse — ride the SAME machinery over a
+  * range exchange on (partition keys ⧺ order key): a key's rows are
+  * contiguous under that sort, so the per-key n-th neighbor IS the
+  * global n-th neighbor exactly when its key matches, and a null-safe
+  * byte-equality key guard (partition keys are float-normalized
+  * upstream) turns a cross-key neighbor into the default — the
+  * SkewWindow.offset composition promoted into the planner, so plain
+  * SQL gets it. Stock Spark's hash exchange puts every row of a hot
+  * key in ONE task; here the key spans tasks, and a chain of windows
+  * over the same (key, order) — lag for the session break, a running
+  * sum for the session id — reuses ONE range exchange end to end.
+  *
   * Matches a Window node whose expressions are ALL
   * [[FrameLessOffsetWindowFunction]]s (lag/lead, mixed offsets fine)
-  * with foldable offsets and ignoreNulls = false, over an empty
-  * partition spec. Defaults are evaluated against the CURRENT row,
-  * exactly as WindowExec's offset frame does. Values match WindowExec
-  * on any tie-free total order (with ties, neighbor identity is
-  * arbitrary in either plan — distributed sorts never promise tie
-  * order).
+  * with foldable offsets and ignoreNulls = false. Defaults are
+  * evaluated against the CURRENT row, exactly as WindowExec's offset
+  * frame does. Values match WindowExec on any tie-free total order
+  * (with ties, neighbor identity is arbitrary in either plan —
+  * distributed sorts never promise tie order).
   *
   * Opt-out: shares `spark.graft.globalRowNumber.enabled` with the
   * ranking rescue — one switch restores every built-in global window.
@@ -53,7 +65,7 @@ object GlobalOffsetWindowStrategy extends SparkStrategy {
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case w: logical.Window
-        if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
+        if w.partitionSpec.forall(_.deterministic) && w.orderSpec.nonEmpty &&
           w.windowExpressions.nonEmpty &&
           w.windowExpressions.forall(funcOf(_).isDefined) &&
           SQLConf.get.getConfString(GlobalRowNumberStrategy.ConfKey, "true").toBoolean =>
@@ -61,7 +73,8 @@ object GlobalOffsetWindowStrategy extends SparkStrategy {
         val (input, off, dflt) = funcOf(e).get
         GlobalOffsetWindowExec.OffsetFunc(input, off, dflt, e.toAttribute)
       }
-      GlobalOffsetWindowExec(w.orderSpec, funcs, planLater(w.child)) :: Nil
+      GlobalOffsetWindowExec(w.partitionSpec, w.orderSpec, funcs,
+        planLater(w.child)) :: Nil
     case _ => Nil
   }
 }
@@ -69,7 +82,8 @@ object GlobalOffsetWindowStrategy extends SparkStrategy {
 object GlobalOffsetWindowExec {
   /** One lag/lead column: evaluate `input` on the row `offset` positions
     * away (negative = earlier), `default` on the current row when the
-    * target falls outside the table. */
+    * target falls outside the table (or outside the current partition
+    * key's run, in partitioned mode). */
   case class OffsetFunc(input: Expression, offset: Int, default: Expression,
                         attr: Attribute)
 }
@@ -83,23 +97,34 @@ object GlobalOffsetWindowExec {
   * maxLag rows (seeded with the stitched predecessor tail) and a
   * lookahead queue of the next maxLead rows (extended with the stitched
   * successor head). Per-partition memory is (maxLag + maxLead + 1)
-  * rows — constant, never data-sized. */
-case class GlobalOffsetWindowExec(order: Seq[SortOrder],
+  * rows — constant, never data-sized. In partitioned mode the neighbor
+  * additionally must carry the current row's partition key (the sort
+  * makes a key's rows contiguous, so the check is one byte-equality);
+  * otherwise the function's default applies — WindowExec's
+  * out-of-partition semantics. */
+case class GlobalOffsetWindowExec(partition: Seq[Expression],
+                                  order: Seq[SortOrder],
                                   funcs: Seq[GlobalOffsetWindowExec.OffsetFunc],
                                   child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output ++ funcs.map(_.attr)
 
+  private def partOrders: Seq[SortOrder] =
+    partition.map(e => SortOrder(e, Ascending))
+
   override def requiredChildDistribution: Seq[Distribution] =
-    OrderedDistribution(order) :: Nil
-  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
-  override def outputOrdering: Seq[SortOrder] = order
+    OrderedDistribution(partOrders ++ order) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(partOrders ++ order)
+  override def outputOrdering: Seq[SortOrder] = partOrders ++ order
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val resultAttrs = output
     val funcsLocal = funcs.toArray
+    val partExprs = partition
+    val keyGuard = partExprs.nonEmpty
     val maxLag = math.max(0, -funcsLocal.map(_.offset).min)
     val maxLead = math.max(0, funcsLocal.map(_.offset).max)
     val rdd = child.execute()
@@ -137,7 +162,8 @@ case class GlobalOffsetWindowExec(order: Seq[SortOrder],
     // stitch each partition's missing neighbors. A partition with fewer
     // rows than the offset is walked through — but no partition ever
     // contributes more than its first maxLead / last maxLag rows, which
-    // is exactly what was collected.
+    // is exactly what was collected. Stitched rows may carry a FOREIGN
+    // partition key — the key guard in pass 2 turns those into defaults.
     def predecessorTail(p: Int): Array[UnsafeRow] = {
       val out = new scala.collection.mutable.ArrayBuffer[UnsafeRow]
       var i = p - 1
@@ -179,6 +205,10 @@ case class GlobalOffsetWindowExec(order: Seq[SortOrder],
       val defaultProjs = funcsLocal.map(f =>
         UnsafeProjection.create(Seq(f.default), childOutput))
       val dtypes = funcsLocal.map(_.attr.dataType)
+      // TWO projection instances (separate buffers) so the current row's
+      // key and a neighbor's key can be compared without copying
+      val rowKeyProj = UnsafeProjection.create(partExprs, childOutput)
+      val neighKeyProj = UnsafeProjection.create(partExprs, childOutput)
 
       // trailing ring seeded with the stitched predecessor rows
       val lagBuf = new scala.collection.mutable.ArrayDeque[InternalRow]
@@ -195,21 +225,29 @@ case class GlobalOffsetWindowExec(order: Seq[SortOrder],
           while (leadBuf.length < maxLead + 1 && source.hasNext)
             leadBuf += source.next()
           val row = leadBuf.head
+          val rowKey = if (keyGuard) rowKeyProj(row) else null
           val globalIdx = rowOffset + emitted
           var i = 0
           while (i < funcsLocal.length) {
             val off = funcsLocal(i).offset
             val target = globalIdx + off
-            val value: Any =
-              if (target < 0 || target >= totalRows)
-                defaultProjs(i)(row).get(0, dtypes(i))
+            val neighbor: InternalRow =
+              if (target < 0 || target >= totalRows) null
               else if (off < 0) {
                 // lagBuf holds the last maxLag rows before `row`,
                 // oldest first; wanted is |off| back from the end
-                inputProjs(i)(lagBuf(lagBuf.length + off)).get(0, dtypes(i))
-              } else if (off > 0) {
-                inputProjs(i)(leadBuf(off)).get(0, dtypes(i))
-              } else inputProjs(i)(row).get(0, dtypes(i))
+                lagBuf(lagBuf.length + off)
+              } else if (off > 0) leadBuf(off)
+              else row
+            // per-key window: a neighbor of a DIFFERENT key is outside
+            // the frame — default, exactly as WindowExec at a partition
+            // edge (byte equality is exact: window partition keys are
+            // float-normalized by the optimizer)
+            val inFrame = neighbor != null &&
+              (!keyGuard || neighKeyProj(neighbor).equals(rowKey))
+            val value: Any =
+              if (inFrame) inputProjs(i)(neighbor).get(0, dtypes(i))
+              else defaultProjs(i)(row).get(0, dtypes(i))
             valueRow.update(i, value)
             i += 1
           }

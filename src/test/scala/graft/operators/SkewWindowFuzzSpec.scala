@@ -58,7 +58,7 @@ class SkewWindowFuzzSpec extends SparkSuite {
       val df = randomDf()
       val w = Window.partitionBy("k").orderBy("id")
       val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      rnd.nextInt(7) match {
+      rnd.nextInt(8) match {
         case 0 =>
           val got = SkewWindow.runningExact(df, Seq("k"), Seq("id"), col("v"))
             .select("k", "id", "run_sum", "run_n", "run_rn")
@@ -150,6 +150,25 @@ class SkewWindowFuzzSpec extends SparkSuite {
           val expected = withConf(
             graft.plans.GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
           assert(got == expected, s"per-key running agg diverged (round $round)")
+        case 7 =>
+          // per-key lag/lead via plain window SQL: the offset strategy
+          // claims PARTITION BY nodes with a byte-equality key guard
+          // over the (key, order) range exchange — a cross-key neighbor
+          // becomes the default, as at any WindowExec partition edge
+          val off = 1 + rnd.nextInt(5)
+          val out = df
+            .withColumn("a", lag("v", off, -1L).over(w))
+            .withColumn("b", lead("v", off).over(w))
+            .select("k", "v", "id", "a", "b")
+          val p = out.queryExecution.executedPlan.toString
+          assert(p.contains("GlobalOffsetWindow"),
+            s"round $round: per-key lag/lead escaped the rescue:\n$p")
+          assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+            s"round $round: built-in WindowExec survived:\n$p")
+          val got = snap(out)
+          val expected = withConf(
+            graft.plans.GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
+          assert(got == expected, s"per-key lag/lead($off) diverged (round $round)")
       }
     }
   }

@@ -64,13 +64,29 @@ class GlobalOffsetWindowSpec extends SparkSuite {
     assert(out == expected)
   }
 
-  test("falls back for ignoreNulls and for partitioned specs") {
+  test("falls back for ignoreNulls; partitioned specs rescue with a key guard") {
     val w = Window.orderBy("k", "id")
+    // the global IGNORE NULLS variant has its own strategy
+    // (GlobalOffsetIgnoreNullsStrategy); THIS exec declines it
     val ign = df.withColumn("lg", lag(col("id"), 1, null, true).over(w))
-    assert(!ign.queryExecution.executedPlan.toString.contains("GlobalOffsetWindow"))
+    assert(!ign.queryExecution.executedPlan.toString.contains("GlobalOffsetWindow "))
+    // per-key lag/lead now rides the same boundary-stitch exec over a
+    // (key, order) range exchange, cross-key neighbors defaulted
     val part = df.withColumn("lg",
-      lag("id", 1).over(Window.partitionBy(col("k") % 10).orderBy("id")))
-    assert(!part.queryExecution.executedPlan.toString.contains("GlobalOffsetWindow"))
+        lag("id", 1, -7L).over(Window.partitionBy(col("k") % 10).orderBy("id")))
+      .withColumn("ld",
+        lead("id", 2).over(Window.partitionBy(col("k") % 10).orderBy("id")))
+    val pp = part.queryExecution.executedPlan.toString
+    assert(pp.contains("GlobalOffsetWindow"), s"per-key lag must rescue:\n$pp")
+    assert(pp.contains("rangepartitioning") && !pp.contains("hashpartitioning"),
+      s"the exchange must be a range exchange, not a hash on the key:\n$pp")
+    def snap(d: org.apache.spark.sql.DataFrame) = d
+      .collect().map(r => (0 until r.length).map(j =>
+        Option(r.get(j)).map(_.toString).getOrElse("null")).mkString("|"))
+      .sorted.toSeq
+    val got = snap(part)
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(part) }
+    assert(got == expected, "per-key lag/lead must match the built-in")
   }
 
   test("empty input and expression-valued lag inputs work") {
