@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, CumeDist, DenseRank, GenericInternalRow, JoinedRow, Literal, NamedExpression, NTile, PercentRank, Rank, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, CumeDist, DenseRank, Expression, GenericInternalRow, JoinedRow, Literal, NamedExpression, NTile, PercentRank, Rank, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
@@ -10,7 +10,7 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.IntegerType
 
-/** Scale-safe planning for naive global ranking windows.
+/** Scale-safe planning for naive ranking windows.
   *
   * `row_number()/rank()/dense_rank()/percent_rank()/cume_dist()/ntile()
   * OVER (ORDER BY ...)` with no PARTITION BY is the classic
@@ -32,16 +32,29 @@ import org.apache.spark.sql.types.IntegerType
   * distinct-sort-key count), then the main pass adds the prefix offsets
   * partition-locally.
   *
+  * PARTITIONED `row_number`/`rank`/`dense_rank` — top-N-per-key, THE
+  * dedup primitive — are claimed too: the exchange becomes a range
+  * exchange over (partition keys ⧺ order key), so a hot key spans
+  * tasks instead of pinning one (stock Spark's hash exchange is the
+  * hot-region-server failure mode inside the cluster), counters reset
+  * at key-group boundaries, and each task's FIRST group is seeded from
+  * a driver-walked chain of predecessor edge-group stats — the same
+  * chain the group-aware prefix scan uses. `percent_rank`/`cume_dist`/
+  * `ntile` per key need the GROUP TOTAL, which no bounded per-task
+  * state can provide, and stay with the built-in (the plan-time
+  * fallback warning covers global shapes only; partitioned hash
+  * windows are a skew risk, not a correctness one).
+  *
   * Why per-partition local computation is exact: the range exchange
   * routes a row by comparing its FULL sort key against the partition
   * bounds, so rows with equal sort keys always land in the same
   * partition — a tie run can never span a partition boundary. Hence
-  *   row_number   = rowsBefore(p) + localIdx + 1
-  *   rank         = rowsBefore(p) + tieRunStart + 1
-  *   dense_rank   = distinctKeysBefore(p) + localDense
-  *   percent_rank = (rank − 1) / (N − 1)
-  *   cume_dist    = (rowsBefore(p) + tieRunEnd) / N
-  *   ntile(k)     = bucket(rowsBefore(p) + localIdx, N, k)
+  *   row_number   = rowsBefore + localIdx + 1
+  *   rank         = rowsBefore + tieRunStart + 1
+  *   dense_rank   = runsBefore + localDense
+  *   percent_rank = (rank − 1) / (N − 1)          [global only]
+  *   cume_dist    = (rowsBefore + tieRunEnd) / N  [global only]
+  *   ntile(k)     = bucket(rowsBefore + localIdx, N, k) [global only]
   * need no boundary key exchange; N = total rows from the stats pass.
   * cume_dist is the one function needing LOOKAHEAD (a row's value
   * depends on where its tie run ends), so when present the pass buffers
@@ -75,6 +88,15 @@ object GlobalRowNumberStrategy extends SparkStrategy {
   /** Per-expression categorizer for [[GlobalWindowSplit]]. */
   private[plans] def rescuable(e: NamedExpression): Boolean = funcOf(e).isDefined
 
+  /** The subset that is also PARTITION BY-rescuable (group totals are
+    * not derivable from bounded per-task state, so percent_rank /
+    * cume_dist / ntile per key stay with the built-in). */
+  private[plans] def rescuablePartitioned(e: NamedExpression): Boolean =
+    funcOf(e).exists {
+      case RowNumF | RankF | DenseRankF => true
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case w: logical.Window
         if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
@@ -82,7 +104,15 @@ object GlobalRowNumberStrategy extends SparkStrategy {
           w.windowExpressions.forall(funcOf(_).isDefined) &&
           SQLConf.get.getConfString(ConfKey, "true").toBoolean =>
       val funcs = w.windowExpressions.map(e => (funcOf(e).get, e.toAttribute))
-      GlobalRowNumberExec(w.orderSpec, funcs, planLater(w.child)) :: Nil
+      GlobalRowNumberExec(Nil, w.orderSpec, funcs, planLater(w.child)) :: Nil
+    case w: logical.Window
+        if w.partitionSpec.nonEmpty && w.partitionSpec.forall(_.deterministic) &&
+          w.orderSpec.nonEmpty && w.windowExpressions.nonEmpty &&
+          w.windowExpressions.forall(rescuablePartitioned) &&
+          SQLConf.get.getConfString(ConfKey, "true").toBoolean =>
+      val funcs = w.windowExpressions.map(e => (funcOf(e).get, e.toAttribute))
+      GlobalRowNumberExec(w.partitionSpec, w.orderSpec, funcs,
+        planLater(w.child)) :: Nil
     case _ => Nil
   }
 }
@@ -95,34 +125,50 @@ object GlobalRowNumberExec {
   case object PercentRankF extends RankFunc
   case object CumeDistF extends RankFunc
   case class NTileF(buckets: Int) extends RankFunc
+
+  /** Per-task edge summary for the group chain: first/last partition-key
+    * groups and the LAST group's (row count, tie-run count). With no
+    * partition spec every task is one group and the chain walk
+    * degenerates to the classic prefix sums. */
+  private[plans] case class RankEdge(
+      firstGroup: Option[UnsafeRow], lastGroup: Option[UnsafeRow],
+      cntLast: Long, distLast: Long)
 }
 
-/** Physical two-pass global ranking: range-shuffled, sorted input
-  * (demanded via requiredChildDistribution/Ordering) + one per-partition
-  * stats job over the materialized shuffle (row count + distinct key
-  * count), then offsets added partition-locally — never a single-task
-  * stage. Produces values identical to WindowExec's: row_number/ntile
-  * on any tie-free total order (ties land arbitrarily in either plan —
+/** Physical two-pass ranking: range-shuffled, sorted input (demanded
+  * via requiredChildDistribution/Ordering) + one per-partition stats
+  * job over the materialized shuffle (edge-group row/run counts), then
+  * offsets added partition-locally, counters reset at key-group
+  * boundaries — never a single-task stage, never a per-key task.
+  * Produces values identical to WindowExec's: row_number/ntile on any
+  * tie-free total order (ties land arbitrarily in either plan —
   * distributed sorts never promise tie order); rank/dense_rank/
   * percent_rank/cume_dist on ANY order, because tied rows share their
   * (deterministic) value. */
-case class GlobalRowNumberExec(order: Seq[SortOrder],
+case class GlobalRowNumberExec(partition: Seq[Expression],
+                               order: Seq[SortOrder],
                                funcs: Seq[(GlobalRowNumberExec.RankFunc, Attribute)],
                                child: SparkPlan) extends UnaryExecNode {
   import GlobalRowNumberExec._
 
   override def output: Seq[Attribute] = child.output ++ funcs.map(_._2)
 
+  private def partOrders: Seq[SortOrder] =
+    partition.map(e => SortOrder(e, Ascending))
+
   override def requiredChildDistribution: Seq[Distribution] =
-    OrderedDistribution(order) :: Nil
-  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
-  override def outputOrdering: Seq[SortOrder] = order
+    OrderedDistribution(partOrders ++ order) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(partOrders ++ order)
+  override def outputOrdering: Seq[SortOrder] = partOrders ++ order
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val resultAttrs = output
     val keyExprs = order.map(_.child)
+    val partExprs = partition
+    val keyGuard = partExprs.nonEmpty
     val modes = funcs.map(_._1).toArray
     // row_number/ntile need only counts; the others need tie runs
     val needKeys = modes.exists {
@@ -132,87 +178,137 @@ case class GlobalRowNumberExec(order: Seq[SortOrder],
     val needLookahead = modes.contains(CumeDistF)
     val rdd = child.execute()
 
-    // pass 1: per-partition (rows, distinct sort keys). The child is the
-    // materialized range exchange, so this job reads shuffle files, not
-    // the upstream lineage — the zipWithIndex cost model.
-    val stats: Array[(Long, Long)] = rdd.sparkContext.runJob(rdd,
+    // pass 1: per-partition edge summary — the LAST group's (rows,
+    // distinct sort keys) plus the first/last group keys. The child is
+    // the materialized range exchange, so this job reads shuffle files,
+    // not the upstream lineage — the zipWithIndex cost model. With no
+    // partition spec the whole task is one group (classic prefix sums).
+    val stats: Array[RankEdge] = rdd.sparkContext.runJob(rdd,
       (iter: Iterator[InternalRow]) => {
+        val groupProj = UnsafeProjection.create(partExprs, childOutput)
+        var firstG: UnsafeRow = null
+        var curG: UnsafeRow = null
         var cnt = 0L
         var dist = 0L
-        if (needKeys) {
-          val proj = UnsafeProjection.create(keyExprs, childOutput)
-          val sameRun = KeyRunEquality.create(keyExprs.map(_.dataType))
-          var prev: UnsafeRow = null
-          while (iter.hasNext) {
-            val k = proj(iter.next())
-            if (prev == null || !sameRun(k, prev)) { dist += 1; prev = k.copy() }
-            cnt += 1
+        val proj =
+          if (needKeys) UnsafeProjection.create(keyExprs, childOutput) else null
+        val sameRun =
+          if (needKeys) KeyRunEquality.create(keyExprs.map(_.dataType)) else null
+        var prev: UnsafeRow = null
+        while (iter.hasNext) {
+          val row = iter.next()
+          val g = groupProj(row)
+          if (curG == null) { curG = g.copy(); firstG = curG }
+          else if (keyGuard && !g.equals(curG)) {
+            curG = g.copy(); cnt = 0L; dist = 0L; prev = null
           }
-        } else {
-          while (iter.hasNext) { iter.next(); cnt += 1 }
+          if (needKeys) {
+            val k = proj(row)
+            if (prev == null || !sameRun(k, prev)) { dist += 1; prev = k.copy() }
+          }
+          cnt += 1
         }
-        (cnt, dist)
+        RankEdge(Option(firstG), Option(curG), cnt, dist)
       })
-    val rowOffsets = stats.map(_._1).scanLeft(0L)(_ + _)
-    val distOffsets = stats.map(_._2).scanLeft(0L)(_ + _)
-    val totalRows = rowOffsets.last
+    val nParts = stats.length
+
+    // driver chain walk: task p's seed counters are the carried totals
+    // of its first group exactly when that group CONTINUES the chain
+    // (group contiguity under the sort makes edge equality the only
+    // test); empty tasks carry through. Global mode = one group
+    // everywhere = the classic prefix sums.
+    val seedRows = new Array[Long](nParts)
+    val seedRuns = new Array[Long](nParts)
+    locally {
+      var chainG: UnsafeRow = null
+      var carryRows = 0L
+      var carryRuns = 0L
+      var p = 0
+      while (p < nParts) {
+        val e = stats(p)
+        val continues = chainG != null && e.firstGroup.exists(_.equals(chainG))
+        seedRows(p) = if (continues) carryRows else 0L
+        seedRuns(p) = if (continues) carryRuns else 0L
+        e.firstGroup match {
+          case Some(fg) =>
+            val singleGroup = e.lastGroup.exists(_.equals(fg))
+            if (continues && singleGroup) {
+              carryRows += e.cntLast; carryRuns += e.distLast
+            } else {
+              carryRows = e.cntLast; carryRuns = e.distLast
+            }
+            chainG = e.lastGroup.orNull
+          case None => () // empty task: the chain passes through
+        }
+        p += 1
+      }
+    }
+    val firstGroups: Array[UnsafeRow] = stats.map(_.firstGroup.orNull)
+    // N for percent_rank/cume_dist/ntile — global mode only (the
+    // strategy declines those per key), where cntLast is the full count
+    val totalRows = stats.map(_.cntLast).sum
 
     // int-typed ranks (row_number/rank/dense_rank/ntile are IntegerType,
     // as in WindowExec) cannot express positions past 2^31. The built-in
-    // silently wraps; mid-task toIntExact would fail deep into pass 2.
-    // The stats pass already knows N — refuse HERE, at the driver,
-    // before any output work starts.
+    // silently wraps; for GLOBAL ranks the stats pass already knows N —
+    // refuse HERE, at the driver, before any output work starts. Per-key
+    // ranks are bounded by the largest group, which no bounded stats can
+    // see — there the per-row toIntExact still fails loudly, mid-task.
     val intRanked = modes.exists {
       case RowNumF | RankF | DenseRankF | _: NTileF => true
       case _ => false
     }
-    if (intRanked && totalRows > Int.MaxValue)
+    if (!keyGuard && intRanked && totalRows > Int.MaxValue)
       throw new org.apache.spark.SparkException(
         s"global ranking over $totalRows rows exceeds the IntegerType range " +
           "of row_number/rank/dense_rank/ntile (2^31-1, same type as " +
           "WindowExec, which silently wraps). Pre-aggregate or filter " +
           "before ranking, or window by a partition key.")
 
-    // pass 2: assign values partition-locally from the prefix offsets
+    // pass 2: assign values partition-locally — counters seeded with the
+    // chain carry, reset at every group boundary
     rdd.mapPartitionsWithIndex { (pid, iter) =>
-      val rowOffset = rowOffsets(pid)
-      val distOffset = distOffsets(pid)
       val joined = new JoinedRow
       val rankRow = new GenericInternalRow(modes.length)
       val proj = UnsafeProjection.create(resultAttrs, resultAttrs)
+      val groupProj = UnsafeProjection.create(partExprs, childOutput)
       val keyProj =
         if (needKeys) UnsafeProjection.create(keyExprs, childOutput) else null
       val sameRun =
         if (needKeys) KeyRunEquality.create(keyExprs.map(_.dataType)) else null
-      var localDense = 0L // distinct keys seen so far in the partition
+      // idx within the current group (absolute for global mode), runs so
+      // far (inclusive), and the current run's start index
+      var cnt = seedRows(pid)
+      var dense = seedRuns(pid)
+      var curG: UnsafeRow = firstGroups(pid)
+      var prevRun: UnsafeRow = null
 
-      // emits one row given its local position, tie-run bounds and the
-      // current dense counter; ranking outputs are IntegerType (as in
-      // WindowExec) — past 2^31 rows the built-in silently wraps, fail
-      // loudly instead. percent_rank/cume_dist are DoubleType.
-      def emit(row: InternalRow, localIdx: Long, runStart: Long,
-               runEnd: Long): InternalRow = {
+      // emits one row given its index, tie-run bounds and run counter —
+      // all relative to the current key group (= global in global mode).
+      // Ranking outputs are IntegerType (as in WindowExec) — past 2^31
+      // the built-in silently wraps, fail loudly instead.
+      // percent_rank/cume_dist are DoubleType.
+      def emit(row: InternalRow, idx: Long, runStart: Long,
+               runEnd: Long, runs: Long): InternalRow = {
         var i = 0
         while (i < modes.length) {
           modes(i) match {
             case RowNumF =>
-              rankRow.setInt(i, Math.toIntExact(rowOffset + localIdx + 1))
+              rankRow.setInt(i, Math.toIntExact(idx + 1))
             case RankF =>
-              rankRow.setInt(i, Math.toIntExact(rowOffset + runStart + 1))
+              rankRow.setInt(i, Math.toIntExact(runStart + 1))
             case DenseRankF =>
-              rankRow.setInt(i, Math.toIntExact(distOffset + localDense))
+              rankRow.setInt(i, Math.toIntExact(runs))
             case PercentRankF =>
-              val r = rowOffset + runStart + 1
+              val r = runStart + 1
               rankRow.setDouble(i,
                 if (totalRows > 1) (r - 1).toDouble / (totalRows - 1).toDouble
                 else 0.0)
             case CumeDistF =>
-              rankRow.setDouble(i,
-                (rowOffset + runEnd + 1).toDouble / totalRows.toDouble)
+              rankRow.setDouble(i, (runEnd + 1).toDouble / totalRows.toDouble)
             case NTileF(k) =>
               // WindowExec's bucketing: first (N % k) buckets take one
               // extra row
-              val idx = rowOffset + localIdx
               val bucketSize = totalRows / k
               val padded = totalRows % k
               val threshold = padded * (bucketSize + 1)
@@ -226,63 +322,71 @@ case class GlobalRowNumberExec(order: Seq[SortOrder],
         proj(joined(row, rankRow))
       }
 
-      if (!needKeys) {
-        var localIdx = -1L
+      // group boundary: reset every per-group counter
+      def groupCheck(row: InternalRow): Unit = if (keyGuard) {
+        val g = groupProj(row)
+        if (curG == null || !g.equals(curG)) {
+          curG = g.copy(); cnt = 0L; dense = 0L; prevRun = null
+        }
+      }
+
+      if (!needKeys && !keyGuard) {
         iter.map { row =>
-          localIdx += 1
-          emit(row, localIdx, localIdx, localIdx)
+          val out = emit(row, cnt, cnt, cnt, dense)
+          cnt += 1
+          out
         }
       } else if (!needLookahead) {
         // streaming: a row's value depends only on its run START
-        var localIdx = 0L
         var runStart = 0L
-        var prev: UnsafeRow = null
         iter.map { row =>
-          val k = keyProj(row)
-          if (prev == null || !sameRun(k, prev)) {
-            localDense += 1; runStart = localIdx; prev = k.copy()
+          groupCheck(row)
+          if (needKeys) {
+            val k = keyProj(row)
+            if (prevRun == null || !sameRun(k, prevRun)) {
+              dense += 1; runStart = cnt; prevRun = k.copy()
+            }
           }
-          val out = emit(row, localIdx, runStart, localIdx)
-          localIdx += 1
+          val out = emit(row, cnt, runStart, cnt, dense)
+          cnt += 1
           out
         }
       } else {
-        // cume_dist needs the run END: buffer one tie run at a time
-        // (rows must be copied — the scan iterator reuses its row).
-        // Memory is bounded by the largest tie class, the same
+        // cume_dist (global only) needs the run END: buffer one tie run
+        // at a time (rows must be copied — the scan iterator reuses its
+        // row). Memory is bounded by the largest tie class, the same
         // granularity WindowExec buffers at, but per-partition.
         new Iterator[InternalRow] {
           private val buf = new scala.collection.mutable.ArrayBuffer[InternalRow]
           private var bufPos = 0
           private var runStart = 0L
-          private var nextKeyRow: InternalRow = _ // first row of the NEXT run
-          private var consumed = 0L               // rows handed to emit so far
 
           private def fillRun(): Unit = {
             buf.clear(); bufPos = 0
-            if (nextKeyRow != null) { buf += nextKeyRow; nextKeyRow = null }
+            if (pendingNext != null) { buf += pendingNext; pendingNext = null }
             else if (iter.hasNext) buf += iter.next().copy()
             else return
-            runStart = consumed
-            localDense += 1
+            runStart = cnt
+            dense += 1
             val runKey = keyProj(buf.head).copy()
             var done = false
             while (!done && iter.hasNext) {
               val r = iter.next().copy()
               if (sameRun(keyProj(r), runKey)) buf += r
-              else { nextKeyRow = r; done = true }
+              else { pendingNext = r; done = true }
             }
           }
+          private var pendingNext: InternalRow = _
 
           override def hasNext: Boolean =
-            bufPos < buf.length || nextKeyRow != null || iter.hasNext
+            bufPos < buf.length || pendingNext != null || iter.hasNext
 
           override def next(): InternalRow = {
             if (bufPos >= buf.length) fillRun()
             val row = buf(bufPos)
-            val out = emit(row, consumed, runStart, runStart + buf.length - 1)
+            val out = emit(row, cnt, runStart, runStart + buf.length - 1, dense)
             bufPos += 1
-            consumed += 1
+            cnt += 1
             out
           }
         }

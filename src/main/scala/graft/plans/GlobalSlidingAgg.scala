@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, CurrentRow, Expression, GenericInternalRow, JoinedRow, Literal, MutableProjection, NamedExpression, RowFrame, SortOrder, SpecificInternalRow, SpecifiedWindowFrame, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, CurrentRow, Expression, GenericInternalRow, JoinedRow, Literal, MutableProjection, NamedExpression, RowFrame, SortOrder, SpecificInternalRow, SpecifiedWindowFrame, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, DeclarativeAggregate, First, Last}
 import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -43,6 +43,16 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * are NOT matched: they can be empty, which needs per-function
   * empty-frame null semantics — rare enough to leave to the built-in.
   *
+  * PARTITIONED sliding frames — the per-key moving average, `AVG(x)
+  * OVER (PARTITION BY user ORDER BY ts ROWS k PRECEDING)` — ride the
+  * same machinery over a range exchange on (partition keys ⧺ order
+  * key): a key's rows are contiguous under that sort, so the per-key
+  * frame is the global frame CLIPPED at the key boundary, and the clip
+  * is one byte-equality per fold row (trailing rows of a foreign key
+  * are skipped, lookahead stops at the first foreign key). A hot key
+  * spans tasks instead of pinning one; frames containing the current
+  * row can still never be empty per key.
+  *
   * Opt-out: shares `spark.graft.globalRowNumber.enabled`.
   */
 object GlobalSlidingAggStrategy extends SparkStrategy {
@@ -77,11 +87,11 @@ object GlobalSlidingAggStrategy extends SparkStrategy {
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case w: logical.Window
-        if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
+        if w.partitionSpec.forall(_.deterministic) && w.orderSpec.nonEmpty &&
           w.windowExpressions.nonEmpty &&
           w.windowExpressions.forall(funcOf(_).isDefined) &&
           SQLConf.get.getConfString(GlobalRowNumberStrategy.ConfKey, "true").toBoolean =>
-      GlobalSlidingAggExec(w.orderSpec,
+      GlobalSlidingAggExec(w.partitionSpec, w.orderSpec,
         w.windowExpressions.map(funcOf(_).get), planLater(w.child)) :: Nil
     case _ => Nil
   }
@@ -98,21 +108,28 @@ object GlobalSlidingAggExec {
   * sorted input + the boundary job of [[GlobalOffsetWindowExec]]
   * (per-partition heads and tails, driver stitch), then per-row frame
   * folds over a trailing ring and a lookahead queue. */
-case class GlobalSlidingAggExec(order: Seq[SortOrder],
+case class GlobalSlidingAggExec(partition: Seq[Expression],
+                                order: Seq[SortOrder],
                                 funcs: Seq[GlobalSlidingAggExec.SlidingAgg],
                                 child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output ++ funcs.map(_.attr)
 
+  private def partOrders: Seq[SortOrder] =
+    partition.map(e => SortOrder(e, Ascending))
+
   override def requiredChildDistribution: Seq[Distribution] =
-    OrderedDistribution(order) :: Nil
-  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
-  override def outputOrdering: Seq[SortOrder] = order
+    OrderedDistribution(partOrders ++ order) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(partOrders ++ order)
+  override def outputOrdering: Seq[SortOrder] = partOrders ++ order
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val resultAttrs = output
+    val partExprs = partition
+    val keyGuard = partExprs.nonEmpty
     val funcsLocal = funcs.toArray
     val maxK = funcsLocal.map(_.k).max // deepest lookbehind
     val maxJ = funcsLocal.map(_.j).max // deepest lookahead
@@ -189,6 +206,12 @@ case class GlobalSlidingAggExec(order: Seq[SortOrder],
       val joinOut = new JoinedRow
       val valueRow = new GenericInternalRow(funcsLocal.length)
       val outProj = UnsafeProjection.create(resultAttrs, resultAttrs)
+      // TWO projection instances (separate buffers) so the current row's
+      // key and a fold candidate's key compare without copying; window
+      // partition keys are float-normalized upstream, byte equality is
+      // exact
+      val rowKeyProj = UnsafeProjection.create(partExprs, childOutput)
+      val neighKeyProj = UnsafeProjection.create(partExprs, childOutput)
 
       // trailing ring of up to maxK predecessor rows (stitched + own,
       // copies — the scan iterator reuses its row); lookahead queue of
@@ -209,19 +232,35 @@ case class GlobalSlidingAggExec(order: Seq[SortOrder],
           while (leadBuf.length < maxJ + 1 && source.hasNext)
             leadBuf += source.next()
           val row = leadBuf.head
+          val rowKey = if (keyGuard) rowKeyProj(row) else null
+          // per-key clip: a key's rows are contiguous, so same-key rows
+          // form a SUFFIX of the trailing ring and a PREFIX of the
+          // lookahead queue — the first same-key trailing index and the
+          // first foreign lookahead index bound every function's fold
+          var clipStart = 0
+          var clipEnd = leadBuf.length
+          if (keyGuard) {
+            clipStart = lagBuf.length
+            while (clipStart > 0 &&
+              neighKeyProj(lagBuf(clipStart - 1)).equals(rowKey)) clipStart -= 1
+            var e = 1 // leadBuf(0) is the current row
+            while (e < leadBuf.length &&
+              neighKeyProj(leadBuf(e)).equals(rowKey)) e += 1
+            clipEnd = e
+          }
           var i = 0
           while (i < funcsLocal.length) {
             inits(i)(InternalRow.empty)
             // left-to-right fold over the last k_i trailing rows, the
             // current row, then the next j_i lookahead rows — the same
-            // association WindowExec uses
-            var p = math.max(0, lagBuf.length - funcsLocal(i).k)
+            // association WindowExec uses — clipped at the key boundary
+            var p = math.max(clipStart, lagBuf.length - funcsLocal(i).k)
             while (p < lagBuf.length) {
               updates(i)(joinBI(buffers(i), lagBuf(p)))
               p += 1
             }
             var q = 0
-            val qEnd = math.min(leadBuf.length, funcsLocal(i).j + 1)
+            val qEnd = math.min(clipEnd, funcsLocal(i).j + 1)
             while (q < qEnd) {
               updates(i)(joinBI(buffers(i), leadBuf(q)))
               q += 1

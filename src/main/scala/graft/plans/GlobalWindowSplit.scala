@@ -68,9 +68,11 @@ object GlobalWindowSplit extends Rule[LogicalPlan] {
   private def partitionedCategoryOf(w: logical.Window, e: NamedExpression): Int = {
     val ordered = w.orderSpec.nonEmpty
     val tests: Seq[Boolean] = Seq(
+      ordered && GlobalRowNumberStrategy.rescuablePartitioned(e),
       ordered && GlobalOffsetWindowStrategy.rescuable(e),
       ordered && GlobalRunningAggStrategy.rescuableRunning(e),
       ordered && GlobalRunningAggStrategy.rescuableSuffix(e),
+      ordered && GlobalSlidingAggStrategy.rescuable(e),
       GlobalRangeFrameStrategy.orderRescuable(w) && GlobalRangeFrameStrategy.rescuable(e))
     tests.indexWhere(identity)
   }

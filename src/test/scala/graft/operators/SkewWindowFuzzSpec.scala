@@ -58,7 +58,7 @@ class SkewWindowFuzzSpec extends SparkSuite {
       val df = randomDf()
       val w = Window.partitionBy("k").orderBy("id")
       val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      rnd.nextInt(8) match {
+      rnd.nextInt(10) match {
         case 0 =>
           val got = SkewWindow.runningExact(df, Seq("k"), Seq("id"), col("v"))
             .select("k", "id", "run_sum", "run_n", "run_rn")
@@ -169,6 +169,45 @@ class SkewWindowFuzzSpec extends SparkSuite {
           val expected = withConf(
             graft.plans.GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
           assert(got == expected, s"per-key lag/lead($off) diverged (round $round)")
+        case 8 =>
+          // per-key row_number/rank/dense_rank via plain window SQL:
+          // group-chain seeded counters over the (key, order) range
+          // exchange; rank/dense on a TIES order (v) — peers must share
+          val wv = Window.partitionBy("k").orderBy("v")
+          val out = df
+            .withColumn("rn", row_number().over(w))
+            .withColumn("rnk", rank().over(wv))
+            .withColumn("drnk", dense_rank().over(wv))
+            .select("k", "v", "id", "rn", "rnk", "drnk")
+          val p = out.queryExecution.executedPlan.toString
+          assert(p.contains("GlobalRowNumber"),
+            s"round $round: per-key ranking escaped the rescue:\n$p")
+          assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+            s"round $round: built-in WindowExec survived:\n$p")
+          val got = snap(out)
+          val expected = withConf(
+            graft.plans.GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
+          assert(got == expected, s"per-key ranking diverged (round $round)")
+        case 9 =>
+          // per-key SLIDING frame via plain window SQL: the global
+          // frame clipped at the key boundary (byte-equality per fold
+          // row); random bounds containing the current row
+          val kp = 1 + rnd.nextInt(8); val jf = rnd.nextInt(5)
+          val ws = w.rowsBetween(-kp, jf)
+          val out = df
+            .withColumn("ms", sum("v").over(ws))
+            .withColumn("mn", min("v").over(ws))
+            .withColumn("mc", count(lit(1)).over(ws))
+            .select("k", "v", "id", "ms", "mn", "mc")
+          val p = out.queryExecution.executedPlan.toString
+          assert(p.contains("GlobalSlidingAgg"),
+            s"round $round: per-key sliding frame escaped the rescue:\n$p")
+          assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+            s"round $round: built-in WindowExec survived:\n$p")
+          val got = snap(out)
+          val expected = withConf(
+            graft.plans.GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
+          assert(got == expected, s"per-key sliding($kp,$jf) diverged (round $round)")
       }
     }
   }

@@ -37,9 +37,28 @@ class GlobalRowNumberSpec extends SparkSuite {
         .queryExecution.executedPlan.toString
       assert(p.contains("Window "), s"disabled flag must restore WindowExec:\n$p")
     }
+    // per-key row_number/rank/dense_rank now ride the group-chain exec
+    // over a (key, order) range exchange; percent_rank/cume_dist/ntile
+    // per key need the GROUP total and stay with the built-in
     val partitioned = df.withColumn("rn",
-      row_number().over(Window.partitionBy(col("k") % 10).orderBy("id")))
-    assert(!partitioned.queryExecution.executedPlan.toString.contains("GlobalRowNumber"))
+        row_number().over(Window.partitionBy(col("k") % 10).orderBy("id")))
+      .withColumn("rk", // ties on id % 7: peers must share their rank
+        rank().over(Window.partitionBy(col("k") % 10).orderBy(col("id") % 7)))
+    val pp = partitioned.queryExecution.executedPlan.toString
+    assert(pp.contains("GlobalRowNumber"), s"per-key ranks must rescue:\n$pp")
+    def snap(d: org.apache.spark.sql.DataFrame) = d
+      .collect().map(r => (0 until r.length).map(j =>
+        Option(r.get(j)).map(_.toString).getOrElse("null")).mkString("|"))
+      .sorted.toSeq
+    // row_number ties: restrict the compare to the deterministic rank
+    val cmp = partitioned.select("k", "id", "rk")
+    val got = snap(cmp)
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(cmp) }
+    assert(got == expected, "per-key ranks must match the built-in")
+    val ntilePart = df.withColumn("nt",
+      ntile(3).over(Window.partitionBy(col("k") % 10).orderBy("id")))
+    assert(!ntilePart.queryExecution.executedPlan.toString.contains("GlobalRowNumber"),
+      "per-key ntile needs the group total — left to the built-in")
     // a mixed rank+lag node no longer opts the node out: GlobalWindowSplit
     // separates the families so each plans its own rescue exec
     val mixed = df.withColumn("r", rank().over(Window.orderBy("k")))

@@ -99,15 +99,27 @@ class GlobalSlidingAggSpec extends SparkSuite {
     assert(out == expected)
   }
 
-  test("falls back for current-row-excluding and partitioned frames") {
+  test("falls back for current-row-excluding frames; partitioned frames rescue") {
     val w = Window.orderBy("k", "id")
     // a 5 PRECEDING .. 2 PRECEDING frame can be EMPTY near the table
     // start — empty-frame null semantics are left to the built-in
     val excl = df.withColumn("ms", sum("v").over(w.rowsBetween(-5, -2)))
     assert(!excl.queryExecution.executedPlan.toString.contains("GlobalSlidingAgg"))
+    // per-key sliding frames now rescue: the global frame clipped at
+    // the key boundary over a (key, order) range exchange
     val part = df.withColumn("ms", sum("v").over(
-      Window.partitionBy(col("k") % 10).orderBy("id")
-        .rowsBetween(-2, Window.currentRow)))
-    assert(!part.queryExecution.executedPlan.toString.contains("GlobalSlidingAgg"))
+        Window.partitionBy(col("k") % 10).orderBy("id")
+          .rowsBetween(-2, Window.currentRow)))
+      .withColumn("mm", min("v").over(
+        Window.partitionBy(col("k") % 10).orderBy("id").rowsBetween(-3, 1)))
+    val pp = part.queryExecution.executedPlan.toString
+    assert(pp.contains("GlobalSlidingAgg"), s"per-key sliding must rescue:\n$pp")
+    def snap(d: org.apache.spark.sql.DataFrame) = d
+      .collect().map(r => (0 until r.length).map(j =>
+        Option(r.get(j)).map(_.toString).getOrElse("null")).mkString("|"))
+      .sorted.toSeq
+    val got = snap(part)
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(part) }
+    assert(got == expected, "per-key sliding frames must match the built-in")
   }
 }

@@ -80,11 +80,28 @@ class GlobalWindowSplitSpec extends SparkSuite {
     assert(one.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }.length == 1)
-    // partitioned mixed node: already parallel, not ours
+    // partitioned mixed node where EVERY family is partition-capable:
+    // split, so each group reaches its rescue over ONE shared exchange
     val part = tied.selectExpr("id",
       "SUM(v) OVER (PARTITION BY k ORDER BY id) AS s",
       "rank() OVER (PARTITION BY k ORDER BY id) AS r")
-    val wp = part.queryExecution.optimizedPlan.collect {
+    val pp = part.queryExecution.executedPlan.toString
+    assert(pp.contains("GlobalRunningAgg") && pp.contains("GlobalRowNumber"),
+      s"partition-capable mixed node must split into both rescues:\n$pp")
+    def snap(d: org.apache.spark.sql.DataFrame) = d
+      .collect().map(r => (0 until r.length).map(j =>
+        Option(r.get(j)).map(_.toString).getOrElse("null")).mkString("|"))
+      .sorted.toSeq
+    val gotP = snap(part)
+    val expP = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(part) }
+    assert(gotP == expP)
+    // partitioned mixed node with a NON-capable family (per-key ntile
+    // needs the group total): left whole — a partial split would pay
+    // two exchanges and still keep the hot-key wall
+    val mixedPart = tied.selectExpr("id",
+      "SUM(v) OVER (PARTITION BY k ORDER BY id) AS s",
+      "ntile(3) OVER (PARTITION BY k ORDER BY id) AS nt")
+    val wp = mixedPart.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
     assert(wp.length == 1 && wp.head.windowExpressions.length == 2)
