@@ -1422,6 +1422,47 @@ object PipelineQueries {
                ORDER BY user_id, ts_us, event_id""")
     }),
 
+    // SKEW-SAFE TOP-N-PER-KEY — *the* dedup/latest-version primitive
+    // (keep each user's 3 earliest events), plus per-key rank /
+    // dense_rank on a TIES column. Plain window SQL: the two specs
+    // (tie-free arrival order; value order with peers) become two
+    // Window nodes, and GlobalRowNumberStrategy claims BOTH — each is
+    // a range exchange over (user, order) with counters reset at key
+    // boundaries and each task's first key seeded from the driver's
+    // edge-group chain, so a hot user spans tasks instead of pinning
+    // one. No SkewWindow API call anywhere: existing SQL gets this.
+    "q_skew_topn" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""SELECT event_id, user_id, value, rn, rnk, drnk FROM (
+                 SELECT event_id, user_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts_us, event_id) AS rn,
+                   rank() OVER (PARTITION BY user_id ORDER BY value) AS rnk,
+                   dense_rank() OVER (PARTITION BY user_id ORDER BY value) AS drnk
+                 FROM events_v) t
+               WHERE rn <= 3
+               ORDER BY user_id, rn""")
+    }),
+
+    // SKEW-SAFE PER-KEY CENTERED ROWS FRAME — smoothing with lookahead
+    // (`ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING` per user), plain
+    // window SQL. GlobalSlidingAggStrategy claims the partitioned node:
+    // same-key rows are contiguous under the (user, ts) range exchange,
+    // so each fold just CLIPS the global ring/lookahead at the key
+    // boundary (one byte-equality per fold row). Exact DECIMAL sum
+    // inside, double at the boundary; min/count ride the same pass.
+    "q_skew_centered" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""SELECT event_id, user_id,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS c_sum,
+                 MIN(value) OVER w AS c_min,
+                 COUNT(*) OVER w AS c_n
+               FROM events_v
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING)
+               ORDER BY user_id, ts_us, event_id""")
+    }),
+
     // TIME-SERIES RESAMPLE + GAP FILL — the canonical downstream of a
     // monotonic-key event store (the reference's workload, README:10-12):
     // hourly rollup, a dense hour grid from ONE bounds row (explode
@@ -2515,6 +2556,27 @@ object PipelineQueries {
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           ORDER BY user_id, epoch_us(ts), event_id""",
+
+      "q_skew_topn" ->
+        """SELECT event_id, user_id, value, rn, rnk, drnk FROM (
+             SELECT event_id, user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS rn,
+               rank() OVER (PARTITION BY user_id ORDER BY value) AS rnk,
+               dense_rank() OVER (PARTITION BY user_id ORDER BY value) AS drnk
+             FROM events) t
+           WHERE rn <= 3
+           ORDER BY user_id, rn""",
+
+      "q_skew_centered" ->
+        """SELECT event_id, user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS c_sum,
+             MIN(value) OVER w AS c_min,
+             COUNT(*) OVER w AS c_n
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING)
            ORDER BY user_id, epoch_us(ts), event_id""",
 
       "q_resample_locf" ->

@@ -204,6 +204,26 @@ class PlanShapeSpec extends SparkSuite {
       s"a hash exchange on user_id would pin a hot user to one task:\n$p")
   }
 
+  test("skew-safe top-N-per-key: both ranking specs rescued, no WindowExec") {
+    val p = plan("q_skew_topn")
+    assert("GlobalRowNumber".r.findAllIn(p).length >= 2,
+      s"BOTH per-key ranking specs (arrival rn; value rank) must rescue:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"no built-in WindowExec may appear:\n$p")
+    assert(!p.contains("hashpartitioning(user_id"),
+      s"a hash exchange on user_id would pin a hot user to one task:\n$p")
+  }
+
+  test("skew-safe per-key centered ROWS frame: sliding exec, no WindowExec") {
+    val p = plan("q_skew_centered")
+    assert(p.contains("GlobalSlidingAgg"),
+      s"the per-key centered frame must ride the sliding exec:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"no built-in WindowExec may appear:\n$p")
+    assert(!p.contains("hashpartitioning(user_id"),
+      s"a hash exchange on user_id would pin a hot user to one task:\n$p")
+  }
+
   test("resample/LOCF: gap-fill window plans the prefix-scan exec") {
     val p = plan("q_resample_locf")
     assert(p.contains("GlobalRunningAgg"),
