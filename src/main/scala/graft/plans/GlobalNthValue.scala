@@ -96,13 +96,29 @@ object GlobalNthValueStrategy extends SparkStrategy {
   /** Per-expression categorizer for [[GlobalWindowSplit]]. */
   private[plans] def rescuable(e: NamedExpression): Boolean = funcOf(e).isDefined
 
+  /** The PARTITION BY-rescuable subset: prefix frames only. Per key,
+    * the n-th value is no longer one driver constant but a per-group
+    * head — streamable for prefix frames (the n-th value is always
+    * BEHIND the first eligible row), not for whole-table frames (the
+    * value and the group total may lie in LATER tasks); those keep the
+    * built-in. */
+  private[plans] def rescuablePartitioned(e: NamedExpression): Boolean =
+    funcOf(e).exists(f => !f.isFull && !f.fromEnd)
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case w: logical.Window
         if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
           w.windowExpressions.nonEmpty &&
           w.windowExpressions.forall(funcOf(_).isDefined) &&
           SQLConf.get.getConfString(GlobalRowNumberStrategy.ConfKey, "true").toBoolean =>
-      GlobalNthValueExec(w.orderSpec,
+      GlobalNthValueExec(Nil, w.orderSpec,
+        w.windowExpressions.map(funcOf(_).get), planLater(w.child)) :: Nil
+    case w: logical.Window
+        if w.partitionSpec.nonEmpty && w.partitionSpec.forall(_.deterministic) &&
+          w.orderSpec.nonEmpty && w.windowExpressions.nonEmpty &&
+          w.windowExpressions.forall(rescuablePartitioned) &&
+          SQLConf.get.getConfString(GlobalRowNumberStrategy.ConfKey, "true").toBoolean =>
+      GlobalNthValueExec(w.partitionSpec, w.orderSpec,
         w.windowExpressions.map(funcOf(_).get), planLater(w.child)) :: Nil
     case _ => Nil
   }
@@ -114,24 +130,271 @@ object GlobalNthValueExec {
   case class NthF(input: Expression, n: Int, ignoreNulls: Boolean,
                   isRange: Boolean, isFull: Boolean, attr: Attribute,
                   fromEnd: Boolean = false)
+
+  /** Per-task edge-group stats for the partitioned path: first/last
+    * group keys; per function, each edge group's slice (rows,
+    * non-nulls, first ≤n counting candidates). Top-level (not method-
+    * local) so the serialized task result carries no $outer. */
+  private[plans] case class Edge(
+      firstG: UnsafeRow, lastG: UnsafeRow,
+      rowsFirst: Long, nnFirst: Array[Long],
+      candFirst: Array[Array[UnsafeRow]],
+      rowsLast: Long, nnLast: Array[Long],
+      candLast: Array[Array[UnsafeRow]])
 }
 
 /** Physical distributed nth_value: stats pass (row/non-null counts +
   * bounded per-partition heads), driver lookup of the ONE value each
-  * function ever emits, then a narrow eligibility pass. */
-case class GlobalNthValueExec(order: Seq[SortOrder],
+  * function ever emits, then a narrow eligibility pass. PARTITIONED
+  * (prefix frames only): the n-th value becomes a per-group HEAD,
+  * streamed — each task's first group is seeded with the driver-walked
+  * chain of predecessor edge-slice candidates (bounded by n per
+  * function per task), interior groups collect their own. */
+case class GlobalNthValueExec(partition: Seq[Expression],
+                              order: Seq[SortOrder],
                               funcs: Seq[GlobalNthValueExec.NthF],
                               child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output ++ funcs.map(_.attr)
 
+  private def partOrders: Seq[SortOrder] =
+    partition.map(e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending))
+
   override def requiredChildDistribution: Seq[Distribution] =
-    OrderedDistribution(order) :: Nil
-  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
-  override def outputOrdering: Seq[SortOrder] = order
+    OrderedDistribution(partOrders ++ order) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(partOrders ++ order)
+  override def outputOrdering: Seq[SortOrder] = partOrders ++ order
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
+  /** Per-key path: one stats job ships each task's edge-group slice
+    * candidates (first ≤ n counting values of the FIRST and LAST key
+    * group, with row/non-null slice counts); the driver walks the task
+    * chain accumulating each first group's seed (candidates + counts);
+    * pass 2 streams — per group, the head fills from the seed then
+    * from local rows, and a row's value is head(n-1) once its reach
+    * (group-relative row index / tie-run end / non-null count) hits n.
+    * RANGE functions buffer one tie run (runs never span tasks OR
+    * groups: the range exchange keys on the FULL (key ⧺ order) tuple). */
+  private def doExecutePartitioned(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val resultAttrs = output
+    val partExprs = partition
+    val funcsLocal = funcs.toArray
+    val nF = funcsLocal.length
+    val keyExprs = order.map(_.child)
+    val anyRange = funcsLocal.exists(_.isRange)
+    val rdd = child.execute()
+
+    // edge stats: first/last group keys; per function, the last group's
+    // slice (rows, non-nulls, first ≤n counting candidates) and the
+    // first group's the same — the only slices neighbors can see
+    import GlobalNthValueExec.Edge
+    val stats: Array[Edge] =
+      rdd.sparkContext.runJob(rdd, (iter: Iterator[InternalRow]) => {
+        val groupProj = UnsafeProjection.create(partExprs, childOutput)
+        val projs = funcsLocal.map(f =>
+          UnsafeProjection.create(Seq(f.input), childOutput))
+        var firstG: UnsafeRow = null
+        var curG: UnsafeRow = null
+        var rows = 0L
+        var nn = new Array[Long](nF)
+        var cand = Array.fill(nF)(
+          new scala.collection.mutable.ArrayBuffer[UnsafeRow])
+        var rowsFirst = -1L
+        var nnFirst: Array[Long] = null
+        var candFirst: Array[Array[UnsafeRow]] = null
+        while (iter.hasNext) {
+          val row = iter.next()
+          val g = groupProj(row)
+          if (curG == null) { curG = g.copy(); firstG = curG }
+          else if (!g.equals(curG)) {
+            if (rowsFirst < 0) { // the first group just ended
+              rowsFirst = rows; nnFirst = nn; candFirst = cand.map(_.toArray)
+            }
+            curG = g.copy(); rows = 0L; nn = new Array[Long](nF)
+            cand = Array.fill(nF)(
+              new scala.collection.mutable.ArrayBuffer[UnsafeRow])
+          }
+          var i = 0
+          while (i < nF) {
+            val f = funcsLocal(i)
+            val v = projs(i)(row)
+            val isNull = v.isNullAt(0)
+            if (!isNull) nn(i) += 1
+            val counts = if (f.ignoreNulls) !isNull else true
+            if (counts && cand(i).length < f.n) cand(i) += v.copy()
+            i += 1
+          }
+          rows += 1
+        }
+        val candArr = cand.map(_.toArray)
+        if (rowsFirst < 0) { rowsFirst = rows; nnFirst = nn; candFirst = candArr }
+        Edge(firstG, curG, rowsFirst, nnFirst, candFirst, rows, nn, candArr)
+      })
+    val nParts = stats.length
+
+    // driver chain walk: accumulate (rows, nn, candidates) of the chain
+    // group; a task whose first group continues the chain is seeded
+    // with the carry. Empty tasks pass through; a multi-group task
+    // restarts the carry at its last group.
+    val seedRows = new Array[Long](nParts)
+    val seedNn = Array.fill(nParts)(new Array[Long](nF))
+    val seedCand: Array[Array[Array[UnsafeRow]]] =
+      Array.fill(nParts)(Array.fill(nF)(Array.empty[UnsafeRow]))
+    locally {
+      var chainG: UnsafeRow = null
+      var carryRows = 0L
+      var carryNn = new Array[Long](nF)
+      var carryCand: Array[Array[UnsafeRow]] = Array.fill(nF)(Array.empty)
+      var p = 0
+      while (p < nParts) {
+        val e = stats(p)
+        if (e.firstG != null) {
+          val continues = chainG != null && e.firstG.equals(chainG)
+          if (continues) {
+            seedRows(p) = carryRows
+            seedNn(p) = carryNn.clone()
+            seedCand(p) = carryCand.map(identity)
+          }
+          val singleGroup = e.lastG.equals(e.firstG)
+          if (continues && singleGroup) {
+            carryRows += e.rowsLast
+            var i = 0
+            while (i < nF) {
+              carryNn(i) += e.nnLast(i)
+              if (carryCand(i).length < funcsLocal(i).n)
+                carryCand(i) = (carryCand(i) ++ e.candLast(i))
+                  .take(funcsLocal(i).n)
+              i += 1
+            }
+          } else {
+            carryRows = e.rowsLast
+            carryNn = e.nnLast.clone()
+            carryCand = e.candLast.map(identity)
+          }
+          chainG = e.lastG
+        }
+        p += 1
+      }
+    }
+
+    // pass 2: per group, reach counters seeded for the first group,
+    // head = seed candidates then local rows; value = head(n-1) once
+    // the reach hits n
+    rdd.mapPartitionsWithIndex { (pid, iter) =>
+      val attrTypes = funcsLocal.map(_.attr.dataType)
+      val groupProj = UnsafeProjection.create(partExprs, childOutput)
+      val projs = funcsLocal.map(f =>
+        UnsafeProjection.create(Seq(f.input), childOutput))
+      val outProj = UnsafeProjection.create(resultAttrs, resultAttrs)
+      val joinOut = new JoinedRow
+      var curG: UnsafeRow = null
+      var relIdx = seedRows(pid)
+      var nnRel = seedNn(pid).clone()
+      val heads = Array.tabulate(nF)(i =>
+        scala.collection.mutable.ArrayBuffer[UnsafeRow](seedCand(pid)(i): _*))
+
+      def resetGroup(): Unit = {
+        relIdx = 0L
+        java.util.Arrays.fill(nnRel, 0L)
+        heads.foreach(_.clear())
+      }
+      def groupCheck(row: InternalRow): Unit = {
+        val g = groupProj(row)
+        if (curG == null) curG = g.copy()
+        else if (!g.equals(curG)) { curG = g.copy(); resetGroup() }
+      }
+      // consume one row into the group state (frame includes CURRENT ROW)
+      def consume(row: InternalRow): Unit = {
+        var i = 0
+        while (i < nF) {
+          val f = funcsLocal(i)
+          val v = projs(i)(row)
+          val isNull = v.isNullAt(0)
+          if (!isNull) nnRel(i) += 1
+          val counts = if (f.ignoreNulls) !isNull else true
+          if (counts && heads(i).length < f.n) heads(i) += v.copy()
+          i += 1
+        }
+        relIdx += 1
+      }
+      def mkVals(rowIdx: Long, rowNn: Array[Long],
+                 endIdx: Long, endNn: Array[Long]): GenericInternalRow = {
+        val vals = new GenericInternalRow(nF)
+        var i = 0
+        while (i < nF) {
+          val f = funcsLocal(i)
+          val reach =
+            if (f.isRange) { if (f.ignoreNulls) endNn(i) else endIdx }
+            else { if (f.ignoreNulls) rowNn(i) else rowIdx }
+          vals.update(i,
+            if (reach >= f.n) heads(i)(f.n - 1).get(0, attrTypes(i))
+            else null)
+          i += 1
+        }
+        vals
+      }
+
+      if (!anyRange) {
+        iter.map { row =>
+          groupCheck(row)
+          consume(row)
+          outProj(joinOut(row, mkVals(relIdx, nnRel, relIdx, nnRel)))
+        }
+      } else {
+        // buffer one tie run at a time; a run never spans a group (the
+        // sort leads with the key), so the group check runs on the head
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        val sameRun = KeyRunEquality.create(keyExprs.map(_.dataType))
+        new Iterator[InternalRow] {
+          private val run = new scala.collection.mutable.ArrayBuffer[InternalRow]
+          private val rowIdxs = new scala.collection.mutable.ArrayBuffer[Long]
+          private val rowNns = new scala.collection.mutable.ArrayBuffer[Array[Long]]
+          private var runPos = 0
+          private var pendingNext: InternalRow = _
+
+          private def fillRun(): Unit = {
+            run.clear(); rowIdxs.clear(); rowNns.clear(); runPos = 0
+            if (pendingNext != null) { run += pendingNext; pendingNext = null }
+            else if (iter.hasNext) run += iter.next().copy()
+            else return
+            groupCheck(run.head)
+            val runKey = keyProj(run.head).copy()
+            val runG = curG
+            var done = false
+            while (!done && iter.hasNext) {
+              val r = iter.next().copy()
+              if (groupProj(r).equals(runG) && sameRun(keyProj(r), runKey))
+                run += r
+              else { pendingNext = r; done = true }
+            }
+            var j = 0
+            while (j < run.length) {
+              consume(run(j))
+              rowIdxs += relIdx
+              rowNns += nnRel.clone()
+              j += 1
+            }
+          }
+
+          override def hasNext: Boolean =
+            runPos < run.length || pendingNext != null || iter.hasNext
+
+          override def next(): InternalRow = {
+            if (runPos >= run.length) fillRun()
+            val row = run(runPos)
+            val vals = mkVals(rowIdxs(runPos), rowNns(runPos), relIdx, nnRel)
+            runPos += 1
+            outProj(joinOut(row, vals))
+          }
+        }
+      }
+    }
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
+    if (partition.nonEmpty) return doExecutePartitioned()
     val childOutput = child.output
     val resultAttrs = output
     val funcsLocal = funcs.toArray

@@ -34,10 +34,21 @@ import org.apache.spark.sql.internal.SQLConf
   * the whole partition).
   *
   * Matches Window nodes whose expressions are ALL frameless offset
-  * functions with ignoreNulls = true and foldable non-zero offsets,
-  * over an empty partition spec (mixed IGNORE/RESPECT nodes fall back
-  * to the built-in). Defaults are evaluated against the current row,
-  * exactly as WindowExec's offset frame does.
+  * functions with ignoreNulls = true and foldable non-zero offsets
+  * (mixed IGNORE/RESPECT nodes fall back to the built-in). Defaults
+  * are evaluated against the current row, exactly as WindowExec's
+  * offset frame does.
+  *
+  * PARTITIONED nodes — "previous non-null reading PER SENSOR", the
+  * gap-fill query as actually written — are claimed too: the exchange
+  * becomes a range exchange over (partition keys ⧺ order key) so a hot
+  * key spans tasks, the boundary job keeps only the FIRST group's head
+  * values and the LAST group's tail values (the only slices visible
+  * across task edges — groups are contiguous under the sort), the
+  * driver's stitch walks the task chain only while the neighbor's edge
+  * group matches, and pass 2 resets the lag rings / defaults the parked
+  * lead rows at every group boundary. Global mode is the degenerate
+  * single-group case of the same code path.
   *
   * Opt-out: shares `spark.graft.globalRowNumber.enabled`.
   */
@@ -60,7 +71,7 @@ object GlobalOffsetIgnoreNullsStrategy extends SparkStrategy {
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case w: logical.Window
-        if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
+        if w.partitionSpec.forall(_.deterministic) && w.orderSpec.nonEmpty &&
           w.windowExpressions.nonEmpty &&
           w.windowExpressions.forall(funcOf(_).isDefined) &&
           SQLConf.get.getConfString(GlobalRowNumberStrategy.ConfKey, "true").toBoolean =>
@@ -68,7 +79,8 @@ object GlobalOffsetIgnoreNullsStrategy extends SparkStrategy {
         val (input, off, dflt) = funcOf(e).get
         GlobalOffsetIgnoreNullsExec.NnOffsetFunc(input, off, dflt, e.toAttribute)
       }
-      GlobalOffsetIgnoreNullsExec(w.orderSpec, funcs, planLater(w.child)) :: Nil
+      GlobalOffsetIgnoreNullsExec(w.partitionSpec, w.orderSpec, funcs,
+        planLater(w.child)) :: Nil
     case _ => Nil
   }
 }
@@ -83,80 +95,129 @@ object GlobalOffsetIgnoreNullsExec {
 
 /** Physical distributed IGNORE NULLS lag/lead: range-shuffled sorted
   * input + one boundary job collecting per-partition per-function
-  * first/last n non-null input VALUES (1-column UnsafeRows); locally a
-  * value ring per lag function and a pending-FIFO resolution per lead
-  * function. */
+  * first/last n non-null input VALUES (1-column UnsafeRows) of the
+  * task's EDGE key groups; locally a value ring per lag function and a
+  * pending-FIFO resolution per lead function, reset at key-group
+  * boundaries. Global mode = one group everywhere. */
 case class GlobalOffsetIgnoreNullsExec(
+    partition: Seq[Expression],
     order: Seq[SortOrder],
     funcs: Seq[GlobalOffsetIgnoreNullsExec.NnOffsetFunc],
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output ++ funcs.map(_.attr)
 
+  private def partOrders: Seq[SortOrder] =
+    partition.map(e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending))
+
   override def requiredChildDistribution: Seq[Distribution] =
-    OrderedDistribution(order) :: Nil
-  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
-  override def outputOrdering: Seq[SortOrder] = order
+    OrderedDistribution(partOrders ++ order) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(partOrders ++ order)
+  override def outputOrdering: Seq[SortOrder] = partOrders ++ order
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val resultAttrs = output
+    val partExprs = partition
+    val keyGuard = partExprs.nonEmpty
     val funcsLocal = funcs.toArray
     val nFuncs = funcsLocal.length
     val needs = funcsLocal.map(f => math.abs(f.offset)) // values per direction
     val isLead = funcsLocal.map(_.offset > 0)
     val rdd = child.execute()
 
-    // boundary job: per partition and per function, the first and last
-    // n_f non-null input values (single-column UnsafeRow copies)
-    val stats: Array[(Array[Array[UnsafeRow]], Array[Array[UnsafeRow]])] =
+    // boundary job: per partition and per function, the first n_f
+    // non-null input values of the FIRST key group and the last n_f of
+    // the LAST key group (single-column UnsafeRow copies) — the only
+    // slices a neighboring task can ever stitch from (groups are
+    // contiguous under the sort) — plus the edge group keys themselves.
+    // With no partition spec the task is one group, as before.
+    val stats: Array[(UnsafeRow, UnsafeRow,
+        Array[Array[UnsafeRow]], Array[Array[UnsafeRow]])] =
       rdd.sparkContext.runJob(rdd, (iter: Iterator[InternalRow]) => {
+        val groupProj = UnsafeProjection.create(partExprs, childOutput)
         val inputProjs = funcsLocal.map(f =>
           UnsafeProjection.create(Seq(f.input), childOutput))
         val heads = Array.fill(nFuncs)(
           new scala.collection.mutable.ArrayBuffer[UnsafeRow])
         val tails = Array.fill(nFuncs)(
           new scala.collection.mutable.ArrayDeque[UnsafeRow])
+        var firstG: UnsafeRow = null
+        var curG: UnsafeRow = null
+        var inFirst = true
         while (iter.hasNext) {
           val row = iter.next()
+          val g = groupProj(row)
+          if (curG == null) { curG = g.copy(); firstG = curG }
+          else if (keyGuard && !g.equals(curG)) {
+            curG = g.copy(); inFirst = false
+            tails.foreach(_.clear()) // tails belong to the LAST group only
+          }
           var i = 0
           while (i < nFuncs) {
             val v = inputProjs(i)(row)
             if (!v.isNullAt(0)) {
               val c = v.copy()
-              if (heads(i).length < needs(i)) heads(i) += c
+              if (inFirst && heads(i).length < needs(i)) heads(i) += c
               tails(i) += c
               if (tails(i).length > needs(i)) tails(i).removeHead()
             }
             i += 1
           }
         }
-        (heads.map(_.toArray), tails.map(_.toArray))
+        (firstG, curG, heads.map(_.toArray), tails.map(_.toArray))
       })
     val nParts = stats.length
+    val firstGroups: Array[UnsafeRow] = stats.map(_._1)
+    val lastGroups: Array[UnsafeRow] = stats.map(_._2)
+    // does the chain continue from task i-…'s LAST group into task p's
+    // FIRST group? (empty tasks pass the walk through, contributing
+    // nothing; a multi-group predecessor terminates the walk after its
+    // last-group tail)
+    def sameGroup(a: UnsafeRow, b: UnsafeRow): Boolean =
+      !keyGuard || (a != null && b != null && a.equals(b))
 
     // stitch: per partition, each lag function's missing predecessor
-    // values (newest-first walk over earlier tails) and each lead
-    // function's successor values (oldest-first walk over later heads)
+    // values (newest-first walk over earlier same-group tails) and each
+    // lead function's successor values (oldest-first walk over later
+    // same-group heads)
     def predecessorVals(p: Int, f: Int): Array[UnsafeRow] = {
       val out = new scala.collection.mutable.ArrayBuffer[UnsafeRow]
+      val g = firstGroups(p)
+      if (g == null && keyGuard) return Array.empty
       var i = p - 1
-      while (i >= 0 && out.length < needs(f)) {
-        val t = stats(i)._2(f)
-        var j = t.length - 1
-        while (j >= 0 && out.length < needs(f)) { out += t(j); j -= 1 }
+      var open = true
+      while (i >= 0 && out.length < needs(f) && open) {
+        if (firstGroups(i) != null) { // skip empty tasks
+          if (sameGroup(lastGroups(i), g)) {
+            val t = stats(i)._4(f)
+            var j = t.length - 1
+            while (j >= 0 && out.length < needs(f)) { out += t(j); j -= 1 }
+            // the walk continues past i only if i is single-group
+            open = sameGroup(firstGroups(i), g)
+          } else open = false
+        }
         i -= 1
       }
       out.reverse.toArray // oldest-to-newest
     }
     def successorVals(p: Int, f: Int): Array[UnsafeRow] = {
       val out = new scala.collection.mutable.ArrayBuffer[UnsafeRow]
+      val g = lastGroups(p)
+      if (g == null && keyGuard) return Array.empty
       var i = p + 1
-      while (i < nParts && out.length < needs(f)) {
-        val h = stats(i)._1(f)
-        var j = 0
-        while (j < h.length && out.length < needs(f)) { out += h(j); j += 1 }
+      var open = true
+      while (i < nParts && out.length < needs(f) && open) {
+        if (firstGroups(i) != null) {
+          if (sameGroup(firstGroups(i), g)) {
+            val h = stats(i)._3(f)
+            var j = 0
+            while (j < h.length && out.length < needs(f)) { out += h(j); j += 1 }
+            open = sameGroup(lastGroups(i), g)
+          } else open = false
+        }
         i += 1
       }
       out.toArray
@@ -165,6 +226,7 @@ case class GlobalOffsetIgnoreNullsExec(
     val sucVals = Array.tabulate(nParts, nFuncs)(successorVals)
 
     rdd.mapPartitionsWithIndex { (pid, iter) =>
+      val groupProj = UnsafeProjection.create(partExprs, childOutput)
       val inputProjs = funcsLocal.map(f =>
         UnsafeProjection.create(Seq(f.input), childOutput))
       val defaultProjs = funcsLocal.map(f =>
@@ -172,6 +234,7 @@ case class GlobalOffsetIgnoreNullsExec(
       val dtypes = funcsLocal.map(_.attr.dataType)
       val joined = new JoinedRow
       val outProj = UnsafeProjection.create(resultAttrs, resultAttrs)
+      var curG: UnsafeRow = null
 
       // one pending entry per not-yet-emittable row
       final class Entry(val row: InternalRow) {
@@ -212,8 +275,31 @@ case class GlobalOffsetIgnoreNullsExec(
           emitQueue += outProj(joined(e.row, vr)).copy()
         }
 
+      // key-group boundary: rows of the OLD group can never be served
+      // by values from the new one — default every parked lead slot,
+      // clear the lag rings (a new group has no history)
+      def groupBoundary(): Unit = {
+        var f = 0
+        while (f < nFuncs) {
+          if (isLead(f)) {
+            waiting(f).foreach { case (e, _) =>
+              e.vals(f) = defaultProjs(f)(e.row).copy().get(0, dtypes(f))
+              e.remaining -= 1
+            }
+            waiting(f).clear()
+          } else rings(f).clear()
+          f += 1
+        }
+        drainReady()
+      }
+
       def processRow(raw: InternalRow): Unit = {
         val row = raw.copy()
+        if (keyGuard) {
+          val g = groupProj(row)
+          if (curG == null) curG = g.copy()
+          else if (!g.equals(curG)) { curG = g.copy(); groupBoundary() }
+        }
         val e = new Entry(row)
         // lag slots resolve from the rings BEFORE this row's own value
         // enters them (lag excludes the current row)

@@ -32,18 +32,26 @@ import org.apache.spark.sql.types.IntegerType
   * distinct-sort-key count), then the main pass adds the prefix offsets
   * partition-locally.
   *
-  * PARTITIONED `row_number`/`rank`/`dense_rank` — top-N-per-key, THE
-  * dedup primitive — are claimed too: the exchange becomes a range
+  * PARTITIONED ranking — top-N-per-key, THE dedup primitive — is
+  * claimed too, for ALL SIX functions: the exchange becomes a range
   * exchange over (partition keys ⧺ order key), so a hot key spans
   * tasks instead of pinning one (stock Spark's hash exchange is the
   * hot-region-server failure mode inside the cluster), counters reset
   * at key-group boundaries, and each task's FIRST group is seeded from
   * a driver-walked chain of predecessor edge-group stats — the same
   * chain the group-aware prefix scan uses. `percent_rank`/`cume_dist`/
-  * `ntile` per key need the GROUP TOTAL, which no bounded per-task
-  * state can provide, and stay with the built-in (the plan-time
-  * fallback warning covers global shapes only; partitioned hash
-  * windows are a skew risk, not a correctness one).
+  * `ntile` per key additionally need the GROUP TOTAL: a group that
+  * spans tasks only ever does so through task EDGES (groups are
+  * contiguous under the sort), so the driver merges adjacent edge
+  * slices into per-chain totals and hands each task its first/last
+  * group's total; interior groups are entirely task-local and their
+  * total is just the buffered slice length. When a group-total
+  * function is present, pass 2 buffers ONE GROUP at a time — the same
+  * granularity WindowExec buffers at, but per range-slice of the key
+  * instead of per whole hash partition (no spill here: a slice is
+  * bounded by the task's share of the range exchange; the degenerate
+  * all-ties key that defeats the range split is the documented
+  * tie-run caveat below).
   *
   * Why per-partition local computation is exact: the range exchange
   * routes a row by comparing its FULL sort key against the partition
@@ -52,10 +60,12 @@ import org.apache.spark.sql.types.IntegerType
   *   row_number   = rowsBefore + localIdx + 1
   *   rank         = rowsBefore + tieRunStart + 1
   *   dense_rank   = runsBefore + localDense
-  *   percent_rank = (rank − 1) / (N − 1)          [global only]
-  *   cume_dist    = (rowsBefore + tieRunEnd) / N  [global only]
-  *   ntile(k)     = bucket(rowsBefore + localIdx, N, k) [global only]
-  * need no boundary key exchange; N = total rows from the stats pass.
+  *   percent_rank = (rank − 1) / (N − 1)
+  *   cume_dist    = (rowsBefore + tieRunEnd) / N
+  *   ntile(k)     = bucket(rowsBefore + localIdx, N, k)
+  * need no boundary key exchange; N = total rows from the stats pass
+  * in global mode, the group total (driver segment merge / local slice
+  * length) per key.
   * cume_dist is the one function needing LOOKAHEAD (a row's value
   * depends on where its tie run ends), so when present the pass buffers
   * one tie run at a time — memory bounded by the largest tie class,
@@ -88,14 +98,11 @@ object GlobalRowNumberStrategy extends SparkStrategy {
   /** Per-expression categorizer for [[GlobalWindowSplit]]. */
   private[plans] def rescuable(e: NamedExpression): Boolean = funcOf(e).isDefined
 
-  /** The subset that is also PARTITION BY-rescuable (group totals are
-    * not derivable from bounded per-task state, so percent_rank /
-    * cume_dist / ntile per key stay with the built-in). */
+  /** All six ranking functions are PARTITION BY-rescuable: group
+    * totals for percent_rank/cume_dist/ntile come from the driver's
+    * edge-segment merge (groups span tasks only through edges). */
   private[plans] def rescuablePartitioned(e: NamedExpression): Boolean =
-    funcOf(e).exists {
-      case RowNumF | RankF | DenseRankF => true
-      case _ => false
-    }
+    funcOf(e).isDefined
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case w: logical.Window
@@ -127,12 +134,13 @@ object GlobalRowNumberExec {
   case class NTileF(buckets: Int) extends RankFunc
 
   /** Per-task edge summary for the group chain: first/last partition-key
-    * groups and the LAST group's (row count, tie-run count). With no
-    * partition spec every task is one group and the chain walk
+    * groups, the FIRST group's row count (for the driver's group-total
+    * segment merge) and the LAST group's (row count, tie-run count).
+    * With no partition spec every task is one group and the chain walk
     * degenerates to the classic prefix sums. */
   private[plans] case class RankEdge(
       firstGroup: Option[UnsafeRow], lastGroup: Option[UnsafeRow],
-      cntLast: Long, distLast: Long)
+      cntFirst: Long, cntLast: Long, distLast: Long)
 }
 
 /** Physical two-pass ranking: range-shuffled, sorted input (demanded
@@ -189,6 +197,7 @@ case class GlobalRowNumberExec(partition: Seq[Expression],
         var firstG: UnsafeRow = null
         var curG: UnsafeRow = null
         var cnt = 0L
+        var cntFirst = -1L // first group's slice; -1 until its end is seen
         var dist = 0L
         val proj =
           if (needKeys) UnsafeProjection.create(keyExprs, childOutput) else null
@@ -200,6 +209,7 @@ case class GlobalRowNumberExec(partition: Seq[Expression],
           val g = groupProj(row)
           if (curG == null) { curG = g.copy(); firstG = curG }
           else if (keyGuard && !g.equals(curG)) {
+            if (cntFirst < 0) cntFirst = cnt
             curG = g.copy(); cnt = 0L; dist = 0L; prev = null
           }
           if (needKeys) {
@@ -208,7 +218,8 @@ case class GlobalRowNumberExec(partition: Seq[Expression],
           }
           cnt += 1
         }
-        RankEdge(Option(firstG), Option(curG), cnt, dist)
+        RankEdge(Option(firstG), Option(curG),
+          if (cntFirst < 0) cnt else cntFirst, cnt, dist)
       })
     val nParts = stats.length
 
@@ -244,16 +255,65 @@ case class GlobalRowNumberExec(partition: Seq[Expression],
       }
     }
     val firstGroups: Array[UnsafeRow] = stats.map(_.firstGroup.orNull)
-    // N for percent_rank/cume_dist/ntile — global mode only (the
-    // strategy declines those per key), where cntLast is the full count
+    // N for percent_rank/cume_dist/ntile — the whole table in global
+    // mode (each task is one group, cntLast is its full count)
     val totalRows = stats.map(_.cntLast).sum
+
+    // group totals for the per-key group-total functions: a group spans
+    // tasks only through task EDGES (groups are contiguous under the
+    // sort), so merging ADJACENT edge slices with equal keys yields the
+    // full total of every task-crossing group; interior groups never
+    // appear here — pass 2 measures them locally. Driver state is two
+    // longs per task, independent of data size.
+    val needTotals = keyGuard && modes.exists {
+      case PercentRankF | CumeDistF | _: NTileF => true
+      case _ => false
+    }
+    val firstTotal = new Array[Long](nParts)
+    val lastTotal = new Array[Long](nParts)
+    if (needTotals) {
+      // flatten each task's edge groups into ordered segments
+      case class Seg(p: Int, isFirst: Boolean, isLast: Boolean,
+                     g: UnsafeRow, cnt: Long)
+      val segs = new scala.collection.mutable.ArrayBuffer[Seg]
+      var p = 0
+      while (p < nParts) {
+        val e = stats(p)
+        e.firstGroup.foreach { fg =>
+          if (e.lastGroup.exists(_.equals(fg)))
+            segs += Seg(p, isFirst = true, isLast = true, fg, e.cntLast)
+          else {
+            segs += Seg(p, isFirst = true, isLast = false, fg, e.cntFirst)
+            segs += Seg(p, isFirst = false, isLast = true,
+              e.lastGroup.get, e.cntLast)
+          }
+        }
+        p += 1
+      }
+      var i = 0
+      while (i < segs.length) {
+        var j = i + 1
+        var total = segs(i).cnt
+        while (j < segs.length && segs(j).g.equals(segs(i).g)) {
+          total += segs(j).cnt; j += 1
+        }
+        var k = i
+        while (k < j) {
+          if (segs(k).isFirst) firstTotal(segs(k).p) = total
+          if (segs(k).isLast) lastTotal(segs(k).p) = total
+          k += 1
+        }
+        i = j
+      }
+    }
 
     // int-typed ranks (row_number/rank/dense_rank/ntile are IntegerType,
     // as in WindowExec) cannot express positions past 2^31. The built-in
     // silently wraps; for GLOBAL ranks the stats pass already knows N —
     // refuse HERE, at the driver, before any output work starts. Per-key
-    // ranks are bounded by the largest group, which no bounded stats can
-    // see — there the per-row toIntExact still fails loudly, mid-task.
+    // ranks are bounded by the largest group: task-crossing groups are
+    // checked here via the segment totals; interior groups rely on the
+    // per-row toIntExact, which still fails loudly, mid-task.
     val intRanked = modes.exists {
       case RowNumF | RankF | DenseRankF | _: NTileF => true
       case _ => false
@@ -264,6 +324,11 @@ case class GlobalRowNumberExec(partition: Seq[Expression],
           "of row_number/rank/dense_rank/ntile (2^31-1, same type as " +
           "WindowExec, which silently wraps). Pre-aggregate or filter " +
           "before ranking, or window by a partition key.")
+    if (needTotals && intRanked && firstTotal.exists(_ > Int.MaxValue))
+      throw new org.apache.spark.SparkException(
+        "a per-key ranking group exceeds the IntegerType range of " +
+          "row_number/rank/dense_rank/ntile (2^31-1). Pre-aggregate or " +
+          "filter before ranking.")
 
     // pass 2: assign values partition-locally — counters seeded with the
     // chain carry, reset at every group boundary
@@ -283,13 +348,14 @@ case class GlobalRowNumberExec(partition: Seq[Expression],
       var curG: UnsafeRow = firstGroups(pid)
       var prevRun: UnsafeRow = null
 
-      // emits one row given its index, tie-run bounds and run counter —
-      // all relative to the current key group (= global in global mode).
-      // Ranking outputs are IntegerType (as in WindowExec) — past 2^31
-      // the built-in silently wraps, fail loudly instead.
-      // percent_rank/cume_dist are DoubleType.
+      // emits one row given its index, tie-run bounds, run counter and
+      // the group total n — all relative to the current key group
+      // (= the whole table in global mode). Ranking outputs are
+      // IntegerType (as in WindowExec) — past 2^31 the built-in
+      // silently wraps, fail loudly instead. percent_rank/cume_dist
+      // are DoubleType.
       def emit(row: InternalRow, idx: Long, runStart: Long,
-               runEnd: Long, runs: Long): InternalRow = {
+               runEnd: Long, runs: Long, n: Long): InternalRow = {
         var i = 0
         while (i < modes.length) {
           modes(i) match {
@@ -302,15 +368,15 @@ case class GlobalRowNumberExec(partition: Seq[Expression],
             case PercentRankF =>
               val r = runStart + 1
               rankRow.setDouble(i,
-                if (totalRows > 1) (r - 1).toDouble / (totalRows - 1).toDouble
+                if (n > 1) (r - 1).toDouble / (n - 1).toDouble
                 else 0.0)
             case CumeDistF =>
-              rankRow.setDouble(i, (runEnd + 1).toDouble / totalRows.toDouble)
+              rankRow.setDouble(i, (runEnd + 1).toDouble / n.toDouble)
             case NTileF(k) =>
               // WindowExec's bucketing: first (N % k) buckets take one
               // extra row
-              val bucketSize = totalRows / k
-              val padded = totalRows % k
+              val bucketSize = n / k
+              val padded = n % k
               val threshold = padded * (bucketSize + 1)
               val bucket =
                 if (idx < threshold) idx / (bucketSize + 1)
@@ -330,9 +396,97 @@ case class GlobalRowNumberExec(partition: Seq[Expression],
         }
       }
 
-      if (!needKeys && !keyGuard) {
+      if (needTotals) {
+        // per-key group-total functions (percent_rank/cume_dist/ntile,
+        // possibly mixed with the counter functions): buffer ONE GROUP
+        // at a time — the granularity WindowExec buffers at, but per
+        // range-slice of the key instead of per whole hash partition.
+        // The first group's total comes from the driver's segment
+        // merge (it may continue a chain from the left/right); the
+        // last group's likewise; interior groups are whole by
+        // contiguity, so their total is the slice length.
+        new Iterator[InternalRow] {
+          private val buf = new scala.collection.mutable.ArrayBuffer[InternalRow]
+          private var starts: Array[Int] = Array.emptyIntArray
+          private var ends: Array[Int] = Array.emptyIntArray
+          private var denses: Array[Long] = Array.emptyLongArray
+          private var bufPos = 0
+          private var offset = 0L    // group-relative index of buf(0)
+          private var groupN = 0L
+          private var pendingNext: InternalRow = _
+          private var firstGroupOfTask = true
+
+          private def fillGroup(): Unit = {
+            buf.clear(); bufPos = 0
+            if (pendingNext != null) { buf += pendingNext; pendingNext = null }
+            else if (iter.hasNext) buf += iter.next().copy()
+            else return
+            val g = groupProj(buf.head).copy()
+            var done = false
+            while (!done && iter.hasNext) {
+              val r = iter.next().copy()
+              if (groupProj(r).equals(g)) buf += r
+              else { pendingNext = r; done = true }
+            }
+            val isFirst = firstGroupOfTask
+            firstGroupOfTask = false
+            val isLast = pendingNext == null && !iter.hasNext
+            offset = if (isFirst) seedRows(pid) else 0L
+            val denseBase = if (isFirst) seedRuns(pid) else 0L
+            groupN =
+              if (isFirst) firstTotal(pid)
+              else if (isLast) lastTotal(pid)
+              else buf.length.toLong
+            if (needKeys) {
+              // one forward walk marks run starts + dense counters, one
+              // backward walk marks run ends (runs never span tasks:
+              // equal FULL sort keys land in one range partition)
+              if (starts.length < buf.length) {
+                starts = new Array[Int](buf.length)
+                ends = new Array[Int](buf.length)
+                denses = new Array[Long](buf.length)
+              }
+              var i = 0
+              var runStart = 0
+              var dense = denseBase
+              var prevK: UnsafeRow = null
+              while (i < buf.length) {
+                val k = keyProj(buf(i))
+                if (prevK == null || !sameRun(k, prevK)) {
+                  runStart = i; dense += 1; prevK = k.copy()
+                }
+                starts(i) = runStart; denses(i) = dense
+                i += 1
+              }
+              i = buf.length - 1
+              var runEnd = i
+              while (i >= 0) {
+                if (i == buf.length - 1 || starts(i + 1) != starts(i))
+                  runEnd = i
+                ends(i) = runEnd
+                i -= 1
+              }
+            }
+          }
+
+          override def hasNext: Boolean =
+            bufPos < buf.length || pendingNext != null || iter.hasNext
+
+          override def next(): InternalRow = {
+            if (bufPos >= buf.length) fillGroup()
+            val i = bufPos
+            val out =
+              if (needKeys)
+                emit(buf(i), offset + i, offset + starts(i),
+                  offset + ends(i), denses(i), groupN)
+              else emit(buf(i), offset + i, offset + i, offset + i, 0L, groupN)
+            bufPos += 1
+            out
+          }
+        }
+      } else if (!needKeys && !keyGuard) {
         iter.map { row =>
-          val out = emit(row, cnt, cnt, cnt, dense)
+          val out = emit(row, cnt, cnt, cnt, dense, totalRows)
           cnt += 1
           out
         }
@@ -347,7 +501,7 @@ case class GlobalRowNumberExec(partition: Seq[Expression],
               dense += 1; runStart = cnt; prevRun = k.copy()
             }
           }
-          val out = emit(row, cnt, runStart, cnt, dense)
+          val out = emit(row, cnt, runStart, cnt, dense, totalRows)
           cnt += 1
           out
         }
@@ -384,7 +538,8 @@ case class GlobalRowNumberExec(partition: Seq[Expression],
           override def next(): InternalRow = {
             if (bufPos >= buf.length) fillRun()
             val row = buf(bufPos)
-            val out = emit(row, cnt, runStart, runStart + buf.length - 1, dense)
+            val out = emit(row, cnt, runStart, runStart + buf.length - 1,
+              dense, totalRows)
             bufPos += 1
             cnt += 1
             out

@@ -58,21 +58,24 @@ object GlobalWindowSplit extends Rule[LogicalPlan] {
     tests.indexWhere(identity) // -1 = no strategy claims it
   }
 
-  /** Categories that rescue PARTITIONED nodes too (lag/lead, running,
-    * suffix, RANGE-interval — the families whose strategies claim
-    * PARTITION BY via the group-aware range exchange). A partitioned
-    * mixed node is split ONLY when every expression belongs to one of
-    * these: a partial split would trade the single hash exchange for a
-    * hash AND a range exchange with the hot-key wall still standing in
-    * the unclaimed group — worse than either extreme. */
+  /** Categories that rescue PARTITIONED nodes too (ranking, lag/lead ±
+    * IGNORE NULLS, running, suffix, sliding, RANGE-interval — the
+    * families whose strategies claim PARTITION BY via the group-aware
+    * range exchange). A partitioned mixed node is split ONLY when every
+    * expression belongs to one of these: a partial split would trade
+    * the single hash exchange for a hash AND a range exchange with the
+    * hot-key wall still standing in the unclaimed group — worse than
+    * either extreme. */
   private def partitionedCategoryOf(w: logical.Window, e: NamedExpression): Int = {
     val ordered = w.orderSpec.nonEmpty
     val tests: Seq[Boolean] = Seq(
       ordered && GlobalRowNumberStrategy.rescuablePartitioned(e),
       ordered && GlobalOffsetWindowStrategy.rescuable(e),
+      ordered && GlobalOffsetIgnoreNullsStrategy.rescuable(e),
       ordered && GlobalRunningAggStrategy.rescuableRunning(e),
       ordered && GlobalRunningAggStrategy.rescuableSuffix(e),
       ordered && GlobalSlidingAggStrategy.rescuable(e),
+      ordered && GlobalNthValueStrategy.rescuablePartitioned(e),
       GlobalRangeFrameStrategy.orderRescuable(w) && GlobalRangeFrameStrategy.rescuable(e))
     tests.indexWhere(identity)
   }

@@ -1423,22 +1423,28 @@ object PipelineQueries {
     }),
 
     // SKEW-SAFE TOP-N-PER-KEY — *the* dedup/latest-version primitive
-    // (keep each user's 3 earliest events), plus per-key rank /
-    // dense_rank on a TIES column. Plain window SQL: the two specs
-    // (tie-free arrival order; value order with peers) become two
-    // Window nodes, and GlobalRowNumberStrategy claims BOTH — each is
-    // a range exchange over (user, order) with counters reset at key
-    // boundaries and each task's first key seeded from the driver's
-    // edge-group chain, so a hot user spans tasks instead of pinning
-    // one. No SkewWindow API call anywhere: existing SQL gets this.
+    // (keep each user's 3 earliest events), plus ALL the per-key
+    // ranking functions. Plain window SQL: the two specs (tie-free
+    // arrival order; value order with peers) become two Window nodes,
+    // and GlobalRowNumberStrategy claims BOTH — each is a range
+    // exchange over (user, order) with counters reset at key
+    // boundaries, each task's first key seeded from the driver's
+    // edge-group chain, and the group totals percent_rank/cume_dist/
+    // ntile need resolved by the driver's edge-segment merge (a group
+    // spans tasks only through task edges). No SkewWindow API call
+    // anywhere: existing SQL gets this.
     "q_skew_topn" -> ((s, dir) => {
       events(s, dir).createOrReplaceTempView("events_v")
-      s.sql("""SELECT event_id, user_id, value, rn, rnk, drnk FROM (
+      s.sql("""SELECT event_id, user_id, value, rn, nt, rnk, drnk, prk, cd FROM (
                  SELECT event_id, user_id, value,
                    row_number() OVER (PARTITION BY user_id
                      ORDER BY ts_us, event_id) AS rn,
+                   ntile(4) OVER (PARTITION BY user_id
+                     ORDER BY ts_us, event_id) AS nt,
                    rank() OVER (PARTITION BY user_id ORDER BY value) AS rnk,
-                   dense_rank() OVER (PARTITION BY user_id ORDER BY value) AS drnk
+                   dense_rank() OVER (PARTITION BY user_id ORDER BY value) AS drnk,
+                   percent_rank() OVER (PARTITION BY user_id ORDER BY value) AS prk,
+                   cume_dist() OVER (PARTITION BY user_id ORDER BY value) AS cd
                  FROM events_v) t
                WHERE rn <= 3
                ORDER BY user_id, rn""")
@@ -1460,6 +1466,30 @@ object PipelineQueries {
                FROM events_v
                WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
                  ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING)
+               ORDER BY user_id, ts_us, event_id""")
+    }),
+
+    // SKEW-SAFE PER-KEY GAP FILL — "previous non-null reading per
+    // user": only purchase events carry a reading, so lag IGNORE NULLS
+    // must skip arbitrarily long runs of other events. Plain window
+    // SQL; GlobalOffsetIgnoreNullsStrategy claims the PARTITION BY
+    // node — the boundary job ships each task's edge-group non-null
+    // VALUES (bounded by the offset, independent of null-run length),
+    // the driver walks the task chain only while the edge group
+    // matches, and rings/FIFOs reset at key boundaries. A hot user
+    // spans tasks; no hash exchange anywhere.
+    "q_skew_gapfill" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""SELECT event_id, user_id, r,
+                 lag(r, 1) IGNORE NULLS OVER w AS prev_reading,
+                 lead(r, 2, -1.0) IGNORE NULLS OVER w AS next2_reading,
+                 nth_value(r, 2) IGNORE NULLS OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_reading
+               FROM (SELECT event_id, user_id, ts_us,
+                       CASE WHEN event_type = 'purchase' THEN value END AS r
+                     FROM events_v) t
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
                ORDER BY user_id, ts_us, event_id""")
     }),
 
@@ -2559,12 +2589,16 @@ object PipelineQueries {
            ORDER BY user_id, epoch_us(ts), event_id""",
 
       "q_skew_topn" ->
-        """SELECT event_id, user_id, value, rn, rnk, drnk FROM (
+        """SELECT event_id, user_id, value, rn, nt, rnk, drnk, prk, cd FROM (
              SELECT event_id, user_id, value,
                row_number() OVER (PARTITION BY user_id
                  ORDER BY epoch_us(ts), event_id) AS rn,
+               ntile(4) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS nt,
                rank() OVER (PARTITION BY user_id ORDER BY value) AS rnk,
-               dense_rank() OVER (PARTITION BY user_id ORDER BY value) AS drnk
+               dense_rank() OVER (PARTITION BY user_id ORDER BY value) AS drnk,
+               percent_rank() OVER (PARTITION BY user_id ORDER BY value) AS prk,
+               cume_dist() OVER (PARTITION BY user_id ORDER BY value) AS cd
              FROM events) t
            WHERE rn <= 3
            ORDER BY user_id, rn""",
@@ -2577,6 +2611,19 @@ object PipelineQueries {
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
              ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING)
+           ORDER BY user_id, epoch_us(ts), event_id""",
+
+      "q_skew_gapfill" ->
+        """SELECT event_id, user_id, r,
+             lag(r, 1 IGNORE NULLS) OVER w AS prev_reading,
+             lead(r, 2, -1.0 IGNORE NULLS) OVER w AS next2_reading,
+             nth_value(r, 2 IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_reading
+           FROM (SELECT event_id, user_id, ts,
+                   CASE WHEN event_type = 'purchase' THEN value END AS r
+                 FROM events) t
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
            ORDER BY user_id, epoch_us(ts), event_id""",
 
       "q_resample_locf" ->

@@ -58,7 +58,7 @@ class SkewWindowFuzzSpec extends SparkSuite {
       val df = randomDf()
       val w = Window.partitionBy("k").orderBy("id")
       val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      rnd.nextInt(10) match {
+      rnd.nextInt(12) match {
         case 0 =>
           val got = SkewWindow.runningExact(df, Seq("k"), Seq("id"), col("v"))
             .select("k", "id", "run_sum", "run_n", "run_rn")
@@ -170,15 +170,21 @@ class SkewWindowFuzzSpec extends SparkSuite {
             graft.plans.GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
           assert(got == expected, s"per-key lag/lead($off) diverged (round $round)")
         case 8 =>
-          // per-key row_number/rank/dense_rank via plain window SQL:
+          // per-key ranking via plain window SQL — all SIX functions:
           // group-chain seeded counters over the (key, order) range
-          // exchange; rank/dense on a TIES order (v) — peers must share
+          // exchange; rank/dense/percent_rank/cume_dist on a TIES order
+          // (v) — peers must share; ntile on the tie-free (id) order;
+          // the group-total three exercise the buffered-group path +
+          // driver segment merge
           val wv = Window.partitionBy("k").orderBy("v")
           val out = df
             .withColumn("rn", row_number().over(w))
             .withColumn("rnk", rank().over(wv))
             .withColumn("drnk", dense_rank().over(wv))
-            .select("k", "v", "id", "rn", "rnk", "drnk")
+            .withColumn("prk", percent_rank().over(wv))
+            .withColumn("cd", cume_dist().over(wv))
+            .withColumn("nt", ntile(1 + rnd.nextInt(5)).over(w))
+            .select("k", "v", "id", "rn", "rnk", "drnk", "prk", "cd", "nt")
           val p = out.queryExecution.executedPlan.toString
           assert(p.contains("GlobalRowNumber"),
             s"round $round: per-key ranking escaped the rescue:\n$p")
@@ -208,6 +214,51 @@ class SkewWindowFuzzSpec extends SparkSuite {
           val expected = withConf(
             graft.plans.GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
           assert(got == expected, s"per-key sliding($kp,$jf) diverged (round $round)")
+        case 10 =>
+          // per-key lag/lead IGNORE NULLS via plain window SQL: the
+          // group-aware value stitch (edge-group heads/tails, chain
+          // walk) + ring/FIFO resets at key boundaries
+          val off1 = 1 + rnd.nextInt(3); val off2 = 1 + rnd.nextInt(4)
+          df.createOrReplaceTempView("fuzz_ign")
+          val q = s"""SELECT k, id, v,
+                   lag(v, $off1) IGNORE NULLS OVER (PARTITION BY k ORDER BY id) AS pnn,
+                   lead(v, $off2, -1) IGNORE NULLS OVER (PARTITION BY k ORDER BY id) AS nnn
+                 FROM fuzz_ign"""
+          val out = spark.sql(q)
+          val p = out.queryExecution.executedPlan.toString
+          assert(p.contains("GlobalOffsetIgnoreNulls"),
+            s"round $round: per-key IGNORE NULLS offsets escaped the rescue:\n$p")
+          assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+            s"round $round: built-in WindowExec survived:\n$p")
+          val got = snap(out)
+          val expected = withConf(
+            graft.plans.GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
+          assert(got == expected,
+            s"per-key IGNORE NULLS lag($off1)/lead($off2) diverged (round $round)")
+        case 11 =>
+          // per-key prefix nth_value ± IGNORE NULLS via plain window
+          // SQL: seeded group heads over the (key, order) range
+          // exchange; order by the tie-free id so values are
+          // deterministic under any task split
+          val n1 = 1 + rnd.nextInt(6); val n2 = 1 + rnd.nextInt(4)
+          df.createOrReplaceTempView("fuzz_nth")
+          val q = s"""SELECT k, id, v,
+                   nth_value(v, $n1) OVER (PARTITION BY k ORDER BY id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv,
+                   nth_value(v, $n2) IGNORE NULLS OVER (PARTITION BY k ORDER BY id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nvnn
+                 FROM fuzz_nth"""
+          val out = spark.sql(q)
+          val p = out.queryExecution.executedPlan.toString
+          assert(p.contains("GlobalNthValue"),
+            s"round $round: per-key prefix nth_value escaped the rescue:\n$p")
+          assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+            s"round $round: built-in WindowExec survived:\n$p")
+          val got = snap(out)
+          val expected = withConf(
+            graft.plans.GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
+          assert(got == expected,
+            s"per-key nth_value($n1)/IGNORE NULLS($n2) diverged (round $round)")
       }
     }
   }

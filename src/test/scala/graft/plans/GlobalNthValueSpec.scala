@@ -138,6 +138,48 @@ class GlobalNthValueSpec extends SparkSuite {
     assert(nn.collect().forall(_.isNullAt(1)))
   }
 
+  test("per-key prefix nth_value: seeded group heads match the built-in") {
+    // skewed: key 0 holds most rows and spans several range partitions;
+    // ties on (id % 11) exercise the per-group RANGE run buffering
+    val keyed = (0 until 9000).map { i =>
+      val k = if (i % 4 != 3) 0L else (i % 17).toLong
+      val v: java.lang.Long = if (i % 5 == 0) null else ((i * 2654435761L) % 1000)
+      (k, v, i.toLong)
+    }.toDF("k", "v", "id").repartition(7)
+    keyed.createOrReplaceTempView("nth_keyed")
+    val q = """SELECT k, id, v,
+                 nth_value(v, 3) OVER (PARTITION BY k ORDER BY id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n3,
+                 nth_value(v, 2) IGNORE NULLS OVER (PARTITION BY k ORDER BY id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n2nn,
+                 nth_value((id % 11) * 7, 4) OVER (PARTITION BY k ORDER BY id % 11
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r4
+               FROM nth_keyed"""
+    val out = spark.sql(q)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalNthValue"),
+      s"per-key prefix nth_value must rescue:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"no built-in WindowExec may appear:\n$p")
+    assert(!p.contains("hashpartitioning(k"),
+      s"a hash exchange on k would pin the hot key to one task:\n$p")
+    // r4's input is a function of the ORDER key, so which run global
+    // position 4 lands in — and hence the value — is deterministic
+    // even though intra-run order is not
+    val got = snap(out)
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") {
+      snap(spark.sql(q))
+    }
+    assert(got == expected, "per-key prefix nth_value must match the built-in")
+    // whole-table frame per key stays with the built-in (value may lie
+    // in a later task)
+    val full = spark.sql("""SELECT k, id, nth_value(v, 2) OVER (PARTITION BY k
+        ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nf
+      FROM nth_keyed""")
+    assert(!full.queryExecution.executedPlan.toString.contains("GlobalNthValue"),
+      "per-key whole-table nth_value has no rescue")
+  }
+
   test("nth_value past the n cap falls back to the built-in") {
     val big = spark.sql(s"""SELECT id, nth_value(v, 100000) OVER (ORDER BY k, id
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n FROM nth_t""")

@@ -78,6 +78,46 @@ class GlobalOffsetIgnoreNullsSpec extends SparkSuite {
     assert(rows(99) == (99L, 0L, -1L))
   }
 
+  test("per-key lag/lead IGNORE NULLS: group-aware stitch matches the built-in") {
+    // skewed: key 0 holds ~3/4 of rows (spans several range partitions);
+    // nulls in long runs so stitches cross partitions WITHIN the hot key
+    val keyed = (0 until 8000)
+      .map { i =>
+        val k = if (i % 4 != 3) 0L else (i % 23).toLong
+        val v = if ((i / 29) % 3 == 0 && i % 2 == 0) Some(((i * 48271) % 1000).toLong)
+                else None
+        (k, i.toLong, v)
+      }
+      .toDF("k", "id", "v").repartition(7)
+    keyed.createOrReplaceTempView("ign_keyed")
+    val q = """SELECT k, id, v,
+                 lag(v, 1) IGNORE NULLS OVER (PARTITION BY k ORDER BY id) AS prev_nn,
+                 lag(v, 2) IGNORE NULLS OVER (PARTITION BY k ORDER BY id) AS prev2_nn,
+                 lead(v, 1) IGNORE NULLS OVER (PARTITION BY k ORDER BY id) AS next_nn,
+                 lead(v, 3, -1) IGNORE NULLS OVER (PARTITION BY k ORDER BY id) AS next3_nn
+               FROM ign_keyed"""
+    val out = spark.sql(q)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalOffsetIgnoreNulls"),
+      s"per-key IGNORE NULLS offsets must rescue:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"no built-in WindowExec may appear:\n$p")
+    assert(!p.contains("hashpartitioning(k"),
+      s"a hash exchange on k would pin the hot key to one task:\n$p")
+    def snap(d: org.apache.spark.sql.DataFrame) = d
+      .collect().map(r => (0 until r.length).map(i =>
+        if (r.isNullAt(i)) null else r.get(i)).toList)
+      .sortBy(l => (l(0).asInstanceOf[Long], l(1).asInstanceOf[Long]))
+    val got = snap(out)
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") {
+      snap(spark.sql(q))
+    }
+    val diffs = got.zip(expected).filter(p => p._1 != p._2).take(5)
+    assert(diffs.isEmpty,
+      s"per-key IGNORE NULLS offsets must match the built-in; first diffs:\n" +
+        diffs.map(p => s"  ${p._1}  vs  ${p._2}").mkString("\n"))
+  }
+
   test("respect-nulls expressions are untouched; mixed nodes split per family") {
     df.createOrReplaceTempView("ign_t2")
     val plain = spark.sql(

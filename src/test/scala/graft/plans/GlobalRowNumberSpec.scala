@@ -37,9 +37,9 @@ class GlobalRowNumberSpec extends SparkSuite {
         .queryExecution.executedPlan.toString
       assert(p.contains("Window "), s"disabled flag must restore WindowExec:\n$p")
     }
-    // per-key row_number/rank/dense_rank now ride the group-chain exec
-    // over a (key, order) range exchange; percent_rank/cume_dist/ntile
-    // per key need the GROUP total and stay with the built-in
+    // per-key ranking (ALL six functions) rides the group-chain exec
+    // over a (key, order) range exchange; group totals for
+    // percent_rank/cume_dist/ntile come from the driver segment merge
     val partitioned = df.withColumn("rn",
         row_number().over(Window.partitionBy(col("k") % 10).orderBy("id")))
       .withColumn("rk", // ties on id % 7: peers must share their rank
@@ -55,10 +55,20 @@ class GlobalRowNumberSpec extends SparkSuite {
     val got = snap(cmp)
     val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(cmp) }
     assert(got == expected, "per-key ranks must match the built-in")
+    // group-total functions per key: buffered-group path + segment merge
     val ntilePart = df.withColumn("nt",
-      ntile(3).over(Window.partitionBy(col("k") % 10).orderBy("id")))
-    assert(!ntilePart.queryExecution.executedPlan.toString.contains("GlobalRowNumber"),
-      "per-key ntile needs the group total — left to the built-in")
+        ntile(3).over(Window.partitionBy(col("k") % 10).orderBy("id")))
+      .withColumn("pr", // ties: deterministic, safe to compare
+        percent_rank().over(Window.partitionBy(col("k") % 10).orderBy(col("id") % 7)))
+      .withColumn("cd",
+        cume_dist().over(Window.partitionBy(col("k") % 10).orderBy(col("id") % 7)))
+    val np = ntilePart.queryExecution.executedPlan.toString
+    assert(np.contains("GlobalRowNumber"),
+      s"per-key ntile/percent_rank/cume_dist must rescue:\n$np")
+    val ntCmp = ntilePart.select("k", "id", "nt", "pr", "cd")
+    val ntGot = snap(ntCmp)
+    val ntExp = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(ntCmp) }
+    assert(ntGot == ntExp, "per-key group-total ranks must match the built-in")
     // a mixed rank+lag node no longer opts the node out: GlobalWindowSplit
     // separates the families so each plans its own rescue exec
     val mixed = df.withColumn("r", rank().over(Window.orderBy("k")))

@@ -95,12 +95,15 @@ class GlobalWindowSplitSpec extends SparkSuite {
     val gotP = snap(part)
     val expP = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(part) }
     assert(gotP == expP)
-    // partitioned mixed node with a NON-capable family (per-key ntile
-    // needs the group total): left whole — a partial split would pay
-    // two exchanges and still keep the hot-key wall
+    // partitioned mixed node with a NON-capable family (per-key
+    // last_value over the whole-group frame: the value and the group
+    // total may lie in LATER tasks — no partitioned rescue): left
+    // whole — a partial split would pay two exchanges and still keep
+    // the hot-key wall
     val mixedPart = tied.selectExpr("id",
       "SUM(v) OVER (PARTITION BY k ORDER BY id) AS s",
-      "ntile(3) OVER (PARTITION BY k ORDER BY id) AS nt")
+      """last_value(v) OVER (PARTITION BY k ORDER BY id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv""")
     val wp = mixedPart.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }

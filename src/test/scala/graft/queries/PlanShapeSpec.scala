@@ -224,6 +224,18 @@ class PlanShapeSpec extends SparkSuite {
       s"a hash exchange on user_id would pin a hot user to one task:\n$p")
   }
 
+  test("skew-safe per-key IGNORE NULLS gap fill: value stitch, no WindowExec") {
+    val p = plan("q_skew_gapfill")
+    assert(p.contains("GlobalOffsetIgnoreNulls"),
+      s"per-key IGNORE NULLS offsets must ride the value stitch:\n$p")
+    assert(p.contains("GlobalNthValue"),
+      s"the per-key nth_value family must split out and rescue too:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"no built-in WindowExec may appear:\n$p")
+    assert(!p.contains("hashpartitioning(user_id"),
+      s"a hash exchange on user_id would pin a hot user to one task:\n$p")
+  }
+
   test("resample/LOCF: gap-fill window plans the prefix-scan exec") {
     val p = plan("q_resample_locf")
     assert(p.contains("GlobalRunningAgg"),
