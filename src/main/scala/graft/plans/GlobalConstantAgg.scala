@@ -2,11 +2,11 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, JoinedRow, MutableProjection, NamedExpression, SpecifiedWindowFrame, SpecificInternalRow, UnboundedFollowing, UnboundedPreceding, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Expression, JoinedRow, MutableProjection, NamedExpression, SortOrder, SpecifiedWindowFrame, SpecificInternalRow, UnboundedFollowing, UnboundedPreceding, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, DeclarativeAggregate}
 import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.catalyst.plans.physical.{Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.internal.SQLConf
 
@@ -53,6 +53,22 @@ import org.apache.spark.sql.internal.SQLConf
   * associates additions differently than one sequential scan — last-ulp
   * differences, the same caveat as every parallel float sum.
   *
+  * PARTITIONED nodes — `x / SUM(x) OVER (PARTITION BY user)`, the
+  * "share of GROUP total", an even more common spelling — are claimed
+  * too: stock Spark's hash exchange sends every row of a hot key
+  * through one task (the hot-region-server failure mode). Here the
+  * exchange is a RANGE exchange over (partition keys ⧺ spread keys) —
+  * the node's ORDER BY if it has one, else the aggregates' own
+  * orderable input columns — so a hot key spans tasks; one stats job
+  * ships each task's EDGE-group partial buffers (first and last key
+  * group — the only slices visible across task edges), the driver
+  * merges adjacent same-group partials into per-group constants
+  * (bounded by two buffers per task), and pass 2 buffers one group at
+  * a time (slice-bounded, the granularity WindowExec buffers at),
+  * evaluating interior groups locally. A bare `OVER (PARTITION BY k)`
+  * whose aggregates have no orderable input (e.g. only `COUNT(*)`)
+  * has no spread dimension and stays with the built-in.
+  *
   * Opt-out: shares `spark.graft.globalRowNumber.enabled` — one switch
   * restores every built-in global window.
   */
@@ -74,14 +90,36 @@ object GlobalConstantAggStrategy extends SparkStrategy {
   /** Per-expression categorizer for [[GlobalWindowSplit]]. */
   private[plans] def rescuable(e: NamedExpression): Boolean = funcOf(e).isDefined
 
+  /** Spread keys that let the range exchange split a hot key across
+    * tasks: the ORDER BY if present, else the aggregates' orderable
+    * deterministic input columns. Empty → no spread → decline. */
+  private def spreadOf(w: logical.Window,
+                       funcs: Seq[ConstAgg]): Seq[SortOrder] =
+    if (w.orderSpec.nonEmpty) w.orderSpec
+    else funcs.flatMap(_.agg.children).distinct
+      .filter(c => c.deterministic && !c.foldable &&
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(c.dataType))
+      .map(c => SortOrder(c, org.apache.spark.sql.catalyst.expressions.Ascending))
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case w: logical.Window
         if w.partitionSpec.isEmpty &&
           w.windowExpressions.nonEmpty &&
           w.windowExpressions.forall(funcOf(_).isDefined) &&
           SQLConf.get.getConfString(GlobalRowNumberStrategy.ConfKey, "true").toBoolean =>
-      GlobalConstantAggExec(
+      GlobalConstantAggExec(Nil, Nil,
         w.windowExpressions.map(funcOf(_).get), planLater(w.child)) :: Nil
+    case w: logical.Window
+        if w.partitionSpec.nonEmpty && w.partitionSpec.forall(_.deterministic) &&
+          w.windowExpressions.nonEmpty &&
+          w.windowExpressions.forall(funcOf(_).isDefined) &&
+          SQLConf.get.getConfString(GlobalRowNumberStrategy.ConfKey, "true").toBoolean => {
+      val funcs = w.windowExpressions.map(funcOf(_).get)
+      val spread = spreadOf(w, funcs)
+      if (spread.isEmpty) Nil
+      else GlobalConstantAggExec(w.partitionSpec, spread, funcs,
+        planLater(w.child)) :: Nil
+    }
     case _ => Nil
   }
 }
@@ -89,24 +127,196 @@ object GlobalConstantAggStrategy extends SparkStrategy {
 object GlobalConstantAggExec {
   /** One whole-table aggregate column (value constant across all rows). */
   case class ConstAgg(agg: DeclarativeAggregate, attr: Attribute)
+
+  /** Per-task edge-group partials for the partitioned path: first/last
+    * key groups and their slice aggregation buffers. Top-level so the
+    * serialized task result carries no $outer. */
+  private[plans] case class AggEdge(firstG: UnsafeRow, lastG: UnsafeRow,
+                                    bufFirst: UnsafeRow, bufLast: UnsafeRow)
 }
 
 /** Physical whole-table window aggregation: per-partition partial
   * buffers (one tiny job, no exchange), driver merge + single evaluate,
   * then a narrow second pass attaching the constant values to every
   * row. Driver state is #partitions aggregation buffers — independent
-  * of data size. */
-case class GlobalConstantAggExec(funcs: Seq[GlobalConstantAggExec.ConstAgg],
+  * of data size. Partitioned mode: per-GROUP constants over a range
+  * exchange — edge groups merged on the driver, interior groups
+  * evaluated locally from a one-group row buffer. */
+case class GlobalConstantAggExec(partition: Seq[Expression],
+                                 spread: Seq[SortOrder],
+                                 funcs: Seq[GlobalConstantAggExec.ConstAgg],
                                  child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output ++ funcs.map(_.attr)
 
+  private def partOrders: Seq[SortOrder] =
+    partition.map(e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending))
+
   override def requiredChildDistribution: Seq[Distribution] =
-    UnspecifiedDistribution :: Nil
-  override def outputOrdering = child.outputOrdering
+    if (partition.isEmpty) UnspecifiedDistribution :: Nil
+    else OrderedDistribution(partOrders ++ spread) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partition.isEmpty) Seq(Nil) else Seq(partOrders ++ spread)
+  override def outputOrdering =
+    if (partition.isEmpty) child.outputOrdering else partOrders ++ spread
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
+  /** Per-key path: edge-group partials → driver segment merge → pass 2
+    * buffers one group at a time (slice-bounded), attaching the
+    * driver's constant for edge groups and a locally-evaluated one for
+    * interior groups. */
+  private def doExecutePartitioned(): RDD[InternalRow] = {
+    import GlobalConstantAggExec.AggEdge
+    val childOutput = child.output
+    val resultAttrs = output
+    val partExprs = partition
+    val aggs = funcs.map(_.agg)
+    val bufAttrs = aggs.flatMap(_.aggBufferAttributes)
+    val bufTypes = bufAttrs.map(_.dataType)
+    val inputBufAttrs = aggs.flatMap(_.inputAggBufferAttributes)
+    val initExprs = aggs.flatMap(_.initialValues)
+    val updateExprs = aggs.flatMap(_.updateExpressions)
+    val mergeExprs = aggs.flatMap(_.mergeExpressions)
+    val evalExprs = funcs.map(_.agg.evaluateExpression)
+    val rdd = child.execute()
+
+    // pass 1: per task, the first and last key group's partial buffer
+    val stats: Array[AggEdge] = rdd.sparkContext.runJob(rdd,
+      (iter: Iterator[InternalRow]) => {
+        val groupProj = UnsafeProjection.create(partExprs, childOutput)
+        val bufProj = UnsafeProjection.create(bufAttrs, bufAttrs)
+        def newBuffer(): SpecificInternalRow = {
+          val buf = new SpecificInternalRow(bufTypes)
+          MutableProjection.create(initExprs, Nil).target(buf)(InternalRow.empty)
+          buf
+        }
+        var buf = newBuffer()
+        val update = MutableProjection.create(updateExprs, bufAttrs ++ childOutput)
+        update.target(buf)
+        val joinBI = new JoinedRow
+        var firstG: UnsafeRow = null
+        var curG: UnsafeRow = null
+        var bufFirst: UnsafeRow = null
+        while (iter.hasNext) {
+          val row = iter.next()
+          val g = groupProj(row)
+          if (curG == null) { curG = g.copy(); firstG = curG }
+          else if (!g.equals(curG)) {
+            if (bufFirst == null) bufFirst = bufProj(buf).copy()
+            curG = g.copy()
+            buf = newBuffer(); update.target(buf)
+          }
+          update(joinBI(buf, row))
+        }
+        val bufLast = bufProj(buf).copy()
+        if (bufFirst == null) bufFirst = bufLast
+        AggEdge(firstG, curG, bufFirst, bufLast)
+      })
+    val nParts = stats.length
+
+    // driver segment merge: adjacent edge slices with equal group keys
+    // belong to one group (contiguity under the sort); merge their
+    // partials left-to-right and evaluate once per group. Driver work
+    // is bounded by two buffers per task.
+    val firstConst = new Array[UnsafeRow](nParts)
+    val lastConst = new Array[UnsafeRow](nParts)
+    locally {
+      case class Seg(p: Int, isFirst: Boolean, isLast: Boolean,
+                     g: UnsafeRow, buf: UnsafeRow)
+      val segs = new scala.collection.mutable.ArrayBuffer[Seg]
+      var p = 0
+      while (p < nParts) {
+        val e = stats(p)
+        if (e.firstG != null) {
+          if (e.lastG.equals(e.firstG))
+            segs += Seg(p, isFirst = true, isLast = true, e.firstG, e.bufLast)
+          else {
+            segs += Seg(p, isFirst = true, isLast = false, e.firstG, e.bufFirst)
+            segs += Seg(p, isFirst = false, isLast = true, e.lastG, e.bufLast)
+          }
+        }
+        p += 1
+      }
+      val merge = MutableProjection.create(mergeExprs, bufAttrs ++ inputBufAttrs)
+      val evalProj = UnsafeProjection.create(evalExprs, bufAttrs)
+      val joinBB = new JoinedRow
+      var i = 0
+      while (i < segs.length) {
+        var j = i + 1
+        while (j < segs.length && segs(j).g.equals(segs(i).g)) j += 1
+        val running = new SpecificInternalRow(bufTypes)
+        MutableProjection.create(initExprs, Nil).target(running)(InternalRow.empty)
+        merge.target(running)
+        var k = i
+        while (k < j) { merge(joinBB(running, segs(k).buf)); k += 1 }
+        val const = evalProj(running).copy()
+        k = i
+        while (k < j) {
+          if (segs(k).isFirst) firstConst(segs(k).p) = const
+          if (segs(k).isLast) lastConst(segs(k).p) = const
+          k += 1
+        }
+        i = j
+      }
+    }
+
+    // pass 2: buffer one group at a time; edge groups take the driver's
+    // constant, interior groups evaluate their own local buffer
+    rdd.mapPartitionsWithIndex { (pid, iter) =>
+      val groupProj = UnsafeProjection.create(partExprs, childOutput)
+      val outProj = UnsafeProjection.create(resultAttrs, resultAttrs)
+      val join = new JoinedRow
+      val update = MutableProjection.create(updateExprs, bufAttrs ++ childOutput)
+      val evalProj = UnsafeProjection.create(evalExprs, bufAttrs)
+      val joinBI = new JoinedRow
+
+      new Iterator[InternalRow] {
+        private val buf = new scala.collection.mutable.ArrayBuffer[InternalRow]
+        private var bufPos = 0
+        private var constRow: UnsafeRow = _
+        private var pendingNext: InternalRow = _
+        private var firstGroupOfTask = true
+
+        private def fillGroup(): Unit = {
+          buf.clear(); bufPos = 0
+          if (pendingNext != null) { buf += pendingNext; pendingNext = null }
+          else if (iter.hasNext) buf += iter.next().copy()
+          else return
+          val g = groupProj(buf.head).copy()
+          val agg = new SpecificInternalRow(bufTypes)
+          MutableProjection.create(initExprs, Nil).target(agg)(InternalRow.empty)
+          update.target(agg)
+          update(joinBI(agg, buf.head))
+          var done = false
+          while (!done && iter.hasNext) {
+            val r = iter.next().copy()
+            if (groupProj(r).equals(g)) { buf += r; update(joinBI(agg, r)) }
+            else { pendingNext = r; done = true }
+          }
+          val isFirst = firstGroupOfTask
+          firstGroupOfTask = false
+          val isLast = pendingNext == null && !iter.hasNext
+          constRow =
+            if (isFirst) firstConst(pid)
+            else if (isLast) lastConst(pid)
+            else evalProj(agg).copy()
+        }
+
+        override def hasNext: Boolean =
+          bufPos < buf.length || pendingNext != null || iter.hasNext
+
+        override def next(): InternalRow = {
+          if (bufPos >= buf.length) fillGroup()
+          val out = outProj(join(buf(bufPos), constRow))
+          bufPos += 1
+          out
+        }
+      }
+    }
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
+    if (partition.nonEmpty) return doExecutePartitioned()
     val childOutput = child.output
     val resultAttrs = output
     val aggs = funcs.map(_.agg)

@@ -76,6 +76,7 @@ object GlobalWindowSplit extends Rule[LogicalPlan] {
       ordered && GlobalRunningAggStrategy.rescuableSuffix(e),
       ordered && GlobalSlidingAggStrategy.rescuable(e),
       ordered && GlobalNthValueStrategy.rescuablePartitioned(e),
+      GlobalConstantAggStrategy.rescuable(e),
       GlobalRangeFrameStrategy.orderRescuable(w) && GlobalRangeFrameStrategy.rescuable(e))
     tests.indexWhere(identity)
   }

@@ -1469,6 +1469,26 @@ object PipelineQueries {
                ORDER BY user_id, ts_us, event_id""")
     }),
 
+    // SKEW-SAFE SHARE-OF-GROUP-TOTAL — `x / SUM(x) OVER (PARTITION BY
+    // user)`, the most common per-key window spelling of all. Stock
+    // Spark hash-exchanges on user_id (hot user → one task);
+    // GlobalConstantAggStrategy plans a RANGE exchange over (user_id ⧺
+    // the aggregate's input) so the hot user spans tasks, ships only
+    // EDGE-group partial buffers to the driver (two per task), merges
+    // adjacent same-group partials into per-group constants, and
+    // evaluates interior groups locally from a one-group buffer. Exact
+    // DECIMAL sums; doubles only at the final division.
+    "q_skew_share" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""SELECT event_id, user_id,
+                 CAST(SUM(dv) OVER (PARTITION BY user_id) AS DOUBLE) AS user_total,
+                 COUNT(*) OVER (PARTITION BY user_id) AS user_n,
+                 CAST(dv AS DOUBLE) / CAST(SUM(dv) OVER (PARTITION BY user_id) AS DOUBLE) AS share
+               FROM (SELECT event_id, user_id, ts_us,
+                       CAST(value AS DECIMAL(18,2)) AS dv FROM events_v) t
+               ORDER BY user_id, ts_us, event_id""")
+    }),
+
     // SKEW-SAFE PER-KEY GAP FILL — "previous non-null reading per
     // user": only purchase events carry a reading, so lag IGNORE NULLS
     // must skip arbitrarily long runs of other events. Plain window
@@ -2612,6 +2632,15 @@ object PipelineQueries {
            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
              ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING)
            ORDER BY user_id, epoch_us(ts), event_id""",
+
+      "q_skew_share" ->
+        """SELECT event_id, user_id,
+             CAST(SUM(dv) OVER (PARTITION BY user_id) AS DOUBLE) AS user_total,
+             COUNT(*) OVER (PARTITION BY user_id) AS user_n,
+             CAST(dv AS DOUBLE) / CAST(SUM(dv) OVER (PARTITION BY user_id) AS DOUBLE) AS share
+           FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   CAST(value AS DECIMAL(18,2)) AS dv FROM events) t
+           ORDER BY user_id, ts_us, event_id""",
 
       "q_skew_gapfill" ->
         """SELECT event_id, user_id, r,

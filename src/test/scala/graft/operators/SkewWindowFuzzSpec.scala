@@ -58,7 +58,7 @@ class SkewWindowFuzzSpec extends SparkSuite {
       val df = randomDf()
       val w = Window.partitionBy("k").orderBy("id")
       val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      rnd.nextInt(12) match {
+      rnd.nextInt(13) match {
         case 0 =>
           val got = SkewWindow.runningExact(df, Seq("k"), Seq("id"), col("v"))
             .select("k", "id", "run_sum", "run_n", "run_rn")
@@ -259,6 +259,25 @@ class SkewWindowFuzzSpec extends SparkSuite {
             graft.plans.GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
           assert(got == expected,
             s"per-key nth_value($n1)/IGNORE NULLS($n2) diverged (round $round)")
+        case 12 =>
+          // per-key whole-group constants (share-of-group-total): edge
+          // partials merged on the driver, interior groups evaluated
+          // locally; exact long arithmetic so association is moot
+          val wg = Window.partitionBy("k")
+          val out = df
+            .withColumn("gs", sum("v").over(wg))
+            .withColumn("gc", count(col("v")).over(wg))
+            .withColumn("gm", min("v").over(wg))
+            .select("k", "v", "id", "gs", "gc", "gm")
+          val p = out.queryExecution.executedPlan.toString
+          assert(p.contains("GlobalConstantAgg"),
+            s"round $round: per-key group constants escaped the rescue:\n$p")
+          assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+            s"round $round: built-in WindowExec survived:\n$p")
+          val got = snap(out)
+          val expected = withConf(
+            graft.plans.GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
+          assert(got == expected, s"per-key group constants diverged (round $round)")
       }
     }
   }

@@ -120,6 +120,48 @@ class GlobalConstantAggSpec extends SparkSuite {
     assert(r.isNullAt(2) && r.getLong(3) == 0L)
   }
 
+  test("per-key group constants: edge merge + local interior evaluation") {
+    // skewed: key 0 holds ~3/4 of rows and spans several range
+    // partitions — its constant comes from the driver's segment merge;
+    // small keys are interior groups evaluated locally
+    val keyed = (0 until 9000).map { i =>
+      val k = if (i % 4 != 3) 0L else (i % 19).toLong
+      (k, ((i * 2654435761L) % 1000), i.toLong)
+    }.toDF("k", "v", "id").repartition(7)
+    // bare OVER (PARTITION BY k): spread = the aggregates' input column v
+    val out = keyed
+      .withColumn("t", sum("v").over(Window.partitionBy("k")))
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("k")))
+      .withColumn("m", max("v").over(Window.partitionBy("k")))
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalConstantAgg"), s"per-key constants must rescue:\n$p")
+    assert(!p.contains("hashpartitioning(k"),
+      s"a hash exchange on k would pin the hot key to one task:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"no built-in WindowExec may appear:\n$p")
+    def snap(d: org.apache.spark.sql.DataFrame) = d
+      .collect().map(r => (0 until r.length).map(j =>
+        Option(r.get(j)).map(_.toString).getOrElse("null")).mkString("|"))
+      .sorted.toSeq
+    val got = snap(out)
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(out) }
+    assert(got == expected, "per-key group constants must match the built-in")
+    // ORDER BY + explicit whole-group frame: spread = the order key
+    keyed.createOrReplaceTempView("const_keyed")
+    val ordered = spark.sql(
+      """SELECT k, id, CAST(SUM(v) OVER (PARTITION BY k ORDER BY id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS t
+         FROM const_keyed""")
+    assert(ordered.queryExecution.executedPlan.toString.contains("GlobalConstantAgg"))
+    val og = snap(ordered)
+    val oe = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(ordered) }
+    assert(og == oe)
+    // COUNT(*) alone has no orderable spread input: left to the built-in
+    val noSpread = keyed.withColumn("c", count(lit(1)).over(Window.partitionBy("k")))
+    assert(!noSpread.queryExecution.executedPlan.toString.contains("GlobalConstantAgg"),
+      "no spread dimension → decline (built-in hash window)")
+  }
+
   test("opt-out restores the built-in plan") {
     val out = df.withColumn("t", sum("v").over(Window.partitionBy()))
     withConf(GlobalRowNumberStrategy.ConfKey, "false") {

@@ -224,6 +224,16 @@ class PlanShapeSpec extends SparkSuite {
       s"a hash exchange on user_id would pin a hot user to one task:\n$p")
   }
 
+  test("skew-safe share-of-group-total: constant-agg exec, no hash exchange") {
+    val p = plan("q_skew_share")
+    assert(p.contains("GlobalConstantAgg"),
+      s"per-key group constants must ride the edge-merge exec:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"no built-in WindowExec may appear:\n$p")
+    assert(!p.contains("hashpartitioning(user_id"),
+      s"a hash exchange on user_id would pin a hot user to one task:\n$p")
+  }
+
   test("skew-safe per-key IGNORE NULLS gap fill: value stitch, no WindowExec") {
     val p = plan("q_skew_gapfill")
     assert(p.contains("GlobalOffsetIgnoreNulls"),
