@@ -96,14 +96,16 @@ object GlobalNthValueStrategy extends SparkStrategy {
   /** Per-expression categorizer for [[GlobalWindowSplit]]. */
   private[plans] def rescuable(e: NamedExpression): Boolean = funcOf(e).isDefined
 
-  /** The PARTITION BY-rescuable subset: prefix frames only. Per key,
-    * the n-th value is no longer one driver constant but a per-group
-    * head — streamable for prefix frames (the n-th value is always
-    * BEHIND the first eligible row), not for whole-table frames (the
-    * value and the group total may lie in LATER tasks); those keep the
-    * built-in. */
+  /** All matched shapes are PARTITION BY-rescuable. Prefix frames
+    * stream (the n-th value is always BEHIND the first eligible row);
+    * whole-GROUP frames — per-key ordered first/last_value and full
+    * nth_value, whose value and group total may lie in LATER tasks —
+    * take the edge-segment route: the driver merges every chain
+    * slice's bounded candidate list, so each task knows its edge
+    * groups' first/last n values and totals, and interior groups are
+    * buffered one at a time (slice-bounded). */
   private[plans] def rescuablePartitioned(e: NamedExpression): Boolean =
-    funcOf(e).exists(f => !f.isFull && !f.fromEnd)
+    funcOf(e).isDefined
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case w: logical.Window
@@ -184,6 +186,7 @@ case class GlobalNthValueExec(partition: Seq[Expression],
     val nF = funcsLocal.length
     val keyExprs = order.map(_.child)
     val anyRange = funcsLocal.exists(_.isRange)
+    val anyFull = funcsLocal.exists(_.isFull)
     val rdd = child.execute()
 
     // edge stats: first/last group keys; per function, the last group's
@@ -223,7 +226,14 @@ case class GlobalNthValueExec(partition: Seq[Expression],
             val isNull = v.isNullAt(0)
             if (!isNull) nn(i) += 1
             val counts = if (f.ignoreNulls) !isNull else true
-            if (counts && cand(i).length < f.n) cand(i) += v.copy()
+            if (counts) {
+              // fromEnd keeps the LAST ≤n candidates (bounded ring),
+              // others the first ≤n
+              if (f.fromEnd) {
+                cand(i) += v.copy()
+                if (cand(i).length > f.n) cand(i).remove(0)
+              } else if (cand(i).length < f.n) cand(i) += v.copy()
+            }
             i += 1
           }
           rows += 1
@@ -234,48 +244,91 @@ case class GlobalNthValueExec(partition: Seq[Expression],
       })
     val nParts = stats.length
 
-    // driver chain walk: accumulate (rows, nn, candidates) of the chain
-    // group; a task whose first group continues the chain is seeded
-    // with the carry. Empty tasks pass through; a multi-group task
-    // restarts the carry at its last group.
+    // driver segment pass: adjacent edge slices with equal group keys
+    // form one task-crossing group. One walk yields BOTH products:
+    //  - prefix seeds (the carry of PRECEDING slices in the chain) for
+    //    the streaming prefix-frame path, and
+    //  - whole-chain merges (total rows/non-nulls + the merged bounded
+    //    candidate list) for the whole-GROUP-frame functions, assigned
+    //    to every member task's first/last slot.
+    // Driver state: ≤ 2 segments × (counts + n values per function)
+    // per task, independent of data size.
     val seedRows = new Array[Long](nParts)
     val seedNn = Array.fill(nParts)(new Array[Long](nF))
     val seedCand: Array[Array[Array[UnsafeRow]]] =
       Array.fill(nParts)(Array.fill(nF)(Array.empty[UnsafeRow]))
+    val fullRowsFirst = new Array[Long](nParts)
+    val fullRowsLast = new Array[Long](nParts)
+    val fullNnFirst = Array.fill(nParts)(new Array[Long](nF))
+    val fullNnLast = Array.fill(nParts)(new Array[Long](nF))
+    val fullCandFirst: Array[Array[Array[UnsafeRow]]] =
+      Array.fill(nParts)(Array.fill(nF)(Array.empty[UnsafeRow]))
+    val fullCandLast: Array[Array[Array[UnsafeRow]]] =
+      Array.fill(nParts)(Array.fill(nF)(Array.empty[UnsafeRow]))
     locally {
-      var chainG: UnsafeRow = null
-      var carryRows = 0L
-      var carryNn = new Array[Long](nF)
-      var carryCand: Array[Array[UnsafeRow]] = Array.fill(nF)(Array.empty)
+      case class Seg(p: Int, isFirst: Boolean, isLast: Boolean,
+                     g: UnsafeRow, rows: Long, nn: Array[Long],
+                     cand: Array[Array[UnsafeRow]])
+      val segs = new scala.collection.mutable.ArrayBuffer[Seg]
       var p = 0
       while (p < nParts) {
         val e = stats(p)
         if (e.firstG != null) {
-          val continues = chainG != null && e.firstG.equals(chainG)
-          if (continues) {
-            seedRows(p) = carryRows
-            seedNn(p) = carryNn.clone()
-            seedCand(p) = carryCand.map(identity)
+          if (e.lastG.equals(e.firstG))
+            segs += Seg(p, isFirst = true, isLast = true,
+              e.firstG, e.rowsLast, e.nnLast, e.candLast)
+          else {
+            segs += Seg(p, isFirst = true, isLast = false,
+              e.firstG, e.rowsFirst, e.nnFirst, e.candFirst)
+            segs += Seg(p, isFirst = false, isLast = true,
+              e.lastG, e.rowsLast, e.nnLast, e.candLast)
           }
-          val singleGroup = e.lastG.equals(e.firstG)
-          if (continues && singleGroup) {
-            carryRows += e.rowsLast
-            var i = 0
-            while (i < nF) {
-              carryNn(i) += e.nnLast(i)
-              if (carryCand(i).length < funcsLocal(i).n)
-                carryCand(i) = (carryCand(i) ++ e.candLast(i))
-                  .take(funcsLocal(i).n)
-              i += 1
-            }
-          } else {
-            carryRows = e.rowsLast
-            carryNn = e.nnLast.clone()
-            carryCand = e.candLast.map(identity)
-          }
-          chainG = e.lastG
         }
         p += 1
+      }
+      var i = 0
+      while (i < segs.length) {
+        var j = i + 1
+        while (j < segs.length && segs(j).g.equals(segs(i).g)) j += 1
+        val run = segs.slice(i, j)
+        // whole-chain merge
+        val mergedRows = run.map(_.rows).sum
+        val mergedNn = Array.tabulate(nF)(f => run.map(_.nn(f)).sum)
+        val mergedCand = Array.tabulate(nF) { f =>
+          val all = run.flatMap(_.cand(f))
+          if (funcsLocal(f).fromEnd) all.takeRight(funcsLocal(f).n).toArray
+          else all.take(funcsLocal(f).n).toArray
+        }
+        // prefix carries + assignment
+        var accRows = 0L
+        val accNn = new Array[Long](nF)
+        var accCand: Array[Array[UnsafeRow]] = Array.fill(nF)(Array.empty)
+        run.foreach { s =>
+          if (s.isFirst) {
+            seedRows(s.p) = accRows
+            seedNn(s.p) = accNn.clone()
+            seedCand(s.p) = accCand.map(identity)
+            fullRowsFirst(s.p) = mergedRows
+            fullNnFirst(s.p) = mergedNn
+            fullCandFirst(s.p) = mergedCand
+          }
+          if (s.isLast) {
+            fullRowsLast(s.p) = mergedRows
+            fullNnLast(s.p) = mergedNn
+            fullCandLast(s.p) = mergedCand
+          }
+          accRows += s.rows
+          var f = 0
+          while (f < nF) {
+            accNn(f) += s.nn(f)
+            if (funcsLocal(f).fromEnd) {
+              // prefix seeds are never read by fromEnd (isFull) funcs
+            } else if (accCand(f).length < funcsLocal(f).n)
+              accCand(f) = (accCand(f) ++ s.cand(f)).take(funcsLocal(f).n)
+            f += 1
+          }
+        }
+        i = j
       }
     }
 
@@ -305,7 +358,8 @@ case class GlobalNthValueExec(partition: Seq[Expression],
         if (curG == null) curG = g.copy()
         else if (!g.equals(curG)) { curG = g.copy(); resetGroup() }
       }
-      // consume one row into the group state (frame includes CURRENT ROW)
+      // consume one row into the group state (frame includes CURRENT
+      // ROW); fromEnd functions keep the LAST ≤n candidates (ring)
       def consume(row: InternalRow): Unit = {
         var i = 0
         while (i < nF) {
@@ -314,7 +368,12 @@ case class GlobalNthValueExec(partition: Seq[Expression],
           val isNull = v.isNullAt(0)
           if (!isNull) nnRel(i) += 1
           val counts = if (f.ignoreNulls) !isNull else true
-          if (counts && heads(i).length < f.n) heads(i) += v.copy()
+          if (counts) {
+            if (f.fromEnd) {
+              heads(i) += v.copy()
+              if (heads(i).length > f.n) heads(i).remove(0)
+            } else if (heads(i).length < f.n) heads(i) += v.copy()
+          }
           i += 1
         }
         relIdx += 1
@@ -336,7 +395,134 @@ case class GlobalNthValueExec(partition: Seq[Expression],
         vals
       }
 
-      if (!anyRange) {
+      if (anyFull) {
+        // whole-GROUP frames present: buffer one group at a time
+        // (slice-bounded, WindowExec's own buffering granularity).
+        // Edge groups take the driver's whole-chain merge (candidates
+        // + totals); interior groups are whole by contiguity, so their
+        // own slice IS the group. Prefix functions in the same node
+        // ride along: per-row reach snapshots against the final group
+        // head (the n-th counting candidate is position-stable).
+        val keyProj =
+          if (anyRange) UnsafeProjection.create(keyExprs, childOutput) else null
+        val sameRun =
+          if (anyRange) KeyRunEquality.create(keyExprs.map(_.dataType)) else null
+        new Iterator[InternalRow] {
+          private val buf = new scala.collection.mutable.ArrayBuffer[InternalRow]
+          private val rowIdxs = new scala.collection.mutable.ArrayBuffer[Long]
+          private val rowNns = new scala.collection.mutable.ArrayBuffer[Array[Long]]
+          private var endIdxs: Array[Int] = Array.emptyIntArray
+          private var bufPos = 0
+          private var pendingNext: InternalRow = _
+          private var firstGroupOfTask = true
+          // per-group values of the whole-frame functions (one per func)
+          private val fullVals = new Array[Any](nF)
+
+          private def fillGroup(): Unit = {
+            buf.clear(); rowIdxs.clear(); rowNns.clear(); bufPos = 0
+            if (pendingNext != null) { buf += pendingNext; pendingNext = null }
+            else if (iter.hasNext) buf += iter.next().copy()
+            else return
+            val g = groupProj(buf.head).copy()
+            var done = false
+            while (!done && iter.hasNext) {
+              val r = iter.next().copy()
+              if (groupProj(r).equals(g)) buf += r
+              else { pendingNext = r; done = true }
+            }
+            val isFirst = firstGroupOfTask
+            firstGroupOfTask = false
+            val isLast = pendingNext == null && !iter.hasNext
+            // prefix counters/heads: seeded for the task's first group
+            relIdx = if (isFirst) seedRows(pid) else 0L
+            nnRel = if (isFirst) seedNn(pid).clone() else new Array[Long](nF)
+            heads.indices.foreach { i =>
+              heads(i).clear()
+              if (isFirst) heads(i) ++= seedCand(pid)(i)
+            }
+            var j = 0
+            while (j < buf.length) {
+              consume(buf(j))
+              rowIdxs += relIdx
+              rowNns += nnRel.clone()
+              j += 1
+            }
+            // RANGE prefix functions: map each row to its tie-run END
+            // (runs never span tasks or groups)
+            if (anyRange) {
+              if (endIdxs.length < buf.length)
+                endIdxs = new Array[Int](buf.length)
+              var k = buf.length - 1
+              var runEnd = k
+              var nextKey: UnsafeRow = null
+              while (k >= 0) {
+                val key = keyProj(buf(k)).copy()
+                if (nextKey == null || !sameRun(key, nextKey)) runEnd = k
+                endIdxs(k) = runEnd
+                nextKey = key
+                k -= 1
+              }
+            }
+            // whole-frame values: merged chain for edge groups, the
+            // local slice (complete by contiguity) for interior ones
+            val gRows =
+              if (isFirst) fullRowsFirst(pid)
+              else if (isLast) fullRowsLast(pid)
+              else buf.length.toLong
+            var i = 0
+            while (i < nF) {
+              val f = funcsLocal(i)
+              if (f.isFull) {
+                val gNn =
+                  if (isFirst) fullNnFirst(pid)(i)
+                  else if (isLast) fullNnLast(pid)(i)
+                  else nnRel(i)
+                val cand =
+                  if (isFirst) fullCandFirst(pid)(i)
+                  else if (isLast) fullCandLast(pid)(i)
+                  else heads(i).toArray
+                val reach = if (f.ignoreNulls) gNn else gRows
+                fullVals(i) =
+                  if (reach >= f.n) {
+                    val c = if (f.fromEnd) cand(cand.length - f.n)
+                            else cand(f.n - 1)
+                    c.get(0, attrTypes(i))
+                  } else null
+              }
+              i += 1
+            }
+          }
+
+          override def hasNext: Boolean =
+            bufPos < buf.length || pendingNext != null || iter.hasNext
+
+          override def next(): InternalRow = {
+            if (bufPos >= buf.length) fillGroup()
+            val j = bufPos
+            val endJ = if (anyRange) endIdxs(j) else j
+            val vals = new GenericInternalRow(nF)
+            var i = 0
+            while (i < nF) {
+              val f = funcsLocal(i)
+              if (f.isFull) vals.update(i, fullVals(i))
+              else {
+                val reach =
+                  if (f.isRange) {
+                    if (f.ignoreNulls) rowNns(endJ)(i) else rowIdxs(endJ)
+                  } else {
+                    if (f.ignoreNulls) rowNns(j)(i) else rowIdxs(j)
+                  }
+                vals.update(i,
+                  if (reach >= f.n) heads(i)(f.n - 1).get(0, attrTypes(i))
+                  else null)
+              }
+              i += 1
+            }
+            bufPos += 1
+            outProj(joinOut(buf(j), vals))
+          }
+        }
+      } else if (!anyRange) {
         iter.map { row =>
           groupCheck(row)
           consume(row)

@@ -66,12 +66,14 @@ import org.apache.spark.unsafe.types.CalendarInterval
   *
   * Matched shape: any deterministic partition spec (including empty),
   * ONE order key — ascending or descending, integer / bigint /
-  * timestamp / date type — and all window expressions deterministic
-  * [[DeclarativeAggregate]]s over `RANGE` frames with a
+  * timestamp / date / decimal(≤18) type — and all window expressions
+  * deterministic [[DeclarativeAggregate]]s over `RANGE` frames with a
   * literal-or-CURRENT-ROW bound on each side (day-time interval
   * literals on timestamp keys; whole-day intervals or plain ints on
-  * date keys; month-bearing offsets are never fixed-width and fall
-  * back). DESCENDING keys are handled by negating the extracted key —
+  * date keys; numeric bounds rescaled exactly to the key's scale on
+  * DECIMAL keys, whose unscaled value IS the Long key — fixed-point;
+  * month-bearing offsets are never fixed-width and fall back).
+  * DESCENDING keys are handled by negating the extracted key —
   * under `ORDER BY ts DESC`, `x PRECEDING` means keys in [K, K+x],
   * which is exactly [K'−x, K'] in negated key space, so the ascending
   * machinery applies verbatim. Mixed widths in one node are fine — each
@@ -97,20 +99,40 @@ object GlobalRangeFrameStrategy extends SparkStrategy {
     case CurrentRow => Some(0L)
     case e if e.foldable =>
       val isDate = keyType == DateType
-      val v = (e.dataType, e.eval()) match {
-        case (_, null) => None
-        case (_: DayTimeIntervalType, l: java.lang.Long) =>
-          // micros; over a DATE key the result type is timestamp — the
-          // window's key would no longer be the date column. Decline.
-          if (isDate) None else Some(l.longValue())
-        case (_: YearMonthIntervalType, _) => None // months aren't fixed-width
-        case (CalendarIntervalType, ci: CalendarInterval) if ci.months == 0 =>
-          if (isDate) {
-            if (ci.microseconds == 0L) Some(ci.days.toLong) else None
-          } else Some(ci.days * MicrosPerDay + ci.microseconds)
-        case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
-          Some(n.longValue())
-        case _ => None
+      val v = keyType match {
+        case kt: org.apache.spark.sql.types.DecimalType =>
+          // DECIMAL keys are fixed-point: widths live in the key's
+          // UNSCALED units. Any numeric bound rescales exactly to the
+          // key's scale or declines (a finer-scaled bound has no
+          // representation in key units).
+          val bd: Option[java.math.BigDecimal] = (e.dataType, e.eval()) match {
+            case (_, null) => None
+            case (_: org.apache.spark.sql.types.DecimalType,
+                  d: org.apache.spark.sql.types.Decimal) =>
+              Some(d.toJavaBigDecimal)
+            case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
+              Some(java.math.BigDecimal.valueOf(n.longValue()))
+            case _ => None
+          }
+          bd.flatMap { b =>
+            try Some(b.setScale(kt.scale).unscaledValue().longValueExact())
+            catch { case _: ArithmeticException => None }
+          }
+        case _ => (e.dataType, e.eval()) match {
+          case (_, null) => None
+          case (_: DayTimeIntervalType, l: java.lang.Long) =>
+            // micros; over a DATE key the result type is timestamp — the
+            // window's key would no longer be the date column. Decline.
+            if (isDate) None else Some(l.longValue())
+          case (_: YearMonthIntervalType, _) => None // months aren't fixed-width
+          case (CalendarIntervalType, ci: CalendarInterval) if ci.months == 0 =>
+            if (isDate) {
+              if (ci.microseconds == 0L) Some(ci.days.toLong) else None
+            } else Some(ci.days * MicrosPerDay + ci.microseconds)
+          case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
+            Some(n.longValue())
+          case _ => None
+        }
       }
       v.collect { case w if w * sign > 0 => math.abs(w) }
     case _ => None
@@ -137,6 +159,8 @@ object GlobalRangeFrameStrategy extends SparkStrategy {
     w.orderSpec.length == 1 &&
       (w.orderSpec.head.child.dataType match {
         case IntegerType | LongType | TimestampType | DateType => true
+        // fixed-point: the unscaled value IS a Long key (≤18 digits)
+        case d: org.apache.spark.sql.types.DecimalType => d.precision <= 18
         case _ => false
       })
 
@@ -200,9 +224,17 @@ case class GlobalRangeFrameExec(partition: Seq[Expression],
     val maxX = funcsLocal.map(_.x).max
     val maxY = funcsLocal.map(_.y).max
     val keyExpr = order.head.child
-    // DateType is physically an int (days since epoch)
-    val keyIsInt =
-      keyExpr.dataType == IntegerType || keyExpr.dataType == DateType
+    // DateType is physically an int (days since epoch); DECIMAL keys
+    // read as their unscaled Long (precision ≤ 18 per orderRescuable)
+    val keyKind = keyExpr.dataType match {
+      case IntegerType | DateType => 0
+      case _: org.apache.spark.sql.types.DecimalType => 2
+      case _ => 1
+    }
+    val (keyPrec, keyScale) = keyExpr.dataType match {
+      case d: org.apache.spark.sql.types.DecimalType => (d.precision, d.scale)
+      case _ => (0, 0)
+    }
     // descending keys are NEGATED into ascending space (negateExact:
     // Long.MinValue would wrap silently — fail loudly instead)
     val negate = order.head.direction != Ascending
@@ -244,7 +276,9 @@ case class GlobalRangeFrameExec(partition: Seq[Expression],
           }
           val kr = keyProj(row)
           if (!kr.isNullAt(0)) {
-            val k0 = if (keyIsInt) kr.getInt(0).toLong else kr.getLong(0)
+            val k0 = if (keyKind == 0) kr.getInt(0).toLong
+              else if (keyKind == 2) kr.getDecimal(0, keyPrec, keyScale).toUnscaledLong
+              else kr.getLong(0)
             val k = if (negate) Math.negateExact(k0) else k0
             if (inFirstGroup && firstKey.isEmpty) firstKey = Some(k)
             lastKey = Some(k)
@@ -346,7 +380,9 @@ case class GlobalRangeFrameExec(partition: Seq[Expression],
           var kr = keyProj(r)
           val pr = partProj(r)
           val isNull = kr.isNullAt(0)
-          val key0 = if (isNull) 0L else if (keyIsInt) kr.getInt(0).toLong else kr.getLong(0)
+          val key0 = if (isNull) 0L else if (keyKind == 0) kr.getInt(0).toLong
+              else if (keyKind == 2) kr.getDecimal(0, keyPrec, keyScale).toUnscaledLong
+              else kr.getLong(0)
           val key = if (negate && !isNull) Math.negateExact(key0) else key0
           // continue the previous run if this row is its peer (same
           // partition-key group AND same order key / both null)

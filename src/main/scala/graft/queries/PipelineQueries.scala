@@ -1505,7 +1505,10 @@ object PipelineQueries {
                  lead(r, 2, -1.0) IGNORE NULLS OVER w AS next2_reading,
                  nth_value(r, 2) IGNORE NULLS OVER (PARTITION BY user_id
                    ORDER BY ts_us, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_reading
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_reading,
+                 last_value(r) IGNORE NULLS OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS final_reading
                FROM (SELECT event_id, user_id, ts_us,
                        CASE WHEN event_type = 'purchase' THEN value END AS r
                      FROM events_v) t
@@ -2648,7 +2651,10 @@ object PipelineQueries {
              lead(r, 2, -1.0 IGNORE NULLS) OVER w AS next2_reading,
              nth_value(r, 2 IGNORE NULLS) OVER (PARTITION BY user_id
                ORDER BY epoch_us(ts), event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_reading
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_reading,
+             last_value(r IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS final_reading
            FROM (SELECT event_id, user_id, ts,
                    CASE WHEN event_type = 'purchase' THEN value END AS r
                  FROM events) t

@@ -246,7 +246,11 @@ class SkewWindowFuzzSpec extends SparkSuite {
                    nth_value(v, $n1) OVER (PARTITION BY k ORDER BY id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv,
                    nth_value(v, $n2) IGNORE NULLS OVER (PARTITION BY k ORDER BY id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nvnn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nvnn,
+                   last_value(v) OVER (PARTITION BY k ORDER BY id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv,
+                   first_value(v) IGNORE NULLS OVER (PARTITION BY k ORDER BY id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fvnn
                  FROM fuzz_nth"""
           val out = spark.sql(q)
           val p = out.queryExecution.executedPlan.toString

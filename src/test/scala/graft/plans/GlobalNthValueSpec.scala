@@ -171,13 +171,29 @@ class GlobalNthValueSpec extends SparkSuite {
       snap(spark.sql(q))
     }
     assert(got == expected, "per-key prefix nth_value must match the built-in")
-    // whole-table frame per key stays with the built-in (value may lie
-    // in a later task)
-    val full = spark.sql("""SELECT k, id, nth_value(v, 2) OVER (PARTITION BY k
-        ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nf
-      FROM nth_keyed""")
-    assert(!full.queryExecution.executedPlan.toString.contains("GlobalNthValue"),
-      "per-key whole-table nth_value has no rescue")
+    // whole-GROUP frames per key: driver-merged chain candidates for
+    // edge groups, local slices for interior ones — first/last/nth
+    val fullQ = """SELECT k, id, v,
+        nth_value(v, 2) OVER (PARTITION BY k ORDER BY id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nf,
+        first_value(v) OVER (PARTITION BY k ORDER BY id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fv,
+        last_value(v) OVER (PARTITION BY k ORDER BY id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv,
+        last_value(v) IGNORE NULLS OVER (PARTITION BY k ORDER BY id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lvnn
+      FROM nth_keyed"""
+    val full = spark.sql(fullQ)
+    val fp = full.queryExecution.executedPlan.toString
+    assert(fp.contains("GlobalNthValue"),
+      s"per-key whole-group first/last/nth must rescue:\n$fp")
+    assert(!fp.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"no built-in WindowExec may appear:\n$fp")
+    val fGot = snap(full)
+    val fExp = withConf(GlobalRowNumberStrategy.ConfKey, "false") {
+      snap(spark.sql(fullQ))
+    }
+    assert(fGot == fExp, "per-key whole-group frames must match the built-in")
   }
 
   test("nth_value past the n cap falls back to the built-in") {

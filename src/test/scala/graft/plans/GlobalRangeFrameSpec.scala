@@ -296,4 +296,51 @@ class GlobalRangeFrameSpec extends SparkSuite {
       Window.orderBy("k").rangeBetween(Window.currentRow, Window.currentRow)))
     assert(!peers.queryExecution.executedPlan.toString.contains("GlobalRangeFrame"))
   }
+
+  test("DECIMAL order keys: fixed-point bounds, global and per key") {
+    // price-like keys with ties; bounds 0.50 / 2 rescale exactly to
+    // the key's scale-2 unscaled units
+    val d = (0 until 8000)
+      .map { i =>
+        val k = if (i % 4 != 3) 0L else (i % 13).toLong
+        (k, ((i * 2654435761L) % 5000) / 100.0, ((i * 48271) % 1000).toLong, i.toLong)
+      }
+      .toDF("grp", "price0", "v", "id")
+      .withColumn("price", col("price0").cast("decimal(9,2)"))
+      .repartition(7)
+    d.createOrReplaceTempView("grf_dec")
+    val q = """SELECT id, v, price,
+                 SUM(v) OVER (ORDER BY price
+                   RANGE BETWEEN 0.50 PRECEDING AND CURRENT ROW) AS band_sum,
+                 COUNT(*) OVER (PARTITION BY grp ORDER BY price
+                   RANGE BETWEEN 2 PRECEDING AND 0.25 FOLLOWING) AS band_n
+               FROM grf_dec"""
+    val out = spark.sql(q)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalRangeFrame"),
+      s"decimal-key RANGE frames must rescue:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"no built-in WindowExec may appear:\n$p")
+    def snapD(x: org.apache.spark.sql.DataFrame) = x
+      .collect().map(r => (0 until r.length).map(j =>
+        Option(r.get(j)).map(_.toString).getOrElse("null")).mkString("|"))
+      .sorted.toSeq
+    val got = snapD(out)
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") {
+      snapD(spark.sql(q))
+    }
+    assert(got == expected, "decimal-key range frames must match the built-in")
+    // a bound finer than the key's scale: the ANALYZER casts it to the
+    // key's type (0.005 → 0.01 at scale 2) before either plan sees it,
+    // so the rescue reads the same rounded width the built-in uses
+    val fineQ = """SELECT id, SUM(v) OVER (ORDER BY price
+        RANGE BETWEEN 0.005 PRECEDING AND CURRENT ROW) AS s FROM grf_dec"""
+    val fine = spark.sql(fineQ)
+    assert(fine.queryExecution.executedPlan.toString.contains("GlobalRangeFrame"))
+    val fGot = snapD(fine)
+    val fExp = withConf(GlobalRowNumberStrategy.ConfKey, "false") {
+      snapD(spark.sql(fineQ))
+    }
+    assert(fGot == fExp, "coerced sub-scale bounds must match the built-in")
+  }
 }

@@ -95,15 +95,26 @@ class GlobalWindowSplitSpec extends SparkSuite {
     val gotP = snap(part)
     val expP = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(part) }
     assert(gotP == expP)
-    // partitioned mixed node with a NON-capable family (per-key
-    // last_value over the whole-group frame: the value and the group
-    // total may lie in LATER tasks — no partitioned rescue): left
-    // whole — a partial split would pay two exchanges and still keep
-    // the hot-key wall
-    val mixedPart = tied.selectExpr("id",
+    // per-key whole-group last_value is now nth-rescuable: a mixed
+    // running + whole-group node splits and BOTH rescue
+    val lastPart = tied.selectExpr("id",
       "SUM(v) OVER (PARTITION BY k ORDER BY id) AS s",
       """last_value(v) OVER (PARTITION BY k ORDER BY id
            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv""")
+    val lp = lastPart.queryExecution.executedPlan.toString
+    assert(lp.contains("GlobalRunningAgg") && lp.contains("GlobalNthValue"),
+      s"running + per-key whole-group last_value must both rescue:\n$lp")
+    val lGot = snap(lastPart)
+    val lExp = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(lastPart) }
+    assert(lGot == lExp)
+    // partitioned mixed node with a NON-capable family (month-bearing
+    // RANGE intervals are never fixed-width): left whole — a partial
+    // split would pay two exchanges and still keep the hot-key wall
+    val mixedPart = tied.selectExpr("id",
+      """SUM(v) OVER (PARTITION BY k ORDER BY timestamp_seconds(id)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s""",
+      """SUM(v) OVER (PARTITION BY k ORDER BY timestamp_seconds(id)
+           RANGE BETWEEN INTERVAL '1' MONTH PRECEDING AND CURRENT ROW) AS ms""")
     val wp = mixedPart.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
