@@ -71,8 +71,19 @@ import org.apache.spark.unsafe.types.CalendarInterval
   * literal-or-CURRENT-ROW bound on each side (day-time interval
   * literals on timestamp keys; whole-day intervals or plain ints on
   * date keys; numeric bounds rescaled exactly to the key's scale on
-  * DECIMAL keys, whose unscaled value IS the Long key — fixed-point;
-  * month-bearing offsets are never fixed-width and fall back).
+  * DECIMAL keys, whose unscaled value IS the Long key — fixed-point).
+  * MONTH-bearing offsets over ASCENDING timestamp keys resolve per
+  * row through the session-zone calendar (the same `DateTimeUtils`
+  * arithmetic the built-in's bound expressions use); the shipping
+  * structures over-approximate months at 31 days + slack and the
+  * folds filter exactly. NOTE the deliberate semantic choice: month
+  * subtraction is NON-MONOTONE at day-clamp boundaries (Mar 28 06:00
+  * − 1mo = Feb 28 06:00, but Mar 29 05:00 − 1mo = Feb 28 05:00), and
+  * stock WindowExec's two-pointer frame never moves its lower pointer
+  * backward — it silently DROPS rows there. This exec computes the
+  * declarative frame `key ∈ [K − interval, K + interval]` exactly,
+  * per row — the SQL-standard reading, and what DuckDB produces.
+  * Month offsets over date keys or descending orders fall back.
   * DESCENDING keys are handled by negating the extracted key —
   * under `ORDER BY ts DESC`, `x PRECEDING` means keys in [K, K+x],
   * which is exactly [K'−x, K'] in negated key space, so the ascending
@@ -86,20 +97,24 @@ object GlobalRangeFrameStrategy extends SparkStrategy {
 
   private val MicrosPerDay = 86400000000L
 
-  /** Foldable bound → |width| in key units (micros for timestamp keys,
-    * days for date keys), requiring the bound's sign to match `sign`
+  /** Foldable bound → |width| as (months, key units) — key units are
+    * micros for timestamp keys, days for date keys, unscaled units for
+    * decimal keys — requiring the bound's sign to match `sign`
     * (PRECEDING bounds are negative, FOLLOWING positive — in BOTH sort
     * directions: Spark negates the offset arithmetic for descending
     * orders, and so does the exec, so widths are direction-free); None
     * for unsupported shapes. Bound TYPES are checked, not just values —
     * a day-time interval and a bigint both eval to a Long, but they
-    * mean different units against a date key. */
-  private def widthOf(bound: Expression, sign: Int,
-                      keyType: DataType): Option[Long] = bound match {
-    case CurrentRow => Some(0L)
+    * mean different units against a date key. MONTH-bearing widths are
+    * only produced for ASCENDING timestamp keys (the exec resolves
+    * them per row through the session-zone calendar). */
+  private def widthOf(bound: Expression, sign: Int, keyType: DataType,
+                      ascending: Boolean): Option[(Int, Long)] = bound match {
+    case CurrentRow => Some((0, 0L))
     case e if e.foldable =>
       val isDate = keyType == DateType
-      val v = keyType match {
+      val monthsOk = ascending && keyType == TimestampType
+      val v: Option[(Int, Long)] = keyType match {
         case kt: org.apache.spark.sql.types.DecimalType =>
           // DECIMAL keys are fixed-point: widths live in the key's
           // UNSCALED units. Any numeric bound rescales exactly to the
@@ -115,7 +130,7 @@ object GlobalRangeFrameStrategy extends SparkStrategy {
             case _ => None
           }
           bd.flatMap { b =>
-            try Some(b.setScale(kt.scale).unscaledValue().longValueExact())
+            try Some((0, b.setScale(kt.scale).unscaledValue().longValueExact()))
             catch { case _: ArithmeticException => None }
           }
         case _ => (e.dataType, e.eval()) match {
@@ -123,18 +138,31 @@ object GlobalRangeFrameStrategy extends SparkStrategy {
           case (_: DayTimeIntervalType, l: java.lang.Long) =>
             // micros; over a DATE key the result type is timestamp — the
             // window's key would no longer be the date column. Decline.
-            if (isDate) None else Some(l.longValue())
-          case (_: YearMonthIntervalType, _) => None // months aren't fixed-width
-          case (CalendarIntervalType, ci: CalendarInterval) if ci.months == 0 =>
-            if (isDate) {
-              if (ci.microseconds == 0L) Some(ci.days.toLong) else None
-            } else Some(ci.days * MicrosPerDay + ci.microseconds)
+            if (isDate) None else Some((0, l.longValue()))
+          case (yt: YearMonthIntervalType, m: Integer) =>
+            // pure months: per-row calendar resolution (timestamp keys,
+            // ascending only)
+            if (monthsOk) Some((m.intValue(), 0L)) else None
+          case (CalendarIntervalType, ci: CalendarInterval) =>
+            if (ci.months != 0) {
+              if (monthsOk)
+                Some((ci.months, ci.days * MicrosPerDay + ci.microseconds))
+              else None
+            } else if (isDate) {
+              if (ci.microseconds == 0L) Some((0, ci.days.toLong)) else None
+            } else Some((0, ci.days * MicrosPerDay + ci.microseconds))
           case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
-            Some(n.longValue())
+            Some((0, n.longValue()))
           case _ => None
         }
       }
-      v.collect { case w if w * sign > 0 => math.abs(w) }
+      // every component must agree with the bound's side; total nonzero
+      // is checked by the caller
+      v.collect {
+        case (m, w) if m.toLong * sign >= 0 && w * sign >= 0 &&
+            (m != 0 || w != 0) =>
+          (math.abs(m), math.abs(w))
+      }
     case _ => None
   }
 
@@ -145,11 +173,12 @@ object GlobalRangeFrameStrategy extends SparkStrategy {
             SpecifiedWindowFrame(RangeFrame, lo, hi))), _)
         if f.deterministic && orderSpec.length == 1 =>
       val keyType = orderSpec.head.child.dataType
+      val asc = orderSpec.head.direction == Ascending
       for {
-        x <- widthOf(lo, -1, keyType)
-        y <- widthOf(hi, 1, keyType)
-        if x + y > 0 // both CURRENT ROW = peers-only; leave to the built-in
-      } yield RangeAgg(f, x, y, e.toAttribute)
+        (xm, x) <- widthOf(lo, -1, keyType, asc)
+        (ym, y) <- widthOf(hi, 1, keyType, asc)
+        if xm + ym > 0 || x + y > 0 // both CURRENT ROW: leave to the built-in
+      } yield RangeAgg(f, xm, x, ym, y, e.toAttribute)
     case _ => None
   }
 
@@ -177,9 +206,11 @@ object GlobalRangeFrameStrategy extends SparkStrategy {
 }
 
 object GlobalRangeFrameExec {
-  /** One value-window aggregate over `[K − x, K + y]` in key units. */
-  case class RangeAgg(agg: DeclarativeAggregate, x: Long, y: Long,
-                      attr: Attribute)
+  /** One value-window aggregate over `[K − xm months − x, K + ym months
+    * + y]` — x/y in key units; xm/ym in calendar months (timestamp
+    * keys only, resolved per row through the session zone). */
+  case class RangeAgg(agg: DeclarativeAggregate, xm: Int, x: Long,
+                      ym: Int, y: Long, attr: Attribute)
 
   /** Per-task edge summary for the boundary-stitch job. `firstGroup` /
     * `lastGroup` are the task's first/last partition-key tuples;
@@ -221,8 +252,18 @@ case class GlobalRangeFrameExec(partition: Seq[Expression],
     val childOutput = child.output
     val resultAttrs = output
     val funcsLocal = funcs.toArray
-    val maxX = funcsLocal.map(_.x).max
-    val maxY = funcsLocal.map(_.y).max
+    // conservative per-direction spans for the SHIPPING/PRUNING
+    // structures only (edge windows, lookahead horizon): month widths
+    // over-approximate at 31 days + 2 days of calendar slack; the
+    // per-function FOLDS use exact per-row calendar bounds, so extra
+    // shipped rows are simply filtered
+    def consSpan(months: Int, units: Long): Long =
+      if (months == 0) units
+      else units + months * 31L * 86400000000L + 2L * 86400000000L
+    val maxX = funcsLocal.map(f => consSpan(f.xm, f.x)).max
+    val maxY = funcsLocal.map(f => consSpan(f.ym, f.y)).max
+    val anyMonths = funcsLocal.exists(f => f.xm != 0 || f.ym != 0)
+    val zoneIdStr = SQLConf.get.sessionLocalTimeZone
     val keyExpr = order.head.child
     // DateType is physically an int (days since epoch); DECIMAL keys
     // read as their unscaled Long (precision ≤ 18 per orderRescuable)
@@ -352,6 +393,19 @@ case class GlobalRangeFrameExec(partition: Seq[Expression],
       val outProj = UnsafeProjection.create(resultAttrs, resultAttrs)
       val post = postHeads(pid)
       val lastGroup = lastGroups(pid)
+      // exact per-row frame bounds: fixed-width arithmetic, or the
+      // session-zone calendar for month-bearing widths — the same
+      // DateTimeUtils arithmetic the built-in's bound expressions use
+      // (CalendarInterval days are folded into micros, as in widthOf)
+      val zone = if (anyMonths) java.time.ZoneId.of(zoneIdStr) else null
+      def loOf(f: GlobalRangeFrameExec.RangeAgg, k: Long): Long =
+        if (f.xm == 0) k - f.x
+        else org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .timestampAddInterval(k, -f.xm, 0, -f.x, zone)
+      def hiOf(f: GlobalRangeFrameExec.RangeAgg, k: Long): Long =
+        if (f.ym == 0) k + f.y
+        else org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .timestampAddInterval(k, f.ym, 0, f.y, zone)
 
       // one tie run: equal (group, key) rows (or one run of null-key
       // rows within a group)
@@ -449,7 +503,7 @@ case class GlobalRangeFrameExec(partition: Seq[Expression],
               val f = funcsLocal(i)
               inits(i)(InternalRow.empty)
               // 1) trailing deque slice within this function's x-width
-              val cut = k - f.x
+              val cut = loOf(f, k)
               var p = 0
               while (p < deque.length && deque(p)._1 < cut) p += 1
               while (p < deque.length) {
@@ -462,13 +516,14 @@ case class GlobalRangeFrameExec(partition: Seq[Expression],
               }
               // 3) lookahead runs within this function's y-width and
               // this run's partition-key group
-              if (f.y > 0) {
+              if (f.ym > 0 || f.y > 0) {
+                val hi = hiOf(f, k)
                 val it = pending.iterator
                 it.next() // skip cur
                 var stop = false
                 while (!stop && it.hasNext) {
                   val r = it.next()
-                  if (r.isNull || !r.group.equals(cur.group) || r.key > k + f.y)
+                  if (r.isNull || !r.group.equals(cur.group) || r.key > hi)
                     stop = true
                   else {
                     var j2 = 0
@@ -481,7 +536,7 @@ case class GlobalRangeFrameExec(partition: Seq[Expression],
                 // of the last group's continuation in later tasks)
                 if (stitchPost) {
                   var q = 0
-                  while (q < post.length && post(q)._1 <= k + f.y) {
+                  while (q < post.length && post(q)._1 <= hi) {
                     updates(i)(joinBI(buffers(i), post(q)._2)); q += 1
                   }
                 }

@@ -1402,6 +1402,29 @@ object PipelineQueries {
           col("hour_sum").cast("double").as("hour_sum"), col("hour_n"))
     }),
 
+    // MONTH-INTERVAL RANGE FRAME — the trailing "1 calendar month per
+    // user" window. Months are not fixed-width, so the exec resolves
+    // each row's bound through the session-zone calendar
+    // (DateTimeUtils, the arithmetic the built-in's bound expressions
+    // use) and over-approximates only the SHIPPED edge windows at 31
+    // days + slack. Semantics are the declarative frame `ts ≥ K − 1
+    // MONTH` per row — what DuckDB computes; stock WindowExec's
+    // two-pointer frame silently drops rows at day-clamp boundaries
+    // (month subtraction is non-monotone there), so this rescue is
+    // MORE correct than the built-in, not just faster.
+    "q_skew_months" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("tsx", expr("timestamp_micros(ts_us)"))
+        .createOrReplaceTempView("events_m")
+      s.sql("""SELECT event_id, user_id,
+                 COUNT(*) OVER w AS month_n,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS month_sum
+               FROM events_m
+               WINDOW w AS (PARTITION BY user_id ORDER BY tsx
+                 RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW)
+               ORDER BY user_id, tsx, event_id""")
+    }),
+
     // SKEW-SAFE PER-KEY RUNNING MIN/MAX — the one running family the
     // subtraction algebra could never cover (min/max have no inverse).
     // GlobalRunningAggStrategy now claims PARTITION BY nodes directly:
@@ -2599,6 +2622,15 @@ object PipelineQueries {
              COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS hour_n
            FROM events ORDER BY user_id, epoch_us(ts), event_id""",
+
+      "q_skew_months" ->
+        """SELECT event_id, user_id,
+             COUNT(*) OVER w AS month_n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS month_sum
+           FROM (SELECT *, make_timestamp(epoch_us(ts)) AS tsx FROM events) t
+           WINDOW w AS (PARTITION BY user_id ORDER BY tsx
+             RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW)
+           ORDER BY user_id, tsx, event_id""",
 
       "q_skew_minmax" ->
         """SELECT event_id, user_id,

@@ -279,18 +279,59 @@ class GlobalRangeFrameSpec extends SparkSuite {
     assert(got == expected, "date range frames must match the built-in exactly")
   }
 
-  test("falls back for month intervals and peers-only frames") {
-    val d = (0 until 100)
-      .map(i => (((i * 2654435761L) % 7200).toLong, i.toLong))
+  test("month intervals resolve per row; DESC months and peers-only fall back") {
+    // keys spread over ~14 months so frames straddle month lengths
+    // (28/30/31 days) and year boundaries; ties included
+    val d = (0 until 4000)
+      .map(i => ((((i * 2654435761L) % 36000000).toLong * 1013) % 36000000, i.toLong))
       .toDF("secs", "id")
       .withColumn("ts", timestamp_seconds(col("secs")))
+      .repartition(7)
     d.createOrReplaceTempView("grf_month_ts")
-    // month offsets are not fixed-width in micros: left to the built-in
-    val month = spark.sql(
-      """SELECT id, COUNT(*) OVER (ORDER BY ts
+    val q = """SELECT id, ts,
+                 COUNT(*) OVER (ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW) AS c1,
+                 COUNT(*) OVER (ORDER BY ts RANGE BETWEEN INTERVAL '3' MONTH PRECEDING
+                   AND INTERVAL '1' MONTH FOLLOWING) AS c31,
+                 SUM(id) OVER (PARTITION BY id % 3 ORDER BY ts
+                   RANGE BETWEEN INTERVAL 2 MONTH PRECEDING AND CURRENT ROW) AS s2
+               FROM grf_month_ts"""
+    val month = spark.sql(q)
+    val mp = month.queryExecution.executedPlan.toString
+    assert(mp.contains("GlobalRangeFrame"),
+      s"ascending month frames must rescue via calendar bounds:\n$mp")
+    assert(!mp.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"no built-in WindowExec may appear:\n$mp")
+    // the comparison target is the declarative frame definition (the
+    // self-join below; DuckDB agrees), NOT stock WindowExec: calendar
+    // month subtraction is non-monotone at day-clamp boundaries
+    // (Mar 28 06:00 − 1mo = Feb 28 06:00 but Mar 29 05:00 − 1mo =
+    // Feb 28 05:00), and the built-in's two-pointer frame never moves
+    // its lower pointer backward, silently excluding rows there
+    val truth = spark.sql("""
+      SELECT a.id,
+        (SELECT COUNT(*) FROM grf_month_ts b
+          WHERE b.ts >= a.ts - INTERVAL 1 MONTH AND b.ts <= a.ts) AS c1,
+        (SELECT COUNT(*) FROM grf_month_ts b
+          WHERE b.ts >= a.ts - INTERVAL 3 MONTH
+            AND b.ts <= a.ts + INTERVAL 1 MONTH) AS c31,
+        (SELECT SUM(b.id) FROM grf_month_ts b
+          WHERE b.id % 3 = a.id % 3
+            AND b.ts >= a.ts - INTERVAL 2 MONTH AND b.ts <= a.ts) AS s2
+      FROM grf_month_ts a""")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val mGot = month.collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val bad = mGot.keys.filter(k => mGot(k) != truth(k)).take(5).toSeq.sorted
+    assert(bad.isEmpty, "month frames must match the declarative frame truth; " +
+      bad.map(k => s"id=$k got=${mGot(k)} truth=${truth(k)}").mkString("; "))
+    // DESC month frames stay with the built-in (calendar bounds are
+    // resolved in ascending key space only)
+    val desc = spark.sql(
+      """SELECT id, COUNT(*) OVER (ORDER BY ts DESC
            RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW) AS c
          FROM grf_month_ts""")
-    assert(!month.queryExecution.executedPlan.toString.contains("GlobalRangeFrame"))
+    assert(!desc.queryExecution.executedPlan.toString.contains("GlobalRangeFrame"))
     // peers-only RANGE CURRENT ROW..CURRENT ROW: left to the built-in
     val peers = df.withColumn("rs", sum("v").over(
       Window.orderBy("k").rangeBetween(Window.currentRow, Window.currentRow)))

@@ -27,9 +27,10 @@ class GlobalWindowFallbackSpec extends SparkSuite {
   test("unclaimed month-interval frame counts a fallback; rescued shapes do not") {
     df.createOrReplaceTempView("gwf_t")
     val before = GlobalWindowFallback.fallbacks.get()
-    // month offsets are not fixed-width: no strategy claims this
+    // DESCENDING month offsets stay unclaimed (ascending ones now
+    // resolve per row through the session-zone calendar)
     val month = spark.sql(
-      """SELECT id, COUNT(*) OVER (ORDER BY ts
+      """SELECT id, COUNT(*) OVER (ORDER BY ts DESC
            RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW) AS c
          FROM gwf_t""")
     val p = month.queryExecution.executedPlan.toString

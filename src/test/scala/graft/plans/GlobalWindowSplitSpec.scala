@@ -107,14 +107,13 @@ class GlobalWindowSplitSpec extends SparkSuite {
     val lGot = snap(lastPart)
     val lExp = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(lastPart) }
     assert(lGot == lExp)
-    // partitioned mixed node with a NON-capable family (month-bearing
-    // RANGE intervals are never fixed-width): left whole — a partial
-    // split would pay two exchanges and still keep the hot-key wall
+    // partitioned mixed node with a NON-capable family (nth_value past
+    // the driver-head cap has no rescue): left whole — a partial split
+    // would pay two exchanges and still keep the hot-key wall
     val mixedPart = tied.selectExpr("id",
-      """SUM(v) OVER (PARTITION BY k ORDER BY timestamp_seconds(id)
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s""",
-      """SUM(v) OVER (PARTITION BY k ORDER BY timestamp_seconds(id)
-           RANGE BETWEEN INTERVAL '1' MONTH PRECEDING AND CURRENT ROW) AS ms""")
+      "SUM(v) OVER (PARTITION BY k ORDER BY id) AS s",
+      """nth_value(v, 100000) OVER (PARTITION BY k ORDER BY id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv""")
     val wp = mixedPart.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }

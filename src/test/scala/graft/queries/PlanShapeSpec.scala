@@ -224,6 +224,16 @@ class PlanShapeSpec extends SparkSuite {
       s"a hash exchange on user_id would pin a hot user to one task:\n$p")
   }
 
+  test("month-interval per-key RANGE frame: calendar bounds, no WindowExec") {
+    val p = plan("q_skew_months")
+    assert(p.contains("GlobalRangeFrame"),
+      s"month frames must ride the value-window exec:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"no built-in WindowExec may appear:\n$p")
+    assert(!p.contains("hashpartitioning(user_id"),
+      s"a hash exchange on user_id would pin a hot user to one task:\n$p")
+  }
+
   test("skew-safe share-of-group-total: constant-agg exec, no hash exchange") {
     val p = plan("q_skew_share")
     assert(p.contains("GlobalConstantAgg"),
