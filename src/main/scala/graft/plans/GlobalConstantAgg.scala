@@ -92,14 +92,26 @@ object GlobalConstantAggStrategy extends SparkStrategy {
 
   /** Spread keys that let the range exchange split a hot key across
     * tasks: the ORDER BY if present, else the aggregates' orderable
-    * deterministic input columns. Empty → no spread → decline. */
+    * deterministic input columns, else ANY orderable child column not
+    * already in the partition spec (the spread only distributes rows —
+    * which column is immaterial to a whole-group constant). Empty —
+    * e.g. `COUNT(*) OVER (PARTITION BY the_only_column)` — declines. */
   private def spreadOf(w: logical.Window,
-                       funcs: Seq[ConstAgg]): Seq[SortOrder] =
+                       funcs: Seq[ConstAgg]): Seq[SortOrder] = {
+    def orderable(c: Expression): Boolean =
+      c.deterministic && !c.foldable &&
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(c.dataType)
     if (w.orderSpec.nonEmpty) w.orderSpec
-    else funcs.flatMap(_.agg.children).distinct
-      .filter(c => c.deterministic && !c.foldable &&
-        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(c.dataType))
-      .map(c => SortOrder(c, org.apache.spark.sql.catalyst.expressions.Ascending))
+    else {
+      val fromInputs = funcs.flatMap(_.agg.children).distinct.filter(orderable)
+      val candidates =
+        if (fromInputs.nonEmpty) fromInputs
+        else w.child.output
+          .filter(a => orderable(a) && !w.partitionSpec.exists(_.semanticEquals(a)))
+          .take(1)
+      candidates.map(c => SortOrder(c, org.apache.spark.sql.catalyst.expressions.Ascending))
+    }
+  }
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case w: logical.Window

@@ -156,11 +156,10 @@ object GlobalRangeFrameStrategy extends SparkStrategy {
           case _ => None
         }
       }
-      // every component must agree with the bound's side; total nonzero
-      // is checked by the caller
+      // every component must agree with the bound's side; zero widths
+      // are legal (`0 PRECEDING` = CURRENT ROW)
       v.collect {
-        case (m, w) if m.toLong * sign >= 0 && w * sign >= 0 &&
-            (m != 0 || w != 0) =>
+        case (m, w) if m.toLong * sign >= 0 && w * sign >= 0 =>
           (math.abs(m), math.abs(w))
       }
     case _ => None
@@ -177,7 +176,8 @@ object GlobalRangeFrameStrategy extends SparkStrategy {
       for {
         (xm, x) <- widthOf(lo, -1, keyType, asc)
         (ym, y) <- widthOf(hi, 1, keyType, asc)
-        if xm + ym > 0 || x + y > 0 // both CURRENT ROW: leave to the built-in
+        // both CURRENT ROW (peers-only) is fine: the frame is the tie
+        // run itself — run-local, zero stitching
       } yield RangeAgg(f, xm, x, ym, y, e.toAttribute)
     case _ => None
   }

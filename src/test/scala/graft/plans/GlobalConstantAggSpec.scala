@@ -156,9 +156,18 @@ class GlobalConstantAggSpec extends SparkSuite {
     val og = snap(ordered)
     val oe = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(ordered) }
     assert(og == oe)
-    // COUNT(*) alone has no orderable spread input: left to the built-in
-    val noSpread = keyed.withColumn("c", count(lit(1)).over(Window.partitionBy("k")))
-    assert(!noSpread.queryExecution.executedPlan.toString.contains("GlobalConstantAgg"),
+    // COUNT(*) alone: no agg input, but any other child column spreads
+    val countOnly = keyed.withColumn("c", count(lit(1)).over(Window.partitionBy("k")))
+    assert(countOnly.queryExecution.executedPlan.toString.contains("GlobalConstantAgg"),
+      "count(*) spreads on any orderable child column")
+    val cGot = snap(countOnly)
+    val cExp = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(countOnly) }
+    assert(cGot == cExp)
+    // a table with NOTHING but the partition column has no spread
+    // dimension at all: left to the built-in
+    val only = keyed.select("k")
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("k")))
+    assert(!only.queryExecution.executedPlan.toString.contains("GlobalConstantAgg"),
       "no spread dimension → decline (built-in hash window)")
   }
 

@@ -279,7 +279,7 @@ class GlobalRangeFrameSpec extends SparkSuite {
     assert(got == expected, "date range frames must match the built-in exactly")
   }
 
-  test("month intervals resolve per row; DESC months and peers-only fall back") {
+  test("month intervals resolve per row; peers-only rescue; DESC months fall back") {
     // keys spread over ~14 months so frames straddle month lengths
     // (28/30/31 days) and year boundaries; ties included
     val d = (0 until 4000)
@@ -332,10 +332,18 @@ class GlobalRangeFrameSpec extends SparkSuite {
            RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW) AS c
          FROM grf_month_ts""")
     assert(!desc.queryExecution.executedPlan.toString.contains("GlobalRangeFrame"))
-    // peers-only RANGE CURRENT ROW..CURRENT ROW: left to the built-in
+    // peers-only RANGE CURRENT ROW..CURRENT ROW: the frame is the tie
+    // run itself — run-local, rescued with zero stitching
     val peers = df.withColumn("rs", sum("v").over(
       Window.orderBy("k").rangeBetween(Window.currentRow, Window.currentRow)))
-    assert(!peers.queryExecution.executedPlan.toString.contains("GlobalRangeFrame"))
+    assert(peers.queryExecution.executedPlan.toString.contains("GlobalRangeFrame"))
+    def snapP(x: org.apache.spark.sql.DataFrame) = x
+      .collect().map(r => (0 until r.length).map(j =>
+        Option(r.get(j)).map(_.toString).getOrElse("null")).mkString("|"))
+      .sorted.toSeq
+    val pGot = snapP(peers)
+    val pExp = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snapP(peers) }
+    assert(pGot == pExp, "peers-only frames must match the built-in")
   }
 
   test("DECIMAL order keys: fixed-point bounds, global and per key") {
