@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Expression, JoinedRow, MutableProjection, NamedExpression, SortOrder, SpecifiedWindowFrame, SpecificInternalRow, UnboundedFollowing, UnboundedPreceding, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, DeclarativeAggregate}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, MutableProjection, NamedExpression, SortOrder, SpecifiedWindowFrame, SpecificInternalRow, UnboundedFollowing, UnboundedPreceding, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Complete, CountMinSketchAgg, DeclarativeAggregate, HyperLogLogPlusPlus, ImperativeAggregate, TypedImperativeAggregate}
 import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning, UnspecifiedDistribution}
@@ -75,14 +75,31 @@ import org.apache.spark.sql.internal.SQLConf
 object GlobalConstantAggStrategy extends SparkStrategy {
   import GlobalConstantAggExec.ConstAgg
 
+  /** Imperative SKETCH aggregates whose merge is structurally
+    * order-independent — HLL++ takes the register-wise max, count-min
+    * adds counters — so partial-then-merge produces the IDENTICAL
+    * sketch the built-in's sequential scan builds. Order-sensitive
+    * imperative aggregates (approx_percentile's compress paths,
+    * collect_list) are NOT claimed: their merged value can differ
+    * structurally from the sequential one. */
+  private def sketchLike(f: AggregateFunction): Boolean = f match {
+    case _: HyperLogLogPlusPlus => true
+    case _: CountMinSketchAgg => true
+    case _ => false
+  }
+
   private def funcOf(e: NamedExpression): Option[ConstAgg] = e match {
     case Alias(WindowExpression(
-          AggregateExpression(f: DeclarativeAggregate, Complete, false, None, _),
+          AggregateExpression(f, Complete, false, None, _),
           WindowSpecDefinition(_, _,
             SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing))), _)
-        if f.deterministic &&
-          !f.isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.First] &&
-          !f.isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.Last] =>
+        if (f match {
+          case d: DeclarativeAggregate =>
+            d.deterministic &&
+              !d.isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.First] &&
+              !d.isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.Last]
+          case other => sketchLike(other)
+        }) =>
       Some(ConstAgg(f, e.toAttribute))
     case _ => None
   }
@@ -137,14 +154,79 @@ object GlobalConstantAggStrategy extends SparkStrategy {
 }
 
 object GlobalConstantAggExec {
-  /** One whole-table aggregate column (value constant across all rows). */
-  case class ConstAgg(agg: DeclarativeAggregate, attr: Attribute)
+  /** One whole-table aggregate column (value constant across all rows);
+    * `agg` is a deterministic [[DeclarativeAggregate]] or a whitelisted
+    * order-independent imperative sketch. */
+  case class ConstAgg(agg: AggregateFunction, attr: Attribute)
 
   /** Per-task edge-group partials for the partitioned path: first/last
-    * key groups and their slice aggregation buffers. Top-level so the
-    * serialized task result carries no $outer. */
+    * key groups, their declarative slice buffers, and their serialized
+    * imperative sketch buffers. Top-level so the serialized task result
+    * carries no $outer. */
   private[plans] case class AggEdge(firstG: UnsafeRow, lastG: UnsafeRow,
-                                    bufFirst: UnsafeRow, bufLast: UnsafeRow)
+                                    bufFirst: UnsafeRow, bufLast: UnsafeRow,
+                                    impFirst: Array[Array[Byte]],
+                                    impLast: Array[Array[Byte]])
+
+  /** Uniform driver/executor operations over one imperative sketch
+    * aggregate: an opaque buffer with update / serialize / merge /
+    * eval. Two shapes exist — typed (object buffer, own codec) and raw
+    * (row buffer at offset 0, UnsafeRow bytes as the codec). */
+  private[plans] sealed trait ImpOps extends Serializable {
+    def newBuf(): AnyRef
+    def update(buf: AnyRef, row: InternalRow): AnyRef
+    def serialize(buf: AnyRef): Array[Byte]
+    def mergeBytes(buf: AnyRef, bytes: Array[Byte]): AnyRef
+    def eval(buf: AnyRef): Any
+  }
+
+  private[plans] final class TypedOps(f: TypedImperativeAggregate[Any])
+      extends ImpOps {
+    override def newBuf(): AnyRef = f.createAggregationBuffer().asInstanceOf[AnyRef]
+    override def update(buf: AnyRef, row: InternalRow): AnyRef =
+      f.update(buf.asInstanceOf[Any], row).asInstanceOf[AnyRef]
+    override def serialize(buf: AnyRef): Array[Byte] =
+      f.serialize(buf.asInstanceOf[Any])
+    override def mergeBytes(buf: AnyRef, bytes: Array[Byte]): AnyRef =
+      f.merge(buf.asInstanceOf[Any], f.deserialize(bytes)).asInstanceOf[AnyRef]
+    override def eval(buf: AnyRef): Any = f.eval(buf.asInstanceOf[Any])
+  }
+
+  private[plans] final class RawOps(f0: ImperativeAggregate) extends ImpOps {
+    private val f = f0.withNewMutableAggBufferOffset(0)
+      .withNewInputAggBufferOffset(0).asInstanceOf[ImperativeAggregate]
+    private val types = f.aggBufferAttributes.map(_.dataType)
+    @transient private lazy val toBytes =
+      UnsafeProjection.create(f.aggBufferAttributes, f.aggBufferAttributes)
+    override def newBuf(): AnyRef = {
+      val b = new SpecificInternalRow(types)
+      f.initialize(b); b
+    }
+    override def update(buf: AnyRef, row: InternalRow): AnyRef = {
+      f.update(buf.asInstanceOf[InternalRow], row); buf
+    }
+    override def serialize(buf: AnyRef): Array[Byte] =
+      toBytes(buf.asInstanceOf[InternalRow]).copy().getBytes
+    override def mergeBytes(buf: AnyRef, bytes: Array[Byte]): AnyRef = {
+      val r = new UnsafeRow(types.length)
+      r.pointTo(bytes, bytes.length)
+      f.merge(buf.asInstanceOf[InternalRow], r); buf
+    }
+    override def eval(buf: AnyRef): Any = f.eval(buf.asInstanceOf[InternalRow])
+  }
+
+  private[plans] def opsFor(f: AggregateFunction,
+                            childOutput: Seq[Attribute]): ImpOps = {
+    val bound = BindReferences.bindReference[Expression](
+      f, org.apache.spark.sql.catalyst.expressions.AttributeSeq(childOutput))
+    bound match {
+      case t: TypedImperativeAggregate[_] =>
+        new TypedOps(t.asInstanceOf[TypedImperativeAggregate[Any]])
+      case i: ImperativeAggregate => new RawOps(i)
+      case other => throw new IllegalStateException(
+        s"not an imperative aggregate: $other")
+    }
+  }
 }
 
 /** Physical whole-table window aggregation: per-partition partial
@@ -158,6 +240,8 @@ case class GlobalConstantAggExec(partition: Seq[Expression],
                                  spread: Seq[SortOrder],
                                  funcs: Seq[GlobalConstantAggExec.ConstAgg],
                                  child: SparkPlan) extends UnaryExecNode {
+
+  import GlobalConstantAggExec.{ImpOps, opsFor}
 
   override def output: Seq[Attribute] = child.output ++ funcs.map(_.attr)
 
@@ -182,17 +266,24 @@ case class GlobalConstantAggExec(partition: Seq[Expression],
     val childOutput = child.output
     val resultAttrs = output
     val partExprs = partition
-    val aggs = funcs.map(_.agg)
-    val bufAttrs = aggs.flatMap(_.aggBufferAttributes)
+    val nF = funcs.length
+    val dIdx = declIdx
+    val iIdx = impIdx
+    val declAggs = dIdx.map(i =>
+      funcs(i).agg.asInstanceOf[DeclarativeAggregate]).toSeq
+    val bufAttrs = declAggs.flatMap(_.aggBufferAttributes)
     val bufTypes = bufAttrs.map(_.dataType)
-    val inputBufAttrs = aggs.flatMap(_.inputAggBufferAttributes)
-    val initExprs = aggs.flatMap(_.initialValues)
-    val updateExprs = aggs.flatMap(_.updateExpressions)
-    val mergeExprs = aggs.flatMap(_.mergeExpressions)
-    val evalExprs = funcs.map(_.agg.evaluateExpression)
+    val inputBufAttrs = declAggs.flatMap(_.inputAggBufferAttributes)
+    val initExprs = declAggs.flatMap(_.initialValues)
+    val updateExprs = declAggs.flatMap(_.updateExpressions)
+    val mergeExprs = declAggs.flatMap(_.mergeExpressions)
+    val evalExprs = declAggs.map(_.evaluateExpression)
+    val impOps: Array[ImpOps] = iIdx.map(i => opsFor(funcs(i).agg, childOutput))
+    val attrTypes = funcs.map(_.attr.dataType).toArray
     val rdd = child.execute()
 
-    // pass 1: per task, the first and last key group's partial buffer
+    // pass 1: per task, the first and last key group's partials (decl
+    // buffer + serialized sketches)
     val stats: Array[AggEdge] = rdd.sparkContext.runJob(rdd,
       (iter: Iterator[InternalRow]) => {
         val groupProj = UnsafeProjection.create(partExprs, childOutput)
@@ -206,45 +297,61 @@ case class GlobalConstantAggExec(partition: Seq[Expression],
         val update = MutableProjection.create(updateExprs, bufAttrs ++ childOutput)
         update.target(buf)
         val joinBI = new JoinedRow
+        var impBufs = impOps.map(_.newBuf())
         var firstG: UnsafeRow = null
         var curG: UnsafeRow = null
         var bufFirst: UnsafeRow = null
+        var impFirst: Array[Array[Byte]] = null
         while (iter.hasNext) {
           val row = iter.next()
           val g = groupProj(row)
           if (curG == null) { curG = g.copy(); firstG = curG }
           else if (!g.equals(curG)) {
-            if (bufFirst == null) bufFirst = bufProj(buf).copy()
+            if (bufFirst == null) {
+              bufFirst = bufProj(buf).copy()
+              impFirst = impOps.indices.map(j =>
+                impOps(j).serialize(impBufs(j))).toArray
+            }
             curG = g.copy()
             buf = newBuffer(); update.target(buf)
+            impBufs = impOps.map(_.newBuf())
           }
           update(joinBI(buf, row))
+          var j = 0
+          while (j < impOps.length) {
+            impBufs(j) = impOps(j).update(impBufs(j), row); j += 1
+          }
         }
         val bufLast = bufProj(buf).copy()
-        if (bufFirst == null) bufFirst = bufLast
-        AggEdge(firstG, curG, bufFirst, bufLast)
+        val impLast = impOps.indices.map(j =>
+          impOps(j).serialize(impBufs(j))).toArray
+        if (bufFirst == null) { bufFirst = bufLast; impFirst = impLast }
+        AggEdge(firstG, curG, bufFirst, bufLast, impFirst, impLast)
       })
     val nParts = stats.length
 
     // driver segment merge: adjacent edge slices with equal group keys
     // belong to one group (contiguity under the sort); merge their
     // partials left-to-right and evaluate once per group. Driver work
-    // is bounded by two buffers per task.
-    val firstConst = new Array[UnsafeRow](nParts)
-    val lastConst = new Array[UnsafeRow](nParts)
+    // is bounded by two partials per task.
+    val firstConst = new Array[Array[Any]](nParts)
+    val lastConst = new Array[Array[Any]](nParts)
     locally {
       case class Seg(p: Int, isFirst: Boolean, isLast: Boolean,
-                     g: UnsafeRow, buf: UnsafeRow)
+                     g: UnsafeRow, buf: UnsafeRow, imp: Array[Array[Byte]])
       val segs = new scala.collection.mutable.ArrayBuffer[Seg]
       var p = 0
       while (p < nParts) {
         val e = stats(p)
         if (e.firstG != null) {
           if (e.lastG.equals(e.firstG))
-            segs += Seg(p, isFirst = true, isLast = true, e.firstG, e.bufLast)
+            segs += Seg(p, isFirst = true, isLast = true,
+              e.firstG, e.bufLast, e.impLast)
           else {
-            segs += Seg(p, isFirst = true, isLast = false, e.firstG, e.bufFirst)
-            segs += Seg(p, isFirst = false, isLast = true, e.lastG, e.bufLast)
+            segs += Seg(p, isFirst = true, isLast = false,
+              e.firstG, e.bufFirst, e.impFirst)
+            segs += Seg(p, isFirst = false, isLast = true,
+              e.lastG, e.bufLast, e.impLast)
           }
         }
         p += 1
@@ -259,13 +366,28 @@ case class GlobalConstantAggExec(partition: Seq[Expression],
         val running = new SpecificInternalRow(bufTypes)
         MutableProjection.create(initExprs, Nil).target(running)(InternalRow.empty)
         merge.target(running)
+        val impBufs = impOps.map(_.newBuf())
         var k = i
-        while (k < j) { merge(joinBB(running, segs(k).buf)); k += 1 }
-        val const = evalProj(running).copy()
+        while (k < j) {
+          merge(joinBB(running, segs(k).buf))
+          var m = 0
+          while (m < impOps.length) {
+            impBufs(m) = impOps(m).mergeBytes(impBufs(m), segs(k).imp(m)); m += 1
+          }
+          k += 1
+        }
+        val vals = new Array[Any](nF)
+        val evalRow = evalProj(running)
+        dIdx.zipWithIndex.foreach { case (slot, m) =>
+          vals(slot) = InternalRow.copyValue(evalRow.get(m, attrTypes(slot)))
+        }
+        iIdx.zipWithIndex.foreach { case (slot, m) =>
+          vals(slot) = InternalRow.copyValue(impOps(m).eval(impBufs(m)))
+        }
         k = i
         while (k < j) {
-          if (segs(k).isFirst) firstConst(segs(k).p) = const
-          if (segs(k).isLast) lastConst(segs(k).p) = const
+          if (segs(k).isFirst) firstConst(segs(k).p) = vals
+          if (segs(k).isLast) lastConst(segs(k).p) = vals
           k += 1
         }
         i = j
@@ -273,7 +395,7 @@ case class GlobalConstantAggExec(partition: Seq[Expression],
     }
 
     // pass 2: buffer one group at a time; edge groups take the driver's
-    // constant, interior groups evaluate their own local buffer
+    // constants, interior groups evaluate their own local partials
     rdd.mapPartitionsWithIndex { (pid, iter) =>
       val groupProj = UnsafeProjection.create(partExprs, childOutput)
       val outProj = UnsafeProjection.create(resultAttrs, resultAttrs)
@@ -285,7 +407,7 @@ case class GlobalConstantAggExec(partition: Seq[Expression],
       new Iterator[InternalRow] {
         private val buf = new scala.collection.mutable.ArrayBuffer[InternalRow]
         private var bufPos = 0
-        private var constRow: UnsafeRow = _
+        private var constRow: InternalRow = _
         private var pendingNext: InternalRow = _
         private var firstGroupOfTask = true
 
@@ -298,20 +420,39 @@ case class GlobalConstantAggExec(partition: Seq[Expression],
           val agg = new SpecificInternalRow(bufTypes)
           MutableProjection.create(initExprs, Nil).target(agg)(InternalRow.empty)
           update.target(agg)
-          update(joinBI(agg, buf.head))
+          val impBufs = impOps.map(_.newBuf())
+          def consume(r: InternalRow): Unit = {
+            update(joinBI(agg, r))
+            var m = 0
+            while (m < impOps.length) {
+              impBufs(m) = impOps(m).update(impBufs(m), r); m += 1
+            }
+          }
+          consume(buf.head)
           var done = false
           while (!done && iter.hasNext) {
             val r = iter.next().copy()
-            if (groupProj(r).equals(g)) { buf += r; update(joinBI(agg, r)) }
+            if (groupProj(r).equals(g)) { buf += r; consume(r) }
             else { pendingNext = r; done = true }
           }
           val isFirst = firstGroupOfTask
           firstGroupOfTask = false
           val isLast = pendingNext == null && !iter.hasNext
-          constRow =
+          val vals: Array[Any] =
             if (isFirst) firstConst(pid)
             else if (isLast) lastConst(pid)
-            else evalProj(agg).copy()
+            else {
+              val v = new Array[Any](nF)
+              val evalRow = evalProj(agg)
+              dIdx.zipWithIndex.foreach { case (slot, m) =>
+                v(slot) = InternalRow.copyValue(evalRow.get(m, attrTypes(slot)))
+              }
+              iIdx.zipWithIndex.foreach { case (slot, m) =>
+                v(slot) = InternalRow.copyValue(impOps(m).eval(impBufs(m)))
+              }
+              v
+            }
+          constRow = new GenericInternalRow(vals)
         }
 
         override def hasNext: Boolean =
@@ -327,18 +468,36 @@ case class GlobalConstantAggExec(partition: Seq[Expression],
     }
   }
 
+  import GlobalConstantAggExec.{ImpOps, opsFor}
+
+  /** Declarative / imperative split: declaratives ride the projection
+    * machinery, imperatives the [[ImpOps]] object buffers; slot indexes
+    * map each back to its output column. */
+  private def declIdx: Array[Int] = funcs.zipWithIndex.collect {
+    case (c, i) if c.agg.isInstanceOf[DeclarativeAggregate] => i
+  }.toArray
+  private def impIdx: Array[Int] = funcs.zipWithIndex.collect {
+    case (c, i) if !c.agg.isInstanceOf[DeclarativeAggregate] => i
+  }.toArray
+
   override protected def doExecute(): RDD[InternalRow] = {
     if (partition.nonEmpty) return doExecutePartitioned()
     val childOutput = child.output
     val resultAttrs = output
-    val aggs = funcs.map(_.agg)
-    val bufAttrs = aggs.flatMap(_.aggBufferAttributes)
+    val nF = funcs.length
+    val dIdx = declIdx
+    val iIdx = impIdx
+    val declAggs = dIdx.map(i =>
+      funcs(i).agg.asInstanceOf[DeclarativeAggregate]).toSeq
+    val bufAttrs = declAggs.flatMap(_.aggBufferAttributes)
     val bufTypes = bufAttrs.map(_.dataType)
-    val inputBufAttrs = aggs.flatMap(_.inputAggBufferAttributes)
-    val initExprs = aggs.flatMap(_.initialValues)
-    val updateExprs = aggs.flatMap(_.updateExpressions)
-    val mergeExprs = aggs.flatMap(_.mergeExpressions)
-    val evalExprs = funcs.map(_.agg.evaluateExpression)
+    val inputBufAttrs = declAggs.flatMap(_.inputAggBufferAttributes)
+    val initExprs = declAggs.flatMap(_.initialValues)
+    val updateExprs = declAggs.flatMap(_.updateExpressions)
+    val mergeExprs = declAggs.flatMap(_.mergeExpressions)
+    val evalExprs = declAggs.map(_.evaluateExpression)
+    val impOps: Array[ImpOps] = iIdx.map(i => opsFor(funcs(i).agg, childOutput))
+    val attrTypes = funcs.map(_.attr.dataType).toArray
     val rdd = child.execute()
 
     def newBuffer(): SpecificInternalRow = {
@@ -348,33 +507,59 @@ case class GlobalConstantAggExec(partition: Seq[Expression],
       buf
     }
 
-    // pass 1: one partial buffer per partition — the map-side partial
-    // aggregation a groupBy would run, without the final exchange
-    val partials: Array[UnsafeRow] = rdd.sparkContext.runJob(rdd,
-      (iter: Iterator[InternalRow]) => {
+    // pass 1: one partial (decl buffer + serialized sketches) per
+    // partition — the map-side partial aggregation a groupBy would run,
+    // without the final exchange
+    val partials: Array[(UnsafeRow, Array[Array[Byte]])] =
+      rdd.sparkContext.runJob(rdd, (iter: Iterator[InternalRow]) => {
         val buf = newBuffer()
         val update = MutableProjection.create(updateExprs, bufAttrs ++ childOutput)
         update.target(buf)
         val joinBI = new JoinedRow
-        while (iter.hasNext) update(joinBI(buf, iter.next()))
-        UnsafeProjection.create(bufAttrs, bufAttrs)(buf).copy()
+        val impBufs = impOps.map(_.newBuf())
+        while (iter.hasNext) {
+          val row = iter.next()
+          update(joinBI(buf, row))
+          var j = 0
+          while (j < impOps.length) {
+            impBufs(j) = impOps(j).update(impBufs(j), row); j += 1
+          }
+        }
+        (UnsafeProjection.create(bufAttrs, bufAttrs)(buf).copy(),
+          impOps.indices.map(j => impOps(j).serialize(impBufs(j))).toArray)
       })
 
-    // driver merge + one evaluation: #partitions buffer-sized rows of
-    // work, independent of data size
-    val constRow: UnsafeRow = {
+    // driver merge + one evaluation per function: #partitions
+    // buffer-sized rows of work, independent of data size
+    val constVals: Array[Any] = {
       val running = newBuffer()
       val merge = MutableProjection.create(mergeExprs, bufAttrs ++ inputBufAttrs)
       merge.target(running)
       val joinBB = new JoinedRow
-      partials.foreach(p => merge(joinBB(running, p)))
-      UnsafeProjection.create(evalExprs, bufAttrs)(running).copy()
+      val impBufs = impOps.map(_.newBuf())
+      partials.foreach { case (p, ib) =>
+        merge(joinBB(running, p))
+        var j = 0
+        while (j < impOps.length) {
+          impBufs(j) = impOps(j).mergeBytes(impBufs(j), ib(j)); j += 1
+        }
+      }
+      val vals = new Array[Any](nF)
+      val evalRow = UnsafeProjection.create(evalExprs, bufAttrs)(running)
+      dIdx.zipWithIndex.foreach { case (slot, j) =>
+        vals(slot) = InternalRow.copyValue(evalRow.get(j, attrTypes(slot)))
+      }
+      iIdx.zipWithIndex.foreach { case (slot, j) =>
+        vals(slot) = InternalRow.copyValue(impOps(j).eval(impBufs(j)))
+      }
+      vals
     }
 
     // pass 2: narrow attach of the constants — full parallelism, no state
     rdd.mapPartitions { iter =>
       val outProj = UnsafeProjection.create(resultAttrs, resultAttrs)
       val join = new JoinedRow
+      val constRow = new GenericInternalRow(constVals)
       iter.map(row => outProj(join(row, constRow)))
     }
   }

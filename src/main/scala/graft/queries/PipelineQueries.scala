@@ -1512,6 +1512,30 @@ object PipelineQueries {
                ORDER BY user_id, ts_us, event_id""")
     }),
 
+    // SKETCH AGGREGATES OVER WINDOWS — `approx_count_distinct(x) OVER
+    // (PARTITION BY user)` at full parallelism: HLL++ merges by
+    // register-wise max (order-independent), so the edge-partial merge
+    // builds the IDENTICAL sketch the built-in's sequential scan
+    // would — but over the range exchange, hot users spanning tasks.
+    // Order-sensitive sketches (approx_percentile) stay declined.
+    // Oracle shape: exact per-user distinct count + a tolerance gate
+    // on the sketch (sketch internals differ across engines by design).
+    "q_skew_sketch" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""SELECT user_id, exact_types,
+                 (abs(approx_types - exact_types) <= 1) AS within_tol
+               FROM (
+                 SELECT user_id,
+                   max(kd) AS approx_types,
+                   count(DISTINCT event_type) AS exact_types
+                 FROM (SELECT user_id, event_type,
+                         approx_count_distinct(event_type) OVER
+                           (PARTITION BY user_id) AS kd
+                       FROM events_v) w
+                 GROUP BY user_id) t
+               ORDER BY user_id""")
+    }),
+
     // SKEW-SAFE PER-KEY GAP FILL — "previous non-null reading per
     // user": only purchase events carry a reading, so lag IGNORE NULLS
     // must skip arbitrarily long runs of other events. Plain window
@@ -2676,6 +2700,11 @@ object PipelineQueries {
            FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
                    CAST(value AS DECIMAL(18,2)) AS dv FROM events) t
            ORDER BY user_id, ts_us, event_id""",
+
+      "q_skew_sketch" ->
+        """SELECT user_id, count(DISTINCT event_type) AS exact_types,
+             true AS within_tol
+           FROM events GROUP BY user_id ORDER BY user_id""",
 
       "q_skew_gapfill" ->
         """SELECT event_id, user_id, r,

@@ -171,6 +171,44 @@ class GlobalConstantAggSpec extends SparkSuite {
       "no spread dimension → decline (built-in hash window)")
   }
 
+  test("imperative sketch windows: approx_count_distinct / count_min_sketch") {
+    // HLL++ merges by register-wise max and count-min by counter adds —
+    // both structurally order-independent, so the partial-then-merge
+    // sketch is IDENTICAL to the built-in's sequential one
+    val keyed = (0 until 9000).map { i =>
+      val k = if (i % 4 != 3) 0L else (i % 19).toLong
+      (k, ((i * 2654435761L) % 700), i.toLong)
+    }.toDF("k", "v", "id").repartition(7)
+    keyed.createOrReplaceTempView("sk_keyed")
+    val q = """SELECT k, id,
+        approx_count_distinct(v) OVER () AS gd,
+        approx_count_distinct(v) OVER (PARTITION BY k) AS kd,
+        hex(count_min_sketch(v, 0.01d, 0.95d, 42) OVER (PARTITION BY k)) AS cms
+      FROM sk_keyed"""
+    val out = spark.sql(q)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalConstantAgg"),
+      s"sketch windows must rescue:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"no built-in WindowExec may appear:\n$p")
+    assert(!p.contains("hashpartitioning(k"),
+      s"a hash exchange on k would pin the hot key to one task:\n$p")
+    def snap(d: org.apache.spark.sql.DataFrame) = d
+      .collect().map(r => (0 until r.length).map(j =>
+        Option(r.get(j)).map(_.toString).getOrElse("null")).mkString("|"))
+      .sorted.toSeq
+    val got = snap(out)
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") {
+      snap(spark.sql(q))
+    }
+    assert(got == expected, "sketch windows must match the built-in bit-for-bit")
+    // order-SENSITIVE imperative aggregates stay with the built-in
+    val pct = spark.sql("""SELECT id, percentile_approx(v, 0.5d) OVER () AS m
+        FROM sk_keyed""")
+    assert(!pct.queryExecution.executedPlan.toString.contains("GlobalConstantAgg"),
+      "approx_percentile's compress paths are order-sensitive — decline")
+  }
+
   test("opt-out restores the built-in plan") {
     val out = df.withColumn("t", sum("v").over(Window.partitionBy()))
     withConf(GlobalRowNumberStrategy.ConfKey, "false") {

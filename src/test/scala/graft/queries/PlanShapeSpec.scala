@@ -234,6 +234,14 @@ class PlanShapeSpec extends SparkSuite {
       s"a hash exchange on user_id would pin a hot user to one task:\n$p")
   }
 
+  test("per-key sketch window: constant-agg exec carries the HLL partials") {
+    val p = plan("q_skew_sketch")
+    assert(p.contains("GlobalConstantAgg"),
+      s"approx_count_distinct per key must ride the edge-merge exec:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"no built-in WindowExec may appear:\n$p")
+  }
+
   test("skew-safe share-of-group-total: constant-agg exec, no hash exchange") {
     val p = plan("q_skew_share")
     assert(p.contains("GlobalConstantAgg"),
