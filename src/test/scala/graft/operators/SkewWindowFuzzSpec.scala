@@ -175,15 +175,20 @@ class SkewWindowFuzzSpec extends SparkSuite {
           // exchange; rank/dense/percent_rank/cume_dist on a TIES order
           // (v) — peers must share; ntile on the tie-free (id) order;
           // the group-total three exercise the buffered-group path +
-          // driver segment merge
-          val wv = Window.partitionBy("k").orderBy("v")
+          // driver segment merge; direction randomized — nulls ordering
+          // pinned so ASC/DESC stay mirror images for the ties columns
+          val desc = rnd.nextBoolean()
+          val vOrd = if (desc) col("v").desc_nulls_last else col("v").asc_nulls_first
+          val idOrd = if (desc) col("id").desc else col("id").asc
+          val wd = Window.partitionBy("k").orderBy(idOrd)
+          val wv = Window.partitionBy("k").orderBy(vOrd)
           val out = df
-            .withColumn("rn", row_number().over(w))
+            .withColumn("rn", row_number().over(wd))
             .withColumn("rnk", rank().over(wv))
             .withColumn("drnk", dense_rank().over(wv))
             .withColumn("prk", percent_rank().over(wv))
             .withColumn("cd", cume_dist().over(wv))
-            .withColumn("nt", ntile(1 + rnd.nextInt(5)).over(w))
+            .withColumn("nt", ntile(1 + rnd.nextInt(5)).over(wd))
             .select("k", "v", "id", "rn", "rnk", "drnk", "prk", "cd", "nt")
           val p = out.queryExecution.executedPlan.toString
           assert(p.contains("GlobalRowNumber"),
@@ -197,9 +202,11 @@ class SkewWindowFuzzSpec extends SparkSuite {
         case 9 =>
           // per-key SLIDING frame via plain window SQL: the global
           // frame clipped at the key boundary (byte-equality per fold
-          // row); random bounds containing the current row
+          // row); random bounds containing the current row; random
+          // order direction
           val kp = 1 + rnd.nextInt(8); val jf = rnd.nextInt(5)
-          val ws = w.rowsBetween(-kp, jf)
+          val sOrd = if (rnd.nextBoolean()) col("id").asc else col("id").desc
+          val ws = Window.partitionBy("k").orderBy(sOrd).rowsBetween(-kp, jf)
           val out = df
             .withColumn("ms", sum("v").over(ws))
             .withColumn("mn", min("v").over(ws))
