@@ -72,18 +72,19 @@ import org.apache.spark.unsafe.types.CalendarInterval
   * literals on timestamp keys; whole-day intervals or plain ints on
   * date keys; numeric bounds rescaled exactly to the key's scale on
   * DECIMAL keys, whose unscaled value IS the Long key — fixed-point).
-  * MONTH-bearing offsets over ASCENDING timestamp keys resolve per
-  * row through the session-zone calendar (the same `DateTimeUtils`
-  * arithmetic the built-in's bound expressions use); the shipping
-  * structures over-approximate months at 31 days + slack and the
-  * folds filter exactly. NOTE the deliberate semantic choice: month
+  * MONTH-bearing offsets over timestamp keys resolve per row through
+  * the session-zone calendar (the same `DateTimeUtils` arithmetic the
+  * built-in's bound expressions use — in ORIGINAL key space for
+  * descending orders, negated back); the shipping structures
+  * over-approximate months at 31 days + slack and the folds filter
+  * exactly. NOTE the deliberate semantic choice: month
   * subtraction is NON-MONOTONE at day-clamp boundaries (Mar 28 06:00
   * − 1mo = Feb 28 06:00, but Mar 29 05:00 − 1mo = Feb 28 05:00), and
   * stock WindowExec's two-pointer frame never moves its lower pointer
   * backward — it silently DROPS rows there. This exec computes the
   * declarative frame `key ∈ [K − interval, K + interval]` exactly,
   * per row — the SQL-standard reading, and what DuckDB produces.
-  * Month offsets over date keys or descending orders fall back.
+  * Month offsets over date keys fall back.
   * DESCENDING keys are handled by negating the extracted key —
   * under `ORDER BY ts DESC`, `x PRECEDING` means keys in [K, K+x],
   * which is exactly [K'−x, K'] in negated key space, so the ascending
@@ -106,14 +107,15 @@ object GlobalRangeFrameStrategy extends SparkStrategy {
     * for unsupported shapes. Bound TYPES are checked, not just values —
     * a day-time interval and a bigint both eval to a Long, but they
     * mean different units against a date key. MONTH-bearing widths are
-    * only produced for ASCENDING timestamp keys (the exec resolves
-    * them per row through the session-zone calendar). */
-  private def widthOf(bound: Expression, sign: Int, keyType: DataType,
-                      ascending: Boolean): Option[(Int, Long)] = bound match {
+    * produced for timestamp keys only (the exec resolves them per row
+    * through the session-zone calendar, in ORIGINAL key space for
+    * descending orders). */
+  private def widthOf(bound: Expression, sign: Int,
+                      keyType: DataType): Option[(Int, Long)] = bound match {
     case CurrentRow => Some((0, 0L))
     case e if e.foldable =>
       val isDate = keyType == DateType
-      val monthsOk = ascending && keyType == TimestampType
+      val monthsOk = keyType == TimestampType
       val v: Option[(Int, Long)] = keyType match {
         case kt: org.apache.spark.sql.types.DecimalType =>
           // DECIMAL keys are fixed-point: widths live in the key's
@@ -140,8 +142,7 @@ object GlobalRangeFrameStrategy extends SparkStrategy {
             // window's key would no longer be the date column. Decline.
             if (isDate) None else Some((0, l.longValue()))
           case (yt: YearMonthIntervalType, m: Integer) =>
-            // pure months: per-row calendar resolution (timestamp keys,
-            // ascending only)
+            // pure months: per-row calendar resolution (timestamp keys)
             if (monthsOk) Some((m.intValue(), 0L)) else None
           case (CalendarIntervalType, ci: CalendarInterval) =>
             if (ci.months != 0) {
@@ -172,10 +173,9 @@ object GlobalRangeFrameStrategy extends SparkStrategy {
             SpecifiedWindowFrame(RangeFrame, lo, hi))), _)
         if f.deterministic && orderSpec.length == 1 =>
       val keyType = orderSpec.head.child.dataType
-      val asc = orderSpec.head.direction == Ascending
       for {
-        (xm, x) <- widthOf(lo, -1, keyType, asc)
-        (ym, y) <- widthOf(hi, 1, keyType, asc)
+        (xm, x) <- widthOf(lo, -1, keyType)
+        (ym, y) <- widthOf(hi, 1, keyType)
         // both CURRENT ROW (peers-only) is fine: the frame is the tie
         // run itself — run-local, zero stitching
       } yield RangeAgg(f, xm, x, ym, y, e.toAttribute)
@@ -396,16 +396,22 @@ case class GlobalRangeFrameExec(partition: Seq[Expression],
       // exact per-row frame bounds: fixed-width arithmetic, or the
       // session-zone calendar for month-bearing widths — the same
       // DateTimeUtils arithmetic the built-in's bound expressions use
-      // (CalendarInterval days are folded into micros, as in widthOf)
+      // (CalendarInterval days are folded into micros, as in widthOf).
+      // DESC keys live NEGATED in this exec; calendar arithmetic only
+      // works in original key space, so month bounds compute there and
+      // negate back (x PRECEDING under DESC = [K, K+x] original space).
       val zone = if (anyMonths) java.time.ZoneId.of(zoneIdStr) else null
+      def addCal(k: Long, months: Int, micros: Long): Long =
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .timestampAddInterval(k, months, 0, micros, zone)
       def loOf(f: GlobalRangeFrameExec.RangeAgg, k: Long): Long =
         if (f.xm == 0) k - f.x
-        else org.apache.spark.sql.catalyst.util.DateTimeUtils
-          .timestampAddInterval(k, -f.xm, 0, -f.x, zone)
+        else if (!negate) addCal(k, -f.xm, -f.x)
+        else Math.negateExact(addCal(Math.negateExact(k), f.xm, f.x))
       def hiOf(f: GlobalRangeFrameExec.RangeAgg, k: Long): Long =
         if (f.ym == 0) k + f.y
-        else org.apache.spark.sql.catalyst.util.DateTimeUtils
-          .timestampAddInterval(k, f.ym, 0, f.y, zone)
+        else if (!negate) addCal(k, f.ym, f.y)
+        else Math.negateExact(addCal(Math.negateExact(k), -f.ym, -f.y))
 
       // one tie run: equal (group, key) rows (or one run of null-key
       // rows within a group)

@@ -325,13 +325,25 @@ class GlobalRangeFrameSpec extends SparkSuite {
     val bad = mGot.keys.filter(k => mGot(k) != truth(k)).take(5).toSeq.sorted
     assert(bad.isEmpty, "month frames must match the declarative frame truth; " +
       bad.map(k => s"id=$k got=${mGot(k)} truth=${truth(k)}").mkString("; "))
-    // DESC month frames stay with the built-in (calendar bounds are
-    // resolved in ascending key space only)
+    // DESC month frames: bounds computed in ORIGINAL key space and
+    // negated back; compared against the declarative truth (under
+    // DESC, `1 MONTH PRECEDING` means LATER timestamps: ts' in
+    // [ts, ts + 1 MONTH])
     val desc = spark.sql(
       """SELECT id, COUNT(*) OVER (ORDER BY ts DESC
            RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW) AS c
          FROM grf_month_ts""")
-    assert(!desc.queryExecution.executedPlan.toString.contains("GlobalRangeFrame"))
+    assert(desc.queryExecution.executedPlan.toString.contains("GlobalRangeFrame"),
+      s"DESC month frames must rescue")
+    val dTruth = spark.sql("""
+      SELECT a.id, (SELECT COUNT(*) FROM grf_month_ts b
+        WHERE b.ts <= a.ts + INTERVAL 1 MONTH AND b.ts >= a.ts) AS c
+      FROM grf_month_ts a""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val dGot = desc.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val dBad = dGot.keys.filter(k => dGot(k) != dTruth(k)).take(5).toSeq.sorted
+    assert(dBad.isEmpty, "DESC month frames must match the declarative truth; " +
+      dBad.map(k => s"id=$k got=${dGot(k)} truth=${dTruth(k)}").mkString("; "))
     // peers-only RANGE CURRENT ROW..CURRENT ROW: the frame is the tie
     // run itself — run-local, rescued with zero stitching
     val peers = df.withColumn("rs", sum("v").over(

@@ -27,11 +27,11 @@ class GlobalWindowFallbackSpec extends SparkSuite {
   test("unclaimed month-interval frame counts a fallback; rescued shapes do not") {
     df.createOrReplaceTempView("gwf_t")
     val before = GlobalWindowFallback.fallbacks.get()
-    // DESCENDING month offsets stay unclaimed (ascending ones now
-    // resolve per row through the session-zone calendar)
+    // nth_value past the driver-head cap stays unclaimed (month
+    // frames now resolve per row through the session-zone calendar)
     val month = spark.sql(
-      """SELECT id, COUNT(*) OVER (ORDER BY ts DESC
-           RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW) AS c
+      """SELECT id, nth_value(id, 100000) OVER (ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
          FROM gwf_t""")
     val p = month.queryExecution.executedPlan.toString
     assert(p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
