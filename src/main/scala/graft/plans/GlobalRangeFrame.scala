@@ -115,7 +115,9 @@ object GlobalRangeFrameStrategy extends SparkStrategy {
     case CurrentRow => Some((0, 0L))
     case e if e.foldable =>
       val isDate = keyType == DateType
-      val monthsOk = keyType == TimestampType
+      // month-bearing widths: timestamp keys (zone calendar, micros
+      // day-time part) and date keys (pure day arithmetic, day units)
+      val monthsOk = keyType == TimestampType || isDate
       val v: Option[(Int, Long)] = keyType match {
         case kt: org.apache.spark.sql.types.DecimalType =>
           // DECIMAL keys are fixed-point: widths live in the key's
@@ -146,7 +148,11 @@ object GlobalRangeFrameStrategy extends SparkStrategy {
             if (monthsOk) Some((m.intValue(), 0L)) else None
           case (CalendarIntervalType, ci: CalendarInterval) =>
             if (ci.months != 0) {
-              if (monthsOk)
+              if (isDate) {
+                // day units; sub-day parts have no date representation
+                if (ci.microseconds == 0L) Some((ci.months, ci.days.toLong))
+                else None
+              } else if (monthsOk)
                 Some((ci.months, ci.days * MicrosPerDay + ci.microseconds))
               else None
             } else if (isDate) {
