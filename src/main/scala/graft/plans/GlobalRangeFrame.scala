@@ -72,19 +72,22 @@ import org.apache.spark.unsafe.types.CalendarInterval
   * literals on timestamp keys; whole-day intervals or plain ints on
   * date keys; numeric bounds rescaled exactly to the key's scale on
   * DECIMAL keys, whose unscaled value IS the Long key — fixed-point).
-  * MONTH-bearing offsets over timestamp keys resolve per row through
-  * the session-zone calendar (the same `DateTimeUtils` arithmetic the
-  * built-in's bound expressions use — in ORIGINAL key space for
-  * descending orders, negated back); the shipping structures
-  * over-approximate months at 31 days + slack and the folds filter
-  * exactly. NOTE the deliberate semantic choice: month
+  * MONTH-bearing offsets resolve per row in the KEY's physical space —
+  * through the session-zone calendar for timestamp keys (the same
+  * `DateTimeUtils` arithmetic the built-in's bound expressions use),
+  * through zone-free `dateAddMonths` in DAY units for date keys — in
+  * ORIGINAL key space for descending orders, negated back; the
+  * shipping structures over-approximate months at 31 days (in key
+  * units) + slack and the folds filter exactly. NOTE the deliberate semantic choice: month
   * subtraction is NON-MONOTONE at day-clamp boundaries (Mar 28 06:00
   * − 1mo = Feb 28 06:00, but Mar 29 05:00 − 1mo = Feb 28 05:00), and
   * stock WindowExec's two-pointer frame never moves its lower pointer
   * backward — it silently DROPS rows there. This exec computes the
   * declarative frame `key ∈ [K − interval, K + interval]` exactly,
   * per row — the SQL-standard reading, and what DuckDB produces.
-  * Month offsets over date keys fall back.
+  * Month offsets over DATE keys resolve in DAY space via
+  * `DateTimeUtils.dateAddMonths` — pure proleptic-calendar arithmetic,
+  * no time zone — with day-unit shipping slack (31 days per month).
   * DESCENDING keys are handled by negating the extracted key —
   * under `ORDER BY ts DESC`, `x PRECEDING` means keys in [K, K+x],
   * which is exactly [K'−x, K'] in negated key space, so the ascending
@@ -107,9 +110,10 @@ object GlobalRangeFrameStrategy extends SparkStrategy {
     * for unsupported shapes. Bound TYPES are checked, not just values —
     * a day-time interval and a bigint both eval to a Long, but they
     * mean different units against a date key. MONTH-bearing widths are
-    * produced for timestamp keys only (the exec resolves them per row
-    * through the session-zone calendar, in ORIGINAL key space for
-    * descending orders). */
+    * produced for timestamp keys (resolved per row through the
+    * session-zone calendar) and date keys (resolved in DAY space via
+    * `dateAddMonths` — no zone) — in ORIGINAL key space for
+    * descending orders. */
   private def widthOf(bound: Expression, sign: Int,
                       keyType: DataType): Option[(Int, Long)] = bound match {
     case CurrentRow => Some((0, 0L))
@@ -218,6 +222,22 @@ object GlobalRangeFrameExec {
   case class RangeAgg(agg: DeclarativeAggregate, xm: Int, x: Long,
                       ym: Int, y: Long, attr: Attribute)
 
+  /** Saturating Long add/sub for frame-bound and prune arithmetic:
+    * a frame bound past ±Long range clamps to ±Long range, which is
+    * semantically exact for a one-sided cut (no key lies beyond it) —
+    * unlike silent wraparound, which flips the cut to the wrong side
+    * for extreme bigint/decimal(18) keys combined with large widths. */
+  @inline private[plans] def satAdd(a: Long, b: Long): Long = {
+    val r = a + b
+    if (((a ^ r) & (b ^ r)) < 0) { if (b > 0) Long.MaxValue else Long.MinValue }
+    else r
+  }
+  @inline private[plans] def satSub(a: Long, b: Long): Long = {
+    val r = a - b
+    if (((a ^ b) & (a ^ r)) < 0) { if (b < 0) Long.MaxValue else Long.MinValue }
+    else r
+  }
+
   /** Per-task edge summary for the boundary-stitch job. `firstGroup` /
     * `lastGroup` are the task's first/last partition-key tuples;
     * `firstKey` / `lastKey` the first/last NON-NULL order keys WITHIN
@@ -255,22 +275,28 @@ case class GlobalRangeFrameExec(partition: Seq[Expression],
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
+    import GlobalRangeFrameExec.{satAdd, satSub}
     val childOutput = child.output
     val resultAttrs = output
     val funcsLocal = funcs.toArray
+    val keyExpr = order.head.child
+    // a DATE key is physically DAYS since epoch — month widths resolve
+    // in DAY space (dateAddMonths), and shipping slack is DAY-scale
+    val isDateKey = keyExpr.dataType == DateType
     // conservative per-direction spans for the SHIPPING/PRUNING
     // structures only (edge windows, lookahead horizon): month widths
-    // over-approximate at 31 days + 2 days of calendar slack; the
+    // over-approximate at 31 days + 2 days of calendar slack — in the
+    // KEY's units (days for date keys, micros for timestamps); the
     // per-function FOLDS use exact per-row calendar bounds, so extra
     // shipped rows are simply filtered
     def consSpan(months: Int, units: Long): Long =
       if (months == 0) units
-      else units + months * 31L * 86400000000L + 2L * 86400000000L
+      else if (isDateKey) satAdd(units, months * 31L + 2L)
+      else satAdd(units, satAdd(months * 31L * 86400000000L, 2L * 86400000000L))
     val maxX = funcsLocal.map(f => consSpan(f.xm, f.x)).max
     val maxY = funcsLocal.map(f => consSpan(f.ym, f.y)).max
     val anyMonths = funcsLocal.exists(f => f.xm != 0 || f.ym != 0)
     val zoneIdStr = SQLConf.get.sessionLocalTimeZone
-    val keyExpr = order.head.child
     // DateType is physically an int (days since epoch); DECIMAL keys
     // read as their unscaled Long (precision ≤ 18 per orderRescuable)
     val keyKind = keyExpr.dataType match {
@@ -331,9 +357,11 @@ case class GlobalRangeFrameExec(partition: Seq[Expression],
             lastKey = Some(k)
             if (maxX > 0) {
               tail += ((k, toUnsafe(row).copy()))
-              while (tail.head._1 < k - maxX) tail.removeHead()
+              while (tail.head._1 < GlobalRangeFrameExec.satSub(k, maxX))
+                tail.removeHead()
             }
-            if (maxY > 0 && inFirstGroup && k <= firstKey.get + maxY)
+            if (maxY > 0 && inFirstGroup &&
+                k <= GlobalRangeFrameExec.satAdd(firstKey.get, maxY))
               head += ((k, toUnsafe(row).copy()))
           }
         }
@@ -350,7 +378,7 @@ case class GlobalRangeFrameExec(partition: Seq[Expression],
     val preTails: Array[Array[(Long, UnsafeRow)]] = Array.tabulate(nParts) { p =>
       (stats(p).firstGroup, stats(p).firstKey) match {
         case (Some(fg), Some(minKey)) if maxX > 0 =>
-          val cut = minKey - maxX
+          val cut = satSub(minKey, maxX)
           (0 until p).iterator
             .filter(q => stats(q).lastGroup.exists(_.equals(fg)))
             .flatMap(q => stats(q).tail.iterator)
@@ -364,7 +392,7 @@ case class GlobalRangeFrameExec(partition: Seq[Expression],
     val postHeads: Array[Array[(Long, UnsafeRow)]] = Array.tabulate(nParts) { p =>
       (stats(p).lastGroup, stats(p).lastKey) match {
         case (Some(lg), Some(maxKey)) if maxY > 0 =>
-          val cut = maxKey + maxY
+          val cut = satAdd(maxKey, maxY)
           (p + 1 until nParts).iterator
             .filter(q => stats(q).firstGroup.exists(_.equals(lg)))
             .flatMap(q => stats(q).head.iterator)
@@ -399,23 +427,30 @@ case class GlobalRangeFrameExec(partition: Seq[Expression],
       val outProj = UnsafeProjection.create(resultAttrs, resultAttrs)
       val post = postHeads(pid)
       val lastGroup = lastGroups(pid)
-      // exact per-row frame bounds: fixed-width arithmetic, or the
-      // session-zone calendar for month-bearing widths — the same
-      // DateTimeUtils arithmetic the built-in's bound expressions use
-      // (CalendarInterval days are folded into micros, as in widthOf).
+      // exact per-row frame bounds: fixed-width arithmetic, or calendar
+      // month arithmetic in the KEY's physical space — session-zone
+      // `timestampAddInterval` in MICROS for timestamp keys (the same
+      // DateTimeUtils arithmetic the built-in's bound expressions use;
+      // CalendarInterval days folded into micros, as in widthOf), and
+      // zone-free `dateAddMonths` in DAYS for date keys (whose
+      // CalendarInterval day component stays in day units).
       // DESC keys live NEGATED in this exec; calendar arithmetic only
       // works in original key space, so month bounds compute there and
       // negate back (x PRECEDING under DESC = [K, K+x] original space).
-      val zone = if (anyMonths) java.time.ZoneId.of(zoneIdStr) else null
-      def addCal(k: Long, months: Int, micros: Long): Long =
-        org.apache.spark.sql.catalyst.util.DateTimeUtils
-          .timestampAddInterval(k, months, 0, micros, zone)
+      val zone =
+        if (anyMonths && !isDateKey) java.time.ZoneId.of(zoneIdStr) else null
+      def addCal(k: Long, months: Int, units: Long): Long =
+        if (isDateKey)
+          satAdd(org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .dateAddMonths(Math.toIntExact(k), months).toLong, units)
+        else org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .timestampAddInterval(k, months, 0, units, zone)
       def loOf(f: GlobalRangeFrameExec.RangeAgg, k: Long): Long =
-        if (f.xm == 0) k - f.x
+        if (f.xm == 0) satSub(k, f.x)
         else if (!negate) addCal(k, -f.xm, -f.x)
         else Math.negateExact(addCal(Math.negateExact(k), f.xm, f.x))
       def hiOf(f: GlobalRangeFrameExec.RangeAgg, k: Long): Long =
-        if (f.ym == 0) k + f.y
+        if (f.ym == 0) satAdd(k, f.y)
         else if (!negate) addCal(k, f.ym, f.y)
         else Math.negateExact(addCal(Math.negateExact(k), -f.ym, -f.y))
 
@@ -476,7 +511,7 @@ case class GlobalRangeFrameExec(partition: Seq[Expression],
             val last = pending.lastOption
             val covered = last.exists(r =>
               (r ne cur) && (r.isNull || !r.group.equals(cur.group) ||
-                r.key > k + maxY))
+                r.key > satAdd(k, maxY)))
             if (covered || readDone) done = true else readRun()
           }
         }
@@ -507,7 +542,8 @@ case class GlobalRangeFrameExec(partition: Seq[Expression],
           } else {
             val k = cur.key
             fillAhead(k)
-            while (deque.nonEmpty && deque.head._1 < k - maxX) deque.removeHead()
+            while (deque.nonEmpty && deque.head._1 < satSub(k, maxX))
+              deque.removeHead()
             // stitched successors only continue this task's LAST group
             val stitchPost = lastGroup != null && lastGroup.equals(cur.group)
             var i = 0

