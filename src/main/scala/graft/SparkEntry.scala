@@ -17,4 +17,12 @@ object SparkEntry {
   /** Queries backed by a persisted index built once per process —
     * Bench warms these untimed (see PipelineQueries.indexBacked). */
   def indexBackedQueries: Seq[String] = PipelineQueries.indexBacked
+  /** The q_skew_* queries exist to DEMONSTRATE the skew-safe per-key
+    * window rescue, so Verify/Bench pin the size gate
+    * ([[graft.plans.GlobalWindowGate]]) open around them — on test-scale
+    * data the gate would otherwise (correctly) choose the stock plan
+    * and the demos would demo nothing. Everything else runs the
+    * production default: stock hash-partition windows below
+    * `spark.graft.perKeyWindow.minChildBytes`, the rescue above it. */
+  def pinsRescueGate(name: String): Boolean = name.startsWith("q_skew_")
 }

@@ -22,12 +22,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val gateKey = graft.plans.GlobalWindowGate.MinBytesKey
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (only(name))
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      if (only(name)) {
+        // skew demos pin the per-key gate open (SparkEntry.pinsRescueGate);
+        // conf must span the WRITE — planning is lazy
+        val pin = SparkEntry.pinsRescueGate(name)
+        val prev = spark.conf.getOption(gateKey)
+        if (pin) spark.conf.set(gateKey, "0")
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        } finally if (pin) prev match {
+          case Some(v) => spark.conf.set(gateKey, v)
+          case None => spark.conf.unset(gateKey)
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

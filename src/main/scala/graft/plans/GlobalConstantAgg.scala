@@ -142,6 +142,7 @@ object GlobalConstantAggStrategy extends SparkStrategy {
         if w.partitionSpec.nonEmpty && w.partitionSpec.forall(_.deterministic) &&
           w.windowExpressions.nonEmpty &&
           w.windowExpressions.forall(funcOf(_).isDefined) &&
+          GlobalWindowGate.perKeyWorthwhile(w) &&
           SQLConf.get.getConfString(GlobalRowNumberStrategy.ConfKey, "true").toBoolean => {
       val funcs = w.windowExpressions.map(funcOf(_).get)
       val spread = spreadOf(w, funcs)

@@ -119,6 +119,7 @@ object GlobalNthValueStrategy extends SparkStrategy {
         if w.partitionSpec.nonEmpty && w.partitionSpec.forall(_.deterministic) &&
           w.orderSpec.nonEmpty && w.windowExpressions.nonEmpty &&
           w.windowExpressions.forall(rescuablePartitioned) &&
+          GlobalWindowGate.perKeyWorthwhile(w) &&
           SQLConf.get.getConfString(GlobalRowNumberStrategy.ConfKey, "true").toBoolean =>
       GlobalNthValueExec(w.partitionSpec, w.orderSpec,
         w.windowExpressions.map(funcOf(_).get), planLater(w.child)) :: Nil

@@ -74,6 +74,7 @@ object GlobalOffsetIgnoreNullsStrategy extends SparkStrategy {
         if w.partitionSpec.forall(_.deterministic) && w.orderSpec.nonEmpty &&
           w.windowExpressions.nonEmpty &&
           w.windowExpressions.forall(funcOf(_).isDefined) &&
+          (w.partitionSpec.isEmpty || GlobalWindowGate.perKeyWorthwhile(w)) &&
           SQLConf.get.getConfString(GlobalRowNumberStrategy.ConfKey, "true").toBoolean =>
       val funcs = w.windowExpressions.map { e =>
         val (input, off, dflt) = funcOf(e).get

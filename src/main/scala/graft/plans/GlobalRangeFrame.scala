@@ -208,6 +208,7 @@ object GlobalRangeFrameStrategy extends SparkStrategy {
         if orderRescuable(w) && w.partitionSpec.forall(_.deterministic) &&
           w.windowExpressions.nonEmpty &&
           w.windowExpressions.forall(funcOf(_).isDefined) &&
+          (w.partitionSpec.isEmpty || GlobalWindowGate.perKeyWorthwhile(w)) &&
           SQLConf.get.getConfString(GlobalRowNumberStrategy.ConfKey, "true").toBoolean =>
       GlobalRangeFrameExec(w.partitionSpec, w.orderSpec,
         w.windowExpressions.map(funcOf(_).get), planLater(w.child)) :: Nil

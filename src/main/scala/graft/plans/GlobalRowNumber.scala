@@ -116,6 +116,7 @@ object GlobalRowNumberStrategy extends SparkStrategy {
         if w.partitionSpec.nonEmpty && w.partitionSpec.forall(_.deterministic) &&
           w.orderSpec.nonEmpty && w.windowExpressions.nonEmpty &&
           w.windowExpressions.forall(rescuablePartitioned) &&
+          GlobalWindowGate.perKeyWorthwhile(w) &&
           SQLConf.get.getConfString(ConfKey, "true").toBoolean =>
       val funcs = w.windowExpressions.map(e => (funcOf(e).get, e.toAttribute))
       GlobalRowNumberExec(w.partitionSpec, w.orderSpec, funcs,

@@ -124,6 +124,7 @@ object GlobalRunningAggStrategy extends SparkStrategy {
         if w.partitionSpec.forall(_.deterministic) && w.orderSpec.nonEmpty &&
           w.windowExpressions.nonEmpty &&
           w.windowExpressions.forall(funcOf(_).isDefined) &&
+          (w.partitionSpec.isEmpty || GlobalWindowGate.perKeyWorthwhile(w)) &&
           SQLConf.get.getConfString(GlobalRowNumberStrategy.ConfKey, "true").toBoolean =>
       GlobalRunningAggExec(w.partitionSpec, w.orderSpec,
         w.windowExpressions.map(funcOf(_).get), planLater(w.child)) :: Nil
@@ -131,6 +132,7 @@ object GlobalRunningAggStrategy extends SparkStrategy {
         if w.partitionSpec.forall(_.deterministic) && w.orderSpec.nonEmpty &&
           w.windowExpressions.nonEmpty &&
           w.windowExpressions.forall(suffixOf(_).isDefined) &&
+          (w.partitionSpec.isEmpty || GlobalWindowGate.perKeyWorthwhile(w)) &&
           SQLConf.get.getConfString(GlobalRowNumberStrategy.ConfKey, "true").toBoolean =>
       GlobalRunningAggExec(w.partitionSpec, w.orderSpec.map(reversed),
         w.windowExpressions.map(suffixOf(_).get), planLater(w.child)) :: Nil

@@ -90,6 +90,7 @@ object GlobalSlidingAggStrategy extends SparkStrategy {
         if w.partitionSpec.forall(_.deterministic) && w.orderSpec.nonEmpty &&
           w.windowExpressions.nonEmpty &&
           w.windowExpressions.forall(funcOf(_).isDefined) &&
+          (w.partitionSpec.isEmpty || GlobalWindowGate.perKeyWorthwhile(w)) &&
           SQLConf.get.getConfString(GlobalRowNumberStrategy.ConfKey, "true").toBoolean =>
       GlobalSlidingAggExec(w.partitionSpec, w.orderSpec,
         w.windowExpressions.map(funcOf(_).get), planLater(w.child)) :: Nil

@@ -36,6 +36,14 @@ object GlobalWindowFallback extends Rule[SparkPlan] {
     * on, across all sessions in this JVM. */
   val fallbacks = new AtomicLong
 
+  /** Cap on remembered shapes: on a long-lived cluster an unbounded
+    * per-distinct-expression-list set is a slow leak (generated SQL can
+    * mint endless distinct shapes). Past the cap, new shapes still
+    * COUNT in `fallbacks` but log at most once more (the "overflow"
+    * message) — the first 4096 distinct shapes cover any human-authored
+    * workload, and the counter stays exact for scrapers. */
+  private[plans] val MaxWarnedShapes = 4096
+
   private val warned =
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
@@ -45,7 +53,10 @@ object GlobalWindowFallback extends Rule[SparkPlan] {
       plan.foreach {
         case w: WindowExec if w.partitionSpec.isEmpty =>
           fallbacks.incrementAndGet()
-          val shape = w.windowExpression.map(_.sql).mkString(", ")
+          val shape =
+            if (warned.size < MaxWarnedShapes)
+              w.windowExpression.map(_.sql).mkString(", ")
+            else "(warning cap reached — further distinct shapes counted, not logged)"
           if (warned.add(shape)) {
             logWarning(
               s"global window [$shape] planned as a SinglePartition " +

@@ -98,6 +98,7 @@ object GlobalWindowSplit extends Rule[LogicalPlan] {
     case w: logical.Window
         if w.partitionSpec.nonEmpty && w.partitionSpec.forall(_.deterministic) &&
           w.windowExpressions.length > 1 &&
+          GlobalWindowGate.perKeyWorthwhile(w) &&
           conf.getConfString(GlobalRowNumberStrategy.ConfKey, "true").toBoolean => {
       val groups = w.windowExpressions.groupBy(partitionedCategoryOf(w, _))
       if (groups.size < 2 || groups.keysIterator.exists(_ < 0)) w

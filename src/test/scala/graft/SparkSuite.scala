@@ -11,6 +11,9 @@ trait SparkSuite extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // specs exist to exercise the rescue paths on tiny data — pin the
+    // per-key size gate open (GateSpec tests the default behavior)
+    .config(graft.plans.GlobalWindowGate.MinBytesKey, "0")
     .config("spark.ui.enabled", "false")
     .withExtensions(new GraftExtensions)
     .getOrCreate()
