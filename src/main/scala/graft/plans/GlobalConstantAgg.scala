@@ -396,8 +396,13 @@ case class GlobalConstantAggExec(partition: Seq[Expression],
     }
 
     // pass 2: buffer one group at a time; edge groups take the driver's
-    // constants, interior groups evaluate their own local partials
-    rdd.mapPartitionsWithIndex { (pid, iter) =>
+    // constants, interior groups evaluate their own local partials.
+    // Each task receives ONLY its own pair of edge constants
+    // ([[PerPartition.stitch]] — closure capture of the full
+    // firstConst/lastConst arrays would ship O(#partitions) per task).
+    PerPartition.stitch(rdd,
+      (0 until nParts).map(p => (firstConst(p), lastConst(p)))) { (slice, iter) =>
+      val (firstConstP, lastConstP) = slice
       val groupProj = UnsafeProjection.create(partExprs, childOutput)
       val outProj = UnsafeProjection.create(resultAttrs, resultAttrs)
       val join = new JoinedRow
@@ -440,8 +445,8 @@ case class GlobalConstantAggExec(partition: Seq[Expression],
           firstGroupOfTask = false
           val isLast = pendingNext == null && !iter.hasNext
           val vals: Array[Any] =
-            if (isFirst) firstConst(pid)
-            else if (isLast) lastConst(pid)
+            if (isFirst) firstConstP
+            else if (isLast) lastConstP
             else {
               val v = new Array[Any](nF)
               val evalRow = evalProj(agg)

@@ -335,8 +335,14 @@ case class GlobalNthValueExec(partition: Seq[Expression],
 
     // pass 2: per group, reach counters seeded for the first group,
     // head = seed candidates then local rows; value = head(n-1) once
-    // the reach hits n
-    rdd.mapPartitionsWithIndex { (pid, iter) =>
+    // the reach hits n; each task ships only its own seeds/chain
+    // merges ([[PerPartition.stitch]])
+    PerPartition.stitch(rdd, (0 until nParts).map(p =>
+      (seedRows(p), seedNn(p), seedCand(p), fullRowsFirst(p), fullRowsLast(p),
+        fullNnFirst(p), fullNnLast(p), fullCandFirst(p), fullCandLast(p)))) {
+      (slice, iter) =>
+      val (seedRowP, seedNnP, seedCandP, fullRowsFirstP, fullRowsLastP,
+        fullNnFirstP, fullNnLastP, fullCandFirstP, fullCandLastP) = slice
       val attrTypes = funcsLocal.map(_.attr.dataType)
       val groupProj = UnsafeProjection.create(partExprs, childOutput)
       val projs = funcsLocal.map(f =>
@@ -344,10 +350,10 @@ case class GlobalNthValueExec(partition: Seq[Expression],
       val outProj = UnsafeProjection.create(resultAttrs, resultAttrs)
       val joinOut = new JoinedRow
       var curG: UnsafeRow = null
-      var relIdx = seedRows(pid)
-      var nnRel = seedNn(pid).clone()
+      var relIdx = seedRowP
+      var nnRel = seedNnP.clone()
       val heads = Array.tabulate(nF)(i =>
-        scala.collection.mutable.ArrayBuffer[UnsafeRow](seedCand(pid)(i): _*))
+        scala.collection.mutable.ArrayBuffer[UnsafeRow](seedCandP(i): _*))
 
       def resetGroup(): Unit = {
         relIdx = 0L
@@ -435,11 +441,11 @@ case class GlobalNthValueExec(partition: Seq[Expression],
             firstGroupOfTask = false
             val isLast = pendingNext == null && !iter.hasNext
             // prefix counters/heads: seeded for the task's first group
-            relIdx = if (isFirst) seedRows(pid) else 0L
-            nnRel = if (isFirst) seedNn(pid).clone() else new Array[Long](nF)
+            relIdx = if (isFirst) seedRowP else 0L
+            nnRel = if (isFirst) seedNnP.clone() else new Array[Long](nF)
             heads.indices.foreach { i =>
               heads(i).clear()
-              if (isFirst) heads(i) ++= seedCand(pid)(i)
+              if (isFirst) heads(i) ++= seedCandP(i)
             }
             var j = 0
             while (j < buf.length) {
@@ -467,20 +473,20 @@ case class GlobalNthValueExec(partition: Seq[Expression],
             // whole-frame values: merged chain for edge groups, the
             // local slice (complete by contiguity) for interior ones
             val gRows =
-              if (isFirst) fullRowsFirst(pid)
-              else if (isLast) fullRowsLast(pid)
+              if (isFirst) fullRowsFirstP
+              else if (isLast) fullRowsLastP
               else buf.length.toLong
             var i = 0
             while (i < nF) {
               val f = funcsLocal(i)
               if (f.isFull) {
                 val gNn =
-                  if (isFirst) fullNnFirst(pid)(i)
-                  else if (isLast) fullNnLast(pid)(i)
+                  if (isFirst) fullNnFirstP(i)
+                  else if (isLast) fullNnLastP(i)
                   else nnRel(i)
                 val cand =
-                  if (isFirst) fullCandFirst(pid)(i)
-                  else if (isLast) fullCandLast(pid)(i)
+                  if (isFirst) fullCandFirstP(i)
+                  else if (isLast) fullCandLastP(i)
                   else heads(i).toArray
                 val reach = if (f.ignoreNulls) gNn else gRows
                 fullVals(i) =
@@ -661,14 +667,16 @@ case class GlobalNthValueExec(partition: Seq[Expression],
     // reaches position `reach` = global row index (ROWS) / tie-run END
     // index (RANGE, peers share) / table end (full frame); for IGNORE
     // NULLS the same three, counted over non-null inputs.
-    rdd.mapPartitionsWithIndex { (pid, iter) =>
+    PerPartition.stitch(rdd, (0 until nParts).map(p =>
+      (rowOffsets(p), Array.tabulate(nF)(i => nnOffsets(i)(p))))) { (slice, iter) =>
+      val (rowOffset, nnOffset) = slice
       val attrTypes = funcsLocal.map(_.attr.dataType)
       val projs = funcsLocal.map(f =>
         UnsafeProjection.create(Seq(f.input), childOutput))
       val outProj = UnsafeProjection.create(resultAttrs, resultAttrs)
       val joinOut = new JoinedRow
-      var gidx = rowOffsets(pid)
-      val nnSeen = Array.tabulate(nF)(i => nnOffsets(i)(pid))
+      var gidx = rowOffset
+      val nnSeen = nnOffset.clone()
 
       // per-row output values given this row's reach and the run-end
       // reach (equal except inside a RANGE tie run)

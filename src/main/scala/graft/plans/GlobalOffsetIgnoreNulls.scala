@@ -226,7 +226,10 @@ case class GlobalOffsetIgnoreNullsExec(
     val preVals = Array.tabulate(nParts, nFuncs)(predecessorVals)
     val sucVals = Array.tabulate(nParts, nFuncs)(successorVals)
 
-    rdd.mapPartitionsWithIndex { (pid, iter) =>
+    // each task ships only its own edge value windows ([[PerPartition.stitch]])
+    PerPartition.stitch(rdd, (0 until nParts).map(p =>
+      (preVals(p), sucVals(p)))) { (slice, iter) =>
+      val (preValsP, sucValsP) = slice
       val groupProj = UnsafeProjection.create(partExprs, childOutput)
       val inputProjs = funcsLocal.map(f =>
         UnsafeProjection.create(Seq(f.input), childOutput))
@@ -251,7 +254,7 @@ case class GlobalOffsetIgnoreNullsExec(
       // with the stitched predecessor values
       val rings = Array.tabulate(nFuncs) { i =>
         val d = new scala.collection.mutable.ArrayDeque[UnsafeRow]
-        if (!isLead(i)) preVals(pid)(i).foreach(d += _)
+        if (!isLead(i)) preValsP(i).foreach(d += _)
         d
       }
 
@@ -349,7 +352,7 @@ case class GlobalOffsetIgnoreNullsExec(
         var f = 0
         while (f < nFuncs) {
           if (isLead(f)) {
-            sucVals(pid)(f).foreach(arrive(f, _))
+            sucValsP(f).foreach(arrive(f, _))
             // entries still parked have no n_f-th non-null successor
             // anywhere in the table: default on their own row
             waiting(f).foreach { case (e, _) =>

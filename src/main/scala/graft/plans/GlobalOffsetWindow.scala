@@ -191,10 +191,11 @@ case class GlobalOffsetWindowExec(partition: Seq[Expression],
     val preTails = Array.tabulate(nParts)(predecessorTail)
     val sucHeads = Array.tabulate(nParts)(successorHead)
 
-    // pass 2: sliding window per partition
-    rdd.mapPartitionsWithIndex { (pid, iter) =>
-      val rowOffset = rowOffsets(pid)
-      val partCount = counts(pid)
+    // pass 2: sliding window per partition; each task ships only its
+    // own offsets and edge rows ([[PerPartition.stitch]])
+    PerPartition.stitch(rdd, (0 until nParts).map(p =>
+      (rowOffsets(p), counts(p), preTails(p), sucHeads(p)))) { (slice, iter) =>
+      val (rowOffset, partCount, preTail, sucHead) = slice
       val joined = new JoinedRow
       val valueRow = new GenericInternalRow(funcsLocal.length)
       val proj = UnsafeProjection.create(resultAttrs, resultAttrs)
@@ -213,10 +214,10 @@ case class GlobalOffsetWindowExec(partition: Seq[Expression],
 
       // trailing ring seeded with the stitched predecessor rows
       val lagBuf = new scala.collection.mutable.ArrayDeque[InternalRow]
-      preTails(pid).foreach(lagBuf += _)
+      preTail.foreach(lagBuf += _)
       // lookahead: partition rows then stitched successor rows
       val source: Iterator[InternalRow] =
-        iter.map(_.copy()) ++ sucHeads(pid).iterator
+        iter.map(_.copy()) ++ sucHead.iterator
       val leadBuf = new scala.collection.mutable.ArrayDeque[InternalRow]
 
       new Iterator[InternalRow] {

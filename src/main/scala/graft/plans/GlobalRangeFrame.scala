@@ -403,8 +403,12 @@ case class GlobalRangeFrameExec(partition: Seq[Expression],
     }
     val firstGroups: Array[UnsafeRow] = stats.map(_.firstGroup.orNull)
     val lastGroups: Array[UnsafeRow] = stats.map(_.lastGroup.orNull)
-
-    rdd.mapPartitionsWithIndex { (pid, iter) =>
+    // ship partition p ONLY its own edge slice ([[PerPartition.stitch]]
+    // — closure capture of the full preTails/postHeads arrays would
+    // cost O(#partitions × frame span) PER TASK)
+    PerPartition.stitch(rdd, (0 until nParts).map(p =>
+      (preTails(p), postHeads(p), firstGroups(p), lastGroups(p)))) { (slice, iter) =>
+      val (preTail, post, firstGroup, lastGroup) = slice
       val buffers = funcsLocal.map(f =>
         new SpecificInternalRow(f.agg.aggBufferAttributes.map(_.dataType)))
       val inits = funcsLocal.zipWithIndex.map { case (f, i) =>
@@ -426,8 +430,6 @@ case class GlobalRangeFrameExec(partition: Seq[Expression],
       val joinBI = new JoinedRow
       val joinOut = new JoinedRow
       val outProj = UnsafeProjection.create(resultAttrs, resultAttrs)
-      val post = postHeads(pid)
-      val lastGroup = lastGroups(pid)
       // exact per-row frame bounds: fixed-width arithmetic, or calendar
       // month arithmetic in the KEY's physical space — session-zone
       // `timestampAddInterval` in MICROS for timestamp keys (the same
@@ -464,9 +466,9 @@ case class GlobalRangeFrameExec(partition: Seq[Expression],
       // trailing value-window, seeded with the stitched predecessor
       // edge (rows of this task's FIRST group by construction)
       val deque = new scala.collection.mutable.ArrayDeque[(Long, UnsafeRow)]
-      preTails(pid).foreach(deque += _)
+      preTail.foreach(deque += _)
       // the group the deque's rows belong to; cleared on group change
-      var dequeGroup: UnsafeRow = firstGroups(pid)
+      var dequeGroup: UnsafeRow = firstGroup
 
       new Iterator[InternalRow] {
         // runs read from iter but not yet emitted; head = current run

@@ -332,8 +332,12 @@ case class GlobalRowNumberExec(partition: Seq[Expression],
           "filter before ranking.")
 
     // pass 2: assign values partition-locally — counters seeded with the
-    // chain carry, reset at every group boundary
-    rdd.mapPartitionsWithIndex { (pid, iter) =>
+    // chain carry, reset at every group boundary; each task ships only
+    // its own seeds/totals ([[PerPartition.stitch]])
+    PerPartition.stitch(rdd, (0 until nParts).map(p =>
+      (seedRows(p), seedRuns(p), firstGroups(p), firstTotal(p), lastTotal(p)))) {
+      (slice, iter) =>
+      val (seedRow, seedRun, firstGroup, firstTotalP, lastTotalP) = slice
       val joined = new JoinedRow
       val rankRow = new GenericInternalRow(modes.length)
       val proj = UnsafeProjection.create(resultAttrs, resultAttrs)
@@ -344,9 +348,9 @@ case class GlobalRowNumberExec(partition: Seq[Expression],
         if (needKeys) KeyRunEquality.create(keyExprs.map(_.dataType)) else null
       // idx within the current group (absolute for global mode), runs so
       // far (inclusive), and the current run's start index
-      var cnt = seedRows(pid)
-      var dense = seedRuns(pid)
-      var curG: UnsafeRow = firstGroups(pid)
+      var cnt = seedRow
+      var dense = seedRun
+      var curG: UnsafeRow = firstGroup
       var prevRun: UnsafeRow = null
 
       // emits one row given its index, tie-run bounds, run counter and
@@ -432,11 +436,11 @@ case class GlobalRowNumberExec(partition: Seq[Expression],
             val isFirst = firstGroupOfTask
             firstGroupOfTask = false
             val isLast = pendingNext == null && !iter.hasNext
-            offset = if (isFirst) seedRows(pid) else 0L
-            val denseBase = if (isFirst) seedRuns(pid) else 0L
+            offset = if (isFirst) seedRow else 0L
+            val denseBase = if (isFirst) seedRun else 0L
             groupN =
-              if (isFirst) firstTotal(pid)
-              else if (isLast) lastTotal(pid)
+              if (isFirst) firstTotalP
+              else if (isLast) lastTotalP
               else buf.length.toLong
             if (needKeys) {
               // one forward walk marks run starts + dense counters, one

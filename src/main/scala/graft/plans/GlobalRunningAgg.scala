@@ -285,10 +285,12 @@ case class GlobalRunningAggExec(partition: Seq[Expression],
     val firstGroups: Array[UnsafeRow] = stats.map(_._1.orNull)
 
     // pass 2: local running aggregation, seeded with the first group's
-    // chain carry, buffers re-initialized at every group boundary
-    rdd.mapPartitionsWithIndex { (pid, iter) =>
+    // chain carry, buffers re-initialized at every group boundary; each
+    // task ships only its own seed ([[PerPartition.stitch]])
+    PerPartition.stitch(rdd,
+      (0 until nParts).map(p => (seeds(p), firstGroups(p)))) { (slice, iter) =>
+      val (seed, firstGroup) = slice
       val buf = new SpecificInternalRow(bufTypes)
-      val seed = seeds(pid)
       var i = 0
       while (i < bufTypes.length) {
         buf.update(i, seed.get(i, bufTypes(i)))
@@ -303,7 +305,7 @@ case class GlobalRunningAggExec(partition: Seq[Expression],
       val outProj = UnsafeProjection.create(resultAttrs, resultAttrs)
       val joinBI = new JoinedRow
       val joinOut = new JoinedRow
-      var curG: UnsafeRow = firstGroups(pid)
+      var curG: UnsafeRow = firstGroup
 
       if (!anyRange) {
         // ROWS frames only: stream — update, then emit after each row

@@ -185,7 +185,10 @@ case class GlobalSlidingAggExec(partition: Seq[Expression],
     val preTails = Array.tabulate(nParts)(predecessorTail)
     val sucHeads = Array.tabulate(nParts)(successorHead)
 
-    rdd.mapPartitionsWithIndex { (pid, iter) =>
+    // each task ships only its own edge rows + count ([[PerPartition.stitch]])
+    PerPartition.stitch(rdd, (0 until nParts).map(p =>
+      (preTails(p), sucHeads(p), counts(p)))) { (slice, iter) =>
+      val (preTail, sucHead, partCount) = slice
       // per-function machinery: own buffer + projections, folded over
       // its own slice of the trailing ring and lookahead queue
       val buffers = funcsLocal.map(f =>
@@ -220,11 +223,10 @@ case class GlobalSlidingAggExec(partition: Seq[Expression],
       // partition end with the stitched successor head. Emitted rows are
       // only this partition's own (counts(pid) of them).
       val lagBuf = new scala.collection.mutable.ArrayDeque[InternalRow]
-      preTails(pid).foreach(lagBuf += _)
+      preTail.foreach(lagBuf += _)
       val source: Iterator[InternalRow] =
-        iter.map(_.copy()) ++ sucHeads(pid).iterator
+        iter.map(_.copy()) ++ sucHead.iterator
       val leadBuf = new scala.collection.mutable.ArrayDeque[InternalRow]
-      val partCount = counts(pid)
 
       new Iterator[InternalRow] {
         private var emitted = 0L
