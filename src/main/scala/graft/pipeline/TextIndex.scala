@@ -456,6 +456,11 @@ object TextIndex {
     val n = storedDocs(spark, path).getOrElse(throw new IllegalStateException(
       s"text index at $path has no doc count in its manifest — rebuild to rank")) -
       pendingDeletedDocs(spark, path).getOrElse(0L)
+    // fully-tombstoned index: n = 0 would divide idf/avgdl into
+    // NaN/Infinity scores — there is nothing live to rank, say so
+    if (n <= 0) throw new IllegalStateException(
+      s"text index at $path has no LIVE documents (every doc is " +
+        "tombstoned; run compact() to fold deletes) — nothing to rank")
     val shards = terms.map(shardOfTerm(_, nShards)).distinct
     val postings = live(
       graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")

@@ -174,24 +174,44 @@ object VideoContainer {
         require(size >= (bodyOff - off) && off + size <= end,
           s"malformed mp4 box '$name' at $off: size $size exceeds range $end")
         val bodyEnd = off + size.toInt
+        // fixed-layout field reads are bounded by the box's OWN body —
+        // a corrupt size/count must fail the same loud require as bad
+        // framing, not read sibling-box bytes or throw a raw AIOOBE
+        def bounded(need: Int): Unit =
+          require(bodyOff + need <= bodyEnd,
+            s"malformed mp4 box '$name' at $off: body ${bodyEnd - bodyOff} " +
+              s"bytes, needs $need")
         name match {
           case "mvhd" =>
+            bounded(1)
             val v = payload(bodyOff) & 0xff
             if (v == 1) {
+              bounded(32)
               timescale = rdBe32(payload, bodyOff + 20)
               duration = rdBe64(payload, bodyOff + 24)
             } else {
+              bounded(20)
               timescale = rdBe32(payload, bodyOff + 12)
               duration = rdBe32(payload, bodyOff + 16)
             }
           case "tkhd" =>
+            bounded(16)
             // width/height are the LAST 8 bytes of tkhd in both versions
             trakW = (rdBe32(payload, bodyEnd - 8) >> 16).toInt
             trakH = (rdBe32(payload, bodyEnd - 4) >> 16).toInt
           case "hdlr" =>
+            bounded(12)
             trakHandler = fourcc(payload, bodyOff + 8)
           case "stts" =>
+            bounded(8)
             val entries = rdBe32(payload, bodyOff + 4).toInt
+            // the declared count must FIT the body: 8 bytes per entry
+            // after the 8-byte header (an adversarial count would
+            // otherwise read sibling-box bytes as durations, or a
+            // negative one silently yield 0 frames)
+            require(entries >= 0 && entries.toLong * 8 <= (bodyEnd - bodyOff - 8).toLong,
+              s"malformed mp4 stts at $off: $entries entries exceed body " +
+                s"${bodyEnd - bodyOff} bytes")
             var i = 0
             var total = 0L
             while (i < entries) {

@@ -147,4 +147,30 @@ class MultimodalSpec extends SparkSuite {
       VideoContainer.parseMp4(Array.tabulate(64)(_.toByte))
     }
   }
+
+  test("mp4 parser bounds fixed-layout reads by the box body") {
+    val mp4 = VideoContainer.encodeMp4(32, 24, 600, 30, 10, withAudio = false)
+    // adversarial stts: overwrite the declared entry count with a value
+    // that cannot fit the box body — the parse must fail the framing
+    // require, not read sibling-box bytes as frame durations
+    def indexOf(pat: Array[Byte]): Int =
+      mp4.indices.indexWhere(i => i + pat.length <= mp4.length &&
+        pat.indices.forall(j => mp4(i + j) == pat(j)))
+    val stts = indexOf("stts".getBytes("US-ASCII"))
+    assert(stts > 0, "fixture must contain an stts box")
+    val evil = mp4.clone()
+    // box header at stts-4; body at +8; entry count at body+4
+    val cntOff = stts - 4 + 8 + 4
+    evil(cntOff) = 0x7f.toByte; evil(cntOff + 1) = 0xff.toByte
+    evil(cntOff + 2) = 0xff.toByte; evil(cntOff + 3) = 0xff.toByte
+    val e = intercept[IllegalArgumentException] { VideoContainer.parseMp4(evil) }
+    assert(e.getMessage.contains("stts"), s"wrong failure: ${e.getMessage}")
+    // empty mvhd body: the version read must be a loud require, not a
+    // raw ArrayIndexOutOfBoundsException
+    val emptyMvhd = Array[Byte](0, 0, 0, 8) ++ "mvhd".getBytes("US-ASCII")
+    val e2 = intercept[IllegalArgumentException] {
+      VideoContainer.parseMp4(emptyMvhd)
+    }
+    assert(e2.getMessage.contains("mvhd"), s"wrong failure: ${e2.getMessage}")
+  }
 }

@@ -210,6 +210,20 @@ class TextIndexSpec extends SparkSuite {
     assert(TextIndex.searchAll(spark, dD, Seq("cat")).count() == 0)
   }
 
+  test("ranking a fully-tombstoned index fails loudly, not NaN") {
+    val dT = java.nio.file.Files.createTempDirectory("tindexT").toString
+    TextIndex.write(docs, dT, shards = 2)
+    TextIndex.delete(spark, dT,
+      docs.select("doc_id").as[Long].collect().toSeq)
+    // n = 0 live docs: avgdl/idf would divide to NaN/Infinity scores —
+    // the probe must say WHY instead (and compaction must restore a
+    // usable, honestly-empty index)
+    val e = intercept[IllegalStateException] {
+      TextIndex.searchRanked(spark, dT, Seq("the")).collect()
+    }
+    assert(e.getMessage.contains("compact"), s"unhelpful failure: ${e.getMessage}")
+  }
+
   test("update replaces a doc; plain append of a deleted doc refuses") {
     val dU = java.nio.file.Files.createTempDirectory("tindexU").toString
     TextIndex.write(docs, dU, shards = 3)

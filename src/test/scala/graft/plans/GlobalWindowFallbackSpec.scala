@@ -47,6 +47,26 @@ class GlobalWindowFallbackSpec extends SparkSuite {
       "rescued shapes must not count as fallbacks")
   }
 
+  test("warned-shape memory is bounded; the counter stays exact past the cap") {
+    // the remembered-shape set must not grow without bound on a
+    // long-lived cluster (generated SQL mints endless distinct shapes);
+    // the COUNTER keeps counting exactly regardless
+    assert(GlobalWindowFallback.MaxWarnedShapes > 0 &&
+      GlobalWindowFallback.MaxWarnedShapes <= 65536,
+      "the cap must exist and be modest")
+    df.createOrReplaceTempView("gwf_t3")
+    val before = GlobalWindowFallback.fallbacks.get()
+    // two distinct unclaimed shapes: both count
+    (1 to 2).foreach { n =>
+      spark.sql(
+        s"""SELECT id, nth_value(id, ${100000 + n}) OVER (ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+            FROM gwf_t3""").queryExecution.executedPlan
+    }
+    assert(GlobalWindowFallback.fallbacks.get() == before + 2,
+      "every fallback must count, warned or not")
+  }
+
   test("opt-out sessions are not warned: single-task plans are then chosen") {
     df.createOrReplaceTempView("gwf_t2")
     withConf(GlobalRowNumberStrategy.ConfKey, "false") {
