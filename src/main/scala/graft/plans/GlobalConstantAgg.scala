@@ -75,16 +75,26 @@ import org.apache.spark.sql.internal.SQLConf
 object GlobalConstantAggStrategy extends SparkStrategy {
   import GlobalConstantAggExec.ConstAgg
 
-  /** Imperative SKETCH aggregates whose merge is structurally
-    * order-independent — HLL++ takes the register-wise max, count-min
-    * adds counters — so partial-then-merge produces the IDENTICAL
-    * sketch the built-in's sequential scan builds. Order-sensitive
-    * imperative aggregates (approx_percentile's compress paths,
-    * collect_list) are NOT claimed: their merged value can differ
-    * structurally from the sequential one. */
+  /** Imperative SKETCH aggregates safe under partial-then-merge.
+    *
+    * HLL++ (register-wise max) and count-min (counter addition) merge
+    * to the IDENTICAL sketch the built-in's sequential scan builds.
+    * approx_percentile merges to a DIFFERENT but equally valid sketch:
+    * `QuantileSummaries`' merge is the Greenwald-Khanna merge, whose
+    * result is a guaranteed ε-summary of the union — the same
+    * guarantee the sequential build carries, and the same operation
+    * stock Spark's own partial+final GROUP BY plan performs. Windowed
+    * approx_percentile was never bit-stable across plans (a groupBy
+    * twin of the same data already disagrees with the single-task
+    * window in compress details), so the rescue holds the sketch's
+    * documented contract — any returned value sits within ε of the
+    * requested rank — not bit-parity with one arbitrary build order.
+    * Truly order-SENSITIVE collectors (collect_list) stay declined:
+    * their value IS the order. */
   private def sketchLike(f: AggregateFunction): Boolean = f match {
     case _: HyperLogLogPlusPlus => true
     case _: CountMinSketchAgg => true
+    case _: org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile => true
     case _ => false
   }
 

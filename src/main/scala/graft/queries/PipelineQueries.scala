@@ -1541,7 +1541,6 @@ object PipelineQueries {
     // register-wise max (order-independent), so the edge-partial merge
     // builds the IDENTICAL sketch the built-in's sequential scan
     // would — but over the range exchange, hot users spanning tasks.
-    // Order-sensitive sketches (approx_percentile) stay declined.
     // Oracle shape: exact per-user distinct count + a tolerance gate
     // on the sketch (sketch internals differ across engines by design).
     "q_skew_sketch" -> ((s, dir) => {
@@ -1555,6 +1554,36 @@ object PipelineQueries {
                  FROM (SELECT user_id, event_type,
                          approx_count_distinct(event_type) OVER
                            (PARTITION BY user_id) AS kd
+                       FROM events_v) w
+                 GROUP BY user_id) t
+               ORDER BY user_id""")
+    }),
+
+    // APPROX-PERCENTILE OVER WINDOWS — the last commonly-written
+    // per-key window sketch. QuantileSummaries' merge is the
+    // Greenwald-Khanna merge: the merged sketch is a guaranteed
+    // ε-summary of the union (the same operation stock's partial+final
+    // GROUP BY performs), so the rescue holds the sketch's documented
+    // contract — within ε of the requested rank — rather than
+    // bit-parity with one arbitrary build order. Oracle shape mirrors
+    // q_skew_sketch: the EXACT median (scaled to an integer grid both
+    // engines land on identically) plus a tolerance gate on the
+    // sketch; the raw approx value never reaches the output (sketch
+    // internals vary by build order — by design).
+    "q_skew_percentile" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""SELECT user_id, n_events, exact_p50m,
+                 (approx_p50 >= lo AND approx_p50 <= hi) AS within_tol
+               FROM (
+                 SELECT user_id,
+                   COUNT(*) AS n_events,
+                   max(ap) AS approx_p50,
+                   CAST(ROUND(percentile(value, 0.5d) * 1000) AS BIGINT) AS exact_p50m,
+                   percentile(value, 0.45d) AS lo,
+                   percentile(value, 0.55d) AS hi
+                 FROM (SELECT user_id, value,
+                         percentile_approx(value, 0.5d) OVER
+                           (PARTITION BY user_id) AS ap
                        FROM events_v) w
                  GROUP BY user_id) t
                ORDER BY user_id""")
@@ -2740,6 +2769,12 @@ object PipelineQueries {
 
       "q_skew_sketch" ->
         """SELECT user_id, count(DISTINCT event_type) AS exact_types,
+             true AS within_tol
+           FROM events GROUP BY user_id ORDER BY user_id""",
+
+      "q_skew_percentile" ->
+        """SELECT user_id, COUNT(*) AS n_events,
+             CAST(ROUND(quantile_cont(value, 0.5) * 1000) AS BIGINT) AS exact_p50m,
              true AS within_tol
            FROM events GROUP BY user_id ORDER BY user_id""",
 

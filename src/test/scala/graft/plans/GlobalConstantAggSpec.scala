@@ -202,11 +202,33 @@ class GlobalConstantAggSpec extends SparkSuite {
       snap(spark.sql(q))
     }
     assert(got == expected, "sketch windows must match the built-in bit-for-bit")
-    // order-SENSITIVE imperative aggregates stay with the built-in
-    val pct = spark.sql("""SELECT id, percentile_approx(v, 0.5d) OVER () AS m
-        FROM sk_keyed""")
-    assert(!pct.queryExecution.executedPlan.toString.contains("GlobalConstantAgg"),
-      "approx_percentile's compress paths are order-sensitive — decline")
+    // approx_percentile claims too: the merged QuantileSummaries is a
+    // valid ε-summary of the union (the same merge stock's partial+
+    // final groupBy performs), so the assertion is the sketch's OWN
+    // contract — within ε of the requested rank — against the exact
+    // percentile band, not bit-parity with one arbitrary build order
+    val pct = spark.sql(
+      """SELECT id, k, v, percentile_approx(v, 0.5d) OVER () AS m,
+           percentile_approx(v, 0.5d) OVER (PARTITION BY k) AS mk
+         FROM sk_keyed""")
+    val pp = pct.queryExecution.executedPlan.toString
+    assert(pp.contains("GlobalConstantAgg"),
+      s"approx_percentile windows must rescue:\n$pp")
+    val rows = pct.collect()
+    val all = rows.map(_.getLong(2)).sorted
+    def band(vs: Array[Long], lo: Double, hi: Double): (Long, Long) =
+      (vs(math.max(0, (lo * (vs.length - 1)).toInt)),
+        vs(math.min(vs.length - 1, math.ceil(hi * (vs.length - 1)).toInt)))
+    val (glo, ghi) = band(all, 0.48, 0.52)
+    assert(rows.forall { r => val m = r.getLong(3); m >= glo && m <= ghi },
+      s"global approx median must sit in the exact p48..p52 band [$glo,$ghi]")
+    val byK = rows.groupBy(_.get(1))
+    byK.foreach { case (k, rs) =>
+      val vs = rs.map(_.getLong(2)).sorted
+      val (lo, hi) = band(vs, 0.45, 0.55)
+      assert(rs.forall { r => val m = r.getLong(4); m >= lo && m <= hi },
+        s"per-key approx median for k=$k must sit in the exact p45..p55 band")
+    }
   }
 
   test("opt-out restores the built-in plan") {
