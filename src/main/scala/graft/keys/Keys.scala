@@ -131,9 +131,12 @@ final case class HashPrefix(numBuckets: Int) extends Distributor {
   * an unpartitioned window that funnels the whole table through ONE task.
   * Instead the global index is computed with the two-pass pattern
   * (what RDD zipWithIndex does internally): range-partition by the
-  * insertion order, per-partition row_number (partitioned window — fully
-  * parallel), plus broadcast per-partition offsets from a tiny count
-  * job (one row per partition on the driver, never row data). Requires
+  * insertion order, partition-LOCAL indices off the task's own record
+  * counter (the low 33 bits of monotonically_increasing_id — zero
+  * further exchanges; a per-__pid window would re-shuffle, since
+  * Catalyst cannot see the physical __pid clustering), plus broadcast
+  * per-partition offsets from a tiny count branch sharing the same
+  * reused exchange (one row per partition, never row data). Requires
   * `insertionOrder` to be a unique total order, which the reference's
   * insertion sequence is by construction.
   */
@@ -145,21 +148,32 @@ final case class RoundRobin(numBuckets: Int, insertionOrder: String) extends Dis
       .repartitionByRange(col(insertionOrder))
       .sortWithinPartitions(insertionOrder)
       .withColumn("__pid", spark_partition_id())
+      // partition-LOCAL row index, zero exchanges: the low 33 bits of
+      // monotonically_increasing_id ARE the task's record counter
+      // (the expression is pid<<33 + localIndex), and the counter
+      // increments in iterator order — the sort above makes that the
+      // insertion order. The alternative `row_number() OVER (PARTITION
+      // BY __pid ...)` costs a SECOND full exchange: Catalyst cannot
+      // know the data is already physically clustered by __pid (its
+      // outputPartitioning is the range on insertionOrder), so
+      // EnsureRequirements re-shuffles. Guard below: a partition past
+      // 2^33 rows would wrap the counter silently — raise instead
+      // (no real partition holds 8.6e9 rows; shuffle blocks cap far
+      // earlier).
+      .withColumn("__rn",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
     // Per-partition counts → exclusive prefix-sum offsets, computed INSIDE
     // the same plan as the final join (no collect job): both branches sit
     // on the identical range exchange, which ReuseExchange plans once, so
     // they observe the same partition ids by construction. The previous
     // two-job formulation (collect counts, then re-run the plan) could see
     // two different partitionings and silently drop rows on the inner
-    // __pid join. The offsets window is over ~numPartitions rows — trivial.
-    // inclusive running frame minus the row's own count = the exclusive
-    // prefix, phrased to ride the rescued GlobalRunningAggExec (zero
-    // built-in global WindowExecs anywhere in the engine)
-    val wOff = Window.orderBy("__pid")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = ordered.groupBy("__pid").count()
-      .withColumn("__off", sum("count").over(wOff) - col("count"))
-      .select(col("__pid"), col("__off"), col("count").as("__cnt"))
+    // __pid join. The prefix scan itself is a single-row array fold
+    // ([[graft.operators.PrefixOffsets]]) — no window exec, no extra
+    // exchange, no stats job spent on ~numPartitions rows.
+    val offsets = graft.operators.PrefixOffsets
+      .of(graft.operators.PrefixOffsets.countsOf(ordered))
+      .select(col("__pid"), col("__off"), col("__cnt"))
     ordered
       .join(broadcast(offsets), Seq("__pid"), "left")
       // belt-and-braces: if exchange reuse ever failed AND the two
@@ -171,9 +185,10 @@ final case class RoundRobin(numBuckets: Int, insertionOrder: String) extends Dis
       // partition then exceeds its counted size and trips the __cnt check.
       .withColumn("__off", coalesce(col("__off"),
         raise_error(concat(lit("round-robin: no offset for partition "), col("__pid")))))
-      .withColumn("__rn",
-        row_number().over(
-          Window.partitionBy("__pid").orderBy(insertionOrder)).cast("bigint") - 1L)
+      .withColumn("__rn", when(col("__cnt") >= (1L << 33),
+        raise_error(concat(lit("round-robin: partition "), col("__pid"),
+          lit(" exceeds 2^33 rows — local index would wrap"))))
+        .otherwise(col("__rn")))
       .withColumn("__rn", when(col("__rn") < col("__cnt"), col("__rn"))
         .otherwise(raise_error(concat(
           lit("round-robin: partition "), col("__pid"),

@@ -33,22 +33,23 @@ object Corpus {
       .repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
-    // INCLUSIVE running frame minus the row's own count = the exclusive
-    // prefix — phrased this way (not `.. -1 PRECEDING`) so even these
-    // ~numPartitions-row windows ride the rescued GlobalRunningAgg /
-    // GlobalConstantAgg execs: zero built-in global WindowExecs (and
-    // zero single-partition warnings) anywhere in the engine
-    val wOff = Window.orderBy("__pid")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.orderBy("__pid")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      // partition-LOCAL row index with zero further exchanges: the low
+      // 33 bits of monotonically_increasing_id are the task's record
+      // counter, incrementing in iterator order — the sort above makes
+      // that the global order. A `row_number() OVER (PARTITION BY
+      // __pid ...)` would re-shuffle: Catalyst cannot see the physical
+      // __pid clustering. Wrap guard below (2^33 rows per partition).
+      .withColumn("__rn",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
     // per-partition counts → exclusive prefix-sum offsets + grand total,
-    // computed INSIDE the same plan as the final join (no collect job) —
-    // the offsets windows run over ~numPartitions rows, trivially
-    val offsets = ordered.groupBy("__pid").count()
-      .withColumn("__off", sum("count").over(wOff) - col("count"))
-      .withColumn("__tot", sum("count").over(wAll))
-      .select(col("__pid"), col("__off"), col("__tot"), col("count").as("__cnt"))
+    // computed INSIDE the same plan as the final join (no collect job).
+    // The prefix scan is a single-row array fold
+    // ([[graft.operators.PrefixOffsets]]) — no window exec at all, so
+    // these ~numPartitions-row side computations carry neither the
+    // rescued execs' sample/stats jobs nor a single-task WindowExec.
+    val offsets = graft.operators.PrefixOffsets
+      .of(graft.operators.PrefixOffsets.countsOf(ordered))
+      .select(col("__pid"), col("__off"), col("__tot"), col("__cnt"))
     ordered
       .join(broadcast(offsets), Seq("__pid"), "left")
       // same two divergence detectors as RoundRobin.withBucket: a pid
@@ -56,9 +57,10 @@ object Corpus {
       // (some partition exceeds its counted size)
       .withColumn("__off", coalesce(col("__off"),
         raise_error(concat(lit("global-index: no offset for partition "), col("__pid")))))
-      .withColumn("__rn",
-        row_number().over(
-          Window.partitionBy("__pid").orderBy(order: _*)).cast("bigint") - 1L)
+      .withColumn("__rn", when(col("__cnt") >= (1L << 33),
+        raise_error(concat(lit("global-index: partition "), col("__pid"),
+          lit(" exceeds 2^33 rows — local index would wrap"))))
+        .otherwise(col("__rn")))
       .withColumn("__rn", when(col("__rn") < col("__cnt"), col("__rn"))
         .otherwise(raise_error(concat(
           lit("global-index: partition "), col("__pid"),
