@@ -20,11 +20,15 @@ import org.apache.spark.sql.internal.SQLConf
   * value `V` is a single driver-computable constant, and each row only
   * needs an ELIGIBILITY test — does my frame reach n rows? So: one
   * tiny job collects, per partition, its row count and its first
-  * ≤ max(n) input values per function (non-null ones for IGNORE
+  * ≤ min(n, cap) input values per function (non-null ones for IGNORE
   * NULLS, plus the non-null count); the driver prefix-sums the counts,
   * finds the partition holding global position n, and reads V out of
-  * its collected head — bounded by n × #functions values, independent
-  * of data size. The second pass attaches V where the frame reaches n
+  * its collected head — bounded by cap × #functions values per
+  * partition, independent of data size AND of n: when n exceeds the
+  * cap, a second job targeted at only the owning partition scans
+  * forward to the one needed value (no cap, no fallback — see
+  * [[GlobalNthValueStrategy.MaxNKey]]).
+  * The second pass attaches V where the frame reaches n
   * (global row index for ROWS, tie-run END index for RANGE — peers
   * share their run-end frame; the n-th NON-NULL prefix count for
   * IGNORE NULLS) and NULL elsewhere — exactly the built-in's
@@ -52,20 +56,26 @@ import org.apache.spark.sql.internal.SQLConf
 object GlobalNthValueStrategy extends SparkStrategy {
   import GlobalNthValueExec.NthF
 
-  /** Upper bound on rescued n: the stats pass collects up to n candidate
-    * values PER PARTITION PER FUNCTION to the driver, so an adversarial
-    * `nth_value(x, 2^31-1)` would collect essentially the whole column.
-    * Past the cap the node falls back to the built-in single-task
-    * WindowExec, which runs the growing frame in bounded memory. */
+  /** Candidate-collection cap. The GLOBAL path is NOT bounded by it in
+    * n: its stats pass collects at most min(n, cap) candidates per
+    * partition, and a value beyond the collected head is fetched by a
+    * SECOND job targeted at the one partition that owns global
+    * position n — driver state stays ≤ cap values per function per
+    * partition and the fetch ships exactly one value, for ANY n. The
+    * PER-KEY path keeps the cap as a claiming bound: its per-group
+    * heads live in executor memory un-spillably and its stats pass
+    * ships up to n edge-group candidates per task, so past the cap the
+    * node falls back to the built-in WindowExec, whose growing frame
+    * buffers in spillable storage. */
   val MaxNKey = "spark.graft.globalNthValue.maxN"
-  private def maxN: Int =
+  private[plans] def maxN: Int =
     SQLConf.get.getConfString(MaxNKey, "4096").toInt
 
   private def funcOf(e: NamedExpression): Option[NthF] = e match {
     case Alias(WindowExpression(
           NthValue(input, IntegerLiteral(n), ignoreNulls),
           WindowSpecDefinition(_, _, SpecifiedWindowFrame(ft, lo, hi))), _)
-        if n > 0 && n <= maxN =>
+        if n > 0 =>
       (lo, hi) match {
         case (UnboundedPreceding, CurrentRow) =>
           Some(NthF(input, n, ignoreNulls, isRange = ft == RangeFrame,
@@ -96,7 +106,9 @@ object GlobalNthValueStrategy extends SparkStrategy {
   /** Per-expression categorizer for [[GlobalWindowSplit]]. */
   private[plans] def rescuable(e: NamedExpression): Boolean = funcOf(e).isDefined
 
-  /** All matched shapes are PARTITION BY-rescuable. Prefix frames
+  /** PARTITION BY-rescuable shapes — all matched ones UP TO the n cap
+    * (see [[MaxNKey]]: per-group heads and edge-candidate shipping are
+    * O(n), so huge n stays with the spillable built-in). Prefix frames
     * stream (the n-th value is always BEHIND the first eligible row);
     * whole-GROUP frames — per-key ordered first/last_value and full
     * nth_value, whose value and group total may lie in LATER tasks —
@@ -105,7 +117,7 @@ object GlobalNthValueStrategy extends SparkStrategy {
     * groups' first/last n values and totals, and interior groups are
     * buffered one at a time (slice-bounded). */
   private[plans] def rescuablePartitioned(e: NamedExpression): Boolean =
-    funcOf(e).isDefined
+    funcOf(e).exists(_.n <= maxN)
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case w: logical.Window
@@ -597,9 +609,14 @@ case class GlobalNthValueExec(partition: Seq[Expression],
     val rdd = child.execute()
 
     // pass 1: per partition — total rows, and per function its non-null
-    // count plus the first ≤ n candidate values (single-column rows);
-    // for fromEnd functions the LAST ≤ n candidates instead (a bounded
-    // ring — memory identical either way)
+    // count plus the first ≤ min(n, cap) candidate values
+    // (single-column rows); for fromEnd functions the LAST ≤ min(n,
+    // cap) candidates instead (a bounded ring — memory identical
+    // either way). The cap bounds task-result and driver memory for
+    // adversarial n; a value beyond a capped head is fetched by the
+    // targeted second job below.
+    val headCaps = funcsLocal.map(f =>
+      math.min(f.n.toLong, GlobalNthValueStrategy.maxN.toLong).toInt)
     val stats: Array[(Long, Array[Long], Array[Array[UnsafeRow]])] =
       rdd.sparkContext.runJob(rdd, (iter: Iterator[InternalRow]) => {
         val projs = funcsLocal.map(f =>
@@ -620,10 +637,9 @@ case class GlobalNthValueExec(partition: Seq[Expression],
             if (counts) {
               if (f.fromEnd) {
                 heads(i) += v.copy()
-                if (heads(i).length > f.n) heads(i).remove(0)
-              } else {
-                val seen = if (f.ignoreNulls) nn(i) else rows + 1
-                if (seen <= f.n) heads(i) += v.copy()
+                if (heads(i).length > headCaps(i)) heads(i).remove(0)
+              } else if (heads(i).length < headCaps(i)) {
+                heads(i) += v.copy()
               }
             }
             i += 1
@@ -642,24 +658,90 @@ case class GlobalNthValueExec(partition: Seq[Expression],
 
     // driver: V_i = input_i at global (non-null) position n_i — counted
     // from the table END for fromEnd functions — read out of the owning
-    // partition's collected head/tail; absent when the table is too short
-    val values: Array[Option[UnsafeRow]] = Array.tabulate(nF) { i =>
-      val f = funcsLocal(i)
-      val offs = if (f.ignoreNulls) nnOffsets(i) else rowOffsets
-      if (offs.last < f.n) None
-      else if (f.fromEnd) {
-        // 1-based position from the START of the n-th-from-end candidate
-        val pos = offs.last - f.n + 1
-        val p = (0 until nParts).find(q => offs(q + 1) >= pos).get
-        val tail = stats(p)._3(i)
-        // distance from p's last candidate; < n by construction, so the
-        // value is inside p's bounded tail ring
-        val fromEndIdx = (offs(p + 1) - pos).toInt
-        Some(tail(tail.length - 1 - fromEndIdx))
-      } else {
-        val p = (0 until nParts).find(q => offs(q + 1) >= f.n).get
-        val local = (f.n - offs(p) - 1).toInt
-        Some(stats(p)._3(i)(local))
+    // partition's collected head/tail when the capped collection holds
+    // it; absent when the table is too short. Positions beyond a capped
+    // head are recorded in `needs` as (funcIdx, owning pid, 0-based
+    // counting-candidate index within that pid) and fetched by ONE
+    // second job over only the owning partitions — each task scans
+    // forward to its targets and returns exactly one value per needed
+    // function, so no n can inflate a task result past the cap.
+    val values: Array[Option[UnsafeRow]] = new Array(nF)
+    val needs = new scala.collection.mutable.ArrayBuffer[(Int, Int, Long)]
+    locally {
+      var i = 0
+      while (i < nF) {
+        val f = funcsLocal(i)
+        val offs = if (f.ignoreNulls) nnOffsets(i) else rowOffsets
+        values(i) =
+          if (offs.last < f.n) None
+          else if (f.fromEnd) {
+            // 1-based position from the START of the n-th-from-end candidate
+            val pos = offs.last - f.n + 1
+            val p = (0 until nParts).find(q => offs(q + 1) >= pos).get
+            val tail = stats(p)._3(i)
+            // distance from p's last candidate; < n by construction
+            val fromEndIdx = offs(p + 1) - pos
+            if (fromEndIdx < tail.length)
+              Some(tail(tail.length - 1 - fromEndIdx.toInt))
+            else {
+              // beyond the capped ring: forward candidate index in p
+              needs += ((i, p, offs(p + 1) - offs(p) - 1 - fromEndIdx))
+              None
+            }
+          } else {
+            val p = (0 until nParts).find(q => offs(q + 1) >= f.n).get
+            val local = f.n - offs(p) - 1
+            val head = stats(p)._3(i)
+            if (local < head.length) Some(head(local.toInt))
+            else { needs += ((i, p, local)); None }
+          }
+        i += 1
+      }
+    }
+    if (needs.nonEmpty) {
+      val byPart: Map[Int, Array[(Int, Long)]] =
+        needs.groupBy(_._2).map { case (p, ns) =>
+          p -> ns.map(t => (t._1, t._3)).toArray
+        }
+      val pids = byPart.keys.toSeq.sorted
+      val fetched = rdd.sparkContext.runJob(rdd,
+        (ctx: org.apache.spark.TaskContext, iter: Iterator[InternalRow]) => {
+          val mine = byPart(ctx.partitionId())
+          val projs = mine.map { case (fi, _) =>
+            UnsafeProjection.create(Seq(funcsLocal(fi).input), childOutput)
+          }
+          val res = new Array[UnsafeRow](mine.length)
+          val seen = new Array[Long](mine.length)
+          var found = 0
+          while (iter.hasNext && found < mine.length) {
+            val row = iter.next()
+            var j = 0
+            while (j < mine.length) {
+              if (res(j) == null) {
+                val v = projs(j)(row)
+                val counts =
+                  if (funcsLocal(mine(j)._1).ignoreNulls) !v.isNullAt(0)
+                  else true
+                if (counts) {
+                  if (seen(j) == mine(j)._2) { res(j) = v.copy(); found += 1 }
+                  seen(j) += 1
+                }
+              }
+              j += 1
+            }
+          }
+          (ctx.partitionId(), res)
+        }, pids)
+      fetched.foreach { case (p, res) =>
+        val mine = byPart(p)
+        var j = 0
+        while (j < mine.length) {
+          // pass 1 counted enough candidates in p — the target exists
+          require(res(j) != null,
+            s"nth_value fetch missed candidate ${mine(j)._2} in partition $p")
+          values(mine(j)._1) = Some(res(j))
+          j += 1
+        }
       }
     }
 

@@ -8,9 +8,10 @@ import org.apache.spark.sql.execution.window.WindowExec
 
 /** Make the silent single-task fallback LOUD.
   *
-  * Every Global*Strategy declines shapes it cannot prove correct (month
-  * intervals, nth_value past the driver-head cap, non-declarative
-  * aggregates, ...), and stock Spark then plans the global Window as a
+  * Every Global*Strategy declines shapes it cannot prove correct
+  * (order-sensitive collectors like collect_list, imperative
+  * aggregates outside the sketch whitelist, ...), and stock Spark
+  * then plans the global Window as a
   * SinglePartition WindowExec — the whole table through one task. At
   * test scale that is invisible; at 100× it is a query that mysteriously
   * never finishes, with nothing in the logs saying why. This post-

@@ -1706,11 +1706,13 @@ object PipelineQueries {
 
     // GLOBAL nth_value — the last window function to join the rescue.
     // Over any prefix frame the n-th frame row IS the global n-th row:
-    // GlobalNthValueStrategy collects bounded per-partition heads (≤ n
-    // values), the driver reads the ONE value the function ever emits,
-    // and a narrow pass attaches it where the frame reaches n — where
-    // the built-in funnels the table through a single task to look up
-    // one value. IGNORE NULLS rides the same stats with non-null
+    // GlobalNthValueStrategy collects bounded per-partition heads
+    // (≤ min(n, cap) values), the driver reads the ONE value the
+    // function ever emits, and a narrow pass attaches it where the
+    // frame reaches n — where the built-in funnels the table through a
+    // single task to look up one value. v5000 exceeds the 4096 default
+    // head cap: its value comes from the SECOND job targeted at the one
+    // partition owning global position 5000 (no fallback at any n). IGNORE NULLS rides the same stats with non-null
     // counting. The ordered first_value/last_value over the explicit
     // whole-table frame ride the same exec (last_value = nth 1 FROM THE
     // END — bounded per-partition TAIL rings; previously the one window
@@ -1722,6 +1724,8 @@ object PipelineQueries {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v100,
                  nth_value(user_id, 2500) OVER (ORDER BY ts_us, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS u2500,
+                 nth_value(value, 5000) OVER (ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v5000,
                  first_value(user_id) OVER (ORDER BY ts_us, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS u_first,
                  last_value(value) OVER (ORDER BY ts_us, event_id
@@ -2846,6 +2850,8 @@ object PipelineQueries {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v100,
              nth_value(user_id, 2500) OVER (ORDER BY epoch_us(ts), event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS u2500,
+             nth_value(value, 5000) OVER (ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v5000,
              first_value(user_id) OVER (ORDER BY epoch_us(ts), event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS u_first,
              last_value(value) OVER (ORDER BY epoch_us(ts), event_id

@@ -196,16 +196,43 @@ class GlobalNthValueSpec extends SparkSuite {
     assert(fGot == fExp, "per-key whole-group frames must match the built-in")
   }
 
-  test("nth_value past the n cap falls back to the built-in") {
-    val big = spark.sql(s"""SELECT id, nth_value(v, 100000) OVER (ORDER BY k, id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n FROM nth_t""")
-    assert(!big.queryExecution.executedPlan.toString.contains("GlobalNthValue"),
-      "n above spark.graft.globalNthValue.maxN must not collect driver heads")
-    withConf(GlobalNthValueStrategy.MaxNKey, "200000") {
-      val ok = spark.sql(s"""SELECT id, nth_value(v, 100000) OVER (ORDER BY k, id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n FROM nth_t""")
-      assert(ok.queryExecution.executedPlan.toString.contains("GlobalNthValue"),
-        "a raised cap must re-enable the rescue")
+  test("n beyond the head cap: global fetches the one value; per-key falls back") {
+    tied.createOrReplaceTempView("nth_cap")
+    // every shape family through the fetch path: ROWS prefix, IGNORE
+    // NULLS, bare-ORDER-BY RANGE, and fromEnd (ordered last_value)
+    val q = """SELECT k, id,
+        nth_value(v, 9) OVER (ORDER BY k, id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n9,
+        nth_value(v, 11) IGNORE NULLS OVER (ORDER BY k, id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ig11,
+        nth_value(vk, 40) OVER (ORDER BY k) AS r40,
+        last_value(v) OVER (ORDER BY k, id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+      FROM nth_cap"""
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") {
+      snap(spark.sql(q))
     }
+    // cap 0: pass 1 collects NO candidates — every present value must
+    // come from the targeted second job, for all four families
+    withConf(GlobalNthValueStrategy.MaxNKey, "0") {
+      val out = spark.sql(q)
+      val p = out.queryExecution.executedPlan.toString
+      assert(p.contains("GlobalNthValue"),
+        s"the global path has no n cap — must still claim:\n$p")
+      assert(snap(out) == expected,
+        "fetched values must match the built-in")
+      // per-key: the cap IS a claiming bound (per-group heads are
+      // executor-resident) — past it the built-in must survive
+      val pk = spark.sql("""SELECT id, nth_value(v, 3) OVER (PARTITION BY k
+          ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+        FROM nth_cap""")
+      assert(!pk.queryExecution.executedPlan.toString.contains("GlobalNthValue"),
+        "per-key n above the cap must keep the spillable built-in")
+    }
+    // default cap: a giant n still claims globally (fetch, not fallback)
+    val big = spark.sql("""SELECT id, nth_value(v, 100000) OVER (ORDER BY k, id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n FROM nth_cap""")
+    assert(big.queryExecution.executedPlan.toString.contains("GlobalNthValue"),
+      "global n above the cap must claim — the fetch bounds memory, not a fallback")
   }
 }

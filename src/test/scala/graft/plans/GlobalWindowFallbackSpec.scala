@@ -27,10 +27,12 @@ class GlobalWindowFallbackSpec extends SparkSuite {
   test("unclaimed month-interval frame counts a fallback; rescued shapes do not") {
     df.createOrReplaceTempView("gwf_t")
     val before = GlobalWindowFallback.fallbacks.get()
-    // nth_value past the driver-head cap stays unclaimed (month
-    // frames now resolve per row through the session-zone calendar)
+    // collect_list stays unclaimed DELIBERATELY (its value IS the
+    // enumeration order — no partial-merge preserves it; month frames
+    // resolve per row through the calendar, and nth_value past the
+    // head cap now fetches, so neither falls back any more)
     val month = spark.sql(
-      """SELECT id, nth_value(id, 100000) OVER (ORDER BY ts
+      """SELECT id, collect_list(id) OVER (ORDER BY ts
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
          FROM gwf_t""")
     val p = month.queryExecution.executedPlan.toString
@@ -59,7 +61,7 @@ class GlobalWindowFallbackSpec extends SparkSuite {
     // two distinct unclaimed shapes: both count
     (1 to 2).foreach { n =>
       spark.sql(
-        s"""SELECT id, nth_value(id, ${100000 + n}) OVER (ORDER BY ts
+        s"""SELECT id, collect_list(id + $n) OVER (ORDER BY ts
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
             FROM gwf_t3""").queryExecution.executedPlan
     }

@@ -50,21 +50,21 @@ class GlobalWindowSplitSpec extends SparkSuite {
 
   test("unclaimed family splits out alone and keeps the built-in, others rescue") {
     tied.createOrReplaceTempView("gws_t2")
-    // nth_value past the driver-head cap (spark.graft.globalNthValue.
-    // maxN) is deliberately unclaimed; the split must leave it (and
-    // only it) on the built-in path while the running sum rescues.
-    // (Ordered last_value over the whole-table frame — this test's
-    // previous unclaimed example — now rides GlobalNthValue from-end.)
+    // collect_list is deliberately unclaimed (its value IS the
+    // enumeration order); the split must leave it (and only it) on the
+    // built-in path while the running sum rescues. (nth_value past the
+    // head cap — this test's previous unclaimed example — now fetches
+    // its value with a targeted second job instead of falling back.)
     val out = spark.sql(
       """SELECT id,
            SUM(v) OVER (ORDER BY k, id) AS run_sum,
-           nth_value(v, 100000) OVER (ORDER BY k, id
+           collect_list(v) OVER (ORDER BY k, id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
          FROM gws_t2""")
     val p = out.queryExecution.executedPlan.toString
     assert(p.contains("GlobalRunningAgg"), s"running sum must still rescue:\n$p")
     assert(p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
-      s"uncapped nth_value keeps WindowExec:\n$p")
+      s"collect_list keeps WindowExec:\n$p")
     def snap(d: org.apache.spark.sql.DataFrame) = d
       .collect().map(r => (r.getLong(0), r.getLong(1),
         Option(r.get(2)).map(_.toString).getOrElse("null"))).sortBy(_._1).toSeq
