@@ -207,7 +207,11 @@ class GlobalNthValueSpec extends SparkSuite {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ig11,
         nth_value(vk, 40) OVER (ORDER BY k) AS r40,
         last_value(v) OVER (ORDER BY k, id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv,
+        last_value(v) IGNORE NULLS OVER (ORDER BY k, id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lvnn,
+        nth_value(v, 13) IGNORE NULLS OVER (ORDER BY k, id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS full13
       FROM nth_cap"""
     val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") {
       snap(spark.sql(q))
