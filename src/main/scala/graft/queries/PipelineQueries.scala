@@ -2221,7 +2221,85 @@ object PipelineQueries {
         approx_count_distinct("user_id", rsd = 0.01).as("__approx"))
         .select(col("exact_users"),
           (abs(col("__approx") - col("exact_users")).cast("double") /
-            col("exact_users").cast("double") <= 0.05).as("within_tol")))
+            col("exact_users").cast("double") <= 0.05).as("within_tol"))),
+
+    // CORPUS CHUNKING — split each document into fixed-token training
+    // chunks with overlap (chunk = 40 tokens, stride = 32 → 8 tokens of
+    // context shared between neighbors), the standard pretraining /
+    // RAG-ingest windowing op. Chunk i covers tokens [i·S, i·S+C); the
+    // count is 1 + ceil((n−C)/S) so the final chunk always reaches the
+    // document tail (it may be shorter — documents are windowed, never
+    // padded or re-flowed). Pure integer arithmetic + an explode of a
+    // bounded sequence: NARROW, no exchange anywhere — at 100 TB this
+    // runs at scan speed and emits ≤ n/S + 1 rows per doc; the chunk
+    // assignment is a per-row function, so it parallelizes perfectly and
+    // needs no global state (unlike q_pack_sequences' running-sum bins,
+    // which exist for token-budget packing ACROSS docs).
+    "q_chunk_overlap" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+        .withColumn("n", size(col("w")).cast("bigint"))
+        .filter(col("n") > 0L)
+        .withColumn("nchunks",
+          when(col("n") <= 40L, lit(1L)).otherwise(expr("1 + (n - 40 + 31) div 32")))
+        .select(col("doc_id"), col("w"), col("n"),
+          explode(sequence(lit(0L), col("nchunks") - 1L)).as("chunk_id"))
+        .withColumn("chunk_start", col("chunk_id") * 32L)
+        .withColumn("chunk_len", least(lit(40L), col("n") - col("chunk_start")))
+        .withColumn("chunk_text", array_join(
+          slice(col("w"), (col("chunk_start") + 1L).cast("int"),
+            col("chunk_len").cast("int")), " "))
+        .select("doc_id", "chunk_id", "chunk_start", "chunk_len", "chunk_text")
+        .orderBy("doc_id", "chunk_id")),
+
+    // BIGRAM-LM QUALITY SCORE (perplexity proxy, integer-exact) — score
+    // each doc by the mean smoothed conditional probability of its word
+    // bigrams under the corpus's own head LM: the word-ORDER-sensitive
+    // quality filter (detects shuffled/templated/garbled text that
+    // q_token_rarity's unigram frequencies cannot — "the of and a" has
+    // common unigrams and absurd bigrams). The LM is the top-K bigrams
+    // by corpus count (K=500: TakeOrderedAndProject, never a global
+    // vocab sort) with P(t2|t1) = c12/c1 normalized WITHIN the retained
+    // head (closed vocabulary — c1 sums the kept bigrams of t1, so the
+    // per-prefix probabilities are a proper distribution); bigrams
+    // outside the head score 0 and are counted as OOV. Probabilities are
+    // carried as integer PARTS-PER-MILLION ((c12·10⁶) div c1 ≤ 10⁶ —
+    // exact integer division, summed exactly as BIGINT), so the score is
+    // bit-reproducible on any engine/partitioning — no floating-point
+    // fold order anywhere; 10⁶-scaled counts stay inside BIGINT up to
+    // ~9·10¹² occurrences of a single bigram (≫ any real corpus hot
+    // bigram). Scale shape = q_token_rarity's: the corpus side is one
+    // narrow shingle scan feeding a map-side-combined count agg capped
+    // by TakeOrderedAndProject, the 500-row LM (with its prefix totals)
+    // BROADCASTS to the scoring join — the hot-bigram join skew ("of
+    // the" at 1% of a 100-TB corpus) never shuffles, and the per-doc
+    // aggregation combines map-side on scan-contiguous doc rows.
+    "q_lm_bigram" -> ((s, dir) => {
+      // persisted: the LM aggregation and the scoring join both read the
+      // exploded bigram frame; without it the tokenize+shingle runs twice
+      val big = documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.WordShingles.wordShingles(split(col("text"), " "), 2)
+            .as(Seq("pos", "s")))
+        .drop("pos")
+        .persist()
+      // the 500-row LM persists too: both the prefix-total aggregation and
+      // the scoring join's broadcast read it — without the cache the whole
+      // bigram-count pass over the corpus runs TWICE
+      val lm = big.groupBy("s").agg(count(lit(1)).as("c12"))
+        .orderBy(col("c12").desc, col("s")).limit(500).persist()
+      Persisted.swap("lm_bigram", dir, big, lm)
+      val lmp = lm.withColumn("t1", substring_index(col("s"), " ", 1))
+      val pre = lmp.groupBy("t1").agg(sum(col("c12")).as("c1"))
+      val lmTable = lmp.join(pre, "t1").select("s", "c12", "c1")
+      big.join(broadcast(lmTable), Seq("s"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("c12").isNull, 1L).otherwise(0L)).as("n_oov"),
+          sum(coalesce(expr("(c12 * 1000000) div c1"), lit(0L))).as("ppm_sum"))
+        .withColumn("lm_ppm", expr("ppm_sum div n_bigrams"))
+        .orderBy("doc_id")
+    })
   )
 
   // ---- oracles ------------------------------------------------------------
@@ -3145,7 +3223,40 @@ object PipelineQueries {
                  FROM (SELECT event_type, count(*) AS n,
                          SUM(count(*)) OVER () AS total
                        FROM events GROUP BY event_type)
-                 WHERE CAST(n AS DOUBLE) / total > 0.15)"""
+                 WHERE CAST(n AS DOUBLE) / total > 0.15)""",
+
+      "q_chunk_overlap" ->
+        s"""SELECT doc_id, i AS chunk_id, i*32 AS chunk_start,
+              least(40, n - i*32) AS chunk_len,
+              array_to_string(
+                w[CAST(i*32+1 AS INT):CAST(i*32 + least(40, n - i*32) AS INT)],
+                ' ') AS chunk_text
+            FROM (SELECT doc_id, w, n, unnest(range(nchunks)) AS i
+                  FROM (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,
+                          CASE WHEN len(w) <= 40 THEN 1
+                               ELSE 1 + (len(w) - 40 + 31) // 32 END AS nchunks
+                        FROM (SELECT doc_id, ${duckTokens("text")} AS w FROM documents)
+                        WHERE len(w) > 0))
+            ORDER BY doc_id, chunk_id""",
+
+      "q_lm_bigram" ->
+        s"""WITH tok AS (SELECT doc_id, ${duckTokens("text")} AS w FROM documents),
+              big AS (SELECT doc_id,
+                        unnest(list_transform(range(len(w)-1),
+                          i -> array_to_string(w[CAST(i+1 AS INT):CAST(i+2 AS INT)], ' '))) AS s
+                      FROM tok WHERE len(w) >= 2),
+              lm0 AS (SELECT s, CAST(count(*) AS BIGINT) AS c12 FROM big GROUP BY s
+                      ORDER BY c12 DESC, s LIMIT 500),
+              lm AS (SELECT s, c12,
+                       CAST(SUM(c12) OVER (PARTITION BY split_part(s, ' ', 1)) AS BIGINT) AS c1
+                     FROM lm0)
+            SELECT big.doc_id,
+              CAST(count(*) AS BIGINT) AS n_bigrams,
+              CAST(SUM(CASE WHEN lm.c12 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+              CAST(SUM(COALESCE((lm.c12 * 1000000) // lm.c1, 0)) AS BIGINT) AS ppm_sum,
+              CAST(SUM(COALESCE((lm.c12 * 1000000) // lm.c1, 0)) // count(*) AS BIGINT) AS lm_ppm
+            FROM big LEFT JOIN lm USING (s)
+            GROUP BY big.doc_id ORDER BY big.doc_id"""
     )
   }
 }

@@ -370,4 +370,28 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("Generate wordshingles"),
       "narrow shingle generator missing from the plan")
   }
+
+  test("chunking is narrow: explode of a bounded sequence, no window, no join") {
+    val p = plan("q_chunk_overlap")
+    // the chunk assignment is a per-row function — any Window or Join in
+    // the plan means the narrow windowing op grew global state
+    assert(p.contains("Generate explode"), s"bounded-sequence explode missing:\n$p")
+    assert(!p.contains("Window"), s"chunking must not plan a window:\n$p")
+    assert(!p.contains("Join"), s"chunking must not plan a join:\n$p")
+    // one exchange total: the output-determinism ORDER BY; the chunk
+    // derivation itself must stay in the scan stage
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      s"chunk derivation must not shuffle:\n$p")
+  }
+
+  test("bigram LM: capped vocab via top-k operator, scoring join broadcasts") {
+    val p = plan("q_lm_bigram")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"LM head must be TakeOrderedAndProject, not a global vocab sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the scoring join must broadcast the LM (hot-bigram skew immunity):\n$p")
+    assert(p.contains("partial_count"), "bigram counting must combine map-side")
+    assert(p.contains("Generate wordshingles"),
+      "narrow bigram generator missing from the plan")
+  }
 }
