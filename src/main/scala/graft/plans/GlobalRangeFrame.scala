@@ -99,6 +99,15 @@ import org.apache.spark.unsafe.types.CalendarInterval
 object GlobalRangeFrameStrategy extends SparkStrategy {
   import GlobalRangeFrameExec.RangeAgg
 
+  /** Scoped parity conf (default true): set false to decline ONLY
+    * month-bearing RANGE bounds, so those nodes keep stock WindowExec —
+    * bit-for-bit built-in behavior (including its forward-only frame's
+    * row drops at non-monotone month day-clamp boundaries) for parity
+    * testing/migration, while day-time/int/decimal RANGE frames and
+    * every other window family stay rescued. The blunt alternative,
+    * `spark.graft.globalRowNumber.enabled=false`, opts out everything. */
+  val MonthRescueKey = "spark.graft.rangeFrame.monthRescue"
+
   private val MicrosPerDay = 86400000000L
 
   /** Foldable bound → |width| as (months, key units) — key units are
@@ -120,8 +129,15 @@ object GlobalRangeFrameStrategy extends SparkStrategy {
     case e if e.foldable =>
       val isDate = keyType == DateType
       // month-bearing widths: timestamp keys (zone calendar, micros
-      // day-time part) and date keys (pure day arithmetic, day units)
-      val monthsOk = keyType == TimestampType || isDate
+      // day-time part) and date keys (pure day arithmetic, day units).
+      // The scoped parity conf declines ONLY month-bearing bounds — the
+      // node then falls back to stock WindowExec, restoring bit-for-bit
+      // built-in behavior at its non-monotone day-clamp boundaries (see
+      // the exec doc / README semantics notes) while every other RANGE
+      // shape stays rescued.
+      val monthsOk = (keyType == TimestampType || isDate) &&
+        SQLConf.get.getConfString(GlobalRangeFrameStrategy.MonthRescueKey,
+          "true").toBoolean
       val v: Option[(Int, Long)] = keyType match {
         case kt: org.apache.spark.sql.types.DecimalType =>
           // DECIMAL keys are fixed-point: widths live in the key's
@@ -152,13 +168,13 @@ object GlobalRangeFrameStrategy extends SparkStrategy {
             if (monthsOk) Some((m.intValue(), 0L)) else None
           case (CalendarIntervalType, ci: CalendarInterval) =>
             if (ci.months != 0) {
-              if (isDate) {
+              if (!monthsOk) None
+              else if (isDate) {
                 // day units; sub-day parts have no date representation
                 if (ci.microseconds == 0L) Some((ci.months, ci.days.toLong))
                 else None
-              } else if (monthsOk)
+              } else
                 Some((ci.months, ci.days * MicrosPerDay + ci.microseconds))
-              else None
             } else if (isDate) {
               if (ci.microseconds == 0L) Some((0, ci.days.toLong)) else None
             } else Some((0, ci.days * MicrosPerDay + ci.microseconds))

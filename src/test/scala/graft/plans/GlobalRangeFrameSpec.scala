@@ -426,6 +426,58 @@ class GlobalRangeFrameSpec extends SparkSuite {
       dBad.map(k => s"id=$k got=${dGot(k)} truth=${dTruth(k)}").mkString("; "))
   }
 
+  test("month parity conf: months-only stock fallback, divergence restored") {
+    // day-clamp boundary data where the declarative frame and stock
+    // WindowExec PROVABLY disagree: 1-month lower bounds run NON-monotone
+    // (Mar 28 06:00 − 1mo = Feb 28 06:00, but Mar 29 05:00 − 1mo =
+    // Feb 28 05:00), and the Feb 28 05:30 row sits between them — stock's
+    // forward-only pointer has already dropped it when Mar 29 arrives
+    val rows = Seq(
+      "2021-01-15 00:00:00", "2021-02-28 05:30:00", "2021-02-28 23:00:00",
+      "2021-03-28 06:00:00", "2021-03-29 05:00:00", "2021-03-31 00:00:00")
+    rows.zipWithIndex.toDF("t", "id")
+      .withColumn("ts", to_timestamp(col("t")))
+      .repartition(3)
+      .createOrReplaceTempView("grf_month_parity")
+    val q = """SELECT id, COUNT(*) OVER (ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW) AS c
+               FROM grf_month_parity"""
+    def counts(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // default: the rescue computes the declarative frame
+    val rescued = spark.sql(q)
+    assert(rescued.queryExecution.executedPlan.toString.contains("GlobalRangeFrame"))
+    val rGot = counts(rescued)
+    // scoped conf off: ONLY the month node falls back to stock WindowExec
+    val (sPlan, sGot) =
+      withConf(GlobalRangeFrameStrategy.MonthRescueKey, "false") {
+        val d = spark.sql(q)
+        (d.queryExecution.executedPlan.toString, counts(d))
+      }
+    assert(!sPlan.contains("GlobalRangeFrame"),
+      s"month frames must fall back under the parity conf:\n$sPlan")
+    // ...bit-for-bit what the full kill switch produces
+    val stock = withConf(GlobalRowNumberStrategy.ConfKey, "false") {
+      counts(spark.sql(q))
+    }
+    assert(sGot == stock, "parity conf must restore stock results exactly")
+    // the documented deliberate divergence is REAL on this data: stock
+    // drops the 05:30 row from the Mar 29 and Mar 31 frames
+    assert(rGot(4) == sGot(4) + 1 && rGot(5) == sGot(5) + 1,
+      s"expected the day-clamp divergence: rescued=$rGot stock=$sGot")
+    assert(Seq(0, 1, 2, 3).forall(i => rGot(i) == sGot(i)),
+      s"non-boundary rows must agree: rescued=$rGot stock=$sGot")
+    // non-month RANGE shapes KEEP the rescue under the scoped conf
+    withConf(GlobalRangeFrameStrategy.MonthRescueKey, "false") {
+      val day = spark.sql(
+        """SELECT id, COUNT(*) OVER (ORDER BY ts
+             RANGE BETWEEN INTERVAL 10 DAY PRECEDING AND CURRENT ROW) AS c
+           FROM grf_month_parity""")
+      assert(day.queryExecution.executedPlan.toString.contains("GlobalRangeFrame"),
+        "day-time frames must stay rescued under the month parity conf")
+    }
+  }
+
   test("DECIMAL order keys: fixed-point bounds, global and per key") {
     // price-like keys with ties; bounds 0.50 / 2 rescale exactly to
     // the key's scale-2 unscaled units
