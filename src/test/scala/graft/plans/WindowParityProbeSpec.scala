@@ -99,4 +99,35 @@ class WindowParityProbeSpec extends SparkSuite {
       "p_lead_def" -> "SELECT id, lead(v, 3, -99) OVER (PARTITION BY k ORDER BY v NULLS LAST, id) AS l FROM wpp_t2"
     ))
   }
+
+  test("month parity conf off: declined months coexist with rescued families") {
+    // the scoped conf declines ONLY month-bearing RANGE bounds; a mixed
+    // node (month frame + running agg + rank over one ORDER BY) must
+    // still split, route the month node to stock WindowExec, rescue the
+    // rest — and agree with the built-in on every column. On this data
+    // (one reading per day at most, far from clamp boundaries) stock's
+    // two-pointer and the declarative frame coincide, so the built-in
+    // comparison target is exact for the conf-ON run as well.
+    df.createOrReplaceTempView("wpp_t3")
+    val shapes = Seq(
+      "mixed_month_off" ->
+        """SELECT id,
+             COUNT(*) OVER (ORDER BY dt RANGE BETWEEN INTERVAL '1' MONTH PRECEDING AND CURRENT ROW) AS c,
+             SUM(v) OVER (ORDER BY dt, id) AS s,
+             rank() OVER (ORDER BY dt, id) AS r
+           FROM wpp_t3""",
+      "pk_month_off" ->
+        """SELECT id, SUM(v) OVER (PARTITION BY k ORDER BY ts
+             RANGE BETWEEN INTERVAL '2' MONTH PRECEDING AND CURRENT ROW) AS s
+           FROM wpp_t3""")
+    withConf(GlobalRangeFrameStrategy.MonthRescueKey, "false") {
+      checkParity(shapes)
+      // and the month node really is on stock WindowExec under the conf
+      val p = spark.sql(shapes.head._2).queryExecution.executedPlan.toString
+      assert(!p.contains("GlobalRangeFrame"),
+        s"month frame must fall back under the parity conf:\n$p")
+      assert(p.contains("GlobalRunningAgg") || p.contains("GlobalRowNumber"),
+        s"non-month families must stay rescued under the parity conf:\n$p")
+    }
+  }
 }
