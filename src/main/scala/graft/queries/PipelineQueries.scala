@@ -2299,6 +2299,53 @@ object PipelineQueries {
           sum(coalesce(expr("(c12 * 1000000) div c1"), lit(0L))).as("ppm_sum"))
         .withColumn("lm_ppm", expr("ppm_sum div n_bigrams"))
         .orderBy("doc_id")
+    }),
+
+    // CROSS-DOC BOILERPLATE SCORE — the C4/RefinedWeb line-dedup idea at
+    // paragraph grain: a 40-token chunk that recurs across MANY distinct
+    // docs of one source is navigation/footer/template boilerplate, and
+    // each doc reports what fraction of it is boilerplate (the removal
+    // filter's input). Distinct from q_dedup_paragraph, which ELECTS one
+    // survivor per identical chunk; this scores repetition PREVALENCE —
+    // a chunk in 200 docs is boilerplate, a chunk in 2 is a near-dup.
+    // The synthetic corpus has no natural boilerplate, so the query
+    // plants it (the write-side-expected-answer trick): every even doc
+    // is prepended a per-source 40-token header — exactly one chunk wide,
+    // so content chunk boundaries are unchanged — and the oracle derives
+    // the same corpus. Scale shape: document frequency is one exact
+    // count-distinct agg on (source, chunk-hash) — Spark's expand +
+    // two-phase plan, the honest exact answer; the boilerplate SET is
+    // tiny by construction (only chunks above the df threshold survive
+    // the filter), so it BROADCASTS back to the scoring join and the
+    // per-doc aggregation combines map-side. The hottest chunk never
+    // shuffles row data.
+    "q_boilerplate" -> ((s, dir) => {
+      val header = array_join(
+        array_repeat(concat(lit("menu-"), col("source")), 40), " ")
+      val chunks = documents(s, dir)
+        .withColumn("text2",
+          when(pmod(col("doc_id"), lit(2L)) === 0L,
+            concat(header, lit(" "), col("text"))).otherwise(col("text")))
+        .withColumn("w", tokens(col("text2")))
+        .filter(size(col("w")) >= 1)
+        .select(col("doc_id"), col("source"),
+          explode(transform(
+            sequence(lit(0), expr("(size(w) - 1) div 40").cast("int")),
+            i => md5(array_join(slice(col("w"), i * 40 + 1, lit(40)), " "))))
+            .as("h"))
+        .persist()
+      Persisted.swap("boilerplate", dir, chunks)
+      val boiler = chunks.groupBy("source", "h")
+        .agg(countDistinct("doc_id").as("df"))
+        .filter(col("df") >= 5L)
+        .select(col("source"), col("h"), lit(1).as("b"))
+      chunks.join(broadcast(boiler), Seq("source", "h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("b").isNotNull, 1L).otherwise(0L)).as("n_boiler"))
+        .withColumn("boiler_frac",
+          col("n_boiler").cast("double") / col("n_chunks").cast("double"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3256,7 +3303,30 @@ object PipelineQueries {
               CAST(SUM(COALESCE((lm.c12 * 1000000) // lm.c1, 0)) AS BIGINT) AS ppm_sum,
               CAST(SUM(COALESCE((lm.c12 * 1000000) // lm.c1, 0)) // count(*) AS BIGINT) AS lm_ppm
             FROM big LEFT JOIN lm USING (s)
-            GROUP BY big.doc_id ORDER BY big.doc_id"""
+            GROUP BY big.doc_id ORDER BY big.doc_id""",
+
+      "q_boilerplate" ->
+        s"""WITH aug AS (SELECT doc_id, source,
+                CASE WHEN doc_id % 2 = 0
+                     THEN trim(repeat('menu-' || source || ' ', 40)) || ' ' || text
+                     ELSE text END AS text2
+              FROM documents),
+              t AS (SELECT doc_id, source, ${duckTokens("text2")} AS w
+                    FROM aug WHERE len(${duckTokens("text2")}) >= 1),
+              ch AS (SELECT doc_id, source,
+                       md5(array_to_string(w[i*40+1 : i*40+40], ' ')) AS h
+                     FROM (SELECT doc_id, source, w,
+                             unnest(range((len(w) - 1) // 40 + 1)) AS i
+                           FROM t)),
+              dfq AS (SELECT source, h, count(DISTINCT doc_id) AS df
+                      FROM ch GROUP BY source, h),
+              b AS (SELECT source, h FROM dfq WHERE df >= 5)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+              CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+              CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS boiler_frac
+            FROM ch LEFT JOIN b USING (source, h)
+            GROUP BY doc_id ORDER BY doc_id"""
     )
   }
 }

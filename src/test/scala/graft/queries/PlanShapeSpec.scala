@@ -384,6 +384,15 @@ class PlanShapeSpec extends SparkSuite {
       s"chunk derivation must not shuffle:\n$p")
   }
 
+  test("boilerplate: exact count-distinct df, boiler set broadcasts back") {
+    val p = plan("q_boilerplate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the boilerplate set must broadcast to the scoring join:\n$p")
+    assert(p.contains("partial_count"), "df/per-doc aggs must combine map-side")
+    assert(!p.contains("SortMergeJoin"),
+      s"chunk rows must never shuffle for the scoring join:\n$p")
+  }
+
   test("bigram LM: capped vocab via top-k operator, scoring join broadcasts") {
     val p = plan("q_lm_bigram")
     assert(p.contains("TakeOrderedAndProject"),
