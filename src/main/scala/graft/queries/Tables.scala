@@ -19,17 +19,30 @@ object Tables {
     s.read.schema(sch).parquet(path)
   }
 
-  /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's vectorized
-    * reader only accepts as a bigint of epoch nanos (legacy nanosAsLong
-    * conf — set per-session here so queries are self-contained on any
-    * caller's session). We immediately derive `ts_us` (epoch micros,
-    * integer division — the data is micro-precision) which matches
-    * DuckDB's epoch_us(ts) exactly. */
+  /** `events.parquet` has shipped with two physical encodings of `ts`
+    * across driver testdata generations: TIMESTAMP(NANOS) — which Spark's
+    * vectorized reader only accepts as a bigint of epoch nanos (legacy
+    * nanosAsLong conf, set per-session here so queries are
+    * self-contained on any caller's session) — and naive
+    * TIMESTAMP(MICROS), which Spark 4 reads as TIMESTAMP_NTZ. Either way
+    * we immediately derive the engine's canonical `ts_us` key (epoch
+    * micros as BIGINT), which matches DuckDB's epoch_us(ts) exactly —
+    * for the NTZ form that equivalence needs the session zone pinned
+    * UTC, so it is pinned here alongside nanosAsLong. Range predicates
+    * over the derived column reach the parquet scan via
+    * [[graft.plans.DivRangePushdown]], which understands both
+    * derivations (`ts div 1000` and `unix_micros(cast(ts))`). */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(s, s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
-      .drop("ts")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    val raw = read(s, s"$dir/events.parquet")
+    val tsUs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        expr("unix_micros(cast(ts as timestamp))")
+      case _ => expr("unix_micros(ts)")
+    }
+    raw.withColumn("ts_us", tsUs).drop("ts")
   }
 
   def lineitem(s: SparkSession, dir: String): DataFrame =

@@ -5,17 +5,19 @@ import org.apache.spark.sql.functions._
 
 class DivRangePushdownSpec extends SparkSuite {
 
+  // the micros view Tables.events derives over the naive-TIMESTAMP(MICROS)
+  // encoding (read as TIMESTAMP_NTZ; session zone is UTC in SparkSuite)
   private def events = spark.read.parquet(s"${sf()}/events.parquet")
-    .withColumn("ts_us", expr("ts div 1000"))
+    .withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))"))
 
-  test("range predicate over ts div 1000 derives a pushed raw-ts bound") {
+  test("range predicate over unix_micros(ts) derives a pushed raw-ts bound") {
     val t1 = 1704844800000000L
     val t2 = 1705708800000000L
     val df = events.filter(col("ts_us") >= t1 && col("ts_us") < t2)
     val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
-    assert(scan.contains(s"GreaterThanOrEqual(ts,${t1 * 1000}"),
+    assert(scan.contains("GreaterThanOrEqual(ts,"),
       s"expected pushed lower bound on raw ts in:\n$scan")
-    assert(scan.contains(s"LessThan(ts,${t2 * 1000}"),
+    assert(scan.contains("LessThan(ts,"),
       s"expected pushed upper bound on raw ts in:\n$scan")
   }
 
@@ -24,8 +26,9 @@ class DivRangePushdownSpec extends SparkSuite {
     val t1 = 1704844800000000L
     val t2 = 1704931200000000L
     val fast = events.filter(col("ts_us") >= t1 && col("ts_us") < t2).count()
-    val slow = events.collect().count { r =>
-      val us = r.getAs[Long]("ts") / 1000
+    val slow = events.select("ts").collect().count { r =>
+      val ldt = r.getAs[java.time.LocalDateTime]("ts")
+      val us = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
       us >= t1 && us < t2
     }
     assert(fast === slow)
@@ -36,10 +39,31 @@ class DivRangePushdownSpec extends SparkSuite {
     val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
     assert(scan.contains("GreaterThanOrEqual(ts,"), s"no pushed bound in:\n$scan")
 
+    // the micros view is a bijection: equality pushes as raw equality
     val eq = events.filter(col("ts_us") === 1704844800000123L)
     val eqScan = eq.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
-    assert(eqScan.contains("GreaterThanOrEqual(ts,") && eqScan.contains("LessThan(ts,"),
-      s"no pushed equality window in:\n$eqScan")
+    assert(eqScan.contains("EqualTo(ts,"),
+      s"no pushed equality in:\n$eqScan")
+  }
+
+  test("div over the micros view composes: bounds still reach the scan") {
+    // ts_us div 86400000000 = epoch day — the interval-fanout key shape
+    val df = events.filter(expr("ts_us div 86400000000") >= 19733L)
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("GreaterThanOrEqual(ts,"),
+      s"expected composed day-bound pushdown in:\n$scan")
+  }
+
+  test("a non-cast micros derivation stays un-derived rather than wrong") {
+    val df = spark.read.parquet(s"${sf()}/events.parquet")
+      .withColumn("ts_us",
+        expr("unix_micros(to_utc_timestamp(cast(ts as timestamp), 'America/New_York'))"))
+      .filter(col("ts_us") >= 1704844800000000L)
+    // the zone-shifting wrapper is not the fixed-offset cast the rule
+    // understands — no raw-ts bound may be invented for it
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(!scan.contains("GreaterThanOrEqual(ts,"),
+      s"unsound bound derived through a zone-shifting expression:\n$scan")
   }
 
   test("Long.MaxValue threshold does not wrap to an always-false bound") {
