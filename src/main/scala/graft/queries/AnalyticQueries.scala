@@ -367,7 +367,101 @@ object AnalyticQueries {
     "q_sessionize" -> ((s, dir) =>
       graft.streaming.StreamingIngest
         .sessionizeBatch(events(s, dir).select("user_id", "ts_us"), SessGapUs)
-        .orderBy("user_id", "sess_id"))
+        .orderBy("user_id", "sess_id")),
+
+    // WEEKLY COHORT RETENTION — the product-analytics staple: users
+    // cohorted by their first active ISO week; each later active week
+    // counts toward (cohort, offset). Weeks are derived in pure INTEGER
+    // day arithmetic from the epoch-micros key (Monday-aligned: epoch
+    // day 4 = 1970-01-05 was a Monday) so the result is bit-identical on
+    // any engine — no calendar/zone functions in the grouping key.
+    // Scale shape: the distinct (user, week) grain collapses the event
+    // stream FIRST (map-side combinable — one exchange over the pair),
+    // then the cohort is a whole-group min window over user_id: at
+    // 100 TB that window is per-key bounded (≤ #weeks rows per user) and
+    // rides the skew rescue if a bot user spans every week. The final
+    // (cohort, offset) rollup is a tiny partial+final hash agg.
+    "q_retention_cohort" -> ((s, dir) => {
+      val wk = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("4 + 7 * ((ts_us div 86400000000 - 4) div 7)").as("wk_day"))
+        .distinct()
+      wk.withColumn("cohort_day",
+          min("wk_day").over(Window.partitionBy("user_id")))
+        .withColumn("week_offset", expr("(wk_day - cohort_day) div 7"))
+        // one row per (user, week) ⇒ count(*) IS the distinct-user count
+        .groupBy("cohort_day", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .select(
+          date_from_unix_date(col("cohort_day").cast("int")).as("cohort_week"),
+          col("week_offset"), col("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // PAGERANK over the customer–supplier trade graph (who ordered from
+    // whom, via orders ⋈ lineitem), 3 Jacobi iterations, damping 0.85.
+    // The graph is symmetrized (both directions of each trade edge) so
+    // every node has out-degree ≥ 1 — no dangling-mass correction term.
+    // Ranks are carried as exact INTEGER parts-per-million (r₀ = 10⁶;
+    // r' = 0.15·10⁶ + (0.85·10⁶ · Σ (r_u div deg_u)) div 10⁶ — integer
+    // division end-to-end) so the fixed-point is bit-identical on any
+    // engine and any partitioning: no floating-point fold order exists.
+    // Scale shape: the degree-annotated edge list builds ONCE and
+    // persists (at 100 TB: one shuffle on src, reused by every
+    // iteration); each iteration is the canonical distributed PageRank
+    // step — join ranks to edges on src, partial+final sum by dst. The
+    // rank relation is |nodes| ≪ |edges|, so AQE broadcasts it under
+    // the threshold and the edge side never re-shuffles; the final
+    // top-20 is TakeOrderedAndProject, never a global sort.
+    "q_pagerank" -> ((s, dir) => {
+      val pairs = orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      val edges0 = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+      val deg = edges0.groupBy("src").agg(count(lit(1)).as("deg"))
+      val e = edges0.join(deg, "src").persist()
+      PipelineQueries.Persisted.swap("pagerank_edges", dir, e)
+      var r = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
+      for (_ <- 1 to 3) {
+        r = e.join(r, col("src") === col("node"))
+          .groupBy("dst")
+          .agg(sum(expr("rank div deg")).as("m"))
+          .select(col("dst").as("node"),
+            expr("150000 + (850000 * m) div 1000000").as("rank"))
+      }
+      r.orderBy(col("rank").desc, col("node")).limit(20)
+    }),
+
+    // BLOCKED FUZZY JOIN (entity resolution): near-identical part names
+    // within Levenshtein distance 4, blocked on the head noun. The two
+    // scale levers every production ER pipeline uses: (1) the join runs
+    // at the DISTINCT-name grain — the name dictionary is orders of
+    // magnitude smaller than the base table (here 64 vs 2000; on a
+    // 100 TB catalog, millions vs trillions) and carries its occurrence
+    // count; (2) the candidate space is BLOCKED — only pairs sharing the
+    // blocking key (last token) are compared, so the quadratic
+    // edit-distance kernel runs per block, never all-pairs. The
+    // dictionary side broadcasts; codegen'd levenshtein() does the rest.
+    "q_fuzzy_join" -> ((s, dir) => {
+      val names = part(s, dir)
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n_parts"))
+        .withColumn("noun", element_at(split(col("name"), " "), -1))
+      val a = names.select(col("name").as("name_a"), col("n_parts").as("n_a"),
+        col("noun"))
+      val b = names.select(col("name").as("name_b"), col("n_parts").as("n_b"),
+        col("noun"))
+      a.join(b, Seq("noun"))
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("dist") <= 4L)
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+        .orderBy("name_a", "name_b")
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -613,6 +707,53 @@ object AnalyticQueries {
                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) > $SessGapUs
                      THEN 1 ELSE 0 END AS new_sess
               FROM events))
-          GROUP BY 1, 2 ORDER BY 1, 2"""
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // same integer Monday-aligned week derivation as the Spark side —
+    // the grouping key never touches a calendar function
+    "q_retention_cohort" ->
+      """WITH wk AS (
+           SELECT DISTINCT user_id,
+             4 + 7 * ((epoch_us(ts) // 86400000000 - 4) // 7) AS wk_day
+           FROM events WHERE event_type = 'purchase'),
+         c AS (
+           SELECT user_id, wk_day,
+             min(wk_day) OVER (PARTITION BY user_id) AS cohort_day
+           FROM wk)
+         SELECT DATE '1970-01-01' + CAST(cohort_day AS INT) AS cohort_week,
+           (wk_day - cohort_day) // 7 AS week_offset,
+           count(*) AS n_users
+         FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // identical integer ppm recurrence, iterations unrolled as CTEs
+    "q_pagerank" ->
+      """WITH pairs AS (
+           SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges0 AS (SELECT c AS src, s AS dst FROM pairs
+                    UNION ALL SELECT s, c FROM pairs),
+         deg AS (SELECT src, count(*) AS deg FROM edges0 GROUP BY src),
+         e AS (SELECT edges0.src, dst, deg FROM edges0 JOIN deg ON edges0.src = deg.src),
+         r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+         r1 AS (SELECT dst AS node, CAST(150000 + (850000 * sum(rank // deg)) // 1000000 AS BIGINT) AS rank
+                FROM e JOIN r0 ON e.src = r0.node GROUP BY dst),
+         r2 AS (SELECT dst AS node, CAST(150000 + (850000 * sum(rank // deg)) // 1000000 AS BIGINT) AS rank
+                FROM e JOIN r1 ON e.src = r1.node GROUP BY dst),
+         r3 AS (SELECT dst AS node, CAST(150000 + (850000 * sum(rank // deg)) // 1000000 AS BIGINT) AS rank
+                FROM e JOIN r2 ON e.src = r2.node GROUP BY dst)
+         SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20""",
+
+    // same block (head noun), same distinct-name grain, same threshold
+    "q_fuzzy_join" ->
+      """WITH names AS (
+           SELECT p_name AS name, count(*) AS n_parts,
+             string_split(p_name, ' ')[-1] AS noun
+           FROM part GROUP BY p_name)
+         SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+           a.n_parts AS n_a, b.n_parts AS n_b
+         FROM names a JOIN names b ON a.noun = b.noun AND a.name < b.name
+         WHERE levenshtein(a.name, b.name) <= 4
+         ORDER BY 1, 2"""
   )
 }

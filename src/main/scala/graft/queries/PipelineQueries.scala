@@ -53,7 +53,7 @@ object PipelineQueries {
     * is exactly what makes bench passes 2+ steady-state), while a
     * DIFFERENT dir releases the previous generation first. releaseAll()
     * is the explicit end-of-job hook for long-lived sessions. */
-  private object Persisted {
+  private[queries] object Persisted {
     private val live =
       scala.collection.mutable.Map.empty[String, (String, Seq[DataFrame])]
     def swap(site: String, dir: String, frames: DataFrame*): Unit = synchronized {

@@ -393,6 +393,34 @@ class PlanShapeSpec extends SparkSuite {
       s"chunk rows must never shuffle for the scoring join:\n$p")
   }
 
+  test("retention: event-type filter pushed, distinct grain combines map-side") {
+    val p = plan("q_retention_cohort")
+    assert(p.contains("EqualTo(event_type,purchase)"),
+      s"cohort filter must reach the parquet scan:\n$p")
+    assert(p.contains("partial_count"), "the rollup must combine map-side")
+    assert(!p.contains("Join"), s"retention needs no join — the cohort is a window:\n$p")
+  }
+
+  test("pagerank: per-iteration partial sums, cached edges, top-k finish") {
+    val df = SparkEntry.queries("q_pagerank")(spark, sf("sf0.01"))
+    df.collect() // AQE finalizes the iteration joins at runtime
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"final top-20 must be TakeOrderedAndProject, not a global sort:\n$p")
+    assert(p.contains("partial_sum"), "rank contributions must combine map-side")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"the degree-annotated edge list must be cached, not rebuilt per iteration:\n$p")
+  }
+
+  test("fuzzy join runs at the dictionary grain: blocked broadcast, no all-pairs") {
+    val p = plan("q_fuzzy_join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the name dictionary must broadcast on the blocking key:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocked ER must never plan an all-pairs comparison:\n$p")
+    assert(p.contains("partial_count"), "name-dictionary counts must combine map-side")
+  }
+
   test("bigram LM: capped vocab via top-k operator, scoring join broadcasts") {
     val p = plan("q_lm_bigram")
     assert(p.contains("TakeOrderedAndProject"),
