@@ -436,6 +436,38 @@ object AnalyticQueries {
       r.orderBy(col("rank").desc, col("node")).limit(20)
     }),
 
+    // TRIANGLE COUNT over the frequent co-purchase graph (market-basket
+    // analytics). Three scale levers, each load-bearing at 100 TB:
+    // (1) pairs are generated per order — the self-join key is the
+    // order, whose line count is bounded (~7), so the pair fanout per
+    // key is O(lines²) = O(50), never a hub explosion; (2) a SUPPORT
+    // threshold (co-purchased in ≥ 2 orders) prunes the co-occurrence
+    // graph to its non-noise core before any quadratic step — the edge
+    // relation collapses from |samples| to a dictionary-sized set that
+    // BROADCASTS; (3) edges are ORIENTED a < b, so each wedge (and hence
+    // each triangle) is enumerated exactly once and the wedge fanout per
+    // node is C(out-degree, 2), bounded by the support filter. The count
+    // is exact integer — engine-order-free by construction.
+    "q_triangles" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val e = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2L)
+        .select("a", "b")
+        .persist()
+      PipelineQueries.Persisted.swap("triangle_edges", dir, e)
+      val w = e.as("e1").join(broadcast(e.as("e2")),
+          col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+        .select(col("e1.b").as("x"), col("e2.b").as("y"))
+      val tri = w.join(broadcast(e), col("x") === col("a") && col("y") === col("b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val m = e.agg(count(lit(1)).as("n_edges"))
+      m.crossJoin(tri)
+    }),
+
     // BLOCKED FUZZY JOIN (entity resolution): near-identical part names
     // within Levenshtein distance 4, blocked on the head noun. The two
     // scale levers every production ER pipeline uses: (1) the join runs
@@ -742,6 +774,19 @@ object AnalyticQueries {
          r3 AS (SELECT dst AS node, CAST(150000 + (850000 * sum(rank // deg)) // 1000000 AS BIGINT) AS rank
                 FROM e JOIN r2 ON e.src = r2.node GROUP BY dst)
          SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20""",
+
+    // same per-order pair generation, support threshold and a<b
+    // orientation — the count is exact and engine-order-free
+    "q_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         pr AS (SELECT x.pk AS a, y.pk AS b, count(*) AS sup
+                FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk GROUP BY 1, 2),
+         e AS (SELECT a, b FROM pr WHERE sup >= 2),
+         w AS (SELECT e1.b AS x, e2.b AS y
+               FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b),
+         t AS (SELECT count(*) AS n_triangles FROM w JOIN e ON w.x = e.a AND w.y = e.b),
+         m AS (SELECT count(*) AS n_edges FROM e)
+         SELECT n_edges, n_triangles FROM m, t""",
 
     // same block (head noun), same distinct-name grain, same threshold
     "q_fuzzy_join" ->

@@ -421,6 +421,17 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("partial_count"), "name-dictionary counts must combine map-side")
   }
 
+  test("triangles: support-pruned edge set broadcasts both quadratic joins") {
+    val df = SparkEntry.queries("q_triangles")(spark, sf("sf0.01"))
+    df.collect() // cache + AQE finalize
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"wedge and closing joins must broadcast the pruned edge set:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no all-pairs step may survive the support threshold:\n$p")
+    assert(p.contains("partial_count"), "support counting must combine map-side")
+  }
+
   test("bigram LM: capped vocab via top-k operator, scoring join broadcasts") {
     val p = plan("q_lm_bigram")
     assert(p.contains("TakeOrderedAndProject"),
