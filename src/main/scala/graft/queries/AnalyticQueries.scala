@@ -462,10 +462,14 @@ object AnalyticQueries {
       val w = e.as("e1").join(broadcast(e.as("e2")),
           col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
         .select(col("e1.b").as("x"), col("e2.b").as("y"))
-      val tri = w.join(broadcast(e), col("x") === col("a") && col("y") === col("b"))
-        .agg(count(lit(1)).as("n_triangles"))
-      val m = e.agg(count(lit(1)).as("n_edges"))
-      m.crossJoin(tri)
+      val closed = w.join(broadcast(e),
+          col("x") === col("a") && col("y") === col("b"))
+        .select(lit("triangle").as("kind"))
+      // tag-and-count: edge rows and closed wedges union into ONE
+      // aggregation — no scalar-combine join in the plan
+      e.select(lit("edge").as("kind")).unionAll(closed)
+        .groupBy("kind").agg(count(lit(1)).as("n"))
+        .orderBy("kind")
     }),
 
     // BLOCKED FUZZY JOIN (entity resolution): near-identical part names
@@ -784,9 +788,10 @@ object AnalyticQueries {
          e AS (SELECT a, b FROM pr WHERE sup >= 2),
          w AS (SELECT e1.b AS x, e2.b AS y
                FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b),
-         t AS (SELECT count(*) AS n_triangles FROM w JOIN e ON w.x = e.a AND w.y = e.b),
-         m AS (SELECT count(*) AS n_edges FROM e)
-         SELECT n_edges, n_triangles FROM m, t""",
+         tagged AS (SELECT 'edge' AS kind FROM e
+                    UNION ALL
+                    SELECT 'triangle' FROM w JOIN e ON w.x = e.a AND w.y = e.b)
+         SELECT kind, count(*) AS n FROM tagged GROUP BY 1 ORDER BY 1""",
 
     // same block (head noun), same distinct-name grain, same threshold
     "q_fuzzy_join" ->

@@ -222,6 +222,29 @@ object StreamingIngest {
       .select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
   }
 
+  /** LEFT OUTER stream-stream attribution: every click emits — matched
+    * rows as soon as the purchase arrives, UNMATCHED clicks only once
+    * the watermark proves no in-window purchase can still arrive (the
+    * null-side row is withheld until state for its interval is evicted;
+    * that is the only correct outer-join contract on unbounded streams,
+    * and it is exactly why both sides need a watermark AND the join a
+    * two-sided time bound — without them outer state would grow
+    * forever). Same interval condition as [[clickAttribution]]. */
+  def clickAttributionOuter(clicks: DataFrame, purchases: DataFrame,
+                            watermarkDelay: String, windowSec: Long): DataFrame = {
+    val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
+      col("ts").as("click_ts")).withWatermark("click_ts", watermarkDelay)
+    val p = purchases.select(col("user_id").as("p_user_id"),
+      col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"),
+      "left_outer")
+      .select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
+  }
+
   /** Streaming exact dedup at ingest: drop rows whose `idCols` already
     * appeared within the watermark horizon — the streaming twin of the
     * batch exact-dedup operator (graft.pipeline.Dedup). State is bounded:

@@ -311,6 +311,48 @@ class StreamingSpec extends SparkSuite {
     assert(got === Set((1L, 100L, 200L), (1L, 101L, 200L)))
   }
 
+  test("LEFT OUTER stream-stream join emits unmatched clicks after eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val joined = clickAttributionOuter(
+      clicks.toDF().toDF("user_id", "event_id", "ts"),
+      purchases.toDF().toDF("user_id", "event_id", "ts"),
+      watermarkDelay = "1 minute", windowSec = 600L)
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("attribution_outer").start()
+
+    clicks.addData((1L, 100L, ts("2026-01-01 00:00:00")),
+                   (2L, 102L, ts("2026-01-01 00:00:00")))
+    // u1 buys in-window; u2's purchase misses the 10-min window
+    purchases.addData((1L, 200L, ts("2026-01-01 00:09:00")),
+                      (2L, 201L, ts("2026-01-01 00:20:00")))
+    q.processAllAvailable()
+    // the unmatched click must NOT have been emitted yet: the watermark
+    // hasn't proven its window empty
+    val early = spark.table("attribution_outer")
+      .select("click_id").as[Long].collect().toSet
+    assert(!early.contains(102L),
+      "outer row emitted before state eviction could prove it unmatched")
+    // advance both watermarks well past the join window + delay
+    clicks.addData((98L, 999L, ts("2026-01-01 01:00:00")))
+    purchases.addData((99L, 998L, ts("2026-01-01 01:00:00")))
+    q.processAllAvailable()
+    clicks.addData((98L, 997L, ts("2026-01-01 02:00:00")))
+    purchases.addData((99L, 996L, ts("2026-01-01 02:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("attribution_outer")
+      .filter($"user_id" < 90)
+      .select("user_id", "click_id", "purchase_id")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    // matched row intact; the out-of-window click surfaces exactly once,
+    // with a null purchase
+    assert(got === Set((1L, 100L, Some(200L)), (2L, 102L, None)))
+  }
+
   test("gap sessionization via flatMapGroupsWithState matches batch replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
