@@ -3,6 +3,7 @@ package graft.queries
 import graft.keys._
 import graft.scan.DistributedScan
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** [REF] query surface — one entry per reference operator (SURVEY.md §2.1),
@@ -190,6 +191,35 @@ object RefQueries {
           col("user_id").between(20, 90) && col("day_num").between(19725, 19740))
         .select("event_id", "user_id", "day_num", "zkey")
         .orderBy("event_id")
+    }),
+
+    // HOT-KEY SKEW DIAGNOSTIC — the ops question behind the whole
+    // reference library (README:10-12: monotone/hot keys overload one
+    // region): BEFORE choosing a salt, measure how skewed the key
+    // actually is. Per-key counts bucketed into deciles of the count
+    // distribution, each with its key population, count range and
+    // exact row share in integer parts-per-million. Scale shape: the
+    // per-key count is one map-side-combined agg; the decile split is a
+    // GLOBAL ntile over the count distribution — |keys| rows, which at
+    // 100 TB is exactly the single-task WindowExec trap, so it rides
+    // the engine's global row-number rescue; the whole-table total is a
+    // whole-group constant window, rescued by the constant-agg spread.
+    // No scalar-combine join anywhere (the no-nested-loop guard covers
+    // this query too).
+    "q_key_skew" -> ((s, dir) => {
+      val counts = events(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      counts
+        .withColumn("decile",
+          ntile(10).over(Window.orderBy(col("cnt"), col("user_id"))).cast("long"))
+        .withColumn("total", sum("cnt").over())
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_keys"),
+          min("cnt").as("min_cnt"), max("cnt").as("max_cnt"),
+          sum("cnt").as("n_rows"), max("total").as("total"))
+        .withColumn("share_ppm", expr("(n_rows * 1000000) div total"))
+        .select("decile", "n_keys", "min_cnt", "max_cnt", "n_rows", "share_ppm")
+        .orderBy("decile")
     })
   )
 
@@ -304,6 +334,18 @@ object RefQueries {
            ('RoundRobin--12--event_id', 'RoundRobin--12--event_id'),
            ('Identity', 'Identity'),
            ('MultiBytePrefix--3', 'MultiBytePrefix--3')) t(config, roundtrip)
-         ORDER BY config"""
+         ORDER BY config""",
+
+    // same deterministic ntile (ties broken by key) and integer ppm share
+    "q_key_skew" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+         d AS (SELECT cnt,
+                 CAST(ntile(10) OVER (ORDER BY cnt, user_id) AS BIGINT) AS decile,
+                 sum(cnt) OVER () AS total
+               FROM c)
+         SELECT decile, count(*) AS n_keys, min(cnt) AS min_cnt,
+           max(cnt) AS max_cnt, CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST((CAST(sum(cnt) AS BIGINT) * 1000000) // max(total) AS BIGINT) AS share_ppm
+         FROM d GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -393,6 +393,19 @@ class PlanShapeSpec extends SparkSuite {
       s"chunk rows must never shuffle for the scoring join:\n$p")
   }
 
+  test("key-skew report: global ntile and total ride the rescues, one exchange") {
+    val p = plan("q_key_skew")
+    assert(p.contains("GlobalRowNumber"),
+      s"the decile ntile must plan the global row-number rescue, not WindowExec:\n$p")
+    assert(p.contains("GlobalConstantAgg"),
+      s"the whole-table total must plan the constant-agg spread:\n$p")
+    assert(!p.contains("Window "),
+      s"no single-task stock window may survive in the skew report:\n$p")
+    assert(p.contains("partial_count"), "per-key counting must combine map-side")
+    assert(p.contains("ReadSchema: struct<user_id:bigint>"),
+      s"the scan must prune to the key column alone:\n$p")
+  }
+
   test("retention: event-type filter pushed, distinct grain combines map-side") {
     val p = plan("q_retention_cohort")
     assert(p.contains("EqualTo(event_type,purchase)"),
