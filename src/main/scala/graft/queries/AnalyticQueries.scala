@@ -369,6 +369,29 @@ object AnalyticQueries {
         .sessionizeBatch(events(s, dir).select("user_id", "ts_us"), SessGapUs)
         .orderBy("user_id", "sess_id")),
 
+    // SCD2 INTERVALIZATION — turn a change log into slowly-changing-
+    // dimension rows: per user, each run of consecutive equal
+    // event_type values collapses to one [valid_from, valid_to) row
+    // (half-open; the current state carries NULL valid_to). The
+    // warehouse-standard temporal-table builder. Two chained per-key
+    // windows (lag to find change points, lead to close intervals) on
+    // ONE (user_id, ts) sort order — the same shape as sessionize:
+    // stock hash-partition windows below the size gate, the skew-safe
+    // per-key rescue above it.
+    "q_scd2_intervals" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val changes = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      changes
+        .withColumn("valid_to_us",
+          lead("ts_us", 1).over(Window.partitionBy("user_id").orderBy("ts_us", "event_id")))
+        .select(col("user_id"), col("event_type"),
+          col("ts_us").as("valid_from_us"), col("valid_to_us"))
+        .orderBy("user_id", "valid_from_us")
+    }),
+
     // WEEKLY COHORT RETENTION — the product-analytics staple: users
     // cohorted by their first active ISO week; each later active week
     // counts toward (cohort, offset). Weeks are derived in pure INTEGER
@@ -744,6 +767,20 @@ object AnalyticQueries {
                      THEN 1 ELSE 0 END AS new_sess
               FROM events))
           GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // same change-point + interval-close windows over (ts, event_id)
+    "q_scd2_intervals" ->
+      """WITH ch AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+             lag(event_type) OVER w AS prev
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         runs AS (
+           SELECT user_id, event_type, ts_us,
+             lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us
+           FROM ch WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id, event_type, ts_us AS valid_from_us, valid_to_us
+         FROM runs ORDER BY user_id, valid_from_us""",
 
     // same integer Monday-aligned week derivation as the Spark side —
     // the grouping key never touches a calendar function

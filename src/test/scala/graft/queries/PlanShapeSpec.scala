@@ -406,6 +406,16 @@ class PlanShapeSpec extends SparkSuite {
       s"the scan must prune to the key column alone:\n$p")
   }
 
+  test("scd2: both per-key windows share ONE user exchange and sort") {
+    val p = plan("q_scd2_intervals")
+    // lag (change points) and lead (interval close) order identically —
+    // a second hash exchange on user_id would mean the window chain
+    // re-shuffled between passes
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(userExchanges <= 1,
+      s"expected the two windows to share one user_id exchange, found $userExchanges:\n$p")
+  }
+
   test("retention: event-type filter pushed, distinct grain combines map-side") {
     val p = plan("q_retention_cohort")
     assert(p.contains("EqualTo(event_type,purchase)"),
