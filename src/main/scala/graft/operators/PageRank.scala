@@ -41,15 +41,24 @@ object PageRank {
       .withColumn("rank", lit(1000000L))
 
   /** `iters` Jacobi rounds; returns (node, rank) lazily — no action is
-    * triggered here. */
+    * triggered here.
+    *
+    * Overflow domain: the contribution SUM and the 850000× damping
+    * product run in DECIMAL(38,0) — exact for any realistic graph, and
+    * matching the DuckDB oracle's HUGEINT promotion of the same
+    * recurrence. Only the final per-node rank must fit a BIGINT, which
+    * holds while Σ(r_u div deg_u) into one node stays below ~1.08e13 —
+    * a single hub fed by ~10¹³ full-rank neighbors — far past any graph
+    * whose node ids themselves fit memory budgets; past it the decimal→
+    * long cast fails loudly (ANSI) or nulls, never wraps silently. */
   def iterate(e: DataFrame, ranks: DataFrame, iters: Int): DataFrame = {
     var r = ranks
     for (_ <- 1 to iters) {
       r = e.join(r, col("src") === col("node"))
         .groupBy("dst")
-        .agg(sum(expr("rank div deg")).as("m"))
+        .agg(sum(expr("cast(rank div deg as decimal(38,0))")).as("m"))
         .select(col("dst").as("node"),
-          expr("150000 + (850000 * m) div 1000000").as("rank"))
+          expr("150000 + (cast(850000 as decimal(38,0)) * m) div 1000000").as("rank"))
     }
     r
   }

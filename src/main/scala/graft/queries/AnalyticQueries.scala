@@ -384,9 +384,10 @@ object AnalyticQueries {
         .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
         .withColumn("prev", lag("event_type", 1).over(w))
         .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      // same spec `w` for the lead: the one-exchange invariant the plan
+      // guard asserts is structural, not a coincidence of two literals
       changes
-        .withColumn("valid_to_us",
-          lead("ts_us", 1).over(Window.partitionBy("user_id").orderBy("ts_us", "event_id")))
+        .withColumn("valid_to_us", lead("ts_us", 1).over(w))
         .select(col("user_id"), col("event_type"),
           col("ts_us").as("valid_from_us"), col("valid_to_us"))
         .orderBy("user_id", "valid_from_us")
@@ -444,14 +445,17 @@ object AnalyticQueries {
         .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
       val e = graft.operators.PageRank.edges(pairs).persist()
-      PipelineQueries.Persisted.swap("pagerank_edges", dir, e)
       // the iteration chain is a fixed-shape tiny-stage loop — run it
       // eagerly with AQE off (its per-stage re-planning barrier
       // multiplies by round count; same treatment as the CC loop in
       // graft.pipeline.Dedup) and with loop shuffles sized to the edge
       // count, not the session default (a 100 TB graph keeps its full
       // parallelism; a dictionary-sized one stops paying 32-task
-      // scheduling per tiny stage). The cut frame is |nodes| rows.
+      // scheduling per tiny stage). The |nodes|-row result is a tracked
+      // PERSIST, not a localCheckpoint: re-invocation on the same dir is
+      // a CacheManager no-op reading the warm cache (no per-invocation
+      // block generations — the Persisted-hygiene discipline), and a new
+      // dir releases the old generation first.
       val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.adaptive.enabled", "false")
@@ -461,7 +465,9 @@ object AnalyticQueries {
           math.max(1L, math.min(prevParts.toLong, nEdges / 500000L + 1L)).toString)
         val r = graft.operators.PageRank
           .iterate(e, graft.operators.PageRank.initRanks(e), 3)
-          .localCheckpoint()
+          .persist()
+        PipelineQueries.Persisted.swap("pagerank_edges", dir, e, r)
+        r.count()
         r.orderBy(col("rank").desc, col("node")).limit(20)
       } finally {
         s.conf.set("spark.sql.adaptive.enabled", prevAqe)

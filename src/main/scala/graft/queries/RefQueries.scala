@@ -217,7 +217,10 @@ object RefQueries {
         .agg(count(lit(1)).as("n_keys"),
           min("cnt").as("min_cnt"), max("cnt").as("max_cnt"),
           sum("cnt").as("n_rows"), max("total").as("total"))
-        .withColumn("share_ppm", expr("(n_rows * 1000000) div total"))
+        // decimal-exact ppm: n_rows*1e6 can pass Long at the very scale
+        // this diagnostic targets (matches the oracle's HUGEINT path)
+        .withColumn("share_ppm",
+          expr("(cast(n_rows as decimal(38,0)) * 1000000) div total"))
         .select("decile", "n_keys", "min_cnt", "max_cnt", "n_rows", "share_ppm")
         .orderBy("decile")
     })

@@ -209,7 +209,15 @@ object StreamingIngest {
     * stream-stream analog of the batch RangeJoin/as-of operators).
     * Columns: (user_id, click_id, click_ts, purchase_id, purchase_ts). */
   def clickAttribution(clicks: DataFrame, purchases: DataFrame,
-                       watermarkDelay: String, windowSec: Long): DataFrame = {
+                       watermarkDelay: String, windowSec: Long): DataFrame =
+    attributionJoin(clicks, purchases, watermarkDelay, windowSec, "inner")
+
+  /** Shared core of the inner/outer attribution joins — one place owns
+    * the watermark setup and the two-sided interval condition, so the
+    * variants cannot drift apart. */
+  private def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                              watermarkDelay: String, windowSec: Long,
+                              joinType: String): DataFrame = {
     val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
       col("ts").as("click_ts")).withWatermark("click_ts", watermarkDelay)
     val p = purchases.select(col("user_id").as("p_user_id"),
@@ -218,7 +226,8 @@ object StreamingIngest {
     c.join(p,
       col("user_id") === col("p_user_id") &&
         col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"),
+      joinType)
       .select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
   }
 
@@ -231,19 +240,8 @@ object StreamingIngest {
     * two-sided time bound — without them outer state would grow
     * forever). Same interval condition as [[clickAttribution]]. */
   def clickAttributionOuter(clicks: DataFrame, purchases: DataFrame,
-                            watermarkDelay: String, windowSec: Long): DataFrame = {
-    val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
-      col("ts").as("click_ts")).withWatermark("click_ts", watermarkDelay)
-    val p = purchases.select(col("user_id").as("p_user_id"),
-      col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
-      .withWatermark("purchase_ts", watermarkDelay)
-    c.join(p,
-      col("user_id") === col("p_user_id") &&
-        col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"),
-      "left_outer")
-      .select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
-  }
+                            watermarkDelay: String, windowSec: Long): DataFrame =
+    attributionJoin(clicks, purchases, watermarkDelay, windowSec, "left_outer")
 
   /** Streaming exact dedup at ingest: drop rows whose `idCols` already
     * appeared within the watermark horizon — the streaming twin of the

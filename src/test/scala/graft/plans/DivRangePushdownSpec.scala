@@ -54,6 +54,38 @@ class DivRangePushdownSpec extends SparkSuite {
       s"expected composed day-bound pushdown in:\n$scan")
   }
 
+  test("non-zero fixed-offset zones shift the derived bound with the right sign") {
+    // UTC (the only zone the other tests exercise) has offset 0, which a
+    // sign error in the shift would survive. A too-tight derived bound
+    // DROPS rows (the derived conjunct is a real filter, not only a scan
+    // hint), so a boundary-window count under both a positive and a
+    // negative offset pins the sign for both comparison directions.
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      Seq("UTC+02:00", "UTC-03:30").foreach { zone =>
+        spark.conf.set("spark.sql.session.timeZone", zone)
+        val off = java.time.ZoneOffset.of(zone.stripPrefix("UTC"))
+        val ev = spark.read.parquet(s"${sf()}/events.parquet")
+          .withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))"))
+        val offUs = off.getTotalSeconds * 1000000L
+        val t1 = 1704844800000000L - offUs
+        val t2 = 1704931200000000L - offUs
+        val fast = ev.filter(col("ts_us") >= t1 && col("ts_us") < t2).count()
+        val slow = ev.select("ts").collect().count { r =>
+          val ldt = r.getAs[java.time.LocalDateTime]("ts")
+          val us = ldt.toEpochSecond(off) * 1000000L + ldt.getNano / 1000L
+          us >= t1 && us < t2
+        }
+        assert(fast === slow, s"boundary-window mismatch under $zone")
+        assert(fast > 0L, s"degenerate window under $zone — test covers nothing")
+        val scan = ev.filter(col("ts_us") >= t1).queryExecution.executedPlan
+          .collectLeaves().map(_.toString).mkString
+        assert(scan.contains("GreaterThanOrEqual(ts,"),
+          s"no derived bound under fixed-offset zone $zone:\n$scan")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("a non-cast micros derivation stays un-derived rather than wrong") {
     val df = spark.read.parquet(s"${sf()}/events.parquet")
       .withColumn("ts_us",
