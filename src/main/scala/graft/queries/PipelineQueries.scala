@@ -2346,6 +2346,137 @@ object PipelineQueries {
         .withColumn("boiler_frac",
           col("n_boiler").cast("double") / col("n_chunks").cast("double"))
         .orderBy("doc_id")
+    }),
+
+    // CDC MERGE APPLY — fold a keyed change log (op ∈ I/U/D) into the
+    // stored corpus: graft.store.CdcMerge. The changeset is derived
+    // deterministically from the corpus itself (the write-side-
+    // expected-answer trick): doc_id%10==3 → full-row update (text
+    // uppercased), %10==7 → delete, %10==1 → insert under a fresh id.
+    // Scale shape: the base table NEVER shuffles — one broadcast
+    // anti-join against the (small) touched-key set plus a union with
+    // the surviving change rows; at 100 TB that is a narrow scan of
+    // the base, full stop. Text compares by md5 so the merged payload
+    // is verified byte-exact without hashing megabyte rows in the sort.
+    "q_store_merge" -> ((s, dir) => {
+      val base = documents(s, dir)
+      val updates = base
+        .filter(pmod(col("doc_id"), lit(10L)) === 3L)
+        .withColumn("text", upper(col("text")))
+        .withColumn("op", lit("U"))
+      val deletes = base
+        .filter(pmod(col("doc_id"), lit(10L)) === 7L)
+        .withColumn("op", lit("D"))
+      val inserts = base
+        .filter(pmod(col("doc_id"), lit(10L)) === 1L)
+        .withColumn("doc_id", col("doc_id") + 200000L)
+        .withColumn("op", lit("I"))
+      val changes = updates.unionByName(deletes).unionByName(inserts)
+      graft.store.CdcMerge(base, changes, "doc_id")
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // DETERMINISTIC TRAIN/VAL/TEST SPLIT — the assignment every
+    // training pipeline needs to be reproducible and join-free: the
+    // engine's own 31-poly key hash (graft.keys.Hash31, the identical
+    // arithmetic the salted store buckets with, DuckDB twin generated
+    // from the same constants) buckets doc_id into 100 cells; cells
+    // 0-79 train, 80-89 validation, 90-99 test. Pure map-side scalar
+    // per row — no shuffle, no RNG state, stable under re-runs,
+    // repartitioning and incremental arrival. Output is the per-split
+    // per-source census (one map-combined agg).
+    "q_split_assign" -> ((s, dir) => {
+      val b = graft.keys.Hash31.bucket(col("doc_id"), 100)
+      documents(s, dir)
+        .withColumn("split",
+          when(b < 80, "train").when(b < 90, "validation").otherwise("test"))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+        .orderBy("split", "source")
+    }),
+
+    // UNICODE CANONICALIZATION — graft.functions.NfcClean (custom
+    // codegen'd Expression, ASCII fast path): zero-width strip + NFC
+    // composition. The corpus is ASCII, so the query plants the mess
+    // (decomposed e+U+0301, ZWSP, BOM) around each document and
+    // verifies the cleaned text byte-exact via md5 against DuckDB's
+    // utf8proc nfc_normalize — two independent Unicode implementations
+    // agreeing on the bytes. n_raw > n_clean shows the strip+compose
+    // actually fired on every row.
+    "q_normalize_unicode" -> ((s, dir) => {
+      val mess = concat(lit("\u200Bza\u0301 "), col("text"),
+        lit(" cafe\u0301\uFEFF"))
+      documents(s, dir)
+        .withColumn("mess", mess)
+        .withColumn("c", graft.functions.NfcFunctions.nfcClean(col("mess")))
+        .select(col("doc_id"),
+          length(col("mess")).cast("bigint").as("n_raw"),
+          length(col("c")).cast("bigint").as("n_clean"),
+          md5(col("c")).as("h"))
+        .orderBy("doc_id")
+    }),
+
+    // VOCABULARY BUILD + OOV RATE — the tokenizer-coverage question:
+    // build the top-200 vocabulary by global token frequency (ties
+    // broken lexicographically so the cut is deterministic) and score
+    // each source's out-of-vocabulary rate in exact integer ppm.
+    // Scale shape: token counts are one map-combined agg; the top-200
+    // cut is a GLOBAL row_number over |vocab-candidates| rows — the
+    // single-task WindowExec trap at 100 TB, ridden by the engine's
+    // global row-number rescue; the tiny vocab then BROADCASTS into
+    // the scoring join, and the per-source agg combines map-side. The
+    // exploded token stream is persisted across its two consumers so
+    // the corpus tokenizes once.
+    "q_vocab_oov" -> ((s, dir) => {
+      val toks = documents(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("t"))
+        .persist()
+      Persisted.swap("vocab_oov", dir, toks)
+      val vocab = toks.groupBy("t").agg(count(lit(1)).as("c"))
+        .withColumn("r",
+          row_number().over(Window.orderBy(col("c").desc, col("t"))))
+        .filter(col("r") <= 200)
+        .select(col("t"), lit(1).as("iv"))
+      toks.join(broadcast(vocab), Seq("t"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_ppm", expr("(n_oov * 1000000) div n_tokens"))
+        .orderBy("source")
+    }),
+
+    // CORPUS DRIFT — exact two-sample Kolmogorov–Smirnov statistic
+    // between the n_chars distributions of two corpus halves (doc_id
+    // parity stands in for snapshot A vs snapshot B): the distribution-
+    // shift gate before a retrain. All-integer arithmetic: per-value
+    // counts, two cumulative sums PLUS the two grand totals as whole-
+    // group constant windows — all four ride the engine's global window
+    // rescues on ONE exchange, no scalar-combine join anywhere (the
+    // no-nested-loop guard covers this query too). D = max |ca·n2 −
+    // cb·n1| cross-multiplied in DECIMAL(38,0) so nothing rounds or
+    // overflows; ks_ppm = D·1e6/(n1·n2) exact integer division. Output
+    // BIGINT display bound (n1·n2 < 2^63) documented — the internal
+    // arithmetic is exact far past it.
+    "q_corpus_drift" -> ((s, dir) => {
+      val pts = documents(s, dir).select(col("n_chars").as("v"),
+        when(pmod(col("doc_id"), lit(2L)) === 0L, 1L).otherwise(0L).as("g"))
+      val perV = pts.groupBy("v")
+        .agg(sum(col("g")).as("a"), sum(lit(1L) - col("g")).as("b"))
+      perV
+        .withColumn("ca", sum("a").over(Window.orderBy("v")))
+        .withColumn("cb", sum("b").over(Window.orderBy("v")))
+        .withColumn("n1", sum("a").over())
+        .withColumn("n2", sum("b").over())
+        .agg(
+          max(abs(col("ca").cast("decimal(38,0)") * col("n2")
+            - col("cb").cast("decimal(38,0)") * col("n1"))).as("d"),
+          max("n1").as("n1"), max("n2").as("n2"))
+        .select(col("n1"), col("n2"),
+          col("d").cast("bigint").as("d_num"),
+          expr("(d * 1000000) div (cast(n1 as decimal(38,0)) * n2)")
+            .as("ks_ppm"))
     })
   )
 
@@ -3326,7 +3457,76 @@ object PipelineQueries {
               CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
                 / CAST(count(*) AS DOUBLE) AS boiler_frac
             FROM ch LEFT JOIN b USING (source, h)
-            GROUP BY doc_id ORDER BY doc_id"""
+            GROUP BY doc_id ORDER BY doc_id""",
+
+      "q_store_merge" ->
+        """WITH ch AS (
+             SELECT doc_id, upper(text) AS text, lang, source, n_chars, 'U' AS op
+               FROM documents WHERE doc_id % 10 = 3
+             UNION ALL
+             SELECT doc_id, text, lang, source, n_chars, 'D' AS op
+               FROM documents WHERE doc_id % 10 = 7
+             UNION ALL
+             SELECT doc_id + 200000 AS doc_id, text, lang, source, n_chars, 'I' AS op
+               FROM documents WHERE doc_id % 10 = 1),
+            merged AS (
+             SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM documents d
+               WHERE d.doc_id NOT IN (SELECT doc_id FROM ch)
+             UNION ALL
+             SELECT doc_id, text, lang, source, n_chars FROM ch WHERE op <> 'D')
+           SELECT doc_id, md5(text) AS h, lang, source, n_chars
+           FROM merged ORDER BY doc_id""",
+
+      "q_split_assign" -> {
+        val b = graft.keys.Hash31.duckBucket("doc_id", 100)
+        s"""SELECT CASE WHEN $b < 80 THEN 'train'
+                        WHEN $b < 90 THEN 'validation'
+                        ELSE 'test' END AS split,
+               source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+             FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""
+      },
+
+      "q_normalize_unicode" -> {
+        val c = graft.functions.NfcFunctions.duckNfcClean("mess")
+        s"""SELECT doc_id, CAST(length(mess) AS BIGINT) AS n_raw,
+               CAST(length(c) AS BIGINT) AS n_clean, md5(c) AS h
+             FROM (SELECT doc_id, mess, $c AS c FROM (
+               SELECT doc_id,
+                 chr(8203) || 'za' || chr(769) || ' ' || text
+                   || ' cafe' || chr(769) || chr(65279) AS mess
+               FROM documents))
+             ORDER BY doc_id"""
+      },
+
+      "q_vocab_oov" ->
+        s"""WITH toks AS (
+              SELECT source, unnest(${duckTokens("text")}) AS t FROM documents),
+             vocab AS (
+              SELECT t FROM (
+                SELECT t, row_number() OVER (ORDER BY count(*) DESC, t) AS r
+                FROM toks GROUP BY t)
+              WHERE r <= 200)
+           SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             CAST((sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) * 1000000)
+               // count(*) AS BIGINT) AS oov_ppm
+           FROM toks LEFT JOIN vocab v USING (t)
+           GROUP BY source ORDER BY source""",
+
+      "q_corpus_drift" ->
+        """WITH pts AS (
+             SELECT n_chars AS v,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS g FROM documents),
+            perv AS (SELECT v, sum(g) AS a, sum(1 - g) AS b FROM pts GROUP BY v),
+            cum AS (SELECT v, sum(a) OVER (ORDER BY v) AS ca,
+                      sum(b) OVER (ORDER BY v) AS cb FROM perv),
+            tot AS (SELECT sum(a) AS n1, sum(b) AS n2 FROM perv)
+           SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             CAST(max(abs(ca * n2 - cb * n1)) AS BIGINT) AS d_num,
+             CAST((max(abs(ca * n2 - cb * n1)) * 1000000) // (n1 * n2) AS BIGINT)
+               AS ks_ppm
+           FROM cum, tot GROUP BY n1, n2"""
     )
   }
 }

@@ -477,4 +477,53 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("Generate wordshingles"),
       "narrow bigram generator missing from the plan")
   }
+
+  test("CDC merge: touched keys broadcast, base anti-joins without a hash shuffle") {
+    val p = plan("q_store_merge")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"the touched-key set must broadcast into an anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Exchange hashpartitioning"),
+      s"the base table must never shuffle in a merge:\n$p")
+  }
+
+  test("split assignment: pure map-side hash, scan pruned to the three columns") {
+    val p = plan("q_split_assign")
+    assert(p.contains("partial_count"), "census must combine map-side")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"),
+      s"text must be pruned from the scan:\n$p")
+    assert(!p.contains("Window"), "the split hash must not require a window/shuffle")
+  }
+
+  test("unicode canonicalization runs inside whole-stage codegen on a pruned scan") {
+    val df = SparkEntry.queries("q_normalize_unicode")(spark, sf("sf0.01"))
+    df.collect() // AQE must finalize before codegen markers appear
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("nfc_clean"), s"custom expression missing:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"only doc_id+text may be read:\n$p")
+    // the project carrying the expression must be a codegen'd (`*(n)`) node
+    assert(p.linesIterator.exists(l =>
+      l.contains("nfc_clean") && l.trim.stripPrefix("+- ").startsWith("*(")),
+      s"nfc_clean fell out of whole-stage codegen:\n$p")
+  }
+
+  test("vocab/OOV: top-200 cut never plans an unpartitioned stock window; vocab broadcasts") {
+    val p = plan("q_vocab_oov")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocabulary must broadcast into the scoring join:\n$p")
+    assert(!p.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"),
+      s"global top-200 cut must ride the rescue, not a single-task Window:\n$p")
+    assert(p.contains("partial_count"), "token counting must combine map-side")
+  }
+
+  test("corpus drift: no scalar-combine join; all four windows ride the rescues") {
+    val p = plan("q_corpus_drift")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")
+      && !p.contains("Join"),
+      s"KS totals must be constant windows, not a scalar join:\n$p")
+    assert(!p.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"),
+      s"running sums must ride the global rescue:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+      s"scan must prune to doc_id+n_chars:\n$p")
+  }
 }
