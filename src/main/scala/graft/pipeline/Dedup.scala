@@ -115,6 +115,40 @@ object Dedup {
       .select(col("p.a"), col("p.b"))
       .distinct()
 
+  /** Asymmetric LSH probe — candidate (index, probe) pairs between a
+    * STORED band index and a new batch: the daily-crawl-vs-historical-
+    * corpus shape, where re-running the symmetric [[candidatePairs]]
+    * over index ∪ batch would re-shuffle the whole history for every
+    * increment. Here the index side is aggregated to per-bucket member
+    * lists ONCE (that aggregate IS the stored index — amortized across
+    * batches), and each batch probes it with one hash join on
+    * (band, sig); only batch-sized data moves per increment.
+    *
+    * Index-side hot buckets carry the same deterministic sorted-prefix
+    * cap as [[candidatePairs]] (a bucket past `maxBucket` is
+    * boilerplate, not near-dups — and its members-×-batch expansion
+    * would be the quadratic term); [[oversizedBuckets]] on the index
+    * bands reports what was capped. Pair orientation is fixed:
+    * `a` = index id, `b` = probe id. */
+  def probePairs(indexBands: DataFrame, probeBands: DataFrame, idCol: String,
+                 maxBucket: Int = MaxBucket): DataFrame =
+    indexBands.groupBy("band", "sig")
+      .agg(slice(array_sort(collect_set(col(idCol))), 1, maxBucket).as("ids"))
+      .join(probeBands.select(col(idCol).as("__pid"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .select(explode(col("ids")).as("a"), col("__pid").as("b"))
+      .distinct()
+
+  /** DuckDB twin of [[probePairs]] including the index-side cap.
+    * Expects CTEs `ibands(doc_id, band, bsig)` and
+    * `pbands(doc_id, band, bsig)`; defines `ibkt` and `cand(a, b)`. */
+  def duckProbePairs(cap: Int = MaxBucket): String =
+    s"""ibkt AS (SELECT band, bsig, list_sort(list(DISTINCT doc_id))[1:$cap] AS ids
+                 FROM ibands GROUP BY band, bsig),
+        cand AS (SELECT DISTINCT x.a AS a, p.doc_id AS b
+                 FROM ibkt JOIN pbands p USING (band, bsig),
+                      unnest(ibkt.ids) AS x(a))"""
+
   /** Diagnostic for the cap: (band, sig, n_ids) of every bucket whose
     * member list exceeds `maxBucket` — the operator-facing "what got
     * sampled" report (same single exchange as candidatePairs; run it on

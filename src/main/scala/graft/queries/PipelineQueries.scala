@@ -41,7 +41,8 @@ object PipelineQueries {
     "q_knn_cosine_ivf_indexed", "q_knn_cosine_ivf_indexed_multiprobe",
     "q_knn_delete",
     "q_text_search", "q_text_search_ranked", "q_text_bm25", "q_text_bm25_live",
-    "q_text_phrase", "q_text_stream_ingest", "q_text_delete", "q_text_merge")
+    "q_text_phrase", "q_text_stream_ingest", "q_text_delete", "q_text_merge",
+    "q_cdc_snapshot")
 
   /** Persist hygiene across repeated invocation. Bench runs every query
     * 3+ times per process and one process may touch several SF dirs, so a
@@ -2477,6 +2478,135 @@ object PipelineQueries {
           col("d").cast("bigint").as("d_num"),
           expr("(d * 1000000) div (cast(n1 as decimal(38,0)) * n2)")
             .as("ks_ppm"))
+    }),
+
+    // INCREMENTAL (INDEX-PROBE) FUZZY DEDUP — the daily-ingest shape:
+    // dedupe a NEW batch against the EXISTING corpus without touching
+    // history. The batch is derived (write-side expected answer): even
+    // docs arrive as near-dups (last 2 tokens dropped — Jaccard ≈ 0.9,
+    // must flag), odd docs arrive token-REVERSED (shingle sets disjoint
+    // — genuinely new, must pass). Scale shape: the base sketch+bands
+    // are computed ONCE and persisted (standing in for the stored
+    // index); each increment probes via Dedup.probePairs — one hash
+    // join on (band, sig) with the index-side hot-bucket cap — then
+    // verifies candidates by exact Jaccard over 32-bit shingle hashes.
+    // Only batch-sized data shuffles per increment; the symmetric
+    // corpus∪batch re-banding this replaces re-shuffles ALL of history
+    // every day.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val base = documents(s, dir).select(col("doc_id"), col("text"))
+      val near = base
+        .withColumn("w", tokens(col("text")))
+        .filter(pmod(col("doc_id"), lit(2L)) === 0L && size(col("w")) >= 5)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          array_join(slice(col("w"), lit(1), size(col("w")) - 2), " ").as("text"))
+      val fresh = base
+        .withColumn("w", tokens(col("text")))
+        .filter(pmod(col("doc_id"), lit(2L)) === 1L)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          array_join(reverse(col("w")), " ").as("text"))
+      val batch = near.union(fresh)
+      def sketchOf(c: DataFrame) = shingleRows(c)
+        .withColumn("x", baseHash32(col("s")))
+        .groupBy("doc_id")
+        .agg(collect_set(col("x")).as("sh"),
+          graft.functions.MinHashFunctions.minhashSketch(col("x")).as("sig"))
+        .select(col("doc_id") :: col("sh") ::
+          (0 until K).map(p => element_at(col("sig"), p + 1).as(s"h$p")).toList: _*)
+      val idxSketch = sketchOf(base).persist()
+      val probeSketch = sketchOf(batch).persist()
+      Persisted.swap("incr_dedup", dir, idxSketch, probeSketch)
+      val cand = Dedup.probePairs(
+        bandRows(idxSketch, "doc_id"), bandRows(probeSketch, "doc_id"), "doc_id")
+      val matches = cand
+        .join(idxSketch.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+        .join(probeSketch.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+        .withColumn("jaccard", jaccard(col("sha"), col("shb")))
+        .filter(col("jaccard") >= 0.5)
+        .groupBy(col("b").as("doc_id")).agg(min(col("a")).as("match_id"))
+      batch.select("doc_id").join(matches, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("match_id").isNotNull, 1L).otherwise(0L).as("is_dup"),
+          col("match_id"))
+        .orderBy("doc_id")
+    }),
+
+    // PER-STRATUM CORPUS DRIFT — q_corpus_drift's KS statistic computed
+    // PER SOURCE: distribution shift monitored at the stratum grain,
+    // where one crawl source degrading hides inside a stable global
+    // mix. Identical exact-integer arithmetic; the four windows become
+    // PER-KEY windows (2 running sums, 2 whole-group totals — all
+    // PARTITION BY source) riding the engine's skew-safe per-key
+    // rescues above the size gate, on ONE user exchange. The A/B
+    // assignment is the engine's 31-poly hash, NOT doc_id parity: the
+    // testdata derives source from doc_id % 20, so parity is perfectly
+    // correlated with source (every stratum one-sided); a hash split
+    // is decorrelated from any id structure — the same reason
+    // production snapshots split by content hash, not ingest order.
+    "q_drift_by_source" -> ((s, dir) => {
+      val pts = documents(s, dir).select(col("source"),
+        col("n_chars").as("v"),
+        when(graft.keys.Hash31.bucket(col("doc_id"), 2) === 0, 1L)
+          .otherwise(0L).as("g"))
+      val perV = pts.groupBy("source", "v")
+        .agg(sum(col("g")).as("a"), sum(lit(1L) - col("g")).as("b"))
+      val w = Window.partitionBy("source").orderBy("v")
+      val wg = Window.partitionBy("source")
+      perV
+        .withColumn("ca", sum("a").over(w))
+        .withColumn("cb", sum("b").over(w))
+        .withColumn("n1", sum("a").over(wg))
+        .withColumn("n2", sum("b").over(wg))
+        .groupBy("source")
+        .agg(
+          max(abs(col("ca").cast("decimal(38,0)") * col("n2")
+            - col("cb").cast("decimal(38,0)") * col("n1"))).as("d"),
+          max("n1").as("n1"), max("n2").as("n2"))
+        // KS is undefined against an empty half-sample — a stratum whose
+        // docs all fall in one snapshot is reported by absence
+        .filter(col("n1") > 0 && col("n2") > 0)
+        .select(col("source"), col("n1"), col("n2"),
+          col("d").cast("bigint").as("d_num"),
+          expr("(d * 1000000) div (cast(n1 as decimal(38,0)) * n2)")
+            .as("ks_ppm"))
+        .orderBy("source")
+    }),
+
+    // MERGE-ON-READ CDC SNAPSHOT — graft.store.CdcStore end-to-end: a
+    // base generation plus two delta generations (update/delete, then
+    // re-insert/delete — including a key that is deleted in gen 0 and
+    // re-inserted in gen 1, the resolution-order acid test), resolved
+    // last-writer-wins at read. The store builds ONCE per process
+    // (indexBacked: the build is the amortized write path; the query
+    // times the READ) — snapshot is one groupBy(key).max_by(payload,
+    // seq) hash agg: map-side partial, single exchange, no per-version
+    // sort, no window. The streaming twin (StreamingIngest.cdcWriter)
+    // appends these same generations from micro-batches.
+    "q_cdc_snapshot" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_cdcstore_" +
+        s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+      val done = new org.apache.hadoop.fs.Path(path, "_built")
+      val fs = done.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(done)) {
+        val base = documents(s, dir)
+        graft.store.CdcStore.writeBase(
+          base, col("doc_id"), graft.keys.HashPrefix(16), path)
+        val d0 = base.filter(pmod(col("doc_id"), lit(10L)) === 3L)
+          .withColumn("text", upper(col("text"))).withColumn("op", lit("U"))
+          .unionByName(base.filter(pmod(col("doc_id"), lit(10L)) === 7L)
+            .withColumn("op", lit("D")))
+        graft.store.CdcStore.append(d0, 0L, path)
+        val d1 = base.filter(pmod(col("doc_id"), lit(20L)) === 7L)
+          .withColumn("op", lit("I"))
+          .unionByName(base.filter(pmod(col("doc_id"), lit(10L)) === 4L)
+            .withColumn("op", lit("D")))
+        graft.store.CdcStore.append(d1, 1L, path)
+        fs.create(done, true).close()
+      }
+      graft.store.CdcStore.snapshot(s, path, "doc_id")
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3526,7 +3656,85 @@ object PipelineQueries {
              CAST(max(abs(ca * n2 - cb * n1)) AS BIGINT) AS d_num,
              CAST((max(abs(ca * n2 - cb * n1)) * 1000000) // (n1 * n2) AS BIGINT)
                AS ks_ppm
-           FROM cum, tot GROUP BY n1, n2"""
+           FROM cum, tot GROUP BY n1, n2""",
+
+      "q_dedup_incremental" ->
+        s"""WITH batch AS (
+              SELECT doc_id + 100000 AS doc_id,
+                     array_to_string(w[1:len(w)-2], ' ') AS text
+              FROM (SELECT doc_id, ${duckTokens("text")} AS w
+                    FROM documents WHERE doc_id % 2 = 0)
+              WHERE len(w) >= 5
+              UNION ALL
+              SELECT doc_id + 300000 AS doc_id,
+                     array_to_string(list_reverse(w), ' ') AS text
+              FROM (SELECT doc_id, ${duckTokens("text")} AS w
+                    FROM documents WHERE doc_id % 2 = 1)),
+            corpus AS (SELECT doc_id, text FROM documents
+                       UNION ALL SELECT doc_id, text FROM batch),
+            $duckShingled, $duckMinhashSigs,
+            shx AS (SELECT doc_id, list(x) AS sh FROM e GROUP BY doc_id),
+            bands AS (${(0 until Bands).map(b =>
+              s"SELECT doc_id, $b AS band, ${duckBandSig(b)} AS bsig FROM sig")
+              .mkString(" UNION ALL ")}),
+            ibands AS (SELECT * FROM bands WHERE doc_id < 100000),
+            pbands AS (SELECT * FROM bands WHERE doc_id >= 100000),
+            ${Dedup.duckProbePairs()},
+            j AS (SELECT a, b, ${Dedup.duckJaccard("sa.sh", "sb.sh")} AS jaccard
+                  FROM cand JOIN shx sa ON sa.doc_id = a
+                            JOIN shx sb ON sb.doc_id = b),
+            m AS (SELECT b AS doc_id, min(a) AS match_id
+                  FROM j WHERE jaccard >= 0.5 GROUP BY b)
+           SELECT batch.doc_id,
+             CAST(CASE WHEN m.match_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS is_dup,
+             m.match_id
+           FROM batch LEFT JOIN m USING (doc_id) ORDER BY batch.doc_id""",
+
+      "q_drift_by_source" ->
+        s"""WITH pts AS (
+             SELECT source, n_chars AS v,
+               CASE WHEN ${graft.keys.Hash31.duckBucket("doc_id", 2)} = 0
+                    THEN 1 ELSE 0 END AS g FROM documents),
+            perv AS (SELECT source, v, sum(g) AS a, sum(1 - g) AS b
+                     FROM pts GROUP BY source, v),
+            cum AS (SELECT source, v,
+                      sum(a) OVER (PARTITION BY source ORDER BY v) AS ca,
+                      sum(b) OVER (PARTITION BY source ORDER BY v) AS cb,
+                      sum(a) OVER (PARTITION BY source) AS n1,
+                      sum(b) OVER (PARTITION BY source) AS n2
+                    FROM perv)
+           SELECT source, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             CAST(max(abs(ca * n2 - cb * n1)) AS BIGINT) AS d_num,
+             CAST((max(abs(ca * n2 - cb * n1)) * 1000000) // (n1 * n2) AS BIGINT)
+               AS ks_ppm
+           FROM cum WHERE n1 > 0 AND n2 > 0
+           GROUP BY source, n1, n2 ORDER BY source""",
+
+      "q_cdc_snapshot" ->
+        """WITH base AS (
+             SELECT doc_id, text, lang, source, n_chars, 'U' AS op, -1 AS seq
+             FROM documents),
+            d0 AS (
+             SELECT doc_id, upper(text) AS text, lang, source, n_chars,
+                    'U' AS op, 0 AS seq
+             FROM documents WHERE doc_id % 10 = 3
+             UNION ALL
+             SELECT doc_id, text, lang, source, n_chars, 'D' AS op, 0 AS seq
+             FROM documents WHERE doc_id % 10 = 7),
+            d1 AS (
+             SELECT doc_id, text, lang, source, n_chars, 'I' AS op, 1 AS seq
+             FROM documents WHERE doc_id % 20 = 7
+             UNION ALL
+             SELECT doc_id, text, lang, source, n_chars, 'D' AS op, 1 AS seq
+             FROM documents WHERE doc_id % 10 = 4),
+            al AS (SELECT * FROM base UNION ALL
+                   SELECT * FROM d0 UNION ALL SELECT * FROM d1),
+            r AS (SELECT *, row_number()
+                    OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+                  FROM al)
+           SELECT doc_id, md5(text) AS h, lang, source, n_chars
+           FROM r WHERE rn = 1 AND op <> 'D' ORDER BY doc_id"""
     )
   }
 }

@@ -17,12 +17,15 @@ import org.apache.spark.sql.functions._
   * of table), so the merge is ONE broadcast anti-join on the base
   * (which therefore never shuffles: a narrow scan-and-filter over
   * every base partition) plus a union with the surviving change rows.
-  * The join is declared with `broadcast()` as a hint, not hand-built:
-  * if a pathological changeset exceeds the broadcast threshold,
-  * Catalyst falls back to a shuffle join and the result is still
-  * correct. Compaction of multi-change-per-key logs costs one
-  * window over the CHANGESET only (per-key, gate-governed like every
-  * per-key window in this engine).
+  * The broadcast is an explicit hint — Spark honors it regardless of
+  * size estimates, which is the right default for the changes-≪-base
+  * contract (a size-estimated plan that guessed wrong would shuffle
+  * the WHOLE base). For the pathological backfill whose changeset
+  * genuinely cannot broadcast, pass `broadcastChanges = false`: the
+  * join is left unhinted and Catalyst plans it like any other join
+  * (same declarative result). Compaction of multi-change-per-key logs
+  * costs one window over the CHANGESET only (per-key, gate-governed
+  * like every per-key window in this engine).
   */
 object CdcMerge {
 
@@ -36,7 +39,8 @@ object CdcMerge {
     * last-writer-wins compaction here.
     */
   def apply(base: DataFrame, changes: DataFrame, key: String,
-            opCol: String = "op", seqCol: Option[String] = None): DataFrame = {
+            opCol: String = "op", seqCol: Option[String] = None,
+            broadcastChanges: Boolean = true): DataFrame = {
     val compacted = seqCol match {
       case Some(sc) =>
         val w = Window.partitionBy(key).orderBy(col(sc).desc)
@@ -45,7 +49,8 @@ object CdcMerge {
       case None => changes
     }
     val touched = compacted.select(key)
-    val survivors = base.join(broadcast(touched), Seq(key), "left_anti")
+    val touchedSide = if (broadcastChanges) broadcast(touched) else touched
+    val survivors = base.join(touchedSide, Seq(key), "left_anti")
     val upserts = compacted.filter(col(opCol) =!= "D").drop(opCol)
     survivors.unionByName(upserts)
   }

@@ -148,6 +148,32 @@ object StreamingIngest {
       graft.pipeline.TextIndex.write(batch, path, mode = "append")
     }
 
+  /** Continuous CDC ingest: each micro-batch of CHANGE rows (base
+    * columns + op ∈ I/U/D) appends one delta generation to the
+    * merge-on-read store at `path` (graft.store.CdcStore), seq =
+    * batchId, under the same idempotent commit log as [[saltedWriter]].
+    * This is the scale-honest streaming MERGE: per batch only
+    * batch-sized data is written (no base rewrite, no shuffle);
+    * CdcStore.snapshot resolves readers last-writer-wins and
+    * CdcStore.compact reclaims the read-side merge cost offline. One
+    * writer lifecycle per store — seq is the batchId, so a second
+    * query (or a fresh checkpoint) needs a fresh store or a compact
+    * first, same contract the commitTag doc spells out. */
+  def cdcWriter(stream: DataFrame, path: String,
+                commitTag: String = "q0"): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeCdcBatchIdempotent(batch, batchId, path, commitTag)
+      }
+
+  /** One idempotent CDC micro-batch append (testing seam). */
+  def writeCdcBatchIdempotent(batch: DataFrame, batchId: Long, path: String,
+                              commitTag: String = "q0"): Unit =
+    withBatchCommit(batch, batchId, path, commitTag) {
+      graft.store.CdcStore.append(batch, batchId, path)
+    }
+
   /** Event-time tumbling window aggregation with late-data discipline:
     * rows later than `watermarkDelay` behind the max seen event time are
     * dropped, so state is bounded (SURVEY.md §2.2 streaming bullet).

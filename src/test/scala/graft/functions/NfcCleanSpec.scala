@@ -54,6 +54,27 @@ class NfcCleanSpec extends SparkSuite {
     assert(cleanOne(once) === once)
   }
 
+  test("fuzz: clean() matches a straight-line reference on mixed code points") {
+    // pool mixes ASCII, zero-width, combining marks, precomposed and
+    // supplementary-plane points — the shapes that distinguish the
+    // ASCII / already-NFC fast paths from the full rewrite
+    val pool: IndexedSeq[String] = IndexedSeq(
+      "a", "z", "0", " ", ".", ZWSP, ZWNJ, ZWJ, BOM, Acute,
+      "\u0308", EAcute, "\u00E4", "\u4E2D", "\uD83D\uDE00", "\u0645")
+    val rnd = new scala.util.Random(20260814)
+    def reference(s: String): String = {
+      val stripped = s.filterNot(c =>
+        c == '\u200B' || c == '\u200C' || c == '\u200D' || c == '\uFEFF')
+      java.text.Normalizer.normalize(stripped, java.text.Normalizer.Form.NFC)
+    }
+    (1 to 300).foreach { i =>
+      val s = Seq.fill(rnd.nextInt(12))(pool(rnd.nextInt(pool.size))).mkString
+      val got = NfcClean.clean(UTF8String.fromString(s)).toString
+      assert(got === reference(s), s"case $i input codepoints: " +
+        s.map(c => f"U+${c.toInt}%04X").mkString(" "))
+    }
+  }
+
   test("interpreted eval matches the codegen path") {
     val ins = Seq("cafe" + Acute, s"a${ZWSP}b", "plain", "na\u00EFve",
       "e" + ZWNJ + Acute, s"mixed $ZWJ cafe$Acute$BOM")

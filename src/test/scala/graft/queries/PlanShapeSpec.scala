@@ -516,6 +516,32 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("partial_count"), "token counting must combine map-side")
   }
 
+  test("CDC snapshot: one map-side-partial max_by agg resolves versions, no window") {
+    val p = plan("q_cdc_snapshot")
+    assert(p.contains("partial_max_by"),
+      s"version resolution must combine map-side:\n$p")
+    assert(!p.contains("Window"),
+      s"resolution must be an agg, not a per-key row_number sort:\n$p")
+  }
+
+  test("incremental dedup: index-probe join is a hash join, never all-pairs") {
+    val p = plan("q_dedup_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"probe must bucket-join the stored index, not cross it:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      "verified-match election must combine map-side")
+  }
+
+  test("per-source drift: per-key windows only, no scalar-combine join") {
+    val p = plan("q_drift_by_source")
+    assert(!p.contains("Join"),
+      s"per-source KS totals must be constant windows, not a join:\n$p")
+    assert(!p.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"),
+      s"every window must be PARTITION BY source:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"),
+      s"scan must prune to doc_id+source+n_chars:\n$p")
+  }
+
   test("corpus drift: no scalar-combine join; all four windows ride the rescues") {
     val p = plan("q_corpus_drift")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")

@@ -39,6 +39,24 @@ class CdcMergeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       (2L, "second", 2L), (3L, "three", 30L), (4L, "back", 44L)))
   }
 
+  test("broadcastChanges=false leaves the join unhinted, result unchanged") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // turn off size-based broadcast too, so the unhinted plan is visibly
+    // a non-broadcast join (AQE may still upgrade it; assert values only
+    // after checking the INITIAL plan carries no hint-forced broadcast)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val changes = Seq((2L, "TWO", 21L, "U"), (3L, "x", 0L, "D"))
+        .toDF("k", "v", "n", "op")
+      val merged = CdcMerge(base, changes, "k", broadcastChanges = false)
+      val init = merged.queryExecution.sparkPlan.toString
+      assert(!init.contains("BroadcastHashJoin"),
+        s"unhinted merge with threshold off must not plan broadcast:\n$init")
+      val got = merged.orderBy("k").as[(Long, String, Long)].collect().toList
+      assert(got === List((1L, "one", 10L), (2L, "TWO", 21L), (4L, "four", 40L)))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("plan: broadcast anti-join, base side never shuffles") {
     val changes = Seq((2L, "TWO", 21L, "U")).toDF("k", "v", "n", "op")
     val merged = CdcMerge(base, changes, "k")
