@@ -134,6 +134,44 @@ object Multimodal {
     }
   }
 
+  /** REAL perceptual-hash image dedup end to end: per document, the
+    * original image AND a perturbed near-duplicate (every 97th pixel
+    * +8 mod 256 — the formula-level analog of recompression noise)
+    * each run the FULL real pipeline — PNG encode (ImageIO) → decode →
+    * 8×8 nearest-neighbor thumbnail → [[ImageCodec.aHash64]] — and the
+    * pair's Hamming distance decides near-duplicate status. Both
+    * hashes derive from decoded bytes, yet every bit is arithmetic in
+    * the generator constants, so a SQL oracle replays the thumbnails
+    * and hashes exactly, codec-free.
+    *
+    * Scale: one narrow mapPartitions, no shuffle, one image in flight
+    * per task — at 100 TB the hash pass runs at scan speed and the
+    * downstream dedup is a 64-bit-key bucket join, not an image join. */
+  def synthPerceptualHashes(documents: DataFrame)(implicit s: SparkSession): Dataset[PerceptualHash] = {
+    import s.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (16 + id % 64).toInt
+        val h = (16 + id % 48).toInt
+        def hashOf(px: Int => Long): Long = {
+          val arr = Array.tabulate(w * h)(i => px(i).toByte)
+          val png = ImageCodec.encodeGrayPng(arr, w, h)
+          val (dw, dh, dec) = ImageCodec.decodeGray(png)
+          ImageCodec.aHash64(ImageCodec.resizeNearest(dec, dw, dh, 8, 8))
+        }
+        val a = hashOf(i => (id * 31 + i) % 256)
+        val b = hashOf(i => (id * 31 + i + (if (i % 97 == 0) 8 else 0)) % 256)
+        // a genuinely DIFFERENT image — unrelated content formula; the
+        // classifier must keep it far while holding the b-pair near
+        val c = hashOf(i => (id * 37 + 5L * i) % 256)
+        val dab = java.lang.Long.bitCount(a ^ b).toLong
+        val dac = java.lang.Long.bitCount(a ^ c).toLong
+        PerceptualHash(id, a, b, c, dab, dac,
+          if (dab <= 10) 1L else 0L, if (dac <= 10) 1L else 0L)
+      }
+    }
+  }
+
   /** STUB decode: batch feature extraction over partition iterators — the
     * real-decode call site for the remaining VIDEO PIXEL path (the JDK
     * bundles no video codec; images and audio decode for real via
@@ -164,6 +202,13 @@ final case class AudioRow(doc_id: Long, n_samples: Int, payload: Array[Byte])
 final case class DecodedMedia(doc_id: Long, width_px: Long, height_px: Long,
                               mean_luma: Double, thumb_mean: Double,
                               audio_n: Long, audio_mean: Double)
+
+/** Per-document perceptual-hash triple: original (a), perturbed
+  * near-dup (b) and unrelated image (c), each hashed off REAL decoded
+  * bytes. `near_* ` = hamming ≤ 10 — b must classify near, c far. */
+final case class PerceptualHash(doc_id: Long, ahash_a: Long, ahash_b: Long,
+                                ahash_c: Long, ham_ab: Long, ham_ac: Long,
+                                near_ab: Long, near_ac: Long)
 
 /** REAL image codec on the JDK's built-in ImageIO (PNG/JPEG/BMP/GIF ship
   * with the JVM — no external libs needed): grayscale encode, decode to
@@ -202,6 +247,28 @@ object ImageCodec {
     val samples = new Array[Int](w * h)
     img.getRaster.getSamples(0, 0, w, h, 0, samples)
     (w, h, samples.map(_.toByte))
+  }
+
+  /** 64-bit average hash of an 8×8 grayscale thumbnail — the classic
+    * perceptual near-dup fingerprint: bit k set iff thumb(k) is
+    * STRICTLY above the thumbnail mean, compared integer-exactly
+    * (t(k)·64 > Σt — no double mean, so an engine with no FP can
+    * replay every bit). Near-duplicate images land within a few bits
+    * of Hamming distance; exact-byte hashing (md5 of the payload)
+    * catches none of them, which is why image dedup needs this and not
+    * the text path's content hash. */
+  def aHash64(thumb: Array[Byte]): Long = {
+    require(thumb.length == 64, s"aHash64 expects an 8x8 thumb, got ${thumb.length}")
+    var sum = 0L
+    var k = 0
+    while (k < 64) { sum += (thumb(k) & 0xff); k += 1 }
+    var h = 0L
+    k = 0
+    while (k < 64) {
+      if ((thumb(k) & 0xff) * 64L > sum) h |= 1L << k
+      k += 1
+    }
+    h
   }
 
   /** Nearest-neighbor resample over DECODED pixels (deterministic

@@ -42,7 +42,7 @@ object PipelineQueries {
     "q_knn_delete",
     "q_text_search", "q_text_search_ranked", "q_text_bm25", "q_text_bm25_live",
     "q_text_phrase", "q_text_stream_ingest", "q_text_delete", "q_text_merge",
-    "q_cdc_snapshot")
+    "q_cdc_snapshot", "q_cdc_asof")
 
   /** Persist hygiene across repeated invocation. Bench runs every query
     * 3+ times per process and one process may touch several SF dirs, so a
@@ -2102,6 +2102,16 @@ object PipelineQueries {
       Multimodal.synthDecodedMedia(documents(s, dir))(s)
         .toDF().orderBy("doc_id")),
 
+    // IMAGE NEAR-DUP via perceptual hash: original + perturbed image per
+    // doc, BOTH through the real PNG encode→decode→thumbnail→aHash64
+    // pipeline; Hamming distance decides near-dup. Every bit replayed
+    // arithmetically by the oracle (integer-exact mean comparison —
+    // t(k)·64 > Σt). Narrow mapPartitions, no shuffle; at scale dedup
+    // becomes a bucket join on the 64-bit hash, never an image join.
+    "q_media_phash" -> ((s, dir) =>
+      Multimodal.synthPerceptualHashes(documents(s, dir))(s)
+        .toDF().orderBy("doc_id")),
+
     // scalar-function coverage: strings
     "q_string_funcs" -> ((s, dir) =>
       customer(s, dir).select(
@@ -2582,33 +2592,46 @@ object PipelineQueries {
     // seq) hash agg: map-side partial, single exchange, no per-version
     // sort, no window. The streaming twin (StreamingIngest.cdcWriter)
     // appends these same generations from micro-batches.
-    "q_cdc_snapshot" -> ((s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_cdcstore_" +
-        s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
-      val done = new org.apache.hadoop.fs.Path(path, "_built")
-      val fs = done.getFileSystem(s.sessionState.newHadoopConf())
-      if (!fs.exists(done)) {
-        val base = documents(s, dir)
-        graft.store.CdcStore.writeBase(
-          base, col("doc_id"), graft.keys.HashPrefix(16), path)
-        val d0 = base.filter(pmod(col("doc_id"), lit(10L)) === 3L)
-          .withColumn("text", upper(col("text"))).withColumn("op", lit("U"))
-          .unionByName(base.filter(pmod(col("doc_id"), lit(10L)) === 7L)
-            .withColumn("op", lit("D")))
-        graft.store.CdcStore.append(d0, 0L, path)
-        val d1 = base.filter(pmod(col("doc_id"), lit(20L)) === 7L)
-          .withColumn("op", lit("I"))
-          .unionByName(base.filter(pmod(col("doc_id"), lit(10L)) === 4L)
-            .withColumn("op", lit("D")))
-        graft.store.CdcStore.append(d1, 1L, path)
-        fs.create(done, true).close()
-      }
-      graft.store.CdcStore.snapshot(s, path, "doc_id")
-        .select(col("doc_id"), md5(col("text")).as("h"),
-          col("lang"), col("source"), col("n_chars"))
-        .orderBy("doc_id")
-    })
+    "q_cdc_snapshot" -> ((s, dir) =>
+      cdcSnapshotQuery(s, dir, asOf = Long.MaxValue)),
+
+    // CDC TIME TRAVEL — the same store read AS OF generation 0: gen 1's
+    // re-inserts and deletes must be invisible, and the generation
+    // filter lands on the seq PARTITION column (later delta segments
+    // are pruned off the scan, not read-and-discarded).
+    "q_cdc_asof" -> ((s, dir) =>
+      cdcSnapshotQuery(s, dir, asOf = 0L))
   )
+
+  /** Build the per-process CDC demo store once (base + 2 delta
+    * generations derived from documents) and read a snapshot at
+    * `asOf` — shared by q_cdc_snapshot / q_cdc_asof. */
+  private def cdcSnapshotQuery(s: SparkSession, dir: String, asOf: Long): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_cdcstore_" +
+      s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+    val done = new org.apache.hadoop.fs.Path(path, "_built")
+    val fs = done.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(done)) {
+      val base = documents(s, dir)
+      graft.store.CdcStore.writeBase(
+        base, col("doc_id"), graft.keys.HashPrefix(16), path)
+      val d0 = base.filter(pmod(col("doc_id"), lit(10L)) === 3L)
+        .withColumn("text", upper(col("text"))).withColumn("op", lit("U"))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(10L)) === 7L)
+          .withColumn("op", lit("D")))
+      graft.store.CdcStore.append(d0, 0L, path)
+      val d1 = base.filter(pmod(col("doc_id"), lit(20L)) === 7L)
+        .withColumn("op", lit("I"))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(10L)) === 4L)
+          .withColumn("op", lit("D")))
+      graft.store.CdcStore.append(d1, 1L, path)
+      fs.create(done, true).close()
+    }
+    graft.store.CdcStore.snapshot(s, path, "doc_id", asOf = asOf)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
 
   // ---- oracles ------------------------------------------------------------
 
@@ -3474,6 +3497,40 @@ object PipelineQueries {
                / (256 + doc_id % 512) AS audio_mean
            FROM documents ORDER BY doc_id""",
 
+      "q_media_phash" -> {
+        // the sampled source index of thumbnail cell k (row-major 8×8),
+        // identical to ImageCodec.resizeNearest's integer arithmetic
+        val w = "(16 + doc_id % 64)"
+        val h = "(16 + doc_id % 48)"
+        val idx = s"(((k // 8) * $h // 8) * $w + ((k % 8) * $w // 8))"
+        val ta = s"list_transform(range(64), k -> (doc_id * 31 + $idx) % 256)"
+        val tb = s"list_transform(range(64), k -> (doc_id * 31 + $idx" +
+          s" + CASE WHEN $idx % 97 = 0 THEN 8 ELSE 0 END) % 256)"
+        val tc = s"list_transform(range(64), k -> (doc_id * 37 + 5 * $idx) % 256)"
+        // bit 63 would overflow 1<<63, so it contributes Long.MIN_VALUE
+        // directly — same two's-complement value the Scala packing makes
+        def hashOf(t: String) =
+          s"""CAST(CASE WHEN $t[64] * 64 > list_sum($t)
+                        THEN -9223372036854775808 ELSE 0 END
+               + CAST(list_sum(list_transform(range(63), k ->
+                   CASE WHEN $t[k + 1] * 64 > list_sum($t)
+                        THEN (1::BIGINT << k) ELSE 0::BIGINT END)) AS BIGINT)
+               AS BIGINT)"""
+        s"""WITH t AS (SELECT doc_id, $ta AS ta, $tb AS tb, $tc AS tc
+                       FROM documents),
+              hh AS (SELECT doc_id, ${hashOf("ta")} AS ahash_a,
+                       ${hashOf("tb")} AS ahash_b,
+                       ${hashOf("tc")} AS ahash_c FROM t)
+            SELECT doc_id, ahash_a, ahash_b, ahash_c,
+              CAST(bit_count(xor(ahash_a, ahash_b)) AS BIGINT) AS ham_ab,
+              CAST(bit_count(xor(ahash_a, ahash_c)) AS BIGINT) AS ham_ac,
+              CAST(CASE WHEN bit_count(xor(ahash_a, ahash_b)) <= 10
+                   THEN 1 ELSE 0 END AS BIGINT) AS near_ab,
+              CAST(CASE WHEN bit_count(xor(ahash_a, ahash_c)) <= 10
+                   THEN 1 ELSE 0 END AS BIGINT) AS near_ac
+            FROM hh ORDER BY doc_id"""
+      },
+
       "q_media_video_meta" ->
         """SELECT doc_id,
              CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_tracks,
@@ -3730,6 +3787,24 @@ object PipelineQueries {
              FROM documents WHERE doc_id % 10 = 4),
             al AS (SELECT * FROM base UNION ALL
                    SELECT * FROM d0 UNION ALL SELECT * FROM d1),
+            r AS (SELECT *, row_number()
+                    OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+                  FROM al)
+           SELECT doc_id, md5(text) AS h, lang, source, n_chars
+           FROM r WHERE rn = 1 AND op <> 'D' ORDER BY doc_id""",
+
+      "q_cdc_asof" ->
+        """WITH base AS (
+             SELECT doc_id, text, lang, source, n_chars, 'U' AS op, -1 AS seq
+             FROM documents),
+            d0 AS (
+             SELECT doc_id, upper(text) AS text, lang, source, n_chars,
+                    'U' AS op, 0 AS seq
+             FROM documents WHERE doc_id % 10 = 3
+             UNION ALL
+             SELECT doc_id, text, lang, source, n_chars, 'D' AS op, 0 AS seq
+             FROM documents WHERE doc_id % 10 = 7),
+            al AS (SELECT * FROM base UNION ALL SELECT * FROM d0),
             r AS (SELECT *, row_number()
                     OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
                   FROM al)

@@ -173,4 +173,36 @@ class MultimodalSpec extends SparkSuite {
     }
     assert(e2.getMessage.contains("mvhd"), s"wrong failure: ${e2.getMessage}")
   }
+
+  test("aHash64: strict-above-mean bits, two's-complement bit 63, length guard") {
+    // uniform thumb: no pixel STRICTLY above the mean → hash 0
+    assert(ImageCodec.aHash64(Array.fill(64)(7.toByte)) === 0L)
+    // one bright pixel at cell 0: only it exceeds the mean → bit 0
+    val one = Array.fill(64)(0.toByte); one(0) = 64.toByte
+    assert(ImageCodec.aHash64(one) === 1L)
+    // bright pixel at cell 63 → bit 63 = Long.MIN_VALUE two's complement
+    val top = Array.fill(64)(0.toByte); top(63) = 64.toByte
+    assert(ImageCodec.aHash64(top) === Long.MinValue)
+    // bytes are unsigned luma: 0xFF must read as 255, not -1
+    val neg = Array.fill(64)(0.toByte); neg(5) = 0xff.toByte
+    assert(ImageCodec.aHash64(neg) === (1L << 5))
+    // exactly-at-mean is NOT above: alternating 0/2 (mean 1·64=Σ=64)
+    val half = Array.tabulate(64)(i => if (i % 2 == 0) 2.toByte else 0.toByte)
+    assert(java.lang.Long.bitCount(ImageCodec.aHash64(half)) === 32)
+    intercept[IllegalArgumentException] {
+      ImageCodec.aHash64(Array.fill(63)(0.toByte))
+    }
+  }
+
+  test("perceptual hashes: perturbed image stays near, unrelated image lands far") {
+    import spark.implicits._
+    val docs = (0L until 40L).toDF("doc_id")
+    val rows = Multimodal.synthPerceptualHashes(docs)(spark).collect()
+    assert(rows.length === 40)
+    assert(rows.forall(_.near_ab === 1L),
+      "every +8-perturbed copy must classify as a near-dup")
+    assert(rows.count(_.near_ac === 0L) >= 35,
+      "unrelated images must overwhelmingly classify far")
+    assert(rows.forall(r => r.ham_ab === java.lang.Long.bitCount(r.ahash_a ^ r.ahash_b)))
+  }
 }
