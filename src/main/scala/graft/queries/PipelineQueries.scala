@@ -2600,7 +2600,92 @@ object PipelineQueries {
     // filter lands on the seq PARTITION column (later delta segments
     // are pruned off the scan, not read-and-discarded).
     "q_cdc_asof" -> ((s, dir) =>
-      cdcSnapshotQuery(s, dir, asOf = 0L))
+      cdcSnapshotQuery(s, dir, asOf = 0L)),
+
+    // ROLLING Z-SCORE ANOMALY DETECTION — the metric-quality monitor
+    // every ingest pipeline needs: flag events whose value deviates
+    // > 3σ from the SAME user's trailing history. The history frame is
+    // SELF-EXCLUDING (ROWS 19 PRECEDING .. 1 PRECEDING): including the
+    // candidate in its own baseline masks exactly the outliers being
+    // hunted. INTEGER-EXACT: values fix to micro-units, and the z-test
+    // `|x−μ| > 3σ` multiplies through by n² to the all-integer form
+    // `(n·x − S)² > 9·(n·SS − S²)` in DECIMAL(38,0) — no float μ/σ, so
+    // DuckDB replays every comparison bit-for-bit (a float-σ variant
+    // would hash-flap on rows near the threshold). σ = 0 (constant
+    // history) correctly flags ANY deviation. Scale shape: one per-key
+    // sliding window — gate-governed like every per-key window here
+    // (stock hash exchange below `perKeyWindow.minChildBytes`, the
+    // skew-safe range-exchange rescue above it); the flag itself is a
+    // codegen'd row-local decimal comparison.
+    "q_anomaly_zscore" -> ((s, dir) => {
+      val win = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(-19, -1)
+      val dec = col("vi").cast("decimal(38,0)")
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value") * 1000000.0).cast("bigint").as("vi"), col("ts_us"))
+        .withColumn("n", count(lit(1)).over(win))
+        .withColumn("s", sum(dec).over(win).cast("decimal(38,0)"))
+        .withColumn("ss", sum(dec * col("vi")).over(win).cast("decimal(38,0)"))
+        .filter(col("n") >= 8 &&
+          (col("n").cast("decimal(38,0)") * col("vi") - col("s")) *
+            (col("n").cast("decimal(38,0)") * col("vi") - col("s")) >
+          (col("n").cast("decimal(38,0)") * col("ss") - col("s") * col("s")) * 9)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("vi"), col("n"))
+        .orderBy("event_id")
+    }),
+
+    // SNAPSHOT (RELEASE) DIFF — graft.store.SnapshotDiff: classify every
+    // key across two corpus versions as added/removed/changed/unchanged
+    // and report the per-status per-source census — the audit a dataset
+    // release runs before publishing. Versions are derived
+    // deterministically from documents (v2 drops doc_id%7==3, gains the
+    // %11==5 rows v1 lacks, and rewrites text on %13==2). Each side
+    // reduces to (key, length-prefixed null-safe content md5) — a NARROW
+    // projection — then ONE full outer equi-join decides status. At
+    // 100 TB both snapshots live in the salted store's bucketed-table
+    // layout and the join plans WITHOUT any exchange (per-bucket merge
+    // of pre-sorted files — SnapshotDiffSpec pins zero hash exchanges);
+    // here the inputs are raw parquet so the plan degrades declaratively
+    // to one shuffle per side.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val base = documents(s, dir)
+      val v1 = base.filter(pmod(col("doc_id"), lit(11L)) =!= 5L)
+      val v2 = base.filter(pmod(col("doc_id"), lit(7L)) =!= 3L)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(13L)) === 2L, upper(col("text")))
+            .otherwise(col("text")))
+      graft.store.SnapshotDiff
+        .diff(v1, v2, "doc_id", Seq("text", "lang", "n_chars"),
+          carry = Seq("source"))
+        .groupBy("status", "source")
+        .agg(count(lit(1)).as("n"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("status", "source")
+    }),
+
+    // DATA-QUALITY EXPECTATIONS — graft.pipeline.Expectations: the
+    // contract gate before promoting a batch. Five rules over orders:
+    // three ROW-LOCAL (not-null, range, accepted-values) fold into ONE
+    // map-combined agg over ONE scan — adding a rule adds a codegen'd
+    // column, not a pass; uniqueness is count−countDistinct (one
+    // exchange, the price of exactness); referential integrity is a
+    // broadcast LEFT ANTI count against customer. The report is
+    // O(#rules) rows — driver-safe by construction. Rules are chosen so
+    // both outcomes appear: the accepted-values rule FAILS (status 'P'
+    // exists) and the range rule fails on the o_totalprice tail.
+    "q_expectations" -> ((s, dir) => {
+      import graft.pipeline.Expectations._
+      report(orders(s, dir), Seq(
+        NotNull("o_custkey_not_null", "o_custkey"),
+        Expect("o_totalprice_range",
+          col("o_totalprice").between(0.0, 400000.0)),
+        Expect("o_status_accepted", col("o_orderstatus").isin("O", "F")),
+        Unique("o_orderkey_unique", "o_orderkey"),
+        RefIntegrity("o_custkey_ref_customer", "o_custkey",
+          customer(s, dir), "c_custkey")))
+    })
   )
 
   /** Build the per-process CDC demo store once (base + 2 delta
@@ -3809,7 +3894,86 @@ object PipelineQueries {
                     OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
                   FROM al)
            SELECT doc_id, md5(text) AS h, lang, source, n_chars
-           FROM r WHERE rn = 1 AND op <> 'D' ORDER BY doc_id"""
+           FROM r WHERE rn = 1 AND op <> 'D' ORDER BY doc_id""",
+
+      "q_anomaly_zscore" ->
+        """WITH v AS (
+             SELECT event_id, user_id, event_type,
+               CAST(round(value*1000000.0) AS BIGINT) AS vi, ts
+             FROM events),
+           w AS (
+             SELECT event_id, user_id, event_type, vi,
+               CAST(count(*) OVER win AS BIGINT) AS n,
+               CAST(sum(CAST(vi AS DECIMAL(38,0))) OVER win
+                 AS DECIMAL(38,0)) AS s,
+               CAST(sum(CAST(vi AS DECIMAL(38,0)) * vi) OVER win
+                 AS DECIMAL(38,0)) AS ss
+             FROM v
+             WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING))
+           SELECT event_id, user_id, event_type, vi, n
+           FROM w
+           WHERE n >= 8 AND
+             (CAST(n AS DECIMAL(38,0))*vi - s)*(CAST(n AS DECIMAL(38,0))*vi - s)
+               > 9*(n*ss - s*s)
+           ORDER BY event_id""",
+
+      "q_snapshot_diff" -> {
+        // the SAME length-prefixed null-safe encoding SnapshotDiff.contentHash
+        // generates: len:value per column, '<null>' for NULL
+        def enc(c: String) =
+          s"""CASE WHEN $c IS NULL THEN '<null>'
+              ELSE CAST(length(CAST($c AS VARCHAR)) AS VARCHAR)
+                   || ':' || CAST($c AS VARCHAR) END"""
+        val h = s"md5(${enc("text")} || ${enc("lang")} || ${enc("n_chars")})"
+        s"""WITH v1 AS (SELECT * FROM documents WHERE doc_id % 11 <> 5),
+             v2 AS (SELECT doc_id,
+                      CASE WHEN doc_id % 13 = 2 THEN upper(text)
+                           ELSE text END AS text,
+                      lang, source, n_chars
+                    FROM documents WHERE doc_id % 7 <> 3),
+             l AS (SELECT doc_id AS k, $h AS h, source FROM v1),
+             r AS (SELECT doc_id AS k, $h AS h, source FROM v2),
+             d AS (SELECT coalesce(l.k, r.k) AS doc_id,
+                     CASE WHEN l.k IS NULL THEN 'added'
+                          WHEN r.k IS NULL THEN 'removed'
+                          WHEN l.h <> r.h THEN 'changed'
+                          ELSE 'unchanged' END AS status,
+                     coalesce(r.source, l.source) AS source
+                   FROM l FULL OUTER JOIN r ON l.k = r.k)
+           SELECT status, source, CAST(count(*) AS BIGINT) AS n,
+             min(doc_id) AS min_id, max(doc_id) AS max_id
+           FROM d GROUP BY 1, 2 ORDER BY 1, 2"""
+      },
+
+      "q_expectations" ->
+        """WITH loc AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS v_nn,
+             CAST(sum(CASE WHEN NOT coalesce(
+               o_totalprice BETWEEN 0 AND 400000, false)
+               THEN 1 ELSE 0 END) AS BIGINT) AS v_rng,
+             CAST(sum(CASE WHEN NOT coalesce(
+               o_orderstatus IN ('O','F'), false)
+               THEN 1 ELSE 0 END) AS BIGINT) AS v_acc
+             FROM orders),
+           uni AS (SELECT CAST(count(o_orderkey) AS BIGINT) AS nr,
+             CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+               AS BIGINT) AS v
+             FROM orders),
+           ref AS (SELECT CAST(count(*) AS BIGINT) AS v FROM orders o
+             WHERE o_custkey IS NOT NULL AND NOT EXISTS
+               (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+           SELECT rule, n_rows, n_violations, n_violations = 0 AS pass
+           FROM (
+             SELECT 'o_custkey_not_null' AS rule, n AS n_rows,
+               v_nn AS n_violations FROM loc
+             UNION ALL SELECT 'o_totalprice_range', n, v_rng FROM loc
+             UNION ALL SELECT 'o_status_accepted', n, v_acc FROM loc
+             UNION ALL SELECT 'o_orderkey_unique', nr, v FROM uni
+             UNION ALL SELECT 'o_custkey_ref_customer',
+               (SELECT n FROM loc), v FROM ref)
+           ORDER BY rule"""
     )
   }
 }
