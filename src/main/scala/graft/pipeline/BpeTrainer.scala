@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [EXT] BPE (byte-pair-encoding) merge training — the first rounds of
+  * tokenizer training over a corpus: repeatedly find the most frequent
+  * adjacent symbol pair (weighted by word frequency) and fuse it into
+  * one symbol. Absent from the reference; the tokenizer-training member
+  * of the north-star pipeline surface.
+  *
+  * Representation: a word's symbol sequence is one string
+  * `"(s1)(s2)…(sn)"` — each symbol parenthesis-wrapped, so a merge is a
+  * literal `replace("(a)(b)" → "(ab)")` whose occurrences NEVER share
+  * boundary characters (a space/pipe-delimited encoding would: in
+  * `b a b`, the delimiter consumed by one match hides the next). Both
+  * engines' `replace` scan left-to-right over non-overlapping
+  * occurrences — exactly BPE's greedy application order — so the DuckDB
+  * oracle replays training decision-for-decision. Ties break
+  * deterministically (count DESC, then left/right symbol).
+  *
+  * Scale shape: the corpus is touched ONCE (the word-frequency agg,
+  * map-combined); every training round then runs on the VOCAB — |V|
+  * rows, millions at 100 TB, never the corpus — as one map-combined
+  * pair-count agg plus a 1-row argmax collect; the merge itself is a
+  * broadcast-literal map-side `replace`. Driver state is one (pair,
+  * count) row per round. This is the standard distributed-BPE layout
+  * (count on vocab, not corpus) that makes thousands of rounds feasible.
+  */
+object BpeTrainer {
+  /** `"(c1)(c2)…(cn)"` initial character-symbol encoding of a word. */
+  def encode(term: Column): Column =
+    concat(lit("("),
+      array_join(regexp_extract_all(term, lit("."), lit(0)), ")("),
+      lit(")"))
+
+  /** Adjacent-pair counts over an encoded vocab (`enc`, `freq`). */
+  def pairCounts(vocab: DataFrame): DataFrame =
+    vocab.select(col("freq"),
+        regexp_extract_all(col("enc"), lit("\\(([^)]*)\\)"), lit(1))
+          .as("syms"))
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        """transform(sequence(1, size(syms) - 1),
+           i -> struct(element_at(syms, i) AS a,
+                       element_at(syms, i + 1) AS b))""")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("freq"))
+      .groupBy("a", "b")
+      .agg(sum("freq").as("cnt"))
+
+  /** Run `rounds` merge rounds; returns (merge_rank, left_sym,
+    * right_sym, pair_count) — the learned merge table. */
+  def train(vocab0: DataFrame, rounds: Int): DataFrame = {
+    val spark = vocab0.sparkSession
+    import spark.implicits._
+    val base = vocab0.persist()
+    try {
+      var vocab = base
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      for (r <- 1 to rounds) {
+        val top = pairCounts(vocab)
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()(0)
+        val (a, b) = (top.getString(0), top.getString(1))
+        merges += ((r, a, b, top.getLong(2)))
+        vocab = vocab.withColumn("enc",
+          replace(col("enc"), lit(s"($a)($b)"), lit(s"($a$b)")))
+      }
+      merges.result()
+        .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+    } finally base.unpersist()
+  }
+}

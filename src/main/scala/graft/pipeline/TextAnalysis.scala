@@ -203,4 +203,23 @@ object TextAnalysis {
                     FROM ($corpusSelect))))
           WHERE wn = ${WinnowW}
           GROUP BY doc_id)"""
+
+  // ---- edit-distance-1 blocking (SymSpell deletion neighborhood) ----------
+
+  /** All strings obtained from `term` by deleting at most one character
+    * (the term itself included). Two terms within Levenshtein distance 1
+    * ALWAYS share a neighborhood key (substitution at i → both delete i;
+    * insertion/deletion → the longer side's deletion hits the shorter
+    * term verbatim), so an equi-join on these keys is a complete
+    * candidate generator — but NOT a sound classifier (distinct deletes
+    * can collide at distance 2, e.g. "xa"/"ay" share "a"), so candidates
+    * must be re-verified with exact `levenshtein`. Neighborhood size is
+    * |term|+1 — the linear-space SymSpell trade that turns the
+    * vocab × probe cross product into a hash join. */
+  def deletionKeys(term: Column): Column =
+    array_union(
+      array(term),
+      transform(sequence(lit(1), length(term)),
+        i => concat(term.substr(lit(1), i - 1),
+          term.substr(i + 1, length(term)))))
 }

@@ -2685,6 +2685,217 @@ object PipelineQueries {
         Unique("o_orderkey_unique", "o_orderkey"),
         RefIntegrity("o_custkey_ref_customer", "o_custkey",
           customer(s, dir), "c_custkey")))
+    }),
+
+    // FUZZY TERM SEARCH (edit distance ≤ 1) — typo-tolerant vocabulary
+    // lookup via the SymSpell deletion neighborhood
+    // (TextAnalysis.deletionKeys): probe terms are the corpus's 20 most
+    // frequent ≥5-char tokens with their first character mutated; each
+    // side explodes into |term|+1 deletion keys and ONE equi-join on the
+    // key generates candidates, re-verified with exact `levenshtein`
+    // (the neighborhood is complete for d≤1 but admits d=2 collisions —
+    // spec-pinned). Scale shape: the vocab agg is map-combined; the
+    // vocab-side explode is the linear SymSpell space trade (|term|+1
+    // rows per term — an INDEX you'd persist at 100 TB); the 20-probe
+    // side BROADCASTS into the join, so the vocab never shuffles and no
+    // vocab × probe cross product exists; the probe cut is a global
+    // row_number riding the engine's window rescue.
+    "q_text_fuzzy" -> ((s, dir) => {
+      val toks = documents(s, dir)
+        .select(explode(tokens(col("text"))).as("term"))
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("freq"))
+      val qt = vocab.filter(length(col("term")) >= 5)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("freq").desc, col("term"))))
+        .filter(col("rn") <= 20)
+        .select(concat(lit("z"), expr("substring(term, 2)")).as("q"))
+        .distinct()
+      val qk = qt.withColumn("k", explode(deletionKeys(col("q"))))
+      val vk = vocab.withColumn("k", explode(deletionKeys(col("term"))))
+      qk.join(vk, "k")
+        .select("q", "term", "freq").distinct()
+        .filter(levenshtein(col("q"), col("term")) <= 1)
+        .select(col("q"), col("term"),
+          levenshtein(col("q"), col("term")).cast("int").as("dist"),
+          col("freq"))
+        .orderBy("q", "term")
+    }),
+
+    // EQUI-WIDTH HISTOGRAM PROFILE — the distribution census a data
+    // profiler runs per numeric column: 20 equal-width buckets over the
+    // observed [min, max], with per-bucket count, actual value range and
+    // type diversity. INTEGER-EXACT: values fix to micro-units and the
+    // bucket index is pure integer arithmetic `least(19, (vi−lo)·20 div
+    // (hi−lo))` — float edge rounding would hash-flap rows sitting ON a
+    // bucket edge between engines. Scale shape: pass 1 is one
+    // map-combined min/max agg whose 1-ROW result broadcasts into pass 2
+    // (crossJoin(broadcast)) — the classic two-pass profile; pass 2 is
+    // one map-combined groupBy over 20 keys. No window, no sort until
+    // the 20-row result.
+    "q_histogram" -> ((s, dir) => {
+      val v = events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 1000000.0).cast("bigint").as("vi"))
+      val mm = v.agg(min("vi").as("lo"), max("vi").as("hi"))
+      v.crossJoin(broadcast(mm))
+        .withColumn("bucket",
+          least(lit(19), expr("((vi - lo) * 20) div (hi - lo)")).cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("vi").as("lo_vi"), max("vi").as("hi_vi"),
+          countDistinct("event_type").as("n_types"))
+        .orderBy("bucket")
+    }),
+
+    // URL NORMALIZATION + REGISTERED DOMAIN — the canonicalization a
+    // web-crawl pipeline applies before dedup/politeness grouping:
+    // lowercase scheme+host, strip default ports (443/https, 80/http),
+    // drop utm_* tracking params, sort surviving params, and extract the
+    // registered domain (last-2 labels, or last-3 under multi-part
+    // suffixes like co.uk). The corpus has no URL column, so messy URLs
+    // are PLANTED deterministically per doc (scheme/port/suffix/param
+    // variants cycle on doc_id) — both engines normalize the same mess
+    // with the SAME regexp + list pipeline, so every branch is
+    // oracle-checked. Scale shape: pure row-local codegen'd string ops —
+    // one narrow projection, no shuffle until the final census-free
+    // ORDER BY; at 100 TB the domain column feeds the politeness /
+    // per-domain-mix group keys downstream.
+    "q_url_parse" -> ((s, dir) => {
+      val planted = documents(s, dir).select(col("doc_id"), col("source"),
+        concat(
+          when(pmod(col("doc_id"), lit(3L)) === 0L, "HTTPS").otherwise("http"),
+          lit("://WWW."), col("source"),
+          when(pmod(col("doc_id"), lit(4L)) === 0L, ".CO.UK")
+            .otherwise(".Example.com"),
+          when(pmod(col("doc_id"), lit(3L)) === 0L, ":443")
+            .when(pmod(col("doc_id"), lit(5L)) === 0L, ":8080")
+            .otherwise(""),
+          lit("/p/"), col("doc_id"),
+          when(pmod(col("doc_id"), lit(2L)) === 0L,
+            "?utm_source=feed&b=2&utm_medium=x&a=1")
+            .when(pmod(col("doc_id"), lit(7L)) === 0L,
+              concat(lit("?id="), col("doc_id")))
+            .otherwise("")).as("url"))
+      val scheme = lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1))
+      val hostport = regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1)
+      val host = lower(regexp_extract(hostport, "^([^:]+)", 1))
+      val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+      val path = regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+      val qs = regexp_extract(col("url"), "\\?([^#]*)", 1)
+      val keep = array_join(array_sort(filter(split(qs, "&"),
+        p => p =!= "" && substring(p, 1, 4) =!= "utm_")), "&")
+      val defPort = (scheme === "https" && port === "443") ||
+        (scheme === "http" && port === "80")
+      val portN = when(port === "" || defPort, "")
+        .otherwise(concat(lit(":"), port))
+      val labels = split(host, "\\.")
+      val last2 = concat_ws(".",
+        element_at(labels, -2), element_at(labels, -1))
+      val domain = when(
+        last2.isin("co.uk", "com.au", "co.jp") && size(labels) >= 3,
+        concat_ws(".", element_at(labels, -3),
+          element_at(labels, -2), element_at(labels, -1)))
+        .otherwise(last2)
+      planted
+        .select(col("doc_id"),
+          concat(scheme, lit("://"), host, portN, path,
+            when(keep === "", "").otherwise(concat(lit("?"), keep)))
+            .as("url_norm"),
+          host.as("host"), domain.as("domain"))
+        .orderBy("doc_id")
+    }),
+
+    // BPE MERGE TRAINING — graft.pipeline.BpeTrainer: the first 3
+    // rounds of byte-pair tokenizer training. The corpus is scanned
+    // ONCE (word-frequency agg); each round then runs on the VOCAB —
+    // one map-combined adjacent-pair count, a 1-row argmax collect
+    // (deterministic tie-break: count DESC, then symbols), and a
+    // broadcast-literal replace fusing the winning pair. The
+    // parenthesis-wrapped symbol encoding makes the merge a plain
+    // string replace whose occurrences never share boundary chars, so
+    // DuckDB's replace replays training decision-for-decision.
+    "q_bpe_merges" -> ((s, dir) => {
+      val vocab = documents(s, dir)
+        .select(explode(tokens(col("text"))).as("term"))
+        .filter(col("term").rlike("^[a-z]+$"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+        .select(graft.pipeline.BpeTrainer.encode(col("term")).as("enc"),
+          col("freq"))
+      graft.pipeline.BpeTrainer.train(vocab, 3).orderBy("merge_rank")
+    }),
+
+    // SYSTEMATIC WEIGHTED SAMPLING — RNG-free weighted corpus
+    // subsampling: lay all documents on a cumulative-weight axis
+    // (weight = n_chars) and pick the ~50 documents containing the
+    // equally-spaced thresholds stride/2 + k·stride. Selection
+    // probability is proportional to weight, the pick set is EXACTLY
+    // reproducible (pure integer arithmetic — no float u^(1/w) priority
+    // to hash-flap), and a re-run after appending documents only moves
+    // picks past the append point. Scale shape: one map-combined total,
+    // broadcast as a 1-row frame; the cumulative sum is THE global
+    // running window, ridden by the engine's prefix-fold rescue (no
+    // single-task trap); the pick test is a row-local integer compare.
+    "q_sample_weighted" -> ((s, dir) => {
+      val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+      val tot = documents(s, dir).agg(sum("n_chars").as("w_total"))
+      documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("cum", sum("n_chars").over(w).cast("bigint"))
+        .crossJoin(broadcast(tot))
+        .withColumn("stride", expr("w_total div 50"))
+        .filter(
+          expr("""CASE WHEN cum < stride div 2 THEN 0
+                  ELSE (cum - stride div 2) div stride + 1 END""") >
+          expr("""CASE WHEN cum - n_chars < stride div 2 THEN 0
+                  ELSE (cum - n_chars - stride div 2) div stride + 1 END"""))
+        .select("doc_id", "source", "n_chars", "cum")
+        .orderBy("doc_id")
+    }),
+
+    // COLLOCATION EXTRACTION (lift) — the corpus-analysis question
+    // "which adjacent word pairs co-occur far beyond chance": lift =
+    // N·c(w1w2) / (c(w1)·c(w2)), the exponentiation-free core of PMI,
+    // computed in EXACT integer ppm (DECIMAL(38,0) cross-multiplication
+    // — no float log to flap ranks between engines). Scale shape:
+    // bigrams come from each doc's own token array (transform over
+    // adjacent positions — NO self-join of the token table on position,
+    // which would shuffle the whole corpus twice); unigram and bigram
+    // counts are map-combined aggs; the c12 ≥ 30 support cut shrinks
+    // the join input before the two count joins; the top-20 cut is a
+    // global row_number riding the window rescue.
+    "q_collocations" -> ((s, dir) => {
+      val docs = documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+      val toksE = docs.select(explode(col("w")).as("t"))
+      val uni = toksE.groupBy("t").agg(count(lit(1)).as("c"))
+      val tot = toksE.agg(count(lit(1)).as("total"))
+      val bi = docs.filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(w) - 1),
+             i -> struct(element_at(w, i) AS w1,
+                         element_at(w, i + 1) AS w2))""")).as("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 30)
+      val lift = bi
+        .join(uni.select(col("t").as("w1"), col("c").as("c1")), "w1")
+        .join(uni.select(col("t").as("w2"), col("c").as("c2")), "w2")
+        .crossJoin(broadcast(tot))
+        // exact floor division via (a − a mod b) / b in DECIMAL(38,0):
+        // every step exact. (The oracle needs HUGEINT division — DuckDB's
+        // `//` on DECIMAL operands ROUNDS the quotient instead of
+        // flooring, off-by-one whenever the true quotient's fraction
+        // is ≥ .5.)
+        .withColumn("num", expr("cast(c12 AS decimal(38,0)) * total * 1000000"))
+        .withColumn("den", expr("cast(c1 AS decimal(38,0)) * c2"))
+        .withColumn("lift_ppm",
+          expr("cast((num - (num % den)) / den AS bigint)"))
+      lift
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("lift_ppm").desc, col("w1"), col("w2"))))
+        .filter(col("r") <= 20)
+        .select("w1", "w2", "c12", "lift_ppm")
+        .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
     })
   )
 
@@ -3973,7 +4184,162 @@ object PipelineQueries {
              UNION ALL SELECT 'o_orderkey_unique', nr, v FROM uni
              UNION ALL SELECT 'o_custkey_ref_customer',
                (SELECT n FROM loc), v FROM ref)
-           ORDER BY rule"""
+           ORDER BY rule""",
+
+      "q_text_fuzzy" ->
+        s"""WITH toks AS (
+              SELECT unnest(${duckTokens("text")}) AS t FROM documents),
+            vocab AS (
+              SELECT t AS term, CAST(count(*) AS BIGINT) AS freq
+              FROM toks GROUP BY t),
+            qt AS (SELECT DISTINCT 'z' || t2 AS q FROM (
+              SELECT substring(term, 2) AS t2,
+                row_number() OVER (ORDER BY freq DESC, term) AS rn
+              FROM vocab WHERE length(term) >= 5) WHERE rn <= 20)
+           SELECT q, term, CAST(levenshtein(q, term) AS INT) AS dist, freq
+           FROM qt, vocab
+           WHERE levenshtein(q, term) <= 1
+           ORDER BY q, term""",
+
+      "q_histogram" ->
+        """WITH v AS (SELECT event_type,
+             CAST(round(value*1000000.0) AS BIGINT) AS vi FROM events),
+           mm AS (SELECT min(vi) AS lo, max(vi) AS hi FROM v)
+           SELECT CAST(least(19, ((vi - lo) * 20) // (hi - lo)) AS INT)
+               AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             min(vi) AS lo_vi, max(vi) AS hi_vi,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+           FROM v, mm GROUP BY 1 ORDER BY 1""",
+
+      // NOTE engine deltas handled here: DuckDB regexp_extract yields
+      // NULL on no-match (Spark ''), and array_to_string([]) yields NULL
+      // (Spark array_join → '') — both coalesced so the branches agree.
+      "q_url_parse" ->
+        """WITH p AS (SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END)
+             || '://WWW.' || source
+             || (CASE WHEN doc_id % 4 = 0 THEN '.CO.UK'
+                      ELSE '.Example.com' END)
+             || (CASE WHEN doc_id % 3 = 0 THEN ':443'
+                      WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END)
+             || '/p/' || doc_id
+             || (CASE WHEN doc_id % 2 = 0
+                      THEN '?utm_source=feed&b=2&utm_medium=x&a=1'
+                      WHEN doc_id % 7 = 0 THEN '?id=' || doc_id
+                      ELSE '' END) AS url
+           FROM documents),
+           x AS (SELECT doc_id,
+             lower(coalesce(regexp_extract(url, '^([A-Za-z]+)://', 1), ''))
+               AS scheme,
+             lower(coalesce(regexp_extract(coalesce(regexp_extract(url,
+               '^[A-Za-z]+://([^/?#]+)', 1), ''), '^([^:]+)', 1), ''))
+               AS host,
+             coalesce(regexp_extract(coalesce(regexp_extract(url,
+               '^[A-Za-z]+://([^/?#]+)', 1), ''), ':([0-9]+)$', 1), '')
+               AS port,
+             coalesce(regexp_extract(url,
+               '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '') AS path,
+             coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS qs
+           FROM p),
+           y AS (SELECT doc_id, scheme, host, port, path,
+             coalesce(array_to_string(list_sort(list_filter(
+               string_split(qs, '&'),
+               pp -> pp <> '' AND substring(pp, 1, 4) <> 'utm_')), '&'), '')
+               AS keep,
+             string_split(host, '.') AS labels
+           FROM x)
+           SELECT doc_id,
+             scheme || '://' || host
+             || (CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+                       OR (scheme = 'http' AND port = '80')
+                  THEN '' ELSE ':' || port END)
+             || path
+             || (CASE WHEN keep = '' THEN '' ELSE '?' || keep END)
+               AS url_norm,
+             host,
+             (CASE WHEN (labels[-2] || '.' || labels[-1])
+                     IN ('co.uk','com.au','co.jp') AND len(labels) >= 3
+               THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+               ELSE labels[-2] || '.' || labels[-1] END) AS domain
+           FROM y ORDER BY doc_id""",
+
+      "q_bpe_merges" -> {
+        def pc(v: String, out: String) =
+          s"""$out AS (SELECT syms[i] AS a, syms[i+1] AS b,
+                CAST(sum(freq) AS BIGINT) AS cnt
+              FROM (SELECT regexp_extract_all(enc, '\\(([^)]*)\\)', 1)
+                      AS syms, freq FROM $v),
+                   UNNEST(range(1, len(syms))) AS u(i)
+              GROUP BY 1, 2)"""
+        def applyMerge(v: String, m: String, out: String) =
+          s"""$out AS (SELECT replace(enc,
+                '(' || (SELECT a FROM $m) || ')(' || (SELECT b FROM $m) || ')',
+                '(' || (SELECT a FROM $m) || (SELECT b FROM $m) || ')')
+                AS enc, freq FROM $v)"""
+        s"""WITH toks AS (
+              SELECT unnest(${duckTokens("text")}) AS t FROM documents),
+            w AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS freq
+                  FROM toks WHERE regexp_matches(t, '^[a-z]+$$')
+                  GROUP BY t),
+            v0 AS (SELECT '(' ||
+                array_to_string(regexp_extract_all(term, '.'), ')(')
+                || ')' AS enc, freq FROM w),
+            ${pc("v0", "pc0")},
+            m1 AS (SELECT a, b, cnt FROM pc0 ORDER BY cnt DESC, a, b LIMIT 1),
+            ${applyMerge("v0", "m1", "v1")},
+            ${pc("v1", "pc1")},
+            m2 AS (SELECT a, b, cnt FROM pc1 ORDER BY cnt DESC, a, b LIMIT 1),
+            ${applyMerge("v1", "m2", "v2")},
+            ${pc("v2", "pc2")},
+            m3 AS (SELECT a, b, cnt FROM pc2 ORDER BY cnt DESC, a, b LIMIT 1)
+           SELECT * FROM (
+             SELECT 1 AS merge_rank, a AS left_sym, b AS right_sym,
+               cnt AS pair_count FROM m1
+             UNION ALL SELECT 2, a, b, cnt FROM m2
+             UNION ALL SELECT 3, a, b, cnt FROM m3)
+           ORDER BY merge_rank"""
+      },
+
+      "q_sample_weighted" ->
+        """WITH c AS (SELECT doc_id, source, n_chars,
+             sum(n_chars) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM documents),
+           s AS (SELECT doc_id, source, n_chars, cum,
+             (SELECT sum(n_chars) // 50 FROM documents) AS stride FROM c)
+           SELECT doc_id, source, n_chars, CAST(cum AS BIGINT) AS cum
+           FROM s
+           WHERE (CASE WHEN cum < stride // 2 THEN 0
+                  ELSE (cum - stride // 2) // stride + 1 END)
+               > (CASE WHEN cum - n_chars < stride // 2 THEN 0
+                  ELSE (cum - n_chars - stride // 2) // stride + 1 END)
+           ORDER BY doc_id""",
+
+      "q_collocations" ->
+        s"""WITH doc AS (SELECT doc_id, ${duckTokens("text")} AS w
+              FROM documents),
+            toks AS (SELECT doc_id, unnest(w) AS t FROM doc),
+            uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+                    FROM toks GROUP BY t),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks),
+            bi AS (SELECT w[i] AS w1, w[i+1] AS w2,
+                CAST(count(*) AS BIGINT) AS c12
+              FROM doc, UNNEST(range(1, len(w))) AS u(i)
+              GROUP BY 1, 2 HAVING count(*) >= 30),
+            lift AS (SELECT w1, w2, c12,
+              -- HUGEINT floor division: DuckDB's // on DECIMAL rounds
+              -- the quotient instead of flooring
+              CAST((CAST(c12 AS HUGEINT) * (SELECT total FROM n)
+                  * 1000000)
+                // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT)
+                AS lift_ppm
+              FROM bi JOIN uni u1 ON bi.w1 = u1.t
+                      JOIN uni u2 ON bi.w2 = u2.t)
+           SELECT w1, w2, c12, lift_ppm FROM (
+             SELECT *, row_number()
+               OVER (ORDER BY lift_ppm DESC, w1, w2) AS r FROM lift)
+           WHERE r <= 20 ORDER BY lift_ppm DESC, w1, w2"""
     )
   }
 }
