@@ -2736,8 +2736,14 @@ object PipelineQueries {
       val v = events(s, dir)
         .select(col("event_type"),
           round(col("value") * 1000000.0).cast("bigint").as("vi"))
-      val mm = v.agg(min("vi").as("lo"), max("vi").as("hi"))
-      v.crossJoin(broadcast(mm))
+      // global min/max as whole-table constant WINDOWS — the engine's
+      // GlobalConstantAgg rescue attaches them with ZERO exchanges
+      // (per-partition partials + driver merge + narrow attach); a
+      // scalar crossJoin would plan a BroadcastNestedLoopJoin and trip
+      // the repo-wide no-nested-loop guard
+      val wAll = Window.partitionBy()
+      v.withColumn("lo", min("vi").over(wAll))
+        .withColumn("hi", max("vi").over(wAll))
         .withColumn("bucket",
           least(lit(19), expr("((vi - lo) * 20) div (hi - lo)")).cast("int"))
         .groupBy("bucket")
@@ -2837,11 +2843,12 @@ object PipelineQueries {
     // single-task trap); the pick test is a row-local integer compare.
     "q_sample_weighted" -> ((s, dir) => {
       val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-      val tot = documents(s, dir).agg(sum("n_chars").as("w_total"))
       documents(s, dir)
         .select(col("doc_id"), col("source"), col("n_chars"))
         .withColumn("cum", sum("n_chars").over(w).cast("bigint"))
-        .crossJoin(broadcast(tot))
+        // grand total as a whole-table constant window (zero-exchange
+        // rescue) — not a scalar crossJoin (nested-loop guard)
+        .withColumn("w_total", sum("n_chars").over(Window.partitionBy()))
         .withColumn("stride", expr("w_total div 50"))
         .filter(
           expr("""CASE WHEN cum < stride div 2 THEN 0
@@ -2868,7 +2875,6 @@ object PipelineQueries {
         .select(col("doc_id"), tokens(col("text")).as("w"))
       val toksE = docs.select(explode(col("w")).as("t"))
       val uni = toksE.groupBy("t").agg(count(lit(1)).as("c"))
-      val tot = toksE.agg(count(lit(1)).as("total"))
       val bi = docs.filter(size(col("w")) >= 2)
         .select(explode(expr(
           """transform(sequence(1, size(w) - 1),
@@ -2877,10 +2883,15 @@ object PipelineQueries {
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
         .filter(col("c12") >= 30)
+      // token grand total = Σ unigram counts, attached to the (small)
+      // vocab aggregate as a whole-table constant window — rides the
+      // zero-exchange rescue instead of a scalar nested-loop join
+      val uniT = uni.withColumn("total",
+        sum("c").over(Window.partitionBy()))
       val lift = bi
-        .join(uni.select(col("t").as("w1"), col("c").as("c1")), "w1")
+        .join(uniT.select(col("t").as("w1"), col("c").as("c1"),
+          col("total")), "w1")
         .join(uni.select(col("t").as("w2"), col("c").as("c2")), "w2")
-        .crossJoin(broadcast(tot))
         // exact floor division via (a − a mod b) / b in DECIMAL(38,0):
         // every step exact. (The oracle needs HUGEINT division — DuckDB's
         // `//` on DECIMAL operands ROUNDS the quotient instead of
@@ -2896,6 +2907,62 @@ object PipelineQueries {
         .filter(col("r") <= 20)
         .select("w1", "w2", "c12", "lift_ppm")
         .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+    }),
+
+    // EXPONENTIAL SMOOTHING (EWMA, α = 1/2) — the time-series smoother
+    // between plain moving averages and full Holt-Winters: weight decays
+    // 2× per step over the last 16 samples per user. EXACT: weights are
+    // powers of two, so the smoothed value is an integer fraction
+    // (num = Σ lag_k·2^(15−k), den = Σ 2^(15−k) over PRESENT lags — den
+    // self-adjusts at series starts instead of biasing toward zero).
+    // The 16 lag() terms share ONE per-key window (one exchange,
+    // gate-governed); everything else is row-local integer folds.
+    "q_ewma" -> ((s, dir) => {
+      val win = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val num = (0 until 16).map(k =>
+        coalesce(lag(col("vi"), k).over(win), lit(0L)) *
+          lit(1L << (15 - k))).reduce(_ + _)
+      val den = (0 until 16).map(k =>
+        when(lag(col("vi"), k).over(win).isNull, 0L)
+          .otherwise(1L << (15 - k))).reduce(_ + _)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          round(col("value") * 1000000.0).cast("bigint").as("vi"),
+          col("ts_us"))
+        .withColumn("ewma_num", num.cast("bigint"))
+        .withColumn("ewma_den", den.cast("bigint"))
+        .withColumn("ewma_milli",
+          expr("(ewma_num * 1000) div ewma_den"))
+        .select("event_id", "user_id", "vi", "ewma_num", "ewma_den",
+          "ewma_milli")
+        .orderBy("event_id")
+    }),
+
+    // CRAWL POLITENESS SCHEDULE — the frontier scheduler a crawl
+    // pipeline runs: one fetch per host per second, hosts advance
+    // independently, and the global dispatch order interleaves hosts by
+    // ready-time. Per-host slots are a per-key row_number (ORDER BY
+    // doc_id — deterministic priority), fetch_at_ms = slot·1000; the
+    // dispatch cut is a global row_number over (fetch_at_ms, host) —
+    // both windows gate-governed/rescued. Output: the first 100
+    // dispatches. At 100 TB the per-host window is exactly the hot-key
+    // shape the rescue exists for (one mega-host vs millions of
+    // singletons).
+    "q_crawl_schedule" -> ((s, dir) => {
+      val host = concat(col("source"),
+        when(pmod(col("doc_id"), lit(4L)) === 0L, ".co.uk")
+          .otherwise(".example.com"))
+      val perHost = Window.partitionBy("host").orderBy("doc_id")
+      documents(s, dir)
+        .select(col("doc_id"), host.as("host"))
+        .withColumn("slot", row_number().over(perHost).cast("bigint") - 1L)
+        .withColumn("fetch_at_ms", col("slot") * 1000L)
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("fetch_at_ms"), col("host"), col("doc_id"))))
+        .filter(col("r") <= 100)
+        .select(col("r").cast("bigint").as("r"), col("host"),
+          col("doc_id"), col("slot"), col("fetch_at_ms"))
+        .orderBy("r")
     })
   )
 
@@ -4339,7 +4406,42 @@ object PipelineQueries {
            SELECT w1, w2, c12, lift_ppm FROM (
              SELECT *, row_number()
                OVER (ORDER BY lift_ppm DESC, w1, w2) AS r FROM lift)
-           WHERE r <= 20 ORDER BY lift_ppm DESC, w1, w2"""
+           WHERE r <= 20 ORDER BY lift_ppm DESC, w1, w2""",
+
+      "q_ewma" -> {
+        val num = (0 until 16).map(k =>
+          s"coalesce(lag(vi, $k) OVER win, 0) * ${1L << (15 - k)}")
+          .mkString(" + ")
+        val den = (0 until 16).map(k =>
+          s"CASE WHEN lag(vi, $k) OVER win IS NULL THEN 0 ELSE ${1L << (15 - k)} END")
+          .mkString(" + ")
+        s"""WITH v AS (SELECT event_id, user_id,
+              CAST(round(value*1000000.0) AS BIGINT) AS vi, ts FROM events),
+            e AS (SELECT event_id, user_id, vi,
+              CAST($num AS BIGINT) AS ewma_num,
+              CAST($den AS BIGINT) AS ewma_den
+            FROM v
+            WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+           SELECT event_id, user_id, vi, ewma_num, ewma_den,
+             (ewma_num * 1000) // ewma_den AS ewma_milli
+           FROM e ORDER BY event_id"""
+      },
+
+      "q_crawl_schedule" ->
+        """WITH h AS (SELECT doc_id,
+             source || (CASE WHEN doc_id % 4 = 0 THEN '.co.uk'
+                             ELSE '.example.com' END) AS host
+           FROM documents),
+           s AS (SELECT doc_id, host,
+             CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id)
+               AS BIGINT) - 1 AS slot
+           FROM h),
+           f AS (SELECT doc_id, host, slot, slot * 1000 AS fetch_at_ms
+           FROM s)
+           SELECT CAST(r AS BIGINT) AS r, host, doc_id, slot, fetch_at_ms
+           FROM (SELECT *, row_number()
+                   OVER (ORDER BY fetch_at_ms, host, doc_id) AS r FROM f)
+           WHERE r <= 100 ORDER BY r"""
     )
   }
 }

@@ -12,6 +12,11 @@ import java.sql.Timestamp
   * so the state encoder's generated code can construct it. */
 case class SessionState(sessStart: Long, sessEnd: Long, nClicks: Long)
 
+/** Trailing-history ring for [[StreamingIngest.anomalyFlags]] — the last
+  * ≤ histLen fixed-point values per key, oldest first. Top-level for the
+  * state encoder. */
+case class AnomState(ring: Seq[Long])
+
 /** Structured Streaming front end for the salted store — the [EXT]
   * streaming surface of SURVEY.md §2.2.
   *
@@ -345,5 +350,48 @@ object StreamingIngest {
       .groupBy("user_id", "sess_id")
       .agg(min("ts_us").as("sess_start"), max("ts_us").as("sess_end"),
            count(lit(1)).as("clicks"))
+  }
+
+  case class Metric(user_id: Long, ts: Timestamp, event_id: Long, vi: Long)
+  case class Anomaly(user_id: Long, event_id: Long, vi: Long, n: Long)
+
+  /** Streaming twin of `q_anomaly_zscore`: flag a metric whose value
+    * deviates > 3σ from the SAME key's trailing history (self-excluding
+    * ring of the last `histLen` values), in the SAME all-integer
+    * arithmetic — `(n·x − S)² > 9·(n·SS − S²)` over exact BigInt, so a
+    * flag here is bit-identical to the batch window's decision.
+    *
+    * State per key is ONE fixed-size ring (≤ histLen longs) regardless
+    * of stream length or key cardinality skew — the mapGroupsWithState
+    * analog of the batch per-key sliding frame. Rows inside a
+    * micro-batch sort by (event time, event_id); ACROSS batches arrival
+    * order is history order — the operator is deterministic given the
+    * batch boundaries the test pins, and late data beyond the watermark
+    * is the same data the batch twin would misplace. */
+  def anomalyFlags(metrics: Dataset[Metric], watermarkDelay: String,
+                   histLen: Int = 19, minN: Int = 8): Dataset[Anomaly] = {
+    import metrics.sparkSession.implicits._
+    metrics
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AnomState, Anomaly](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Metric], state: GroupState[AnomState]) =>
+          var ring = state.getOption.map(_.ring.toVector).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[Anomaly]
+          rows.toArray.sortBy(m => (m.ts.getTime, m.event_id)).foreach { m =>
+            val n = ring.length
+            if (n >= minN) {
+              val s = ring.iterator.map(BigInt(_)).sum
+              val ss = ring.iterator.map(v => BigInt(v) * v).sum
+              val dev = BigInt(n) * m.vi - s
+              if (dev * dev > 9 * (BigInt(n) * ss - s * s))
+                out += Anomaly(user, m.event_id, m.vi, n.toLong)
+            }
+            ring = (ring :+ m.vi).takeRight(histLen)
+          }
+          state.update(AnomState(ring))
+          out.result().iterator
+      }
   }
 }
