@@ -70,4 +70,16 @@ object BpeTrainer {
         .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
     } finally base.unpersist()
   }
+
+  /** Apply a learned merge table (in rank order) to an encoded column —
+    * the TOKENIZE side of BPE: each merge is a broadcast-literal
+    * `replace`, identical to how training applied it. */
+  def applyMerges(enc: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(enc) { case (e, (a, b)) =>
+      replace(e, lit(s"($a)($b)"), lit(s"($a$b)"))
+    }
+
+  /** Symbol count of an encoded string = its '(' count. */
+  def symbolCount(enc: Column): Column =
+    size(regexp_extract_all(enc, lit("\\("), lit(0)))
 }

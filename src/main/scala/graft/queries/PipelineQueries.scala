@@ -2963,6 +2963,68 @@ object PipelineQueries {
         .select(col("r").cast("bigint").as("r"), col("host"),
           col("doc_id"), col("slot"), col("fetch_at_ms"))
         .orderBy("r")
+    }),
+
+    // BPE ENCODE (tokenizer APPLY) — the other half of q_bpe_merges:
+    // train the 3-round merge table (vocab-side, corpus scanned once),
+    // then encode every document with it — per doc, symbol counts
+    // before/after and the characters saved. The merge table is 3
+    // DRIVER rows folded into 3 broadcast-literal replaces (at a real
+    // vocab size the table would broadcast, never join); encoding is a
+    // narrow codegen'd projection at corpus-scan speed. The oracle
+    // re-trains from ONE shared CTE chain, so both engines must make
+    // identical merge decisions before encode parity even starts.
+    "q_bpe_encode" -> ((s, dir) => {
+      import graft.pipeline.BpeTrainer
+      val vocab = documents(s, dir)
+        .select(explode(tokens(col("text"))).as("term"))
+        .filter(col("term").rlike("^[a-z]+$"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+        .select(BpeTrainer.encode(col("term")).as("enc"), col("freq"))
+      val merges = BpeTrainer.train(vocab, 3).orderBy("merge_rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val tok = documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .filter(col("t").rlike("^[a-z]+$"))
+      tok
+        .withColumn("n0", length(col("t")).cast("bigint"))
+        .withColumn("n3", BpeTrainer.symbolCount(
+          BpeTrainer.applyMerges(BpeTrainer.encode(col("t")), merges))
+          .cast("bigint"))
+        .groupBy("doc_id")
+        .agg(sum("n0").as("n_sym0"), sum("n3").as("n_sym3"),
+          (sum("n0") - sum("n3")).as("saved"))
+        .orderBy("doc_id")
+    }),
+
+    // WINSORIZATION (P1/P99 outlier capping) — the robust-stats prep
+    // step before any mean-based normalization: clamp values at the
+    // EXACT 1st/99th percentiles. Percentile-at-rank is computed
+    // declaratively: a global row_number over the value order (the
+    // engine's rescued two-pass rank — no single-task sort), the row
+    // count as a zero-exchange constant window, and the threshold
+    // values as constant-window maxima over rank-conditional values —
+    // three window layers, all rescued, no self-join, no collect. The
+    // 1-row report carries the thresholds, clamp counts and the exact
+    // clamped integer sum.
+    "q_winsorize" -> ((s, dir) => {
+      val wRank = Window.orderBy("vi", "event_id")
+      val wAll = Window.partitionBy()
+      events(s, dir)
+        .select(col("event_id"),
+          round(col("value") * 1000000.0).cast("bigint").as("vi"))
+        .withColumn("rk", row_number().over(wRank).cast("bigint"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("lo_t", max(when(
+          col("rk") <= greatest(expr("n div 100"), lit(1L)), col("vi")))
+          .over(wAll))
+        .withColumn("hi_t", max(when(
+          col("rk") <= expr("(n * 99) div 100"), col("vi"))).over(wAll))
+        .agg(max("n").as("n"), max("lo_t").as("lo_t"), max("hi_t").as("hi_t"),
+          sum(when(col("vi") < col("lo_t"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("vi") > col("hi_t"), 1L).otherwise(0L)).as("n_hi"),
+          sum(least(greatest(col("vi"), col("lo_t")), col("hi_t")))
+            .as("sum_clamped"))
     })
   )
 
@@ -2997,6 +3059,44 @@ object PipelineQueries {
   }
 
   // ---- oracles ------------------------------------------------------------
+
+  /** One BPE pair-count stage over encoded-vocab CTE `v`. */
+  private def duckBpePc(v: String, out: String): String =
+    s"""$out AS (SELECT syms[i] AS a, syms[i+1] AS b,
+          CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (SELECT regexp_extract_all(enc, '\\(([^)]*)\\)', 1)
+                AS syms, freq FROM $v),
+             UNNEST(range(1, len(syms))) AS u(i)
+        GROUP BY 1, 2)"""
+
+  /** Apply merge `m` to CTE `v`'s `enc`, carrying every other column. */
+  private def duckBpeApply(v: String, m: String, out: String): String =
+    s"""$out AS (SELECT * REPLACE (replace(enc,
+          '(' || (SELECT a FROM $m) || ')(' || (SELECT b FROM $m) || ')',
+          '(' || (SELECT a FROM $m) || (SELECT b FROM $m) || ')') AS enc)
+        FROM $v)"""
+
+  /** The 3-round BPE training CTE chain (vocab → m1/m2/m3) shared by
+    * q_bpe_merges (reports the merge table) and q_bpe_encode (applies
+    * it) — ONE definition so the oracles can never train differently. */
+  private def duckBpeCtes: String =
+    s"""toks AS (
+          SELECT unnest(${TextAnalysis.duckTokens("text")}) AS t
+          FROM documents),
+        w AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS freq
+              FROM toks WHERE regexp_matches(t, '^[a-z]+$$')
+              GROUP BY t),
+        v0 AS (SELECT '(' ||
+            array_to_string(regexp_extract_all(term, '.'), ')(')
+            || ')' AS enc, freq FROM w),
+        ${duckBpePc("v0", "pc0")},
+        m1 AS (SELECT a, b, cnt FROM pc0 ORDER BY cnt DESC, a, b LIMIT 1),
+        ${duckBpeApply("v0", "m1", "v1")},
+        ${duckBpePc("v1", "pc1")},
+        m2 AS (SELECT a, b, cnt FROM pc1 ORDER BY cnt DESC, a, b LIMIT 1),
+        ${duckBpeApply("v1", "m2", "v2")},
+        ${duckBpePc("v2", "pc2")},
+        m3 AS (SELECT a, b, cnt FROM pc2 ORDER BY cnt DESC, a, b LIMIT 1)"""
 
   def oracle: Map[String, String] = {
     val stop = duckMarkerCount("w", Stopwords)
@@ -4331,42 +4431,33 @@ object PipelineQueries {
                ELSE labels[-2] || '.' || labels[-1] END) AS domain
            FROM y ORDER BY doc_id""",
 
-      "q_bpe_merges" -> {
-        def pc(v: String, out: String) =
-          s"""$out AS (SELECT syms[i] AS a, syms[i+1] AS b,
-                CAST(sum(freq) AS BIGINT) AS cnt
-              FROM (SELECT regexp_extract_all(enc, '\\(([^)]*)\\)', 1)
-                      AS syms, freq FROM $v),
-                   UNNEST(range(1, len(syms))) AS u(i)
-              GROUP BY 1, 2)"""
-        def applyMerge(v: String, m: String, out: String) =
-          s"""$out AS (SELECT replace(enc,
-                '(' || (SELECT a FROM $m) || ')(' || (SELECT b FROM $m) || ')',
-                '(' || (SELECT a FROM $m) || (SELECT b FROM $m) || ')')
-                AS enc, freq FROM $v)"""
-        s"""WITH toks AS (
-              SELECT unnest(${duckTokens("text")}) AS t FROM documents),
-            w AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS freq
-                  FROM toks WHERE regexp_matches(t, '^[a-z]+$$')
-                  GROUP BY t),
-            v0 AS (SELECT '(' ||
-                array_to_string(regexp_extract_all(term, '.'), ')(')
-                || ')' AS enc, freq FROM w),
-            ${pc("v0", "pc0")},
-            m1 AS (SELECT a, b, cnt FROM pc0 ORDER BY cnt DESC, a, b LIMIT 1),
-            ${applyMerge("v0", "m1", "v1")},
-            ${pc("v1", "pc1")},
-            m2 AS (SELECT a, b, cnt FROM pc1 ORDER BY cnt DESC, a, b LIMIT 1),
-            ${applyMerge("v1", "m2", "v2")},
-            ${pc("v2", "pc2")},
-            m3 AS (SELECT a, b, cnt FROM pc2 ORDER BY cnt DESC, a, b LIMIT 1)
+      "q_bpe_merges" ->
+        s"""WITH $duckBpeCtes
            SELECT * FROM (
              SELECT 1 AS merge_rank, a AS left_sym, b AS right_sym,
                cnt AS pair_count FROM m1
              UNION ALL SELECT 2, a, b, cnt FROM m2
              UNION ALL SELECT 3, a, b, cnt FROM m3)
-           ORDER BY merge_rank"""
-      },
+           ORDER BY merge_rank""",
+
+      "q_bpe_encode" ->
+        s"""WITH $duckBpeCtes,
+            tok AS (SELECT doc_id, t FROM (
+                SELECT doc_id, unnest(${duckTokens("text")}) AS t
+                FROM documents)
+              WHERE regexp_matches(t, '^[a-z]+$$')),
+            e0 AS (SELECT doc_id, length(t) AS n0, '(' ||
+                array_to_string(regexp_extract_all(t, '.'), ')(')
+                || ')' AS enc FROM tok),
+            ${duckBpeApply("e0", "m1", "e1")},
+            ${duckBpeApply("e1", "m2", "e2")},
+            ${duckBpeApply("e2", "m3", "e3")}
+           SELECT doc_id, CAST(sum(n0) AS BIGINT) AS n_sym0,
+             CAST(sum(len(regexp_extract_all(enc, '\\('))) AS BIGINT)
+               AS n_sym3,
+             CAST(sum(n0) - sum(len(regexp_extract_all(enc, '\\(')))
+               AS BIGINT) AS saved
+           FROM e3 GROUP BY doc_id ORDER BY doc_id""",
 
       "q_sample_weighted" ->
         """WITH c AS (SELECT doc_id, source, n_chars,
@@ -4441,7 +4532,30 @@ object PipelineQueries {
            SELECT CAST(r AS BIGINT) AS r, host, doc_id, slot, fetch_at_ms
            FROM (SELECT *, row_number()
                    OVER (ORDER BY fetch_at_ms, host, doc_id) AS r FROM f)
-           WHERE r <= 100 ORDER BY r"""
+           WHERE r <= 100 ORDER BY r""",
+
+      "q_winsorize" ->
+        """WITH v AS (SELECT event_id,
+             CAST(round(value*1000000.0) AS BIGINT) AS vi FROM events),
+           r AS (SELECT event_id, vi,
+             CAST(row_number() OVER (ORDER BY vi, event_id) AS BIGINT)
+               AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS n
+           FROM v),
+           t AS (SELECT event_id, vi, rk, n,
+             max(CASE WHEN rk <= greatest(n // 100, 1) THEN vi END)
+               OVER () AS lo_t,
+             max(CASE WHEN rk <= (n * 99) // 100 THEN vi END)
+               OVER () AS hi_t
+           FROM r)
+           SELECT max(n) AS n, max(lo_t) AS lo_t, max(hi_t) AS hi_t,
+             CAST(sum(CASE WHEN vi < lo_t THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lo,
+             CAST(sum(CASE WHEN vi > hi_t THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hi,
+             CAST(sum(least(greatest(vi, lo_t), hi_t)) AS BIGINT)
+               AS sum_clamped
+           FROM t"""
     )
   }
 }
