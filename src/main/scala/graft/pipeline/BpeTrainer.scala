@@ -48,27 +48,51 @@ object BpeTrainer {
       .groupBy("a", "b")
       .agg(sum("freq").as("cnt"))
 
+  /** Re-materialize the encoded vocab every this many rounds: without
+    * it round r re-executes all r−1 prior replaces from the cached base
+    * (O(rounds²) total work, ever-deeper plans) — at 3 demo rounds
+    * irrelevant, at a real 50k-merge vocabulary fatal. */
+  private val snapshotEvery = 16
+
   /** Run `rounds` merge rounds; returns (merge_rank, left_sym,
-    * right_sym, pair_count) — the learned merge table. */
+    * right_sym, pair_count) — the learned merge table. Stops early
+    * (returning the merges learned so far) once no adjacent pair
+    * remains — i.e. every word is a single symbol. */
   def train(vocab0: DataFrame, rounds: Int): DataFrame = {
     val spark = vocab0.sparkSession
     import spark.implicits._
-    val base = vocab0.persist()
+    var pinned = vocab0.persist()
     try {
-      var vocab = base
+      var vocab: DataFrame = pinned
+      var sincePin = 0
       val merges = Seq.newBuilder[(Int, String, String, Long)]
-      for (r <- 1 to rounds) {
-        val top = pairCounts(vocab)
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        pairCounts(vocab)
           .orderBy(col("cnt").desc, col("a"), col("b"))
-          .limit(1).collect()(0)
-        val (a, b) = (top.getString(0), top.getString(1))
-        merges += ((r, a, b, top.getLong(2)))
-        vocab = vocab.withColumn("enc",
-          replace(col("enc"), lit(s"($a)($b)"), lit(s"($a$b)")))
+          .limit(1).collect().headOption match {
+          case None => exhausted = true
+          case Some(top) =>
+            val (a, b) = (top.getString(0), top.getString(1))
+            merges += ((r, a, b, top.getLong(2)))
+            vocab = vocab.withColumn("enc",
+              replace(col("enc"), lit(s"($a)($b)"), lit(s"($a$b)")))
+            sincePin += 1
+            if (sincePin >= snapshotEvery) {
+              val snap = vocab.persist()
+              snap.count() // materialize before dropping the old pin
+              pinned.unpersist()
+              pinned = snap
+              vocab = snap
+              sincePin = 0
+            }
+        }
+        r += 1
       }
       merges.result()
         .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
-    } finally base.unpersist()
+    } finally pinned.unpersist()
   }
 
   /** Apply a learned merge table (in rank order) to an encoded column —

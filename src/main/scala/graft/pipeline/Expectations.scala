@@ -37,50 +37,65 @@ object Expectations {
                           dim: DataFrame, dimKey: String) extends Rule
 
   /** Run every rule against `df`; one report row per rule:
-    * (rule, n_rows, n_violations, pass). */
+    * (rule, n_rows, n_violations, pass). Every aggregate here is 1 row,
+    * so the report is assembled driver-side from O(#rules) scalars —
+    * never row data. The table's total row count is computed at most
+    * once, folded into whichever scan runs anyway (the row-local agg,
+    * else the first uniqueness agg); a dedicated count scan happens
+    * only when a ref rule is the SOLE rule class present. */
   def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    require(rules.map(_.name).distinct.size == rules.size,
+      s"duplicate rule names: ${rules.map(_.name).diff(rules.map(_.name).distinct).distinct.mkString(", ")}")
     val rowLocal: Seq[(String, Column)] = rules.collect {
       case NotNull(n, c) => n -> col(c).isNull
       case Expect(n, p) => n -> !coalesce(p, lit(false))
     }
-    // one scan, one agg: n_rows + one violation counter per row-local rule
-    val localAgg = df.agg(
-      count(lit(1)).as("n_rows"),
-      rowLocal.map { case (n, viol) =>
-        sum(when(viol, 1L).otherwise(0L)).as(s"v_$n")
-      }: _*)
-    val localRows = localAgg.select(
-      col("n_rows") +: rowLocal.map { case (n, _) => col(s"v_$n") }: _*)
     val uniques = rules.collect { case u: Unique => u }
     val refs = rules.collect { case r: RefIntegrity => r }
-    val uniqueRows = uniques.map { u =>
-      df.agg(count(col(u.col)).as("checked"),
-          countDistinct(col(u.col)).as("distinct"))
-        .select(lit(u.name).as("rule"),
-          col("checked").as("n_rows"),
-          (col("checked") - col("distinct")).as("n_violations"))
+    var nRowsOpt: Option[Long] = None
+    // one scan, one agg: n_rows + one violation counter per row-local rule
+    val localReport: Seq[(String, Long, Long)] =
+      if (rowLocal.isEmpty) Nil
+      else {
+        val row = df.agg(
+          count(lit(1)).as("n_rows"),
+          rowLocal.map { case (n, viol) =>
+            sum(when(viol, 1L).otherwise(0L)).as(s"v_$n")
+          }: _*).collect().head
+        nRowsOpt = Some(row.getLong(0))
+        rowLocal.zipWithIndex.map { case ((n, _), i) =>
+          (n, row.getLong(0), row.getLong(i + 1))
+        }
+      }
+    val uniqueReport = uniques.zipWithIndex.map { case (u, i) =>
+      // piggyback the table count on the first unique agg if still needed
+      val carryTotal = i == 0 && nRowsOpt.isEmpty && refs.nonEmpty
+      val aggs = Seq(count(col(u.col)).as("checked"),
+        countDistinct(col(u.col)).as("distinct")) ++
+        (if (carryTotal) Seq(count(lit(1)).as("n_total")) else Nil)
+      val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+      if (carryTotal) nRowsOpt = Some(row.getLong(2))
+      (u.name, row.getLong(0), row.getLong(0) - row.getLong(1))
     }
+    // ref rules stay LAZY DataFrames: the broadcast-anti plan is part of
+    // the report's own plan (spec-pinned), not a driver-side side effect
     val refRows = refs.map { r =>
+      val nRows = nRowsOpt.getOrElse {
+        val c = df.agg(count(lit(1))).collect().head.getLong(0)
+        nRowsOpt = Some(c); c
+      }
       val dimKeys = r.dim.select(col(r.dimKey).as("__ref_k")).distinct()
       df.filter(col(r.col).isNotNull)
         .join(dimKeys, col(r.col) === col("__ref_k"), "left_anti")
         .agg(count(lit(1)).as("n_violations"))
-        .select(lit(r.name).as("rule"), lit(null).cast("bigint").as("n_rows"),
+        .select(lit(r.name).as("rule"), lit(nRows).as("n_rows"),
           col("n_violations"))
     }
-    // unpivot the 1-row local agg driver-side (O(#rules), not row data)
-    val localRow = localRows.collect().head
-    val nRows = localRow.getLong(0)
-    val localReport = rowLocal.zipWithIndex.map { case ((n, _), i) =>
-      (n, nRows, localRow.getLong(i + 1))
-    }.toDF("rule", "n_rows", "n_violations")
-    val all = (localReport +: (uniqueRows ++ refRows))
-      .reduce(_.unionByName(_))
-    // ref rules have no own row count; report the table's
-    all
-      .withColumn("n_rows", coalesce(col("n_rows"), lit(nRows)))
+    val scalarRows = (localReport ++ uniqueReport)
+      .toDF("rule", "n_rows", "n_violations")
+    (scalarRows +: refRows).reduce(_.unionByName(_))
       .withColumn("pass", col("n_violations") === 0L)
       .orderBy("rule")
   }

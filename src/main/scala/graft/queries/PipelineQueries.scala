@@ -2932,7 +2932,9 @@ object PipelineQueries {
         .withColumn("ewma_num", num.cast("bigint"))
         .withColumn("ewma_den", den.cast("bigint"))
         .withColumn("ewma_milli",
-          expr("(ewma_num * 1000) div ewma_den"))
+          // DECIMAL(38,0) scaling: ewma_num can reach vi·65535, so a
+          // bigint ·1000 would silently wrap for raw values ≳1.4e5
+          expr("cast(cast(ewma_num AS decimal(38,0)) * 1000 div ewma_den AS bigint)"))
         .select("event_id", "user_id", "vi", "ewma_num", "ewma_den",
           "ewma_milli")
         .orderBy("event_id")
@@ -4514,7 +4516,8 @@ object PipelineQueries {
             FROM v
             WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
            SELECT event_id, user_id, vi, ewma_num, ewma_den,
-             (ewma_num * 1000) // ewma_den AS ewma_milli
+             CAST(CAST(ewma_num AS HUGEINT) * 1000 // ewma_den AS BIGINT)
+               AS ewma_milli
            FROM e ORDER BY event_id"""
       },
 

@@ -367,19 +367,32 @@ object StreamingIngest {
     * micro-batch sort by (event time, event_id); ACROSS batches arrival
     * order is history order — the operator is deterministic given the
     * batch boundaries the test pins, and late data beyond the watermark
-    * is the same data the batch twin would misplace. */
+    * is the same data the batch twin would misplace.
+    *
+    * State is bounded in BOTH dimensions: ≤ histLen longs per key, and
+    * keys idle for `idleEvict` of event time past their last metric are
+    * evicted via an event-time timeout (so churning key spaces don't
+    * accumulate dead rings forever). `idleEvict` must exceed
+    * `watermarkDelay` — a timeout at or before the current watermark is
+    * rejected by Spark. An evicted key that later reappears simply
+    * rebuilds history from scratch (n < minN suppresses flags), the same
+    * cold-start the batch twin gives a key's first minN rows. */
   def anomalyFlags(metrics: Dataset[Metric], watermarkDelay: String,
-                   histLen: Int = 19, minN: Int = 8): Dataset[Anomaly] = {
+                   histLen: Int = 19, minN: Int = 8,
+                   idleEvict: String = "24 hours"): Dataset[Anomaly] = {
     import metrics.sparkSession.implicits._
     metrics
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[AnomState, Anomaly](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[Metric], state: GroupState[AnomState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
           var ring = state.getOption.map(_.ring.toVector).getOrElse(Vector.empty)
           val out = Vector.newBuilder[Anomaly]
-          rows.toArray.sortBy(m => (m.ts.getTime, m.event_id)).foreach { m =>
+          val batch = rows.toArray
+          batch.sortBy(m => (m.ts.getTime, m.event_id)).foreach { m =>
             val n = ring.length
             if (n >= minN) {
               val s = ring.iterator.map(BigInt(_)).sum
@@ -391,7 +404,14 @@ object StreamingIngest {
             ring = (ring :+ m.vi).takeRight(histLen)
           }
           state.update(AnomState(ring))
+          // evict this key once the watermark passes its last event by
+          // idleEvict; clamp to the watermark so a just-late batch can't
+          // request an already-passed timeout (which Spark rejects)
+          val lastTs = batch.iterator.map(_.ts.getTime)
+            .foldLeft(state.getCurrentWatermarkMs())(math.max)
+          state.setTimeoutTimestamp(lastTs, idleEvict)
           out.result().iterator
+          }
       }
   }
 }
