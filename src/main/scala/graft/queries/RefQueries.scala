@@ -223,7 +223,18 @@ object RefQueries {
           expr("(cast(n_rows as decimal(38,0)) * 1000000) div total"))
         .select("decile", "n_keys", "min_cnt", "max_cnt", "n_rows", "share_ppm")
         .orderBy("decile")
-    })
+    }),
+
+    // SALT-SIZING ADVISOR — q_key_skew's measurement turned into the
+    // reference's operative DECISION (README:9-27): for each candidate
+    // bucket count, predict the per-bucket distribution under the
+    // engine's own Hash31 and recommend the smallest n whose buckets
+    // stay within ±10% of ideal (the reference evenness test's bound,
+    // wd-test/OneByteSimpleHashTest.java:83-100). See
+    // graft.keys.SaltAdvisor for the scale-shape argument (one corpus
+    // scan; candidates evaluated on the key distribution only).
+    "q_salt_advisor" -> ((s, dir) =>
+      SaltAdvisor.advise(events(s, dir), col("user_id")))
   )
 
   def oracle: Map[String, String] = Map(
@@ -349,6 +360,8 @@ object RefQueries {
          SELECT decile, count(*) AS n_keys, min(cnt) AS min_cnt,
            max(cnt) AS max_cnt, CAST(sum(cnt) AS BIGINT) AS n_rows,
            CAST((CAST(sum(cnt) AS BIGINT) * 1000000) // max(total) AS BIGINT) AS share_ppm
-         FROM d GROUP BY 1 ORDER BY 1"""
+         FROM d GROUP BY 1 ORDER BY 1""",
+
+    "q_salt_advisor" -> SaltAdvisor.duckSql("events", "user_id")
   )
 }

@@ -1,0 +1,72 @@
+package graft.keys
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** SaltAdvisor against hand-built distributions: a uniform key space
+  * must recommend the smallest candidate that spreads evenly; a planted
+  * mega-hot key must drive the irreducible-cap report and push the
+  * recommendation to the largest candidate when no n can meet the
+  * bound; the per-bucket prediction must equal a direct Hash31
+  * recount. */
+class SaltAdvisorSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def report(rows: Seq[Long], candidates: Seq[Int]) =
+    SaltAdvisor.advise(rows.toDF("k"), col("k"), candidates)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("uniform keys: smallest within-tolerance candidate is recommended") {
+    // 4096 distinct keys, one row each — Hash31 spreads them well at
+    // small n; the advisor must pick the SMALLEST passing candidate
+    val rows = (0L until 4096L)
+    val rep = report(rows, Seq(4, 8, 16))
+    val within = rep.collect { case (n, r) if r.getBoolean(7) => n }.toSeq.sorted
+    assert(within.nonEmpty, s"no candidate within tolerance: $rep")
+    val recommended = rep.collect { case (n, r) if r.getBoolean(8) => n }.toSeq
+    assert(recommended === Seq(within.head))
+    // report arithmetic: ideal share is exactly 1e6 when perfectly even
+    rep.values.foreach { r =>
+      assert(r.getLong(4) <= 1000000L && r.getLong(5) >= 1000000L,
+        s"under/over must bracket ideal: $r")
+    }
+  }
+
+  test("planted mega-hot key: irreducible cap reported, largest n when nothing passes") {
+    // one key carries 50% of rows — no bucket count can split it, so
+    // over_ppm >= n/2 * 1e6 for every n>=2 and nothing is within ±10%
+    val hot = Seq.fill(1000)(7L)
+    val cold = (100L until 1100L) // 1000 singleton keys
+    val rep = report(hot ++ cold, Seq(4, 16, 64))
+    rep.values.foreach { r =>
+      assert(r.getLong(6) === 500000L, s"hot_key_share_ppm: $r") // 50%
+      assert(!r.getBoolean(7), s"hot key cannot be within tolerance: $r")
+      // hottest bucket carries at least the hot key: >= n/2 of ideal
+      assert(r.getLong(5) >= r.getLong(0) * 500000L, s"over_ppm floor: $r")
+    }
+    val recommended = rep.collect { case (n, r) if r.getBoolean(8) => n }.toSeq
+    assert(recommended === Seq(64L), "falls back to the largest candidate")
+  }
+
+  test("per-bucket prediction equals a direct Hash31 recount") {
+    val rows = (0L until 500L) ++ Seq.fill(40)(123L)
+    val df = rows.toDF("k")
+    val n = 8
+    val direct = df.withColumn("b", Hash31.bucket(col("k"), n))
+      .groupBy("b").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val predMax = (0 until n).map(b => direct.getOrElse(b.toLong, 0L)).max
+    val predMin = (0 until n).map(b => direct.getOrElse(b.toLong, 0L)).min
+    val r = report(rows, Seq(n))(n.toLong)
+    assert(r.getLong(3) === predMax, "max_bucket_rows")
+    assert(r.getLong(2) === predMin, "min_bucket_rows")
+    assert(r.getLong(1) === direct.count(_._2 > 0).toLong, "used_buckets")
+  }
+
+  test("empty buckets count as maximal unevenness (under_ppm = 0)") {
+    // 3 distinct keys into 64 buckets: >= 61 empty buckets
+    val rep = report(Seq(1L, 2L, 3L), Seq(64))(64L)
+    assert(rep.getLong(4) === 0L)
+    assert(!rep.getBoolean(7))
+  }
+}
