@@ -24,5 +24,6 @@ object SparkEntry {
     * and the demos would demo nothing. Everything else runs the
     * production default: stock hash-partition windows below
     * `spark.graft.perKeyWindow.minChildBytes`, the rescue above it. */
-  def pinsRescueGate(name: String): Boolean = name.startsWith("q_skew_")
+  def pinsRescueGate(name: String): Boolean =
+    name.startsWith("q_skew_") || name == "q_collect_window"
 }

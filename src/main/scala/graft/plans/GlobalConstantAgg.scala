@@ -89,8 +89,10 @@ object GlobalConstantAggStrategy extends SparkStrategy {
     * window in compress details), so the rescue holds the sketch's
     * documented contract — any returned value sits within ε of the
     * requested rank — not bit-parity with one arbitrary build order.
-    * Truly order-SENSITIVE collectors (collect_list) stay declined:
-    * their value IS the order. */
+    * Order-SENSITIVE collect_list is rescued ONLY with an explicit
+    * ORDER BY (see [[sortedCollect]]); a bare unordered collect stays
+    * declined — its value IS the enumeration order, which no
+    * distributed plan (or the built-in, across reruns) pins. */
   private def sketchLike(f: AggregateFunction): Boolean = f match {
     case _: HyperLogLogPlusPlus => true
     case _: CountMinSketchAgg => true
@@ -98,17 +100,28 @@ object GlobalConstantAggStrategy extends SparkStrategy {
     case _ => false
   }
 
+  /** ORDER-SENSITIVE collectors rescuable only under an explicit ORDER
+    * BY: the exec's range exchange delivers task slices in key order,
+    * rows sort within tasks, and `Collect.merge` APPENDS — so the
+    * left-to-right edge merge reproduces exactly the sorted sequential
+    * build. collect_set stays out (its output order is insertion order
+    * of first occurrence — an enumeration artifact in any plan). */
+  private[plans] def sortedCollect(f: AggregateFunction): Boolean =
+    f.isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.CollectList]
+
   private def funcOf(e: NamedExpression): Option[ConstAgg] = e match {
     case Alias(WindowExpression(
           AggregateExpression(f, Complete, false, None, _),
-          WindowSpecDefinition(_, _,
+          WindowSpecDefinition(_, orderSpec,
             SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing))), _)
         if (f match {
           case d: DeclarativeAggregate =>
             d.deterministic &&
               !d.isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.First] &&
               !d.isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.Last]
-          case other => sketchLike(other)
+          case other => sketchLike(other) ||
+            (sortedCollect(other) && orderSpec.nonEmpty &&
+              orderSpec.forall(_.deterministic))
         }) =>
       Some(ConstAgg(f, e.toAttribute))
     case _ => None
@@ -145,9 +158,14 @@ object GlobalConstantAggStrategy extends SparkStrategy {
         if w.partitionSpec.isEmpty &&
           w.windowExpressions.nonEmpty &&
           w.windowExpressions.forall(funcOf(_).isDefined) &&
-          SQLConf.get.getConfString(GlobalRowNumberStrategy.ConfKey, "true").toBoolean =>
-      GlobalConstantAggExec(Nil, Nil,
-        w.windowExpressions.map(funcOf(_).get), planLater(w.child)) :: Nil
+          SQLConf.get.getConfString(GlobalRowNumberStrategy.ConfKey, "true").toBoolean => {
+      val funcs = w.windowExpressions.map(funcOf(_).get)
+      // an order-sensitive collector forces the ordered (range-exchange)
+      // path even with no partition keys; order-insensitive constants
+      // keep the zero-exchange two-pass
+      val spread = if (funcs.exists(c => sortedCollect(c.agg))) w.orderSpec else Nil
+      GlobalConstantAggExec(Nil, spread, funcs, planLater(w.child)) :: Nil
+    }
     case w: logical.Window
         if w.partitionSpec.nonEmpty && w.partitionSpec.forall(_.deterministic) &&
           w.windowExpressions.nonEmpty &&
@@ -259,13 +277,17 @@ case class GlobalConstantAggExec(partition: Seq[Expression],
   private def partOrders: Seq[SortOrder] =
     partition.map(e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending))
 
+  /** Ordered path — per-key constants OR an order-sensitive global
+    * collector (partition empty, spread = the node's ORDER BY). */
+  private def ordered: Boolean = partition.nonEmpty || spread.nonEmpty
+
   override def requiredChildDistribution: Seq[Distribution] =
-    if (partition.isEmpty) UnspecifiedDistribution :: Nil
+    if (!ordered) UnspecifiedDistribution :: Nil
     else OrderedDistribution(partOrders ++ spread) :: Nil
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
-    if (partition.isEmpty) Seq(Nil) else Seq(partOrders ++ spread)
+    if (!ordered) Seq(Nil) else Seq(partOrders ++ spread)
   override def outputOrdering =
-    if (partition.isEmpty) child.outputOrdering else partOrders ++ spread
+    if (!ordered) child.outputOrdering else partOrders ++ spread
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   /** Per-key path: edge-group partials → driver segment merge → pass 2
@@ -497,7 +519,7 @@ case class GlobalConstantAggExec(partition: Seq[Expression],
   }.toArray
 
   override protected def doExecute(): RDD[InternalRow] = {
-    if (partition.nonEmpty) return doExecutePartitioned()
+    if (ordered) return doExecutePartitioned()
     val childOutput = child.output
     val resultAttrs = output
     val nF = funcs.length

@@ -108,6 +108,29 @@ object AnalyticQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // SORTED COLLECT WINDOW — `collect_list OVER (... ROWS BETWEEN
+    // UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)` with an explicit
+    // total ORDER BY: each row carries its user's full event path in
+    // event-time order. Rides the ordered constant-agg rescue
+    // (GlobalConstantAggStrategy.sortedCollect): range exchange over
+    // (user_id, ts_us, event_id), Collect partials APPEND under the
+    // left-to-right edge merge, so the distributed list equals the
+    // sorted sequential build — the last commonly-written window shape
+    // that previously stayed on the single-task built-in. Gate-pinned
+    // in Verify/Bench (SparkEntry.pinsRescueGate) so the rescue is the
+    // plan actually exercised.
+    "q_collect_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("visit_path",
+          concat_ws(",", collect_list(col("event_id").cast("string")).over(w)))
+        .filter(pmod(col("event_id"), lit(97L)) === 0L)
+        .select("user_id", "event_id", "visit_path")
+        .orderBy("event_id")
+    }),
+
     // date/time scalar breadth over the event timestamps
     "q_date_funcs" -> ((s, dir) =>
       events(s, dir)
@@ -586,6 +609,16 @@ object AnalyticQueries {
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
          WHERE user_id < 10 ORDER BY user_id, rn""",
+
+    "q_collect_window" ->
+      """SELECT user_id, event_id, visit_path FROM (
+           SELECT user_id, event_id,
+             array_to_string(list(CAST(event_id AS VARCHAR)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+               ',') AS visit_path
+           FROM events)
+         WHERE event_id % 97 = 0 ORDER BY event_id""",
 
     "q_window_running" ->
       """SELECT user_id, rn, event_id, running_value FROM (

@@ -231,6 +231,44 @@ class GlobalConstantAggSpec extends SparkSuite {
     }
   }
 
+  test("sorted collect_list: rescued per-key and global, bit-equal to the built-in") {
+    // total order key (id unique) — the only shape where ANY plan pins
+    // the list order; ties are an enumeration artifact in every plan
+    def q = df
+      .withColumn("pk", concat_ws(",", collect_list("v").over(
+        Window.partitionBy(col("id") % 5).orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))))
+      .withColumn("gl", concat_ws(",", collect_list("v").over(
+        Window.orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalConstantAgg"), s"sorted collect must rescue:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"no built-in WindowExec expected:\n$p")
+    def snap(d: org.apache.spark.sql.DataFrame) = d
+      .select("id", "pk", "gl").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    val got = snap(q)
+    val expected = withConf(GlobalRowNumberStrategy.ConfKey, "false") { snap(q) }
+    assert(got == expected, "sorted collect_list must match the built-in exactly")
+  }
+
+  test("unordered collect_list stays declined (its value IS the order)") {
+    def q = df.withColumn("l",
+      collect_list("v").over(Window.partitionBy(col("id") % 5)))
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("GlobalConstantAgg"),
+      s"bare unordered collect must keep the built-in:\n$p")
+    assert(p.contains("Window"), s"built-in WindowExec expected:\n$p")
+    // collect_set: order is an insertion artifact — declined even ordered
+    def qs = df.withColumn("s", collect_set("v").over(
+      Window.orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val ps = qs.queryExecution.executedPlan.toString
+    assert(!ps.contains("GlobalConstantAgg"),
+      s"collect_set must stay declined:\n$ps")
+  }
+
   test("opt-out restores the built-in plan") {
     val out = df.withColumn("t", sum("v").over(Window.partitionBy()))
     withConf(GlobalRowNumberStrategy.ConfKey, "false") {
