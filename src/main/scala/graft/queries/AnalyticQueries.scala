@@ -108,6 +108,34 @@ object AnalyticQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // MULTI-KEY ORDER BY windows — composite (a, b) global ordering
+    // with heavy ties at BOTH grains, across the rescued families:
+    // rank/dense_rank and peer-inclusive running sum at the tied
+    // composite grain (their value is tie-run invariant), a suffix
+    // RANGE count, and row_number/lag over the 3-key unique order. All
+    // GLOBAL (empty partition spec) so every node rides its rescue at
+    // any scale; multi-key tie runs hit KeyRunEquality's composite
+    // path. Fuzz-pinned in GlobalWindowFuzzSpec cases 10/11.
+    "q_window_multikey" -> ((s, dir) => {
+      val a = pmod(col("user_id"), lit(50L))
+      val b = pmod(col("event_id"), lit(7L))
+      val byAB = Window.orderBy("a", "b")
+      val u3 = Window.orderBy("a", "b", "event_id")
+      events(s, dir)
+        .select(col("event_id"), a.as("a"), b.as("b"))
+        .withColumn("rnk", rank().over(byAB).cast("bigint"))
+        .withColumn("drnk", dense_rank().over(byAB).cast("bigint"))
+        .withColumn("csum", sum("event_id").over(byAB))
+        .withColumn("scnt", count(lit(1)).over(
+          byAB.rangeBetween(Window.currentRow, Window.unboundedFollowing)))
+        .withColumn("rn3", row_number().over(u3).cast("bigint"))
+        .withColumn("lg3", lag("event_id", 3).over(u3))
+        .filter(pmod(col("event_id"), lit(89L)) === 0L)
+        .select("event_id", "a", "b", "rnk", "drnk", "csum", "scnt",
+          "rn3", "lg3")
+        .orderBy("event_id")
+    }),
+
     // SORTED COLLECT WINDOW — `collect_list OVER (... ROWS BETWEEN
     // UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)` with an explicit
     // total ORDER BY: each row carries its user's full event path in
@@ -609,6 +637,22 @@ object AnalyticQueries {
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
          WHERE user_id < 10 ORDER BY user_id, rn""",
+
+    "q_window_multikey" ->
+      """SELECT event_id, a, b, rnk, drnk, csum, scnt, rn3, lg3 FROM (
+           SELECT event_id, a, b,
+             CAST(rank() OVER ab AS BIGINT) AS rnk,
+             CAST(dense_rank() OVER ab AS BIGINT) AS drnk,
+             CAST(sum(event_id) OVER ab AS BIGINT) AS csum,
+             count(*) OVER (ORDER BY a, b
+               RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS scnt,
+             CAST(row_number() OVER u3 AS BIGINT) AS rn3,
+             lag(event_id, 3) OVER u3 AS lg3
+           FROM (SELECT event_id, user_id % 50 AS a, event_id % 7 AS b
+                 FROM events)
+           WINDOW ab AS (ORDER BY a, b),
+                  u3 AS (ORDER BY a, b, event_id))
+         WHERE event_id % 89 = 0 ORDER BY event_id""",
 
     "q_collect_window" ->
       """SELECT user_id, event_id, visit_path FROM (

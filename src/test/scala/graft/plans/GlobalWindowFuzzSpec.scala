@@ -36,11 +36,15 @@ class GlobalWindowFuzzSpec extends SparkSuite {
     val rows = (0 until n).map { i =>
       val k: java.lang.Long =
         if (rnd.nextInt(100) < nullKeyPct) null else (rnd.nextInt(keySpread) * 3).toLong
+      // second order key, heavy ties — composite (k, k2) runs exercise
+      // multi-key tie-run equality in every rescue that sees it
+      val k2: java.lang.Long =
+        if (rnd.nextInt(100) < nullKeyPct) null else rnd.nextInt(7).toLong
       val v: java.lang.Long =
         if (rnd.nextInt(100) < nullValPct) null else rnd.nextInt(1000).toLong
-      (k, v, i.toLong)
+      (k, k2, v, i.toLong)
     }
-    rows.toDF("k", "v", "id").repartition(1 + rnd.nextInt(11))
+    rows.toDF("k", "k2", "v", "id").repartition(1 + rnd.nextInt(11))
   }
 
   /** One random rescued-family window column. Deterministic by
@@ -50,7 +54,12 @@ class GlobalWindowFuzzSpec extends SparkSuite {
     import org.apache.spark.sql.expressions.Window
     val unique = Window.orderBy("k", "id")
     val byK = Window.orderBy("k")
-    rnd.nextInt(10) match {
+    // COMPOSITE key with ties at the (k, k2) grain — deterministic only
+    // for peer-inclusive functions (rank family, RANGE-to-current /
+    // suffix-RANGE aggregates); position-based frames need `unique`
+    val byKK = Window.orderBy("k", "k2")
+    val unique3 = Window.orderBy("k", "k2", "id")
+    rnd.nextInt(12) match {
       case 0 => // running
         s"c$i" -> sum("v").over(unique.rowsBetween(Window.unboundedPreceding, Window.currentRow))
       case 1 => // suffix
@@ -90,6 +99,25 @@ class GlobalWindowFuzzSpec extends SparkSuite {
         val ign = rnd.nextBoolean()
         if (rnd.nextBoolean()) s"c$i" -> last_value(col("v"), lit(ign)).over(full)
         else s"c$i" -> first_value(col("v"), lit(ign)).over(full)
+      case 10 => // composite (k, k2) ORDER BY, ties at the composite grain:
+        // peer-inclusive shapes only (their value is tie-run invariant)
+        Seq(
+          s"c$i" -> rank().over(byKK),
+          s"c$i" -> dense_rank().over(byKK),
+          s"c$i" -> sum("v").over(byKK), // bare = RANGE UNBOUNDED..CURRENT, peers share
+          s"c$i" -> count(lit(1)).over(
+            byKK.rangeBetween(Window.currentRow, Window.unboundedFollowing))
+        )(rnd.nextInt(4))
+      case 11 => // composite 3-key UNIQUE order: position-based frames
+        val off = 1 + rnd.nextInt(4)
+        Seq(
+          s"c$i" -> row_number().over(unique3),
+          s"c$i" -> lag("v", off).over(unique3),
+          s"c$i" -> sum("v").over(
+            unique3.rowsBetween(-(1 + rnd.nextInt(5)), rnd.nextInt(4))),
+          s"c$i" -> nth_value(col("v"), 1 + rnd.nextInt(99)).over(
+            unique3.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        )(rnd.nextInt(4))
     }
   }
 
