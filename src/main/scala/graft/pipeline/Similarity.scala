@@ -148,6 +148,18 @@ object Similarity {
     * list (and the partitions the scan prunes to) widens. */
   val IvfProbeWide = 8
 
+  /** Deep probe width — the recall≥0.9 tier of the same ladder.
+    * Measured on the harness embeddings (sf0.01, recall@10 vs brute):
+    * nProbe 8 → 0.70, 10 → 0.84, 12 → 0.94. The probe-cost delta is
+    * exactly the partition fraction scanned — 12/16 vs 8/16 of the
+    * index (+50% candidate rows over Wide) — because IVF probe cost IS
+    * the probed-cell volume; nothing else changes (same persisted
+    * layout, same re-rank). The synthetic embeddings cluster weakly, so
+    * this codebook needs wide probes for high recall; a corpus with
+    * real cluster structure reaches the same recall at far smaller
+    * nProbe/C — the ladder, not the constant, is the design. */
+  val IvfProbeDeep = 12
+
   /** Driver-side sequential-fold ‖c‖² — same association order as
     * DotProduct/duckNorm2, so literal norms are bit-identical. */
   def norm2Scala(c: Seq[Double]): Double = c.foldLeft(0.0)((a, x) => a + x * x)

@@ -39,6 +39,7 @@ object PipelineQueries {
     * metric than probe cost — Bench reports it as its own field. */
   val indexBacked: Seq[String] = Seq(
     "q_knn_cosine_ivf_indexed", "q_knn_cosine_ivf_indexed_multiprobe",
+    "q_knn_cosine_ivf_indexed_deep",
     "q_knn_delete",
     "q_text_search", "q_text_search_ranked", "q_text_bm25", "q_text_bm25_live",
     "q_text_phrase", "q_text_stream_ingest", "q_text_delete", "q_text_merge",
@@ -369,6 +370,7 @@ object PipelineQueries {
 
   private lazy val duckIvfKnn: String = duckIvfKnnAt(IvfProbe)
   private lazy val duckIvfKnnWide: String = duckIvfKnnAt(IvfProbeWide)
+  private lazy val duckIvfKnnDeep: String = duckIvfKnnAt(IvfProbeDeep)
 
   /** The persisted-index IVF query at probe width `nProbe`: write the
     * cell-partitioned index once (per process), then probe the query set
@@ -814,6 +816,14 @@ object PipelineQueries {
     "q_knn_cosine_ivf_indexed_multiprobe" ->
       ((s, dir) => ivfIndexedKnn(s, dir, IvfProbeWide)),
 
+    // DEEP probe tier on the same index — the recall≥0.9 rung of the
+    // ladder (Similarity.IvfProbeDeep: measured 0.70→0.94 recall@10 for
+    // exactly the 12/16-vs-8/16 partition-fraction cost delta). Same
+    // persisted layout, same dynamic partition pruning, same re-rank —
+    // ONLY the ranked probe list widens.
+    "q_knn_cosine_ivf_indexed_deep" ->
+      ((s, dir) => ivfIndexedKnn(s, dir, IvfProbeDeep)),
+
     // VECTOR DELETE/UPDATE on the persisted index — the embedding
     // refresh path. delete() appends id TOMBSTONES (probes anti-join
     // them — deletions visible immediately, no rewrite); compact()
@@ -921,7 +931,8 @@ object PipelineQueries {
     "q_knn_recall" -> ((s, dir) => {
       val brute = queries("q_knn_cosine_brute")(s, dir).select("q_id", "vec_id")
       val qids = brute.select("q_id").distinct()
-      Seq("lsh", "lsh_multiprobe", "ivf", "ivf_indexed_multiprobe", "sq8", "pq").map { m =>
+      Seq("lsh", "lsh_multiprobe", "ivf", "ivf_indexed_multiprobe",
+        "ivf_indexed_deep", "sq8", "pq").map { m =>
         val appx = queries(s"q_knn_cosine_$m")(s, dir).select("q_id", "vec_id")
         val hits = brute.join(appx, Seq("q_id", "vec_id"))
           .groupBy("q_id").agg(count(lit(1)).as("__n"))
@@ -3250,6 +3261,7 @@ object PipelineQueries {
       // same relations at the widened probe width — the multi-probe
       // recall lever changes ONLY the prnk cutoff
       "q_knn_cosine_ivf_indexed_multiprobe" -> duckIvfKnnWide,
+      "q_knn_cosine_ivf_indexed_deep" -> duckIvfKnnDeep,
 
       "q_knn_cosine_pq" -> duckPqKnn,
 
@@ -3312,6 +3324,7 @@ object PipelineQueries {
           "lsh_multiprobe" -> duckLshMultiprobeKnn,
           "ivf" -> duckIvfKnn,
           "ivf_indexed_multiprobe" -> duckIvfKnnWide,
+          "ivf_indexed_deep" -> duckIvfKnnDeep,
           "sq8" -> duckSq8Knn,
           "pq" -> duckPqKnn)
         val ctes = methods.map { case (m, q) =>
