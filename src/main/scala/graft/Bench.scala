@@ -14,6 +14,24 @@ object Bench {
       case Some(pats) => name => pats.split(',').exists(name.contains)
       case None => _ => true
     }
+    // machine-load evidence: identical code+data swings up to 1.5x
+    // run-to-run on this box (r10 reconciliation: 68.2/104.8/78.4s for
+    // three back-to-back HEAD runs), so every artifact records the
+    // guest loadavg and hypervisor CPU-steal bracketing the run —
+    // a slow total with high load/steal is box contamination, not a
+    // code regression
+    def loadavg: String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    def cpuJiffies: (Long, Long) =
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat").getLines()
+          .next().split("\\s+").drop(1).map(_.toLong)
+        (f.take(8).sum, f.lift(7).getOrElse(0L)) // (total, steal)
+      } catch { case _: Throwable => (0L, 0L) }
+    val loadStart = loadavg
+    val (jifStart, stealStart) = cpuJiffies
+    val wallStart = System.nanoTime()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -79,8 +97,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
     val errCount = errors.size
+    val loadEnd = loadavg
+    val (jifEnd, stealEnd) = cpuJiffies
+    val stealPct =
+      if (jifEnd > jifStart) 100.0 * (stealEnd - stealStart) / (jifEnd - jifStart)
+      else 0.0
+    val wallSec = (System.nanoTime() - wallStart) / 1e9
     def line(fmt: Double => String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qs(fmt)},"sf":"$sfDir","runs":$runs,"n_errors":$errCount,"index_warmup_sec":${fmt(indexWarmupSec)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qs(fmt)},"sf":"$sfDir","runs":$runs,"n_errors":$errCount,"index_warmup_sec":${fmt(indexWarmupSec)},"wall_sec":${fmt(wallSec)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","steal_pct":${f"$stealPct%.2f"}}"""
     // stdout: 3-decimal medians — the driver captures only a ~4 KB log
     // TAIL, and full-precision doubles pushed the line past it two rounds
     // running (BENCH_r03/r04 both lost their head and parsed as null).

@@ -542,6 +542,34 @@ class PlanShapeSpec extends SparkSuite {
       s"scan must prune to doc_id+source+n_chars:\n$p")
   }
 
+  test("salt advisor: candidate fan-out is an explode, never a corpus join") {
+    val p = plan("q_salt_advisor")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate evaluation must be row-local explode + hash join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-key counts must combine map-side")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the full-bucket-range left join must broadcast:\n$p")
+    assert(p.contains("Generate explode"),
+      s"candidate fan-out must be a Generate, not a join:\n$p")
+  }
+
+  test("sorted collect window rides the ordered constant-agg rescue") {
+    val p = plan("q_collect_window")
+    assert(p.contains("GlobalConstantAgg"),
+      s"ordered whole-frame collect_list must rescue:\n$p")
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"no single-task built-in WindowExec expected:\n$p")
+  }
+
+  test("multi-key ORDER BY query: every family rescued, no built-in window") {
+    val p = plan("q_window_multikey")
+    Seq("GlobalRowNumber", "GlobalRunningAgg", "GlobalOffsetWindow").foreach(g =>
+      assert(p.contains(g), s"$g expected in:\n$p"))
+    assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      s"no built-in WindowExec expected:\n$p")
+  }
+
   test("corpus drift: no scalar-combine join; all four windows ride the rescues") {
     val p = plan("q_corpus_drift")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")
