@@ -106,6 +106,44 @@ object SaltAdvisor {
       .orderBy("n")
   }
 
+  /** JOIN-SKEW salt plan — the other half of the salting decision: not
+    * "how many buckets for the store" but "which join keys need
+    * replication, and by how much". A salted join (the q_salted_join
+    * pattern: explode the build side ×f, scatter the probe side mod f)
+    * needs f PER HOT KEY; this derives it from the measured
+    * distribution. A key is hot when its row count exceeds 2× the mean
+    * rows-per-key (integer-exact: cnt·n_keys > 2·total); its factor is
+    * its count in mean-sized slices, ⌈cnt·n_keys / total⌉ — the
+    * replication that levels that key's partitions back to the mean.
+    * One map-combined count agg + whole-set constant windows (zero
+    * extra exchange); output is the hot tail only — driver-safe. */
+  def joinSaltPlan(df: DataFrame, key: Column): DataFrame = {
+    val whole = Window.partitionBy()
+    df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum("cnt").over(whole))
+      .withColumn("n_keys", count(lit(1)).over(whole))
+      .filter(col("cnt") * col("n_keys") > col("total") * 2L)
+      .withColumn("share_ppm", expr(
+        "cast(cast(cnt AS decimal(38,0)) * 1000000 div total AS bigint)"))
+      .withColumn("salt_factor", expr(
+        "cast((cast(cnt AS decimal(38,0)) * n_keys + total - 1) div total AS bigint)"))
+      .select("key", "cnt", "share_ppm", "salt_factor")
+      .orderBy(col("cnt").desc, col("key"))
+  }
+
+  /** [[joinSaltPlan]] as DuckDB SQL — same arithmetic, same tiebreak. */
+  def duckJoinSaltPlan(table: String, keyExpr: String): String =
+    s"""WITH c AS (SELECT $keyExpr AS key, count(*) AS cnt
+                   FROM $table GROUP BY 1),
+          t AS (SELECT sum(cnt) AS total, count(*) AS n_keys FROM c)
+       SELECT key, cnt,
+         CAST(CAST(cnt AS HUGEINT) * 1000000 // total AS BIGINT) AS share_ppm,
+         CAST((CAST(cnt AS HUGEINT) * n_keys + total - 1) // total AS BIGINT)
+           AS salt_factor
+       FROM c CROSS JOIN t
+       WHERE cnt * n_keys > total * 2
+       ORDER BY cnt DESC, key"""
+
   /** The same report as DuckDB SQL over table `table`, key `keyExpr` —
     * generated from the same constants so the oracle cannot drift. */
   def duckSql(table: String, keyExpr: String,

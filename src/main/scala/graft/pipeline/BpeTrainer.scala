@@ -95,6 +95,80 @@ object BpeTrainer {
     } finally pinned.unpersist()
   }
 
+  /** PRODUCTION-SHAPE training: fit the merge table LOCALLY on the
+    * weighted head of the vocabulary, apply distributed.
+    *
+    * The distributed `train` is exact but runs one argmax job per merge
+    * round — honest for a demo's 3 rounds, hopeless for a real 50k-merge
+    * vocabulary (50k sequential tiny jobs). The standard production
+    * answer: ONE Spark job collects the top-`sampleSize` (word, freq)
+    * rows — vocabularies are Zipfian, so a 100k-row head carries almost
+    * all pair mass — then every merge round is a driver-local pair count
+    * + argmax + in-place fuse over ≤ sampleSize symbol vectors: 50k
+    * rounds of pure local work, ZERO further jobs. The merge table then
+    * feeds [[applyMerges]], a codegen'd broadcast-literal scan — the
+    * distributed side of tokenization was always the apply, not the fit.
+    *
+    * Decision parity: identical pair weighting, identical tiebreak
+    * (count DESC, then left/right symbol), and the local fuse replicates
+    * `replace`'s left-to-right non-overlapping scan — so with
+    * `sampleSize` ≥ |vocab| the learned table is IDENTICAL to
+    * [[train]]'s (spec-pinned). `pair_count` is the count WITHIN the
+    * sample. Stops early when no adjacent pair remains. */
+  def trainSampled(vocab0: DataFrame, rounds: Int,
+                   sampleSize: Int = 100000): DataFrame = {
+    val spark = vocab0.sparkSession
+    import spark.implicits._
+    val symRe = "\\(([^)]*)\\)".r
+    val sample: Array[(Array[String], Long)] = vocab0
+      .select(col("enc").cast("string"), col("freq").cast("long"))
+      .orderBy(col("freq").desc, col("enc"))
+      .limit(sampleSize)
+      .collect()
+      .map(r => (symRe.findAllMatchIn(r.getString(0)).map(_.group(1)).toArray,
+        r.getLong(1)))
+    val words: Array[Array[String]] = sample.map(_._1)
+    val freqs = sample.map(_._2)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < words.length) {
+        val w = words(i); val f = freqs(i)
+        var j = 0
+        while (j < w.length - 1) {
+          val p = (w(j), w(j + 1))
+          counts(p) = counts.getOrElse(p, 0L) + f
+          j += 1
+        }
+        i += 1
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((a, b), cnt) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+        merges += ((r, a, b, cnt))
+        i = 0
+        while (i < words.length) {
+          val w = words(i)
+          // replace-parity: left-to-right, non-overlapping
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < w.length) {
+            if (j < w.length - 1 && w(j) == a && w(j + 1) == b) {
+              out += (a + b); j += 2
+            } else { out += w(j); j += 1 }
+          }
+          words(i) = out.toArray
+          i += 1
+        }
+      }
+      r += 1
+    }
+    merges.result().toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+  }
+
   /** Apply a learned merge table (in rank order) to an encoded column —
     * the TOKENIZE side of BPE: each merge is a broadcast-literal
     * `replace`, identical to how training applied it. */

@@ -607,6 +607,53 @@ object PipelineQueries {
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       bandVerifiedPairs(s, dir, setCol = col("s")).orderBy("a", "b")),
 
+    // EXACT similarity self-join via PREFIX FILTERING (the PPJoin
+    // family) — the deterministic sibling of the LSH paths: ZERO false
+    // negatives by construction. Each doc's hashed shingle set is
+    // ordered by global document frequency ascending (rarest first);
+    // two sets with Jaccard ≥ τ MUST share an element inside each
+    // other's first n − ⌈τ·n⌉ + 1 elements (pigeonhole over the shared
+    // total order), so the candidate join is an equi-join on PREFIX
+    // tokens only — and prefix tokens are by construction the RAREST,
+    // so bucket sizes are the df of rare tokens, not the corpus.
+    // Degenerate corpora (all docs near-identical) expand toward
+    // all-pairs — which IS the correct output then; exactness is the
+    // contract (the capped-bucket LSH paths are the lossy/bounded
+    // alternative). Scale shape: one corpus scan → distinct (doc, x)
+    // rows; one map-combined df agg; one equi-join to attach df; the
+    // prefix cut is a per-doc window (gate-governed); candidate
+    // equi-join on the prefix token; exact-Jaccard verify identical to
+    // the LSH paths. Integer prefix arithmetic (τ = 1/2 →
+    // p = n − (n+1) div 2 + 1) — no float boundary. Oracle is the
+    // ALL-PAIRS exact join (with the sound size prefilter
+    // min ≥ τ·max), so a hash match PROVES the no-false-negative claim
+    // on this corpus, not just self-consistency.
+    "q_simjoin_prefix" -> ((s, dir) => {
+      val corpus = fuzzyCorpus(documents(s, dir))
+      val sets = shingleRows(corpus)
+        .withColumn("x", baseHash32(col("s")))
+        .select("doc_id", "x").distinct()
+      val dfreq = sets.groupBy("x").agg(count(lit(1)).as("df"))
+      val pref = sets.join(dfreq, "x")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy("df", "x")).cast("bigint"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .filter(col("rn") <= col("n") - expr("(n + 1) div 2") + 1L)
+        .select("doc_id", "x")
+      val cand = pref.as("pa").join(pref.as("pb"),
+          col("pa.x") === col("pb.x") && col("pa.doc_id") < col("pb.doc_id"))
+        .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"))
+        .distinct()
+      val full = sets.groupBy("doc_id").agg(collect_set("x").as("sh"))
+      cand
+        .join(full.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+        .join(full.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+        .withColumn("jaccard", jaccard(col("sha"), col("shb")))
+        .filter(col("jaccard") >= 0.5)
+        .select("a", "b", "jaccard")
+        .orderBy("a", "b")
+    }),
+
     // SimHash near-dup: 16-bit signatures; hamming(original, mutation)
     "q_dedup_simhash" -> ((s, dir) =>
       simhashPairs(fuzzyCorpus(documents(s, dir))).orderBy("doc_id")),
@@ -2841,6 +2888,23 @@ object PipelineQueries {
       graft.pipeline.BpeTrainer.train(vocab, 3).orderBy("merge_rank")
     }),
 
+    // PRODUCTION-SHAPE BPE fit: identical corpus and merge decisions,
+    // but via BpeTrainer.trainSampled — ONE weighted-vocab-head collect,
+    // then every round is driver-local (zero per-round Spark jobs; the
+    // 50k-merge answer to the distributed trainer's one-job-per-round
+    // structure). Decision parity with train() is spec-pinned; this
+    // query pins it against the DuckDB replay as well.
+    "q_bpe_merges_sampled" -> ((s, dir) => {
+      val vocab = documents(s, dir)
+        .select(explode(tokens(col("text"))).as("term"))
+        .filter(col("term").rlike("^[a-z]+$"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+        .select(graft.pipeline.BpeTrainer.encode(col("term")).as("enc"),
+          col("freq"))
+      graft.pipeline.BpeTrainer.trainSampled(vocab, 3, sampleSize = 1 << 20)
+        .orderBy("merge_rank")
+    }),
+
     // SYSTEMATIC WEIGHTED SAMPLING — RNG-free weighted corpus
     // subsampling: lay all documents on a cumulative-weight axis
     // (weight = n_chars) and pick the ~50 documents containing the
@@ -3217,6 +3281,25 @@ object PipelineQueries {
       },
 
       "q_dedup_ngram_jaccard" -> duckNgramPairsSql,
+
+      // ALL-PAIRS exact oracle (with the sound size prefilter
+      // 2·min ≥ max for τ = 1/2): a hash match proves the prefix
+      // filter misses nothing on this corpus
+      "q_simjoin_prefix" ->
+        s"""WITH $duckFuzzyCorpus, $duckShingled,
+              e AS (SELECT doc_id, ${duckBaseHash32("s")} AS x
+                    FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+              sets AS (SELECT doc_id, list(DISTINCT x) AS sh
+                       FROM e GROUP BY doc_id),
+              pairs AS (SELECT sa.doc_id AS a, sb.doc_id AS b,
+                          sa.sh AS sha, sb.sh AS shb
+                        FROM sets sa JOIN sets sb ON sa.doc_id < sb.doc_id
+                        WHERE 2 * least(len(sa.sh), len(sb.sh))
+                              >= greatest(len(sa.sh), len(sb.sh)))
+           SELECT a, b, ${duckJaccard("sha", "shb")} AS jaccard
+           FROM pairs
+           WHERE ${duckJaccard("sha", "shb")} >= 0.5
+           ORDER BY a, b""",
 
       "q_dedup_simhash" -> duckSimhashSql,
 
@@ -4447,6 +4530,15 @@ object PipelineQueries {
            FROM y ORDER BY doc_id""",
 
       "q_bpe_merges" ->
+        s"""WITH $duckBpeCtes
+           SELECT * FROM (
+             SELECT 1 AS merge_rank, a AS left_sym, b AS right_sym,
+               cnt AS pair_count FROM m1
+             UNION ALL SELECT 2, a, b, cnt FROM m2
+             UNION ALL SELECT 3, a, b, cnt FROM m3)
+           ORDER BY merge_rank""",
+
+      "q_bpe_merges_sampled" ->
         s"""WITH $duckBpeCtes
            SELECT * FROM (
              SELECT 1 AS merge_rank, a AS left_sym, b AS right_sym,

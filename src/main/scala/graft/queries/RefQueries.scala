@@ -234,7 +234,17 @@ object RefQueries {
     // graft.keys.SaltAdvisor for the scale-shape argument (one corpus
     // scan; candidates evaluated on the key distribution only).
     "q_salt_advisor" -> ((s, dir) =>
-      SaltAdvisor.advise(events(s, dir), col("user_id")))
+      SaltAdvisor.advise(events(s, dir), col("user_id"))),
+
+    // JOIN-SKEW SALT PLAN — which join keys need salted replication and
+    // by how much (SaltAdvisor.joinSaltPlan): hot tail = keys above 2×
+    // the mean rows-per-key, salt factor = count in mean-sized slices.
+    // The demo key is event_id's lowest set bit — geometric counts
+    // (N/2, N/4, …), so the hot tail exists at EVERY scale and the
+    // plan is fully deterministic in both engines.
+    "q_join_salt_plan" -> ((s, dir) =>
+      SaltAdvisor.joinSaltPlan(events(s, dir),
+        expr("event_id & -event_id")))
   )
 
   def oracle: Map[String, String] = Map(
@@ -362,6 +372,9 @@ object RefQueries {
            CAST((CAST(sum(cnt) AS BIGINT) * 1000000) // max(total) AS BIGINT) AS share_ppm
          FROM d GROUP BY 1 ORDER BY 1""",
 
-    "q_salt_advisor" -> SaltAdvisor.duckSql("events", "user_id")
+    "q_salt_advisor" -> SaltAdvisor.duckSql("events", "user_id"),
+
+    "q_join_salt_plan" ->
+      SaltAdvisor.duckJoinSaltPlan("events", "event_id & -event_id")
   )
 }

@@ -63,6 +63,21 @@ class SaltAdvisorSpec extends SparkSuite {
     assert(r.getLong(1) === direct.count(_._2 > 0).toLong, "used_buckets")
   }
 
+  test("join salt plan: planted hot key gets the mean-leveling factor, uniform tail excluded") {
+    // key 0: 1000 rows; keys 1..9: 100 each → total 1900, mean 190;
+    // hot bound 2×mean = 380 → only key 0; factor ⌈1000/190⌉ = 6
+    val rows = Seq.fill(1000)(0L) ++ (1 to 9).flatMap(k => Seq.fill(100)(k.toLong))
+    val r = SaltAdvisor.joinSaltPlan(rows.toDF("k"), col("k")).collect()
+    assert(r.length === 1, s"only the planted hot key is in the plan: ${r.toSeq}")
+    assert(r.head.getLong(0) === 0L && r.head.getLong(1) === 1000L)
+    assert(r.head.getLong(2) === 526315L) // 1000/1900 in ppm, floored
+    assert(r.head.getLong(3) === 6L)
+    // perfectly uniform: empty plan
+    val u = SaltAdvisor.joinSaltPlan(
+      (0 until 900).map(i => (i % 9).toLong).toDF("k"), col("k")).collect()
+    assert(u.isEmpty)
+  }
+
   test("empty buckets count as maximal unevenness (under_ppm = 0)") {
     // 3 distinct keys into 64 buckets: >= 61 empty buckets
     val rep = report(Seq(1L, 2L, 3L), Seq(64))(64L)

@@ -38,6 +38,42 @@ class BpeTrainerSpec extends SparkSuite {
     assert(m(1) === ((2, "aa", "a", 1L)))
   }
 
+  test("trainSampled with a full-vocab sample learns the IDENTICAL merge table") {
+    val vocab = Seq(("banana", 3L), ("bandana", 2L), ("aaa", 5L), ("abab", 4L))
+      .toDF("term", "freq")
+      .select(BpeTrainer.encode(col("term")).as("enc"), col("freq"))
+    def tab(df: org.apache.spark.sql.DataFrame) = df
+      .select("merge_rank", "left_sym", "right_sym", "pair_count")
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    val full = tab(BpeTrainer.train(vocab, 6))
+    val sampled = tab(BpeTrainer.trainSampled(vocab, 6, sampleSize = 100))
+    assert(sampled === full,
+      "sample ⊇ vocab must reproduce the distributed decisions exactly")
+  }
+
+  test("trainSampled stops cleanly when the vocab is fully merged") {
+    val vocab = Seq(("ab", 1L)).toDF("term", "freq")
+      .select(BpeTrainer.encode(col("term")).as("enc"), col("freq"))
+    // only one merge is possible; asking for 10 rounds returns 1 row
+    val m = BpeTrainer.trainSampled(vocab, 10, sampleSize = 10)
+      .as[(Int, String, String, Long)].collect()
+    assert(m.toSeq === Seq((1, "a", "b", 1L)))
+    // the distributed trainer stops identically (advice-pinned)
+    val d = BpeTrainer.train(vocab, 10)
+      .as[(Int, String, String, Long)].collect()
+    assert(d.toSeq === m.toSeq)
+  }
+
+  test("trainSampled truncated to the weighted head still learns head merges") {
+    // head by freq: "aa"×9 dominates; the tail word is outside the sample
+    val vocab = Seq(("aa", 9L), ("zz", 1L)).toDF("term", "freq")
+      .select(BpeTrainer.encode(col("term")).as("enc"), col("freq"))
+    val m = BpeTrainer.trainSampled(vocab, 2, sampleSize = 1)
+      .as[(Int, String, String, Long)].collect()
+    assert(m.toSeq === Seq((1, "a", "a", 9L)),
+      "only the sampled head's pairs are visible to the fit")
+  }
+
   test("merged symbols survive as atomic units in later rounds") {
     // "abab"×4: round1 (a,b)=8 → (ab)(ab); round2 (ab,ab)=4
     val vocab = Seq(("abab", 4L)).toDF("term", "freq")

@@ -59,7 +59,7 @@ class GlobalWindowFuzzSpec extends SparkSuite {
     // suffix-RANGE aggregates); position-based frames need `unique`
     val byKK = Window.orderBy("k", "k2")
     val unique3 = Window.orderBy("k", "k2", "id")
-    rnd.nextInt(12) match {
+    rnd.nextInt(13) match {
       case 0 => // running
         s"c$i" -> sum("v").over(unique.rowsBetween(Window.unboundedPreceding, Window.currentRow))
       case 1 => // suffix
@@ -108,6 +108,13 @@ class GlobalWindowFuzzSpec extends SparkSuite {
           s"c$i" -> count(lit(1)).over(
             byKK.rangeBetween(Window.currentRow, Window.unboundedFollowing))
         )(rnd.nextInt(4))
+      case 12 => // sorted whole-frame collect_list (ordered constant-agg
+        // rescue): unique total order — the only shape whose list order
+        // ANY plan pins. Rendered as a joined string for stable compare.
+        val base = if (rnd.nextBoolean()) unique else unique3
+        s"c$i" -> concat_ws(",",
+          collect_list(coalesce(col("v").cast("string"), lit("null"))).over(
+            base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       case 11 => // composite 3-key UNIQUE order: position-based frames
         val off = 1 + rnd.nextInt(4)
         Seq(
