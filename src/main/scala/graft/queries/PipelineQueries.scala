@@ -630,9 +630,13 @@ object PipelineQueries {
     // on this corpus, not just self-consistency.
     "q_simjoin_prefix" -> ((s, dir) => {
       val corpus = fuzzyCorpus(documents(s, dir))
+      // persisted: the (doc, x) set rows feed the df agg, the prefix
+      // cut AND the full-set verify sides — unpinned, the whole
+      // shingle+distinct pipeline would run three times
       val sets = shingleRows(corpus)
         .withColumn("x", baseHash32(col("s")))
-        .select("doc_id", "x").distinct()
+        .select("doc_id", "x").distinct().persist()
+      Persisted.swap("simjoin_sets", dir, sets)
       val dfreq = sets.groupBy("x").agg(count(lit(1)).as("df"))
       val pref = sets.join(dfreq, "x")
         .withColumn("rn", row_number().over(
