@@ -108,6 +108,43 @@ object AnalyticQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // FUNNEL ANALYSIS — ordered-step conversion (view → click →
+    // purchase), the product-analytics query every event pipeline
+    // runs: a user completes step k only with an event strictly AFTER
+    // their step-k−1 completion (greedy earliest-completion, the
+    // standard funnel semantics). Declarative chain of conditional
+    // MINs: t1 = min view ts; t2 = min click ts > t1; t3 = min
+    // purchase ts > t2 — each step is a map-combined agg + an
+    // equi-join, ALL keyed on user_id, so the per-step shuffles align
+    // on one partitioning (no window, no per-user sort, no collect).
+    // The report is 3 rows; conversion is integer-exact ppm of step-1
+    // users via a whole-report constant window (zero-exchange rescue).
+    "q_funnel" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        col("ts_us"))
+      val t1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("t1"))
+      val t2 = e.filter(col("event_type") === "click").join(t1, "user_id")
+        .filter(col("ts_us") > col("t1"))
+        .groupBy("user_id").agg(min("ts_us").as("t2"))
+      val t3 = e.filter(col("event_type") === "purchase").join(t2, "user_id")
+        .filter(col("ts_us") > col("t2"))
+        .groupBy("user_id").agg(min("ts_us").as("t3"))
+      val counts = t1.agg(count(lit(1)).as("n_users"))
+        .select(lit(1L).as("step"), lit("view").as("step_name"), col("n_users"))
+        .unionByName(t2.agg(count(lit(1)).as("n_users"))
+          .select(lit(2L).as("step"), lit("click").as("step_name"), col("n_users")))
+        .unionByName(t3.agg(count(lit(1)).as("n_users"))
+          .select(lit(3L).as("step"), lit("purchase").as("step_name"), col("n_users")))
+      counts
+        .withColumn("n_step1",
+          max(when(col("step") === 1L, col("n_users"))).over(Window.partitionBy()))
+        .withColumn("conv_ppm", expr(
+          "cast(cast(n_users AS decimal(38,0)) * 1000000 div n_step1 AS bigint)"))
+        .select("step", "step_name", "n_users", "conv_ppm")
+        .orderBy("step")
+    }),
+
     // MULTI-KEY ORDER BY windows — composite (a, b) global ordering
     // with heavy ties at BOTH grains, across the rescued families:
     // rank/dense_rank and peer-inclusive running sum at the tied
@@ -637,6 +674,28 @@ object AnalyticQueries {
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
          WHERE user_id < 10 ORDER BY user_id, rn""",
+
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+                    FROM events),
+         s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e
+                JOIN s1 ON s1.user_id = e.user_id
+                WHERE event_type = 'click' AND ts_us > t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM e
+                JOIN s2 ON s2.user_id = e.user_id
+                WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY 1),
+         c AS (SELECT 1 AS step, 'view' AS step_name,
+                 count(*) AS n_users FROM s1
+               UNION ALL SELECT 2, 'click', count(*) FROM s2
+               UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+         SELECT CAST(step AS BIGINT) AS step, step_name,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(CAST(n_users AS HUGEINT) * 1000000 //
+             max(CASE WHEN step = 1 THEN n_users END) OVER ()
+             AS BIGINT) AS conv_ppm
+         FROM c ORDER BY step""",
 
     "q_window_multikey" ->
       """SELECT event_id, a, b, rnk, drnk, csum, scnt, rn3, lg3 FROM (

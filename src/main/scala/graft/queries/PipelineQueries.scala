@@ -980,7 +980,11 @@ object PipelineQueries {
     // IvfProbe, rerank-30) visible: a user raising nProbe can SEE the
     // recall it buys. n_hits = |method's top-k ∩ brute top-10| per query.
     "q_knn_recall" -> ((s, dir) => {
-      val brute = queries("q_knn_cosine_brute")(s, dir).select("q_id", "vec_id")
+      // persisted: the brute ground truth joins against EVERY method —
+      // unpinned, the brute knn scan would run once per method row
+      val brute = queries("q_knn_cosine_brute")(s, dir)
+        .select("q_id", "vec_id").persist()
+      Persisted.swap("knn_recall_brute", dir, brute)
       val qids = brute.select("q_id").distinct()
       Seq("lsh", "lsh_multiprobe", "ivf", "ivf_indexed_multiprobe",
         "ivf_indexed_deep", "sq8", "pq").map { m =>
@@ -3062,7 +3066,11 @@ object PipelineQueries {
         .filter(col("term").rlike("^[a-z]+$"))
         .groupBy("term").agg(count(lit(1)).as("freq"))
         .select(BpeTrainer.encode(col("term")).as("enc"), col("freq"))
-      val merges = BpeTrainer.train(vocab, 3).orderBy("merge_rank")
+      // trainSampled with a vocab-covering sample: decisions are
+      // bit-identical to train() (spec + q_bpe_merges_sampled oracle)
+      // and the fit is ONE collect instead of one argmax job per round
+      val merges = BpeTrainer.trainSampled(vocab, 3, sampleSize = 1 << 20)
+        .orderBy("merge_rank")
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
       val tok = documents(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("t"))

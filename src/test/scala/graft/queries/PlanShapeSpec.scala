@@ -570,6 +570,16 @@ class PlanShapeSpec extends SparkSuite {
       s"no built-in WindowExec expected:\n$p")
   }
 
+  test("funnel: conditional-min chain on one user_id partitioning, no window over users") {
+    val p = plan("q_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"step joins must be equi-joins on user_id:\n$p")
+    assert(p.contains("partial_min"), "per-step earliest-completion must combine map-side")
+    // the only window is the 3-row constant spread for conv_ppm
+    assert(!p.matches("(?s).*Window \\[[^\\]]*user_id.*"),
+      s"no per-user window — the funnel is an agg chain:\n$p")
+  }
+
   test("corpus drift: no scalar-combine join; all four windows ride the rescues") {
     val p = plan("q_corpus_drift")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")
