@@ -43,7 +43,8 @@ object PipelineQueries {
     "q_knn_delete",
     "q_text_search", "q_text_search_ranked", "q_text_bm25", "q_text_bm25_live",
     "q_text_phrase", "q_text_stream_ingest", "q_text_delete", "q_text_merge",
-    "q_cdc_snapshot", "q_cdc_asof")
+    "q_cdc_snapshot", "q_cdc_asof",
+    "q_index_lookup")
 
   /** Persist hygiene across repeated invocation. Bench runs every query
     * 3+ times per process and one process may touch several SF dirs, so a
@@ -1207,6 +1208,31 @@ object PipelineQueries {
         .withColumn("weight",
           (lit(1.0) / count(lit(1)).over(wAll).cast("double")) / col("share"))
         .select("source", "n_docs", "n_tokens", "share", "weight")
+        .orderBy("source")
+    }),
+
+    // TEMPERATURE-WEIGHTED DOMAIN MIXING (α = 1/2) — the multilingual
+    // sampling rule between proportional (α=1, head domains dominate)
+    // and uniform (α=0, tail domains over-sampled): mixture weight ∝
+    // √(token share). All shares integer-exact ppm in DECIMAL(38,0);
+    // the α=1/2 power is floor(sqrt(n·10⁶)) — IEEE sqrt is correctly
+    // rounded, so both engines produce the identical integer. The
+    // per-source census is one map-combined agg; the normalizers are
+    // whole-report constant windows (zero-exchange rescue) over
+    // |sources| rows.
+    "q_domain_mix_temperature" -> ((s, dir) => {
+      val wAll = Window.partitionBy()
+      documents(s, dir)
+        .withColumn("n_tokens", size(tokens(col("text"))).cast("bigint"))
+        .groupBy("source").agg(sum("n_tokens").as("n_tokens"))
+        .withColumn("w", expr("cast(floor(sqrt(n_tokens * 1000000)) AS bigint)"))
+        .withColumn("tot_tokens", sum("n_tokens").over(wAll))
+        .withColumn("tot_w", sum("w").over(wAll))
+        .withColumn("share_ppm", expr(
+          "cast(cast(n_tokens AS decimal(38,0)) * 1000000 div tot_tokens AS bigint)"))
+        .withColumn("temp_weight_ppm", expr(
+          "cast(cast(w AS decimal(38,0)) * 1000000 div tot_w AS bigint)"))
+        .select("source", "n_tokens", "share_ppm", "temp_weight_ppm")
         .orderBy("source")
     }),
 
@@ -3561,6 +3587,22 @@ object PipelineQueries {
                         FROM documents)
                   GROUP BY source)
             ORDER BY source""",
+
+      "q_domain_mix_temperature" ->
+        s"""WITH c AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+                  FROM (SELECT source,
+                          CAST(len(${duckTokens("text")}) AS BIGINT) AS n_tokens
+                        FROM documents)
+                  GROUP BY source),
+            w AS (SELECT source, n_tokens,
+                    CAST(floor(sqrt(n_tokens * 1000000)) AS BIGINT) AS w
+                  FROM c)
+           SELECT source, n_tokens,
+             CAST(CAST(n_tokens AS HUGEINT) * 1000000
+               // CAST(SUM(n_tokens) OVER () AS HUGEINT) AS BIGINT) AS share_ppm,
+             CAST(CAST(w AS HUGEINT) * 1000000
+               // CAST(SUM(w) OVER () AS HUGEINT) AS BIGINT) AS temp_weight_ppm
+           FROM w ORDER BY source""",
 
       "q_rownum_global" ->
         """SELECT event_id, user_id,

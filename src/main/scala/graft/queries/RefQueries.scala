@@ -236,6 +236,33 @@ object RefQueries {
     "q_salt_advisor" -> ((s, dir) =>
       SaltAdvisor.advise(events(s, dir), col("user_id"))),
 
+    // SECONDARY (value → key) INDEX LOOKUP — the HBase companion
+    // pattern the reference's salting makes necessary: the base store
+    // prunes by ROW KEY only (README:75-78), so a value lookup needs a
+    // second salted store of (value, key) pairs. Flow: probes
+    // broadcast-join the index on (bucket, v) — index partitions prune
+    // dynamically; recovered keys re-bucket under the BASE distributor
+    // and broadcast-join the base on (bucket, key) — base partitions
+    // prune the same way. Neither store is scanned beyond its probed
+    // buckets. Stores are built once per process (ensure, pid-suffixed
+    // path — same amortization idiom as the vector index).
+    "q_index_lookup" -> ((s, dir) => {
+      import graft.store.{SaltedStore, SecondaryIndex}
+      val tmp = System.getProperty("java.io.tmpdir")
+      val tag = s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+      val basePath = s"$tmp/graft_sidx_base_$tag"
+      val idxPath = s"$tmp/graft_sidx_idx_$tag"
+      val e = events(s, dir).select(col("event_id"), col("user_id"), col("value"))
+      SaltedStore.ensure(e, col("event_id"), dist, basePath)
+      SecondaryIndex.ensure(e, col("user_id"), col("event_id"), 8, idxPath)
+      import s.implicits._
+      val probes = Seq(3L, 17L, 41L).toDF("v")
+      SecondaryIndex.fetchThrough(s, idxPath, 8, basePath, dist,
+          "event_id", probes)
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    }),
+
     // JOIN-SKEW SALT PLAN — which join keys need salted replication and
     // by how much (SaltAdvisor.joinSaltPlan): hot tail = keys above 2×
     // the mean rows-per-key, salt factor = count in mean-sized slices.
@@ -375,6 +402,10 @@ object RefQueries {
     "q_salt_advisor" -> SaltAdvisor.duckSql("events", "user_id"),
 
     "q_join_salt_plan" ->
-      SaltAdvisor.duckJoinSaltPlan("events", "event_id & -event_id")
+      SaltAdvisor.duckJoinSaltPlan("events", "event_id & -event_id"),
+
+    "q_index_lookup" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE user_id IN (3, 17, 41) ORDER BY event_id"""
   )
 }

@@ -52,6 +52,20 @@ object SaltedStore {
       .save(path)
   }
 
+  /** Idempotent [[write]] (parquet only): skip when a completed write —
+    * parquet's `_SUCCESS` commit marker — already sits at `path`. Same
+    * per-process amortization contract as VectorIndex.ensure (a
+    * repeated pipeline reuses the layout instead of re-shuffling into
+    * it); NOT a concurrency lock. Returns true when a write happened. */
+  def ensure(df: DataFrame, keyCol: Column, dist: Distributor,
+             path: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    val done = fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS"))
+    if (!done) write(df, keyCol, dist, path)
+    !done
+  }
+
   /** Marker file denoting a compaction swap in flight (see [[compact]]).
     * Underscore-prefixed, so Spark's file listing never reads it as data. */
   val CompactingMarker = "_graft_compacting"
