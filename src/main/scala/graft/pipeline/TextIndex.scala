@@ -598,4 +598,28 @@ object TextIndex {
       .filter(col("n_terms") === terms.distinct.size)
       .select("doc_id", "total_tf")
   }
+
+  /** BOOLEAN retrieval: docs containing ALL `must` terms and NONE of
+    * the `mustNot` terms. The must side is [[searchAll]]'s postings
+    * intersection; the exclusion is a LEFT ANTI join against the
+    * mustNot terms' doc ids. Both sides prune to their own terms'
+    * shards at file-listing time, so cost tracks the NAMED terms'
+    * postings, never the index — and the anti side in particular reads
+    * |mustNot postings| rows, not a corpus scan (the naive `NOT
+    * contains(text, w)` spelling rescans every document). */
+  def searchBoolean(spark: SparkSession, path: String,
+                    must: Seq[String], mustNot: Seq[String]): DataFrame = {
+    val hits = searchAll(spark, path, must)
+    if (mustNot.isEmpty) hits
+    else {
+      val nShards = layoutShards(spark, path)
+      val shards = mustNot.map(shardOfTerm(_, nShards)).distinct
+      val excluded = live(
+        graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
+          .filter(col("shard").isin(shards: _*))
+          .filter(col("t").isin(mustNot: _*)), spark, path)
+        .select(col("doc_id").as("__ex_id")).distinct()
+      hits.join(excluded, col("doc_id") === col("__ex_id"), "left_anti")
+    }
+  }
 }

@@ -41,7 +41,8 @@ object PipelineQueries {
     "q_knn_cosine_ivf_indexed", "q_knn_cosine_ivf_indexed_multiprobe",
     "q_knn_cosine_ivf_indexed_deep",
     "q_knn_delete",
-    "q_text_search", "q_text_search_ranked", "q_text_bm25", "q_text_bm25_live",
+    "q_text_search", "q_text_search_ranked", "q_text_boolean",
+    "q_text_bm25", "q_text_bm25_live",
     "q_text_phrase", "q_text_stream_ingest", "q_text_delete", "q_text_merge",
     "q_cdc_snapshot", "q_cdc_asof",
     "q_index_lookup")
@@ -1893,6 +1894,21 @@ object PipelineQueries {
       // (at 100 TB you'd size this to keep shards at a few hundred GB)
       TextIndex.ensure(documents(s, dir).select("doc_id", "text"), path, shards = 64)
       TextIndex.searchAll(s, path, Seq("batch", "small", "scan"))
+        .orderBy(col("total_tf").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // BOOLEAN retrieval over the same index: docs with ALL must terms
+    // and NONE of the mustNot terms (TextIndex.searchBoolean). The
+    // exclusion is an anti-join against the mustNot terms' postings —
+    // |mustNot postings| rows read via shard pruning, where the naive
+    // `NOT contains(text, w)` spelling rescans the whole corpus.
+    "q_text_boolean" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_tindex_" +
+        s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+      TextIndex.ensure(documents(s, dir).select("doc_id", "text"), path, shards = 64)
+      TextIndex.searchBoolean(s, path,
+          must = Seq("batch", "small", "scan"), mustNot = Seq("dup", "key"))
         .orderBy(col("total_tf").desc, col("doc_id"))
         .limit(20)
     }),
@@ -3913,6 +3929,18 @@ object PipelineQueries {
            FROM events ORDER BY epoch_us(ts), event_id""",
 
       "q_text_search" -> duckConjunctiveSearchSql,
+
+      "q_text_boolean" ->
+        s"""WITH tok AS (SELECT doc_id, unnest(${duckTokens("text")}) AS t
+                     FROM documents),
+          p AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS tf
+                FROM tok GROUP BY t, doc_id),
+          m AS (SELECT doc_id, count(*) AS n, CAST(SUM(tf) AS BIGINT) AS total_tf
+                FROM p WHERE t IN ('batch', 'small', 'scan') GROUP BY doc_id),
+          ex AS (SELECT DISTINCT doc_id FROM p WHERE t IN ('dup', 'key'))
+        SELECT doc_id, total_tf FROM m
+        WHERE n = 3 AND doc_id NOT IN (SELECT doc_id FROM ex)
+        ORDER BY total_tf DESC, doc_id LIMIT 20""",
 
       // identical oracle: the streaming-ingested, compacted index must
       // answer exactly like the one-shot index (both are lossless views

@@ -38,6 +38,23 @@ class TextIndexSpec extends SparkSuite {
     assert(single == Seq((1L, 1L), (3L, 1L)))
   }
 
+  test("boolean search: mustNot excludes via postings, empty mustNot = searchAll") {
+    // cat docs: 1, 3; "dog" excludes 3 → only 1 survives
+    val got = TextIndex.searchBoolean(spark, dir,
+        must = Seq("cat"), mustNot = Seq("dog"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L)))
+    // excluding a term absent from every doc changes nothing
+    val noop = TextIndex.searchBoolean(spark, dir,
+        must = Seq("cat"), mustNot = Seq("zebra"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(noop == Seq((1L, 1L), (3L, 1L)))
+    // empty mustNot is exactly searchAll
+    val all = TextIndex.searchBoolean(spark, dir, Seq("cat"), Nil)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(all == Seq((1L, 1L), (3L, 1L)))
+  }
+
   test("probe prunes to the probed term shards at file-listing time") {
     val terms = Seq("cat")
     val df = TextIndex.searchAll(spark, dir, terms)
