@@ -297,6 +297,54 @@ object AnalyticQueries {
         .na.fill(0L)
         .orderBy("day")),
 
+    // UNPIVOT (melt) — the inverse of q_pivot: the wide per-type count
+    // matrix back to long (day, event_type, cnt) rows. Spark's native
+    // unpivot is a row-local Expand (no shuffle beyond the pivot's own
+    // agg); ids/values are explicit so the shape survives schema
+    // evolution. Zero-count cells are kept (the melt is lossless).
+    "q_unpivot" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      events(s, dir)
+        .withColumn("day",
+          to_date(timestamp_micros(col("ts_us"))).cast("string"))
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .unpivot(Array(col("day")), types.map(col).toArray,
+          "event_type", "cnt")
+        .orderBy("day", "event_type")
+    }),
+
+    // PERIOD-OVER-PERIOD GROWTH — the weekly business series every
+    // analytics surface ships: revenue per week (integer day-arithmetic
+    // Monday alignment, the cohort queries' convention) with ppm change
+    // vs the previous week (NULL for the first). Arithmetic is integer
+    // CENTS throughout, and the signed division is sign-split so every
+    // engine division sees NON-NEGATIVE operands — Spark's `div`
+    // truncates while DuckDB's `//` floors, and they only agree above
+    // zero. The lag rides the rescued global offset window.
+    "q_wow_growth" -> ((s, dir) => {
+      val week = expr(
+        "(datediff(o_orderdate, date '1970-01-05') div 7) * 7")
+      orders(s, dir)
+        .withColumn("week_num", week.cast("bigint"))
+        .groupBy("week_num")
+        .agg(sum(Tables.dec(col("o_totalprice"))).as("revenue"))
+        .withColumn("rev_c", expr("cast(revenue * 100 AS bigint)"))
+        .withColumn("prev_c",
+          lag("rev_c", 1).over(Window.orderBy("week_num")))
+        .withColumn("growth_ppm", expr(
+          """cast(CASE WHEN prev_c IS NULL THEN NULL
+               WHEN rev_c >= prev_c
+                 THEN (cast(rev_c - prev_c AS decimal(38,0)) * 1000000) div prev_c
+               ELSE -((cast(prev_c - rev_c AS decimal(38,0)) * 1000000) div prev_c)
+             END AS bigint)"""))
+        .select(col("week_num"), col("revenue").cast("double").as("revenue"),
+          col("growth_ppm"))
+        .orderBy("week_num")
+    }),
+
     // exact percentiles (sort-based; identical linear interpolation in
     // both engines) per group
     "q_percentiles" -> ((s, dir) =>
@@ -674,6 +722,46 @@ object AnalyticQueries {
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
          WHERE user_id < 10 ORDER BY user_id, rn""",
+
+    "q_unpivot" ->
+      """WITH p AS (
+           SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type
+           FROM events),
+         w AS (SELECT day,
+             CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+             CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+             CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+             CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+             CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+           FROM p GROUP BY day)
+         SELECT day, event_type, cnt FROM (
+           SELECT day, 'click' AS event_type, click AS cnt FROM w
+           UNION ALL SELECT day, 'view', view FROM w
+           UNION ALL SELECT day, 'purchase', purchase FROM w
+           UNION ALL SELECT day, 'signup', signup FROM w
+           UNION ALL SELECT day, 'error', error FROM w)
+         ORDER BY day, event_type""",
+
+    "q_wow_growth" ->
+      """WITH o AS (SELECT
+             CAST((datediff('day', DATE '1970-01-05',
+                 CAST(o_orderdate AS DATE)) // 7) * 7 AS BIGINT)
+               AS week_num,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS p
+           FROM orders),
+         r AS (SELECT week_num, SUM(p) AS revenue FROM o GROUP BY 1),
+         c AS (SELECT week_num, revenue,
+                 CAST(revenue * 100 AS BIGINT) AS rev_c FROM r),
+         l AS (SELECT week_num, revenue, rev_c,
+                 lag(rev_c) OVER (ORDER BY week_num) AS prev_c FROM c)
+         SELECT week_num, CAST(revenue AS DOUBLE) AS revenue,
+           CASE WHEN prev_c IS NULL THEN NULL
+                WHEN rev_c >= prev_c THEN CAST(
+                  (CAST(rev_c - prev_c AS HUGEINT) * 1000000) // prev_c AS BIGINT)
+                ELSE -CAST(
+                  (CAST(prev_c - rev_c AS HUGEINT) * 1000000) // prev_c AS BIGINT)
+           END AS growth_ppm
+         FROM l ORDER BY week_num""",
 
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
