@@ -17,6 +17,12 @@ case class SessionState(sessStart: Long, sessEnd: Long, nClicks: Long)
   * state encoder. */
 case class AnomState(ring: Seq[Long])
 
+/** Per-user funnel progress for [[StreamingIngest.funnelConversions]]:
+  * step-1/step-2 completion times (epoch ms, −1 = not reached) and the
+  * converted flag. Fixed size — independent of event volume. Top-level
+  * for the state encoder. */
+case class FunnelState(t1: Long, t2: Long, done: Boolean)
+
 /** Structured Streaming front end for the salted store — the [EXT]
   * streaming surface of SURVEY.md §2.2.
   *
@@ -355,6 +361,9 @@ object StreamingIngest {
   case class Metric(user_id: Long, ts: Timestamp, event_id: Long, vi: Long)
   case class Anomaly(user_id: Long, event_id: Long, vi: Long, n: Long)
 
+  case class StepEvent(user_id: Long, ts: Timestamp, step: Int)
+  case class Conversion(user_id: Long, t1_ms: Long, t2_ms: Long, t3_ms: Long)
+
   /** Streaming twin of `q_anomaly_zscore`: flag a metric whose value
     * deviates > 3σ from the SAME key's trailing history (self-excluding
     * ring of the last `histLen` values), in the SAME all-integer
@@ -411,6 +420,59 @@ object StreamingIngest {
             .foldLeft(state.getCurrentWatermarkMs())(math.max)
           state.setTimeoutTimestamp(lastTs, idleEvict)
           out.result().iterator
+          }
+      }
+  }
+
+  /** Streaming twin of `q_funnel`: per-user ordered-step conversion
+    * (step 1 → 2 → 3, strictly increasing event time — the greedy
+    * earliest-completion semantics). Processing events in event-time
+    * order makes the greedy state machine EQUAL the batch formula
+    * (t1 = min step-1 ts; t2 = min step-2 ts > t1; t3 = min step-3
+    * ts > t2): the first step-1 seen in order IS the min, and so on —
+    * so a Conversion emitted here is bit-identical to the batch
+    * decision given in-order arrival (rows sort within each
+    * micro-batch; late data beyond the watermark is the same data the
+    * batch twin would misplace). Ties at equal ts process step-1
+    * first, and each step requires STRICTLY later time, matching the
+    * batch `>` comparisons.
+    *
+    * State per user is three longs + a flag — independent of event
+    * volume — and idle users evict via the same event-time timeout
+    * discipline as [[anomalyFlags]]. A converted user stays `done`
+    * (one Conversion per user, the batch query's count-once grain)
+    * until eviction. */
+  def funnelConversions(steps: Dataset[StepEvent], watermarkDelay: String,
+                        idleEvict: String = "24 hours"): Dataset[Conversion] = {
+    import steps.sparkSession.implicits._
+    steps
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, Conversion](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[StepEvent], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(FunnelState(-1L, -1L, done = false))
+            val out = Vector.newBuilder[Conversion]
+            val batch = rows.toArray
+            batch.sortBy(e => (e.ts.getTime, e.step)).foreach { e =>
+              val t = e.ts.getTime
+              if (!st.done) {
+                if (e.step == 1 && st.t1 < 0L) st = st.copy(t1 = t)
+                else if (e.step == 2 && st.t1 >= 0L && st.t2 < 0L && t > st.t1)
+                  st = st.copy(t2 = t)
+                else if (e.step == 3 && st.t2 >= 0L && t > st.t2) {
+                  out += Conversion(user, st.t1, st.t2, t)
+                  st = st.copy(done = true)
+                }
+              }
+            }
+            state.update(st)
+            val lastTs = batch.iterator.map(_.ts.getTime)
+              .foldLeft(state.getCurrentWatermarkMs())(math.max)
+            state.setTimeoutTimestamp(lastTs, idleEvict)
+            out.result().iterator
           }
       }
   }
