@@ -103,8 +103,12 @@ object Bench {
       if (jifEnd > jifStart) 100.0 * (stealEnd - stealStart) / (jifEnd - jifStart)
       else 0.0
     val wallSec = (System.nanoTime() - wallStart) / 1e9
+    // "total_sec" REPEATS the head's "value" at the END of the line:
+    // the driver captures only a ~4 KB log tail, and at 170+ queries the
+    // line's head (with "value") falls outside it — the trailing copy
+    // keeps the round total visible in every truncated capture
     def line(fmt: Double => String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qs(fmt)},"sf":"$sfDir","runs":$runs,"n_errors":$errCount,"index_warmup_sec":${fmt(indexWarmupSec)},"wall_sec":${fmt(wallSec)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","steal_pct":${f"$stealPct%.2f"}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qs(fmt)},"sf":"$sfDir","runs":$runs,"n_errors":$errCount,"index_warmup_sec":${fmt(indexWarmupSec)},"wall_sec":${fmt(wallSec)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","steal_pct":${f"$stealPct%.2f"},"total_sec":${fmt(total)}}"""
     // stdout: 3-decimal medians — the driver captures only a ~4 KB log
     // TAIL, and full-precision doubles pushed the line past it two rounds
     // running (BENCH_r03/r04 both lost their head and parsed as null).
