@@ -242,6 +242,43 @@ object AnalyticQueries {
         .orderBy("user_id", "ts_us", "event_id")
     }),
 
+    // NEAREST-EITHER-DIRECTION AS-OF — the other as-of users write:
+    // for each purchase, the click CLOSEST in time, before OR after
+    // (attribution windows, sensor alignment). Same union + per-key
+    // window pattern as the backward as-of, twice: last click at-or-
+    // before = running max over the prefix frame, next click after =
+    // running min over the suffix frame — ONE exchange on user_id
+    // shared by both (prefix + suffix rescues / gate-governed stock),
+    // never a range-join explosion. Nearest = smaller absolute gap,
+    // ties to the earlier (before) click; direction reported.
+    "q_asof_nearest_click" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("click_ts",
+          when(col("event_type") === "click", col("ts_us")))
+        .withColumn("prev_click_us", max("click_ts").over(wPrev))
+        .withColumn("next_click_us", min("click_ts").over(wNext))
+        .filter(col("event_type") === "purchase")
+        .withColumn("gap_prev", col("ts_us") - col("prev_click_us"))
+        .withColumn("gap_next", col("next_click_us") - col("ts_us"))
+        .withColumn("nearest_click_us", expr(
+          """CASE WHEN prev_click_us IS NULL THEN next_click_us
+                  WHEN next_click_us IS NULL THEN prev_click_us
+                  WHEN gap_prev <= gap_next THEN prev_click_us
+                  ELSE next_click_us END"""))
+        .withColumn("direction", expr(
+          """CASE WHEN nearest_click_us IS NULL THEN NULL
+                  WHEN nearest_click_us <= ts_us THEN 'before'
+                  ELSE 'after' END"""))
+        .withColumn("gap_us", expr("abs(ts_us - nearest_click_us)"))
+        .select("user_id", "event_id", "ts_us", "nearest_click_us",
+          "gap_us", "direction")
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
     // grouping sets: cube over (event_type, day)
     "q_cube" -> ((s, dir) =>
       events(s, dir)
@@ -856,6 +893,35 @@ object AnalyticQueries {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
            FROM events WHERE event_type IN ('click', 'purchase'))
          WHERE event_type = 'purchase'
+         ORDER BY user_id, ts_us, event_id""",
+
+    "q_asof_nearest_click" ->
+      """SELECT user_id, event_id, ts_us, nearest_click_us, gap_us,
+           direction FROM (
+           SELECT user_id, event_id, ts_us, nearest_click_us,
+             abs(ts_us - nearest_click_us) AS gap_us,
+             CASE WHEN nearest_click_us IS NULL THEN NULL
+                  WHEN nearest_click_us <= ts_us THEN 'before'
+                  ELSE 'after' END AS direction
+           FROM (
+             SELECT user_id, event_id, ts_us,
+               CASE WHEN prev_click_us IS NULL THEN next_click_us
+                    WHEN next_click_us IS NULL THEN prev_click_us
+                    WHEN ts_us - prev_click_us <= next_click_us - ts_us
+                      THEN prev_click_us
+                    ELSE next_click_us END AS nearest_click_us
+             FROM (
+               SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+                 max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS prev_click_us,
+                 min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next_click_us
+               FROM events WHERE event_type IN ('click', 'purchase'))
+             WHERE event_type = 'purchase'))
          ORDER BY user_id, ts_us, event_id""",
 
     "q_cube" ->
