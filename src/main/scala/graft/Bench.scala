@@ -31,6 +31,12 @@ object Bench {
       } catch { case _: Throwable => (0L, 0L) }
     val loadStart = loadavg
     val (jifStart, stealStart) = cpuJiffies
+    // fixed-work CPU calibration bracketing the run (graft.Calib): r11
+    // proved load/steal miss host-side slowness (230s driver artifact,
+    // steal 0.13%, same-code controlled run 80s) — a slow calib with
+    // clean steal IS the contamination signal, and per-query times can
+    // be read relative to it
+    val (calibPre1, calibPreN) = Calib.bracket(cpus.toInt)
     val wallStart = System.nanoTime()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -97,6 +103,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
     val errCount = errors.size
+    val (calibPost1, calibPostN) = Calib.bracket(cpus.toInt)
     val loadEnd = loadavg
     val (jifEnd, stealEnd) = cpuJiffies
     val stealPct =
@@ -108,7 +115,7 @@ object Bench {
     // line's head (with "value") falls outside it — the trailing copy
     // keeps the round total visible in every truncated capture
     def line(fmt: Double => String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qs(fmt)},"sf":"$sfDir","runs":$runs,"n_errors":$errCount,"index_warmup_sec":${fmt(indexWarmupSec)},"wall_sec":${fmt(wallSec)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","steal_pct":${f"$stealPct%.2f"},"total_sec":${fmt(total)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qs(fmt)},"sf":"$sfDir","runs":$runs,"n_errors":$errCount,"index_warmup_sec":${fmt(indexWarmupSec)},"wall_sec":${fmt(wallSec)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","steal_pct":${f"$stealPct%.2f"},"calib_sec":{"iters":${Calib.Iters},"pre_1t":${f"$calibPre1%.3f"},"pre_${cpus}t":${f"$calibPreN%.3f"},"post_1t":${f"$calibPost1%.3f"},"post_${cpus}t":${f"$calibPostN%.3f"}},"total_sec":${fmt(total)}}"""
     // stdout: 3-decimal medians — the driver captures only a ~4 KB log
     // TAIL, and full-precision doubles pushed the line past it two rounds
     // running (BENCH_r03/r04 both lost their head and parsed as null).

@@ -13,6 +13,12 @@ object Verify {
       case None => _ => true
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // box-health evidence for the correctness run, same motive as Bench:
+    // a slow verify with a slow fixed-work calib is the box, not the code
+    val (calibPre1, calibPreN) = Calib.bracket(cpus.toInt)
+    val wallStart = System.nanoTime()
+    var nRun = 0
+    var nFailed = 0
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,9 +36,11 @@ object Verify {
         val pin = SparkEntry.pinsRescueGate(name)
         val prev = spark.conf.getOption(gateKey)
         if (pin) spark.conf.set(gateKey, "0")
+        nRun += 1
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
+          nFailed += 1
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         } finally if (pin) prev match {
           case Some(v) => spark.conf.set(gateKey, v)
@@ -55,6 +63,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // self-evidence line + file: wall, counts, and fixed-work CPU calib
+    // bracketing the run — lets a future reader adjudicate a slow verify
+    // (box vs code) the way BENCH artifacts now can
+    val (calibPost1, calibPostN) = Calib.bracket(cpus.toInt)
+    val wallSec = (System.nanoTime() - wallStart) / 1e9
+    val meta =
+      s"""{"wall_sec":${f"$wallSec%.1f"},"n_queries":$nRun,"n_failed":$nFailed,"cpus":$cpus,"calib_sec":{"iters":${Calib.Iters},"pre_1t":${f"$calibPre1%.3f"},"pre_${cpus}t":${f"$calibPreN%.3f"},"post_1t":${f"$calibPost1%.3f"},"post_${cpus}t":${f"$calibPostN%.3f"}}}"""
+    println(s"[verify] meta $meta")
+    try Files.writeString(Paths.get(s"$outDir/verify_meta.json"), meta + "\n")
+    catch { case e: Throwable => System.err.println(s"[verify] meta write failed: $e") }
     spark.stop()
   }
 }
