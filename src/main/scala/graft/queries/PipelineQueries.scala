@@ -640,14 +640,25 @@ object PipelineQueries {
         .select("doc_id", "x").distinct().persist()
       Persisted.swap("simjoin_sets", dir, sets)
       val dfreq = sets.groupBy("x").agg(count(lit(1)).as("df"))
+      // persisted: BOTH self-join sides read the prefix cut — unpinned,
+      // the df-order window (sort exchange + two Window nodes) ran twice
       val pref = sets.join(dfreq, "x")
         .withColumn("rn", row_number().over(
           Window.partitionBy("doc_id").orderBy("df", "x")).cast("bigint"))
         .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
         .filter(col("rn") <= col("n") - expr("(n + 1) div 2") + 1L)
-        .select("doc_id", "x")
+        .select("doc_id", "x", "n")
+        .persist()
+      Persisted.swap("simjoin_pref", dir, pref)
+      // size prefilter INSIDE the candidate join (sound, same as the
+      // oracle's): J ≥ τ forces τ·max(|A|,|B|) ≤ min(|A|,|B|), so for
+      // τ = 1/2 any candidate with 2·min < max cannot verify — cutting
+      // it here spares the two collect_set-attach joins and the exact-
+      // Jaccard verify on pairs that are dead on arrival
       val cand = pref.as("pa").join(pref.as("pb"),
-          col("pa.x") === col("pb.x") && col("pa.doc_id") < col("pb.doc_id"))
+          col("pa.x") === col("pb.x") && col("pa.doc_id") < col("pb.doc_id") &&
+            lit(2L) * least(col("pa.n"), col("pb.n")) >=
+              greatest(col("pa.n"), col("pb.n")))
         .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"))
         .distinct()
       val full = sets.groupBy("doc_id").agg(collect_set("x").as("sh"))
