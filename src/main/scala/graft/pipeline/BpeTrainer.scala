@@ -115,16 +115,41 @@ object BpeTrainer {
     * `sampleSize` ≥ |vocab| the learned table is IDENTICAL to
     * [[train]]'s (spec-pinned). `pair_count` is the count WITHIN the
     * sample. Stops early when no adjacent pair remains. */
+  /** Lexicographic compare of two strings as UTF-8 bytes, unsigned —
+    * exactly Spark's UTF8String binary collation. */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   def trainSampled(vocab0: DataFrame, rounds: Int,
                    sampleSize: Int = 100000): DataFrame = {
     val spark = vocab0.sparkSession
     import spark.implicits._
     val symRe = "\\(([^)]*)\\)".r
-    val sample: Array[(Array[String], Long)] = vocab0
+    // no-silent-caps: collect ONE extra row — its presence proves the
+    // sample truncated the vocab, so the "identical to train()" guarantee
+    // does NOT hold for this fit (Zipfian-head approximation only).
+    // Callers relying on exact parity must see this surface, not debug a
+    // confusing oracle hash mismatch at a larger sf.
+    val probe = vocab0
       .select(col("enc").cast("string"), col("freq").cast("long"))
       .orderBy(col("freq").desc, col("enc"))
-      .limit(sampleSize)
+      .limit(sampleSize + 1)
       .collect()
+    if (probe.length > sampleSize)
+      System.err.println(
+        s"[graft] BpeTrainer.trainSampled: vocab exceeds sampleSize=$sampleSize" +
+          " — fit uses the weighted head only and is NOT bit-identical to train()")
+    val sample: Array[(Array[String], Long)] = probe.take(sampleSize)
       .map(r => (symRe.findAllMatchIn(r.getString(0)).map(_.group(1)).toArray,
         r.getLong(1)))
     val words: Array[Array[String]] = sample.map(_._1)
@@ -147,7 +172,18 @@ object BpeTrainer {
       }
       if (counts.isEmpty) exhausted = true
       else {
-        val ((a, b), cnt) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+        // tiebreak parity with train(): Spark compares strings as UTF-8
+        // BYTES (UTF8String binary), which diverges from JVM String
+        // (UTF-16 code unit) ordering for chars >= U+E000 and
+        // supplementary code points — compare bytes, not Strings
+        val ((a, b), cnt) = counts.min(Ordering.fromLessThan[((String, String), Long)] {
+          case (((x1, y1), c1), ((x2, y2), c2)) =>
+            if (c1 != c2) c1 > c2
+            else {
+              val cx = utf8Cmp(x1, x2)
+              if (cx != 0) cx < 0 else utf8Cmp(y1, y2) < 0
+            }
+        })
         merges += ((r, a, b, cnt))
         i = 0
         while (i < words.length) {

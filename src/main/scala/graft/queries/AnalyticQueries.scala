@@ -269,9 +269,15 @@ object AnalyticQueries {
                   WHEN next_click_us IS NULL THEN prev_click_us
                   WHEN gap_prev <= gap_next THEN prev_click_us
                   ELSE next_click_us END"""))
+        // direction = WHICH branch won, not a timestamp re-compare: a
+        // click at the exact purchase timestamp found via the suffix
+        // window is an 'after' click with gap 0, but
+        // `nearest_click_us <= ts_us` would mislabel it 'before'
         .withColumn("direction", expr(
           """CASE WHEN nearest_click_us IS NULL THEN NULL
-                  WHEN nearest_click_us <= ts_us THEN 'before'
+                  WHEN prev_click_us IS NULL THEN 'after'
+                  WHEN next_click_us IS NULL THEN 'before'
+                  WHEN gap_prev <= gap_next THEN 'before'
                   ELSE 'after' END"""))
         .withColumn("gap_us", expr("abs(ts_us - nearest_click_us)"))
         .select("user_id", "event_id", "ts_us", "nearest_click_us",
@@ -901,10 +907,13 @@ object AnalyticQueries {
            SELECT user_id, event_id, ts_us, nearest_click_us,
              abs(ts_us - nearest_click_us) AS gap_us,
              CASE WHEN nearest_click_us IS NULL THEN NULL
-                  WHEN nearest_click_us <= ts_us THEN 'before'
+                  WHEN prev_click_us IS NULL THEN 'after'
+                  WHEN next_click_us IS NULL THEN 'before'
+                  WHEN ts_us - prev_click_us <= next_click_us - ts_us
+                    THEN 'before'
                   ELSE 'after' END AS direction
            FROM (
-             SELECT user_id, event_id, ts_us,
+             SELECT user_id, event_id, ts_us, prev_click_us, next_click_us,
                CASE WHEN prev_click_us IS NULL THEN next_click_us
                     WHEN next_click_us IS NULL THEN prev_click_us
                     WHEN ts_us - prev_click_us <= next_click_us - ts_us

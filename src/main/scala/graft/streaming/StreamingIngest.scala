@@ -378,23 +378,30 @@ object StreamingIngest {
     * batch boundaries the test pins, and late data beyond the watermark
     * is the same data the batch twin would misplace.
     *
-    * State is bounded in BOTH dimensions: ≤ histLen longs per key, and
-    * keys idle for `idleEvict` of event time past their last metric are
-    * evicted via an event-time timeout (so churning key spaces don't
-    * accumulate dead rings forever). `idleEvict` must exceed
-    * `watermarkDelay` — a timeout at or before the current watermark is
-    * rejected by Spark. An evicted key that later reappears simply
-    * rebuilds history from scratch (n < minN suppresses flags), the same
-    * cold-start the batch twin gives a key's first minN rows. */
+    * State is ≤ histLen longs per key. Eviction is OPT-IN:
+    * `idleEvict = Some(d)` evicts keys idle for `d` of event time past
+    * their last metric via an event-time timeout (so churning key
+    * spaces don't accumulate dead rings forever); the default `None`
+    * keeps full per-key history forever — exact parity with the batch
+    * twin, which never forgets. THE DIVERGENCE WINDOW when eviction is
+    * on: an evicted key that reappears rebuilds history from scratch,
+    * so its next `minN` rows are flag-suppressed where the batch twin
+    * (full history) could still flag them — opt in only when bounded
+    * state matters more than tail parity. `idleEvict` must exceed
+    * `watermarkDelay` — a timeout at or before the current watermark
+    * is rejected by Spark. */
   def anomalyFlags(metrics: Dataset[Metric], watermarkDelay: String,
                    histLen: Int = 19, minN: Int = 8,
-                   idleEvict: String = "24 hours"): Dataset[Anomaly] = {
+                   idleEvict: Option[String] = None): Dataset[Anomaly] = {
     import metrics.sparkSession.implicits._
+    val timeoutConf =
+      if (idleEvict.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     metrics
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[AnomState, Anomaly](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        OutputMode.Append, timeoutConf) {
         (user: Long, rows: Iterator[Metric], state: GroupState[AnomState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
@@ -413,12 +420,14 @@ object StreamingIngest {
             ring = (ring :+ m.vi).takeRight(histLen)
           }
           state.update(AnomState(ring))
-          // evict this key once the watermark passes its last event by
-          // idleEvict; clamp to the watermark so a just-late batch can't
-          // request an already-passed timeout (which Spark rejects)
-          val lastTs = batch.iterator.map(_.ts.getTime)
-            .foldLeft(state.getCurrentWatermarkMs())(math.max)
-          state.setTimeoutTimestamp(lastTs, idleEvict)
+          // opt-in eviction: once the watermark passes this key's last
+          // event by idleEvict; clamp to the watermark so a just-late
+          // batch can't request an already-passed timeout (rejected)
+          idleEvict.foreach { d =>
+            val lastTs = batch.iterator.map(_.ts.getTime)
+              .foldLeft(state.getCurrentWatermarkMs())(math.max)
+            state.setTimeoutTimestamp(lastTs, d)
+          }
           out.result().iterator
           }
       }
@@ -438,8 +447,11 @@ object StreamingIngest {
     * batch `>` comparisons.
     *
     * State per user is three longs + a flag — independent of event
-    * volume — and idle users evict via the same event-time timeout
-    * discipline as [[anomalyFlags]]. A converted user stays `done`
+    * volume — and idle users ALWAYS evict after `idleEvict` of event
+    * time (shipped that way; bounded state over an unbounded user space
+    * is the point of a streaming funnel — unlike [[anomalyFlags]],
+    * where eviction is opt-in because it trades batch-twin parity for
+    * boundedness). A converted user stays `done`
     * (one Conversion per user, the batch query's count-once grain)
     * until eviction. */
   def funnelConversions(steps: Dataset[StepEvent], watermarkDelay: String,

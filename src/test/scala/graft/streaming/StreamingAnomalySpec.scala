@@ -64,6 +64,48 @@ class StreamingAnomalySpec extends SparkSuite {
     assert(got === exp)
   }
 
+  test("opt-in idleEvict drops an idle key's ring; reappearance cold-starts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // key 1: 12 constant rows, then 2h of event-time silence (advanced by
+    // key 2's rows), then a spike. With idleEvict=1h the ring is evicted,
+    // so the spike lands on an EMPTY ring (n=0 < minN) and must NOT flag
+    // — the documented divergence from the batch twin, pinned here.
+    val head = (0 until 12).map(i =>
+      Metric(1L, new Timestamp(base + i * 1000L), i.toLong, 100L))
+    val mover = (0 until 12).map(i =>                // watermark advancer
+      Metric(2L, new Timestamp(base + i * 900000L), 100L + i, 100L))
+    val spike = Metric(1L, new Timestamp(base + 9900000L), 999L, 5000000L)
+    // the expired timer fires on a trigger where key 1 has NO data —
+    // a key with data in the same trigger is processed as data instead
+    val tick = Metric(2L, new Timestamp(base + 9850000L), 200L, 100L)
+    val mem = MemoryStream[Metric]
+    val q = anomalyFlags(mem.toDS(), "1 minute", idleEvict = Some("1 hour"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("anomEv").start()
+    mem.addData(head); q.processAllAvailable()
+    mem.addData(mover); q.processAllAvailable()      // watermark → ~base+2.7h
+    mem.addData(Seq(tick)); q.processAllAvailable()  // key-1 timer fires here
+    mem.addData(Seq(spike)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("anomEv").select("event_id").as[Long].collect().toSet
+    assert(!got.contains(999L),
+      "evicted key's spike flagged — ring survived eviction")
+    // same stream WITHOUT eviction (default None): full parity — flags
+    val mem2 = MemoryStream[Metric]
+    val q2 = anomalyFlags(mem2.toDS(), "1 minute")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("anomNoEv").start()
+    mem2.addData(head); q2.processAllAvailable()
+    mem2.addData(mover); q2.processAllAvailable()
+    mem2.addData(Seq(tick)); q2.processAllAvailable()
+    mem2.addData(Seq(spike)); q2.processAllAvailable()
+    q2.stop()
+    val got2 = spark.table("anomNoEv").select("event_id").as[Long].collect().toSet
+    assert(got2.contains(999L),
+      "default (no eviction) must keep history and flag the spike")
+  }
+
   test("constant history flags any deviation (sigma = 0)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
