@@ -446,8 +446,19 @@ object TextIndex {
     * (tokens, docs) totals. b = 0 (the default) disables it and keeps
     * the length-free scoring. */
   def searchRanked(spark: SparkSession, path: String, terms: Seq[String],
-                   k1: Double = 1.2, b: Double = 0.0): DataFrame = {
-    require(terms.nonEmpty, "searchRanked needs at least one term")
+                   k1: Double = 1.2, b: Double = 0.0): DataFrame =
+    rankedWeights(spark, path, terms, k1, b)
+      .groupBy("doc_id")
+      .agg((sum("wq").cast("double") / 1000000.0).as("score"))
+      .select("doc_id", "score")
+
+  /** The BM25-lite scoring core shared by [[searchRanked]] (ANY-terms)
+    * and [[searchBooleanRanked]] (ALL-terms + exclusions): per-(t, doc)
+    * quantized weights, shard-pruned to the probed terms. */
+  private def rankedWeights(spark: SparkSession, path: String,
+                            terms: Seq[String], k1: Double,
+                            b: Double): DataFrame = {
+    require(terms.nonEmpty, "ranked search needs at least one term")
     require(b >= 0.0 && b <= 1.0, s"BM25 b must be in [0,1], got $b")
     val nShards = layoutShards(spark, path)
     // LIVE doc count: manifest total minus the pending tombstone counter
@@ -496,9 +507,43 @@ object TextIndex {
       // Similarity.lloyd trick; micro-score precision 1e-6 is far below
       // any ranking-relevant difference)
       .withColumn("wq", round(col("w") * 1000000.0).cast("bigint"))
+      .select("t", "doc_id", "wq")
+  }
+
+  /** RANKED BOOLEAN retrieval — the common real query: docs containing
+    * ALL `must` terms and NONE of the `mustNot` terms, scored by the
+    * same BM25-lite arithmetic as [[searchRanked]] over the must terms.
+    * One postings read serves both the ALL-match test
+    * (count_distinct(t) = |must|) and the score (same per-(t, doc)
+    * weights, same quantized fold); the exclusion is [[searchBoolean]]'s
+    * postings anti-join. Every side prunes to its own terms' shards at
+    * file-listing time — cost tracks the named terms' postings, never
+    * the index or the corpus. */
+  def searchBooleanRanked(spark: SparkSession, path: String,
+                          must: Seq[String], mustNot: Seq[String],
+                          k1: Double = 1.2, b: Double = 0.0): DataFrame = {
+    val hits = rankedWeights(spark, path, must, k1, b)
       .groupBy("doc_id")
-      .agg((sum("wq").cast("double") / 1000000.0).as("score"))
+      .agg(count_distinct(col("t")).as("__nt"),
+        (sum("wq").cast("double") / 1000000.0).as("score"))
+      .filter(col("__nt") === must.distinct.size)
       .select("doc_id", "score")
+    if (mustNot.isEmpty) hits
+    else hits.join(excludedDocs(spark, path, mustNot),
+      col("doc_id") === col("__ex_id"), "left_anti")
+  }
+
+  /** Distinct doc ids carrying ANY of `terms` — the exclusion side of
+    * boolean retrieval: reads |terms' postings| rows from their own
+    * pruned shards, never the corpus. */
+  private def excludedDocs(spark: SparkSession, path: String,
+                           terms: Seq[String]): DataFrame = {
+    val nShards = layoutShards(spark, path)
+    val shards = terms.map(shardOfTerm(_, nShards)).distinct
+    live(graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
+        .filter(col("shard").isin(shards: _*))
+        .filter(col("t").isin(terms: _*)), spark, path)
+      .select(col("doc_id").as("__ex_id")).distinct()
   }
 
   /** The shard count every probe must use — read from the manifest, the
@@ -611,15 +656,7 @@ object TextIndex {
                     must: Seq[String], mustNot: Seq[String]): DataFrame = {
     val hits = searchAll(spark, path, must)
     if (mustNot.isEmpty) hits
-    else {
-      val nShards = layoutShards(spark, path)
-      val shards = mustNot.map(shardOfTerm(_, nShards)).distinct
-      val excluded = live(
-        graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
-          .filter(col("shard").isin(shards: _*))
-          .filter(col("t").isin(mustNot: _*)), spark, path)
-        .select(col("doc_id").as("__ex_id")).distinct()
-      hits.join(excluded, col("doc_id") === col("__ex_id"), "left_anti")
-    }
+    else hits.join(excludedDocs(spark, path, mustNot),
+      col("doc_id") === col("__ex_id"), "left_anti")
   }
 }

@@ -28,6 +28,50 @@ object AnalyticQueries {
   private val SessGapUs = 3600000000L
   // 10-minute attribution window in micros (range-join funnel)
   private val FunnelWinUs = 600000000L
+  // per-step max gap for the time-bounded funnel: 1 day in micros (the
+  // sf0.01 step-1→2 gap quartiles are ~0.5/1.3/2.7 days, so a 1-day
+  // bound converts a real fraction and cuts a real fraction — both
+  // branches exercised at every scale)
+  private[queries] val FunnelMaxGapUs = 86400000000L
+
+  /** Ordered-step conversion report (view → click → purchase), the
+    * greedy earliest-completion semantics: t1 = min view ts, then step
+    * k completes at the earliest event strictly after step k−1 —
+    * bounded, when `maxGapUs` is set, to at most that far after (closed
+    * boundary: an event at exactly t_prev + gap converts). Declarative
+    * chain of conditional MINs — each step one map-combined agg + one
+    * equi-join, all keyed on user_id so the shuffles align on one
+    * partitioning; no window over events, no per-user sort. The 3-row
+    * report's step-1 denominator rides the whole-frame constant window,
+    * which GlobalConstantAggStrategy plans as the zero-exchange
+    * constant spread (plan-pinned in queries/PlanShapeSpec). */
+  private[queries] def funnelReport(ev: DataFrame,
+                                    maxGapUs: Option[Long]): DataFrame = {
+    val e = ev.select(col("user_id"), col("event_type"), col("ts_us"))
+    def within(t: org.apache.spark.sql.Column, prev: org.apache.spark.sql.Column) =
+      maxGapUs.fold(t > prev)(w => t > prev && t <= prev + lit(w))
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("t1"))
+    val t2 = e.filter(col("event_type") === "click").join(t1, "user_id")
+      .filter(within(col("ts_us"), col("t1")))
+      .groupBy("user_id").agg(min("ts_us").as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase").join(t2, "user_id")
+      .filter(within(col("ts_us"), col("t2")))
+      .groupBy("user_id").agg(min("ts_us").as("t3"))
+    val counts = t1.agg(count(lit(1)).as("n_users"))
+      .select(lit(1L).as("step"), lit("view").as("step_name"), col("n_users"))
+      .unionByName(t2.agg(count(lit(1)).as("n_users"))
+        .select(lit(2L).as("step"), lit("click").as("step_name"), col("n_users")))
+      .unionByName(t3.agg(count(lit(1)).as("n_users"))
+        .select(lit(3L).as("step"), lit("purchase").as("step_name"), col("n_users")))
+    counts
+      .withColumn("n_step1",
+        max(when(col("step") === 1L, col("n_users"))).over(Window.partitionBy()))
+      .withColumn("conv_ppm", expr(
+        "cast(cast(n_users AS decimal(38,0)) * 1000000 div n_step1 AS bigint)"))
+      .select("step", "step_name", "n_users", "conv_ppm")
+      .orderBy("step")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style flag/status rollup over lineitem
@@ -119,31 +163,20 @@ object AnalyticQueries {
     // on one partitioning (no window, no per-user sort, no collect).
     // The report is 3 rows; conversion is integer-exact ppm of step-1
     // users via a whole-report constant window (zero-exchange rescue).
-    "q_funnel" -> ((s, dir) => {
-      val e = events(s, dir).select(col("user_id"), col("event_type"),
-        col("ts_us"))
-      val t1 = e.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts_us").as("t1"))
-      val t2 = e.filter(col("event_type") === "click").join(t1, "user_id")
-        .filter(col("ts_us") > col("t1"))
-        .groupBy("user_id").agg(min("ts_us").as("t2"))
-      val t3 = e.filter(col("event_type") === "purchase").join(t2, "user_id")
-        .filter(col("ts_us") > col("t2"))
-        .groupBy("user_id").agg(min("ts_us").as("t3"))
-      val counts = t1.agg(count(lit(1)).as("n_users"))
-        .select(lit(1L).as("step"), lit("view").as("step_name"), col("n_users"))
-        .unionByName(t2.agg(count(lit(1)).as("n_users"))
-          .select(lit(2L).as("step"), lit("click").as("step_name"), col("n_users")))
-        .unionByName(t3.agg(count(lit(1)).as("n_users"))
-          .select(lit(3L).as("step"), lit("purchase").as("step_name"), col("n_users")))
-      counts
-        .withColumn("n_step1",
-          max(when(col("step") === 1L, col("n_users"))).over(Window.partitionBy()))
-        .withColumn("conv_ppm", expr(
-          "cast(cast(n_users AS decimal(38,0)) * 1000000 div n_step1 AS bigint)"))
-        .select("step", "step_name", "n_users", "conv_ppm")
-        .orderBy("step")
-    }),
+    "q_funnel" -> ((s, dir) =>
+      funnelReport(events(s, dir), maxGapUs = None)),
+
+    // TIME-BOUNDED FUNNEL — the real-world variant: step k counts only
+    // when completed within `FunnelMaxGapUs` of step k−1 ("click within
+    // a day of first view"). Same conditional-MIN chain: because any
+    // later qualifying event is even further from the anchor, the
+    // windowed min is the unbounded min WHEN it lands inside the
+    // window and null otherwise — so the per-step bound is one extra
+    // predicate (`ts <= t_prev + W`) on the same join+agg, no new
+    // shuffle. Boundary is CLOSED at exactly t_prev + W (spec-pinned,
+    // FunnelBoundarySpec).
+    "q_funnel_windowed" -> ((s, dir) =>
+      funnelReport(events(s, dir), maxGapUs = Some(FunnelMaxGapUs))),
 
     // MULTI-KEY ORDER BY windows — composite (a, b) global ordering
     // with heavy ties at BOTH grains, across the rescued families:
@@ -817,6 +850,30 @@ object AnalyticQueries {
          s3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM e
                 JOIN s2 ON s2.user_id = e.user_id
                 WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY 1),
+         c AS (SELECT 1 AS step, 'view' AS step_name,
+                 count(*) AS n_users FROM s1
+               UNION ALL SELECT 2, 'click', count(*) FROM s2
+               UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+         SELECT CAST(step AS BIGINT) AS step, step_name,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(CAST(n_users AS HUGEINT) * 1000000 //
+             max(CASE WHEN step = 1 THEN n_users END) OVER ()
+             AS BIGINT) AS conv_ppm
+         FROM c ORDER BY step""",
+
+    "q_funnel_windowed" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+                    FROM events),
+         s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e
+                JOIN s1 ON s1.user_id = e.user_id
+                WHERE event_type = 'click' AND ts_us > t1
+                  AND ts_us <= t1 + $FunnelMaxGapUs GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM e
+                JOIN s2 ON s2.user_id = e.user_id
+                WHERE event_type = 'purchase' AND ts_us > t2
+                  AND ts_us <= t2 + $FunnelMaxGapUs GROUP BY 1),
          c AS (SELECT 1 AS step, 'view' AS step_name,
                  count(*) AS n_users FROM s1
                UNION ALL SELECT 2, 'click', count(*) FROM s2

@@ -42,10 +42,10 @@ object PipelineQueries {
     "q_knn_cosine_ivf_indexed_deep",
     "q_knn_delete",
     "q_text_search", "q_text_search_ranked", "q_text_boolean",
-    "q_text_bm25", "q_text_bm25_live",
+    "q_text_boolean_ranked", "q_text_bm25", "q_text_bm25_live",
     "q_text_phrase", "q_text_stream_ingest", "q_text_delete", "q_text_merge",
     "q_cdc_snapshot", "q_cdc_asof",
-    "q_index_lookup")
+    "q_index_lookup", "q_index_range", "q_salt_advisor_verify")
 
   /** Persist hygiene across repeated invocation. Bench runs every query
     * 3+ times per process and one process may touch several SF dirs, so a
@@ -1921,6 +1921,23 @@ object PipelineQueries {
       TextIndex.searchBoolean(s, path,
           must = Seq("batch", "small", "scan"), mustNot = Seq("dup", "key"))
         .orderBy(col("total_tf").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // RANKED BOOLEAN — must/mustNot filtering and BM25 ranking in ONE
+    // probe (the common real query: "rank matches, excluding X"). One
+    // postings read serves both the ALL-match test and the score; the
+    // exclusion stays a postings anti-join on the mustNot terms' own
+    // pruned shards. Same bit-exact BM25-lite arithmetic as q_text_bm25
+    // (b = 0.75 length norm), so the oracle replays scores exactly.
+    "q_text_boolean_ranked" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_tindex_" +
+        s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+      TextIndex.ensure(documents(s, dir).select("doc_id", "text"), path, shards = 64)
+      TextIndex.searchBooleanRanked(s, path,
+          must = Seq("batch", "small", "scan"), mustNot = Seq("dup", "key"),
+          b = 0.75)
+        .orderBy(col("score").desc, col("doc_id"))
         .limit(20)
     }),
 
@@ -3952,6 +3969,42 @@ object PipelineQueries {
         SELECT doc_id, total_tf FROM m
         WHERE n = 3 AND doc_id NOT IN (SELECT doc_id FROM ex)
         ORDER BY total_tf DESC, doc_id LIMIT 20""",
+
+      "q_text_boolean_ranked" -> {
+        // q_text_bm25's arithmetic (same rendered Double constants, same
+        // IEEE avgdl division) + q_text_boolean's ALL-match and
+        // exclusion predicates
+        val k1 = 1.2; val k1p1 = k1 + 1.0; val b = 0.75; val omb = 1.0 - b
+        s"""WITH tok AS (SELECT doc_id, ${duckTokens("text")} AS ts FROM documents),
+              p AS (SELECT doc_id, unnest(ts) AS t FROM tok),
+              pt AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS tf
+                     FROM p GROUP BY t, doc_id),
+              q AS (SELECT * FROM pt WHERE t IN ('batch', 'small', 'scan')),
+              d AS (SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                    FROM q GROUP BY t),
+              dl AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl FROM tok),
+              nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n,
+                       CAST(CAST(SUM(tf) AS BIGINT) AS DOUBLE)
+                         / CAST(count(DISTINCT doc_id) AS DOUBLE) AS avgdl
+                     FROM pt),
+              w AS (SELECT q.doc_id,
+                      CAST(round((CAST(q.tf AS DOUBLE) * CAST($k1p1 AS DOUBLE)
+                                    / (CAST(q.tf AS DOUBLE)
+                                       + CAST($k1 AS DOUBLE)
+                                         * (CAST($omb AS DOUBLE)
+                                            + CAST($b AS DOUBLE) * dl.dl / nn.avgdl)))
+                                 * ((nn.n - CAST(d.df AS DOUBLE) + 0.5)
+                                    / (CAST(d.df AS DOUBLE) + 0.5))
+                                 * 1000000.0) AS BIGINT) AS wq
+                    FROM q JOIN d USING (t) JOIN dl USING (doc_id) CROSS JOIN nn),
+              ex AS (SELECT DISTINCT doc_id FROM pt WHERE t IN ('dup', 'key'))
+            SELECT doc_id, score FROM (
+              SELECT doc_id, count(*) AS nt,
+                CAST(CAST(SUM(wq) AS BIGINT) AS DOUBLE) / 1000000.0 AS score
+              FROM w GROUP BY doc_id)
+            WHERE nt = 3 AND doc_id NOT IN (SELECT doc_id FROM ex)
+            ORDER BY score DESC, doc_id LIMIT 20"""
+      },
 
       // identical oracle: the streaming-ingested, compacted index must
       // answer exactly like the one-shot index (both are lossless views

@@ -236,6 +236,58 @@ object RefQueries {
     "q_salt_advisor" -> ((s, dir) =>
       SaltAdvisor.advise(events(s, dir), col("user_id"))),
 
+    // SALT ADVISOR PREDICT→VERIFY — closes the loop the reference's own
+    // evenness test runs (wd-test/OneByteSimpleHashTest.java:83-100):
+    // the advisor PREDICTS per-bucket evenness from the key
+    // distribution; this query WRITES an actual salted store at the
+    // recommended n, measures the per-bucket distribution of the real
+    // layout (empty buckets included, same as the prediction), and
+    // joins measurement to prediction. prediction_exact must hold by
+    // construction — the store salts with the same Hash31 the advisor
+    // predicts with — so a false here means the write path and the
+    // advisor have drifted apart, which is exactly the regression this
+    // report exists to catch. The recommendation collect is ONE row
+    // (the argmax pattern) and the prediction columns ride along as
+    // literals — joining two 1-row frames on a literal key would fold
+    // to a conditionless nested loop; the measurement is one
+    // map-combined agg over the store's (bucket) column.
+    "q_salt_advisor_verify" -> ((s, dir) => {
+      import graft.store.SaltedStore
+      val adv = SaltAdvisor.advise(events(s, dir), col("user_id"))
+      val rec = adv.filter(col("recommended"))
+        .select("n", "under_ppm", "over_ppm", "within_tol").head()
+      val n = rec.getLong(0).toInt
+      val tmp = System.getProperty("java.io.tmpdir")
+      val tag = s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+      val path = s"$tmp/graft_advstore_${tag}_n$n"
+      SaltedStore.ensure(events(s, dir).select(col("event_id"), col("user_id")),
+        col("user_id"), HashPrefix(n), path)
+      val full = s.range(n).select(col("id").as("bucket"))
+      val perBucket = full
+        .join(SaltedStore.read(s, path)
+            .groupBy(col("bucket").cast("long").as("bucket"))
+            .agg(count(lit(1)).as("bucket_rows")),
+          Seq("bucket"), "left")
+        .select(coalesce(col("bucket_rows"), lit(0L)).as("bucket_rows"))
+      perBucket
+        .agg(min("bucket_rows").as("min_b"), max("bucket_rows").as("max_b"),
+          sum("bucket_rows").as("total"))
+        .select(lit(n.toLong).as("n"),
+          lit(rec.getLong(1)).as("pred_under_ppm"),
+          lit(rec.getLong(2)).as("pred_over_ppm"),
+          expr(s"cast(cast(min_b AS decimal(38,0)) * ${n}L * 1000000 div total AS bigint)")
+            .as("meas_under_ppm"),
+          expr(s"cast(cast(max_b AS decimal(38,0)) * ${n}L * 1000000 div total AS bigint)")
+            .as("meas_over_ppm"))
+        .withColumn("prediction_exact",
+          col("pred_under_ppm") === col("meas_under_ppm") &&
+            col("pred_over_ppm") === col("meas_over_ppm"))
+        .withColumn("within_tol", lit(rec.getBoolean(3)))
+        .select("n", "pred_under_ppm", "pred_over_ppm",
+          "meas_under_ppm", "meas_over_ppm", "prediction_exact", "within_tol")
+        .orderBy("n")
+    }),
+
     // SECONDARY (value → key) INDEX LOOKUP — the HBase companion
     // pattern the reference's salting makes necessary: the base store
     // prunes by ROW KEY only (README:75-78), so a value lookup needs a
@@ -259,6 +311,31 @@ object RefQueries {
       val probes = Seq(3L, 17L, 41L).toDF("v")
       SecondaryIndex.fetchThrough(s, idxPath, 8, basePath, dist,
           "event_id", probes)
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    }),
+
+    // SECONDARY-INDEX VALUE RANGE SCAN — the probe a hash-salted index
+    // cannot answer by construction (adjacent values scatter across all
+    // buckets; that is salting's whole job). RangeIndex bins values by
+    // `vb = v div width` — the reference's O6 interval fan-out
+    // (AbstractRowKeyDistributor.java:47-69) applied to the VALUE
+    // domain — so `user_id ∈ [20, 60)` resolves to bins 2..7 at the
+    // FILE LISTING (static partition bounds; plan guard in
+    // SecondaryIndexSpec), value-exact inside boundary bins via pushed
+    // parquet predicates, then the recovered keys prune the BASE like
+    // any index probe.
+    "q_index_range" -> ((s, dir) => {
+      import graft.store.{RangeIndex, SaltedStore}
+      val tmp = System.getProperty("java.io.tmpdir")
+      val tag = s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+      val basePath = s"$tmp/graft_sidx_base_$tag"   // shared with q_index_lookup
+      val idxPath = s"$tmp/graft_ridx_idx_$tag"
+      val e = events(s, dir).select(col("event_id"), col("user_id"), col("value"))
+      SaltedStore.ensure(e, col("event_id"), dist, basePath)
+      RangeIndex.ensure(e, col("user_id"), col("event_id"), width = 8L, idxPath)
+      RangeIndex.fetchRangeThrough(s, idxPath, 8L, basePath, dist,
+          "event_id", lo = Some(20L), hi = Some(60L))
         .select("event_id", "user_id", "value")
         .orderBy("event_id")
     }),
@@ -401,11 +478,44 @@ object RefQueries {
 
     "q_salt_advisor" -> SaltAdvisor.duckSql("events", "user_id"),
 
+    "q_salt_advisor_verify" -> {
+      val h = Hash31.duckHash32("__k")
+      s"""WITH adv AS (${SaltAdvisor.duckSql("events", "user_id")}),
+         p AS (SELECT n, under_ppm AS pred_under_ppm,
+                 over_ppm AS pred_over_ppm, within_tol
+               FROM adv WHERE recommended),
+         k AS (SELECT user_id AS __k FROM events),
+         mc AS (SELECT ((($h) % p.n + p.n) % p.n) AS bucket,
+                  count(*) AS bucket_rows
+                FROM k CROSS JOIN p GROUP BY 1),
+         fb AS (SELECT unnest(range(n)) AS bucket FROM p),
+         pb AS (SELECT coalesce(mc.bucket_rows, 0) AS bucket_rows
+                FROM fb LEFT JOIN mc USING (bucket)),
+         m AS (SELECT min(bucket_rows) AS min_b, max(bucket_rows) AS max_b,
+                 sum(bucket_rows) AS total FROM pb)
+         SELECT n, pred_under_ppm, pred_over_ppm,
+           meas_under_ppm, meas_over_ppm,
+           (pred_under_ppm = meas_under_ppm
+             AND pred_over_ppm = meas_over_ppm) AS prediction_exact,
+           within_tol
+         FROM (SELECT p.n, pred_under_ppm, pred_over_ppm, within_tol,
+                 CAST(CAST(min_b AS HUGEINT) * p.n * 1000000 // total AS BIGINT)
+                   AS meas_under_ppm,
+                 CAST(CAST(max_b AS HUGEINT) * p.n * 1000000 // total AS BIGINT)
+                   AS meas_over_ppm
+               FROM p CROSS JOIN m)
+         ORDER BY n"""
+    },
+
     "q_join_salt_plan" ->
       SaltAdvisor.duckJoinSaltPlan("events", "event_id & -event_id"),
 
     "q_index_lookup" ->
       """SELECT event_id, user_id, value FROM events
-         WHERE user_id IN (3, 17, 41) ORDER BY event_id"""
+         WHERE user_id IN (3, 17, 41) ORDER BY event_id""",
+
+    "q_index_range" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE user_id >= 20 AND user_id < 60 ORDER BY event_id"""
   )
 }

@@ -40,6 +40,25 @@ object SecondaryIndex {
       df.select(valueCol.cast("long").as("v"), keyCol.cast("long").as("k")),
       col("v"), HashPrefix(numBuckets), path)
 
+  /** One micro-batch append into an existing index layout — the
+    * streaming maintenance path (StreamingIngest.secondaryIndexWriter
+    * wraps this under the idempotent commit log). Appended files land
+    * inside their `bucket=N` partition, so lookups see new entries on
+    * their next file listing; small files accumulate per batch —
+    * reclaim with [[compact]]. */
+  def append(df: DataFrame, valueCol: Column, keyCol: Column,
+             numBuckets: Int, path: String): Unit =
+    SaltedStore.write(
+      df.select(valueCol.cast("long").as("v"), keyCol.cast("long").as("k")),
+      col("v"), HashPrefix(numBuckets), path, mode = "append")
+
+  /** Rewrite each bucket of a grown index to ⌈bytes/targetBytes⌉ files
+    * re-sorted by value — [[SaltedStore.compact]] on the (v, k) layout.
+    * Same writer discipline: pause appends for the duration. */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): Unit =
+    SaltedStore.compact(spark, path, col("v"), targetBytes)
+
   /** Keys for ONE value: static bucket prune (the literal bucket is
     * recomputed from the value, reference README:75-78) + value filter
     * inside the one surviving partition. */
@@ -72,17 +91,122 @@ object SecondaryIndex {
     * `baseKey` names the base store's key column. */
   def fetchThrough(spark: SparkSession, indexPath: String, idxBuckets: Int,
                    basePath: String, baseDist: Distributor, baseKey: String,
-                   probes: DataFrame): DataFrame = {
-    val keys = lookupSet(spark, indexPath, idxBuckets, probes)
-      .select(col("k")).distinct()
+                   probes: DataFrame): DataFrame =
+    fetchBase(spark,
+      lookupSet(spark, indexPath, idxBuckets, probes).select(col("k")),
+      basePath, baseDist, baseKey)
+
+  /** The shared index→base hop: recovered keys re-bucket under the
+    * BASE's distributor and broadcast-equi-join the base on
+    * (bucket, key) — base partitions prune dynamically. */
+  private[store] def fetchBase(spark: SparkSession, keys: DataFrame,
+                               basePath: String, baseDist: Distributor,
+                               baseKey: String): DataFrame = {
+    val k = keys.select(col(keys.columns.head).as("k")).distinct()
       .withColumn("kb", baseDist match {
         case h: HashPrefix => Hash31.bucket(col("k"), h.numBuckets)
         case d => throw new IllegalArgumentException(
           s"fetchThrough needs a key-recomputable distributor, got $d")
       })
-    broadcast(keys)
+    broadcast(k)
       .join(SaltedStore.read(spark, basePath),
         col("k") === col(baseKey) && col("kb") === col("bucket"))
       .drop("k", "kb")
   }
+}
+
+/** [REF] Range-capable secondary (value → key) index — the piece a
+  * hash-salted index cannot provide BY CONSTRUCTION: `value ∈ [a, b)`
+  * probes. Hash salting scatters adjacent values across all buckets
+  * (that is its job — reference README:9-18), so [[SecondaryIndex]]
+  * answers only equality. This layout instead partitions the index by
+  * FIXED-WIDTH value bins, `vb = v div width`, and a range probe is the
+  * reference's interval fan-out (O6, wd/AbstractRowKeyDistributor.java:
+  * 47-69 — one [start, stop) interval becomes one scan per prefix)
+  * applied to the VALUE domain: [lo, hi) covers exactly bins
+  * `lo div width .. (hi−1) div width`, a pair of static partition-filter
+  * bounds resolved at FILE-LISTING time — no data read outside the
+  * probed bins, ever.
+  *
+  * Scale shape: the build is one narrow projection + one repartition on
+  * the small bin key (skew caveat: a value distribution concentrated in
+  * few bins concentrates the write — pick `width` from the value
+  * histogram, e.g. SaltAdvisor-style deciles). Within each bin, files
+  * sort by `v`, so parquet min/max row-group skipping narrows the scan
+  * further inside the boundary bins — the HBase start/stop-row seek
+  * analog. Point lookups degrade gracefully (one bin + row-group skip);
+  * the hash index stays the better point structure (1/n of a uniformly
+  * distributed store), which is why BOTH layouts exist, same as a DB
+  * offering hash AND btree indexes. */
+object RangeIndex {
+  /** Write (v, k) rows binned by `vb = v div width`, sorted by v within
+    * each bin. Values must be non-negative BIGINTs (same contract as
+    * every salted key — `div` truncation and floor disagree below 0). */
+  def write(df: DataFrame, valueCol: Column, keyCol: Column,
+            width: Long, path: String, mode: String = "overwrite"): Unit = {
+    require(width > 0, s"bin width must be positive, got $width")
+    df.select(valueCol.cast("long").as("v"), keyCol.cast("long").as("k"))
+      .withColumn("vb", expr(s"v div ${width}L"))
+      .repartition(col("vb"))
+      .sortWithinPartitions(col("v"))
+      .write.partitionBy("vb").mode(mode).parquet(path)
+  }
+
+  /** One micro-batch append into an existing range-index layout — the
+    * streaming maintenance path (StreamingIngest.rangeIndexWriter wraps
+    * this under the idempotent commit log). Appended files land inside
+    * their `vb=N` bin, so range probes see new entries on their next
+    * file listing with the same bin prune; each batch's files are
+    * v-sorted internally but bins accumulate one file per batch —
+    * reclaim (and restore the global per-bin v-order that makes
+    * row-group skipping file-disjoint) with [[compact]]. */
+  def append(df: DataFrame, valueCol: Column, keyCol: Column,
+             width: Long, path: String): Unit =
+    write(df, valueCol, keyCol, width, path, mode = "append")
+
+  /** Rewrite each grown bin to ⌈bytes/targetBytes⌉ files range-split
+    * and re-sorted by v — [[SaltedStore.compact]] on the `vb=N` layout
+    * (same marker-guarded swap, readers keep serving mid-rewrite). */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): Unit =
+    SaltedStore.compact(spark, path, col("v"), targetBytes,
+      partitionPrefix = "vb")
+
+  /** Idempotent [[write]] — same `_SUCCESS` contract as
+    * [[SaltedStore.ensure]]. Returns true when a write happened. */
+  def ensure(df: DataFrame, valueCol: Column, keyCol: Column,
+             width: Long, path: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    val done = fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS"))
+    if (!done) write(df, valueCol, keyCol, width, path)
+    !done
+  }
+
+  /** (v, k) rows with `v ∈ [lo, hi)` — half-open, the reference's scan
+    * contract (start inclusive, stop exclusive; stop `None` = unbounded,
+    * the empty-stop branch of AbstractRowKeyDistributor.java:50-57).
+    * Each bound contributes a static bin-range predicate on the
+    * partition column (pruned at file listing) plus the exact value
+    * predicate (pushed to parquet row groups inside boundary bins). */
+  def lookupRange(spark: SparkSession, path: String, width: Long,
+                  lo: Option[Long], hi: Option[Long]): DataFrame = {
+    val idx = SaltedStore.read(spark, path, partitionPrefix = "vb")
+    val bounds =
+      lo.map(l => col("vb") >= lit(l / width) && col("v") >= lit(l)) ++
+        hi.map(h => col("vb") <= lit((h - 1) / width) && col("v") < lit(h))
+    bounds.reduceOption(_ && _).fold(idx)(idx.filter).select("v", "k")
+  }
+
+  /** Fetch base rows for a value RANGE through the index — the ordered
+    * range scan the reference exists to serve (README:75-78,
+    * wd/DistributedScanner.java:106-139), now driven by a VALUE interval:
+    * pruned index scan → recovered keys → base equi-join with dynamic
+    * bucket pruning. */
+  def fetchRangeThrough(spark: SparkSession, indexPath: String, width: Long,
+                        basePath: String, baseDist: Distributor, baseKey: String,
+                        lo: Option[Long], hi: Option[Long]): DataFrame =
+    SecondaryIndex.fetchBase(spark,
+      lookupRange(spark, indexPath, width, lo, hi).select(col("k")),
+      basePath, baseDist, baseKey)
 }

@@ -159,6 +159,61 @@ object StreamingIngest {
       graft.pipeline.TextIndex.write(batch, path, mode = "append")
     }
 
+  /** Continuous secondary-index maintenance: each micro-batch of base
+    * rows is projected to (value, key) pairs and appended into the
+    * salted index layout at `path` — the streaming twin of
+    * graft.store.SecondaryIndex.ensure, under the same idempotent
+    * commit log as [[saltedWriter]]. Lookups stay consistent while the
+    * index grows (appended files land inside their `bucket=N`
+    * partition, so point/set probes see new entries on their next file
+    * listing with the same prune). Small files accumulate per batch;
+    * reclaim with SecondaryIndex.compact under the marker-guarded swap
+    * — grown-then-compacted equals the batch build (spec-pinned). */
+  def secondaryIndexWriter(stream: DataFrame, valueCol: Column, keyCol: Column,
+                           numBuckets: Int, path: String,
+                           commitTag: String = "q0"): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeIndexBatchIdempotent(batch, batchId, valueCol, keyCol,
+          numBuckets, path, commitTag)
+      }
+
+  /** One idempotent secondary-index micro-batch append (testing seam). */
+  def writeIndexBatchIdempotent(batch: DataFrame, batchId: Long,
+                                valueCol: Column, keyCol: Column,
+                                numBuckets: Int, path: String,
+                                commitTag: String = "q0"): Unit =
+    withBatchCommit(batch, batchId, path, commitTag) {
+      graft.store.SecondaryIndex.append(batch, valueCol, keyCol, numBuckets, path)
+    }
+
+  /** Continuous RANGE-index maintenance — the [[secondaryIndexWriter]]
+    * twin for the value-binned layout (graft.store.RangeIndex): each
+    * micro-batch appends (value, key) pairs into their `vb=N` bins
+    * under the same idempotent commit log, so `v ∈ [lo, hi)` probes
+    * stay bin-pruned and consistent while the index grows; reclaim
+    * per-batch files (and the per-bin global v-order) with
+    * RangeIndex.compact under the marker-guarded swap. */
+  def rangeIndexWriter(stream: DataFrame, valueCol: Column, keyCol: Column,
+                       width: Long, path: String,
+                       commitTag: String = "q0"): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeRangeIndexBatchIdempotent(batch, batchId, valueCol, keyCol,
+          width, path, commitTag)
+      }
+
+  /** One idempotent range-index micro-batch append (testing seam). */
+  def writeRangeIndexBatchIdempotent(batch: DataFrame, batchId: Long,
+                                     valueCol: Column, keyCol: Column,
+                                     width: Long, path: String,
+                                     commitTag: String = "q0"): Unit =
+    withBatchCommit(batch, batchId, path, commitTag) {
+      graft.store.RangeIndex.append(batch, valueCol, keyCol, width, path)
+    }
+
   /** Continuous CDC ingest: each micro-batch of CHANGE rows (base
     * columns + op ∈ I/U/D) appends one delta generation to the
     * merge-on-read store at `path` (graft.store.CdcStore), seq =
@@ -455,8 +510,17 @@ object StreamingIngest {
     * (one Conversion per user, the batch query's count-once grain)
     * until eviction. */
   def funnelConversions(steps: Dataset[StepEvent], watermarkDelay: String,
-                        idleEvict: String = "24 hours"): Dataset[Conversion] = {
+                        idleEvict: String = "24 hours",
+                        maxGapMs: Option[Long] = None): Dataset[Conversion] = {
     import steps.sparkSession.implicits._
+    // time-bounded twin (q_funnel_windowed): step k counts only within
+    // maxGapMs of step k−1, boundary CLOSED. In event-time order the
+    // greedy machine still equals the batch conditional-MIN chain: the
+    // first in-window step-k event IS the windowed min, and once the
+    // first candidate overshoots the window every later one does too —
+    // the user simply never advances, exactly the batch null.
+    def within(t: Long, prev: Long): Boolean =
+      t > prev && maxGapMs.forall(w => t <= prev + w)
     steps
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
@@ -472,9 +536,9 @@ object StreamingIngest {
               val t = e.ts.getTime
               if (!st.done) {
                 if (e.step == 1 && st.t1 < 0L) st = st.copy(t1 = t)
-                else if (e.step == 2 && st.t1 >= 0L && st.t2 < 0L && t > st.t1)
+                else if (e.step == 2 && st.t1 >= 0L && st.t2 < 0L && within(t, st.t1))
                   st = st.copy(t2 = t)
-                else if (e.step == 3 && st.t2 >= 0L && t > st.t2) {
+                else if (e.step == 3 && st.t2 >= 0L && within(t, st.t2)) {
                   out += Conversion(user, st.t1, st.t2, t)
                   st = st.copy(done = true)
                 }

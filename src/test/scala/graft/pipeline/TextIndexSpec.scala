@@ -55,6 +55,41 @@ class TextIndexSpec extends SparkSuite {
     assert(all == Seq((1L, 1L), (3L, 1L)))
   }
 
+  test("ranked boolean: ALL-match scoring minus exclusions, one probe, shard-pruned") {
+    // cat docs: 1, 3; "dog" excludes 3 → doc 1 survives, scored
+    val got = TextIndex.searchBooleanRanked(spark, dir,
+        must = Seq("cat"), mustNot = Seq("dog"))
+      .as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L))
+    // the score is the SAME BM25-lite arithmetic as searchRanked —
+    // for a doc matching all must terms the two probes agree exactly
+    val ranked = TextIndex.searchRanked(spark, dir, Seq("cat"))
+      .filter(col("doc_id") === 1L).as[(Long, Double)].collect().head
+    assert(got.head._2 === ranked._2)
+    // ALL semantics: a doc missing one must term scores nowhere
+    val strict = TextIndex.searchBooleanRanked(spark, dir,
+        must = Seq("cat", "dog"), mustNot = Nil)
+      .as[(Long, Double)].collect().toSeq
+    assert(strict.map(_._1) == Seq(3L), s"only doc 3 has cat AND dog: $strict")
+    // file listing prunes to the probed terms' shards on BOTH sides
+    val q = TextIndex.searchBooleanRanked(spark, dir, Seq("cat"), Seq("dog"))
+    // sparkPlan, not executedPlan: this query aggregates, so AQE wraps
+    // it and the adaptive tree exposes no scan nodes until execution
+    val scans = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val want = Set("cat", "dog")
+      .map(t => TextIndex.shardOfTerm(t, TextIndex.DefaultShards))
+    scans.foreach { s =>
+      val surviving = s.relation.location
+        .listFiles(s.partitionFilters, s.dataFilters)
+        .map(_.values.getInt(0)).toSet
+      assert(surviving.subsetOf(want.map(_.toInt)),
+        s"scan read shards $surviving beyond the probed terms' $want")
+    }
+  }
+
   test("probe prunes to the probed term shards at file-listing time") {
     val terms = Seq("cat")
     val df = TextIndex.searchAll(spark, dir, terms)

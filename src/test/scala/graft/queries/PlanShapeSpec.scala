@@ -571,13 +571,22 @@ class PlanShapeSpec extends SparkSuite {
   }
 
   test("funnel: conditional-min chain on one user_id partitioning, no window over users") {
-    val p = plan("q_funnel")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"step joins must be equi-joins on user_id:\n$p")
-    assert(p.contains("partial_min"), "per-step earliest-completion must combine map-side")
-    // the only window is the 3-row constant spread for conv_ppm
-    assert(!p.matches("(?s).*Window \\[[^\\]]*user_id.*"),
-      s"no per-user window — the funnel is an agg chain:\n$p")
+    for (q <- Seq("q_funnel", "q_funnel_windowed")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q step joins must be equi-joins on user_id:\n$p")
+      assert(p.contains("partial_min"), "per-step earliest-completion must combine map-side")
+      // the only window is the 3-row constant spread for conv_ppm —
+      // and it must ride the zero-exchange GlobalConstantAgg rescue,
+      // not a single-task WindowExec (the house pattern for whole-frame
+      // denominators, same as q_domain_mix_temperature)
+      assert(!p.matches("(?s).*Window \\[[^\\]]*user_id.*"),
+        s"$q: no per-user window — the funnel is an agg chain:\n$p")
+      assert(p.contains("GlobalConstantAgg"),
+        s"$q: step-1 denominator must ride the constant spread:\n$p")
+      assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+        s"$q: no built-in WindowExec expected:\n$p")
+    }
   }
 
   test("corpus drift: no scalar-combine join; all four windows ride the rescues") {

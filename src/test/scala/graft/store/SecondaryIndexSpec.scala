@@ -62,4 +62,133 @@ class SecondaryIndexSpec extends SparkSuite {
     assert(!SecondaryIndex.ensure(base, col("v"), col("key"), 8, idxPath))
     assert(SecondaryIndex.lookupKeys(spark, idxPath, 8, 3L).count() > 0)
   }
+
+  test("streaming maintenance: batches accumulate, replays skip, compacted equals batch build") {
+    import graft.streaming.StreamingIngest.writeIndexBatchIdempotent
+    val grown = tmp("sidx_grown")
+    val oneShot = tmp("sidx_oneshot")
+    val half = 1000L
+    val b0 = base.filter(col("key") < half)
+    val b1 = base.filter(col("key") >= half)
+    writeIndexBatchIdempotent(b0, 0L, col("v"), col("key"), 8, grown, "t")
+    writeIndexBatchIdempotent(b1, 1L, col("v"), col("key"), 8, grown, "t")
+    def keysAt(p: String) = SecondaryIndex.lookupKeys(spark, p, 8, 17L)
+      .as[Long].collect().sorted.toSeq
+    SecondaryIndex.write(base, col("v"), col("key"), 8, oneShot)
+    assert(keysAt(grown) === keysAt(oneShot))
+    // replayed batch (same id) is a no-op, not a double append
+    writeIndexBatchIdempotent(b1, 1L, col("v"), col("key"), 8, grown, "t")
+    assert(keysAt(grown) === keysAt(oneShot))
+    // compact merges the per-batch files; lookups unchanged, layout
+    // equals the batch build (1 file per bucket at this size)
+    def bucketFiles(p: String) =
+      new java.io.File(p).listFiles().filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    assert(bucketFiles(grown).values.exists(_ > 1), "growth must leave per-batch files")
+    SecondaryIndex.compact(spark, grown)
+    assert(keysAt(grown) === keysAt(oneShot))
+    assert(bucketFiles(grown) === bucketFiles(oneShot),
+      "grown-then-compacted layout must equal the batch build")
+    // the probe prune survives growth + compaction
+    val q = SecondaryIndex.lookupKeys(spark, grown, 8, 17L)
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters).length === 1)
+  }
+
+  // ---- RangeIndex: the value-RANGE-capable layout ----
+
+  private def rangeKeys(path: String, lo: Option[Long], hi: Option[Long]) =
+    RangeIndex.lookupRange(spark, path, 8L, lo, hi)
+      .select("k").as[Long].collect().sorted.toSeq
+
+  test("range lookup equals the direct value filter, both bounds half-open") {
+    val p = tmp("ridx_vals")
+    RangeIndex.write(base, col("v"), col("key"), 8L, p)
+    def want(f: Long => Boolean) =
+      base.filter(r => f(r.getLong(1))).select("key").as[Long].collect().sorted.toSeq
+    assert(rangeKeys(p, Some(10L), Some(20L)) === want(v => v >= 10 && v < 20))
+    // boundary bins: lo/hi INSIDE a bin must stay value-exact
+    assert(rangeKeys(p, Some(11L), Some(13L)) === want(v => v >= 11 && v < 13))
+    // empty-stop branch (unbounded hi) and unbounded lo
+    assert(rangeKeys(p, Some(30L), None) === want(_ >= 30))
+    assert(rangeKeys(p, None, Some(5L)) === want(_ < 5))
+    assert(rangeKeys(p, None, None) === want(_ => true))
+  }
+
+  test("range probe prunes the file listing to exactly the covered bins") {
+    val p = tmp("ridx_prune")
+    RangeIndex.write(base, col("v"), col("key"), 8L, p)   // v in 0..36 → bins 0..4
+    val q = RangeIndex.lookupRange(spark, p, 8L, Some(11L), Some(20L))
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.nonEmpty,
+      s"no partition filter on the range-index scan:\n${q.queryExecution.executedPlan}")
+    val surviving = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .map(_.values.getInt(0).toLong).sorted  // partition col infers as Int
+    // [11, 20) covers bins 11 div 8 = 1 .. 19 div 8 = 2 — nothing else
+    assert(surviving === Seq(1L, 2L),
+      s"expected exactly bins 1,2 to survive listing, got $surviving")
+    // and the value predicate reaches parquet inside the boundary bins
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(v,11)") && pushed.contains("LessThan(v,20)"),
+      s"value bounds must push to parquet: $pushed")
+  }
+
+  test("range-index streaming maintenance: batches accumulate, replays skip, compacted equals batch build") {
+    import graft.streaming.StreamingIngest.writeRangeIndexBatchIdempotent
+    val grown = tmp("ridx_grown")
+    val oneShot = tmp("ridx_oneshot")
+    val half = 1000L
+    val b0 = base.filter(col("key") < half)
+    val b1 = base.filter(col("key") >= half)
+    writeRangeIndexBatchIdempotent(b0, 0L, col("v"), col("key"), 8L, grown, "t")
+    writeRangeIndexBatchIdempotent(b1, 1L, col("v"), col("key"), 8L, grown, "t")
+    RangeIndex.write(base, col("v"), col("key"), 8L, oneShot)
+    def keysAt(p: String) = rangeKeys(p, Some(10L), Some(20L))
+    assert(keysAt(grown) === keysAt(oneShot))
+    // replayed batch (same id) is a no-op, not a double append
+    writeRangeIndexBatchIdempotent(b1, 1L, col("v"), col("key"), 8L, grown, "t")
+    assert(keysAt(grown) === keysAt(oneShot))
+    // growth leaves per-batch files inside the bins; compact merges them
+    // and the range probe still prunes to exactly the covered bins
+    def binFiles(p: String) =
+      new java.io.File(p).listFiles().filter(_.getName.startsWith("vb="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    assert(binFiles(grown).values.exists(_ > 1), "growth must leave per-batch files")
+    RangeIndex.compact(spark, grown)
+    assert(keysAt(grown) === keysAt(oneShot))
+    assert(binFiles(grown) === binFiles(oneShot),
+      "grown-then-compacted layout must equal the batch build")
+    val q = RangeIndex.lookupRange(spark, grown, 8L, Some(11L), Some(20L))
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val surviving = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .map(_.values.getInt(0).toLong).sorted
+    assert(surviving === Seq(1L, 2L),
+      s"bin prune must survive growth + compaction, got $surviving")
+  }
+
+  test("fetchRangeThrough equals the direct base range filter") {
+    val basePath = tmp("ridx_base")
+    val idxPath = tmp("ridx_idx")
+    val dist = HashPrefix(16)
+    SaltedStore.write(base, col("key"), dist, basePath)
+    RangeIndex.write(base, col("v"), col("key"), 8L, idxPath)
+    val got = RangeIndex.fetchRangeThrough(spark, idxPath, 8L, basePath, dist,
+        "key", Some(10L), Some(20L))
+      .select("key", "v", "payload").as[(Long, Long, Long)]
+      .collect().sorted.toSeq
+    val want = base.filter(col("v") >= 10L && col("v") < 20L)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got === want)
+  }
 }

@@ -59,6 +59,34 @@ class StreamingFunnelSpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("windowed funnel: closed boundary converts at exactly t_prev + W, fails past it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val W = 1000L
+    val t = (ms: Long) => new Timestamp(base + ms)
+    val rows = Seq(
+      // user 1: click at EXACTLY t1+W, purchase at exactly t2+W → converts
+      StepEvent(1L, t(0), 1), StepEvent(1L, t(W), 2), StepEvent(1L, t(2 * W), 3),
+      // user 2: click one ms past the window → never advances (a later
+      // in-window click cannot exist: every later click is further out)
+      StepEvent(2L, t(0), 1), StepEvent(2L, t(W + 1), 2), StepEvent(2L, t(W + 2), 3),
+      // user 3: step 2 in-window, step 3 one ms past ITS window → 2 of 3
+      StepEvent(3L, t(0), 1), StepEvent(3L, t(1), 2), StepEvent(3L, t(1 + W + 1), 3))
+    val mem = MemoryStream[StepEvent]
+    val q = funnelConversions(mem.toDS(), "10 minutes", maxGapMs = Some(W))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnelW").start()
+    // boundary user split ACROSS batches: the straddle must not depend
+    // on both events arriving together
+    mem.addData(rows.take(4)); q.processAllAvailable()
+    mem.addData(rows.drop(4)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("funnelW")
+      .select("user_id", "t1_ms", "t2_ms", "t3_ms")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, base, base + W, base + 2 * W)))
+  }
+
   test("strict ordering: equal-time steps do not chain; one conversion per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
