@@ -51,6 +51,36 @@ object RangeJoin {
       .drop("__pb", "__ib")
   }
 
+  /** Join two INTERVAL sets on overlap — `[lLo, lHi) ∩ [rLo, rHi) ≠ ∅`,
+    * i.e. `lLo < rHi AND rLo < lHi` (half-open on both sides, empty
+    * intervals match nothing). Same coarse-bucket decomposition as
+    * [[pointInInterval]], with both sides exploding to their covered
+    * buckets; the join is the bucket EQUI-join plus the exact overlap
+    * residual. Each overlapping pair meets in every bucket both sides
+    * cover, so dedup is the claim predicate: a pair is EMITTED only in
+    * the bucket owning the overlap's start, `greatest(lLo, rLo) div
+    * width` — a bucket both intervals necessarily cover. One
+    * comparison, no distinct, no second shuffle.
+    *
+    * Column names must be unique across the two inputs (they resolve
+    * by name in the joined plan) and bounds must be NON-NEGATIVE
+    * BIGINTs (`div` truncation vs floor — same contract as
+    * pointInInterval). Width rule of thumb: ≈ the typical interval
+    * length on the LONGER side, so fan-out stays ~2 buckets per
+    * interval. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      lLo: Column, lHi: Column, rLo: Column, rHi: Column,
+                      width: Long): DataFrame = {
+    val l = left.filter(lLo < lHi).withColumn("__lb",
+      explode(sequence(floorDiv(lLo, width), floorDiv(lHi - lit(1L), width))))
+    val r = right.filter(rLo < rHi).withColumn("__rb",
+      explode(sequence(floorDiv(rLo, width), floorDiv(rHi - lit(1L), width))))
+    l.join(r, col("__lb") === col("__rb") &&
+        lLo < rHi && rLo < lHi &&
+        col("__lb") === floorDiv(greatest(lLo, rLo), width))
+      .drop("__lb", "__rb")
+  }
+
   private def floorDiv(c: Column, w: Long): Column =
     ColumnBridge.column(IntegralDivide(
       ColumnBridge.expression(c.cast("bigint")),

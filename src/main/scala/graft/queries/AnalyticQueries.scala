@@ -573,6 +573,33 @@ object AnalyticQueries {
         .orderBy("purchase_id")
     }),
 
+    // INTERVAL-OVERLAP JOIN — both join sides are intervals (the shape
+    // point-in-interval can't express): per purchase, the sessions (any
+    // user) active during its 10-minute attribution window. RangeJoin
+    // .intervalOverlap explodes BOTH sides over their covered 1h
+    // buckets and equi-joins on the bucket; each overlapping pair is
+    // emitted only in the bucket owning the overlap's start (one
+    // comparison — no distinct, no second shuffle). Session intervals
+    // are half-open [start, end+1) so single-event sessions still
+    // cover their instant.
+    "q_interval_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val sess = graft.streaming.StreamingIngest
+        .sessionizeBatch(e.select("user_id", "ts_us"), SessGapUs)
+        .select(col("user_id"), col("sess_start"),
+          (col("sess_end") + lit(1L)).as("sess_stop"))
+      val pur = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts_us").as("pts"))
+        .withColumn("plo", col("pts") - lit(FunnelWinUs))
+      graft.operators.RangeJoin
+        .intervalOverlap(sess, pur, col("sess_start"), col("sess_stop"),
+          col("plo"), col("pts"), width = SessGapUs)
+        .groupBy("purchase_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy("purchase_id")
+    }),
+
     // gap-based sessionization (1h gap) — batch twin of the streaming
     // flatMapGroupsWithState sessionizer (graft.streaming.sessionize);
     // one user_id shuffle, two window passes, then a hash agg.
@@ -1124,6 +1151,28 @@ object AnalyticQueries {
                 WHERE event_type = 'click') c
             ON c.ts_us >= p.ts_us - $FunnelWinUs AND c.ts_us < p.ts_us
           GROUP BY 1 ORDER BY 1""",
+
+    "q_interval_join" ->
+      s"""WITH sess AS (
+           SELECT user_id, min(ts_us) AS sess_start, max(ts_us) + 1 AS sess_stop
+           FROM (
+             SELECT user_id, ts_us,
+               CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+             FROM (
+               SELECT user_id, epoch_us(ts) AS ts_us,
+                 CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) > $SessGapUs
+                      THEN 1 ELSE 0 END AS new_sess
+               FROM events))
+           GROUP BY user_id, sess_id),
+         pur AS (SELECT event_id AS purchase_id, epoch_us(ts) AS pts,
+                   epoch_us(ts) - $FunnelWinUs AS plo
+                 FROM events WHERE event_type = 'purchase')
+         SELECT purchase_id, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM sess JOIN pur ON sess_start < pts AND plo < sess_stop
+         GROUP BY 1 ORDER BY 1""",
 
     "q_sessionize" ->
       s"""SELECT user_id, sess_id, min(ts_us) AS sess_start,

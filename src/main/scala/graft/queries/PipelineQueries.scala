@@ -1119,6 +1119,31 @@ object PipelineQueries {
         .orderBy("rank")
     }),
 
+    // HASHED LINEAR QUALITY MODEL — the fasttext-style learned quality
+    // filter applied at corpus scale: token → feature bucket (32-bit
+    // content hash mod D), bucket → weight from a BROADCAST model
+    // table, doc score = Σ weights, keep = score > 0. The model here is
+    // a deterministic D-row table (a Knuth-multiplier spread over
+    // [-1000, 1000] — integer-exact, so the oracle replays bit-for-bit);
+    // a trained model swaps in the same way: D rows broadcast to every
+    // executor, tokens NEVER shuffle for the lookup, and the per-doc
+    // fold combines map-side (docs are contiguous within files). At
+    // 100 TB the cost is one narrow scan + one partial-agg exchange of
+    // one row per doc — the same shape as q_text_stats.
+    "q_quality_model" -> ((s, dir) => {
+      val D = 4096L
+      val feat = documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .withColumn("b", baseHash32(col("t")) % D)
+      val model = s.range(D).select(col("id").as("b"),
+        ((col("id") * lit(2654435761L)) % 2001L - 1000L).as("w"))
+      feat.join(broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("w").as("raw_weight"))
+        .withColumn("keep", col("raw_weight") > 0L)
+        .orderBy("doc_id")
+    }),
+
     // corpus construction: DETERMINISTIC GLOBAL SHUFFLE — the training-
     // order primitive: order docs by a content-independent hash (same
     // seed → same epoch order on any engine/cluster/run), materialize
@@ -3569,6 +3594,17 @@ object PipelineQueries {
               FROM (SELECT doc_id, CAST(len(${duckTokens("text")}) AS BIGINT) AS n_tokens
                     FROM documents))
             ORDER BY rank""",
+
+      // same hash, same Knuth-multiplier weight table, integer-exact
+      "q_quality_model" ->
+        s"""WITH f AS (SELECT doc_id, (${duckBaseHash32("t")}) % 4096 AS b
+                      FROM (SELECT doc_id, unnest(${duckTokens("text")}) AS t
+                            FROM documents)),
+              m AS (SELECT b, (b * 2654435761) % 2001 - 1000 AS w
+                    FROM (SELECT unnest(range(4096)) AS b))
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(w) AS BIGINT) AS raw_weight, sum(w) > 0 AS keep
+            FROM f JOIN m USING (b) GROUP BY 1 ORDER BY 1""",
 
       "q_shuffle_deterministic" ->
         s"""SELECT doc_id, h, pos, pos % 8 AS shard FROM (

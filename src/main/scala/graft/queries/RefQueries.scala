@@ -324,7 +324,8 @@ object RefQueries {
     // FILE LISTING (static partition bounds; plan guard in
     // SecondaryIndexSpec), value-exact inside boundary bins via pushed
     // parquet predicates, then the recovered keys prune the BASE like
-    // any index probe.
+    // any index probe. Probe [3, 11) straddles the bin-0/bin-1 edge and
+    // is non-empty at every SF (sf0.001 tops out at user_id 14).
     "q_index_range" -> ((s, dir) => {
       import graft.store.{RangeIndex, SaltedStore}
       val tmp = System.getProperty("java.io.tmpdir")
@@ -335,7 +336,7 @@ object RefQueries {
       SaltedStore.ensure(e, col("event_id"), dist, basePath)
       RangeIndex.ensure(e, col("user_id"), col("event_id"), width = 8L, idxPath)
       RangeIndex.fetchRangeThrough(s, idxPath, 8L, basePath, dist,
-          "event_id", lo = Some(20L), hi = Some(60L))
+          "event_id", lo = Some(3L), hi = Some(11L))
         .select("event_id", "user_id", "value")
         .orderBy("event_id")
     }),
@@ -516,6 +517,6 @@ object RefQueries {
 
     "q_index_range" ->
       """SELECT event_id, user_id, value FROM events
-         WHERE user_id >= 20 AND user_id < 60 ORDER BY event_id"""
+         WHERE user_id >= 3 AND user_id < 11 ORDER BY event_id"""
   )
 }

@@ -85,4 +85,45 @@ class OperatorsSpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"range join fell back to a nested loop:\n$plan")
   }
+
+  test("intervalOverlap equals the naive overlap join on randomized workloads") {
+    val rnd = new scala.util.Random(4321)
+    for (width <- Seq(7L, 50L, 1000L)) {
+      // assorted lengths incl. empties, touching endpoints (hi == lo of
+      // the other — half-open must NOT match), multi-bucket spans
+      def ivals(n: Int, tag: Long) = List.fill(n) {
+        val lo = rnd.nextInt(5000).toLong
+        (tag * 100000 + rnd.nextInt(100000), lo, lo + rnd.nextInt(300) - 5)
+      }
+      val a = ivals(120, 1).toDF("aid", "alo", "ahi")
+      val b = ivals(70, 2).toDF("bid", "blo", "bhi")
+      val got = RangeJoin.intervalOverlap(a, b,
+          col("alo"), col("ahi"), col("blo"), col("bhi"), width)
+        .select("aid", "bid").as[(Long, Long)].collect().sorted.toList
+      // naive side must ALSO drop empty intervals: for an empty [10, 5)
+      // nested inside a wide one, alo < bhi AND blo < ahi still holds —
+      // the two-inequality predicate only means "overlap" for valid
+      // intervals, which is exactly why the operator filters them
+      val naive = a.filter(col("alo") < col("ahi"))
+        .join(b.filter(col("blo") < col("bhi")),
+          col("alo") < col("bhi") && col("blo") < col("ahi"))
+        .select("aid", "bid").as[(Long, Long)].collect().sorted.toList
+      assert(got === naive, s"width=$width")
+      // sorted lists compare multiplicity too: each overlapping pair
+      // appears EXACTLY once (the claim-bucket predicate, no distinct)
+    }
+  }
+
+  test("intervalOverlap plans a bucket equi-join, not a nested loop") {
+    val a = Seq((1L, 0L, 100L), (2L, 90L, 95L)).toDF("aid", "alo", "ahi")
+    val b = Seq((10L, 50L, 150L), (11L, 100L, 101L)).toDF("bid", "blo", "bhi")
+    val q = RangeJoin.intervalOverlap(a, b,
+      col("alo"), col("ahi"), col("blo"), col("bhi"), width = 32L)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"overlap join fell back to a nested loop:\n$plan")
+    // half-open: [0,100) does not overlap [100,101)
+    val pairs = q.select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 10L), (2L, 10L)))
+  }
 }
