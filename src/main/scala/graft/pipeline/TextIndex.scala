@@ -533,6 +533,43 @@ object TextIndex {
       col("doc_id") === col("__ex_id"), "left_anti")
   }
 
+  /** LIVE document frequency for each of `terms` that occurs in the
+    * index: (t, df). Shard-pruned like every probe — cost is the named
+    * terms' postings, never the index. The raw statistic behind idf,
+    * exposed because term SELECTION wants it too (see
+    * [[moreLikeThis]]). */
+  def termDf(spark: SparkSession, path: String,
+             terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "termDf needs at least one term")
+    val nShards = layoutShards(spark, path)
+    val shards = terms.map(shardOfTerm(_, nShards)).distinct
+    live(graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
+        .filter(col("shard").isin(shards: _*))
+        .filter(col("t").isin(terms: _*)), spark, path)
+      .groupBy("t").agg(count_distinct(col("doc_id")).as("df"))
+  }
+
+  /** "More like this" — rank the corpus against a SOURCE document's own
+    * vocabulary: of `srcTerms` (the source doc's distinct tokens), the
+    * `nTerms` RAREST by live df (df asc, term asc tie-break) become the
+    * ranked query — rare terms carry the document's identity, stopwords
+    * drop out by construction. Two driver hops, both tiny: the term
+    * selection is a shard-pruned df probe over one doc's vocabulary
+    * (TakeOrdered, nTerms rows collected), then one [[searchRanked]]
+    * probe. The caller filters out the source doc itself if unwanted —
+    * it matches every query term, so it ranks first by construction. */
+  def moreLikeThis(spark: SparkSession, path: String, srcTerms: Seq[String],
+                   nTerms: Int = 5, k1: Double = 1.2,
+                   b: Double = 0.0): DataFrame = {
+    require(nTerms > 0, s"nTerms must be positive, got $nTerms")
+    val sel = termDf(spark, path, srcTerms.distinct)
+      .orderBy(col("df"), col("t")).limit(nTerms)
+      .select("t").collect().map(_.getString(0)).toSeq
+    require(sel.nonEmpty,
+      "moreLikeThis: none of the source terms occur in the index")
+    searchRanked(spark, path, sel, k1, b)
+  }
+
   /** Distinct doc ids carrying ANY of `terms` — the exclusion side of
     * boolean retrieval: reads |terms' postings| rows from their own
     * pruned shards, never the corpus. */

@@ -43,6 +43,7 @@ object PipelineQueries {
     "q_knn_delete",
     "q_text_search", "q_text_search_ranked", "q_text_boolean",
     "q_text_boolean_ranked", "q_text_bm25", "q_text_bm25_live",
+    "q_text_more_like_this",
     "q_text_phrase", "q_text_stream_ingest", "q_text_delete", "q_text_merge",
     "q_cdc_snapshot", "q_cdc_asof",
     "q_index_lookup", "q_index_range", "q_salt_advisor_verify")
@@ -1966,6 +1967,26 @@ object PipelineQueries {
         .limit(20)
     }),
 
+    // MORE LIKE THIS — doc-to-doc retrieval through the index: doc 42's
+    // five RAREST terms (live df asc, term asc) become a BM25-ranked
+    // query; the source doc (a guaranteed all-terms match) is excluded.
+    // Term selection is a shard-pruned df probe over ONE doc's
+    // vocabulary; scoring is the same bit-exact BM25-lite arithmetic as
+    // q_text_bm25 — the corpus is never scanned, only the five terms'
+    // postings.
+    "q_text_more_like_this" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_tindex_" +
+        s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+      TextIndex.ensure(documents(s, dir).select("doc_id", "text"), path, shards = 64)
+      val src = documents(s, dir).filter(col("doc_id") === 42L)
+        .select(explode(array_distinct(tokens(col("text")))).as("t"))
+        .collect().map(_.getString(0)).toSeq
+      TextIndex.moreLikeThis(s, path, src, nTerms = 5, b = 0.75)
+        .filter(col("doc_id") =!= 42L)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // BM25-lite RANKED search over the same index: tf saturation ×
     // rational Robertson idf (no logarithm — a monotone transform of
     // BM25's idf, so ranking is preserved and every score is exact
@@ -3594,6 +3615,43 @@ object PipelineQueries {
               FROM (SELECT doc_id, CAST(len(${duckTokens("text")}) AS BIGINT) AS n_tokens
                     FROM documents))
             ORDER BY rank""",
+
+      // q_text_bm25's arithmetic with the term list derived IN SQL:
+      // doc 42's distinct tokens, ranked by corpus df (asc, term asc),
+      // top 5 — identical selection to TextIndex.moreLikeThis
+      "q_text_more_like_this" -> {
+        val k1 = 1.2; val k1p1 = k1 + 1.0; val b = 0.75; val omb = 1.0 - b
+        s"""WITH tok AS (SELECT doc_id, ${duckTokens("text")} AS ts FROM documents),
+              p AS (SELECT doc_id, unnest(ts) AS t FROM tok),
+              pt AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS tf
+                     FROM p GROUP BY t, doc_id),
+              src AS (SELECT DISTINCT t FROM p WHERE doc_id = 42),
+              qt AS (SELECT pt.t FROM pt JOIN src USING (t)
+                     GROUP BY pt.t
+                     ORDER BY count(DISTINCT doc_id), pt.t LIMIT 5),
+              q AS (SELECT pt.* FROM pt JOIN qt USING (t)),
+              d AS (SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                    FROM q GROUP BY t),
+              dl AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl FROM tok),
+              nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n,
+                       CAST(CAST(SUM(tf) AS BIGINT) AS DOUBLE)
+                         / CAST(count(DISTINCT doc_id) AS DOUBLE) AS avgdl
+                     FROM pt),
+              w AS (SELECT q.doc_id,
+                      CAST(round((CAST(q.tf AS DOUBLE) * CAST($k1p1 AS DOUBLE)
+                                    / (CAST(q.tf AS DOUBLE)
+                                       + CAST($k1 AS DOUBLE)
+                                         * (CAST($omb AS DOUBLE)
+                                            + CAST($b AS DOUBLE) * dl.dl / nn.avgdl)))
+                                 * ((nn.n - CAST(d.df AS DOUBLE) + 0.5)
+                                    / (CAST(d.df AS DOUBLE) + 0.5))
+                                 * 1000000.0) AS BIGINT) AS wq
+                    FROM q JOIN d USING (t) JOIN dl USING (doc_id) CROSS JOIN nn)
+            SELECT doc_id,
+              CAST(CAST(SUM(wq) AS BIGINT) AS DOUBLE) / 1000000.0 AS score
+            FROM w WHERE doc_id <> 42 GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT 20"""
+      },
 
       // same hash, same Knuth-multiplier weight table, integer-exact
       "q_quality_model" ->

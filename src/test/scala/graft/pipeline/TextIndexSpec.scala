@@ -90,6 +90,33 @@ class TextIndexSpec extends SparkSuite {
     }
   }
 
+  test("termDf: live per-term doc counts, absent terms yield no row") {
+    val got = TextIndex.termDf(spark, dir, Seq("cat", "the", "zebra"))
+      .orderBy("t").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("cat", 2L), ("the", 2L)))
+  }
+
+  test("moreLikeThis selects the rarest source terms, source doc ranks first") {
+    // doc 1 terms: the(df2) cat(df2) sat(1) on(1) mat(1)
+    val src = Seq("the", "cat", "sat", "on", "mat")
+    // 3 rarest = mat/on/sat, all unique to doc 1 → only doc 1 scores
+    val top3 = TextIndex.moreLikeThis(spark, dir, src, nTerms = 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(top3.map(_._1) == Seq(1L))
+    // 4th term by (df, t) is cat (beats "the" on the tie) → doc 3 joins,
+    // and the source doc outranks it (matches all four query terms)
+    val top4 = TextIndex.moreLikeThis(spark, dir, src, nTerms = 4)
+      .orderBy(col("score").desc, col("doc_id"))
+      .as[(Long, Double)].collect().toSeq
+    assert(top4.map(_._1) == Seq(1L, 3L), s"got $top4")
+    assert(top4.head._2 > top4(1)._2)
+    // no source term in the index at all → a clear error, not NaNs
+    val err = intercept[IllegalArgumentException] {
+      TextIndex.moreLikeThis(spark, dir, Seq("zebra"), nTerms = 2)
+    }
+    assert(err.getMessage.contains("none of the source terms"))
+  }
+
   test("probe prunes to the probed term shards at file-listing time") {
     val terms = Seq("cat")
     val df = TextIndex.searchAll(spark, dir, terms)
