@@ -433,6 +433,30 @@ object AnalyticQueries {
           expr("percentile(l_extendedprice, 0.99)").as("p99_price"))
         .orderBy("l_returnflag")),
 
+    // EXACT GLOBAL QUANTILES WITHOUT A SINGLE REDUCER — `percentile()`
+    // on a global agg funnels every value into ONE aggregation buffer
+    // (q_percentiles dodges the cliff only because its groups are
+    // small). Nearest-rank definition, integer-exact in ppm arithmetic:
+    // global rank from the two-pass range-partition index, target rank
+    // = ceil(p·n). One range exchange + a broadcast of per-partition
+    // offsets — no window exec, no single-task stage at any scale.
+    "q_exact_quantiles" -> ((s, dir) => {
+      val vals = lineitem(s, dir)
+        .select(col("l_extendedprice").as("v"),
+          col("l_orderkey"), col("l_linenumber"))
+      val ranked = graft.pipeline.Corpus.withGlobalIndex(vals,
+          Seq(col("v"), col("l_orderkey"), col("l_linenumber")), "__idx", "__n")
+        .withColumn("rnk", col("__idx") + 1L)
+      def tgt(p: Long) = expr(s"(__n * ${p}L + 999999) div 1000000")
+      ranked.withColumn("p_ppm",
+          when(col("rnk") === tgt(250000L), 250000L)
+            .when(col("rnk") === tgt(500000L), 500000L)
+            .when(col("rnk") === tgt(990000L), 990000L))
+        .filter(col("p_ppm").isNotNull)
+        .select(col("p_ppm"), col("v").as("value"))
+        .orderBy("p_ppm")
+    }),
+
     // set ops beyond the reference's implicit union
     "q_intersect" -> ((s, dir) => {
       val e = events(s, dir)
@@ -1042,6 +1066,24 @@ object AnalyticQueries {
            quantile_cont(l_extendedprice, 0.75) AS p75_price,
            quantile_cont(l_extendedprice, 0.99) AS p99_price
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // same nearest-rank selection: CASE (first p wins a rank collision),
+    // BIGINT ppm arithmetic, `//` on positive BIGINTs == Spark div
+    "q_exact_quantiles" ->
+      """WITH r AS (
+           SELECT l_extendedprice AS v,
+             CAST(row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+               l_linenumber) AS BIGINT) AS rnk,
+             CAST(count(*) OVER () AS BIGINT) AS n
+           FROM lineitem)
+         SELECT p_ppm, value FROM (
+           SELECT CAST(CASE
+               WHEN rnk = (n * 250000 + 999999) // 1000000 THEN 250000
+               WHEN rnk = (n * 500000 + 999999) // 1000000 THEN 500000
+               WHEN rnk = (n * 990000 + 999999) // 1000000 THEN 990000
+             END AS BIGINT) AS p_ppm, v AS value
+           FROM r)
+         WHERE p_ppm IS NOT NULL ORDER BY p_ppm""",
 
     "q_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'click'

@@ -98,14 +98,16 @@ class PlanShapeSpec extends SparkSuite {
     // quality deciles + deterministic shuffle sit on Corpus.withGlobalIndex;
     // a regression to row_number over an unpartitioned window serializes
     // the corpus (the offsets windows run over ~numPartitions rows only)
-    for (qn <- Seq("q_quality_deciles", "q_shuffle_deterministic")) {
+    for (qn <- Seq("q_quality_deciles", "q_shuffle_deterministic",
+      "q_exact_quantiles")) {
       val p = plan(qn)
       assert(p.contains("__pid"), s"$qn: two-pass partition-id window expected")
     }
   }
 
   test("global-index offsets reuse the ONE range exchange after execution") {
-    for (qn <- Seq("q_quality_deciles", "q_shuffle_deterministic", "q_pack_sequences")) {
+    for (qn <- Seq("q_quality_deciles", "q_shuffle_deterministic", "q_pack_sequences",
+      "q_exact_quantiles")) {
       val df = SparkEntry.queries(qn)(spark, sf("sf0.01"))
       df.collect() // AQE finalizes reuse at runtime
       val p = df.queryExecution.executedPlan.toString
