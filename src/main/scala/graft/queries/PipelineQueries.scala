@@ -677,6 +677,41 @@ object PipelineQueries {
       simhashPairs(fuzzyCorpus(documents(s, dir))).orderBy("doc_id")),
 
     // embedding-cosine near-dup: BANDED sign-LSH blocking (scaling by +2
+    // EMBEDDING CLUSTER COHESION — the SemDeDup-adjacent quality check:
+    // per label, which members sit farthest from their own centroid
+    // (mislabeled / polluted / boundary vectors). Cross-row float sums
+    // are order-dependent, so every component is quantized to an
+    // integer FIRST (×2^14, a power of two — the double multiply is
+    // EXACT, only round() discretizes) and the centroid is the integer
+    // component sum: addition order cannot flip a bit on either engine.
+    // Cosine to the (unnormalized) centroid sum is scale-invariant, so
+    // dividing by the count is unnecessary — no integer-division
+    // semantics to reconcile. Shape at scale: one narrow posexplode
+    // (64 rows/vec), centroids = one map-combined agg to labels×64
+    // rows BROADCAST back, per-vec fold partial-aggregates map-side;
+    // the only real shuffle is the per-label top-5 window.
+    "q_embed_cohesion" -> ((s, dir) => {
+      val q = embeddings(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          posexplode(vd(col("embedding"))).as(Seq("d", "x")))
+        .withColumn("xq", round(col("x") * lit(16384.0)).cast("bigint"))
+      val cent = q.groupBy("label", "d").agg(sum("xq").as("cs"))
+      val w = Window.partitionBy("label").orderBy(col("cos_ppm"), col("vec_id"))
+      q.join(broadcast(cent), Seq("label", "d"))
+        .groupBy("vec_id", "label")
+        .agg(sum(col("xq") * col("cs")).as("dot"),
+          sum(col("xq") * col("xq")).as("nx2"),
+          sum(col("cs") * col("cs")).as("nc2"))
+        .withColumn("cos_ppm",
+          round(col("dot").cast("double") /
+            (sqrt(col("nx2").cast("double")) * sqrt(col("nc2").cast("double")))
+            * 1000000.0).cast("bigint"))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 5)
+        .select("label", "vec_id", "cos_ppm", "rnk")
+        .orderBy("label", "rnk")
+    }),
+
     // is direction-preserving → a constructed dup keeps every sign, so it
     // collides in EVERY band). The r3 single 8-bit-bucket self-join was
     // N²/256 pairs at corpus scale; here the block key is one of
@@ -3434,6 +3469,35 @@ object PipelineQueries {
       // banded blocking mirrored exactly: same band signatures, same
       // capped bucket expansion (duckCandidatePairs) — the cap is part of
       // the operator's semantics, not a Spark-side shortcut
+      // same ×2^14 quantization (exact double multiply, round() away
+      // from zero on both engines), integer centroid sums, identical
+      // division shape for the final cosine
+      "q_embed_cohesion" ->
+        """WITH e AS (SELECT vec_id, label,
+                 generate_subscripts(embedding, 1) AS d, unnest(embedding) AS x
+               FROM embeddings),
+              q AS (SELECT vec_id, CAST(label AS BIGINT) AS label, d,
+                      CAST(round(CAST(x AS DOUBLE) * 16384.0) AS BIGINT) AS xq
+                    FROM e),
+              c AS (SELECT label, d, CAST(SUM(xq) AS BIGINT) AS cs
+                    FROM q GROUP BY 1, 2),
+              s AS (SELECT q.vec_id, q.label,
+                      CAST(SUM(q.xq * c.cs) AS BIGINT) AS dot,
+                      CAST(SUM(q.xq * q.xq) AS BIGINT) AS nx2,
+                      CAST(SUM(c.cs * c.cs) AS BIGINT) AS nc2
+                    FROM q JOIN c USING (label, d) GROUP BY 1, 2),
+              r AS (SELECT label, vec_id,
+                      CAST(round(CAST(dot AS DOUBLE)
+                          / (sqrt(CAST(nx2 AS DOUBLE)) * sqrt(CAST(nc2 AS DOUBLE)))
+                          * 1000000.0) AS BIGINT) AS cos_ppm
+                    FROM s)
+            SELECT label, vec_id, cos_ppm, rnk FROM (
+              SELECT label, vec_id, cos_ppm,
+                CAST(row_number() OVER (PARTITION BY label
+                  ORDER BY cos_ppm, vec_id) AS BIGINT) AS rnk
+              FROM r)
+            WHERE rnk <= 5 ORDER BY label, rnk""",
+
       "q_dedup_embedding" ->
         s"""WITH v0 AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
               corpus AS (SELECT vec_id, v FROM v0
