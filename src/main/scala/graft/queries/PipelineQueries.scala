@@ -2882,6 +2882,31 @@ object PipelineQueries {
         .orderBy("status", "source")
     }),
 
+    // COLUMN PROFILE — the deequ/dbt-style one-pass dataset profile:
+    // per column, rows/nulls/exact-distinct/min/max (as strings, so one
+    // report schema covers every type). All four columns profile in ONE
+    // aggregate over ONE scan — Spark plans the multi-distinct via
+    // Expand (input ×4, each replica partial-aggregating map-side), the
+    // standard exact-distinct trade; the null/min/max counters are free
+    // riders on the same pass. The 1-row aggregate unpivots to one row
+    // per column via stack — report size is O(#columns), never O(rows).
+    "q_profile" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
+      val cols = Seq("event_id", "user_id", "event_type", "ts_us")
+      val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        count_distinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max")))
+      e.agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${cols.size}, " + cols.map(c =>
+            s"'$c', n, ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max")
+          .mkString(", ") +
+          ") as (column_name, n_rows, n_nulls, n_distinct, min_s, max_s)"))
+        .orderBy("column_name")
+    }),
+
     // DATA-QUALITY EXPECTATIONS — graft.pipeline.Expectations: the
     // contract gate before promoting a batch. Five rules over orders:
     // three ROW-LOCAL (not-null, range, accepted-values) fold into ONE
@@ -4724,6 +4749,22 @@ object PipelineQueries {
            SELECT status, source, CAST(count(*) AS BIGINT) AS n,
              min(doc_id) AS min_id, max(doc_id) AS max_id
            FROM d GROUP BY 1, 2 ORDER BY 1, 2"""
+      },
+
+      "q_profile" -> {
+        def one(c: String) =
+          s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+                CAST(min($c) AS VARCHAR) AS min_s,
+                CAST(max($c) AS VARCHAR) AS max_s
+              FROM e"""
+        s"""WITH e AS (SELECT event_id, user_id, event_type,
+                 epoch_us(ts) AS ts_us FROM events)
+            SELECT * FROM (
+              ${Seq("event_id", "user_id", "event_type", "ts_us")
+                 .map(one).mkString("\n UNION ALL\n")}
+            ) ORDER BY column_name"""
       },
 
       "q_expectations" ->
