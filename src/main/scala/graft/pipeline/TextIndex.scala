@@ -557,7 +557,10 @@ object TextIndex {
     * selection is a shard-pruned df probe over one doc's vocabulary
     * (TakeOrdered, nTerms rows collected), then one [[searchRanked]]
     * probe. The caller filters out the source doc itself if unwanted —
-    * it matches every query term, so it ranks first by construction. */
+    * it matches every query term, so it ranks first by construction.
+    * `srcTerms` is doc-sized (one document's vocabulary), so the
+    * `isin` filter stays a broadcast-free InSet probe — don't feed a
+    * corpus-sized term list here. */
   def moreLikeThis(spark: SparkSession, path: String, srcTerms: Seq[String],
                    nTerms: Int = 5, k1: Double = 1.2,
                    b: Double = 0.0): DataFrame = {
