@@ -682,26 +682,34 @@ object PipelineQueries {
     // (mislabeled / polluted / boundary vectors). Cross-row float sums
     // are order-dependent, so every component is quantized to an
     // integer FIRST (×2^14, a power of two — the double multiply is
-    // EXACT, only round() discretizes) and the centroid is the integer
-    // component sum: addition order cannot flip a bit on either engine.
-    // Cosine to the (unnormalized) centroid sum is scale-invariant, so
-    // dividing by the count is unnecessary — no integer-division
-    // semantics to reconcile. Shape at scale: one narrow posexplode
-    // (64 rows/vec), centroids = one map-combined agg to labels×64
-    // rows BROADCAST back, per-vec fold partial-aggregates map-side;
-    // the only real shuffle is the per-label top-5 window.
+    // EXACT, only round() discretizes) and the centroid accumulates as
+    // the integer component sum: addition order cannot flip a bit on
+    // either engine. The broadcast centroid is the FLOOR-DIV MEAN
+    // `(cs − pmod(cs, n)) div n` — true floor on both engines (Spark
+    // div truncates toward zero, DuckDB // floors; subtracting the
+    // non-negative pmod reconciles them for negative sums) — so every
+    // centroid component is back in ±2^14 and the downstream dot/norm
+    // products are overflow-safe at ANY per-label count (a raw-sum
+    // centroid squares to > 2^63 past ~10^5 rows per label). Shape at
+    // scale: one narrow posexplode (64 rows/vec), centroids = one
+    // map-combined agg to labels×64 rows BROADCAST back, per-vec fold
+    // partial-aggregates map-side; the only real shuffle is the
+    // per-label top-5 window.
     "q_embed_cohesion" -> ((s, dir) => {
       val q = embeddings(s, dir)
         .select(col("vec_id"), col("label").cast("long").as("label"),
           posexplode(vd(col("embedding"))).as(Seq("d", "x")))
         .withColumn("xq", round(col("x") * lit(16384.0)).cast("bigint"))
-      val cent = q.groupBy("label", "d").agg(sum("xq").as("cs"))
+      val cent = q.groupBy("label", "d")
+        .agg(sum("xq").as("cs"), count(lit(1)).as("n"))
+        .select(col("label"), col("d"),
+          expr("(cs - pmod(cs, n)) div n").as("cm"))
       val w = Window.partitionBy("label").orderBy(col("cos_ppm"), col("vec_id"))
       q.join(broadcast(cent), Seq("label", "d"))
         .groupBy("vec_id", "label")
-        .agg(sum(col("xq") * col("cs")).as("dot"),
+        .agg(sum(col("xq") * col("cm")).as("dot"),
           sum(col("xq") * col("xq")).as("nx2"),
-          sum(col("cs") * col("cs")).as("nc2"))
+          sum(col("cm") * col("cm")).as("nc2"))
         .withColumn("cos_ppm",
           round(col("dot").cast("double") /
             (sqrt(col("nx2").cast("double")) * sqrt(col("nc2").cast("double")))
@@ -3495,8 +3503,10 @@ object PipelineQueries {
       // capped bucket expansion (duckCandidatePairs) — the cap is part of
       // the operator's semantics, not a Spark-side shortcut
       // same ×2^14 quantization (exact double multiply, round() away
-      // from zero on both engines), integer centroid sums, identical
-      // division shape for the final cosine
+      // from zero on both engines), same floor-div mean centroid
+      // ((cs − pmod) // n is floor on BOTH engines once the
+      // non-negative remainder is subtracted), identical division
+      // shape for the final cosine
       "q_embed_cohesion" ->
         """WITH e AS (SELECT vec_id, label,
                  generate_subscripts(embedding, 1) AS d, unnest(embedding) AS x
@@ -3504,12 +3514,15 @@ object PipelineQueries {
               q AS (SELECT vec_id, CAST(label AS BIGINT) AS label, d,
                       CAST(round(CAST(x AS DOUBLE) * 16384.0) AS BIGINT) AS xq
                     FROM e),
-              c AS (SELECT label, d, CAST(SUM(xq) AS BIGINT) AS cs
-                    FROM q GROUP BY 1, 2),
+              c AS (SELECT label, d,
+                      CAST((cs - ((cs % n + n) % n)) // n AS BIGINT) AS cm
+                    FROM (SELECT label, d, CAST(SUM(xq) AS BIGINT) AS cs,
+                            CAST(count(*) AS BIGINT) AS n
+                          FROM q GROUP BY 1, 2)),
               s AS (SELECT q.vec_id, q.label,
-                      CAST(SUM(q.xq * c.cs) AS BIGINT) AS dot,
+                      CAST(SUM(q.xq * c.cm) AS BIGINT) AS dot,
                       CAST(SUM(q.xq * q.xq) AS BIGINT) AS nx2,
-                      CAST(SUM(c.cs * c.cs) AS BIGINT) AS nc2
+                      CAST(SUM(c.cm * c.cm) AS BIGINT) AS nc2
                     FROM q JOIN c USING (label, d) GROUP BY 1, 2),
               r AS (SELECT label, vec_id,
                       CAST(round(CAST(dot AS DOUBLE)
