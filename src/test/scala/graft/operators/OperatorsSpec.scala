@@ -114,6 +114,35 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  /** Opt-in measurement behind GRAFT_JOIN_BENCH=1 (timing asserts on a
+    * shared box would flake): the bucketed overlap join vs the raw
+    * two-inequality join Spark can only plan as a nested loop. The
+    * recorded numbers live in SURVEY.md (interval-overlap entry). */
+  test("measured: bucketed overlap join beats the nested-loop inequality join") {
+    assume(sys.env.get("GRAFT_JOIN_BENCH").contains("1"),
+      "set GRAFT_JOIN_BENCH=1 to run the join measurement")
+    val rnd = new scala.util.Random(7)
+    def ivals(n: Int) = List.fill(n) {
+      val lo = rnd.nextInt(10000000).toLong
+      (lo, lo, lo + rnd.nextInt(2000) + 1)
+    }
+    val a = ivals(200000).toDF("aid", "alo", "ahi").cache()
+    val b = ivals(20000).toDF("bid", "blo", "bhi")
+      .withColumnRenamed("bid", "b0").withColumn("bid", col("b0")).drop("b0").cache()
+    a.count(); b.count()
+    def timeIt(body: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val n = body
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val (tb, nb) = timeIt(RangeJoin.intervalOverlap(a, b,
+      col("alo"), col("ahi"), col("blo"), col("bhi"), width = 2048L).count())
+    val (tn, nn) = timeIt(a.join(b,
+      col("alo") < col("bhi") && col("blo") < col("ahi")).count())
+    info(f"bucketed: $tb%.2fs ($nb rows)  nested-loop: $tn%.2fs ($nn rows)")
+    assert(nb === nn)
+    assert(tb < tn, f"bucketed ($tb%.2fs) should beat the nested loop ($tn%.2fs)")
+  }
+
   test("intervalOverlap plans a bucket equi-join, not a nested loop") {
     val a = Seq((1L, 0L, 100L), (2L, 90L, 95L)).toDF("aid", "alo", "ahi")
     val b = Seq((10L, 50L, 150L), (11L, 100L, 101L)).toDF("bid", "blo", "bhi")
