@@ -103,13 +103,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
     val errCount = errors.size
+    // wall stops BEFORE the post bracket: wallStart is set after the pre
+    // bracket, so wall_sec measures exactly the run between the brackets
+    // (neither calib spin is inside it)
+    val wallSec = (System.nanoTime() - wallStart) / 1e9
     val (calibPost1, calibPostN) = Calib.bracket(cpus.toInt)
     val loadEnd = loadavg
     val (jifEnd, stealEnd) = cpuJiffies
     val stealPct =
       if (jifEnd > jifStart) 100.0 * (stealEnd - stealStart) / (jifEnd - jifStart)
       else 0.0
-    val wallSec = (System.nanoTime() - wallStart) / 1e9
     // "total_sec" REPEATS the head's "value" at the END of the line:
     // the driver captures only a ~4 KB log tail, and at 170+ queries the
     // line's head (with "value") falls outside it — the trailing copy

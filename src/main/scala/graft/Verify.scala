@@ -66,8 +66,10 @@ object Verify {
     // self-evidence line + file: wall, counts, and fixed-work CPU calib
     // bracketing the run — lets a future reader adjudicate a slow verify
     // (box vs code) the way BENCH artifacts now can
-    val (calibPost1, calibPostN) = Calib.bracket(cpus.toInt)
+    // wall stops BEFORE the post bracket (wallStart follows the pre
+    // bracket): wall_sec is the run between the brackets, calib excluded
     val wallSec = (System.nanoTime() - wallStart) / 1e9
+    val (calibPost1, calibPostN) = Calib.bracket(cpus.toInt)
     val meta =
       s"""{"wall_sec":${f"$wallSec%.1f"},"n_queries":$nRun,"n_failed":$nFailed,"cpus":$cpus,"calib_sec":{"iters":${Calib.Iters},"pre_1t":${f"$calibPre1%.3f"},"pre_${cpus}t":${f"$calibPreN%.3f"},"post_1t":${f"$calibPost1%.3f"},"post_${cpus}t":${f"$calibPostN%.3f"}}}"""
     println(s"[verify] meta $meta")

@@ -95,6 +95,21 @@ object BpeTrainer {
     } finally pinned.unpersist()
   }
 
+  /** Lexicographic compare of two strings as UTF-8 bytes, unsigned —
+    * exactly Spark's UTF8String binary collation. */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** PRODUCTION-SHAPE training: fit the merge table LOCALLY on the
     * weighted head of the vocabulary, apply distributed.
     *
@@ -115,21 +130,6 @@ object BpeTrainer {
     * `sampleSize` ≥ |vocab| the learned table is IDENTICAL to
     * [[train]]'s (spec-pinned). `pair_count` is the count WITHIN the
     * sample. Stops early when no adjacent pair remains. */
-  /** Lexicographic compare of two strings as UTF-8 bytes, unsigned —
-    * exactly Spark's UTF8String binary collation. */
-  private def utf8Cmp(a: String, b: String): Int = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c
-      i += 1
-    }
-    x.length - y.length
-  }
-
   def trainSampled(vocab0: DataFrame, rounds: Int,
                    sampleSize: Int = 100000): DataFrame = {
     val spark = vocab0.sparkSession

@@ -676,7 +676,6 @@ object PipelineQueries {
     "q_dedup_simhash" -> ((s, dir) =>
       simhashPairs(fuzzyCorpus(documents(s, dir))).orderBy("doc_id")),
 
-    // embedding-cosine near-dup: BANDED sign-LSH blocking (scaling by +2
     // EMBEDDING CLUSTER COHESION — the SemDeDup-adjacent quality check:
     // per label, which members sit farthest from their own centroid
     // (mislabeled / polluted / boundary vectors). Cross-row float sums
@@ -720,6 +719,7 @@ object PipelineQueries {
         .orderBy("label", "rnk")
     }),
 
+    // embedding-cosine near-dup: BANDED sign-LSH blocking (scaling by +2
     // is direction-preserving → a constructed dup keeps every sign, so it
     // collides in EVERY band). The r3 single 8-bit-bucket self-join was
     // N²/256 pairs at corpus scale; here the block key is one of
@@ -3499,9 +3499,6 @@ object PipelineQueries {
 
       "q_dedup_simhash" -> duckSimhashSql,
 
-      // banded blocking mirrored exactly: same band signatures, same
-      // capped bucket expansion (duckCandidatePairs) — the cap is part of
-      // the operator's semantics, not a Spark-side shortcut
       // same ×2^14 quantization (exact double multiply, round() away
       // from zero on both engines), same floor-div mean centroid
       // ((cs − pmod) // n is floor on BOTH engines once the
@@ -3536,6 +3533,9 @@ object PipelineQueries {
               FROM r)
             WHERE rnk <= 5 ORDER BY label, rnk""",
 
+      // banded blocking mirrored exactly: same band signatures, same
+      // capped bucket expansion (duckCandidatePairs) — the cap is part of
+      // the operator's semantics, not a Spark-side shortcut
       "q_dedup_embedding" ->
         s"""WITH v0 AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
               corpus AS (SELECT vec_id, v FROM v0

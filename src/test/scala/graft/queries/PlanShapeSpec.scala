@@ -586,7 +586,12 @@ class PlanShapeSpec extends SparkSuite {
         s"$q: no per-user window — the funnel is an agg chain:\n$p")
       assert(p.contains("GlobalConstantAgg"),
         s"$q: step-1 denominator must ride the constant spread:\n$p")
-      assert(!p.linesIterator.exists(_.trim.stripPrefix("+- ").startsWith("Window [")),
+      // match a WindowExec under ANY tree prefix (":- ", ":  +- ", …) —
+      // a bare startsWith("Window [") after stripping "+- " misses
+      // window nodes rendered on a join branch
+      assert(!p.linesIterator.exists(
+          _.trim.dropWhile(c => c == ':' || c == '+' || c == '-' || c == ' ' || c == '*')
+            .startsWith("Window [")),
         s"$q: no built-in WindowExec expected:\n$p")
     }
   }
