@@ -46,7 +46,8 @@ object PipelineQueries {
     "q_text_more_like_this",
     "q_text_phrase", "q_text_stream_ingest", "q_text_delete", "q_text_merge",
     "q_cdc_snapshot", "q_cdc_asof",
-    "q_index_lookup", "q_index_range", "q_salt_advisor_verify")
+    "q_index_lookup", "q_index_range", "q_salt_advisor_verify",
+    "q_store_retention")
 
   /** Persist hygiene across repeated invocation. Bench runs every query
     * 3+ times per process and one process may touch several SF dirs, so a

@@ -341,6 +341,30 @@ object RefQueries {
         .orderBy("event_id")
     }),
 
+    // RETENTION AT COMPACTION — the HBase TTL analog: expired cells
+    // drop when compaction rewrites the store, never in a separate
+    // delete pass (SaltedStore.compactRetain folds the predicate into
+    // the one moment every row is already being rewritten). The store
+    // keeps its sorted, bucket-pruned layout; re-running the retention
+    // is an idempotent rewrite of already-retained data (spec-pinned in
+    // StoreScanSpec). Cutoff 2024-01-15 splits the events month roughly
+    // in half at every SF, so both branches carry real rows.
+    "q_store_retention" -> ((s, dir) => {
+      import graft.store.SaltedStore
+      val tmp = System.getProperty("java.io.tmpdir")
+      val tag = s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+      val path = s"$tmp/graft_retstore_$tag"
+      val cutoffUs = 1705276800000000L // 2024-01-15T00:00:00Z, micros
+      SaltedStore.ensure(
+        events(s, dir).select(col("event_id"), col("user_id"), col("ts_us")),
+        col("event_id"), dist, path)
+      SaltedStore.compactRetain(s, path, col("event_id"),
+        col("ts_us") >= cutoffUs)
+      SaltedStore.read(s, path)
+        .select("event_id", "user_id", "ts_us")
+        .orderBy("event_id")
+    }),
+
     // JOIN-SKEW SALT PLAN — which join keys need salted replication and
     // by how much (SaltAdvisor.joinSaltPlan): hot tail = keys above 2×
     // the mean rows-per-key, salt factor = count in mean-sized slices.
@@ -517,6 +541,10 @@ object RefQueries {
 
     "q_index_range" ->
       """SELECT event_id, user_id, value FROM events
-         WHERE user_id >= 3 AND user_id < 11 ORDER BY event_id"""
+         WHERE user_id >= 3 AND user_id < 11 ORDER BY event_id""",
+
+    "q_store_retention" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+         WHERE epoch_us(ts) >= 1705276800000000 ORDER BY event_id"""
   )
 }

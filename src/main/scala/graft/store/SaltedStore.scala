@@ -318,6 +318,20 @@ object SaltedStore {
     * be lost while their commit markers survive. Run compaction when the
     * store is not taking appends (the HBase major-compaction discipline);
     * pausing the streaming writer for the store is sufficient. */
+  /** Retention folded into compaction — the HBase TTL analog: HBase
+    * drops expired cells when a compaction rewrites the HFile, never in
+    * a separate delete pass, because compaction is the one moment every
+    * row is already being rewritten. Same discipline here: `keep` rows
+    * survive, the rest vanish with the rewrite, and the store keeps its
+    * sorted, range-split, bucket-pruned layout. One call = one rewrite;
+    * a delete-then-compact pair would rewrite twice. Same writer
+    * discipline as [[compact]]: pause appends for the duration. */
+  def compactRetain(spark: SparkSession, path: String, keyCol: Column,
+                    keep: Column, targetBytes: Long = 128L * 1024 * 1024,
+                    partitionPrefix: String = "bucket"): Unit =
+    compact(spark, path, keyCol, targetBytes, partitionPrefix,
+      transform = _.filter(keep))
+
   def compact(spark: SparkSession, path: String, keyCol: Column,
               targetBytes: Long = 128L * 1024 * 1024,
               partitionPrefix: String = "bucket",

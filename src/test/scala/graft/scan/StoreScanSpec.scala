@@ -161,6 +161,26 @@ class StoreScanSpec extends SparkSuite {
       s"expected zstd parquet files, got ${files.toList}")
   }
 
+  test("compactRetain drops expired rows in the rewrite, layout and prune intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("retain_store").toString
+    val df = (1L to 4000L).map(i => (i, i % 100)).toDF("k", "age")
+    SaltedStore.write(df, col("k"), HashPrefix(4), dir)
+    // TTL pass: keep age < 50 — exactly half the rows, spread everywhere
+    SaltedStore.compactRetain(spark, dir, col("k"), col("age") < 50L)
+    val kept = SaltedStore.read(spark, dir).select("k").as[Long].collect().sorted
+    assert(kept.toSeq === (1L to 4000L).filter(_ % 100 < 50))
+    // idempotent: a second retention pass with the same predicate is a
+    // rewrite of already-retained data — nothing more vanishes
+    SaltedStore.compactRetain(spark, dir, col("k"), col("age") < 50L)
+    assert(SaltedStore.read(spark, dir).count() === kept.length.toLong)
+    // the rewrite kept the bucketed layout: every bucket dir present,
+    // files key-sorted so the point-get prune still works
+    val q = graft.scan.DistributedScan.pointGet(
+      SaltedStore.read(spark, dir), col("k"), 7L, HashPrefix(4))
+    assert(q.count() === 1L)
+  }
+
   test("describe reports per-bucket files, bytes, rows, and key ranges") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("describe_store").toString
