@@ -119,6 +119,27 @@ class SecondaryIndexSpec extends SparkSuite {
     assert(rangeKeys(p, None, None) === want(_ => true))
   }
 
+  test("range lookup fuzz: random widths and bounds all equal the direct filter") {
+    val rnd = new scala.util.Random(99)
+    for (width <- Seq(1L, 3L, 8L, 37L, 1000L)) {
+      val p = tmp(s"ridx_fuzz_$width")
+      RangeIndex.write(base, col("v"), col("key"), width, p)
+      def want(f: Long => Boolean) =
+        base.filter(r => f(r.getLong(1))).select("key").as[Long].collect().sorted.toSeq
+      for (_ <- 1 to 8) {
+        val a = rnd.nextInt(40).toLong
+        val b = rnd.nextInt(40).toLong
+        val (lo, hi) = (math.min(a, b), math.max(a, b))
+        assert(RangeIndex.lookupRange(spark, p, width, Some(lo), Some(hi))
+          .select("k").as[Long].collect().sorted.toSeq ===
+          want(v => v >= lo && v < hi), s"width=$width [$lo,$hi)")
+      }
+      // degenerate: empty range (lo == hi) and inverted bounds behave as
+      // the half-open contract says — nothing matches
+      assert(RangeIndex.lookupRange(spark, p, width, Some(7L), Some(7L)).count() === 0L)
+    }
+  }
+
   test("range probe prunes the file listing to exactly the covered bins") {
     val p = tmp("ridx_prune")
     RangeIndex.write(base, col("v"), col("key"), 8L, p)   // v in 0..36 → bins 0..4
