@@ -832,6 +832,39 @@ object PipelineQueries {
     // cells (nearest of C broadcast literal centroids — one narrow
     // codegen'd projection, corpus never shuffled to build the index),
     // probe the NProbe best cells per query, exact re-rank inside them
+    // ALL-PAIRS ANN JOIN — every vector finds its nearest neighbor (the
+    // SemDeDup primitive proper): the kNN queries broadcast a SMALL
+    // query set against the corpus; here EVERY vector is a query, which
+    // only scales as a cell-local self-join — assign each vector to its
+    // IVF cell (one narrow codegen'd projection, broadcast codebook),
+    // equi-join the corpus with itself on the cell, exact cosine, top-1
+    // per vector. Pair work is Σ|cell|² — bounded by the codebook, never
+    // N²; at 100 TB a hot cell subdivides with a second-level codebook
+    // (same machinery, recursive). Recall is same-cell by construction
+    // (the SemDeDup trade); a singleton cell yields no neighbor row —
+    // both engines agree. Per-pair cosine is a row-local fold (identical
+    // association order both sides) — no cross-row float sums.
+    "q_ann_join" -> ((s, dir) => {
+      val v = embeddings(s, dir).select(col("vec_id"), vd(col("embedding")).as("v"))
+      val cents: IndexedSeq[Seq[Double]] = v
+        .filter(col("vec_id").between(5, 4 + IvfC)).orderBy("vec_id")
+        .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+      val c = v.withColumn("n2", norm2(col("v")))
+        .withColumn("cell", ivfCell(col("v"), col("n2"), cents))
+      val a = c.select(col("vec_id").as("a_id"), col("v").as("av"),
+        col("n2").as("an2"), col("cell"))
+      val b = c.select(col("vec_id").as("b_id"), col("v").as("bv"),
+        col("n2").as("bn2"), col("cell"))
+      val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
+      a.join(b, "cell")
+        .filter(col("a_id") =!= col("b_id"))
+        .withColumn("cos", cosine(dot(col("av"), col("bv")), col("an2"), col("bn2")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("a_id").as("vec_id"), col("b_id").as("nn_id"), col("cos"))
+        .orderBy("vec_id")
+    }),
+
     "q_knn_cosine_ivf" -> ((s, dir) => {
       val v = embeddings(s, dir).select(col("vec_id"), vd(col("embedding")).as("v"))
       val cents: IndexedSeq[Seq[Double]] = v
@@ -3559,6 +3592,30 @@ object PipelineQueries {
       "q_knn_cosine_lsh" -> duckLshKnn,
 
       "q_knn_cosine_lsh_multiprobe" -> duckLshMultiprobeKnn,
+
+      // same cell assignment as duckIvfKnn (argmax cosine, ties to the
+      // smallest cid), corpus = ALL vectors, then the cell-local
+      // self-join and per-vector argmax neighbor
+      "q_ann_join" ->
+        s"""WITH v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
+              vn AS (SELECT vec_id, v, ${duckNorm2("v")} AS n2 FROM v),
+              cents AS (SELECT vec_id - 5 AS cid, v AS cv, n2 AS cn2
+                        FROM vn WHERE vec_id BETWEEN 5 AND ${4 + IvfC}),
+              asg AS (SELECT vec_id, v, n2, cid AS cell FROM (
+                        SELECT x.vec_id, x.v, x.n2, c.cid,
+                          row_number() OVER (PARTITION BY x.vec_id
+                            ORDER BY ${duckCosine(duckDot("x.v", "c.cv"), "x.n2", "c.cn2")} DESC, c.cid) AS rn
+                        FROM vn x CROSS JOIN cents c)
+                      WHERE rn = 1),
+              pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                          ${duckCosine(duckDot("a.v", "b.v"), "a.n2", "b.n2")} AS cos
+                        FROM asg a JOIN asg b USING (cell)
+                        WHERE a.vec_id <> b.vec_id)
+            SELECT vec_id, nn_id, cos FROM (
+              SELECT a_id AS vec_id, b_id AS nn_id, cos,
+                row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rnk
+              FROM pairs)
+            WHERE rnk = 1 ORDER BY vec_id""",
 
       "q_knn_cosine_ivf" -> duckIvfKnn,
 
