@@ -572,6 +572,27 @@ class PlanShapeSpec extends SparkSuite {
       s"no built-in WindowExec expected:\n$p")
   }
 
+  test("q_index_range: the index scan prunes its file listing to the covered value bins") {
+    // run the query once so the stores exist, then re-plan and find the
+    // vb-partitioned index scan: the [3, 11) probe at width 8 covers
+    // exactly bins 0 and 1 — nothing else may survive the listing
+    SparkEntry.queries("q_index_range")(spark, sf("sf0.01")).collect()
+    val df = SparkEntry.queries("q_index_range")(spark, sf("sf0.01"))
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.partitionSchema.fieldNames.contains("vb") => f
+    }
+    assert(scans.nonEmpty, "no vb-partitioned index scan found in the plan")
+    scans.foreach { sc =>
+      assert(sc.partitionFilters.nonEmpty,
+        s"range-index scan lost its static bin bounds:\n${df.queryExecution.sparkPlan}")
+      val bins = sc.relation.location
+        .listFiles(sc.partitionFilters, sc.dataFilters)
+        .map(_.values.getInt(0)).sorted.toSeq
+      assert(bins === Seq(0, 1), s"[3, 11) must prune to bins 0,1 — listed $bins")
+    }
+  }
+
   test("funnel: conditional-min chain on one user_id partitioning, no window over users") {
     for (q <- Seq("q_funnel", "q_funnel_windowed")) {
       val p = plan(q)
