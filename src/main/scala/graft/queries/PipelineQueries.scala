@@ -345,8 +345,13 @@ object PipelineQueries {
     * and its persisted-index twins (same cells, probes and ranking; the
     * index only changes where the cells live, and the multi-probe
     * variant only widens the probe list). */
-  private def duckIvfKnnAt(probe: Int, corpusWhere: String = "vec_id >= 5"): String =
-    s"""WITH v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
+  /** The shared IVF cell-assignment CTE prefix (v/vn/cents/corpus/asg):
+    * the argmax-cosine quantizer with its `cos DESC, cid` tiebreak that
+    * must stay bit-identical to `ivfCell` — ONE definition serves the
+    * whole kNN family AND the all-pairs q_ann_join oracle, so the
+    * quantizer cannot silently fork between them. */
+  private def duckIvfAsgCtes(corpusWhere: String): String =
+    s"""v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
           vn AS (SELECT vec_id, v, ${duckNorm2("v")} AS n2 FROM v),
           cents AS (SELECT vec_id - 5 AS cid, v AS cv, n2 AS cn2
                     FROM vn WHERE vec_id BETWEEN 5 AND ${4 + IvfC}),
@@ -356,7 +361,10 @@ object PipelineQueries {
                       row_number() OVER (PARTITION BY x.vec_id
                         ORDER BY ${duckCosine(duckDot("x.v", "c.cv"), "x.n2", "c.cn2")} DESC, c.cid) AS rn
                     FROM corpus x CROSS JOIN cents c)
-                  WHERE rn = 1),
+                  WHERE rn = 1)"""
+
+  private def duckIvfKnnAt(probe: Int, corpusWhere: String = "vec_id >= 5"): String =
+    s"""WITH ${duckIvfAsgCtes(corpusWhere)},
           q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM vn WHERE vec_id < 5),
           probes AS (SELECT q_id, qv, qn2, cid AS cell FROM (
                        SELECT q.q_id, q.qv, q.qn2, c.cid,
@@ -849,8 +857,13 @@ object PipelineQueries {
       val cents: IndexedSeq[Seq[Double]] = v
         .filter(col("vec_id").between(5, 4 + IvfC)).orderBy("vec_id")
         .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+      // persist the assigned corpus: BOTH self-join sides read it (the
+      // differing aliases defeat exchange reuse), and the codegen'd
+      // 16×64 centroid argmax is the dominant pre-join cost
       val c = v.withColumn("n2", norm2(col("v")))
         .withColumn("cell", ivfCell(col("v"), col("n2"), cents))
+        .persist()
+      Persisted.swap("ann_join_assigned", dir, c)
       val a = c.select(col("vec_id").as("a_id"), col("v").as("av"),
         col("n2").as("an2"), col("cell"))
       val b = c.select(col("vec_id").as("b_id"), col("v").as("bv"),
@@ -3593,20 +3606,11 @@ object PipelineQueries {
 
       "q_knn_cosine_lsh_multiprobe" -> duckLshMultiprobeKnn,
 
-      // same cell assignment as duckIvfKnn (argmax cosine, ties to the
-      // smallest cid), corpus = ALL vectors, then the cell-local
-      // self-join and per-vector argmax neighbor
+      // the SAME duckIvfAsgCtes quantizer as the kNN family (one
+      // definition — no fork risk), corpus = ALL vectors, then the
+      // cell-local self-join and per-vector argmax neighbor
       "q_ann_join" ->
-        s"""WITH v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
-              vn AS (SELECT vec_id, v, ${duckNorm2("v")} AS n2 FROM v),
-              cents AS (SELECT vec_id - 5 AS cid, v AS cv, n2 AS cn2
-                        FROM vn WHERE vec_id BETWEEN 5 AND ${4 + IvfC}),
-              asg AS (SELECT vec_id, v, n2, cid AS cell FROM (
-                        SELECT x.vec_id, x.v, x.n2, c.cid,
-                          row_number() OVER (PARTITION BY x.vec_id
-                            ORDER BY ${duckCosine(duckDot("x.v", "c.cv"), "x.n2", "c.cn2")} DESC, c.cid) AS rn
-                        FROM vn x CROSS JOIN cents c)
-                      WHERE rn = 1),
+        s"""WITH ${duckIvfAsgCtes("TRUE")},
               pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                           ${duckCosine(duckDot("a.v", "b.v"), "a.n2", "b.n2")} AS cos
                         FROM asg a JOIN asg b USING (cell)

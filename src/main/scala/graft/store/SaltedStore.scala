@@ -325,7 +325,15 @@ object SaltedStore {
     * survive, the rest vanish with the rewrite, and the store keeps its
     * sorted, range-split, bucket-pruned layout. One call = one rewrite;
     * a delete-then-compact pair would rewrite twice. Same writer
-    * discipline as [[compact]]: pause appends for the duration. */
+    * discipline as [[compact]]: pause appends for the duration.
+    *
+    * Two documented edges: (a) output file COUNT is sized from
+    * pre-filter bucket bytes — a pass that expires most rows leaves
+    * under-sized files; a follow-up [[compact]] re-sizes (same rewrite
+    * machinery, now seeing post-retention bytes). (b) a pass that
+    * expires the ENTIRE store leaves no data files, and a subsequent
+    * schema-less read cannot infer parquet schema — read with an
+    * explicit schemaDDL, or treat full expiry as store deletion. */
   def compactRetain(spark: SparkSession, path: String, keyCol: Column,
                     keep: Column, targetBytes: Long = 128L * 1024 * 1024,
                     partitionPrefix: String = "bucket"): Unit =
@@ -339,11 +347,36 @@ object SaltedStore {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new Path(root, CompactingMarker)
+    // Recover a crashed PREDECESSOR before doing anything else: a parked
+    // `.old_<prefix>=N` whose visible dir is missing is a swap that died
+    // between its two renames. Readers recover it only WHILE the marker
+    // stands — if this run proceeded past it and deleted the marker at
+    // its own end, the parked rows would vanish from every later
+    // marker-free listing. Restore the original dir (the crashed run's
+    // `.compact_` output was never swapped in — discard it), then clear
+    // the stale marker: the store is whole again and this run compacts
+    // it normally.
+    strandedOldBuckets(fs, root, partitionPrefix).foreach { case (old, n) =>
+      val vis = new Path(root, s"$partitionPrefix=$n")
+      require(fs.rename(old, vis),
+        s"compact: could not restore parked $old; store left untouched")
+    }
+    // the symmetric crash — swap COMPLETED but cleanup didn't: a
+    // `.old_` whose visible dir exists is superseded data; delete it
+    // now or this run's own park rename would collide with it
+    fs.listStatus(root)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(s".old_$partitionPrefix="))
+      .foreach(s => fs.delete(s.getPath, true))
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".compact_"))
+      .foreach(s => fs.delete(s.getPath, true))
+    if (fs.exists(marker)) fs.delete(marker, false)
     // partitionPrefix generalizes the swap to any single-level partition
     // layout — the streaming vector index reuses it on `cell=N` dirs
     val buckets = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partitionPrefix="))
-    val marker = new Path(root, CompactingMarker)
     buckets.foreach { b =>
       val bytes = fs.listStatus(b.getPath).filterNot(_.getPath.getName.startsWith("_"))
         .map(_.getLen).sum

@@ -161,6 +161,32 @@ class StoreScanSpec extends SparkSuite {
       s"expected zstd parquet files, got ${files.toList}")
   }
 
+  test("compact recovers a crashed predecessor's parked bucket before proceeding") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("crash_store").toString
+    val df = (1L to 2000L).map(i => (i, i * 3)).toDF("k", "v")
+    SaltedStore.write(df, col("k"), HashPrefix(4), dir)
+    // simulate a compactor that died between its two renames on
+    // bucket=1: the bucket sits parked as .old_bucket=1, the marker
+    // stands, and a leftover .compact_ tmp dir exists
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(root, "bucket=1"),
+      new org.apache.hadoop.fs.Path(root, ".old_bucket=1")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, ".compact_bucket=1"))
+    val m = fs.create(new org.apache.hadoop.fs.Path(root, SaltedStore.CompactingMarker), true)
+    m.writeUTF("bucket=1"); m.close()
+    // a fresh compact() must restore the parked bucket FIRST — if it
+    // compacted the visible state and deleted the marker, the parked
+    // rows would silently vanish from every later marker-free read
+    SaltedStore.compact(spark, dir, col("k"))
+    assert(SaltedStore.read(spark, dir).count() === 2000L)
+    val leftovers = fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith(".old_") || n.startsWith(".compact_") ||
+        n == SaltedStore.CompactingMarker)
+    assert(leftovers.isEmpty, s"crash debris must be gone: ${leftovers.toList}")
+  }
+
   test("compactRetain drops expired rows in the rewrite, layout and prune intact") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("retain_store").toString

@@ -134,9 +134,10 @@ class SecondaryIndexSpec extends SparkSuite {
           .select("k").as[Long].collect().sorted.toSeq ===
           want(v => v >= lo && v < hi), s"width=$width [$lo,$hi)")
       }
-      // degenerate: empty range (lo == hi) and inverted bounds behave as
-      // the half-open contract says — nothing matches
+      // degenerate: empty range (lo == hi) and INVERTED bounds (lo > hi)
+      // behave as the half-open contract says — nothing matches
       assert(RangeIndex.lookupRange(spark, p, width, Some(7L), Some(7L)).count() === 0L)
+      assert(RangeIndex.lookupRange(spark, p, width, Some(20L), Some(10L)).count() === 0L)
     }
   }
 
