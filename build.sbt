@@ -26,7 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default (was 8g): the driver's forked Bench/Verify JVMs run 189
+  // queries x 3 passes over sf0.1 with a generation of persisted frames
+  // live — at 8g the storage fraction thrashes (cached frames spill to
+  // disk / recompute) and driver artifacts read slower than controlled
+  // runs for reasons that have nothing to do with the code. The box has
+  // 128 GiB; -Xmx is a cap, not a commitment.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 ) ++ // fuzz-soak knobs reach the forked test JVM via env
   sys.env.get("GRAFT_FUZZ_SEED").map(s => s"-Dgraft.fuzz.seed=$s").toSeq ++
   sys.env.get("GRAFT_FUZZ_ROUNDS").map(r => s"-Dgraft.fuzz.rounds=$r").toSeq

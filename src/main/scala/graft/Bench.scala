@@ -31,12 +31,16 @@ object Bench {
       } catch { case _: Throwable => (0L, 0L) }
     val loadStart = loadavg
     val (jifStart, stealStart) = cpuJiffies
-    // fixed-work CPU calibration bracketing the run (graft.Calib): r11
+    // fixed-work calibration bracketing the run (graft.Calib): r11
     // proved load/steal miss host-side slowness (230s driver artifact,
-    // steal 0.13%, same-code controlled run 80s) — a slow calib with
-    // clean steal IS the contamination signal, and per-query times can
-    // be read relative to it
-    val (calibPre1, calibPreN) = Calib.bracket(cpus.toInt)
+    // steal 0.13%, same-code controlled run 80s), and r12 proved the ALU
+    // probe alone ALSO misses it (driver artifact 76s on q_simjoin_prefix
+    // with pre_1t 0.544 — clean — vs 5s controlled; reproduced in-session:
+    // memory-bound stage CPU time swung 5-15x while the ALU probe held
+    // 0.55s). The added MEMORY probe (dependent-miss pointer chase) is
+    // the direct detector for that confounder — read mem_* against its
+    // controlled band before calling any artifact a regression.
+    val calibPre = Calib.bracketAll(cpus.toInt)
     val wallStart = System.nanoTime()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -107,7 +111,7 @@ object Bench {
     // bracket, so wall_sec measures exactly the run between the brackets
     // (neither calib spin is inside it)
     val wallSec = (System.nanoTime() - wallStart) / 1e9
-    val (calibPost1, calibPostN) = Calib.bracket(cpus.toInt)
+    val calibPost = Calib.bracketAll(cpus.toInt)
     val loadEnd = loadavg
     val (jifEnd, stealEnd) = cpuJiffies
     val stealPct =
@@ -117,14 +121,27 @@ object Bench {
     // the driver captures only a ~4 KB log tail, and at 170+ queries the
     // line's head (with "value") falls outside it — the trailing copy
     // keeps the round total visible in every truncated capture
+    val calibJson = Calib.json(cpus, calibPre, calibPost)
     def line(fmt: Double => String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qs(fmt)},"sf":"$sfDir","runs":$runs,"n_errors":$errCount,"index_warmup_sec":${fmt(indexWarmupSec)},"wall_sec":${fmt(wallSec)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","steal_pct":${f"$stealPct%.2f"},"calib_sec":{"iters":${Calib.Iters},"pre_1t":${f"$calibPre1%.3f"},"pre_${cpus}t":${f"$calibPreN%.3f"},"post_1t":${f"$calibPost1%.3f"},"post_${cpus}t":${f"$calibPostN%.3f"}},"total_sec":${fmt(total)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qs(fmt)},"sf":"$sfDir","runs":$runs,"n_errors":$errCount,"index_warmup_sec":${fmt(indexWarmupSec)},"wall_sec":${fmt(wallSec)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","steal_pct":${f"$stealPct%.2f"},"calib_sec":$calibJson,"total_sec":${fmt(total)}}"""
     // stdout: 3-decimal medians — the driver captures only a ~4 KB log
     // TAIL, and full-precision doubles pushed the line past it two rounds
     // running (BENCH_r03/r04 both lost their head and parsed as null).
     // ms precision is plenty for the judge's comparison; the file copy
     // below keeps full precision as the authoritative record.
     println(line(v => f"$v%.3f"))
+    // SECOND, SHORT summary line, printed LAST: at 180+ queries the full
+    // line is ~4.5 KB, so with a ~2 KB driver tail capture its HEAD (and
+    // therefore any chance of parsing it) is always lost — every
+    // BENCH_r*.json through r12 records "parsed": null. This line keeps
+    // the whole driver contract ("metric"/"value"/"unit") plus the box
+    // evidence and the slowest per-query times inside ANY tail window;
+    // the full per-query map stays one line above and in target/bench.json.
+    val slowest = results.filter(p => !errors.contains(p._1))
+      .sortBy(-_._2).take(8)
+      .map { case (k, v) => s"${jstr(k)}:${f"$v%.3f"}" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_errors":$errCount,"sf":"$sfDir","runs":$runs,"index_warmup_sec":${f"$indexWarmupSec%.3f"},"wall_sec":${f"$wallSec%.3f"},"steal_pct":${f"$stealPct%.2f"},"calib_sec":$calibJson,"slowest":$slowest,"queries_full":"target/bench.json","total_sec":${f"$total%.3f"}}""")
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)

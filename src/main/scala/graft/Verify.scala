@@ -15,7 +15,9 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // box-health evidence for the correctness run, same motive as Bench:
     // a slow verify with a slow fixed-work calib is the box, not the code
-    val (calibPre1, calibPreN) = Calib.bracket(cpus.toInt)
+    // (ALU + memory probes — r12 showed host memory pressure slows
+    // pointer-heavy stages 5-15x while the ALU spin stays clean)
+    val calibPre = Calib.bracketAll(cpus.toInt)
     val wallStart = System.nanoTime()
     var nRun = 0
     var nFailed = 0
@@ -69,9 +71,9 @@ object Verify {
     // wall stops BEFORE the post bracket (wallStart follows the pre
     // bracket): wall_sec is the run between the brackets, calib excluded
     val wallSec = (System.nanoTime() - wallStart) / 1e9
-    val (calibPost1, calibPostN) = Calib.bracket(cpus.toInt)
+    val calibPost = Calib.bracketAll(cpus.toInt)
     val meta =
-      s"""{"wall_sec":${f"$wallSec%.1f"},"n_queries":$nRun,"n_failed":$nFailed,"cpus":$cpus,"calib_sec":{"iters":${Calib.Iters},"pre_1t":${f"$calibPre1%.3f"},"pre_${cpus}t":${f"$calibPreN%.3f"},"post_1t":${f"$calibPost1%.3f"},"post_${cpus}t":${f"$calibPostN%.3f"}}}"""
+      s"""{"wall_sec":${f"$wallSec%.1f"},"n_queries":$nRun,"n_failed":$nFailed,"cpus":$cpus,"calib_sec":${Calib.json(cpus, calibPre, calibPost)}}"""
     println(s"[verify] meta $meta")
     try Files.writeString(Paths.get(s"$outDir/verify_meta.json"), meta + "\n")
     catch { case e: Throwable => System.err.println(s"[verify] meta write failed: $e") }

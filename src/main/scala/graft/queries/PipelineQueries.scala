@@ -657,26 +657,57 @@ object PipelineQueries {
           Window.partitionBy("doc_id").orderBy("df", "x")).cast("bigint"))
         .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
         .filter(col("rn") <= col("n") - expr("(n + 1) div 2") + 1L)
-        .select("doc_id", "x", "n")
+        .select("doc_id", "x", "rn", "n")
         .persist()
       Persisted.swap("simjoin_pref", dir, pref)
-      // size prefilter INSIDE the candidate join (sound, same as the
-      // oracle's): J ≥ τ forces τ·max(|A|,|B|) ≤ min(|A|,|B|), so for
-      // τ = 1/2 any candidate with 2·min < max cannot verify — cutting
-      // it here spares the two collect_set-attach joins and the exact-
-      // Jaccard verify on pairs that are dead on arrival
+      // candidate generation = ONE groupBy over the prefix-token matches
+      // (replacing a distinct — same shuffle), carrying two sound
+      // prefilters that kill pairs BEFORE the verify join:
+      //  - size (same as the oracle's): J ≥ τ forces τ·max ≤ min, so
+      //    for τ = 1/2 a pair with 2·min < max cannot verify;
+      //  - PPJoin POSITIONAL filter: for the FIRST shared prefix token
+      //    (positions mi in a's df-order, mj in b's — the same token
+      //    attains both minima, since both docs rank by the one global
+      //    (df, x) order), every OTHER shared token sorts after it in
+      //    BOTH docs (were it earlier it would itself be a prefix match
+      //    at smaller positions), so |A∩B| ≤ 1 + min(na−mi, nb−mj);
+      //    J ≥ 1/2 ⟺ 3·|A∩B| ≥ na+nb, so pairs whose positional bound
+      //    can't reach (na+nb)/3 are dead on arrival. Measured at
+      //    sf0.1: 1.19M candidates → 483k (2.5×) for two long columns
+      //    and one codegen'd filter.
       val cand = pref.as("pa").join(pref.as("pb"),
           col("pa.x") === col("pb.x") && col("pa.doc_id") < col("pb.doc_id") &&
             lit(2L) * least(col("pa.n"), col("pb.n")) >=
               greatest(col("pa.n"), col("pb.n")))
-        .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"))
-        .distinct()
-      val full = sets.groupBy("doc_id").agg(collect_set("x").as("sh"))
+        .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"),
+          col("pa.n").as("na"), col("pb.n").as("nb"),
+          col("pa.rn").as("i"), col("pb.rn").as("j"))
+        .groupBy("a", "b", "na", "nb")
+        .agg(min(col("i")).as("mi"), min(col("j")).as("mj"))
+        .filter(lit(3L) * (lit(1L) + least(col("na") - col("mi"),
+          col("nb") - col("mj"))) >= col("na") + col("nb"))
+      // verify: attach each side's full hash set ONCE (collect_list is
+      // exact here — `sets` rows are already distinct) and count the
+      // intersection with a single codegen'd array_intersect per pair.
+      // The previous shape (Dedup.jaccard = THREE array_distinct
+      // hash-set builds per row, re-evaluated by the filter AND the
+      // projection) burned ~500 CPU-seconds at sf0.1 under host memory
+      // pressure — the r12 driver artifact ran this query at 76s with a
+      // CLEAN ALU calibration, because pointer-chasing work degrades
+      // under memory contention that the xorshift probe can't see.
+      // |A∪B| = na + nb − |A∩B|, so the jaccard division sees the same
+      // exact integers as the oracle's list-based formula — and the
+      // τ-filter is applied as pure-integer 3·|A∩B| ≥ na+nb
+      // (⟺ J ≥ 1/2), no float boundary anywhere.
+      val full = sets.groupBy("doc_id").agg(collect_list("x").as("sh"))
       cand
         .join(full.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
         .join(full.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
-        .withColumn("jaccard", jaccard(col("sha"), col("shb")))
-        .filter(col("jaccard") >= 0.5)
+        .withColumn("inter",
+          size(array_intersect(col("sha"), col("shb"))).cast("bigint"))
+        .filter(lit(3L) * col("inter") >= col("na") + col("nb"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
         .select("a", "b", "jaccard")
         .orderBy("a", "b")
     }),

@@ -317,7 +317,21 @@ object SaltedStore {
     * parked dir and deleted with it — committed streaming batches would
     * be lost while their commit markers survive. Run compaction when the
     * store is not taking appends (the HBase major-compaction discipline);
-    * pausing the streaming writer for the store is sufficient. */
+    * pausing the streaming writer for the store is sufficient.
+    *
+    * CONCURRENT `compact()` CALLS ON ONE PATH ARE FORBIDDEN — single-
+    * compactor discipline, same as HBase's one-major-compaction-per-
+    * region. Startup recovery treats marker/`.old_*`/`.compact_*` debris
+    * as a CRASHED predecessor's; a second live compactor's in-flight
+    * swap state is indistinguishable from that debris, and recovering it
+    * would rename dirs out from under the peer mid-swap. As a best-
+    * effort guard (not a substitute for the discipline), recovery first
+    * applies the same at-rest check [[read]] uses: if a marker is
+    * present it must clear within the scaled wait or hold still —
+    * marker mtime and bucket/`.old_` listing unchanged across
+    * `spark.graft.compact.stabilityMs` snapshots — before any debris is
+    * touched; a state that keeps MOVING fails the call loudly instead
+    * of destroying a live peer's swap. */
   /** Retention folded into compaction — the HBase TTL analog: HBase
     * drops expired cells when a compaction rewrites the HFile, never in
     * a separate delete pass, because compaction is the one moment every
@@ -348,6 +362,43 @@ object SaltedStore {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new Path(root, CompactingMarker)
+    // Best-effort live-peer guard (see scaladoc: concurrent compacts are
+    // forbidden; this catches the accident, it does not license it).
+    // A standing marker is either a crashed predecessor's (at rest) or a
+    // live peer's (moving). Wait it out briefly, then demand stability —
+    // the same discipline read() applies — and REFUSE to recover state
+    // that keeps changing: recovery renames would collide with the
+    // peer's own pending renames and strip readers of its marker.
+    if (fs.exists(marker)) {
+      val waitMs = spark.conf.get("spark.graft.compact.waitMs", "2000").toLong
+      val nDirs = math.max(1, fs.listStatus(root).count(s => s.isDirectory &&
+        (s.getPath.getName.startsWith(s"$partitionPrefix=") ||
+          s.getPath.getName.startsWith(s".old_$partitionPrefix="))))
+      var waited = 0L
+      while (fs.exists(marker) && waited < waitMs * nDirs) {
+        Thread.sleep(100); waited += 100
+      }
+      if (fs.exists(marker)) {
+        val stabilityMs = spark.conf.get("spark.graft.compact.stabilityMs", "200").toLong
+        def snap(): (Long, Set[String]) = (
+          scala.util.Try(fs.getFileStatus(marker).getModificationTime).getOrElse(-1L),
+          fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+            .filter(n => n.startsWith(s"$partitionPrefix=") ||
+              n.startsWith(s".old_$partitionPrefix=")).toSet)
+        var prev = snap()
+        var stable = false
+        var rounds = 0
+        while (!stable && rounds < 5 && fs.exists(marker)) {
+          Thread.sleep(stabilityMs)
+          val cur = snap()
+          if (cur == prev) stable = true else { prev = cur; rounds += 1 }
+        }
+        require(stable || !fs.exists(marker),
+          s"compact: marker at $marker is live (state still changing after " +
+            s"$rounds stability checks) — a concurrent compact() appears to be " +
+            "running on this path; concurrent compacts are forbidden")
+      }
+    }
     // Recover a crashed PREDECESSOR before doing anything else: a parked
     // `.old_<prefix>=N` whose visible dir is missing is a swap that died
     // between its two renames. Readers recover it only WHILE the marker

@@ -179,12 +179,52 @@ class StoreScanSpec extends SparkSuite {
     // a fresh compact() must restore the parked bucket FIRST — if it
     // compacted the visible state and deleted the marker, the parked
     // rows would silently vanish from every later marker-free read
-    SaltedStore.compact(spark, dir, col("k"))
-    assert(SaltedStore.read(spark, dir).count() === 2000L)
-    val leftovers = fs.listStatus(root).map(_.getPath.getName)
-      .filter(n => n.startsWith(".old_") || n.startsWith(".compact_") ||
-        n == SaltedStore.CompactingMarker)
-    assert(leftovers.isEmpty, s"crash debris must be gone: ${leftovers.toList}")
+    // (waitMs=0: the planted marker is a CRASH, don't wait it out;
+    // the at-rest stability check still runs)
+    spark.conf.set("spark.graft.compact.waitMs", "0")
+    try {
+      SaltedStore.compact(spark, dir, col("k"))
+      assert(SaltedStore.read(spark, dir).count() === 2000L)
+      val leftovers = fs.listStatus(root).map(_.getPath.getName)
+        .filter(n => n.startsWith(".old_") || n.startsWith(".compact_") ||
+          n == SaltedStore.CompactingMarker)
+      assert(leftovers.isEmpty, s"crash debris must be gone: ${leftovers.toList}")
+    } finally spark.conf.unset("spark.graft.compact.waitMs")
+  }
+
+  test("compact refuses to recover a LIVE peer's marker (state still moving)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("live_peer_store").toString
+    val df = (1L to 500L).map(i => (i, i)).toDF("k", "v")
+    SaltedStore.write(df, col("k"), HashPrefix(2), dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(root, SaltedStore.CompactingMarker)
+    val m = fs.create(marker, true); m.writeUTF("bucket=0"); m.close()
+    // a "live peer": keeps rewriting the marker, so its mtime never
+    // holds still through the stability snapshots
+    @volatile var stop = false
+    val peer = new Thread(() => {
+      while (!stop) {
+        val w = fs.create(marker, true); w.writeUTF("bucket=0"); w.close()
+        Thread.sleep(20)
+      }
+    })
+    peer.start()
+    spark.conf.set("spark.graft.compact.waitMs", "0")
+    spark.conf.set("spark.graft.compact.stabilityMs", "50")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SaltedStore.compact(spark, dir, col("k"))
+      }
+      assert(e.getMessage.contains("concurrent compact"))
+      // and the peer's state was NOT destroyed: marker still up
+      assert(fs.exists(marker))
+    } finally {
+      stop = true; peer.join()
+      spark.conf.unset("spark.graft.compact.waitMs")
+      spark.conf.unset("spark.graft.compact.stabilityMs")
+    }
   }
 
   test("compactRetain drops expired rows in the rewrite, layout and prune intact") {
