@@ -40,6 +40,7 @@ object PipelineQueries {
   val indexBacked: Seq[String] = Seq(
     "q_knn_cosine_ivf_indexed", "q_knn_cosine_ivf_indexed_multiprobe",
     "q_knn_cosine_ivf_indexed_deep",
+    "q_semdedup_incremental",
     "q_knn_delete",
     "q_text_search", "q_text_search_ranked", "q_text_boolean",
     "q_text_boolean_ranked", "q_text_bm25", "q_text_bm25_live",
@@ -348,20 +349,24 @@ object PipelineQueries {
   /** The shared IVF cell-assignment CTE prefix (v/vn/cents/corpus/asg):
     * the argmax-cosine quantizer with its `cos DESC, cid` tiebreak that
     * must stay bit-identical to `ivfCell` — ONE definition serves the
-    * whole kNN family AND the all-pairs q_ann_join oracle, so the
-    * quantizer cannot silently fork between them. */
-  private def duckIvfAsgCtes(corpusWhere: String): String =
+    * whole kNN family, the all-pairs q_ann_join oracle AND the
+    * q_semdedup oracle (which quantizes a doubled corpus via
+    * `corpusSql`), so the quantizer cannot silently fork between them. */
+  private def duckIvfAsgCtesSel(corpusSql: String): String =
     s"""v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
           vn AS (SELECT vec_id, v, ${duckNorm2("v")} AS n2 FROM v),
           cents AS (SELECT vec_id - 5 AS cid, v AS cv, n2 AS cn2
                     FROM vn WHERE vec_id BETWEEN 5 AND ${4 + IvfC}),
-          corpus AS (SELECT vec_id, v, n2 FROM vn WHERE $corpusWhere),
+          corpus AS ($corpusSql),
           asg AS (SELECT vec_id, v, n2, cid AS cell FROM (
                     SELECT x.vec_id, x.v, x.n2, c.cid,
                       row_number() OVER (PARTITION BY x.vec_id
                         ORDER BY ${duckCosine(duckDot("x.v", "c.cv"), "x.n2", "c.cn2")} DESC, c.cid) AS rn
                     FROM corpus x CROSS JOIN cents c)
                   WHERE rn = 1)"""
+
+  private def duckIvfAsgCtes(corpusWhere: String): String =
+    duckIvfAsgCtesSel(s"SELECT vec_id, v, n2 FROM vn WHERE $corpusWhere")
 
   private def duckIvfKnnAt(probe: Int, corpusWhere: String = "vec_id >= 5"): String =
     s"""WITH ${duckIvfAsgCtes(corpusWhere)},
@@ -388,21 +393,29 @@ object PipelineQueries {
     * cell-partitioned index once (per process), then probe the query set
     * through VectorIndex.probeSet — a broadcast equi-join on the cell
     * partition column, dynamic-partition-pruning eligible. */
-  private def ivfIndexedKnn(s: SparkSession, dir: String, nProbe: Int): DataFrame = {
+  /** The process-shared persisted IVF index over this sfDir's corpus
+    * (vec_id >= 5): returns (corpus view v, centroids, index path).
+    * pid-suffixed: two concurrent JVMs on the same sfDir (bench +
+    * verify) must not overwrite the index the other is probing.
+    * ensure(), not write(): within a process the index for this
+    * (dir, codebook) is built once and every later run — bench medians,
+    * the recall report, the multi-probe twin, the incremental-semdedup
+    * probe — reads the existing layout, which is the real production
+    * shape (index amortized across queries, not rebuilt per query). */
+  private def ensuredIvfIndex(s: SparkSession, dir: String)
+      : (DataFrame, IndexedSeq[Seq[Double]], String) = {
     val v = embeddings(s, dir).select(col("vec_id"), vd(col("embedding")).as("v"))
     val cents: IndexedSeq[Seq[Double]] = v
       .filter(col("vec_id").between(5, 4 + IvfC)).orderBy("vec_id")
       .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
-    // pid-suffixed: two concurrent JVMs on the same sfDir (bench +
-    // verify) must not overwrite the index the other is probing.
-    // ensure(), not write(): within a process the index for this
-    // (dir, codebook) is built once and every later run — bench medians,
-    // the recall report, the multi-probe twin — probes the existing
-    // layout, which is the real production shape (index amortized across
-    // queries, not rebuilt per query).
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_vindex_" +
       s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
     VectorIndex.ensure(v.filter(col("vec_id") >= 5), col("v"), cents, path)
+    (v, cents, path)
+  }
+
+  private def ivfIndexedKnn(s: SparkSession, dir: String, nProbe: Int): DataFrame = {
+    val (v, cents, path) = ensuredIvfIndex(s, dir)
     val q = v.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     VectorIndex.probeSet(s, path, "vec_id", "v", q, "q_id", "qv",
@@ -906,6 +919,85 @@ object PipelineQueries {
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") === 1)
         .select(col("a_id").as("vec_id"), col("b_id").as("nn_id"), col("cos"))
+        .orderBy("vec_id")
+    }),
+
+    // SEMDEDUP END-TO-END — the full semantic-dedup pipeline over the
+    // embedding modality (cluster → within-cluster cosine → threshold →
+    // keep one per duplicate group), composed from the proven pieces:
+    // IVF cell assignment as the blocking step (vs q_dedup_embedding's
+    // sign-LSH bands — this is the SemDeDup paper's k-means blocking),
+    // the cell-local a<b self-join with exact cosine, connected
+    // components for duplicate-group closure, min-id survivor election,
+    // and a per-vector kept/dropped verdict for the WHOLE corpus. The
+    // planted dups are ×2-scaled copies (+100000 ids): scaling by a
+    // power of two preserves every cosine BIT-EXACTLY (dot and norm²
+    // scale by exact powers of two), so a copy lands in its original's
+    // cell by construction — the same direction-preservation argument
+    // the sign-LSH variant relies on. Scale shape: Σ|cell|² pair work
+    // bounded by the codebook, CC rounds bounded by cluster diameter
+    // (planted: 1), election + verdict are one broadcast-size left join.
+    "q_semdedup" -> ((s, dir) => {
+      val v = embeddings(s, dir).select(col("vec_id"), vd(col("embedding")).as("v"))
+      val corpus = v.union(
+        v.select(col("vec_id") + 100000L, transform(col("v"), x => x * 2.0)))
+      val cents: IndexedSeq[Seq[Double]] = v
+        .filter(col("vec_id").between(5, 4 + IvfC)).orderBy("vec_id")
+        .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+      // persist: both self-join sides and the final verdict read it
+      val c = corpus.withColumn("n2", norm2(col("v")))
+        .withColumn("cell", ivfCell(col("v"), col("n2"), cents))
+        .persist()
+      Persisted.swap("semdedup_assigned", dir, c)
+      val a = c.select(col("vec_id").as("a"), col("v").as("va"),
+        col("n2").as("n2a"), col("cell"))
+      val b = c.select(col("vec_id").as("b"), col("v").as("vb"),
+        col("n2").as("n2b"), col("cell"))
+      val dup = a.join(b, "cell")
+        .filter(col("a") < col("b"))
+        .withColumn("cos", cosine(dot(col("va"), col("vb")), col("n2a"), col("n2b")))
+        .filter(col("cos") > 0.999)
+        .select("a", "b")
+      val labels = Dedup.connectedComponents(dup)
+        .withColumnRenamed("node", "vec_id")
+      c.select("vec_id")
+        .join(labels, Seq("vec_id"), "left")
+        .withColumn("cluster", coalesce(col("label"), col("vec_id")))
+        .withColumn("kept",
+          when(col("cluster") === col("vec_id"), 1L).otherwise(0L))
+        .select("vec_id", "cluster", "kept")
+        .orderBy("vec_id")
+    }),
+
+    // INCREMENTAL SEMDEDUP — the arrival-time shape of q_semdedup: a NEW
+    // batch of vectors probes the PERSISTED IVF index (top-1 over the
+    // single argmax cell: a power-of-two-scaled duplicate quantizes to
+    // its original's cell bit-exactly, so the cheapest probe tier
+    // already has recall 1 on true copies) and gets its dup/fresh
+    // verdict + matched corpus id. The corpus never re-shuffles:
+    // history cost is the probed cells' partitions (dynamic partition
+    // pruning through probeSet), batch cost is batch-sized — the same
+    // amortization contract as q_dedup_incremental, on the embedding
+    // modality. Planted batch: even corpus ids return ×2-scaled (true
+    // dups — every cosine bit preserved), odd ids return NEGATED
+    // (cos = −1 against their source; an antipodal vector quantizes to
+    // the cell MINIMIZING the source's centroid cosine, and nothing in
+    // that cell is within τ — possibly an EMPTY cell at tiny SF, where
+    // the left join correctly yields a fresh verdict).
+    "q_semdedup_incremental" -> ((s, dir) => {
+      val (v, cents, path) = ensuredIvfIndex(s, dir)
+      val batch = v.filter(col("vec_id") >= 5)
+        .select((col("vec_id") + 100000L).as("q_id"),
+          when(pmod(col("vec_id"), lit(2L)) === 0L,
+            transform(col("v"), x => x * 2.0))
+            .otherwise(transform(col("v"), x => -x)).as("qv"))
+      val top1 = VectorIndex.probeSet(s, path, "vec_id", "v",
+          batch, "q_id", "qv", cents, 1, 1)
+        .select(col("q_id"), col("vec_id").as("nn_id"), col("cos"))
+      batch.select("q_id").join(top1, Seq("q_id"), "left")
+        .select(col("q_id").as("vec_id"),
+          when(col("cos") > 0.999, 1L).otherwise(0L).as("is_dup"),
+          when(col("cos") > 0.999, col("nn_id")).as("match_id"))
         .orderBy("vec_id")
     }),
 
@@ -3651,6 +3743,62 @@ object PipelineQueries {
                 row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rnk
               FROM pairs)
             WHERE rnk = 1 ORDER BY vec_id""",
+
+      // same duckIvfAsgCtesSel quantizer, corpus = embeddings ∪ ×2-scaled
+      // copies (norm² recomputed over the scaled list, same fold as
+      // Spark's norm2 on the scaled column); then the cell-local a<b
+      // pairs, threshold, connected components, min-label election
+      "q_semdedup" -> {
+        val doubled =
+          s"""SELECT vec_id, v, n2 FROM vn
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id, v2 AS v, ${duckNorm2("v2")} AS n2
+              FROM (SELECT vec_id, list_transform(v, x -> x * 2.0) AS v2 FROM v)"""
+        s"""WITH RECURSIVE ${duckIvfAsgCtesSel(doubled)},
+              dup AS (SELECT a.vec_id AS a, b.vec_id AS b
+                      FROM asg a JOIN asg b USING (cell)
+                      WHERE a.vec_id < b.vec_id
+                        AND ${duckCosine(duckDot("a.v", "b.v"), "a.n2", "b.n2")} > 0.999),
+              ${Dedup.duckConnectedComponents("dup")}
+            SELECT c.vec_id,
+                   coalesce(cc.label, c.vec_id) AS cluster,
+                   CAST(CASE WHEN coalesce(cc.label, c.vec_id) = c.vec_id
+                        THEN 1 ELSE 0 END AS BIGINT) AS kept
+            FROM corpus c LEFT JOIN cc ON cc.node = c.vec_id
+            ORDER BY c.vec_id"""
+      },
+
+      // same quantizer CTEs as the indexed-kNN family (asg IS the
+      // persisted index's content), batch = planted arrivals, probe =
+      // the single argmax cell, top-1 by (cos DESC, vec_id) — the exact
+      // replay of VectorIndex.probeSet(nProbe=1, k=1)
+      "q_semdedup_incremental" ->
+        s"""WITH ${duckIvfAsgCtes("vec_id >= 5")},
+              batch AS (SELECT vec_id + 100000 AS q_id,
+                          CASE WHEN vec_id % 2 = 0
+                               THEN list_transform(v, x -> x * 2.0)
+                               ELSE list_transform(v, x -> -x) END AS qv
+                        FROM vn WHERE vec_id >= 5),
+              bq AS (SELECT q_id, qv, ${duckNorm2("qv")} AS qn2 FROM batch),
+              probes AS (SELECT q_id, qv, qn2, cid AS cell FROM (
+                           SELECT b.q_id, b.qv, b.qn2, c.cid,
+                             row_number() OVER (PARTITION BY b.q_id
+                               ORDER BY ${duckCosine(duckDot("b.qv", "c.cv"), "b.qn2", "c.cn2")} DESC, c.cid) AS prnk
+                           FROM bq b CROSS JOIN cents c)
+                         WHERE prnk <= 1),
+              sc AS (SELECT q_id, x.vec_id AS nn_id,
+                       ${duckCosine(duckDot("p.qv", "x.v"), "p.qn2", "x.n2")} AS cos
+                     FROM probes p JOIN asg x ON p.cell = x.cell),
+              top1 AS (SELECT q_id, nn_id, cos FROM (
+                         SELECT q_id, nn_id, cos,
+                           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rnk
+                         FROM sc)
+                       WHERE rnk = 1)
+            SELECT b.q_id AS vec_id,
+                   CAST(CASE WHEN t.cos > 0.999 THEN 1 ELSE 0 END AS BIGINT) AS is_dup,
+                   CASE WHEN t.cos > 0.999 THEN t.nn_id END AS match_id
+            FROM bq b LEFT JOIN top1 t USING (q_id)
+            ORDER BY vec_id""",
 
       "q_knn_cosine_ivf" -> duckIvfKnn,
 
