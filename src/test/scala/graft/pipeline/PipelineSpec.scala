@@ -284,4 +284,44 @@ class PipelineSpec extends SparkSuite {
     assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
     assert(Dedup.oversizedBuckets(bands, "doc_id").isEmpty)
   }
+
+  test("semdedup keeps every original, drops every scaled copy to its source") {
+    val rows = q("q_semdedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // planted structure: every corpus vector v pairs with exactly its
+    // x2-scaled copy v+100000 (cos bit-exactly 1 vs <0.5 for any other
+    // pair) -> clusters are {v, v+100000}, survivor = min id = original
+    val (orig, copies) = rows.partition(_._1 < 100000L)
+    assert(orig.nonEmpty && orig.length == copies.length)
+    assert(orig.forall { case (id, cl, kept) => cl == id && kept == 1L })
+    assert(copies.forall { case (id, cl, kept) => cl == id - 100000L && kept == 0L })
+    // structural invariant (data-independent): exactly one kept per cluster
+    val perCluster = rows.groupBy(_._2).values
+    assert(perCluster.forall(_.count(_._3 == 1L) == 1))
+  }
+
+  test("incremental semdedup: scaled arrivals match their source, negated stay fresh") {
+    val rows = q("q_semdedup_incremental").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, isDup, matchId) =>
+      val src = id - 100000L
+      if (src % 2 == 0) // x2-scaled true dup: same argmax cell, cos = 1
+        assert(isDup == 1L && matchId.contains(src), s"vec $id")
+      else // negated: cos -1 to source, nothing within tau anywhere
+        assert(isDup == 0L && matchId.isEmpty, s"vec $id")
+    }
+  }
+
+  test("semdedup plans stay broadcast/equi-join — no cartesian anywhere") {
+    // blocking is an equi-join on the cell; a naive cosine threshold
+    // join would only plan as BroadcastNestedLoopJoin/Cartesian
+    for (name <- Seq("q_semdedup", "q_semdedup_incremental")) {
+      val plan = PipelineQueries.queries(name)(spark, sf())
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), name)
+      assert(!plan.contains("BroadcastNestedLoop"), name)
+    }
+  }
 }
