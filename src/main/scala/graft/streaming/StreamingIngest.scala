@@ -135,6 +135,88 @@ object StreamingIngest {
       graft.pipeline.VectorIndex.write(batch, vecCol, cents, path, mode = "append")
     }
 
+  /** DEDUP-AT-INGEST vector-index writer — the streaming shape of
+    * incremental SemDeDup (q_semdedup_incremental): each micro-batch is
+    * semantically deduplicated BEFORE it is appended, so the index never
+    * accumulates near-duplicate vectors in the first place (the cheapest
+    * point in the lifecycle to drop them — a later batch dedup pass
+    * would re-read and rewrite the whole store).
+    *
+    * Two checks per batch, both cell-blocked (never all-pairs):
+    *  1. WITHIN-BATCH: cell-local `a.id < b.id` cosine self-join; a row
+    *     with cosine > `tau` against a SMALLER-id batch row is dropped
+    *     (greedy prefix rule — deterministic, order-free, and exactly
+    *     the min-id survivor election on the planted pair structure;
+    *     for chain-shaped duplicate groups it may keep fewer rows than
+    *     connected-components election, never more duplicates).
+    *  2. AGAINST THE INDEX: survivors probe the existing layout via
+    *     [[graft.pipeline.VectorIndex.probeSet]] (nProbe=1, k=1 — a
+    *     near-duplicate quantizes to its original's cell; partition
+    *     pruning keeps the probe cell-sized); a top-1 cosine > `tau`
+    *     drops the row. Skipped when the index does not exist yet
+    *     (first batch bootstraps it).
+    *
+    * Survivors append under the same idempotent commit log as every
+    * other streaming writer — a replayed batch is SKIPPED before the
+    * probe runs, so replay cannot self-dedup against the rows the
+    * original attempt appended. Centroids are frozen for the writer's
+    * life, as in [[vectorIndexWriter]]. */
+  def dedupVectorIndexWriter(stream: DataFrame, vecCol: String, idCol: String,
+                             cents: IndexedSeq[Seq[Double]], path: String,
+                             tau: Double = 0.999, commitTag: String = "q0")
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupVectorBatchIdempotent(batch, batchId, vecCol, idCol, cents, path,
+          tau, commitTag)
+      }
+
+  /** One idempotent dedup-at-ingest micro-batch (testing seam).
+    * `vecCol`/`idCol` are column NAMES: the probe step must address the
+    * vector column as stored in the index layout, which is the batch's
+    * own column name. */
+  def dedupVectorBatchIdempotent(batch: DataFrame, batchId: Long, vecCol: String,
+                                 idCol: String, cents: IndexedSeq[Seq[Double]],
+                                 path: String, tau: Double = 0.999,
+                                 commitTag: String = "q0"): Unit =
+    withBatchCommit(batch, batchId, path, commitTag) {
+      import graft.pipeline.{Similarity, VectorIndex}
+      import org.apache.spark.sql.functions.{col, broadcast}
+      val spark = batch.sparkSession
+      val vec = Similarity.vd(col(vecCol))
+      val asg = batch
+        .withColumn("__n2", Similarity.norm2(vec))
+        .withColumn("__cell", Similarity.ivfCell(vec, col("__n2"), cents))
+        .persist()
+      try {
+        // 1) within-batch: drop rows matching a smaller-id batch row
+        val a = asg.select(col(idCol).as("__a"), vec.as("__va"),
+          col("__n2").as("__n2a"), col("__cell"))
+        val b = asg.select(col(idCol).as("__b"), vec.as("__vb"),
+          col("__n2").as("__n2b"), col("__cell"))
+        val dropped = a.join(b, "__cell")
+          .filter(col("__a") < col("__b"))
+          .filter(Similarity.cosine(Similarity.dot(col("__va"), col("__vb")),
+            col("__n2a"), col("__n2b")) > tau)
+          .select(col("__b").as(idCol)).distinct()
+        val within = asg.join(broadcast(dropped), Seq(idCol), "left_anti")
+        // 2) against the index (skip on bootstrap: no index yet)
+        val survivors =
+          if (VectorIndex.storedCodebookHash(spark, path).isEmpty) within
+          else {
+            val hits = VectorIndex.probeSet(spark, path, idCol, vecCol,
+                within.select(col(idCol).as("__q_id"), vec.as("__qv")),
+                "__q_id", "__qv", cents, nProbe = 1, k = 1)
+              .filter(col("cos") > tau)
+              .select(col("__q_id").as(idCol)).distinct()
+            within.join(broadcast(hits), Seq(idCol), "left_anti")
+          }
+        VectorIndex.write(survivors.drop("__n2", "__cell"), col(vecCol), cents,
+          path, mode = "append")
+      } finally asg.unpersist(blocking = false)
+    }
+
   /** Continuous inverted-text-index ingest: each micro-batch of
     * (doc_id, text) rows is tokenized, tf-counted and appended to the
     * term-sharded postings layout at `path` — the streaming twin of

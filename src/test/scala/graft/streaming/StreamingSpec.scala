@@ -393,4 +393,53 @@ class StreamingSpec extends SparkSuite {
       (1L, 0L, 20000000L, 2L), (1L, 60000000L, 60000000L, 1L),
       (2L, 5000000L, 5000000L, 1L)))
   }
+
+  test("dedup-at-ingest: within-batch and against-index dups dropped, replay safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("vindex_dedup_stream").toString
+    val ckpt = Files.createTempDirectory("vindex_dedup_ckpt").toString
+    val D = 8
+    val rnd = new scala.util.Random(11)
+    def vec() = Seq.fill(D)(rnd.nextDouble() * 2 - 1)
+    val cents: IndexedSeq[Seq[Double]] = IndexedSeq.fill(4)(vec())
+
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val stream = mem.toDF().toDF("vec_id", "v")
+    val q = dedupVectorIndexWriter(stream, "v", "vec_id", cents, dir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+
+    // batch 1 (bootstrap: no index yet, only within-batch dedup):
+    // 10 distinct vectors + a x2-scaled copy of id 3 (within-batch dup,
+    // bigger id -> dropped by the greedy prefix rule)
+    val base = (0L until 10L).map(i => (i, vec()))
+    val b1 = base :+ (50L, base(3)._2.map(_ * 2.0))
+    mem.addData(b1: _*)
+    val run1 = q.start(); run1.awaitTermination()
+    val ids1 = graft.pipeline.VectorIndex.read(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids1 === (0L until 10L).toSet, s"got $ids1")
+
+    // batch 2: a scaled copy of a STREAMED vector (id 7 -> dup against
+    // the grown index), a fresh vector, and a within-batch dup pair
+    val f1 = vec(); val f2 = vec()
+    val b2 = Seq(
+      (100L, base(7)._2.map(_ * 0.5)), // index dup (direction preserved)
+      (101L, f1), // fresh
+      (102L, f2), (103L, f2.map(_ * 2.0))) // within-batch pair: 103 dropped
+    mem.addData(b2: _*)
+    val run2 = q.start(); run2.awaitTermination()
+    val ids2 = graft.pipeline.VectorIndex.read(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids2 === ((0L until 10L).toSet + 101L + 102L), s"got $ids2")
+
+    // replay of batch 1 (same batchId) is SKIPPED before the probe runs:
+    // its rows cannot self-dedup against their own appended copies, and
+    // the index is unchanged
+    dedupVectorBatchIdempotent(b1.toDF("vec_id", "v"), batchId = 0L,
+      "v", "vec_id", cents, dir)
+    assert(graft.pipeline.VectorIndex.read(spark, dir)
+      .select("vec_id").as[Long].collect().toSet === ids2)
+  }
 }
