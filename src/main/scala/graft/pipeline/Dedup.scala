@@ -309,6 +309,20 @@ object Dedup {
     (na + nb - nu).cast("double") / nu.cast("double")
   }
 
+  /** [[jaccard]] for inputs that are ALREADY distinct element sets
+    * (collect_set outputs): |A∩B| via one codegen'd array_intersect,
+    * |A∪B| = |A|+|B|−|A∩B|. The same exact integers reach the one IEEE
+    * division, so results are bit-identical to [[jaccard]] on distinct
+    * inputs (set identity: |A|+|B|−|A∪B| = |A∩B|) — while skipping its
+    * three per-row array_distinct hash-set builds, the allocation shape
+    * that burned ~500 executor-CPU-seconds in q_simjoin_prefix's old
+    * verify under host memory pressure (r12 driver artifact). Callers
+    * that pass possibly-duplicated arrays must stay on [[jaccard]]. */
+  def jaccardDistinct(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb))
+    inter.cast("double") / (size(sa) + size(sb) - inter).cast("double")
+  }
+
   def duckJaccard(sa: String, sb: String): String = {
     val na = s"len(list_distinct($sa))"
     val nb = s"len(list_distinct($sb))"

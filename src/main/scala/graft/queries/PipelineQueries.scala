@@ -174,7 +174,7 @@ object PipelineQueries {
     val sa = sketch.select(col("doc_id").as("a"), col("sh").as("sha"))
     val sb = sketch.select(col("doc_id").as("b"), col("sh").as("shb"))
     cand.join(sa, "a").join(sb, "b")
-      .withColumn("jaccard", jaccard(col("sha"), col("shb")))
+      .withColumn("jaccard", jaccardDistinct(col("sha"), col("shb")))
       .filter(col("jaccard") >= 0.5)
       .select("a", "b", "jaccard")
   }
@@ -2429,7 +2429,7 @@ object PipelineQueries {
       def verified(set: String): DataFrame =
         cand.join(sketch.select(col("doc_id").as("a"), col(set).as("sa")), "a")
           .join(sketch.select(col("doc_id").as("b"), col(set).as("sb")), "b")
-          .filter(jaccard(col("sa"), col("sb")) >= 0.5)
+          .filter(jaccardDistinct(col("sa"), col("sb")) >= 0.5)
           .select("a", "b")
       val sim = simhashPairs(corpus)
         .filter(col("ham") <= 3)
@@ -2926,7 +2926,7 @@ object PipelineQueries {
       val matches = cand
         .join(idxSketch.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
         .join(probeSketch.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
-        .withColumn("jaccard", jaccard(col("sha"), col("shb")))
+        .withColumn("jaccard", jaccardDistinct(col("sha"), col("shb")))
         .filter(col("jaccard") >= 0.5)
         .groupBy(col("b").as("doc_id")).agg(min(col("a")).as("match_id"))
       batch.select("doc_id").join(matches, Seq("doc_id"), "left")
