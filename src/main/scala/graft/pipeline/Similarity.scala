@@ -293,4 +293,60 @@ object Similarity {
     }
     cents
   }
+
+  /** SECOND-LEVEL CELL REFINEMENT for hot cells — the 100 TB path for
+    * the cell-local self-join family (q_ann_join, q_semdedup), where
+    * pair work is Σ|cell|² and ONE hot cell (a dominant direction:
+    * boilerplate embeddings, near-constant vectors — guaranteed in a
+    * crawl-scale corpus) turns quadratic. Cells over `maxCell` rows are
+    * re-quantized against a second-level codebook of up to `subK`
+    * deterministic sub-centroids — the cell's smallest-id members
+    * (arbitrary but reproducible across runs and engines) — by the SAME
+    * argmax-cosine quantizer ([[ivfCell]]: one definition at both
+    * levels). Cold cells keep `subcell = -1`; the refined blocking key
+    * is (cell, subcell), cutting a DIVERSE hot cell's pair work up to
+    * subK× per level (recurse on (cell, subcell) for deeper skew). A
+    * hot cell of EXACT or power-of-two-scaled duplicates is irreducible
+    * by construction — identical vectors keep every sub-centroid cosine
+    * bit-identical and always share a subcell — but such a cell is true
+    * duplicate mass, which IS the pipeline's output, not blocking waste.
+    *
+    * Scale shape: the hot-cell member selection is one map-combined
+    * bounded-buffer agg (TopKByScore: subK entries per partition
+    * regardless of cell size — no per-cell window or sort, so a
+    * billion-row hot cell cannot single-task it); sub-centroid vectors
+    * come back via one broadcast semi-join and a |hot|·subK-row driver
+    * collect (the same codebook-at-driver contract as the first-level
+    * cents); assignment is a per-hot-cell codegen'd projection unioned
+    * with the untouched cold rest. `idCol` must fit a double exactly
+    * (|id| < 2^53) — it rides TopKByScore's score slot negated. */
+  def subdivideCells(asg: DataFrame, idCol: String, vCol: String,
+                     n2Col: String, cellCol: String,
+                     maxCell: Long, subK: Int): DataFrame = {
+    val hot: Seq[Int] = asg.groupBy(col(cellCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxCell)
+      .select(cellCol).collect().map(_.getAs[Number](0).intValue).toSeq
+    if (hot.isEmpty) return asg.withColumn("subcell", lit(-1))
+    val top = graft.functions.TopKByScore.topK(subK)
+    val subIds = asg.filter(col(cellCol).isin(hot: _*))
+      .groupBy(col(cellCol).as("__hc"))
+      .agg(top(negate(col(idCol).cast("double")), col(idCol)).as("__tk"))
+      .select(col("__hc"), explode(col("__tk._2")).as("__sid"))
+    val centRows = broadcast(subIds)
+      .join(asg, col("__sid") === col(idCol))
+      .select(col("__hc"), col("__sid"), col(vCol))
+      .collect()
+    val subCents: Map[Int, IndexedSeq[Seq[Double]]] = centRows
+      .groupBy(_.getAs[Number](0).intValue)
+      .view.mapValues(rows => rows.sortBy(_.getAs[Number](1).longValue)
+        .map(_.getSeq[Double](2).toIndexedSeq).toIndexedSeq).toMap
+    val cold = asg.filter(!col(cellCol).isin(hot: _*))
+      .withColumn("subcell", lit(-1))
+    hot.sorted.map { c =>
+      asg.filter(col(cellCol) === c)
+        .withColumn("subcell",
+          graft.functions.CentroidFunctions.nearestCentroidCosine(
+            col(vCol), col(n2Col), subCents(c)))
+    }.foldLeft(cold)(_ unionByName _)
+  }
 }

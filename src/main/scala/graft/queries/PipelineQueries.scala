@@ -892,7 +892,8 @@ object PipelineQueries {
     // equi-join the corpus with itself on the cell, exact cosine, top-1
     // per vector. Pair work is Σ|cell|² — bounded by the codebook, never
     // N²; at 100 TB a hot cell subdivides with a second-level codebook
-    // (same machinery, recursive). Recall is same-cell by construction
+    // (Similarity.subdivideCells — spec-measured >2× pair-work cut on a
+    // planted 900-row hot cell, scaled dups never split; recursive). Recall is same-cell by construction
     // (the SemDeDup trade); a singleton cell yields no neighbor row —
     // both engines agree. Per-pair cosine is a row-local fold (identical
     // association order both sides) — no cross-row float sums.

@@ -314,6 +314,54 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("hot-cell subdivision bounds pair work, keeps scaled dups together") {
+    import spark.implicits._
+    val D = 8
+    val rnd = new scala.util.Random(5)
+    def vec() = Seq.fill(D)(rnd.nextDouble() * 2 - 1)
+    val cents = IndexedSeq.fill(4)(vec())
+    // 900 vectors crowd one direction (a boilerplate-embedding hot cell);
+    // 100 are spread; plus a x2-scaled dup of a hot member
+    val hotDir = cents(2)
+    val corpus = (0L until 900L).map { i =>
+      (i, hotDir.zipWithIndex.map { case (x, j) =>
+        x + 0.15 * math.sin((i * 31 + j * 7).toDouble) })
+    } ++ (900L until 1000L).map(i => (i, vec()))
+    val all = corpus :+ (2000L, corpus(7)._2.map(_ * 2.0))
+    val asg = all.toDF("vec_id", "v")
+      .withColumn("n2", Similarity.norm2(col("v")))
+      .withColumn("cell", Similarity.ivfCell(col("v"), col("n2"), cents))
+      .persist()
+    val hotCells = asg.groupBy("cell").count().filter(col("count") > 300)
+      .select(col("cell").cast("long")).as[Long].collect()
+    assert(hotCells.length == 1, s"planted exactly one hot cell, got ${hotCells.toSeq}")
+    val sub = Similarity.subdivideCells(asg, "vec_id", "v", "n2", "cell",
+      maxCell = 300, subK = 8).persist()
+    // cold rows untouched (-1), hot rows assigned a real subcell
+    assert(sub.filter(!col("cell").isin(hotCells.head))
+      .filter(col("subcell") =!= -1).count() == 0)
+    assert(sub.filter(col("cell") === hotCells.head)
+      .filter(col("subcell") < 0 || col("subcell") >= 8).count() == 0)
+    // pair work Σn² over the refined key drops materially vs the raw cells
+    def pairWork(keys: Seq[String]): Long = sub.groupBy(keys.map(col): _*)
+      .count().agg(sum(col("count") * col("count"))).as[Long].head()
+    val before = pairWork(Seq("cell"))
+    val after = pairWork(Seq("cell", "subcell"))
+    assert(after * 2 < before, s"pair work $before -> $after")
+    // the scaled dup keeps bit-identical sub-centroid cosines: always
+    // the same (cell, subcell) as its source — recall on true copies
+    // survives refinement
+    val pair = sub.filter(col("vec_id").isin(7L, 2000L))
+      .select("cell", "subcell").distinct().count()
+    assert(pair == 1L)
+    // deterministic: a second pass reproduces the assignment exactly
+    val again = Similarity.subdivideCells(asg, "vec_id", "v", "n2", "cell",
+      maxCell = 300, subK = 8)
+    assert(sub.select("vec_id", "cell", "subcell")
+      .except(again.select("vec_id", "cell", "subcell")).count() == 0)
+    asg.unpersist(); sub.unpersist()
+  }
+
   test("semdedup plans stay broadcast/equi-join — no cartesian anywhere") {
     // blocking is an equi-join on the cell; a naive cosine threshold
     // join would only plan as BroadcastNestedLoopJoin/Cartesian
