@@ -76,6 +76,21 @@ object Dedup {
     (0 until Rows).map(r => s"CAST(h${b * Rows + r} AS VARCHAR)")
       .mkString("md5(", " || '|' || ", ")")
 
+  /** The canonical per-doc sketch over a (doc_id, text) corpus: the
+    * distinct shingle-hash VERIFICATION set (`sh`) plus the K unpacked
+    * MinHash slots (`h0..h{K-1}`) in ONE per-doc aggregation — the row
+    * shape [[bandRows]] consumes and [[graft.store.BandIndex]] persists.
+    * One corpus scan, one shuffle; the sketch is ~10× smaller than the
+    * text through that shuffle (bigint hashes, not shingle strings). */
+  def docSketch(corpus: DataFrame): DataFrame =
+    TextAnalysis.shingleRows(corpus)
+      .withColumn("x", baseHash32(col("s")))
+      .groupBy("doc_id")
+      .agg(collect_set(col("x")).as("sh"),
+        graft.functions.MinHashFunctions.minhashSketch(col("x")).as("sig"))
+      .select(col("doc_id") :: col("sh") ::
+        (0 until K).map(p => element_at(col("sig"), p + 1).as(s"h$p")).toList: _*)
+
   /** doc_id × band → (band, sig) rows, ready for the LSH bucket-join. */
   def bandRows(sig: DataFrame, idCol: String): DataFrame =
     sig.select(

@@ -41,6 +41,7 @@ object PipelineQueries {
     "q_knn_cosine_ivf_indexed", "q_knn_cosine_ivf_indexed_multiprobe",
     "q_knn_cosine_ivf_indexed_deep",
     "q_semdedup_incremental",
+    "q_dedup_incremental_indexed",
     "q_knn_delete",
     "q_text_search", "q_text_search_ranked", "q_text_boolean",
     "q_text_boolean_ranked", "q_text_bm25", "q_text_bm25_live",
@@ -80,6 +81,43 @@ object PipelineQueries {
   /** Release every cached frame the query registry is holding — the
     * explicit hook a long-lived session calls between corpora. */
   def releaseCaches(): Unit = Persisted.releaseAll()
+
+  /** The planted incremental-arrival batch over `documents`: even ids
+    * return as near-dups (last 2 tokens dropped, +100000), odd ids as
+    * fresh content (token order reversed, +300000). Shared by the
+    * in-memory and persisted-index incremental dedup queries. */
+  private def incrementalBatch(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val near = base
+      .withColumn("w", tokens(col("text")))
+      .filter(pmod(col("doc_id"), lit(2L)) === 0L && size(col("w")) >= 5)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        array_join(slice(col("w"), lit(1), size(col("w")) - 2), " ").as("text"))
+    val fresh = base
+      .withColumn("w", tokens(col("text")))
+      .filter(pmod(col("doc_id"), lit(2L)) === 1L)
+      .select((col("doc_id") + 300000L).as("doc_id"),
+        array_join(reverse(col("w")), " ").as("text"))
+    near.union(fresh)
+  }
+
+  /** Shared verify+verdict tail of the incremental dedup pair: exact
+    * Jaccard over candidate pairs, min-id match election, left join
+    * back to the batch for the dup/fresh verdict. `sha` must carry
+    * (a, sha) for the index side's verification sets. */
+  private def incrementalVerdicts(batch: DataFrame, cand: DataFrame,
+                                  sha: DataFrame, probeSketch: DataFrame): DataFrame =
+    batch.select("doc_id").join(
+      cand.join(sha, "a")
+        .join(probeSketch.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+        .withColumn("jaccard", jaccardDistinct(col("sha"), col("shb")))
+        .filter(col("jaccard") >= 0.5)
+        .groupBy(col("b").as("doc_id")).agg(min(col("a")).as("match_id")),
+      Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("match_id").isNotNull, 1L).otherwise(0L).as("is_dup"),
+        col("match_id"))
+      .orderBy("doc_id")
 
   private def exactCorpus(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
@@ -422,6 +460,43 @@ object PipelineQueries {
       cents, nProbe, 10)
       .orderBy("q_id", "rnk")
   }
+
+  /** Incremental-dedup oracle: batch-vs-corpus probe with the index-side
+    * hot-bucket cap, exact-Jaccard verify, min-id match election. ONE
+    * definition serves q_dedup_incremental AND its persisted-BandIndex
+    * twin — the layout must stay semantics-free. */
+  private lazy val duckIncrementalDedup: String =
+    s"""WITH batch AS (
+          SELECT doc_id + 100000 AS doc_id,
+                 array_to_string(w[1:len(w)-2], ' ') AS text
+          FROM (SELECT doc_id, ${duckTokens("text")} AS w
+                FROM documents WHERE doc_id % 2 = 0)
+          WHERE len(w) >= 5
+          UNION ALL
+          SELECT doc_id + 300000 AS doc_id,
+                 array_to_string(list_reverse(w), ' ') AS text
+          FROM (SELECT doc_id, ${duckTokens("text")} AS w
+                FROM documents WHERE doc_id % 2 = 1)),
+        corpus AS (SELECT doc_id, text FROM documents
+                   UNION ALL SELECT doc_id, text FROM batch),
+        $duckShingled, $duckMinhashSigs,
+        shx AS (SELECT doc_id, list(x) AS sh FROM e GROUP BY doc_id),
+        bands AS (${(0 until Bands).map(b =>
+          s"SELECT doc_id, $b AS band, ${duckBandSig(b)} AS bsig FROM sig")
+          .mkString(" UNION ALL ")}),
+        ibands AS (SELECT * FROM bands WHERE doc_id < 100000),
+        pbands AS (SELECT * FROM bands WHERE doc_id >= 100000),
+        ${Dedup.duckProbePairs()},
+        j AS (SELECT a, b, ${Dedup.duckJaccard("sa.sh", "sb.sh")} AS jaccard
+              FROM cand JOIN shx sa ON sa.doc_id = a
+                        JOIN shx sb ON sb.doc_id = b),
+        m AS (SELECT b AS doc_id, min(a) AS match_id
+              FROM j WHERE jaccard >= 0.5 GROUP BY b)
+       SELECT batch.doc_id,
+         CAST(CASE WHEN m.match_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS is_dup,
+         m.match_id
+       FROM batch LEFT JOIN m USING (doc_id) ORDER BY batch.doc_id"""
 
   /** Full dedup-pair oracle SQL, factored so the quality report can run
     * each method as a derived table (the duckXxxKnn pattern). */
@@ -2900,41 +2975,42 @@ object PipelineQueries {
     // corpus∪batch re-banding this replaces re-shuffles ALL of history
     // every day.
     "q_dedup_incremental" -> ((s, dir) => {
-      val base = documents(s, dir).select(col("doc_id"), col("text"))
-      val near = base
-        .withColumn("w", tokens(col("text")))
-        .filter(pmod(col("doc_id"), lit(2L)) === 0L && size(col("w")) >= 5)
-        .select((col("doc_id") + 100000L).as("doc_id"),
-          array_join(slice(col("w"), lit(1), size(col("w")) - 2), " ").as("text"))
-      val fresh = base
-        .withColumn("w", tokens(col("text")))
-        .filter(pmod(col("doc_id"), lit(2L)) === 1L)
-        .select((col("doc_id") + 300000L).as("doc_id"),
-          array_join(reverse(col("w")), " ").as("text"))
-      val batch = near.union(fresh)
-      def sketchOf(c: DataFrame) = shingleRows(c)
-        .withColumn("x", baseHash32(col("s")))
-        .groupBy("doc_id")
-        .agg(collect_set(col("x")).as("sh"),
-          graft.functions.MinHashFunctions.minhashSketch(col("x")).as("sig"))
-        .select(col("doc_id") :: col("sh") ::
-          (0 until K).map(p => element_at(col("sig"), p + 1).as(s"h$p")).toList: _*)
-      val idxSketch = sketchOf(base).persist()
-      val probeSketch = sketchOf(batch).persist()
+      val batch = incrementalBatch(documents(s, dir))
+      val idxSketch = Dedup.docSketch(
+        documents(s, dir).select(col("doc_id"), col("text"))).persist()
+      val probeSketch = Dedup.docSketch(batch).persist()
       Persisted.swap("incr_dedup", dir, idxSketch, probeSketch)
       val cand = Dedup.probePairs(
         bandRows(idxSketch, "doc_id"), bandRows(probeSketch, "doc_id"), "doc_id")
-      val matches = cand
-        .join(idxSketch.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
-        .join(probeSketch.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
-        .withColumn("jaccard", jaccardDistinct(col("sha"), col("shb")))
-        .filter(col("jaccard") >= 0.5)
-        .groupBy(col("b").as("doc_id")).agg(min(col("a")).as("match_id"))
-      batch.select("doc_id").join(matches, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          when(col("match_id").isNotNull, 1L).otherwise(0L).as("is_dup"),
-          col("match_id"))
-        .orderBy("doc_id")
+      incrementalVerdicts(batch, cand,
+        idxSketch.select(col("doc_id").as("a"), col("sh").as("sha")), probeSketch)
+    }),
+
+    // the SAME probe semantics as q_dedup_incremental, but the index
+    // side is the PERSISTED graft.store.BandIndex: raw band rows
+    // hash-sharded on the signature, probe pruned to the batch's shards
+    // at file-listing time, verification sets read from the index's own
+    // sketches table — the cross-process amortization the in-memory
+    // variant only has within a session. The oracle is LITERALLY the
+    // same SQL (shared duckIncrementalDedup): the layout changes where
+    // bucket rows live, never what they mean, and a hash match here
+    // proves exactly that.
+    "q_dedup_incremental_indexed" -> ((s, dir) => {
+      val base = documents(s, dir).select(col("doc_id"), col("text"))
+      val batch = incrementalBatch(documents(s, dir))
+      // pid-suffixed ensure, same discipline as the vector index: built
+      // once per process, probed by every later run
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bandindex_" +
+        s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+      if (graft.store.BandIndex.storedShards(s, path).isEmpty)
+        graft.store.BandIndex.write(Dedup.docSketch(base), path)
+      val probeSketch = Dedup.docSketch(batch).persist()
+      Persisted.swap("incr_dedup_indexed", dir, probeSketch)
+      val cand = graft.store.BandIndex.probeCandidates(
+        s, path, bandRows(probeSketch, "doc_id"), "doc_id")
+      incrementalVerdicts(batch, cand,
+        graft.store.BandIndex.sketches(s, path)
+          .select(col("doc_id").as("a"), col("sh").as("sha")), probeSketch)
     }),
 
     // PER-STRATUM CORPUS DRIFT — q_corpus_drift's KS statistic computed
@@ -4860,38 +4936,13 @@ object PipelineQueries {
                AS ks_ppm
            FROM cum, tot GROUP BY n1, n2""",
 
-      "q_dedup_incremental" ->
-        s"""WITH batch AS (
-              SELECT doc_id + 100000 AS doc_id,
-                     array_to_string(w[1:len(w)-2], ' ') AS text
-              FROM (SELECT doc_id, ${duckTokens("text")} AS w
-                    FROM documents WHERE doc_id % 2 = 0)
-              WHERE len(w) >= 5
-              UNION ALL
-              SELECT doc_id + 300000 AS doc_id,
-                     array_to_string(list_reverse(w), ' ') AS text
-              FROM (SELECT doc_id, ${duckTokens("text")} AS w
-                    FROM documents WHERE doc_id % 2 = 1)),
-            corpus AS (SELECT doc_id, text FROM documents
-                       UNION ALL SELECT doc_id, text FROM batch),
-            $duckShingled, $duckMinhashSigs,
-            shx AS (SELECT doc_id, list(x) AS sh FROM e GROUP BY doc_id),
-            bands AS (${(0 until Bands).map(b =>
-              s"SELECT doc_id, $b AS band, ${duckBandSig(b)} AS bsig FROM sig")
-              .mkString(" UNION ALL ")}),
-            ibands AS (SELECT * FROM bands WHERE doc_id < 100000),
-            pbands AS (SELECT * FROM bands WHERE doc_id >= 100000),
-            ${Dedup.duckProbePairs()},
-            j AS (SELECT a, b, ${Dedup.duckJaccard("sa.sh", "sb.sh")} AS jaccard
-                  FROM cand JOIN shx sa ON sa.doc_id = a
-                            JOIN shx sb ON sb.doc_id = b),
-            m AS (SELECT b AS doc_id, min(a) AS match_id
-                  FROM j WHERE jaccard >= 0.5 GROUP BY b)
-           SELECT batch.doc_id,
-             CAST(CASE WHEN m.match_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
-               AS is_dup,
-             m.match_id
-           FROM batch LEFT JOIN m USING (doc_id) ORDER BY batch.doc_id""",
+      "q_dedup_incremental" -> duckIncrementalDedup,
+
+      // IDENTICAL oracle by construction: the persisted band index
+      // changes where bucket rows live (hash-sharded on disk, probe
+      // pruned to the batch's shards), never what they mean — a hash
+      // match against the same SQL proves the layout is semantics-free
+      "q_dedup_incremental_indexed" -> duckIncrementalDedup,
 
       "q_drift_by_source" ->
         s"""WITH pts AS (

@@ -1,0 +1,117 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.Dedup
+
+/** PERSISTED MinHash band index — the on-disk form of the fuzzy-dup
+  * index that `Dedup.probePairs` probes (the daily-crawl-vs-historical-
+  * corpus shape). Until now the index side lived as an in-process
+  * persisted DataFrame, rebuilt per session; this store makes the
+  * amortization real across processes and feeds the streaming
+  * maintenance twin, completing the persisted-store family (text,
+  * vector, CDC, secondary/range — and now the band index).
+  *
+  * Layout under `path`:
+  *  - `bands/shard=S/` — RAW (doc_id, band, sig) rows, hash-sharded on
+  *    the band signature: `shard = pmod(hash(sig), nShards)` (pmod, not
+  *    abs-mod — the reference's `Math.abs(Integer.MIN_VALUE)` trap,
+  *    RowKeyDistributorByHashPrefix.java:78, stays deliberately
+  *    avoided). A probe touches only the shards its own signatures hash
+  *    to, pruned at FILE-LISTING time; for a batch of B docs that is
+  *    ≤ min(nShards, Bands·B) of the index's files regardless of
+  *    corpus size. Raw rows (not pre-aggregated buckets) are what
+  *    makes O(batch) APPENDS possible — bucket membership is
+  *    re-aggregated per probe over the pruned subset only, and
+  *    [[Dedup.probePairs]] applies its deterministic hot-bucket cap at
+  *    that moment, so append order can never change candidate
+  *    semantics.
+  *  - `sketches/` — per-doc verification sets (doc_id, sh): the exact
+  *    shingle-hash sets the Jaccard verify reads for matched INDEX
+  *    docs. Row-selective join (candidate ids only), no pruning needed.
+  *  - `_band_meta.json` — nShards, pinned at creation; append and probe
+  *    must shard identically or pruning would silently miss buckets.
+  *
+  * Append contract: batches carry DISJOINT doc sets (the standard
+  * append-ingest contract, same as the text index). Streaming
+  * maintenance: `StreamingIngest.bandIndexWriter`. */
+object BandIndex {
+  val MetaFile = "_band_meta.json"
+  val DefaultShards = 64
+
+  private def fsOf(spark: SparkSession, path: String) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    (root.getFileSystem(spark.sessionState.newHadoopConf()), root)
+  }
+
+  def shardOf(sig: org.apache.spark.sql.Column, nShards: Int): org.apache.spark.sql.Column =
+    pmod(hash(sig), lit(nShards))
+
+  private def writeMeta(spark: SparkSession, path: String, nShards: Int): Unit = {
+    val (fs, root) = fsOf(spark, path)
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, MetaFile), true)
+    try out.write(s"""{"n_shards":$nShards}""".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** nShards the index was created with; None if no index exists. */
+  def storedShards(spark: SparkSession, path: String): Option[Int] = {
+    val (fs, root) = fsOf(spark, path)
+    val p = new org.apache.hadoop.fs.Path(root, MetaFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      """"n_shards":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+    }
+  }
+
+  /** Create the index from a per-doc sketch frame (the
+    * [[Dedup.docSketch]] shape: doc_id, sh, h0..h{K-1}). */
+  def write(sketch: DataFrame, path: String,
+            nShards: Int = DefaultShards): Unit = {
+    val spark = sketch.sparkSession
+    Dedup.bandRows(sketch, "doc_id")
+      .withColumn("shard", shardOf(col("sig"), nShards))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/bands")
+    sketch.select("doc_id", "sh")
+      .write.mode("overwrite").parquet(s"$path/sketches")
+    writeMeta(spark, path, nShards)
+  }
+
+  /** Append a batch's sketches (disjoint doc set contract). Shard count
+    * comes from the stored meta — an append can never fork the layout. */
+  def append(sketch: DataFrame, path: String): Unit = {
+    val spark = sketch.sparkSession
+    val nShards = storedShards(spark, path).getOrElse(
+      throw new IllegalStateException(s"no band index at $path — write() first"))
+    Dedup.bandRows(sketch, "doc_id")
+      .withColumn("shard", shardOf(col("sig"), nShards))
+      .write.mode("append").partitionBy("shard").parquet(s"$path/bands")
+    sketch.select("doc_id", "sh")
+      .write.mode("append").parquet(s"$path/sketches")
+  }
+
+  /** Candidate (index_id, batch_id) pairs for a batch of band rows —
+    * EXACTLY [[Dedup.probePairs]] semantics (same hot-bucket cap, same
+    * aggregation), over only the shards the batch's signatures hash to:
+    * the static `shard IN (...)` filter prunes the bands scan at
+    * file-listing time, so probe cost is bucket-sized, never
+    * corpus-sized. */
+  def probeCandidates(spark: SparkSession, path: String, probeBands: DataFrame,
+                      idCol: String,
+                      maxBucket: Int = Dedup.MaxBucket): DataFrame = {
+    val nShards = storedShards(spark, path).getOrElse(
+      throw new IllegalStateException(s"no band index at $path — write() first"))
+    val shards = probeBands.select(shardOf(col("sig"), nShards).as("s"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val idx = spark.read.parquet(s"$path/bands")
+      .filter(col("shard").isin(shards: _*))
+      .select(idCol, "band", "sig")
+    Dedup.probePairs(idx, probeBands, idCol, maxBucket)
+  }
+
+  /** The per-doc verification sets (doc_id, sh). */
+  def sketches(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/sketches")
+}

@@ -217,6 +217,41 @@ object StreamingIngest {
       } finally asg.unpersist(blocking = false)
     }
 
+  /** Continuous BAND-INDEX ingest — streaming maintenance for the
+    * persisted fuzzy-dup index ([[graft.store.BandIndex]]): each
+    * micro-batch of (doc_id, text) rows is sketched
+    * ([[graft.pipeline.Dedup.docSketch]] — one narrow pass + one
+    * batch-sized shuffle) and appended to the hash-sharded band layout
+    * + sketches table, under the shared idempotent commit log. The
+    * FIRST batch bootstraps the index (creates the layout + shard
+    * meta); later appends inherit the stored shard count, so the
+    * layout can never fork. Batches must carry DISJOINT doc sets (the
+    * standard append-ingest contract). Probes stay correct while the
+    * index grows: [[graft.store.BandIndex.probeCandidates]]
+    * re-aggregates bucket membership per probe over the pruned shards,
+    * applying the deterministic hot-bucket cap at probe time — append
+    * order can never change candidate semantics. */
+  def bandIndexWriter(stream: DataFrame, path: String,
+                      nShards: Int = graft.store.BandIndex.DefaultShards,
+                      commitTag: String = "q0"): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBandBatchIdempotent(batch, batchId, path, nShards, commitTag)
+      }
+
+  /** One idempotent band-index micro-batch (testing seam). */
+  def writeBandBatchIdempotent(batch: DataFrame, batchId: Long, path: String,
+                               nShards: Int = graft.store.BandIndex.DefaultShards,
+                               commitTag: String = "q0"): Unit =
+    withBatchCommit(batch, batchId, path, commitTag) {
+      import graft.store.BandIndex
+      val sketch = graft.pipeline.Dedup.docSketch(batch)
+      if (BandIndex.storedShards(batch.sparkSession, path).isEmpty)
+        BandIndex.write(sketch, path, nShards)
+      else BandIndex.append(sketch, path)
+    }
+
   /** Continuous inverted-text-index ingest: each micro-batch of
     * (doc_id, text) rows is tokenized, tf-counted and appended to the
     * term-sharded postings layout at `path` — the streaming twin of

@@ -50,6 +50,20 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("partial_min") || p.contains("partial_count"))
   }
 
+  test("simjoin: equi-joins only, positional prefilter present, one intersect verify") {
+    val p = plan("q_simjoin_prefix")
+    // the candidate and verify joins must stay hash equi-joins — a
+    // cosine/jaccard theta-join shape would plan nested-loop
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(2000))
+    // the PPJoin positional filter runs BEFORE the verify joins: its
+    // least(na - mi, nb - mj) bound appears as a codegen'd Filter
+    assert(p.contains("least("), "positional filter missing")
+    // verify is the single array_intersect per pair — not the three
+    // array_distinct hash-set builds the r12 shape burned 500 CPU-s on
+    assert(p.contains("array_intersect"), "intersect verify missing")
+    assert(!p.contains("array_distinct"), "array_distinct crept back into the verify")
+  }
+
   test("round-robin salting never plans an unpartitioned window") {
     val p = plan("q_salt_roundrobin_dist")
     // the two-pass global index windows by partition id; a regression to

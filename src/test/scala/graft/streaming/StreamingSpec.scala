@@ -394,6 +394,37 @@ class StreamingSpec extends SparkSuite {
       (2L, 5000000L, 5000000L, 1L)))
   }
 
+  test("streaming band-index ingest: bootstrap, append, replay skip, probes see growth") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("bandidx_stream").toString + "/idx"
+    val ckpt = Files.createTempDirectory("bandidx_ckpt").toString
+    def doc(i: Long) =
+      s"alpha bravo charlie delta echo token$i foxtrot golf hotel india$i"
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = bandIndexWriter(stream, dir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+    mem.addData((0L until 20L).map(i => (i, doc(i))): _*)
+    val r1 = q.start(); r1.awaitTermination()
+    assert(graft.store.BandIndex.sketches(spark, dir).count() === 20)
+    mem.addData((20L until 30L).map(i => (i, doc(i))): _*)
+    val r2 = q.start(); r2.awaitTermination()
+    assert(graft.store.BandIndex.sketches(spark, dir).count() === 30)
+    // replay of an already-committed batch is skipped
+    writeBandBatchIdempotent(
+      (0L until 20L).map(i => (i, doc(i))).toDF("doc_id", "text"), 0L, dir)
+    assert(graft.store.BandIndex.sketches(spark, dir).count() === 30)
+    // an exact dup of a SECOND-batch doc is found through the grown layout
+    val probe = Seq((9000L, doc(25))).toDF("doc_id", "text")
+    val got = graft.store.BandIndex.probeCandidates(spark, dir,
+        graft.pipeline.Dedup.bandRows(
+          graft.pipeline.Dedup.docSketch(probe), "doc_id"), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got.contains((25L, 9000L)), s"got $got")
+  }
+
   test("dedup-at-ingest: within-batch and against-index dups dropped, replay safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
