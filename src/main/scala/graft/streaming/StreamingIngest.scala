@@ -212,6 +212,13 @@ object StreamingIngest {
               .select(col("__q_id").as(idCol)).distinct()
             within.join(broadcast(hits), Seq(idCol), "left_anti")
           }
+        // ONE append action, nothing evaluated after it — survivors'
+        // lineage probes the index, and appending to a path a cached
+        // plan reads triggers Spark's recacheByPath: any re-evaluation
+        // after this write would re-probe an index containing the
+        // batch's own rows and self-dedup it (the document twin
+        // resolves its drop sets to driver literals for this reason;
+        // here the single-action shape is the guard — keep it that way)
         VectorIndex.write(survivors.drop("__n2", "__cell"), col(vecCol), cents,
           path, mode = "append")
       } finally asg.unpersist(blocking = false)
@@ -251,6 +258,96 @@ object StreamingIngest {
         BandIndex.write(sketch, path, nShards)
       else BandIndex.append(sketch, path)
     }
+
+  /** DEDUP-AT-INGEST document writer — the text-modality twin of
+    * [[dedupVectorIndexWriter]]: each micro-batch of (doc_id, text)
+    * rows is fuzzy-deduplicated BEFORE its sketches join the persisted
+    * band index, so the index (and any downstream corpus store fed by
+    * the same survivors) never accumulates near-duplicates.
+    *
+    * Per batch, both checks LSH-blocked (never all-pairs):
+    *  1. WITHIN-BATCH: [[graft.pipeline.Dedup.candidatePairs]] over the
+    *     batch's own band rows (capped buckets), exact-Jaccard verify
+    *     at `tau`, greedy prefix rule — a row matching a SMALLER-id
+    *     batch row is dropped.
+    *  2. AGAINST THE INDEX: survivors probe the persisted layout
+    *     ([[graft.store.BandIndex.probeCandidates]], shard-pruned file
+    *     listing), exact-Jaccard verify against the index's own
+    *     sketches table; matches are dropped.
+    * Survivor sketches append under the idempotent commit log (replay
+    * is skipped BEFORE the probe — a replayed batch cannot self-dedup
+    * against the rows its first attempt appended). The first batch
+    * bootstraps the index. Observe effects through the index itself;
+    * the testing seam [[dedupBandBatchIdempotent]] also returns the
+    * surviving doc ids. */
+  def dedupBandIngestWriter(stream: DataFrame, path: String,
+                            tau: Double = 0.5,
+                            nShards: Int = graft.store.BandIndex.DefaultShards,
+                            commitTag: String = "q0")
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupBandBatchIdempotent(batch, batchId, path, tau, nShards, commitTag)
+        ()
+      }
+
+  /** One idempotent dedup-at-ingest document micro-batch (testing
+    * seam). Returns the surviving doc ids when the batch ran, None on
+    * a replay skip.
+    *
+    * The drop sets resolve to DRIVER-SIDE LITERALS before anything is
+    * appended — deliberately, not as an optimization: the survivors'
+    * natural lineage READS the index (the probe), and appending to a
+    * path a cached plan reads makes Spark invalidate that cache
+    * (`recacheByPath`), so any re-evaluation after the first append
+    * would re-probe an index that now contains the batch's own rows
+    * and self-dedup the whole batch. With literal drop sets the
+    * appended plan reads only the batch's cached sketch, immune to
+    * the refresh. Both sets are batch-bounded by construction
+    * (subsets of the batch's doc ids), so the collects are
+    * foreachBatch-sized, never corpus-sized. */
+  def dedupBandBatchIdempotent(batch: DataFrame, batchId: Long, path: String,
+                               tau: Double = 0.5,
+                               nShards: Int = graft.store.BandIndex.DefaultShards,
+                               commitTag: String = "q0"): Option[Seq[Long]] = {
+    import graft.pipeline.Dedup
+    import graft.store.BandIndex
+    import org.apache.spark.sql.functions.col
+    var out: Option[Seq[Long]] = None
+    withBatchCommit(batch, batchId, path, commitTag) {
+      val spark = batch.sparkSession
+      val sketch = Dedup.docSketch(batch).persist()
+      try {
+        val bands = Dedup.bandRows(sketch, "doc_id")
+        // 1) within-batch: greedy prefix rule over verified pairs
+        val withinDropped: Set[Long] = Dedup.candidatePairs(bands, "doc_id")
+          .join(sketch.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+          .join(sketch.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+          .filter(Dedup.jaccardDistinct(col("sha"), col("shb")) >= tau)
+          .select(col("b")).distinct().collect().map(_.getLong(0)).toSet
+        val within = sketch.filter(!col("doc_id").isin(withinDropped.toSeq: _*))
+        // 2) against the index (bootstrap: first batch creates it)
+        val indexDropped: Set[Long] =
+          if (BandIndex.storedShards(spark, path).isEmpty) Set.empty
+          else BandIndex.probeCandidates(spark, path,
+              Dedup.bandRows(within, "doc_id"), "doc_id")
+            .join(BandIndex.sketches(spark, path)
+              .select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+            .join(within.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+            .filter(Dedup.jaccardDistinct(col("sha"), col("shb")) >= tau)
+            .select(col("b")).distinct().collect().map(_.getLong(0)).toSet
+        val dropped = withinDropped ++ indexDropped
+        val kept = sketch.filter(!col("doc_id").isin(dropped.toSeq: _*))
+        if (BandIndex.storedShards(spark, path).isEmpty)
+          BandIndex.write(kept, path, nShards)
+        else BandIndex.append(kept, path)
+        out = Some(batch.select("doc_id").collect().map(_.getLong(0))
+          .filterNot(dropped).toSeq.sorted)
+      } finally sketch.unpersist(blocking = false)
+    }
+    out
+  }
 
   /** Continuous inverted-text-index ingest: each micro-batch of
     * (doc_id, text) rows is tokenized, tf-counted and appended to the

@@ -85,4 +85,32 @@ class BandIndexSpec extends SparkSuite {
       .as[(Long, Long)].collect().toSet
     assert(got.contains((42L, 5000L)), s"got $got")
   }
+
+  test("appended small files compact via the shared swap machinery, probes unchanged") {
+    import spark.implicits._
+    val p = tmp("bandidx_compact")
+    BandIndex.write(Dedup.docSketch(
+      (0L until 30L).map(i => (i, doc(i))).toDF("doc_id", "text")), p)
+    BandIndex.append(Dedup.docSketch(
+      (30L until 60L).map(i => (i, doc(i))).toDF("doc_id", "text")), p)
+    val probe = Dedup.bandRows(Dedup.docSketch(
+      Seq((7000L, doc(3)), (7001L, doc(45))).toDF("doc_id", "text")), "doc_id")
+    val before = BandIndex.probeCandidates(spark, p, probe, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(before.contains((3L, 7000L)) && before.contains((45L, 7001L)))
+    // the sharded bands layout is exactly SaltedStore.compact's shape —
+    // one call folds each shard's per-batch files into sized, sig-sorted
+    // files under the marker-guarded swap
+    SaltedStore.compact(spark, s"$p/bands", col("sig"), partitionPrefix = "shard")
+    val shards = new java.io.File(s"$p/bands").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shards.nonEmpty)
+    shards.foreach { s =>
+      val files = s.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"${s.getName}: ${files.length} files")
+    }
+    val after = BandIndex.probeCandidates(spark, p, probe, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(after === before)
+  }
 }

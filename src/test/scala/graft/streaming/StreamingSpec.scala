@@ -425,6 +425,29 @@ class StreamingSpec extends SparkSuite {
     assert(got.contains((25L, 9000L)), s"got $got")
   }
 
+  test("document dedup-at-ingest: within-batch + against-index drops, replay skip") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("band_dedup_stream").toString + "/idx"
+    def doc(i: Long) =
+      s"alpha bravo charlie delta echo token$i foxtrot golf hotel india$i"
+    // batch 1 (bootstrap): 10 docs + an exact dup of doc 3 at a larger id
+    val b1 = ((0L until 10L).map(i => (i, doc(i))) :+ (500L, doc(3)))
+      .toDF("doc_id", "text")
+    val s1 = dedupBandBatchIdempotent(b1, batchId = 0L, dir)
+    assert(s1.map(_.toList) === Some((0L until 10L).toList))
+    // batch 2: a dup of an INDEXED doc (7), a fresh doc, a within-batch pair
+    val b2 = Seq((600L, doc(7)), (601L, doc(777L)),
+      (602L, doc(888L)), (603L, doc(888L))).toDF("doc_id", "text")
+    val s2 = dedupBandBatchIdempotent(b2, batchId = 1L, dir)
+    assert(s2.map(_.toList) === Some(List(601L, 602L)))
+    assert(graft.store.BandIndex.sketches(spark, dir).count() === 12)
+    // replay of batch 1 is skipped BEFORE the probe (else its own rows
+    // in the index would self-dedup the whole batch)
+    val s1r = dedupBandBatchIdempotent(b1, batchId = 0L, dir)
+    assert(s1r.isEmpty)
+    assert(graft.store.BandIndex.sketches(spark, dir).count() === 12)
+  }
+
   test("dedup-at-ingest: within-batch and against-index dups dropped, replay safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
