@@ -67,7 +67,9 @@ object BandIndex {
   }
 
   /** Create the index from a per-doc sketch frame (the
-    * [[Dedup.docSketch]] shape: doc_id, sh, h0..h{K-1}). */
+    * [[Dedup.docSketch]] shape: doc_id, sh, h0..h{K-1}). Both layouts
+    * are hash-sharded (bands on the signature, sketches on doc_id) so
+    * [[compact]] can reuse the per-partition swap machinery on each. */
   def write(sketch: DataFrame, path: String,
             nShards: Int = DefaultShards): Unit = {
     val spark = sketch.sparkSession
@@ -75,7 +77,8 @@ object BandIndex {
       .withColumn("shard", shardOf(col("sig"), nShards))
       .write.mode("overwrite").partitionBy("shard").parquet(s"$path/bands")
     sketch.select("doc_id", "sh")
-      .write.mode("overwrite").parquet(s"$path/sketches")
+      .withColumn("shard", pmod(hash(col("doc_id")), lit(nShards)))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/sketches")
     writeMeta(spark, path, nShards)
   }
 
@@ -89,15 +92,46 @@ object BandIndex {
       .withColumn("shard", shardOf(col("sig"), nShards))
       .write.mode("append").partitionBy("shard").parquet(s"$path/bands")
     sketch.select("doc_id", "sh")
-      .write.mode("append").parquet(s"$path/sketches")
+      .withColumn("shard", pmod(hash(col("doc_id")), lit(nShards)))
+      .write.mode("append").partitionBy("shard").parquet(s"$path/sketches")
   }
+
+  // ---- deletes (takedown lifecycle, the VectorIndex tombstone shape) ----
+
+  private def deletesPath(path: String) = s"$path/_deletes"
+
+  /** Tombstone doc ids: visible to every probe immediately (anti-join),
+    * physically removed at [[compact]]. The raw-row layout makes this
+    * exact — a tombstoned doc's band rows are excluded BEFORE the
+    * per-bucket aggregation, so it neither matches nor occupies a
+    * hot-bucket cap slot. */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    require(storedShards(spark, path).nonEmpty, s"no band index at $path")
+    import spark.implicits._
+    ids.toDF("doc_id").write.mode("append").parquet(deletesPath(path))
+  }
+
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val (fs, _) = fsOf(spark, deletesPath(path))
+    if (!fs.exists(new org.apache.hadoop.fs.Path(deletesPath(path)))) None
+    else Some(spark.read.parquet(deletesPath(path)).select("doc_id").distinct())
+  }
+
+  private def live(df: DataFrame, spark: SparkSession, path: String,
+                   idCol: String): DataFrame =
+    tombstones(spark, path) match {
+      case Some(t) =>
+        df.join(broadcast(t.select(col("doc_id").as(idCol))), Seq(idCol), "left_anti")
+      case None => df
+    }
 
   /** Candidate (index_id, batch_id) pairs for a batch of band rows —
     * EXACTLY [[Dedup.probePairs]] semantics (same hot-bucket cap, same
     * aggregation), over only the shards the batch's signatures hash to:
     * the static `shard IN (...)` filter prunes the bands scan at
     * file-listing time, so probe cost is bucket-sized, never
-    * corpus-sized. */
+    * corpus-sized. Tombstoned docs are excluded before the bucket
+    * aggregation. */
   def probeCandidates(spark: SparkSession, path: String, probeBands: DataFrame,
                       idCol: String,
                       maxBucket: Int = Dedup.MaxBucket): DataFrame = {
@@ -105,13 +139,35 @@ object BandIndex {
       throw new IllegalStateException(s"no band index at $path — write() first"))
     val shards = probeBands.select(shardOf(col("sig"), nShards).as("s"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val idx = spark.read.parquet(s"$path/bands")
+    val idx = live(spark.read.parquet(s"$path/bands")
       .filter(col("shard").isin(shards: _*))
-      .select(idCol, "band", "sig")
+      .select(idCol, "band", "sig"), spark, path, idCol)
     Dedup.probePairs(idx, probeBands, idCol, maxBucket)
   }
 
-  /** The per-doc verification sets (doc_id, sh). */
+  /** The LIVE per-doc verification sets (doc_id, sh) — tombstoned docs
+    * excluded, same visibility rule as the probes. */
   def sketches(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/sketches")
+    live(spark.read.parquet(s"$path/sketches"), spark, path, "doc_id")
+
+  /** Fold tombstones into a physical rewrite and coalesce streaming-
+    * append small files, reusing [[SaltedStore.compact]]'s marker-
+    * guarded per-partition swap on BOTH sharded layouts (bands sorted
+    * by sig, sketches by doc_id). Tombstone markers are cleared LAST:
+    * a crash between the rewrites leaves them in place and every probe
+    * keeps anti-joining — the fold is idempotent, never lossy. Same
+    * writer discipline as every compaction here: pause appends. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val drop = tombstones(spark, path)
+    def strip(df: DataFrame): DataFrame = drop match {
+      case Some(t) => df.join(broadcast(t), Seq("doc_id"), "left_anti")
+      case None => df
+    }
+    SaltedStore.compact(spark, s"$path/bands", col("sig"),
+      partitionPrefix = "shard", transform = strip)
+    SaltedStore.compact(spark, s"$path/sketches", col("doc_id"),
+      partitionPrefix = "shard", transform = strip)
+    val (fs, _) = fsOf(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(deletesPath(path)), true)
+  }
 }

@@ -86,7 +86,7 @@ class BandIndexSpec extends SparkSuite {
     assert(got.contains((42L, 5000L)), s"got $got")
   }
 
-  test("appended small files compact via the shared swap machinery, probes unchanged") {
+  test("delete hides a doc immediately; compact folds tombstones and small files") {
     import spark.implicits._
     val p = tmp("bandidx_compact")
     BandIndex.write(Dedup.docSketch(
@@ -95,22 +95,33 @@ class BandIndexSpec extends SparkSuite {
       (30L until 60L).map(i => (i, doc(i))).toDF("doc_id", "text")), p)
     val probe = Dedup.bandRows(Dedup.docSketch(
       Seq((7000L, doc(3)), (7001L, doc(45))).toDF("doc_id", "text")), "doc_id")
-    val before = BandIndex.probeCandidates(spark, p, probe, "doc_id")
+    def probeNow() = BandIndex.probeCandidates(spark, p, probe, "doc_id")
       .as[(Long, Long)].collect().toSet
+    val before = probeNow()
     assert(before.contains((3L, 7000L)) && before.contains((45L, 7001L)))
-    // the sharded bands layout is exactly SaltedStore.compact's shape —
-    // one call folds each shard's per-batch files into sized, sig-sorted
-    // files under the marker-guarded swap
-    SaltedStore.compact(spark, s"$p/bands", col("sig"), partitionPrefix = "shard")
-    val shards = new java.io.File(s"$p/bands").listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
-    assert(shards.nonEmpty)
-    shards.foreach { s =>
-      val files = s.listFiles().filter(_.getName.endsWith(".parquet"))
-      assert(files.length === 1, s"${s.getName}: ${files.length} files")
+    // tombstone doc 3: every probe and the sketches view hide it NOW
+    BandIndex.delete(spark, p, Seq(3L))
+    val afterDel = probeNow()
+    assert(!afterDel.exists(_._1 == 3L), s"tombstoned doc still probed: $afterDel")
+    assert(afterDel.contains((45L, 7001L)))
+    assert(BandIndex.sketches(spark, p).filter(col("doc_id") === 3L).count() === 0)
+    // compact: folds the tombstone physically (both sharded layouts ride
+    // SaltedStore.compact's marker-guarded swap), coalesces per-batch
+    // small files, clears the markers; probe semantics unchanged
+    BandIndex.compact(spark, p)
+    for (dir <- Seq("bands", "sketches")) {
+      val shards = new java.io.File(s"$p/$dir").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      assert(shards.nonEmpty, dir)
+      shards.foreach { s =>
+        val files = s.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length === 1, s"$dir/${s.getName}: ${files.length} files")
+      }
     }
-    val after = BandIndex.probeCandidates(spark, p, probe, "doc_id")
-      .as[(Long, Long)].collect().toSet
-    assert(after === before)
+    assert(!new java.io.File(s"$p/_deletes").exists, "tombstones must clear")
+    assert(spark.read.parquet(s"$p/bands").filter(col("doc_id") === 3L).count() === 0,
+      "folded rows must be physically gone")
+    assert(probeNow() === afterDel)
+    assert(BandIndex.sketches(spark, p).count() === 59)
   }
 }
