@@ -384,4 +384,124 @@ object Dedup {
   /** Hamming distance between two signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("bigint")
   def duckHamming(a: String, b: String): String = s"CAST(bit_count(xor($a, $b)) AS BIGINT)"
+
+  // ---- exact-substring span dedup -----------------------------------------
+
+  /** Default window width for [[duplicatedSpans]] — the span granularity.
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", uses 50 BPE tokens over a suffix array; the operator is
+    * width-agnostic and the test corpus's documents are short, so the
+    * committed queries use 8 word tokens.) */
+  val SpanTokens = 8
+
+  /** EXACT-SUBSTRING dedup, detection half: every maximal token span
+    * covered by length-`L` windows that occur at least twice ANYWHERE in
+    * the corpus (other documents or elsewhere in the same document — the
+    * paper's ExactSubstr criterion, which also catches within-doc
+    * boilerplate loops). Output: (doc_id, span_start, span_end,
+    * span_tokens), end exclusive, positions over the whitespace-token
+    * list.
+    *
+    * Not a suffix array: the paper's single-machine structure doesn't
+    * distribute. The equivalent corpus-wide duplicate-window relation is
+    * computed relationally — positional L-gram rows (the narrow
+    * WordShingles generator, no exchange), ONE hash-shuffle groupBy on
+    * the gram text (map-side combine collapses hot boilerplate grams
+    * before the wire), a semi-join to flag each doc's duplicated window
+    * starts, and a per-doc gaps-and-islands merge of overlapping/adjacent
+    * windows into maximal spans. A window-count formulation
+    * (`count over (partition by g)`) would put every occurrence of one
+    * boilerplate gram in ONE task — at 100 TB a single hot gram is
+    * millions of rows, exactly the skew the reference's salting exists to
+    * kill — whereas the groupBy side pre-aggregates and the flag join's
+    * probe-side skew is AQE-splittable. The island merge partitions by
+    * doc_id: per-task state is bounded by document length, never corpus
+    * size. */
+  def duplicatedSpans(corpus: DataFrame, L: Int = SpanTokens): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = corpus.select(col("doc_id"),
+      graft.functions.WordShingles.wordShingles(TextAnalysis.tokens(col("text")), L)
+        .as(Seq("pos", "g")))
+    val dup = grams.groupBy("g").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2L).select("g")
+    val flagged = grams.join(dup, "g")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    // gaps-and-islands: a window starting at pos covers [pos, pos+L); it
+    // extends the current island iff pos <= max prior end (overlap OR
+    // exact adjacency — both mean one contiguous duplicated region)
+    flagged
+      .withColumn("__prev_end",
+        max(col("pos") + L).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__brk",
+        when(col("__prev_end").isNull || col("pos") > col("__prev_end"), 1L).otherwise(0L))
+      .withColumn("__island",
+        sum(col("__brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "__island")
+      .agg(min("pos").as("span_start"), (max(col("pos")) + L).as("span_end"))
+      .withColumn("span_tokens", col("span_end") - col("span_start"))
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+  }
+
+  /** EXACT-SUBSTRING dedup, removal half: cut every [[duplicatedSpans]]
+    * span out of its document and re-join the surviving tokens. Output:
+    * (doc_id, kept_text, n_tokens, dup_tokens, kept_tokens) for EVERY
+    * corpus document (zero-span docs pass through untouched; a fully-
+    * duplicated doc keeps empty text — the caller's length filter drops
+    * it, matching the paper's pipeline).
+    *
+    * The span set rides a per-doc array (spans are disjoint and few —
+    * bounded by doc_len/L), so removal is one broadcast-sized left join
+    * plus a row-local indexed filter: no token-row explode, no second
+    * shuffle of the corpus. The filter/exists lambdas are interpreted
+    * (HOF), but over per-row arrays bounded by document length — scan
+    * cost, not corpus cost. */
+  def removeSpans(corpus: DataFrame, spans: DataFrame): DataFrame = {
+    val spanSets = spans.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_end"))))
+        .as("__spans"))
+    val emptySpans = array()
+      .cast("array<struct<span_start:bigint,span_end:bigint>>")
+    corpus
+      .withColumn("__w", TextAnalysis.tokens(col("text")))
+      .join(spanSets, Seq("doc_id"), "left")
+      .withColumn("__spans", coalesce(col("__spans"), emptySpans))
+      .withColumn("__kept", filter(col("__w"), (t, i) =>
+        !exists(col("__spans"), sp =>
+          i >= sp.getField("span_start") && i < sp.getField("span_end"))))
+      .select(
+        col("doc_id"),
+        array_join(col("__kept"), " ").as("kept_text"),
+        size(col("__w")).cast("bigint").as("n_tokens"),
+        aggregate(col("__spans"), lit(0L),
+          (acc, sp) => acc + sp.getField("span_end") - sp.getField("span_start"))
+          .as("dup_tokens"),
+        size(col("__kept")).cast("bigint").as("kept_tokens"))
+  }
+
+  /** DuckDB twin of [[duplicatedSpans]]: CTE chain ending in
+    * `spans(doc_id, span_start, span_end, span_tokens)`. Requires a
+    * `corpus(doc_id, text)` CTE in scope; same tokenizer, same island
+    * rule. */
+  def duckDuplicatedSpans(L: Int = SpanTokens): String =
+    s"""toks AS (SELECT doc_id, ${graft.pipeline.TextAnalysis.duckTokens("text")} AS w FROM corpus),
+        grams AS (SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+                    array_to_string(w[p:p+${L - 1}], ' ') AS g
+                  FROM toks,
+                    LATERAL unnest(generate_series(1, greatest(len(w) - ${L - 1}, 0))) AS u(p)),
+        dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        flagged AS (SELECT doc_id, pos FROM grams JOIN dupg USING (g)),
+        marked AS (SELECT doc_id, pos,
+                     max(pos + $L) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+                   FROM flagged),
+        islands AS (SELECT doc_id, pos,
+                      SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                    FROM marked),
+        spans AS (SELECT doc_id,
+                    CAST(min(pos) AS BIGINT) AS span_start,
+                    CAST(max(pos) + $L AS BIGINT) AS span_end,
+                    CAST(max(pos) + $L - min(pos) AS BIGINT) AS span_tokens
+                  FROM islands GROUP BY doc_id, island)"""
 }

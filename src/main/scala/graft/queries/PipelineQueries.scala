@@ -707,6 +707,28 @@ object PipelineQueries {
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       bandVerifiedPairs(s, dir, setCol = col("s")).orderBy("a", "b")),
 
+    // EXACT-SUBSTRING dedup, detection half (Lee et al. 2022's
+    // ExactSubstr, re-expressed relationally — a suffix array doesn't
+    // distribute): maximal token spans whose 8-token windows occur ≥2
+    // times anywhere in the corpus. Positional grams from the narrow
+    // WordShingles generator, ONE map-combined groupBy on the gram text,
+    // a flag join, and a per-doc gaps-and-islands merge. Scale notes on
+    // Dedup.duplicatedSpans — the hot-gram skew lives on the groupBy's
+    // pre-aggregated side, never in a one-task window.
+    "q_dedup_substring" -> ((s, dir) =>
+      Dedup.duplicatedSpans(documents(s, dir).select(col("doc_id"), col("text")))
+        .orderBy("doc_id", "span_start")),
+
+    // EXACT-SUBSTRING dedup, removal half: cut the spans out and re-join
+    // the surviving tokens — every doc appears (zero-span docs pass
+    // through; fully-duplicated docs keep ''). Span sets ride a per-doc
+    // array join + row-local indexed filter: the corpus shuffles once for
+    // the span join and never explodes to token rows.
+    "q_dedup_substring_apply" -> ((s, dir) => {
+      val corpus = documents(s, dir).select(col("doc_id"), col("text"))
+      Dedup.removeSpans(corpus, Dedup.duplicatedSpans(corpus)).orderBy("doc_id")
+    }),
+
     // EXACT similarity self-join via PREFIX FILTERING (the PPJoin
     // family) — the deterministic sibling of the LSH paths: ZERO false
     // negatives by construction. Each doc's hashed shingle set is
@@ -3724,6 +3746,34 @@ object PipelineQueries {
       },
 
       "q_dedup_ngram_jaccard" -> duckNgramPairsSql,
+
+      "q_dedup_substring" ->
+        s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+              ${Dedup.duckDuplicatedSpans()}
+            SELECT doc_id, span_start, span_end, span_tokens
+            FROM spans ORDER BY doc_id, span_start""",
+
+      "q_dedup_substring_apply" ->
+        s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+              ${Dedup.duckDuplicatedSpans()},
+              tok AS (SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos, w[p] AS tok
+                      FROM toks, LATERAL unnest(generate_series(1, len(w))) AS u(p)),
+              kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tok tk
+                       WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                         WHERE sp.doc_id = tk.doc_id
+                           AND tk.pos >= sp.span_start AND tk.pos < sp.span_end)),
+              ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS kept_text,
+                            CAST(count(*) AS BIGINT) AS kept_tokens
+                     FROM kept GROUP BY doc_id),
+              ded AS (SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+                      FROM spans GROUP BY doc_id)
+            SELECT b.doc_id,
+              coalesce(ka.kept_text, '') AS kept_text,
+              CAST(len(b.w) AS BIGINT) AS n_tokens,
+              CAST(coalesce(d.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+              CAST(coalesce(ka.kept_tokens, 0) AS BIGINT) AS kept_tokens
+            FROM toks b LEFT JOIN ded d USING (doc_id) LEFT JOIN ka USING (doc_id)
+            ORDER BY b.doc_id""",
 
       // ALL-PAIRS exact oracle (with the sound size prefilter
       // 2·min ≥ max for τ = 1/2): a hash match proves the prefix
