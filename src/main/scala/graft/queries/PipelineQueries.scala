@@ -1344,6 +1344,46 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // FUZZY decontamination — exact n-gram overlap (q_decontaminate)
+    // misses paraphrased/truncated benchmark leaks, so production
+    // pipelines also run a NEAR-DUP pass against the eval set (the
+    // GPT-3/Llama-style contamination audit). Same machinery as
+    // q_dedup_incremental with the roles recast: the eval set is the
+    // INDEX side (small by definition — its capped band buckets are
+    // tiny), the training corpus is the PROBE side streaming through
+    // one equi-join on (band, sig), and only banded candidates pay the
+    // exact-Jaccard verify — the corpus never self-joins and never
+    // shuffles beyond its band rows. Planted leaks (eval docs with the
+    // last 2 tokens dropped, ids +200000) make the verdict non-trivial;
+    // output = every training doc with (contaminated, lowest matching
+    // eval id, strongest jaccard).
+    "q_decontaminate_fuzzy" -> ((s, dir) => {
+      val base = documents(s, dir).select(col("doc_id"), col("text"))
+      val eval = base.filter(pmod(col("doc_id"), lit(10L)) === 7L)
+      val planted = eval.withColumn("w", tokens(col("text")))
+        .filter(size(col("w")) >= 5)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          array_join(slice(col("w"), lit(1), size(col("w")) - 2), " ").as("text"))
+      val train = base.filter(pmod(col("doc_id"), lit(10L)) =!= 7L).union(planted)
+      val evalSketch = Dedup.docSketch(eval).persist()
+      val trainSketch = Dedup.docSketch(train).persist()
+      Persisted.swap("decon_fuzzy", dir, evalSketch, trainSketch)
+      val cand = Dedup.probePairs(
+        bandRows(evalSketch, "doc_id"), bandRows(trainSketch, "doc_id"), "doc_id")
+      train.select("doc_id").join(
+        cand.join(evalSketch.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+          .join(trainSketch.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+          .withColumn("jaccard", jaccardDistinct(col("sha"), col("shb")))
+          .filter(col("jaccard") >= 0.5)
+          .groupBy(col("b").as("doc_id"))
+          .agg(min(col("a")).as("eval_match"), max(col("jaccard")).as("max_jaccard")),
+        Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("eval_match").isNotNull, 1L).otherwise(0L).as("contaminated"),
+          col("eval_match"), col("max_jaccard"))
+        .orderBy("doc_id")
+    }),
+
     // within-document REPETITION scoring (the Gopher/C4-style quality
     // rule): fraction of 3-gram occurrences that are repeats, plus the
     // hottest shingle's count — boilerplate and looping-generator text
@@ -4034,6 +4074,40 @@ object PipelineQueries {
             SELECT t.doc_id, CAST(count(DISTINCT t.x) AS BIGINT) AS n_shared
             FROM train t JOIN bench b ON t.x = b.x
             GROUP BY t.doc_id ORDER BY t.doc_id""",
+
+      "q_decontaminate_fuzzy" ->
+        s"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7),
+              planted AS (
+                SELECT doc_id + 200000 AS doc_id,
+                       array_to_string(w[1:len(w)-2], ' ') AS text
+                FROM (SELECT doc_id, ${duckTokens("text")} AS w
+                      FROM documents WHERE doc_id % 10 = 7)
+                WHERE len(w) >= 5),
+              train AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7
+                        UNION ALL SELECT doc_id, text FROM planted),
+              corpus AS (SELECT doc_id, text FROM ev
+                         UNION ALL SELECT doc_id, text FROM train),
+              $duckShingled, $duckMinhashSigs,
+              shx AS (SELECT doc_id, list(x) AS sh FROM e GROUP BY doc_id),
+              bands AS (${(0 until Bands).map(b =>
+                s"SELECT doc_id, $b AS band, ${duckBandSig(b)} AS bsig FROM sig")
+                .mkString(" UNION ALL ")}),
+              ibands AS (SELECT * FROM bands
+                         WHERE doc_id % 10 = 7 AND doc_id < 200000),
+              pbands AS (SELECT * FROM bands
+                         WHERE NOT (doc_id % 10 = 7 AND doc_id < 200000)),
+              ${Dedup.duckProbePairs()},
+              j AS (SELECT a, b, ${Dedup.duckJaccard("sa.sh", "sb.sh")} AS jaccard
+                    FROM cand JOIN shx sa ON sa.doc_id = a
+                              JOIN shx sb ON sb.doc_id = b),
+              m AS (SELECT b AS doc_id, min(a) AS eval_match,
+                           max(jaccard) AS max_jaccard
+                    FROM j WHERE jaccard >= 0.5 GROUP BY b)
+            SELECT train.doc_id,
+              CAST(CASE WHEN m.eval_match IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+                AS contaminated,
+              m.eval_match, m.max_jaccard
+            FROM train LEFT JOIN m USING (doc_id) ORDER BY train.doc_id""",
 
       "q_text_repetition" ->
         s"""WITH corpus AS (SELECT doc_id, text FROM documents), $duckShingled,
