@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CentroidScores, DotProduct, DotProductInt8, MinHashSketch, NearestCentroid, QuantizeInt8, WordShingles, ZOrderKey}
+import graft.functions.{CentroidScores, CountMinSketch, DotProduct, DotProductInt8, MinHashSketch, NearestCentroid, QuantizeInt8, WordShingles, ZOrderKey}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotProduct)
     ext.injectFunction(GraftExtensions.wordShingles)
     ext.injectFunction(GraftExtensions.minhashSketch)
+    ext.injectFunction(GraftExtensions.cmsGrid)
     ext.injectFunction(GraftExtensions.quantizeInt8)
     ext.injectFunction(GraftExtensions.dotInt8)
     ext.injectFunction(GraftExtensions.zorderKey)
@@ -112,6 +113,16 @@ object GraftExtensions {
     { args =>
       require(args.length == 1, s"minhash_sketch expects 1 argument, got ${args.length}")
       MinHashSketch(args(0)).toAggregateExpression()
+    })
+
+  val cmsGrid: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("count_min_sketch_grid"),
+    info("count_min_sketch_grid",
+      "count_min_sketch_grid(x) - Aggregate: fixed Depth×Width count-min counter grid (array<bigint>) over a BIGINT base-hash column; point estimates via CmsFunctions.cmsEstimate."),
+    { args =>
+      require(args.length == 1,
+        s"count_min_sketch_grid expects 1 argument, got ${args.length}")
+      CountMinSketch(args(0)).toAggregateExpression()
     })
 
   val quantizeInt8: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

@@ -1453,6 +1453,36 @@ object PipelineQueries {
         .select("doc_id", "lang", "n_tokens", "seq_id")
         .orderBy("lang", "doc_id")),
 
+    // corpus construction: PADDING-WASTE REPORT — the length-batching
+    // measurement behind every trainer's "sort by length" knob: batch
+    // docs 32-at-a-time in ARRIVAL order vs LENGTH-SORTED order, pad each
+    // batch to its longest member, and report the padded-slot waste of
+    // both policies side by side. Both global positions come from the
+    // two-pass range-partition index (Corpus.withGlobalIndex — never a
+    // single-task ORDER BY window); the per-batch max/sum and the
+    // per-method fold both combine map-side. Integer ppm arithmetic —
+    // exact at 100-TB token counts.
+    "q_batch_padding" -> ((s, dir) => {
+      val toks = documents(s, dir)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("bigint").as("n_tokens"))
+      def waste(method: String, order: Seq[Column]) =
+        Corpus.withGlobalIndex(toks, order, "__idx", "__n")
+          .withColumn("batch_id", expr("__idx div 32"))
+          .groupBy("batch_id")
+          .agg(max("n_tokens").as("mx"), sum("n_tokens").as("tok"),
+            count(lit(1)).as("nd"))
+          .agg(count(lit(1)).as("n_batches"), sum("tok").as("total_tokens"),
+            sum(col("mx") * col("nd")).as("slot_tokens"))
+          .select(lit(method).as("method"), col("n_batches"),
+            col("total_tokens"),
+            (col("slot_tokens") - col("total_tokens")).as("padded_tokens"),
+            expr("((slot_tokens - total_tokens) * 1000000) div slot_tokens")
+              .as("waste_ppm"))
+      waste("arrival", Seq(col("doc_id")))
+        .union(waste("length_sorted", Seq(col("n_tokens"), col("doc_id"))))
+        .orderBy("method")
+    }),
+
     // corpus construction: QUALITY DECILES — rank every doc by a quality
     // key (token count desc, id tie-break) and bin into 10 equal-width
     // rank bands, the standard "keep the top-N% of the corpus" filter.
@@ -1494,6 +1524,73 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_tokens"), sum("w").as("raw_weight"))
         .withColumn("keep", col("raw_weight") > 0L)
         .orderBy("doc_id")
+    }),
+
+    // FILTER-POLICY SWEEP — the corpus-governance question behind every
+    // quality threshold: "how much data survives at each cut, per
+    // source?" answered for the whole threshold grid in ONE corpus scan.
+    // The per-doc score is q_quality_model's hashed linear model
+    // (integer-exact, broadcast weights); the 5-row threshold grid
+    // cross-joins as a broadcast literal table (each doc row fans out
+    // 5×, still narrow), and the census combines map-side. The
+    // alternative — one filter job per candidate threshold — scans the
+    // corpus once per policy; at 100 TB the sweep IS the feasible way to
+    // pick the cut.
+    "q_quality_sweep" -> ((s, dir) => {
+      val D = 4096L
+      val feat = documents(s, dir)
+        .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("t"))
+        .withColumn("b", baseHash32(col("t")) % D)
+      val model = s.range(D).select(col("id").as("b"),
+        ((col("id") * lit(2654435761L)) % 2001L - 1000L).as("w"))
+      val scored = feat.join(broadcast(model), "b")
+        .groupBy("doc_id", "source")
+        .agg(sum("w").as("score"), count(lit(1)).as("n_tokens"))
+      val taus = Seq(-500L, -250L, 0L, 250L, 500L)
+      scored
+        .withColumn("tau", explode(array(taus.map(lit(_)): _*)))
+        .groupBy("tau", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") > col("tau"), 1L).otherwise(0L)).as("n_keep"),
+          sum(when(col("score") > col("tau"), col("n_tokens"))
+            .otherwise(0L)).as("kept_tokens"))
+        .withColumn("keep_ppm", expr("(n_keep * 1000000) div n_docs"))
+        .orderBy("tau", "source")
+    }),
+
+    // HEAVY HITTERS BY COUNT-MIN SKETCH — bounded-memory frequency
+    // estimation (graft.functions.CountMinSketch, a custom
+    // TypedImperativeAggregate): every partition folds its rows into one
+    // fixed 4×1024 counter grid map-side, partials merge by elementwise
+    // add, and the exchange carries 32 KiB per partition REGARDLESS of
+    // key cardinality — the shape that replaces a distinct-key shuffle
+    // when only the heavy keys matter (URLs/users/n-grams at 100 TB).
+    // Estimates are pure Column arithmetic against the broadcast one-row
+    // sketch (min over 4 affine row hashes — CmsFunctions.cmsEstimate,
+    // codegen'd, no UDF). The exact counts sit beside the estimates so
+    // the output IS the sketch-error report: overcount ≥ 0 always (CMS
+    // never underestimates), bounded by εN in expectation. Oracle
+    // replays the identical grid from SQL GROUP BY arithmetic.
+    "q_cms_topk" -> ((s, dir) => {
+      val keyed = lineitem(s, dir)
+        .select(col("l_partkey").cast("string").as("k"))
+        .withColumn("x", baseHash32(col("k")))
+        .persist()
+      Persisted.swap("cms_stream", dir, keyed)
+      // the sketch IS the reduction: one 32 KiB grid row comes back to
+      // the driver (the adjudicated tiny-collect pattern — at 100 TB the
+      // stream never re-shuffles, partials merge map-side) and probes
+      // read it as a literal array, dodging the 1-row-crossJoin BNLJ trap
+      val grid = typedLit(
+        keyed.agg(graft.functions.CmsFunctions.cms(col("x")).as("grid"))
+          .head().getSeq[Long](0))
+      keyed.groupBy("k").agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("k")).limit(20)
+        .withColumn("est",
+          graft.functions.CmsFunctions.cmsEstimate(grid, baseHash32(col("k"))))
+        .select(col("k"), col("exact"), col("est"),
+          (col("est") - col("exact")).as("overcount"))
+        .orderBy(col("exact").desc, col("k"))
     }),
 
     // corpus construction: DETERMINISTIC GLOBAL SHUFFLE — the training-
@@ -2941,6 +3038,41 @@ object PipelineQueries {
         .orderBy("split", "source")
     }),
 
+    // LEAKAGE-SAFE SPLIT — the dedup→split composition every eval
+    // pipeline needs: hash-splitting each doc INDEPENDENTLY
+    // (q_split_assign) puts near-duplicates on both sides of the
+    // train/test fence, and the test set silently scores memorization.
+    // Fix: split by the doc's DEDUP CLUSTER, not the doc — every member
+    // inherits the cluster label's bucket, so a near-dup family lands in
+    // ONE split by construction. Group key = connected-components label
+    // (the elected survivor's id) for clustered docs, own id otherwise —
+    // same 31-poly bucket arithmetic as q_split_assign on the group key.
+    // The census carries the evidence: n_moved counts docs whose naive
+    // per-doc split differs from their cluster split — exactly the rows
+    // that would have leaked. Scale shape: the labels frame is pair-sized
+    // (near-dup families only), the corpus LEFT-joins it once, and the
+    // census combines map-side; nothing new shuffles beyond the dedup
+    // pass the pipeline already ran.
+    "q_split_leakage_safe" -> ((s, dir) => {
+      val corpus = fuzzyCorpus(documents(s, dir)).select("doc_id")
+      val labels = Dedup.connectedComponents(lshVerifiedPairs(s, dir).select("a", "b"))
+        .withColumnRenamed("node", "doc_id")
+      val g = corpus.join(labels, Seq("doc_id"), "left")
+        .withColumn("gkey", coalesce(col("label"), col("doc_id")))
+      val gb = graft.keys.Hash31.bucket(col("gkey"), 100)
+      val nb = graft.keys.Hash31.bucket(col("doc_id"), 100)
+      g.withColumn("split",
+          when(gb < 80, "train").when(gb < 90, "validation").otherwise("test"))
+        .withColumn("naive",
+          when(nb < 80, "train").when(nb < 90, "validation").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("label").isNotNull, 1L).otherwise(0L)).as("n_clustered"),
+          countDistinct(when(col("label").isNotNull, col("label"))).as("n_clusters"),
+          sum(when(col("naive") =!= col("split"), 1L).otherwise(0L)).as("n_moved"))
+        .orderBy("split")
+    }),
+
     // UNICODE CANONICALIZATION — graft.functions.NfcClean (custom
     // codegen'd Expression, ASCII fast path): zero-width strip + NFC
     // composition. The corpus is ASCII, so the query plants the mess
@@ -4151,6 +4283,33 @@ object PipelineQueries {
                     FROM documents))
             ORDER BY lang, doc_id""",
 
+      "q_batch_padding" ->
+        s"""WITH toks AS (SELECT doc_id,
+                CAST(len(${duckTokens("text")}) AS BIGINT) AS n_tokens
+              FROM documents),
+              a AS (SELECT 'arrival' AS method,
+                      (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS batch_id,
+                      n_tokens
+                    FROM toks
+                    UNION ALL
+                    SELECT 'length_sorted' AS method,
+                      (row_number() OVER (ORDER BY n_tokens, doc_id) - 1) // 32
+                        AS batch_id,
+                      n_tokens
+                    FROM toks),
+              b AS (SELECT method, batch_id, max(n_tokens) AS mx,
+                      sum(n_tokens) AS tok, count(*) AS nd
+                    FROM a GROUP BY 1, 2),
+              r AS (SELECT method, CAST(count(*) AS BIGINT) AS n_batches,
+                      CAST(sum(tok) AS BIGINT) AS total_tokens,
+                      CAST(sum(mx * nd) AS BIGINT) AS slot_tokens
+                    FROM b GROUP BY 1)
+            SELECT method, n_batches, total_tokens,
+              (slot_tokens - total_tokens) AS padded_tokens,
+              CAST(((slot_tokens - total_tokens) * 1000000) // slot_tokens
+                AS BIGINT) AS waste_ppm
+            FROM r ORDER BY method""",
+
       "q_quality_deciles" ->
         s"""SELECT doc_id, n_tokens, rank, ((rank - 1) * 10) // n + 1 AS decile FROM (
               SELECT doc_id, n_tokens,
@@ -4207,6 +4366,48 @@ object PipelineQueries {
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
               CAST(sum(w) AS BIGINT) AS raw_weight, sum(w) > 0 AS keep
             FROM f JOIN m USING (b) GROUP BY 1 ORDER BY 1""",
+
+      "q_quality_sweep" ->
+        s"""WITH f AS (SELECT doc_id, source, (${duckBaseHash32("t")}) % 4096 AS b
+                      FROM (SELECT doc_id, source, unnest(${duckTokens("text")}) AS t
+                            FROM documents)),
+              m AS (SELECT b, (b * 2654435761) % 2001 - 1000 AS w
+                    FROM (SELECT unnest(range(4096)) AS b)),
+              sc AS (SELECT doc_id, source, sum(w) AS score, count(*) AS n_tokens
+                     FROM f JOIN m USING (b) GROUP BY 1, 2),
+              taus AS (SELECT CAST(unnest([-500, -250, 0, 250, 500]) AS BIGINT) AS tau),
+              g AS (SELECT tau, source,
+                      CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(CASE WHEN score > tau THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_keep,
+                      CAST(sum(CASE WHEN score > tau THEN n_tokens ELSE 0 END)
+                        AS BIGINT) AS kept_tokens
+                    FROM sc CROSS JOIN taus GROUP BY 1, 2)
+            SELECT tau, source, n_docs, n_keep, kept_tokens,
+              CAST((n_keep * 1000000) // n_docs AS BIGINT) AS keep_ppm
+            FROM g ORDER BY tau, source""",
+
+      "q_cms_topk" -> {
+        import graft.functions.CmsFunctions.{Depth, Width, RowA, RowB, P}
+        val vals = (0 until Depth).map(r =>
+          s"($r, ${RowA(r)}, ${RowB(r)})").mkString(", ")
+        s"""WITH ev AS (SELECT CAST(l_partkey AS VARCHAR) AS k,
+                ${duckBaseHash32("CAST(l_partkey AS VARCHAR)")} AS x FROM lineitem),
+              t AS (SELECT * FROM (VALUES $vals) v(r, a, b)),
+              grid AS (SELECT r, ((x * a + b) % $P) % $Width AS bkt, count(*) AS c
+                       FROM ev CROSS JOIN t GROUP BY 1, 2),
+              top AS (SELECT k, min(x) AS x, count(*) AS exact FROM ev GROUP BY 1
+                      ORDER BY exact DESC, k LIMIT 20),
+              est AS (SELECT top.k, min(g.c) AS est
+                      FROM top CROSS JOIN t
+                        JOIN grid g ON g.r = t.r
+                          AND g.bkt = ((top.x * t.a + t.b) % $P) % $Width
+                      GROUP BY 1)
+            SELECT top.k, CAST(top.exact AS BIGINT) AS exact,
+              CAST(est.est AS BIGINT) AS est,
+              CAST(est.est - top.exact AS BIGINT) AS overcount
+            FROM top JOIN est USING (k) ORDER BY exact DESC, top.k"""
+      },
 
       "q_shuffle_deterministic" ->
         s"""SELECT doc_id, h, pos, pos % 8 AS shard FROM (
@@ -5017,6 +5218,38 @@ object PipelineQueries {
                source, CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS n_chars
              FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""
+      },
+
+      "q_split_leakage_safe" -> {
+        val bandSelects = (0 until Bands).map(b =>
+          s"SELECT doc_id, $b AS band, ${duckBandSig(b)} AS bsig FROM sig").mkString(" UNION ALL ")
+        val gk = graft.keys.Hash31.duckBucket("gkey", 100)
+        val nk = graft.keys.Hash31.duckBucket("doc_id", 100)
+        s"""WITH RECURSIVE $duckFuzzyCorpus, $duckShingled, $duckMinhashSigs,
+              bands AS ($bandSelects),
+              ${duckCandidatePairs()},
+              shx AS (SELECT doc_id, list(x) AS sh FROM e GROUP BY doc_id),
+              j AS (SELECT a, b, ${duckJaccard("sa.sh", "sb.sh")} AS jaccard
+                    FROM cand JOIN shx sa ON sa.doc_id = a JOIN shx sb ON sb.doc_id = b),
+              p AS (SELECT a, b FROM j WHERE jaccard >= 0.5),
+              ${duckConnectedComponents("p")},
+              g AS (SELECT c.doc_id, cc.label, coalesce(cc.label, c.doc_id) AS gkey
+                    FROM corpus c LEFT JOIN cc ON cc.node = c.doc_id),
+              asg AS (SELECT doc_id, label,
+                       CASE WHEN $gk < 80 THEN 'train'
+                            WHEN $gk < 90 THEN 'validation'
+                            ELSE 'test' END AS split,
+                       CASE WHEN $nk < 80 THEN 'train'
+                            WHEN $nk < 90 THEN 'validation'
+                            ELSE 'test' END AS naive
+                     FROM g)
+            SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN label IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_clustered,
+              CAST(count(DISTINCT label) AS BIGINT) AS n_clusters,
+              CAST(sum(CASE WHEN naive <> split THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_moved
+            FROM asg GROUP BY 1 ORDER BY 1"""
       },
 
       "q_normalize_unicode" -> {
