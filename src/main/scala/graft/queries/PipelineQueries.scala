@@ -49,7 +49,7 @@ object PipelineQueries {
     "q_text_phrase", "q_text_stream_ingest", "q_text_delete", "q_text_merge",
     "q_cdc_snapshot", "q_cdc_asof",
     "q_index_lookup", "q_index_range", "q_salt_advisor_verify",
-    "q_store_retention")
+    "q_store_retention", "q_resalt_migration")
 
   /** Persist hygiene across repeated invocation. Bench runs every query
     * 3+ times per process and one process may touch several SF dirs, so a
@@ -911,6 +911,39 @@ object PipelineQueries {
         .filter(col("rnk") <= 10)
         .select("q_id", "vec_id", "cos", "rnk")
         .orderBy("q_id", "rnk")
+    }),
+
+    // MATRYOSHKA TRUNCATION RECALL — the MRL question: how much top-10
+    // agreement survives searching on the first 16 of 64 dims? Truncated
+    // search cuts dot-product FLOPs and index bytes 4× at 100 TB; this
+    // report measures what that buys away. Both top-10s are the brute
+    // pattern (broadcast query set × linear corpus scan, per-query
+    // window top-k); overlap joins on (q_id, vec_id) and the recall is
+    // exact integer ppm. Slicing FIRST then folding keeps the
+    // sequential association order, so truncated cosines stay
+    // bit-identical to the oracle's 16-term fold.
+    "q_knn_truncated" -> ((s, dir) => {
+      val v = embeddings(s, dir).select(col("vec_id"), vd(col("embedding")).as("v"))
+      val q = v.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val c = v.filter(col("vec_id") >= 5)
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      def topk(dims: Int) = {
+        val qq = q.select(col("q_id"), slice(col("qv"), 1, dims).as("qv"))
+          .withColumn("qn2", norm2(col("qv")))
+        val cc = c.select(col("vec_id"), slice(col("v"), 1, dims).as("v"))
+          .withColumn("n2", norm2(col("v")))
+        broadcast(qq).crossJoin(cc)
+          .withColumn("cos", cosine(dot(col("qv"), col("v")), col("qn2"), col("n2")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .select("q_id", "vec_id")
+      }
+      val hits = topk(D).join(topk(16), Seq("q_id", "vec_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+      q.select("q_id").join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall_ppm", expr("(n_hits * 1000000) div 10"))
+        .orderBy("q_id")
     }),
 
     // similarity search, scale path: sign-LSH bucketed ANN — the cross
@@ -2719,6 +2752,38 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // FRAME-SAMPLING SCHEDULE — the plan a video feature-extractor
+    // executes: for each container, pick 4 evenly-spaced frames and
+    // compute their index + presentation time from the REAL parsed
+    // sample-table metadata (nFrames, per-frame tick delta, timescale —
+    // graft.pipeline.VideoContainer.parseMp4 over genuine ISO-BMFF
+    // bytes). The schedule is pure integer Column arithmetic over the
+    // parsed row + one bounded 4-row explode — narrow end to end, no
+    // payload shuffle; the (environment-stubbed) pixel decode consumes
+    // exactly these (doc_id, frame_idx) coordinates. The oracle replays
+    // the synthetic geometry arithmetic, pinning the schedule math.
+    "q_media_frame_schedule" -> ((s, dir) => {
+      import s.implicits._
+      val meta = documents(s, dir).select(col("doc_id")).as[Long].mapPartitions { ids =>
+        ids.map { id =>
+          val w = (16 + id % 64).toInt; val h = (16 + id % 48).toInt
+          val delta = (20 + id % 30).toInt; val n = (8 + id % 32).toInt
+          val mp4 = graft.pipeline.VideoContainer.encodeMp4(
+            w, h, timescale = 600, sampleDelta = delta, nFrames = n,
+            withAudio = false, mdatPayload = Array.emptyByteArray)
+          val m = graft.pipeline.VideoContainer.parseMp4(mp4)
+          (id, m.videoFrames, m.duration, 600L)
+        }
+      }.toDF("doc_id", "n_frames", "duration_ticks", "timescale")
+      meta
+        .withColumn("k", explode(sequence(lit(0L), lit(3L))))
+        .withColumn("frame_idx", expr("(k * n_frames) div 4"))
+        .withColumn("pts_ms",
+          expr("(frame_idx * (duration_ticks div n_frames)) * 1000 div timescale"))
+        .select("doc_id", "k", "frame_idx", "pts_ms")
+        .orderBy("doc_id", "k")
+    }),
+
     // multimodal REAL decode: per doc a deterministic grayscale image +
     // PCM clip are encoded through the JDK's REAL codecs (ImageIO → PNG,
     // javax.sound → WAV) and decoded back from the opaque bytes; the
@@ -4020,6 +4085,35 @@ object PipelineQueries {
 
       "q_knn_cosine_brute" -> duckBruteKnn,
 
+      "q_knn_truncated" ->
+        s"""WITH v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),
+              q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < 5),
+              c AS (SELECT vec_id, v FROM v WHERE vec_id >= 5),
+              sf AS (SELECT q_id, vec_id,
+                       ${duckCosine(duckDotN("qv", "v", D),
+                         duckNorm2N("qv", D), duckNorm2N("v", D))} AS cos
+                     FROM q, c),
+              rf AS (SELECT q_id, vec_id FROM (
+                       SELECT q_id, vec_id,
+                         row_number() OVER (PARTITION BY q_id
+                           ORDER BY cos DESC, vec_id) AS rnk FROM sf)
+                     WHERE rnk <= 10),
+              st AS (SELECT q_id, vec_id,
+                       ${duckCosine(duckDotN("qv", "v", 16),
+                         duckNorm2N("qv", 16), duckNorm2N("v", 16))} AS cos
+                     FROM q, c),
+              rt AS (SELECT q_id, vec_id FROM (
+                       SELECT q_id, vec_id,
+                         row_number() OVER (PARTITION BY q_id
+                           ORDER BY cos DESC, vec_id) AS rnk FROM st)
+                     WHERE rnk <= 10),
+              h AS (SELECT rf.q_id, count(*) AS n_hits
+                    FROM rf JOIN rt ON rf.q_id = rt.q_id AND rf.vec_id = rt.vec_id
+                    GROUP BY 1)
+            SELECT q.q_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+              CAST(coalesce(h.n_hits, 0) * 1000000 // 10 AS BIGINT) AS recall_ppm
+            FROM q LEFT JOIN h ON q.q_id = h.q_id ORDER BY q.q_id""",
+
       // same semantics as q_knn_cosine_brute — the UDAF must reproduce the
       // row_number formulation exactly (score desc, id asc, top 10)
       "q_knn_topk_agg" -> duckBruteKnn,
@@ -5087,6 +5181,17 @@ object PipelineQueries {
              CAST(((8 + doc_id % 32) * (20 + doc_id % 30)) * 1000 // 600 AS BIGINT) AS duration_ms,
              CASE WHEN doc_id % 2 = 0 THEN 'vide,soun' ELSE 'vide' END AS handlers
            FROM documents ORDER BY doc_id""",
+
+      "q_media_frame_schedule" ->
+        """WITH meta AS (SELECT doc_id,
+                CAST(8 + doc_id % 32 AS BIGINT) AS n_frames,
+                CAST(20 + doc_id % 30 AS BIGINT) AS delta
+              FROM documents),
+              ks AS (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS k)
+            SELECT doc_id, k,
+              CAST((k * n_frames) // 4 AS BIGINT) AS frame_idx,
+              CAST((((k * n_frames) // 4) * delta) * 1000 // 600 AS BIGINT) AS pts_ms
+            FROM meta CROSS JOIN ks ORDER BY doc_id, k""",
 
       "q_string_funcs" ->
         """SELECT c_custkey,

@@ -373,6 +373,40 @@ object RefQueries {
         .orderBy("event_id")
     }),
 
+    // BUCKET-COUNT MIGRATION — SaltedStore.resalt: rewrite a live store
+    // under a NEW distributor, the operation the reference structurally
+    // cannot offer (its config codec pins the writing distributor to the
+    // table for life — wd/Parametrizable.java:24-27 — and changing
+    // bucketsCount orphans every written row). The store is built
+    // deliberately undersized (n=4), migrated to n=16 under the 3-phase
+    // marker protocol (stage → park → swap, crash-resumable), and the
+    // query reads the MIGRATED layout's per-bucket census. The oracle
+    // computes the same census from first principles (Hash31 at n=16
+    // over the raw events), so a row misplaced by the migration — or
+    // lost or duplicated by the swap — breaks the hash match.
+    "q_resalt_migration" -> ((s, dir) => {
+      import graft.store.SaltedStore
+      val tmp = System.getProperty("java.io.tmpdir")
+      val tag = s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+      val path = s"$tmp/graft_resaltstore_$tag"
+      SaltedStore.ensure(
+        events(s, dir).select(col("event_id"), col("user_id"), col("ts_us")),
+        col("event_id"), HashPrefix(4), path)
+      // migration is one-off maintenance: marker-guard it so repeated
+      // invocations time the read of the migrated store, not a rewrite
+      val marker = new org.apache.hadoop.fs.Path(path, "_RESALTED")
+      val fs = marker.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(marker)) {
+        SaltedStore.resalt(s, path, col("event_id"), HashPrefix(16))
+        fs.create(marker, true).close()
+      }
+      SaltedStore.read(s, path)
+        .groupBy(col("bucket").cast("bigint").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("event_id").as("min_key"), max("event_id").as("max_key"))
+        .orderBy("bucket")
+    }),
+
     // JOIN-SKEW SALT PLAN — which join keys need salted replication and
     // by how much (SaltAdvisor.joinSaltPlan): hot tail = keys above 2×
     // the mean rows-per-key, salt factor = count in mean-sized slices.
@@ -553,6 +587,14 @@ object RefQueries {
 
     "q_store_retention" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
-         WHERE epoch_us(ts) >= 1705276800000000 ORDER BY event_id"""
+         WHERE epoch_us(ts) >= 1705276800000000 ORDER BY event_id""",
+
+    "q_resalt_migration" -> {
+      val b = Hash31.duckBucket("event_id", 16)
+      s"""SELECT CAST($b AS BIGINT) AS bucket,
+            CAST(count(*) AS BIGINT) AS n_rows,
+            min(event_id) AS min_key, max(event_id) AS max_key
+          FROM events GROUP BY 1 ORDER BY 1"""
+    }
   )
 }

@@ -118,6 +118,13 @@ object SaltedStore {
     }
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // a bucket-count migration changes the SET of bucket dirs — no
+    // consistent union exists mid-swap, so fail loudly instead of
+    // returning a mix of generations (resalt is an offline operation;
+    // a standing marker is a crashed migration: resume it via resalt)
+    require(!fs.exists(new Path(root, ResaltMarker)),
+      s"read: $path has an in-flight bucket migration ($ResaltMarker) — " +
+        "re-invoke SaltedStore.resalt with the original arguments to finish it")
     val marker = new Path(root, CompactingMarker)
     if (!fs.exists(marker)) {
       val df = load(path) // eager file listing happens here
@@ -458,5 +465,100 @@ object SaltedStore {
       fs.delete(marker, false)
       fs.delete(old, true)
     }
+  }
+
+  /** Marker for an in-flight bucket-count migration (see [[resalt]]).
+    * Underscore-prefixed: invisible to Spark file listings. */
+  val ResaltMarker = "_graft_resalting"
+
+  /** RE-SALT MIGRATION — rewrite the store under a NEW distributor
+    * (bucket count or strategy change). The reference pins its layout
+    * to the distributor's parameters for the table's lifetime: the
+    * config codec exists precisely so readers and MR jobs reconstruct
+    * the SAME distributor that wrote the data
+    * (`wd/Parametrizable.java:24-27`,
+    * `wd/RowKeyDistributorByHashPrefix.java:137-152`,
+    * `wd/WdTableInputFormat.java:41-55`) — with a client-side library,
+    * changing bucketsCount orphans every written row, so the answer to
+    * "32 buckets was the wrong call" is a manual full-table copy. An
+    * engine that owns the layout does the rewrite as ONE operation:
+    * this is the resize arm of the SaltAdvisor loop (predict n →
+    * verify evenness → ACT). Cost is honest and unavoidable: one full
+    * read + one shuffle on the new bucket + one write — the same I/O
+    * the manual copy pays, without the correctness cliff.
+    *
+    * OFFLINE operation — stronger discipline than [[compact]]: pause
+    * readers AND writers. The bucket dir SET changes mid-swap, so no
+    * consistent union exists for the read-side marker fallback to
+    * serve; [[read]] refuses a store with a standing [[ResaltMarker]].
+    *
+    * Crash-safe and idempotently RESUMABLE — re-invoke with the same
+    * arguments to finish (the marker records the target distributor
+    * via DistributorCodec and refuses a mismatched resume):
+    *  1. STAGE (marker absent): the full new layout is written under
+    *     dot-prefixed `.resalt_new/` (invisible to listings); the
+    *     marker commits only after staging succeeds, so a crash here
+    *     leaves the store untouched and the next attempt restages.
+    *  2. PARK (marker up, no `.resalt_old/_DONE`): every visible
+    *     `bucket=N` moves under `.resalt_old/`; `_DONE` records
+    *     completion. Phase order makes resume unambiguous: before
+    *     `_DONE`, every visible bucket dir is old-generation.
+    *  3. SWAP (after `_DONE`): staged dirs move in — after `_DONE`,
+    *     every visible bucket dir is new-generation, so a resume moves
+    *     exactly what staging still holds. Cleanup deletes the marker
+    *     LAST: its presence keeps the store self-describing as
+    *     mid-migration. */
+  def resalt(spark: SparkSession, path: String, keyCol: Column,
+             newDist: graft.keys.Distributor, format: String = "parquet",
+             partitionPrefix: String = "bucket"): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new Path(root, ResaltMarker)
+    val staging = new Path(root, ".resalt_new")
+    val parked = new Path(root, ".resalt_old")
+    val done = new Path(parked, "_DONE")
+    val cfg = graft.keys.DistributorCodec.encode(newDist)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val recorded = try in.readUTF() finally in.close()
+      require(recorded == cfg,
+        s"resalt: in-flight migration targets '$recorded', not '$cfg' — " +
+          "resume with the original distributor")
+    } else {
+      // debris from an attempt that died before committing its marker
+      fs.delete(staging, true)
+      fs.delete(parked, true)
+      val df = read(spark, path, format, partitionPrefix = partitionPrefix)
+        .drop(partitionPrefix)
+      newDist.withBucket(df, keyCol)
+        .repartition(col("bucket"))
+        .sortWithinPartitions(keyCol)
+        .write.partitionBy("bucket").mode("overwrite").format(format)
+        .save(staging.toString)
+      val m = fs.create(marker, true)
+      try m.writeUTF(cfg) finally m.close()
+    }
+    if (!fs.exists(done)) {
+      fs.mkdirs(parked)
+      fs.listStatus(root)
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(s"$partitionPrefix="))
+        .foreach { s =>
+          require(fs.rename(s.getPath, new Path(parked, s.getPath.getName)),
+            s"resalt: could not park ${s.getPath}; migration resumable")
+        }
+      fs.create(done, true).close()
+    }
+    fs.listStatus(staging)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(s"$partitionPrefix="))
+      .foreach { s =>
+        require(fs.rename(s.getPath, new Path(root, s.getPath.getName)),
+          s"resalt: could not move ${s.getPath} into place; migration resumable")
+      }
+    fs.delete(parked, true)
+    fs.delete(staging, true)
+    fs.delete(marker, false)
   }
 }

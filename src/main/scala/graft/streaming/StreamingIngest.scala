@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.keys.Distributor
 import graft.store.SaltedStore
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
@@ -427,6 +427,45 @@ object StreamingIngest {
     withBatchCommit(batch, batchId, path, commitTag) {
       graft.store.RangeIndex.append(batch, valueCol, keyCol, width, path)
     }
+
+  /** Continuous heavy-hitter sketching — the streaming twin of
+    * `q_cms_topk`'s count-min grid. Counters are LINEAR, so the stream
+    * never keeps per-key state: each micro-batch folds into ONE 32-KiB
+    * grid row appended under the idempotent commit log, and the merged
+    * sketch is the elementwise SUM of all appended grids
+    * ([[cmsMergedGrid]]) — bit-identical to sketching the union in one
+    * batch, which the spec pins. At 100 TB/day this is the bounded-state
+    * answer to "top URLs this week": grid rows grow with BATCH COUNT,
+    * not key cardinality, and compaction is the same fold applied
+    * physically. */
+  def cmsWriter(stream: DataFrame, xCol: Column, path: String,
+                commitTag: String = "q0"): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeCmsBatchIdempotent(batch, batchId, xCol, path, commitTag)
+      }
+
+  /** One idempotent CMS micro-batch append (testing seam). */
+  def writeCmsBatchIdempotent(batch: DataFrame, batchId: Long, xCol: Column,
+                              path: String, commitTag: String = "q0"): Unit =
+    withBatchCommit(batch, batchId, path, commitTag) {
+      batch.agg(graft.functions.CmsFunctions.cms(xCol).as("grid"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(s"$path/grids")
+    }
+
+  /** The merged sketch over every appended batch grid: elementwise sum
+    * (4096 counter rows — a fixed-size fold regardless of stream
+    * length), returned driver-side like the batch query's grid. */
+  def cmsMergedGrid(spark: SparkSession, path: String): Array[Long] = {
+    import graft.functions.CmsFunctions.{Depth, Width}
+    val merged = spark.read.parquet(s"$path/grids")
+      .select(posexplode(col("grid")).as(Seq("i", "c")))
+      .groupBy("i").agg(sum("c").as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    Array.tabulate(Depth * Width)(i => merged.getOrElse(i, 0L))
+  }
 
   /** Continuous CDC ingest: each micro-batch of CHANGE rows (base
     * columns + op ∈ I/U/D) appends one delta generation to the

@@ -496,4 +496,33 @@ class StreamingSpec extends SparkSuite {
     assert(graft.pipeline.VectorIndex.read(spark, dir)
       .select("vec_id").as[Long].collect().toSet === ids2)
   }
+
+  test("streaming CMS: merged grid equals one-shot batch grid, replay safe") {
+    import spark.implicits._
+    import graft.functions.CmsFunctions
+    val dir = Files.createTempDirectory("cms_stream").toString
+    // three "days" of traffic with overlapping keys
+    val b0 = (0L until 500L).map(i => i % 37).toDF("x")
+    val b1 = (0L until 300L).map(i => i % 11).toDF("x")
+    val b2 = (0L until 200L).map(i => i * 7 % 91).toDF("x")
+    writeCmsBatchIdempotent(b0, 0L, col("x"), dir)
+    writeCmsBatchIdempotent(b1, 1L, col("x"), dir)
+    // failure replay of batch 1 must not double its counts
+    writeCmsBatchIdempotent(b1, 1L, col("x"), dir)
+    writeCmsBatchIdempotent(b2, 2L, col("x"), dir)
+    val merged = cmsMergedGrid(spark, dir)
+    val oneShot = b0.union(b1).union(b2)
+      .agg(CmsFunctions.cms(col("x")).as("g")).head().getSeq[Long](0)
+    assert(merged.toSeq == oneShot)
+    // grid rows grow with batch count, not key cardinality
+    assert(spark.read.parquet(s"$dir/grids").count() === 3)
+    // estimates from the merged grid never underestimate the union
+    val exact = b0.union(b1).union(b2).groupBy("x").count()
+      .as[(Long, Long)].collect()
+    val g = typedLit(merged.toSeq)
+    val est = exact.map(_._1).toSeq.toDF("x")
+      .withColumn("e", CmsFunctions.cmsEstimate(g, col("x")))
+      .as[(Long, Long)].collect().toMap
+    exact.foreach { case (k, c) => assert(est(k) >= c) }
+  }
 }
