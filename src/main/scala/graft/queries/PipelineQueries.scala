@@ -1626,6 +1626,55 @@ object PipelineQueries {
         .orderBy(col("exact").desc, col("k"))
     }),
 
+    // TF-IDF KEYWORD EXTRACTION — top-3 characteristic terms per doc by
+    // the integer-exact score (tf · 10^6) div df: rare-in-corpus,
+    // frequent-in-doc terms rank first, the classic tf-idf ordering
+    // without a float log (monotone in tf/df, so the ranking is the
+    // same — and both engines rank identical integers). Shape: one
+    // map-combined (doc, term) tf agg, one term-keyed df agg, an
+    // equi-join on term (NOT a broadcast — at 100 TB the vocabulary is
+    // corpus-sized), and a per-doc top-3 window whose partitions are
+    // bounded by doc vocabulary, never corpus size.
+    "q_tfidf_terms" -> ((s, dir) => {
+      val toks = documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("t"))
+      tf.join(dfreq, "t")
+        .withColumn("score", expr("(tf * 1000000) div df"))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "t", "tf", "df", "score", "rnk")
+        .orderBy("doc_id", "rnk")
+    }),
+
+    // JOIN-SIZE ESTIMATION BY SKETCH — the optimizer question "how big
+    // is this equi-join?" answered WITHOUT running it: the CMS inner
+    // product. |A ⋈ B| = Σ_v cntA(v)·cntB(v), and each grid row's
+    // Σ_bucket gridA·gridB overestimates exactly that (collisions only
+    // add), so min over the 4 rows is a one-sided estimate ≥ truth —
+    // at 100 TB each side reduces to its 32-KiB grid in one map-side
+    // pass and the estimate costs a 4096-term dot product at the
+    // driver, vs actually shuffling both sides. The exact join runs
+    // beside it so the output IS the estimator-error report.
+    "q_join_size_estimate" -> ((s, dir) => {
+      import graft.functions.CmsFunctions._
+      val bld = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val ga = orders(s, dir)
+        .select(baseHash32(col("o_custkey").cast("string")).as("x"))
+        .agg(cms(col("x"))).head().getSeq[Long](0)
+      val gb = bld.select(baseHash32(col("c_custkey").cast("string")).as("x"))
+        .agg(cms(col("x"))).head().getSeq[Long](0)
+      val est = (0 until Depth).map { r =>
+        (0 until Width).map(bk => ga(r * Width + bk) * gb(r * Width + bk)).sum
+      }.min
+      val exact = orders(s, dir)
+        .join(bld, col("o_custkey") === col("c_custkey")).count()
+      s.range(1).select(lit(exact).as("exact_pairs"), lit(est).as("est_pairs"),
+        lit(est - exact).as("overcount"))
+    }),
+
     // corpus construction: DETERMINISTIC GLOBAL SHUFFLE — the training-
     // order primitive: order docs by a content-independent hash (same
     // seed → same epoch order on any engine/cluster/run), materialize
@@ -4501,6 +4550,46 @@ object PipelineQueries {
               CAST(est.est AS BIGINT) AS est,
               CAST(est.est - top.exact AS BIGINT) AS overcount
             FROM top JOIN est USING (k) ORDER BY exact DESC, top.k"""
+      },
+
+      "q_tfidf_terms" ->
+        s"""WITH toks AS (SELECT doc_id, unnest(${duckTokens("text")}) AS t
+                         FROM documents),
+              tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+                     FROM toks GROUP BY 1, 2),
+              dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df
+                        FROM tf GROUP BY 1),
+              sc AS (SELECT doc_id, t, tf, df,
+                       CAST((tf * 1000000) // df AS BIGINT) AS score
+                     FROM tf JOIN dfreq USING (t))
+            SELECT doc_id, t, tf, df, score, rnk FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, t) AS BIGINT) AS rnk FROM sc)
+            WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+
+      "q_join_size_estimate" -> {
+        import graft.functions.CmsFunctions.{Depth, Width, RowA, RowB, P}
+        val vals = (0 until Depth).map(r =>
+          s"($r, ${RowA(r)}, ${RowB(r)})").mkString(", ")
+        s"""WITH t AS (SELECT * FROM (VALUES $vals) v(r, a, b)),
+              sa AS (SELECT ${duckBaseHash32("CAST(o_custkey AS VARCHAR)")} AS x
+                     FROM orders),
+              sb AS (SELECT ${duckBaseHash32("CAST(c_custkey AS VARCHAR)")} AS x
+                     FROM customer WHERE c_mktsegment = 'BUILDING'),
+              ga AS (SELECT r, ((x * a + b) % $P) % $Width AS bkt, count(*) AS ca
+                     FROM sa CROSS JOIN t GROUP BY 1, 2),
+              gb AS (SELECT r, ((x * a + b) % $P) % $Width AS bkt, count(*) AS cb
+                     FROM sb CROSS JOIN t GROUP BY 1, 2),
+              ip AS (SELECT ga.r, CAST(sum(ca * cb) AS BIGINT) AS p
+                     FROM ga JOIN gb ON ga.r = gb.r AND ga.bkt = gb.bkt
+                     GROUP BY 1),
+              est AS (SELECT min(p) AS est_pairs FROM ip),
+              ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_pairs
+                     FROM orders JOIN customer ON o_custkey = c_custkey
+                     WHERE c_mktsegment = 'BUILDING')
+            SELECT exact_pairs, est_pairs,
+              CAST(est_pairs - exact_pairs AS BIGINT) AS overcount
+            FROM ex, est"""
       },
 
       "q_shuffle_deterministic" ->
