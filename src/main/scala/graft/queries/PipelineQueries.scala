@@ -1675,6 +1675,40 @@ object PipelineQueries {
         lit(est - exact).as("overcount"))
     }),
 
+    // CMS SCREENING — the two-pass pattern that actually REPLACES the
+    // distinct-key shuffle at 100 TB (q_cms_topk keeps the exact groupBy
+    // beside the sketch for its error report; here the sketch does its
+    // production job): pass 1 reduces the stream to the 32-KiB grid,
+    // pass 2 drops every row whose key's estimate is under the
+    // threshold MAP-SIDE — the estimate is pure codegen'd Column
+    // arithmetic against the broadcast grid, evaluated before any
+    // exchange — and only surviving rows (heavy candidates + the few
+    // collision-boosted impostors) pay the exact count. CMS never
+    // underestimates, so no truly-heavy key can be screened out; the
+    // truly_heavy flag separates the impostors in the output.
+    "q_cms_screen" -> ((s, dir) => {
+      import graft.functions.CmsFunctions._
+      // geometric key (lowest set bit of the orderkey — counts N/2, N/4,
+      // …): a REAL heavy-hitter distribution, the regime the screen is
+      // for. The stream length N comes from the grid itself (row 0 holds
+      // every increment exactly once), so the N/64 threshold needs no
+      // extra pass.
+      val keyed = lineitem(s, dir)
+        .select(expr("l_orderkey & -l_orderkey").cast("string").as("k"))
+        .withColumn("x", baseHash32(col("k")))
+        .persist()
+      Persisted.swap("cms_screen_stream", dir, keyed)
+      val g = keyed.agg(cms(col("x")).as("grid")).head().getSeq[Long](0)
+      val grid = typedLit(g)
+      val T = g.slice(0, Width).sum / 64
+      keyed.filter(cmsEstimate(grid, col("x")) >= T)
+        .groupBy("k").agg(count(lit(1)).as("exact"))
+        .withColumn("est", cmsEstimate(grid, baseHash32(col("k"))))
+        .select(col("k"), col("exact"), col("est"),
+          (col("exact") >= T).as("truly_heavy"))
+        .orderBy("k")
+    }),
+
     // corpus construction: DETERMINISTIC GLOBAL SHUFFLE — the training-
     // order primitive: order docs by a content-independent hash (same
     // seed → same epoch order on any engine/cluster/run), materialize
@@ -4550,6 +4584,28 @@ object PipelineQueries {
               CAST(est.est AS BIGINT) AS est,
               CAST(est.est - top.exact AS BIGINT) AS overcount
             FROM top JOIN est USING (k) ORDER BY exact DESC, top.k"""
+      },
+
+      "q_cms_screen" -> {
+        import graft.functions.CmsFunctions.{Depth, Width, RowA, RowB, P}
+        val vals = (0 until Depth).map(r =>
+          s"($r, ${RowA(r)}, ${RowB(r)})").mkString(", ")
+        s"""WITH ev AS (SELECT CAST((l_orderkey & -l_orderkey) AS VARCHAR) AS k,
+                ${duckBaseHash32("CAST((l_orderkey & -l_orderkey) AS VARCHAR)")} AS x
+              FROM lineitem),
+              t AS (SELECT * FROM (VALUES $vals) v(r, a, b)),
+              grid AS (SELECT r, ((x * a + b) % $P) % $Width AS bkt, count(*) AS c
+                       FROM ev CROSS JOIN t GROUP BY 1, 2),
+              thr AS (SELECT count(*) // 64 AS tt FROM ev),
+              keys AS (SELECT k, min(x) AS x, CAST(count(*) AS BIGINT) AS exact
+                       FROM ev GROUP BY 1),
+              est AS (SELECT keys.k, keys.exact, CAST(min(g.c) AS BIGINT) AS est
+                      FROM keys CROSS JOIN t
+                        JOIN grid g ON g.r = t.r
+                          AND g.bkt = ((keys.x * t.a + t.b) % $P) % $Width
+                      GROUP BY 1, 2)
+            SELECT k, exact, est, exact >= (SELECT tt FROM thr) AS truly_heavy
+            FROM est WHERE est >= (SELECT tt FROM thr) ORDER BY k"""
       },
 
       "q_tfidf_terms" ->
