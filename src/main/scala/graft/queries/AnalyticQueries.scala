@@ -656,6 +656,38 @@ object AnalyticQueries {
         .orderBy("user_id", "valid_from_us")
     }),
 
+    // SCD2 POINT-IN-TIME attribution — "what state was the user in just
+    // BEFORE this purchase?": each fact row joins the dimension segment
+    // that PRECEDES its own (the segment containing the fact is
+    // trivially its own type — the prior segment is the informative
+    // one). No interval range-join: the segment ordinal is a running
+    // count of change flags (one per-key exchange shared by all three
+    // windows), the change-sized dimension carries lag(seg_type) as the
+    // prior state, and facts equi-join on (user, seg). At 100 TB the
+    // interval formulation explodes fact × interval candidates; this is
+    // one window pass + one hash join on a dim the size of the CHANGE
+    // stream, not the event stream.
+    "q_scd2_pit" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val e = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+        .withColumn("chg",
+          when(lag("event_type", 1).over(w).isNull ||
+            lag("event_type", 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
+        .withColumn("seg", sum("chg").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val dim = e.filter(col("chg") === 1L)
+        .select(col("user_id"), col("seg"), col("event_type").as("seg_type"))
+      val prior = dim
+        .withColumn("prior_state",
+          lag("seg_type", 1).over(Window.partitionBy("user_id").orderBy("seg")))
+        .select("user_id", "seg", "prior_state")
+      e.filter(col("event_type") === "purchase")
+        .join(prior, Seq("user_id", "seg"))
+        .select("user_id", "event_id", "ts_us", "prior_state")
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
     // WEEKLY COHORT RETENTION — the product-analytics staple: users
     // cohorted by their first active ISO week; each later active week
     // counts toward (cohort, offset). Weeks are derived in pure INTEGER
@@ -1244,6 +1276,29 @@ object AnalyticQueries {
            FROM ch WHERE prev IS NULL OR prev <> event_type)
          SELECT user_id, event_type, ts_us AS valid_from_us, valid_to_us
          FROM runs ORDER BY user_id, valid_from_us""",
+
+    "q_scd2_pit" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+               THEN 1 ELSE 0 END AS chg
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         e2 AS (
+           SELECT *, sum(chg) OVER (PARTITION BY user_id
+             ORDER BY ts_us, event_id) AS seg
+           FROM e),
+         dim AS (SELECT user_id, seg, event_type AS seg_type
+                 FROM e2 WHERE chg = 1),
+         pr AS (SELECT user_id, seg,
+                  lag(seg_type) OVER (PARTITION BY user_id ORDER BY seg)
+                    AS prior_state
+                FROM dim)
+         SELECT e2.user_id, e2.event_id, e2.ts_us, pr.prior_state
+         FROM e2 JOIN pr ON e2.user_id = pr.user_id AND e2.seg = pr.seg
+         WHERE e2.event_type = 'purchase'
+         ORDER BY e2.user_id, e2.ts_us, e2.event_id""",
 
     // same integer Monday-aligned week derivation as the Spark side —
     // the grouping key never touches a calendar function

@@ -19,7 +19,9 @@ class PlanShapeSpec extends SparkSuite {
     "q_knn_cosine_brute", "q_knn_topk_agg", "q_knn_cosine_sq8", "q_knn_cosine_pq",
     // recall joins every approximate method against the brute-force
     // ground truth, so its plan contains brute's broadcast scan
-    "q_knn_recall")
+    "q_knn_recall",
+    // truncation recall runs the brute pattern twice (full + 16-dim)
+    "q_knn_truncated")
 
   test("no BroadcastNestedLoopJoin or CartesianProduct outside the intentional kNN scans") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
