@@ -669,6 +669,8 @@ object AnalyticQueries {
     // stream, not the event stream.
     "q_scd2_pit" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      // persisted: the flagged+numbered stream feeds BOTH the dim and the
+      // fact side — without it the event table scans (and windows) twice
       val e = events(s, dir)
         .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
         .withColumn("chg",
@@ -676,6 +678,8 @@ object AnalyticQueries {
             lag("event_type", 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
         .withColumn("seg", sum("chg").over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .persist()
+      graft.queries.PipelineQueries.Persisted.swap("scd2_pit_events", dir, e)
       val dim = e.filter(col("chg") === 1L)
         .select(col("user_id"), col("seg"), col("event_type").as("seg_type"))
       val prior = dim
