@@ -233,8 +233,81 @@ object VectorIndex {
     * so a probe during (or after a crash of) [[compact]] waits out the
     * swap / recovers parked `.old_cell=N` dirs instead of silently
     * missing a cell. */
-  def read(spark: SparkSession, path: String): DataFrame =
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val (fs, root) = fsOf(spark, path)
+    // a codebook migration swaps cells AND manifest as one generation —
+    // no consistent view exists mid-swap (recluster is offline; a
+    // standing marker is a crashed migration: resume it via recluster)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, ReclusterMarker)),
+      s"read: $path has an in-flight codebook migration ($ReclusterMarker) — " +
+        "re-invoke VectorIndex.recluster with the original centroids to finish it")
     graft.store.SaltedStore.read(spark, path, partitionPrefix = "cell")
+  }
+
+  /** Marker for an in-flight codebook migration (see [[recluster]]). */
+  val ReclusterMarker = "_graft_reclustering"
+
+  /** CODEBOOK MIGRATION — rebuild the index under NEW centroids (more
+    * cells, retrained centroids) as ONE crash-safe offline operation:
+    * the IVF analog of `SaltedStore.resalt`, closing the same loop the
+    * recall/cost ladder opens (the ladder says the codebook is wrong →
+    * recluster). Cells and the codebook manifest must swap as one
+    * GENERATION — probes verify the manifest hash against the cells
+    * they scan — so the whole index migrates under the 3-phase
+    * protocol: STAGE a complete new index (cells + manifest, built by
+    * [[write]], whose manifest-after-data order proves staging
+    * completeness) in an invisible dot-dir; commit a marker recording
+    * the target codebook hash (a mismatched resume is refused); PARK
+    * every old child behind `.recluster_old/_DONE`; SWAP staged
+    * children in; delete the marker LAST. Pending tombstones fold into
+    * the rebuild (live rows only) and the old generation's deletes dir
+    * parks out with its cells — a new generation starts clean.
+    * OFFLINE: pause readers and writers; [[read]] refuses a standing
+    * marker. Resume = re-invoke with the same centroids. */
+  def recluster(spark: SparkSession, path: String, idCol: String,
+                vecCol: String, newCents: IndexedSeq[Seq[Double]]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val (fs, root) = fsOf(spark, path)
+    val marker = new Path(root, ReclusterMarker)
+    val staging = new Path(root, ".recluster_new")
+    val parked = new Path(root, ".recluster_old")
+    val done = new Path(parked, "_DONE")
+    val hash = codebookHash(newCents)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val recorded = try in.readUTF() finally in.close()
+      require(recorded == hash,
+        s"recluster: in-flight migration targets codebook '$recorded', not " +
+          s"'$hash' — resume with the original centroids")
+    } else {
+      fs.delete(staging, true) // debris from an attempt that died pre-commit
+      fs.delete(parked, true)
+      val rows = live(read(spark, path), spark, path, idCol).drop("cell", "n2")
+      write(rows, col(vecCol), newCents, staging.toString)
+      val m = fs.create(marker, true)
+      try m.writeUTF(hash) finally m.close()
+    }
+    if (!fs.exists(done)) {
+      fs.mkdirs(parked)
+      fs.listStatus(root)
+        .filterNot { s =>
+          val n = s.getPath.getName
+          n == ReclusterMarker || n == ".recluster_new" || n == ".recluster_old"
+        }
+        .foreach { s =>
+          require(fs.rename(s.getPath, new Path(parked, s.getPath.getName)),
+            s"recluster: could not park ${s.getPath}; migration resumable")
+        }
+      fs.create(done, true).close()
+    }
+    fs.listStatus(staging).foreach { s =>
+      require(fs.rename(s.getPath, new Path(root, s.getPath.getName)),
+        s"recluster: could not move ${s.getPath} into place; migration resumable")
+    }
+    fs.delete(parked, true)
+    fs.delete(staging, true)
+    fs.delete(marker, false)
+  }
 
   /** Compact the cell-partitioned index in place: streaming ingest
     * appends one file set per micro-batch per cell
