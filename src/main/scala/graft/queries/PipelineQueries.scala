@@ -49,7 +49,7 @@ object PipelineQueries {
     "q_text_phrase", "q_text_stream_ingest", "q_text_delete", "q_text_merge",
     "q_cdc_snapshot", "q_cdc_asof",
     "q_index_lookup", "q_index_range", "q_salt_advisor_verify",
-    "q_store_retention", "q_resalt_migration")
+    "q_store_retention", "q_resalt_migration", "q_recluster_migration")
 
   /** Persist hygiene across repeated invocation. Bench runs every query
     * 3+ times per process and one process may touch several SF dirs, so a
@@ -944,6 +944,40 @@ object PipelineQueries {
         .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
         .withColumn("recall_ppm", expr("(n_hits * 1000000) div 10"))
         .orderBy("q_id")
+    }),
+
+    // CODEBOOK MIGRATION, oracle-verified — VectorIndex.recluster end
+    // to end: build the index under a deliberately COARSE codebook
+    // (the first 4 of the standard 16 centroids), migrate to the full
+    // 16 under the staged-swap protocol, and read the MIGRATED
+    // layout's per-cell census. The oracle recomputes the census from
+    // first principles (argmax-cosine assignment at the 16-centroid
+    // codebook over the raw embeddings — the same duckIvfAsgCtes
+    // quantizer as the whole kNN family), so a vector lost, duplicated
+    // or left sitting in an old-generation cell breaks the hash match.
+    "q_recluster_migration" -> ((s, dir) => {
+      val v = embeddings(s, dir).select(col("vec_id"), vd(col("embedding")).as("v"))
+      val allCents: IndexedSeq[Seq[Double]] = v
+        .filter(col("vec_id").between(5, 4 + IvfC)).orderBy("vec_id")
+        .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+      val coarse = allCents.take(4)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val tag = s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+      val path = s"$tmp/graft_reclstore_$tag"
+      // migration is one-off maintenance: marker-guard it so repeated
+      // invocations time the read of the migrated index, not a rebuild
+      val marker = new org.apache.hadoop.fs.Path(path, "_RECLUSTERED")
+      val fs = marker.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(marker)) {
+        VectorIndex.write(v.filter(col("vec_id") >= 5), col("v"), coarse, path)
+        VectorIndex.recluster(s, path, "vec_id", "v", allCents)
+        fs.create(marker, true).close()
+      }
+      VectorIndex.read(s, path)
+        .groupBy(col("cell").cast("bigint").as("cell"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min("vec_id").as("min_id"), max("vec_id").as("max_id"))
+        .orderBy("cell")
     }),
 
     // similarity search, scale path: sign-LSH bucketed ANN — the cross
@@ -4200,6 +4234,13 @@ object PipelineQueries {
       // same semantics as q_knn_cosine_brute — the UDAF must reproduce the
       // row_number formulation exactly (score desc, id asc, top 10)
       "q_knn_topk_agg" -> duckBruteKnn,
+
+      "q_recluster_migration" ->
+        s"""WITH ${duckIvfAsgCtes("vec_id >= 5")}
+            SELECT CAST(cell AS BIGINT) AS cell,
+              CAST(count(*) AS BIGINT) AS n_vecs,
+              min(vec_id) AS min_id, max(vec_id) AS max_id
+            FROM asg GROUP BY 1 ORDER BY 1""",
 
       "q_knn_cosine_lsh" -> duckLshKnn,
 
