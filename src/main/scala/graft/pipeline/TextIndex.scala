@@ -593,10 +593,63 @@ object TextIndex {
     * of their own: guessing one that differs from the writer's would
     * prune to the WRONG shards and silently miss postings, so the only
     * failure mode left is a missing manifest, which fails loudly. */
-  private def layoutShards(spark: SparkSession, path: String): Int =
+  private def layoutShards(spark: SparkSession, path: String): Int = {
+    val (fs, root) = fsOf(spark, path)
+    // a shard-count migration changes the SET of shard dirs — no
+    // consistent prune exists mid-swap (reshard is offline; a standing
+    // marker is a crashed migration: resume it via reshard)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, ReshardMarker)),
+      s"probe: $path has an in-flight shard migration ($ReshardMarker) — " +
+        "re-invoke TextIndex.reshard with the original shard count to finish it")
     storedShards(spark, path).getOrElse(throw new IllegalStateException(
       s"no $ManifestFile manifest at $path — not a graft text index " +
         "(the shard count is a stored layout parameter; a probe cannot guess it)"))
+  }
+
+  /** Marker for an in-flight shard-count migration (see [[reshard]]). */
+  val ReshardMarker = "_graft_resharding"
+
+  /** SHARD-COUNT MIGRATION — rewrite the index under a NEW shard count:
+    * the text-index instance of the pinned-layout-parameter migration
+    * (`SaltedStore.resalt` for bucket counts, `VectorIndex.recluster`
+    * for codebooks — all three ride `StagedSwap`'s crash-resumable
+    * stage→park→swap protocol). The shard count is a probe-throughput /
+    * prune-selectivity trade pinned in the manifest at creation; when a
+    * grown corpus outsizes it, reshard moves POSTINGS — the corpus is
+    * never re-tokenized — through one shuffle on the new shard hash.
+    * Pending tombstones fold into the rewrite (the compact discipline:
+    * every row is already moving) and the staged manifest is recounted
+    * from surviving postings, so the new generation starts exact with
+    * zero pending counters. OFFLINE: pause writers and probes;
+    * [[layoutShards]] (every probe's first call) refuses a standing
+    * marker. Resume = re-invoke with the same shard count. */
+  def reshard(spark: SparkSession, path: String, newShards: Int): Unit = {
+    require(newShards > 0, s"shard count must be positive, got $newShards")
+    // on a RESUME the marker stands and layoutShards refuses by design —
+    // only a fresh start validates the old layout
+    val (fs0, root0) = fsOf(spark, path)
+    if (!fs0.exists(new org.apache.hadoop.fs.Path(root0, ReshardMarker)))
+      layoutShards(spark, path) // fail loudly if this is not an index
+    graft.store.StagedSwap.migrate(spark, path, ReshardMarker,
+      ".reshard_new", ".reshard_old",
+      opName = "reshard", what = "shard count", tag = s"shards=$newShards",
+      // whole root is generation-owned: shard dirs, manifest, tombstones
+      parkFilter = _ => true, swapFilter = _ => true,
+      stage = { staging =>
+        val postings = live(
+          graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
+            .drop("shard"), spark, path)
+        postings
+          .withColumn("shard", shardOf(col("t"), newShards))
+          .repartition(col("shard"))
+          .sortWithinPartitions("t", "doc_id")
+          .write.partitionBy("shard").parquet(staging)
+        // recount totals from the surviving postings (tombstones folded)
+        val r = spark.read.parquet(staging)
+          .agg(count_distinct(col("doc_id")), coalesce(sum("tf"), lit(0L))).head()
+        writeManifest(spark, staging, newShards, r.getLong(0), r.getLong(1))
+      })
+  }
 
   /** Exact-PHRASE search against the positional index: same driver-side
     * shard prune as [[searchAll]] (the shard list of the phrase's

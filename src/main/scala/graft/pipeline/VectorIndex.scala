@@ -265,49 +265,17 @@ object VectorIndex {
     * OFFLINE: pause readers and writers; [[read]] refuses a standing
     * marker. Resume = re-invoke with the same centroids. */
   def recluster(spark: SparkSession, path: String, idCol: String,
-                vecCol: String, newCents: IndexedSeq[Seq[Double]]): Unit = {
-    import org.apache.hadoop.fs.Path
-    val (fs, root) = fsOf(spark, path)
-    val marker = new Path(root, ReclusterMarker)
-    val staging = new Path(root, ".recluster_new")
-    val parked = new Path(root, ".recluster_old")
-    val done = new Path(parked, "_DONE")
-    val hash = codebookHash(newCents)
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val recorded = try in.readUTF() finally in.close()
-      require(recorded == hash,
-        s"recluster: in-flight migration targets codebook '$recorded', not " +
-          s"'$hash' — resume with the original centroids")
-    } else {
-      fs.delete(staging, true) // debris from an attempt that died pre-commit
-      fs.delete(parked, true)
-      val rows = live(read(spark, path), spark, path, idCol).drop("cell", "n2")
-      write(rows, col(vecCol), newCents, staging.toString)
-      val m = fs.create(marker, true)
-      try m.writeUTF(hash) finally m.close()
-    }
-    if (!fs.exists(done)) {
-      fs.mkdirs(parked)
-      fs.listStatus(root)
-        .filterNot { s =>
-          val n = s.getPath.getName
-          n == ReclusterMarker || n == ".recluster_new" || n == ".recluster_old"
-        }
-        .foreach { s =>
-          require(fs.rename(s.getPath, new Path(parked, s.getPath.getName)),
-            s"recluster: could not park ${s.getPath}; migration resumable")
-        }
-      fs.create(done, true).close()
-    }
-    fs.listStatus(staging).foreach { s =>
-      require(fs.rename(s.getPath, new Path(root, s.getPath.getName)),
-        s"recluster: could not move ${s.getPath} into place; migration resumable")
-    }
-    fs.delete(parked, true)
-    fs.delete(staging, true)
-    fs.delete(marker, false)
-  }
+                vecCol: String, newCents: IndexedSeq[Seq[Double]]): Unit =
+    graft.store.StagedSwap.migrate(spark, path, ReclusterMarker,
+      ".recluster_new", ".recluster_old",
+      opName = "recluster", what = "codebook", tag = codebookHash(newCents),
+      // the whole root is generation-owned: cells, codebook manifest,
+      // _SUCCESS and any tombstones park out together
+      parkFilter = _ => true, swapFilter = _ => true,
+      stage = { staging =>
+        val rows = live(read(spark, path), spark, path, idCol).drop("cell", "n2")
+        write(rows, col(vecCol), newCents, staging)
+      })
 
   /** Compact the cell-partitioned index in place: streaming ingest
     * appends one file set per micro-batch per cell

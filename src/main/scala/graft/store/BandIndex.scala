@@ -56,6 +56,11 @@ object BandIndex {
   /** nShards the index was created with; None if no index exists. */
   def storedShards(spark: SparkSession, path: String): Option[Int] = {
     val (fs, root) = fsOf(spark, path)
+    // every probe's first call — refuse a mid-migration layout (the
+    // shard-dir set changes during reshard; no consistent prune exists)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, ReshardMarker)),
+      s"probe: $path has an in-flight shard migration ($ReshardMarker) — " +
+        "re-invoke BandIndex.reshard with the original shard count to finish it")
     val p = new org.apache.hadoop.fs.Path(root, MetaFile)
     if (!fs.exists(p)) None
     else {
@@ -169,5 +174,42 @@ object BandIndex {
       partitionPrefix = "shard", transform = strip)
     val (fs, _) = fsOf(spark, path)
     fs.delete(new org.apache.hadoop.fs.Path(deletesPath(path)), true)
+  }
+
+  /** Marker for an in-flight shard-count migration (see [[reshard]]). */
+  val ReshardMarker = "_graft_resharding"
+
+  /** SHARD-COUNT MIGRATION — the band index's instance of the pinned-
+    * layout-parameter migration (StagedSwap's stage→park→swap, same as
+    * resalt / recluster / the text index's reshard). Both sharded
+    * layouts move together as one generation (bands re-hashed on the
+    * signature, sketches on doc_id — a probe shards them identically or
+    * pruning silently misses buckets, which is why the count is pinned)
+    * plus a fresh meta; pending tombstones fold into the rewrite, so
+    * the new generation starts clean. OFFLINE: pause writers and
+    * probes; [[storedShards]] (every probe's first call) refuses a
+    * standing marker. Resume = re-invoke with the same count. */
+  def reshard(spark: SparkSession, path: String, newShards: Int): Unit = {
+    require(newShards > 0, s"shard count must be positive, got $newShards")
+    // on a RESUME the marker stands and probes (incl. storedShards)
+    // refuse by design — only a fresh start validates the old layout
+    val (fs0, root0) = fsOf(spark, path)
+    if (!fs0.exists(new org.apache.hadoop.fs.Path(root0, ReshardMarker)))
+      require(storedShards(spark, path).nonEmpty, s"no band index at $path")
+    StagedSwap.migrate(spark, path, ReshardMarker,
+      ".reshard_new", ".reshard_old",
+      opName = "reshard", what = "shard count", tag = s"shards=$newShards",
+      parkFilter = _ => true, swapFilter = _ => true,
+      stage = { staging =>
+        live(spark.read.parquet(s"$path/bands").drop("shard"),
+            spark, path, "doc_id")
+          .withColumn("shard", shardOf(col("sig"), newShards))
+          .write.mode("overwrite").partitionBy("shard").parquet(s"$staging/bands")
+        live(spark.read.parquet(s"$path/sketches").drop("shard"),
+            spark, path, "doc_id")
+          .withColumn("shard", pmod(hash(col("doc_id")), lit(newShards)))
+          .write.mode("overwrite").partitionBy("shard").parquet(s"$staging/sketches")
+        writeMeta(spark, staging, newShards)
+      })
   }
 }

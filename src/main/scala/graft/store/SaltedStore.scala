@@ -510,55 +510,22 @@ object SaltedStore {
     *     mid-migration. */
   def resalt(spark: SparkSession, path: String, keyCol: Column,
              newDist: graft.keys.Distributor, format: String = "parquet",
-             partitionPrefix: String = "bucket"): Unit = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val marker = new Path(root, ResaltMarker)
-    val staging = new Path(root, ".resalt_new")
-    val parked = new Path(root, ".resalt_old")
-    val done = new Path(parked, "_DONE")
-    val cfg = graft.keys.DistributorCodec.encode(newDist)
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val recorded = try in.readUTF() finally in.close()
-      require(recorded == cfg,
-        s"resalt: in-flight migration targets '$recorded', not '$cfg' — " +
-          "resume with the original distributor")
-    } else {
-      // debris from an attempt that died before committing its marker
-      fs.delete(staging, true)
-      fs.delete(parked, true)
-      val df = read(spark, path, format, partitionPrefix = partitionPrefix)
-        .drop(partitionPrefix)
-      newDist.withBucket(df, keyCol)
-        .repartition(col("bucket"))
-        .sortWithinPartitions(keyCol)
-        .write.partitionBy("bucket").mode("overwrite").format(format)
-        .save(staging.toString)
-      val m = fs.create(marker, true)
-      try m.writeUTF(cfg) finally m.close()
-    }
-    if (!fs.exists(done)) {
-      fs.mkdirs(parked)
-      fs.listStatus(root)
-        .filter(s => s.isDirectory &&
-          s.getPath.getName.startsWith(s"$partitionPrefix="))
-        .foreach { s =>
-          require(fs.rename(s.getPath, new Path(parked, s.getPath.getName)),
-            s"resalt: could not park ${s.getPath}; migration resumable")
-        }
-      fs.create(done, true).close()
-    }
-    fs.listStatus(staging)
-      .filter(s => s.isDirectory &&
-        s.getPath.getName.startsWith(s"$partitionPrefix="))
-      .foreach { s =>
-        require(fs.rename(s.getPath, new Path(root, s.getPath.getName)),
-          s"resalt: could not move ${s.getPath} into place; migration resumable")
-      }
-    fs.delete(parked, true)
-    fs.delete(staging, true)
-    fs.delete(marker, false)
-  }
+             partitionPrefix: String = "bucket"): Unit =
+    StagedSwap.migrate(spark, path, ResaltMarker,
+      ".resalt_new", ".resalt_old",
+      opName = "resalt", what = "distributor",
+      tag = graft.keys.DistributorCodec.encode(newDist),
+      // only the bucket dirs are generation-owned: root markers like
+      // _SUCCESS (the ensure() idempotency signal) survive the migration
+      parkFilter = _.startsWith(s"$partitionPrefix="),
+      swapFilter = _.startsWith(s"$partitionPrefix="),
+      stage = { staging =>
+        val df = read(spark, path, format, partitionPrefix = partitionPrefix)
+          .drop(partitionPrefix)
+        newDist.withBucket(df, keyCol)
+          .repartition(col("bucket"))
+          .sortWithinPartitions(keyCol)
+          .write.partitionBy("bucket").mode("overwrite").format(format)
+          .save(staging)
+      })
 }
