@@ -49,7 +49,8 @@ object PipelineQueries {
     "q_text_phrase", "q_text_stream_ingest", "q_text_delete", "q_text_merge",
     "q_cdc_snapshot", "q_cdc_asof",
     "q_index_lookup", "q_index_range", "q_salt_advisor_verify",
-    "q_store_retention", "q_resalt_migration", "q_recluster_migration")
+    "q_store_retention", "q_resalt_migration", "q_recluster_migration",
+    "q_reshard_migration")
 
   /** Persist hygiene across repeated invocation. Bench runs every query
     * 3+ times per process and one process may touch several SF dirs, so a
@@ -2528,6 +2529,31 @@ object PipelineQueries {
       // the manifest, proving the count is a stored layout parameter
       // (at 100 TB you'd size this to keep shards at a few hundred GB)
       TextIndex.ensure(documents(s, dir).select("doc_id", "text"), path, shards = 64)
+      TextIndex.searchAll(s, path, Seq("batch", "small", "scan"))
+        .orderBy(col("total_tf").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // SHARD-COUNT MIGRATION, oracle-verified — TextIndex.reshard end to
+    // end: build a private index deliberately UNDER-SHARDED (4),
+    // migrate it to 9 under the shared StagedSwap protocol, and run the
+    // standard conjunctive search against the MIGRATED layout. The
+    // oracle is LITERALLY q_text_search's SQL: the shard count is a
+    // stored layout parameter, provably semantics-free across the
+    // migration — a posting lost, duplicated, or left in an
+    // old-generation shard breaks the hash match. The whole
+    // build→migrate sequence is one-off behind a marker (ensure() at
+    // the OLD count would otherwise rebuild over the migrated layout).
+    "q_reshard_migration" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_treshard_" +
+        s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+      val marker = new org.apache.hadoop.fs.Path(path, "_RESHARDED")
+      val fs = marker.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(marker)) {
+        TextIndex.ensure(documents(s, dir).select("doc_id", "text"), path, shards = 4)
+        TextIndex.reshard(s, path, 9)
+        fs.create(marker, true).close()
+      }
       TextIndex.searchAll(s, path, Seq("batch", "small", "scan"))
         .orderBy(col("total_tf").desc, col("doc_id"))
         .limit(20)
@@ -5076,6 +5102,10 @@ object PipelineQueries {
            FROM events ORDER BY epoch_us(ts), event_id""",
 
       "q_text_search" -> duckConjunctiveSearchSql,
+
+      // the SAME SQL as q_text_search: the migrated layout must answer
+      // identically — shard count is semantics-free by construction
+      "q_reshard_migration" -> duckConjunctiveSearchSql,
 
       "q_text_boolean" ->
         s"""WITH tok AS (SELECT doc_id, unnest(${duckTokens("text")}) AS t
