@@ -61,6 +61,15 @@ case class CountMinSketch(
     val v = child.eval(input)
     if (v != null) {
       val x = v.asInstanceOf[Long]
+      // SQL-surface contract enforcement: the affine row hashes are exact
+      // only for nonnegative 32-bit inputs. A negative x would make the
+      // Scala `%` keep its sign (ArrayIndexOutOfBounds on the grid); an
+      // |x| ≥ 2^44 would silently overflow x·A past Long while the DuckDB
+      // twin errors — so both are refused loudly with the documented fix.
+      if (x < 0L || x > 0xFFFFFFFFL)
+        throw new IllegalArgumentException(
+          s"count_min_sketch_grid: input $x outside [0, 2^32) — pass a " +
+            "nonnegative 32-bit base hash (e.g. graft's baseHash32)")
       var r = 0
       while (r < Depth) {
         buf(r * Width + (((x * RowA(r) + RowB(r)) % P) % Width).toInt) += 1L

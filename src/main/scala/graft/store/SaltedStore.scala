@@ -198,6 +198,29 @@ object SaltedStore {
     }
   }
 
+  /** Start a daemon thread refreshing `marker`'s mtime every `periodMs`
+    * — the direct liveness signal the compact peer guard reads (a live
+    * holder's marker never ages past livenessMs; a crashed holder's
+    * freezes at the crash). Returns the stop function. */
+  private def startHeartbeat(fs: org.apache.hadoop.fs.FileSystem,
+                             marker: org.apache.hadoop.fs.Path,
+                             periodMs: Long): () => Unit = {
+    @volatile var run = true
+    val t = new Thread(() => {
+      while (run) {
+        try {
+          val now = System.currentTimeMillis()
+          if (fs.exists(marker)) fs.setTimes(marker, now, now)
+        } catch { case _: Exception => () } // best-effort; guard falls back to stability
+        try Thread.sleep(periodMs)
+        catch { case _: InterruptedException => run = false }
+      }
+    }, s"graft-compact-heartbeat-${marker.getName}")
+    t.setDaemon(true)
+    t.start()
+    () => { run = false; t.interrupt() }
+  }
+
   /** `.old_<prefix>=N` dirs whose `<prefix>=N` is currently missing —
     * the mid-swap (or crashed-swap) partitions a reader must recover. */
   private def strandedOldBuckets(fs: org.apache.hadoop.fs.FileSystem,
@@ -386,6 +409,25 @@ object SaltedStore {
         Thread.sleep(100); waited += 100
       }
       if (fs.exists(marker)) {
+        // Liveness is detected DIRECTLY via the heartbeat every live
+        // compactor maintains on its marker (mtime refreshed each
+        // heartbeatMs, see the swap loop below) — not inferred from
+        // listing churn. A peer parked between renames for seconds
+        // (normal between Spark stages / object-store copy-renames)
+        // holds a FRESH marker, so it can no longer pass a stability
+        // check and have its swap state renamed out from under it.
+        val livenessMs = spark.conf.get("spark.graft.compact.livenessMs", "15000").toLong
+        def markerAge(): Long =
+          scala.util.Try(System.currentTimeMillis() -
+            fs.getFileStatus(marker).getModificationTime).getOrElse(Long.MaxValue)
+        require(markerAge() >= livenessMs || !fs.exists(marker),
+          s"compact: marker at $marker has a fresh heartbeat (age " +
+            s"${markerAge()}ms < livenessMs=$livenessMs) — a concurrent " +
+            "compact() appears to be running on this path (or crashed " +
+            "moments ago); concurrent compacts are forbidden — retry after " +
+            "the liveness window")
+        // Secondary evidence on a genuinely stale marker: the listing
+        // must also be at rest before recovery renames anything.
         val stabilityMs = spark.conf.get("spark.graft.compact.stabilityMs", "200").toLong
         def snap(): (Long, Set[String]) = (
           scala.util.Try(fs.getFileStatus(marker).getModificationTime).getOrElse(-1L),
@@ -458,10 +500,17 @@ object SaltedStore {
       val old = new Path(b.getPath.getParent, s".old_${b.getPath.getName}")
       val m = fs.create(marker, true)
       try m.writeUTF(b.getPath.getName) finally m.close()
-      require(fs.rename(b.getPath, old),
-        s"compact: could not move ${b.getPath} aside; bucket left untouched")
-      require(fs.rename(tmp, b.getPath),
-        s"compact: could not move $tmp into place; original preserved at $old")
+      // Heartbeat for the whole time this run holds the marker: a peer's
+      // live-compactor guard reads liveness off the marker mtime, so
+      // refresh it every heartbeatMs however long the renames stall.
+      val hb = startHeartbeat(fs, marker,
+        spark.conf.get("spark.graft.compact.heartbeatMs", "1000").toLong)
+      try {
+        require(fs.rename(b.getPath, old),
+          s"compact: could not move ${b.getPath} aside; bucket left untouched")
+        require(fs.rename(tmp, b.getPath),
+          s"compact: could not move $tmp into place; original preserved at $old")
+      } finally hb()
       fs.delete(marker, false)
       fs.delete(old, true)
     }

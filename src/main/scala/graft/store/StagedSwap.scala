@@ -27,8 +27,15 @@ import org.apache.spark.sql.SparkSession
   *     order makes resume unambiguous: before `_DONE`, every visible
   *     filtered child is old-generation; after it, new-generation.
   *  3. SWAP (after `_DONE`): staged children matching `swapFilter` move
-  *     into the root; cleanup deletes the marker LAST, so a
-  *     half-migrated store stays self-describing.
+  *     into the root; cleanup deletes the marker FIRST. Once the swap
+  *     loop completes the root IS the new generation, so the marker —
+  *     whose only job is to route a resume into PARK/SWAP — must die
+  *     before the parked dir does: a marker that outlives
+  *     `parked/_DONE` would route a resume back into PARK, which would
+  *     park (and then destroy) the freshly swapped-in generation. The
+  *     leftover parked/staging dirs are dot-dirs invisible to readers;
+  *     a crash between the three deletes leaves only debris that the
+  *     next fresh invocation clears pre-stage.
   *
   * OFFLINE by contract: migrations change the SET of layout dirs, so no
   * consistent union exists mid-swap — each caller's read path refuses a
@@ -58,6 +65,7 @@ object StagedSwap {
       fs.delete(staging, true) // debris from an attempt that died pre-commit
       fs.delete(parked, true)
       stage(staging.toString)
+      fs.mkdirs(staging) // guarantee the dir even for an empty stage
       val m = fs.create(marker, true)
       try m.writeUTF(tag) finally m.close()
     }
@@ -74,14 +82,22 @@ object StagedSwap {
         }
       fs.create(done, true).close()
     }
+    // A standing marker guarantees staging exists (staging is deleted only
+    // AFTER the marker). If it is somehow gone, refuse to proceed: the old
+    // generation sits in `parked` and cleanup would destroy the only copy.
+    require(fs.exists(staging),
+      s"$opName: marker standing but staging dir missing — refusing cleanup; " +
+        s"parked old generation preserved for manual inspection")
     fs.listStatus(staging)
       .filter(s => swapFilter(s.getPath.getName))
       .foreach { s =>
         require(fs.rename(s.getPath, new Path(root, s.getPath.getName)),
           s"$opName: could not move ${s.getPath} into place; migration resumable")
       }
+    // Marker FIRST: the root is self-consistent now, and the marker must
+    // never outlive `parked/_DONE` (see phase 3 contract above).
+    fs.delete(marker, false)
     fs.delete(parked, true)
     fs.delete(staging, true)
-    fs.delete(marker, false)
   }
 }

@@ -54,6 +54,24 @@ class CmsSketchSpec extends SparkSuite {
     assert(est.values.forall(_ == 5L))
   }
 
+  test("input outside [0, 2^32) is refused loudly, not mis-bucketed") {
+    // the SQL surface type-checks only LongType; the 32-bit contract is
+    // enforced at runtime: a negative hash would floor-mod into a
+    // negative bucket (AIOOBE), |x| >= 2^44 would silently overflow x*A
+    // in Spark while the DuckDB oracle twin errors — both refuse instead
+    for (bad <- Seq(-1L, 1L << 32, Long.MinValue, 1L << 44)) {
+      val e = intercept[org.apache.spark.SparkException] {
+        Seq(bad).toDF("x").agg(cms(col("x"))).head()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("outside [0, 2^32)")), s"for input $bad")
+    }
+    // boundary values are accepted
+    val g = Seq(0L, 0xFFFFFFFFL).toDF("x").agg(cms(col("x"))).head().getSeq[Long](0)
+    assert(g.sum == 2L * Depth)
+  }
+
   test("registered as a SQL aggregate via GraftExtensions") {
     Seq(1L, 1L, 2L).toDF("x").createOrReplaceTempView("cms_in")
     val g = spark.sql("SELECT count_min_sketch_grid(x) AS g FROM cms_in")

@@ -174,8 +174,12 @@ class StoreScanSpec extends SparkSuite {
     assert(fs.rename(new org.apache.hadoop.fs.Path(root, "bucket=1"),
       new org.apache.hadoop.fs.Path(root, ".old_bucket=1")))
     fs.mkdirs(new org.apache.hadoop.fs.Path(root, ".compact_bucket=1"))
-    val m = fs.create(new org.apache.hadoop.fs.Path(root, SaltedStore.CompactingMarker), true)
+    val mk = new org.apache.hadoop.fs.Path(root, SaltedStore.CompactingMarker)
+    val m = fs.create(mk, true)
     m.writeUTF("bucket=1"); m.close()
+    // a real crash leaves the marker's heartbeat frozen in the past —
+    // backdate it past livenessMs so the guard reads it as crashed
+    fs.setTimes(mk, System.currentTimeMillis() - 60000L, -1L)
     // a fresh compact() must restore the parked bucket FIRST — if it
     // compacted the visible state and deleted the marker, the parked
     // rows would silently vanish from every later marker-free read
@@ -222,6 +226,37 @@ class StoreScanSpec extends SparkSuite {
       assert(fs.exists(marker))
     } finally {
       stop = true; peer.join()
+      spark.conf.unset("spark.graft.compact.waitMs")
+      spark.conf.unset("spark.graft.compact.stabilityMs")
+    }
+  }
+
+  test("compact refuses a STILL peer with a fresh heartbeat (parked between renames)") {
+    // The round-13 ADVICE scenario: a live compactor parked between its
+    // two renames for longer than the stability window (normal between
+    // Spark stages) used to pass the listing-stability check and have
+    // its swap state recovered out from under it. Liveness is now read
+    // DIRECTLY off the marker heartbeat: a fresh mtime refuses recovery
+    // even when the listing holds perfectly still.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("still_peer_store").toString
+    val df = (1L to 500L).map(i => (i, i)).toDF("k", "v")
+    SaltedStore.write(df, col("k"), HashPrefix(2), dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(root, SaltedStore.CompactingMarker)
+    val m = fs.create(marker, true); m.writeUTF("bucket=0"); m.close()
+    // peer holds STILL: no marker rewrites, no listing churn — only the
+    // heartbeat mtime says it's alive (it was refreshed "just now")
+    spark.conf.set("spark.graft.compact.waitMs", "0")
+    spark.conf.set("spark.graft.compact.stabilityMs", "20")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SaltedStore.compact(spark, dir, col("k"))
+      }
+      assert(e.getMessage.contains("fresh heartbeat"))
+      assert(fs.exists(marker)) // peer state untouched
+    } finally {
       spark.conf.unset("spark.graft.compact.waitMs")
       spark.conf.unset("spark.graft.compact.stabilityMs")
     }

@@ -108,6 +108,48 @@ class ResaltSpec extends SparkSuite {
     assert(!fs.exists(new Path(root, ".resalt_old")))
   }
 
+  test("crash mid-CLEANUP: marker already gone, parked+staging debris remain") {
+    // The round-13 ADVICE data-loss window: under the old cleanup order
+    // (parked, staging, marker) a crash after delete(parked) left the
+    // marker standing with `_DONE` gone, so a resume re-entered PARK and
+    // destroyed the freshly swapped-in generation. The fix deletes the
+    // marker FIRST; the only post-swap crash debris is therefore
+    // marker-less dot-dirs. Pin: reads see the new generation through the
+    // debris, and a re-invoked resalt clears it without losing a row.
+    val (dir, rows) = freshStore()
+    SaltedStore.resalt(spark, dir, col("k"), HashPrefix(16))
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // reconstruct the crash state: swap done, marker deleted, dot debris left
+    fs.mkdirs(new Path(root, ".resalt_old"))
+    fs.create(new Path(root, ".resalt_old/_DONE"), true).close()
+    fs.mkdirs(new Path(root, ".resalt_new"))
+    assert(readBack(dir) === rows)            // debris invisible to readers
+    SaltedStore.resalt(spark, dir, col("k"), HashPrefix(16)) // idempotent re-run
+    assert(readBack(dir) === rows)
+    assert(!fs.exists(new Path(root, ".resalt_old")))
+    assert(!fs.exists(new Path(root, ".resalt_new")))
+  }
+
+  test("marker is never the last survivor: marker standing implies staging exists") {
+    // The ordering invariant that closes the data-loss window. If an
+    // external actor strips staging while the marker stands, cleanup
+    // would otherwise delete the parked dir — the only copy. Pin the
+    // loud refusal instead.
+    val (dir, _) = freshStore()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new Path(root, ".resalt_old"))
+    fs.create(new Path(root, ".resalt_old/_DONE"), true).close()
+    val m = fs.create(new Path(root, SaltedStore.ResaltMarker), true)
+    try m.writeUTF(DistributorCodec.encode(HashPrefix(16))) finally m.close()
+    // no .resalt_new on disk
+    val e = intercept[IllegalArgumentException](
+      SaltedStore.resalt(spark, dir, col("k"), HashPrefix(16)))
+    assert(e.getMessage.contains("staging dir missing"))
+    assert(fs.exists(new Path(root, ".resalt_old"))) // old generation preserved
+  }
+
   test("resume with a DIFFERENT target distributor is refused") {
     val (dir, _) = freshStore()
     val root = new Path(dir)
