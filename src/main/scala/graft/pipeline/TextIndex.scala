@@ -693,6 +693,54 @@ object TextIndex {
       .filter(col("n_occurrences") > 0)
   }
 
+  /** PROXIMITY (slop-k) search — the standard retrieval tier between
+    * exact phrase and bag-of-words BM25: documents where EVERY query
+    * term occurs within `slop` token positions of some occurrence of
+    * the FIRST term (the anchor), scored by the number of such anchor
+    * occurrences (`n_prox`). slop = 1 over a 2-term query degenerates
+    * to unordered adjacency; large slop approaches conjunctive search.
+    *
+    * Same driver-side shard prune as [[searchAll]] (static `shard IN`
+    * from the distinct terms, partitions skipped at file-listing time);
+    * the verification is position arithmetic on the fetched posting
+    * lists alone — a fold over companion slots, each `filter`ing the
+    * surviving anchors by an `exists` window check — all codegen'd
+    * array lambdas, never a document rescan. Cost is bounded by the
+    * named terms' posting lists (the conjunctive bound), per-doc work
+    * by |anchor positions| × Σ|companion positions|. */
+  def searchProximity(spark: SparkSession, path: String,
+                      terms: Seq[String], slop: Int): DataFrame = {
+    val dterms = terms.distinct
+    require(dterms.size >= 2, "searchProximity needs at least two distinct terms")
+    require(slop >= 1, "searchProximity needs slop >= 1")
+    val nShards = layoutShards(spark, path)
+    val shards = dterms.map(shardOfTerm(_, nShards)).distinct
+    import spark.implicits._
+    val slots = dterms.zipWithIndex.map { case (t, i) => (i, t) }.toDF("slot", "st")
+    val fetched = live(
+      graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
+        .filter(col("shard").isin(shards: _*))
+        .filter(col("t").isin(dterms: _*)), spark, path)
+      // append-safe: a doc's postings may span appended micro-batch files
+      .groupBy("t", "doc_id")
+      .agg(sort_array(flatten(collect_list(col("positions")))).as("positions"))
+    fetched.join(broadcast(slots), col("t") === col("st"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_slots"),
+        array_sort(collect_list(struct(col("slot"), col("positions")))).as("sl"))
+      // every term must be present before windows are checked
+      .filter(col("n_slots") === dterms.size)
+      // anchors (slot-0 positions) that survive every companion's
+      // |q − p| ≤ slop window check
+      .withColumn("anch", aggregate(
+        slice(col("sl"), 2, dterms.size - 1),
+        col("sl").getItem(0).getField("positions"),
+        (acc, x) => filter(acc, p =>
+          exists(x.getField("positions"), q => abs(q - p) <= slop))))
+      .select(col("doc_id"), size(col("anch")).as("n_prox"))
+      .filter(col("n_prox") > 0)
+  }
+
   /** PREFIX term search (vocabulary browse / autocomplete): terms
     * matching `prefix` with their document frequency and total tf. A
     * hash-sharded layout cannot prune shards for a prefix — the matching

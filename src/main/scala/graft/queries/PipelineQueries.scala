@@ -46,7 +46,8 @@ object PipelineQueries {
     "q_text_search", "q_text_search_ranked", "q_text_boolean",
     "q_text_boolean_ranked", "q_text_bm25", "q_text_bm25_live",
     "q_text_more_like_this",
-    "q_text_phrase", "q_text_stream_ingest", "q_text_delete", "q_text_merge",
+    "q_text_phrase", "q_text_proximity", "q_text_stream_ingest",
+    "q_text_delete", "q_text_merge",
     "q_cdc_snapshot", "q_cdc_asof",
     "q_index_lookup", "q_index_range", "q_salt_advisor_verify",
     "q_store_retention", "q_resalt_migration", "q_recluster_migration",
@@ -555,6 +556,22 @@ object PipelineQueries {
     * branches sit on the same range exchange (ReuseExchange plans it
     * once), so partition ids agree by construction; a missing offset
     * fails loudly rather than mis-summing. */
+  /** One-pass APPROXIMATE column profile — the scale tier of q_profile.
+    * approx_count_distinct is an ordinary mergeable aggregate (one HLL
+    * register set per column), so every column's rows/nulls/distinct/
+    * min/max fold in ONE HashAggregate over ONE scan with NO Expand —
+    * unlike the exact multi-distinct, whose Expand multiplies the
+    * exchange input by the number of distinct-counted columns. Public so
+    * the plan spec pins the no-Expand shape of exactly this frame. */
+  def approxProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      approx_count_distinct(col(c), rsd = 0.01).as(s"${c}__adist"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max")))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
   private def langRunningTokens(s: SparkSession, dir: String): DataFrame = {
     val ordered = documents(s, dir)
       .withColumn("n_tokens", size(tokens(col("text"))).cast("bigint"))
@@ -1744,6 +1761,42 @@ object PipelineQueries {
         .orderBy("k")
     }),
 
+    // CMS-DRIVEN JOIN-SKEW SALT PLAN — q_join_salt_plan's planning pass
+    // re-costed with the sketch (VERDICT r13 #5): the exact planner's
+    // groupBy carries one partial row per (key × partition) into its
+    // exchange — at URL/user-id cardinality the planning pass costs as
+    // much as the join it plans. Here pass 1 reduces the stream to the
+    // 32-KiB grid; pass 2 screens rows MAP-SIDE against the broadcast
+    // grid (codegen'd estimate, evaluated before any exchange), so only
+    // hot-candidate rows reach an aggregate at all, and the exact
+    // post-filter drops collision-boosted impostors. SOUNDNESS: CMS
+    // never underestimates, so every key with cnt·P > 2·total passes
+    // the identical screen predicate on its (≥ cnt) estimate — no hot
+    // key can be missed (spec-pinned, SaltAdvisorSpec). Hot threshold
+    // and factor are PARTITION-based (P = 32): a key is hot when it
+    // overflows 2× a fair partition share; its factor levels it back.
+    "q_join_salt_plan_cms" -> ((s, dir) => {
+      import graft.functions.CmsFunctions._
+      val P = 32L
+      val keyed = events(s, dir)
+        .select(expr("event_id & -event_id").as("key"))
+        .withColumn("x", baseHash32(col("key").cast("string")))
+        .persist()
+      Persisted.swap("cms_salt_plan_stream", dir, keyed)
+      val g = keyed.agg(cms(col("x")).as("grid")).head().getSeq[Long](0)
+      val grid = typedLit(g)
+      val total = g.slice(0, Width).sum // row 0 holds every increment once
+      keyed.filter(cmsEstimate(grid, col("x")) * P > total * 2L)
+        .groupBy("key").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * P > total * 2L) // exact trim of impostors
+        .withColumn("share_ppm", expr(
+          s"cast(cast(cnt AS decimal(38,0)) * 1000000 div ${total}L AS bigint)"))
+        .withColumn("salt_factor", expr(
+          s"cast((cast(cnt AS decimal(38,0)) * $P + ${total}L - 1) div ${total}L AS bigint)"))
+        .select("key", "cnt", "share_ppm", "salt_factor")
+        .orderBy(col("cnt").desc, col("key"))
+    }),
+
     // corpus construction: DETERMINISTIC GLOBAL SHUFFLE — the training-
     // order primitive: order docs by a content-independent hash (same
     // seed → same epoch order on any engine/cluster/run), materialize
@@ -2746,6 +2799,23 @@ object PipelineQueries {
         .orderBy(col("n_occurrences").desc, col("doc_id"))
     }),
 
+    // PROXIMITY (slop-k) search — the tier between exact phrase and
+    // bag-of-words BM25: docs where every query term occurs within 6
+    // positions of an anchor-term occurrence, scored by the number of
+    // qualifying anchors. Shard pruning identical to q_text_search (the
+    // distinct terms' shards at file-listing time); verification is a
+    // codegen'd filter/exists fold over the fetched posting lists —
+    // never a document rescan. The oracle recomputes anchors from
+    // documents with positional EXISTS subqueries — the index stays
+    // lossless, position arithmetic bit-exact (integer distances).
+    "q_text_proximity" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_tindex_" +
+        s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+      TextIndex.ensure(documents(s, dir).select("doc_id", "text"), path, shards = 64)
+      TextIndex.searchProximity(s, path, Seq("scan", "batch", "query"), slop = 6)
+        .orderBy(col("n_prox").desc, col("doc_id"))
+    }),
+
     // DELETE → FOLD → SEARCH against the tombstoned text index: docs are
     // tombstoned (visible to every probe immediately, no rewrite), then
     // one compaction folds them out physically — each shard anti-joins
@@ -3561,6 +3631,37 @@ object PipelineQueries {
             s"'$c', n, ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max")
           .mkString(", ") +
           ") as (column_name, n_rows, n_nulls, n_distinct, min_s, max_s)"))
+        .orderBy("column_name")
+    }),
+
+    // COLUMN PROFILE, APPROX TIER — the 100-TB default for the query
+    // above. The exact multi-distinct plans an Expand: the exchange
+    // carries #distinct-columns replicas of every scanned row (~5× here)
+    // — the deequ-at-scale trap. approx_count_distinct (HLL, rsd 1%) is
+    // a plain mergeable aggregate, so the REPORT half ([[approxProfile]])
+    // is ONE HashAggregate over ONE scan with NO Expand and a
+    // bytes-bounded exchange (one HLL register set per column per
+    // partition). The exact branch below exists only to grade the
+    // sketch — same discipline as q_approx_distinct: the emitted column
+    // is the oracle-computable verdict (within 5% of exact), not the
+    // sketch value (HLL internals differ across engines by design). At
+    // 100 TB you run approxProfile alone.
+    "q_profile_approx" -> ((s, dir) => {
+      val cols = Seq("event_id", "user_id", "event_type", "ts_us")
+      val e = events(s, dir).select(cols.map(col): _*)
+      // verdict harness: exact counts, collected as ONE 1-row aggregate
+      // and carried as literals (a 1-row crossJoin would plan a BNLJ)
+      val exactAggs = cols.map(c => count_distinct(col(c)).as(s"${c}__xdist"))
+      val exactRow = e.agg(exactAggs.head, exactAggs.tail: _*).head()
+      val xdist = cols.zipWithIndex
+        .map { case (c, i) => c -> exactRow.getLong(i) }.toMap
+      approxProfile(e, cols)
+        .select(expr(s"stack(${cols.size}, " + cols.map(c =>
+            s"'$c', n, ${c}__nulls, " +
+              s"abs(cast(${c}__adist as double) - cast(${xdist(c)} as double))" +
+              s" / cast(${xdist(c)} as double) <= 0.05, " +
+              s"${c}__min, ${c}__max").mkString(", ") +
+          ") as (column_name, n_rows, n_nulls, distinct_ok, min_s, max_s)"))
         .orderBy("column_name")
     }),
 
@@ -4675,6 +4776,24 @@ object PipelineQueries {
             FROM est WHERE est >= (SELECT tt FROM thr) ORDER BY k"""
       },
 
+      // the CMS screen is an implementation detail that cannot change
+      // the answer (never-underestimate ⇒ superset candidates; the
+      // exact post-filter trims to precisely the hot predicate) — so
+      // the oracle is the EXACT plan, and the hash match IS the
+      // soundness statement: sketch-planned == exact-planned
+      "q_join_salt_plan_cms" ->
+        """WITH c AS (SELECT (event_id & -event_id) AS key,
+                        CAST(count(*) AS BIGINT) AS cnt
+                      FROM events GROUP BY 1),
+              t AS (SELECT sum(cnt) AS total FROM c)
+           SELECT key, cnt,
+             CAST(CAST(cnt AS HUGEINT) * 1000000 // total AS BIGINT) AS share_ppm,
+             CAST((CAST(cnt AS HUGEINT) * 32 + total - 1) // total AS BIGINT)
+               AS salt_factor
+           FROM c CROSS JOIN t
+           WHERE cnt * 32 > total * 2
+           ORDER BY cnt DESC, key""",
+
       "q_tfidf_terms" ->
         s"""WITH toks AS (SELECT doc_id, unnest(${duckTokens("text")}) AS t
                          FROM documents),
@@ -5188,6 +5307,22 @@ object PipelineQueries {
             WHERE p0.t = 'scan'
             GROUP BY p0.doc_id
             ORDER BY n_occurrences DESC, p0.doc_id""",
+
+      "q_text_proximity" ->
+        s"""WITH tok AS (SELECT doc_id, ${duckTokens("text")} AS ts FROM documents),
+              pos AS (SELECT doc_id, unnest(ts) AS t,
+                        unnest(generate_series(1, len(ts))) AS pos FROM tok)
+            SELECT a.doc_id AS doc_id, CAST(count(*) AS INTEGER) AS n_prox
+            FROM pos a
+            WHERE a.t = 'scan'
+              AND EXISTS (SELECT 1 FROM pos b
+                          WHERE b.doc_id = a.doc_id AND b.t = 'batch'
+                            AND abs(b.pos - a.pos) <= 6)
+              AND EXISTS (SELECT 1 FROM pos c
+                          WHERE c.doc_id = a.doc_id AND c.t = 'query'
+                            AND abs(c.pos - a.pos) <= 6)
+            GROUP BY a.doc_id
+            ORDER BY n_prox DESC, a.doc_id""",
 
       "q_text_search_ranked" -> {
         // literals mirrored as Double.toString so decimal→double parsing
@@ -5740,6 +5875,25 @@ object PipelineQueries {
           s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
                 CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+                CAST(min($c) AS VARCHAR) AS min_s,
+                CAST(max($c) AS VARCHAR) AS max_s
+              FROM e"""
+        s"""WITH e AS (SELECT event_id, user_id, event_type,
+                 epoch_us(ts) AS ts_us FROM events)
+            SELECT * FROM (
+              ${Seq("event_id", "user_id", "event_type", "ts_us")
+                 .map(one).mkString("\n UNION ALL\n")}
+            ) ORDER BY column_name"""
+      },
+
+      // the HLL register values can't be reproduced by DuckDB (sketch
+      // internals differ by design) — checkable: the exact profile
+      // columns plus the within-5% verdict, which must be true
+      "q_profile_approx" -> {
+        def one(c: String) =
+          s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                true AS distinct_ok,
                 CAST(min($c) AS VARCHAR) AS min_s,
                 CAST(max($c) AS VARCHAR) AS max_s
               FROM e"""

@@ -78,6 +78,47 @@ class SaltAdvisorSpec extends SparkSuite {
     assert(u.isEmpty)
   }
 
+  test("CMS-screened salt plan: sketch-planned == exact-planned, screen runs map-side") {
+    // q_join_salt_plan_cms's soundness argument, pinned: CMS never
+    // underestimates, so every key whose true count passes the hot
+    // predicate passes the SAME predicate on its (>= true) estimate —
+    // the screen yields a SUPERSET of the hot keys, and the exact
+    // post-filter trims collision-boosted impostors, so the sketch-
+    // planned replication list is IDENTICAL to the exact planner's.
+    import graft.functions.CmsFunctions._
+    import graft.pipeline.Dedup.baseHash32
+    val P = 32L
+    // two planted hot keys over a 20k-singleton tail (the regime where
+    // the exact planner's exchange carries 20k partials for nothing)
+    val rows = Seq.fill(3000)(7L) ++ Seq.fill(2000)(13L) ++ (100000L until 120000L)
+    // a parquet source, not a local Seq: predicate pushdown slides the
+    // screen filter through any repartition onto a LocalRelation and
+    // ConvertToLocalRelation then evaluates it driver-side — the plan
+    // assertion needs the real distributed shape
+    val tmp = java.nio.file.Files.createTempDirectory("cms_plan").toString
+    rows.toDF("key").write.mode("overwrite").parquet(tmp)
+    val keyed = spark.read.parquet(tmp)
+      .withColumn("x", baseHash32(col("key").cast("string")))
+    val g = keyed.agg(cms(col("x"))).head().getSeq[Long](0)
+    val total = g.slice(0, Width).sum
+    assert(total === rows.size.toLong) // grid row 0 counts every increment once
+    def hot(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("key").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * P > total * 2L)
+        .select("key", "cnt").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val screened = keyed.filter(cmsEstimate(typedLit(g), col("x")) * P > total * 2L)
+    assert(hot(screened) === hot(keyed)) // == exact: Set((7,3000),(13,2000))
+    assert(hot(keyed) === Set((7L, 3000L), (13L, 2000L)))
+    // plan: the screen is evaluated BELOW the aggregation exchange —
+    // rows are dropped map-side, before any shuffle
+    val agg = screened.groupBy("key").agg(count(lit(1)).as("cnt"))
+    val lines = agg.queryExecution.executedPlan.toString.linesIterator.toVector
+    val exIdx = lines.indexWhere(_.contains("Exchange"))
+    val fIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("least"))
+    assert(exIdx >= 0 && fIdx > exIdx,
+      s"screen filter must sit below the exchange:\n${lines.mkString("\n")}")
+  }
+
   test("empty buckets count as maximal unevenness (under_ppm = 0)") {
     // 3 distinct keys into 64 buckets: >= 61 empty buckets
     val rep = report(Seq(1L, 2L, 3L), Seq(64))(64L)

@@ -132,6 +132,16 @@ class TextIndexSpec extends SparkSuite {
     assert(stored == Seq(shard.toInt))
   }
 
+  test("proximity probe prunes to the query terms' shards, in-shard term filter pushed") {
+    val df = TextIndex.searchProximity(spark, dir, Seq("cat", "dog"), 2)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PartitionFilters: [shard#"),
+      s"shard pruning predicate missing:\n$p")
+    assert(p.contains("In(t, [cat,dog])") || p.contains("In(t, [dog,cat])"),
+      s"term filter not pushed to the postings scan:\n$p")
+  }
+
   test("streaming append: disjoint batches accumulate, replays skip, compact preserves") {
     val d3 = java.nio.file.Files.createTempDirectory("tindex3").toString
     val b0 = Seq((1L, "alpha beta"), (2L, "alpha gamma")).toDF("doc_id", "text")
@@ -184,6 +194,41 @@ class TextIndexSpec extends SparkSuite {
     val one = TextIndex.searchPhrase(spark, dir, Seq("the"))
       .orderBy("doc_id").as[(Long, Int)].collect().toSeq
     assert(one == Seq((1L, 2), (2L, 3)))
+  }
+
+  test("proximity search counts slop-window anchors from positions alone") {
+    // docs fixture positions (0-based per doc):
+    //   doc1: the(0,4) cat(1) sat(2) on(3) mat(5)
+    //   doc2: the(0,3,6) dog(1) ate(2) bone(4) of(5) day(7)
+    //   doc3: cat(0) and(1,3) dog(2) bird(4)
+    // ("cat","dog") slop 2: doc3 only — |2−0| = 2 ≤ 2, one cat anchor
+    val s2 = TextIndex.searchProximity(spark, dir, Seq("cat", "dog"), slop = 2)
+      .orderBy("doc_id").as[(Long, Int)].collect().toSeq
+    assert(s2 == Seq((3L, 1)))
+    // ("cat","mat") never adjacent but within 4: doc1, anchor cat@1, mat@5
+    assert(TextIndex.searchProximity(spark, dir, Seq("cat", "mat"), 3).count() == 0)
+    val s4 = TextIndex.searchProximity(spark, dir, Seq("cat", "mat"), 4)
+      .as[(Long, Int)].collect().toSeq
+    assert(s4 == Seq((1L, 1)))
+    // three terms, every companion must be inside the window of the SAME
+    // anchor: ("the","bone","day") slop 3 in doc2 → anchors the@3 (bone
+    // 1 away, day 4 away? |7−3|=4 > 3 ✗), the@6 (bone 2, day 1 ✓),
+    // the@0 (bone 4 ✗) → exactly one anchor
+    val s3 = TextIndex.searchProximity(spark, dir, Seq("the", "bone", "day"), 3)
+      .as[(Long, Int)].collect().toSeq
+    assert(s3 == Seq((2L, 1)))
+    // anchor multiplicity: ("the","dog") slop 3 in doc2 → anchors
+    // the@0 (dog@1 ✓), the@3 (✓), the@6 (|1−6|=5 ✗) → n_prox 2
+    val sm = TextIndex.searchProximity(spark, dir, Seq("the", "dog"), 3)
+      .as[(Long, Int)].collect().toSeq
+    assert(sm == Seq((2L, 2)))
+    // a term absent from the index yields no hits, not an error
+    assert(TextIndex.searchProximity(spark, dir, Seq("cat", "zebra"), 9).count() == 0)
+    // contract guards
+    intercept[IllegalArgumentException](
+      TextIndex.searchProximity(spark, dir, Seq("cat"), 2))
+    intercept[IllegalArgumentException](
+      TextIndex.searchProximity(spark, dir, Seq("cat", "dog"), 0))
   }
 
   test("phrase search handles repeated terms and multiple occurrences") {

@@ -45,6 +45,17 @@ class PlanShapeSpec extends SparkSuite {
     assert(plan("q_knn_cosine_ivf").contains("BroadcastHashJoin"))
   }
 
+  test("q_profile_approx: the report aggregate plans NO Expand; exact tier keeps its Expand") {
+    // the approx tier exists to remove the exact multi-distinct's Expand
+    // (input ×#distinct-columns into the exchange); if an Expand shows
+    // up here the scale rationale is gone even though values still pass
+    val p = plan("q_profile_approx")
+    assert(!p.contains("Expand"), s"approx profile must not Expand:\n$p")
+    // contrast pin: the exact tier legitimately pays the Expand — if
+    // this stops holding, the comment in both queries is stale
+    assert(plan("q_profile").contains("Expand"))
+  }
+
   test("exact dedup aggregates partially before its one exchange") {
     val p = plan("q_dedup_exact")
     assert(p.contains("partial_min") || p.contains("partial_count"))
