@@ -1,0 +1,335 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SCALE-SLOPE HARNESS — measures sec-vs-rows for the heavy operator
+  * families on deterministic synthetic corpora at 1×/10×/100× the sf0.1
+  * grain (5k docs / 2k vectors), converting the "scales by design"
+  * judgments into measured slopes. Families: band-index build+probe,
+  * SemDedup (IVF blocking + subdivision + CC), text-index build+probe,
+  * PPJoin similarity self-join, exact-substring dedup, and one gated
+  * global-window rescue.
+  *
+  * GENERATORS are pure codegen'd expressions (xxhash64-seeded, no UDF,
+  * no driver loop): text is a pure function of doc_id, so duplicates
+  * are planted by GENERATING another id's text — every 71st doc an
+  * exact copy of its predecessor, every 33rd a near-dup (same
+  * corpus-construction trick as the oracle queries). Vocabulary grows
+  * Heaps-style (V ≈ 4·N^0.75) with a quadratic-skew rank draw
+  * (Zipf-lite), so term dfs, shingle uniqueness and prefix-token rarity
+  * evolve the way a real corpus's do. Embeddings are 64-dim with
+  * planted clusters of ~50 (center = hash of cluster id, ±0.08 noise)
+  * plus exact ×2-scaled duplicates every 40th vector — cosine-exact
+  * dups, the SemDedup regime.
+  *
+  * LAYOUT PARAMETERS SCALE WITH THE DATA the way a production
+  * deployment's would: the text/band shard count grows ∝ N (the
+  * pinned-at-build sizing decision the reshard migrations exist to
+  * revise), and the SemDedup subdivision factor targets a fixed
+  * ~64-vector cell, so probe volume and per-row pair work are
+  * scale-invariant BY CONFIGURATION — the slopes then measure the
+  * ENGINE, not a mis-sized layout.
+  *
+  * Usage (plain java or sbt runMain):
+  *   graft.Scaling [tiersCsv] [outMd] [familiesCsv]
+  *     tiersCsv    default "1,10,100" (multipliers of 5k docs / 2k vecs)
+  *     outMd       default "SCALING.md" (absolute path recommended)
+  *     familiesCsv default all of
+  *       text_index,band_index,semdedup,simjoin,substring,window_rescue
+  */
+object Scaling {
+  private val DocsBase = 5000L
+  private val VecsBase = 2000L
+  private val WindowBase = 60000L
+  private val Dims = 64
+
+  // ---- deterministic generators (pure expressions) ------------------
+
+  /** Uniform [0,1) from the xxhash64 of the argument columns. */
+  private def u01(cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+    pmod(xxhash64(cols: _*), lit(1000000000L)).cast("double") / 1e9
+
+  /** Heaps-ish vocabulary growth: V ≈ 4·N^0.75, floor 2000. */
+  def vocabOf(n: Long): Long =
+    math.max(2000L, (4.0 * math.pow(n.toDouble, 0.75)).toLong)
+
+  /** Deterministic text of a doc id: 40–80 words, ranks drawn with
+    * quadratic skew (u² → light Zipf head) over the tier vocabulary. */
+  private def textOf(id: org.apache.spark.sql.Column, vocab: Long): org.apache.spark.sql.Column = {
+    val len = (pmod(xxhash64(lit("len"), id), lit(41L)) + lit(40L)).cast("int")
+    array_join(
+      transform(sequence(lit(0), len - 1), i => {
+        val uu = u01(lit("w"), id, i)
+        concat(lit("w"), floor(uu * uu * lit(vocab.toDouble)).cast("long").cast("string"))
+      }), " ")
+  }
+
+  /** n synthetic docs with planted exact (every 71st) and near (every
+    * 33rd) duplicates of their predecessor. */
+  def synthDocs(s: SparkSession, n: Long): DataFrame = {
+    val v = vocabOf(n)
+    s.range(n).select(col("id").as("doc_id"),
+      when(pmod(col("id"), lit(71L)) === 0L && col("id") > 0L,
+        textOf(col("id") - 1L, v))
+      .when(pmod(col("id"), lit(33L)) === 0L && col("id") > 0L,
+        concat(textOf(col("id") - 1L, v), lit(" w0 w1 w2")))
+      .otherwise(textOf(col("id"), v)).as("text"))
+  }
+
+  /** A fresh 8-doc probe batch: even slots duplicate a pseudo-random
+    * corpus doc (index-probe hits), odd slots are novel text. */
+  def synthBatch(s: SparkSession, n: Long): DataFrame = {
+    val v = vocabOf(n)
+    s.range(8).select((col("id") + n).as("doc_id"),
+      when(pmod(col("id"), lit(2L)) === 0L,
+        textOf(pmod(xxhash64(lit("pick"), col("id")), lit(n)), v))
+      .otherwise(textOf(col("id") + n, v)).as("text"))
+  }
+
+  /** n synthetic 64-dim vectors in ~n/50 planted clusters; every 40th
+    * vector is its predecessor ×2 — a cosine-EXACT duplicate. */
+  def synthVecs(s: SparkSession, n: Long): DataFrame = {
+    val k = math.max(4L, n / 50L)
+    val src = when(pmod(col("id"), lit(40L)) === 0L && col("id") > 0L,
+      col("id") - 1L).otherwise(col("id"))
+    val sc = when(pmod(col("id"), lit(40L)) === 0L && col("id") > 0L,
+      lit(2.0)).otherwise(lit(1.0))
+    val cl = pmod(xxhash64(lit("cl"), src), lit(k))
+    s.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(Dims - 1)), d =>
+        sc * ((u01(lit("c"), cl, d) * 2.0 - 1.0)
+          + lit(0.08) * (u01(lit("nz"), src, d) * 2.0 - 1.0))).as("v"))
+  }
+
+  // ---- measurement ----------------------------------------------------
+
+  final case class M(family: String, tier: Int, phase: String,
+                     rows: Long, sec: Double, out: Long)
+  private val results = scala.collection.mutable.ArrayBuffer[M]()
+
+  private def timed(family: String, tier: Int, phase: String, rows: Long)
+                   (body: => Long): Unit = {
+    val t0 = System.nanoTime()
+    val out = body
+    val sec = (System.nanoTime() - t0) / 1e9
+    results += M(family, tier, phase, rows, sec, out)
+    println(f"""{"family":"$family","tier":$tier,"phase":"$phase","rows":$rows,"sec":$sec%.2f,"out_rows":$out}""")
+  }
+
+  // ---- families -------------------------------------------------------
+
+  private def famTextIndex(s: SparkSession, docs: DataFrame, n: Long,
+                           tier: Int, tmp: String): Unit = {
+    val path = s"$tmp/tindex_x$tier"
+    // shard count ∝ N: the build-time sizing a production index uses
+    // (bounded per-shard postings) — probes then read scale-invariant
+    // shard volume, paying only the O(shards) listing
+    timed("text_index", tier, "build", n) {
+      pipeline.TextIndex.write(docs, path, shards = 64 * tier); n
+    }
+    timed("text_index", tier, "probe_conj", n) {
+      pipeline.TextIndex.searchAll(s, path, Seq("w1", "w5", "w13")).count()
+    }
+    timed("text_index", tier, "probe_bm25", n) {
+      pipeline.TextIndex.searchRanked(s, path, Seq("w1", "w5", "w13"), b = 0.75).count()
+    }
+  }
+
+  private def famBandIndex(s: SparkSession, docs: DataFrame, n: Long,
+                           tier: Int, tmp: String): Unit = {
+    val path = s"$tmp/bindex_x$tier"
+    timed("band_index", tier, "build", n) {
+      graft.store.BandIndex.write(pipeline.Dedup.docSketch(docs), path,
+        nShards = 64 * tier); n
+    }
+    val batchSketch = pipeline.Dedup.docSketch(synthBatch(s, n)).persist()
+    batchSketch.count() // materialize outside the timed probe
+    timed("band_index", tier, "probe", n) {
+      graft.store.BandIndex.probeCandidates(s, path,
+        pipeline.Dedup.bandRows(batchSketch, "doc_id"), "doc_id").count()
+    }
+    batchSketch.unpersist()
+  }
+
+  private def famSemDedup(s: SparkSession, vecs: DataFrame, n: Long,
+                          tier: Int): Unit = {
+    import pipeline.Similarity._
+    timed("semdedup", tier, "run", n) {
+      // fixed 64-centroid coarse codebook (first 64 corpus vectors), hot
+      // cells subdivided to a ~64-vector target — cell size is then
+      // scale-invariant by configuration and pair work stays ∝ N·cell
+      val cents: IndexedSeq[Seq[Double]] = vecs.filter(col("vec_id") < 64)
+        .orderBy("vec_id").collect()
+        .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+      val subK = math.max(2, (n / 64 / 64).toInt)
+      val asg0 = vecs.select(col("vec_id"), col("v"))
+        .withColumn("n2", norm2(col("v")))
+        .withColumn("cell", ivfCell(col("v"), col("n2"), cents))
+      val asg = subdivideCells(asg0, "vec_id", "v", "n2", "cell",
+        maxCell = 96L, subK = subK).persist()
+      asg.count()
+      val a = asg.select(col("vec_id").as("a"), col("v").as("va"),
+        col("n2").as("n2a"), col("cell"), col("subcell"))
+      val b = asg.select(col("vec_id").as("b"), col("v").as("vb"),
+        col("n2").as("n2b"), col("cell"), col("subcell"))
+      val dup = a.join(b, Seq("cell", "subcell"))
+        .filter(col("a") < col("b"))
+        .withColumn("cos", cosine(dot(col("va"), col("vb")), col("n2a"), col("n2b")))
+        .filter(col("cos") > 0.999)
+        .select("a", "b")
+      val out = pipeline.Dedup.connectedComponents(dup).count()
+      asg.unpersist()
+      out
+    }
+  }
+
+  private def famSimjoin(s: SparkSession, docs: DataFrame, n: Long,
+                         tier: Int): Unit = {
+    timed("simjoin", tier, "run", n) {
+      val sets = graft.pipeline.TextAnalysis.shingleRows(docs)
+        .withColumn("x", pipeline.Dedup.baseHash32(col("s")))
+        .select("doc_id", "x").distinct().persist()
+      val out = queries.PipelineQueries
+        .simjoinPrefixCore(sets, s"scaling_x$tier").count()
+      sets.unpersist()
+      queries.PipelineQueries.releaseCaches()
+      out
+    }
+  }
+
+  private def famSubstring(s: SparkSession, docs: DataFrame, n: Long,
+                           tier: Int): Unit = {
+    timed("substring", tier, "run", n) {
+      pipeline.Dedup.duplicatedSpans(docs).count()
+    }
+  }
+
+  private def famWindowRescue(s: SparkSession, n: Long, tier: Int): Unit = {
+    val rows = WindowBase * tier
+    val gateKey = plans.GlobalWindowGate.MinBytesKey
+    val prev = s.conf.getOption(gateKey)
+    s.conf.set(gateKey, "0") // pin the rescue open: ITS slope is the measurement
+    try timed("window_rescue", tier, "run", rows) {
+      val e = s.range(rows).select(col("id"),
+        xxhash64(lit("h"), col("id")).as("h"),
+        pmod(col("id"), lit(997L)).as("v"))
+      e.createOrReplaceTempView("scaling_events")
+      val w = s.sql(
+        """SELECT id, row_number() OVER (ORDER BY h, id) AS rn,
+                  sum(v)       OVER (ORDER BY h, id) AS rs
+           FROM scaling_events""")
+      w.agg(sum(col("rn") + col("rs"))).collect()
+      rows
+    } finally prev match {
+      case Some(v0) => s.conf.set(gateKey, v0)
+      case None => s.conf.unset(gateKey)
+    }
+  }
+
+  // ---- report ---------------------------------------------------------
+
+  /** slope(a→b) = (t_b/t_a) / (rows_b/rows_a): 1.0 = perfectly linear,
+    * <1 sublinear, >1 superlinear. */
+  private def renderMd(tiers: Seq[Int], calib: String): String = {
+    val sb = new StringBuilder
+    sb ++= "# SCALING — measured sec-vs-rows slopes for the heavy families\n\n"
+    sb ++= "Synthetic deterministic corpora at 1×/10×/100× the sf0.1 grain\n"
+    sb ++= "(generators + layout sizing: `graft.Scaling` scaladoc). Slope\n"
+    sb ++= "between tiers = (t_hi/t_lo)/(rows_hi/rows_lo): **1.0 = perfectly\n"
+    sb ++= "linear**, <1 sublinear, >1 superlinear. Probe phases report\n"
+    sb ++= "absolute seconds (expectation: ~flat — probes are batch-sized,\n"
+    sb ++= "not corpus-sized). Single-run wall times on a shared box — read\n"
+    sb ++= s"the calibration line before trusting deltas <1.5×.\n\nCalib: `$calib`\n\n"
+    sb ++= "## Superlinear offenders this harness found (and their fixes)\n\n"
+    sb ++= "The first full run (r14) measured two genuine engine defects that\n"
+    sb ++= "sf0.1-scale testing could never see:\n\n"
+    sb ++= "1. **band_index build 465s at 100× (4.3× superlinear)** —\n"
+    sb ++= "   `BandIndex.write/append/reshard` ran `partitionBy(\"shard\")`\n"
+    sb ++= "   WITHOUT repartitioning on the shard first, so every one of the\n"
+    sb ++= "   32 input tasks wrote a file into ~every one of the 6400 shard\n"
+    sb ++= "   dirs: ~400k file commits for 2M rows. (`TextIndex.write`\n"
+    sb ++= "   already repartitioned — same bytes, same shard count, 36s.)\n"
+    sb ++= "   Fixed: one shard exchange + in-shard sort before the write,\n"
+    sb ++= "   one file per shard.\n"
+    sb ++= "2. **index probes grew ∝ corpus (1.2s → 10.4s for the SAME\n"
+    sb ++= "   3-term probe)** — probes pruned partitions with a filter,\n"
+    sb ++= "   which Spark applies only AFTER enumerating every partition\n"
+    sb ++= "   dir; with the shard count sized ∝ corpus (the bounded-shard-\n"
+    sb ++= "   bytes rule), the O(shards) listing dominated the O(probe)\n"
+    sb ++= "   read. Fixed: `SaltedStore.readPartitions` constructs the\n"
+    sb ++= "   probed shard dirs directly (basePath read, marker-aware\n"
+    sb ++= "   fallback), so a probe's listing is O(probed shards) at any\n"
+    sb ++= "   corpus size — text and band probes both ride it now.\n\n"
+    sb ++= "The tables below are measured on the FIXED engine.\n\n"
+    val fams = results.map(_.family).distinct
+    for (f <- fams) {
+      sb ++= s"## $f\n\n| phase | " +
+        tiers.map(t => s"×$t rows | ×$t sec").mkString(" | ") +
+        " | slopes |\n"
+      sb ++= "|---|" + tiers.flatMap(_ => Seq("---", "---")).mkString("|") + "|---|\n"
+      val phases = results.filter(_.family == f).map(_.phase).distinct
+      for (ph <- phases) {
+        val ms = tiers.flatMap(t => results.find(m =>
+          m.family == f && m.phase == ph && m.tier == t))
+        val slopes = ms.sliding(2).collect { case Seq(a, b) =>
+          val sl = (b.sec / a.sec) / (b.rows.toDouble / a.rows)
+          f"×${a.tier}→×${b.tier}: $sl%.2f"
+        }.mkString(", ")
+        sb ++= s"| $ph | " + ms.map(m => f"${m.rows}%,d | ${m.sec}%.1f").mkString(" | ") +
+          s" | $slopes |\n"
+      }
+      sb ++= "\n"
+    }
+    sb ++= "Raw measurements (JSON lines):\n\n```\n"
+    results.foreach { m =>
+      sb ++= f"""{"family":"${m.family}","tier":${m.tier},"phase":"${m.phase}","rows":${m.rows},"sec":${m.sec}%.2f,"out_rows":${m.out}}%n"""
+    }
+    sb ++= "```\n"
+    sb.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val tiers = args.lift(0).getOrElse("1,10,100").split(',').map(_.trim.toInt).toSeq
+    val outMd = args.lift(1).getOrElse("SCALING.md")
+    val fams = args.lift(2).map(_.split(',').map(_.trim).toSet)
+      .getOrElse(Set("text_index", "band_index", "semdedup", "simjoin",
+        "substring", "window_rescue"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val calibPre = Calib.bracketAll(cpus.toInt)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_scaling_p${ProcessHandle.current().pid()}"
+    for (tier <- tiers) {
+      val nDocs = DocsBase * tier
+      val nVecs = VecsBase * tier
+      // materialize generated inputs to parquet (untimed): the families
+      // then measure real scans, not generator codegen
+      val docsPath = s"$tmp/docs_x$tier"
+      val vecsPath = s"$tmp/vecs_x$tier"
+      synthDocs(spark, nDocs).write.mode("overwrite").parquet(docsPath)
+      synthVecs(spark, nVecs).write.mode("overwrite").parquet(vecsPath)
+      val docs = spark.read.parquet(docsPath)
+      val vecs = spark.read.parquet(vecsPath)
+      println(s"""{"tier":$tier,"docs":$nDocs,"vecs":$nVecs,"vocab":${vocabOf(nDocs)}}""")
+      if (fams("text_index")) famTextIndex(spark, docs, nDocs, tier, tmp)
+      if (fams("band_index")) famBandIndex(spark, docs, nDocs, tier, tmp)
+      if (fams("semdedup")) famSemDedup(spark, vecs, nVecs, tier)
+      if (fams("simjoin")) famSimjoin(spark, docs, nDocs, tier)
+      if (fams("substring")) famSubstring(spark, docs, nDocs, tier)
+      if (fams("window_rescue")) famWindowRescue(spark, nDocs, tier)
+      spark.catalog.clearCache()
+    }
+    val calibPost = Calib.bracketAll(cpus.toInt)
+    val calib = Calib.json(cpus, calibPre, calibPost)
+    val md = renderMd(tiers, calib)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outMd),
+      md.getBytes("UTF-8"))
+    println(s"""{"scaling_md":"$outMd","n_measurements":${results.size},"calib_sec":$calib}""")
+  }
+}

@@ -474,8 +474,7 @@ object TextIndex {
         "tombstoned; run compact() to fold deletes) — nothing to rank")
     val shards = terms.map(shardOfTerm(_, nShards)).distinct
     val postings = live(
-      graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
-        .filter(col("shard").isin(shards: _*))
+      graft.store.SaltedStore.readPartitions(spark, path, shards, partitionPrefix = "shard")
         .filter(col("t").isin(terms: _*)), spark, path)
       // re-aggregate per (t, doc): append-safe (postings may span files);
       // dl is per-doc constant, max() just survives the file split
@@ -543,8 +542,7 @@ object TextIndex {
     require(terms.nonEmpty, "termDf needs at least one term")
     val nShards = layoutShards(spark, path)
     val shards = terms.map(shardOfTerm(_, nShards)).distinct
-    live(graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
-        .filter(col("shard").isin(shards: _*))
+    live(graft.store.SaltedStore.readPartitions(spark, path, shards, partitionPrefix = "shard")
         .filter(col("t").isin(terms: _*)), spark, path)
       .groupBy("t").agg(count_distinct(col("doc_id")).as("df"))
   }
@@ -580,8 +578,7 @@ object TextIndex {
                            terms: Seq[String]): DataFrame = {
     val nShards = layoutShards(spark, path)
     val shards = terms.map(shardOfTerm(_, nShards)).distinct
-    live(graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
-        .filter(col("shard").isin(shards: _*))
+    live(graft.store.SaltedStore.readPartitions(spark, path, shards, partitionPrefix = "shard")
         .filter(col("t").isin(terms: _*)), spark, path)
       .select(col("doc_id").as("__ex_id")).distinct()
   }
@@ -671,8 +668,7 @@ object TextIndex {
     import spark.implicits._
     val slots = phrase.zipWithIndex.map { case (t, i) => (i, t) }.toDF("slot", "st")
     val fetched = live(
-      graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
-        .filter(col("shard").isin(shards: _*))
+      graft.store.SaltedStore.readPartitions(spark, path, shards, partitionPrefix = "shard")
         .filter(col("t").isin(terms: _*)), spark, path)
       // append-safe: a doc's postings may span appended micro-batch files
       .groupBy("t", "doc_id")
@@ -718,8 +714,7 @@ object TextIndex {
     import spark.implicits._
     val slots = dterms.zipWithIndex.map { case (t, i) => (i, t) }.toDF("slot", "st")
     val fetched = live(
-      graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
-        .filter(col("shard").isin(shards: _*))
+      graft.store.SaltedStore.readPartitions(spark, path, shards, partitionPrefix = "shard")
         .filter(col("t").isin(dterms: _*)), spark, path)
       // append-safe: a doc's postings may span appended micro-batch files
       .groupBy("t", "doc_id")
@@ -774,8 +769,7 @@ object TextIndex {
     // SaltedStore's marker-aware read on the shard layout: a probe during
     // (or after a crash of) compact waits out the swap instead of
     // silently missing a shard
-    live(graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
-        .filter(col("shard").isin(shards: _*))
+    live(graft.store.SaltedStore.readPartitions(spark, path, shards, partitionPrefix = "shard")
         .filter(col("t").isin(terms: _*)), spark, path)
       .groupBy("doc_id")
       // count_distinct, not count: a doc whose postings span appended

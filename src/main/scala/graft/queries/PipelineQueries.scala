@@ -572,6 +572,76 @@ object PipelineQueries {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** PPJoin prefix-filtered exact-Jaccard self-join (τ = 1/2) — the core
+    * shared by q_simjoin_prefix and the scale harness (graft.Scaling).
+    * `sets` must be DISTINCT (doc_id, x) hashed-shingle rows, already
+    * persisted by the caller (the df agg, the prefix window and the
+    * verify sides all read it). `dir` keys the prefix cut's persist
+    * site. Output: (a, b, jaccard) pairs with J ≥ 1/2, a < b. */
+  def simjoinPrefixCore(sets: DataFrame, dir: String): DataFrame = {
+    val dfreq = sets.groupBy("x").agg(count(lit(1)).as("df"))
+    // persisted: BOTH self-join sides read the prefix cut — unpinned,
+    // the df-order window (sort exchange + two Window nodes) ran twice
+    val pref = sets.join(dfreq, "x")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "x")).cast("bigint"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("rn") <= col("n") - expr("(n + 1) div 2") + 1L)
+      .select("doc_id", "x", "rn", "n")
+      .persist()
+    Persisted.swap("simjoin_pref", dir, pref)
+    // candidate generation = ONE groupBy over the prefix-token matches
+    // (replacing a distinct — same shuffle), carrying two sound
+    // prefilters that kill pairs BEFORE the verify join:
+    //  - size (same as the oracle's): J ≥ τ forces τ·max ≤ min, so
+    //    for τ = 1/2 a pair with 2·min < max cannot verify;
+    //  - PPJoin POSITIONAL filter: for the FIRST shared prefix token
+    //    (positions mi in a's df-order, mj in b's — the same token
+    //    attains both minima, since both docs rank by the one global
+    //    (df, x) order), every OTHER shared token sorts after it in
+    //    BOTH docs (were it earlier it would itself be a prefix match
+    //    at smaller positions), so |A∩B| ≤ 1 + min(na−mi, nb−mj);
+    //    J ≥ 1/2 ⟺ 3·|A∩B| ≥ na+nb, so pairs whose positional bound
+    //    can't reach (na+nb)/3 are dead on arrival. Measured at
+    //    sf0.1: 1.19M candidates → 483k (2.5×) for two long columns
+    //    and one codegen'd filter.
+    val cand = pref.as("pa").join(pref.as("pb"),
+        col("pa.x") === col("pb.x") && col("pa.doc_id") < col("pb.doc_id") &&
+          lit(2L) * least(col("pa.n"), col("pb.n")) >=
+            greatest(col("pa.n"), col("pb.n")))
+      .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"),
+        col("pa.n").as("na"), col("pb.n").as("nb"),
+        col("pa.rn").as("i"), col("pb.rn").as("j"))
+      .groupBy("a", "b", "na", "nb")
+      .agg(min(col("i")).as("mi"), min(col("j")).as("mj"))
+      .filter(lit(3L) * (lit(1L) + least(col("na") - col("mi"),
+        col("nb") - col("mj"))) >= col("na") + col("nb"))
+    // verify: attach each side's full hash set ONCE (collect_list is
+    // exact here — `sets` rows are already distinct) and count the
+    // intersection with a single codegen'd array_intersect per pair.
+    // The previous shape (Dedup.jaccard = THREE array_distinct
+    // hash-set builds per row, re-evaluated by the filter AND the
+    // projection) burned ~500 CPU-seconds at sf0.1 under host memory
+    // pressure — the r12 driver artifact ran this query at 76s with a
+    // CLEAN ALU calibration, because pointer-chasing work degrades
+    // under memory contention that the xorshift probe can't see.
+    // |A∪B| = na + nb − |A∩B|, so the jaccard division sees the same
+    // exact integers as the oracle's list-based formula — and the
+    // τ-filter is applied as pure-integer 3·|A∩B| ≥ na+nb
+    // (⟺ J ≥ 1/2), no float boundary anywhere.
+    val full = sets.groupBy("doc_id").agg(collect_list("x").as("sh"))
+    cand
+      .join(full.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(full.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("bigint"))
+      .filter(lit(3L) * col("inter") >= col("na") + col("nb"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
+      .select("a", "b", "jaccard")
+      .orderBy("a", "b")
+  }
+
   private def langRunningTokens(s: SparkSession, dir: String): DataFrame = {
     val ordered = documents(s, dir)
       .withColumn("n_tokens", size(tokens(col("text"))).cast("bigint"))
@@ -777,69 +847,8 @@ object PipelineQueries {
         .withColumn("x", baseHash32(col("s")))
         .select("doc_id", "x").distinct().persist()
       Persisted.swap("simjoin_sets", dir, sets)
-      val dfreq = sets.groupBy("x").agg(count(lit(1)).as("df"))
-      // persisted: BOTH self-join sides read the prefix cut — unpinned,
-      // the df-order window (sort exchange + two Window nodes) ran twice
-      val pref = sets.join(dfreq, "x")
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("doc_id").orderBy("df", "x")).cast("bigint"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-        .filter(col("rn") <= col("n") - expr("(n + 1) div 2") + 1L)
-        .select("doc_id", "x", "rn", "n")
-        .persist()
-      Persisted.swap("simjoin_pref", dir, pref)
-      // candidate generation = ONE groupBy over the prefix-token matches
-      // (replacing a distinct — same shuffle), carrying two sound
-      // prefilters that kill pairs BEFORE the verify join:
-      //  - size (same as the oracle's): J ≥ τ forces τ·max ≤ min, so
-      //    for τ = 1/2 a pair with 2·min < max cannot verify;
-      //  - PPJoin POSITIONAL filter: for the FIRST shared prefix token
-      //    (positions mi in a's df-order, mj in b's — the same token
-      //    attains both minima, since both docs rank by the one global
-      //    (df, x) order), every OTHER shared token sorts after it in
-      //    BOTH docs (were it earlier it would itself be a prefix match
-      //    at smaller positions), so |A∩B| ≤ 1 + min(na−mi, nb−mj);
-      //    J ≥ 1/2 ⟺ 3·|A∩B| ≥ na+nb, so pairs whose positional bound
-      //    can't reach (na+nb)/3 are dead on arrival. Measured at
-      //    sf0.1: 1.19M candidates → 483k (2.5×) for two long columns
-      //    and one codegen'd filter.
-      val cand = pref.as("pa").join(pref.as("pb"),
-          col("pa.x") === col("pb.x") && col("pa.doc_id") < col("pb.doc_id") &&
-            lit(2L) * least(col("pa.n"), col("pb.n")) >=
-              greatest(col("pa.n"), col("pb.n")))
-        .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"),
-          col("pa.n").as("na"), col("pb.n").as("nb"),
-          col("pa.rn").as("i"), col("pb.rn").as("j"))
-        .groupBy("a", "b", "na", "nb")
-        .agg(min(col("i")).as("mi"), min(col("j")).as("mj"))
-        .filter(lit(3L) * (lit(1L) + least(col("na") - col("mi"),
-          col("nb") - col("mj"))) >= col("na") + col("nb"))
-      // verify: attach each side's full hash set ONCE (collect_list is
-      // exact here — `sets` rows are already distinct) and count the
-      // intersection with a single codegen'd array_intersect per pair.
-      // The previous shape (Dedup.jaccard = THREE array_distinct
-      // hash-set builds per row, re-evaluated by the filter AND the
-      // projection) burned ~500 CPU-seconds at sf0.1 under host memory
-      // pressure — the r12 driver artifact ran this query at 76s with a
-      // CLEAN ALU calibration, because pointer-chasing work degrades
-      // under memory contention that the xorshift probe can't see.
-      // |A∪B| = na + nb − |A∩B|, so the jaccard division sees the same
-      // exact integers as the oracle's list-based formula — and the
-      // τ-filter is applied as pure-integer 3·|A∩B| ≥ na+nb
-      // (⟺ J ≥ 1/2), no float boundary anywhere.
-      val full = sets.groupBy("doc_id").agg(collect_list("x").as("sh"))
-      cand
-        .join(full.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
-        .join(full.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
-        .withColumn("inter",
-          size(array_intersect(col("sha"), col("shb"))).cast("bigint"))
-        .filter(lit(3L) * col("inter") >= col("na") + col("nb"))
-        .withColumn("jaccard", col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double"))
-        .select("a", "b", "jaccard")
-        .orderBy("a", "b")
+      simjoinPrefixCore(sets, dir)
     }),
-
     // SimHash near-dup: 16-bit signatures; hamming(original, mutation)
     "q_dedup_simhash" -> ((s, dir) =>
       simhashPairs(fuzzyCorpus(documents(s, dir))).orderBy("doc_id")),
@@ -2996,6 +3005,23 @@ object PipelineQueries {
         .select("doc_id", "k", "frame_idx", "pts_ms")
         .orderBy("doc_id", "k")
     }),
+
+    // VIDEO PIXEL decode, REAL end to end (the path that retired the
+    // last codec stub): per doc an MJPEG-style MP4 — every frame a
+    // standalone intra-coded image (PNG: same ImageIO call site as
+    // JPEG, lossless so the oracle stays exact) stored with REAL
+    // stsz/stsc/stco sample tables — is synthesized, then the pipeline
+    // does what a production frame extractor does: DEMUX the frame
+    // byte ranges from the container's own tables
+    // (VideoContainer.videoSampleRanges), pick 4 evenly-spaced frames
+    // with q_media_frame_schedule's arithmetic ((k·n) div 4), slice
+    // and DECODE each through ImageIO, and report features from the
+    // DECODED rasters. The content formula is arithmetic, so the
+    // oracle replays every decoded pixel sum exactly — the PNG/WAV
+    // discipline now covering video. Narrow mapPartitions, no shuffle.
+    "q_media_video_frames" -> ((s, dir) =>
+      Multimodal.synthVideoFrames(documents(s, dir))(s)
+        .toDF().orderBy("doc_id", "k")),
 
     // multimodal REAL decode: per doc a deterministic grayscale image +
     // PCM clip are encoded through the JDK's REAL codecs (ImageIO → PNG,
@@ -5487,6 +5513,26 @@ object PipelineQueries {
                i -> (doc_id * 31 + i) % 256)) AS DOUBLE)
                / (256 + doc_id % 512) AS audio_mean
            FROM documents ORDER BY doc_id""",
+
+      // replays the video frame pipeline arithmetically: geometry and
+      // schedule from the generator formulas, luma sum per decoded
+      // frame from the pixel formula — exact because the frames are
+      // losslessly coded (the real decode is the Spark side's job;
+      // MultimodalSpec pins that tampered bytes change the decode)
+      "q_media_video_frames" ->
+        """WITH g AS (SELECT doc_id,
+                 16 + doc_id % 32 AS w, 16 + doc_id % 24 AS h,
+                 4 + doc_id % 6 AS n
+               FROM documents),
+             s AS (SELECT g.*, k, (k * n) // 4 AS fi
+                   FROM g CROSS JOIN (SELECT unnest(range(4)) AS k))
+           SELECT doc_id, CAST(k AS BIGINT) AS k, CAST(fi AS BIGINT) AS frame_idx,
+             CAST(w AS BIGINT) AS width_px, CAST(h AS BIGINT) AS height_px,
+             CAST(list_reduce(list_transform(range(w * h),
+                    i -> (doc_id * 31 + fi * 7 + i) % 256),
+                  (a, x) -> a + x) AS BIGINT) AS luma_sum,
+             CAST(w * h AS BIGINT) AS n_px
+           FROM s ORDER BY doc_id, k""",
 
       "q_media_phash" -> {
         // the sampled source index of thumbnail cell k (row-major 8×8),

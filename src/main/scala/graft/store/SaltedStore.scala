@@ -108,6 +108,52 @@ object SaltedStore {
            partitionPrefix: String = "bucket"): DataFrame =
     readAttempt(spark, path, format, schemaDDL, partitionPrefix, retries = 2)
 
+  /** Read ONLY the named partition values — the point-probe read whose
+    * LISTING cost is O(probed values), not O(partitions). A full
+    * [[read]] + `filter(prefix isin ...)` prunes the scan but only
+    * AFTER enumerating every partition dir; on a layout whose shard
+    * count is sized ∝ corpus (the bounded-shard-bytes rule every
+    * persisted index here follows), that enumeration itself grows with
+    * the corpus — measured 1.2s → 10.4s for the SAME 3-term text-index
+    * probe going 64 → 6400 shards (graft.Scaling, r14) with the probed
+    * data volume unchanged. Here the probed dirs are constructed from
+    * the values directly (`basePath` keeps the partition column), so a
+    * probe's file listing touches only its own shards at any corpus
+    * size.
+    *
+    * Same marker discipline as [[read]], resolved conservatively: a
+    * standing resalt marker refuses; a standing compact marker, a
+    * probed value sitting parked in `.old_`, or no probed dir existing
+    * at all (schema must come from somewhere) falls back to the full
+    * recovering read filtered to the values — identical semantics, the
+    * fast path merely skips the global listing when the store is at
+    * rest. */
+  def readPartitions(spark: SparkSession, path: String, values: Seq[Long],
+                     format: String = "parquet",
+                     schemaDDL: Option[String] = None,
+                     partitionPrefix: String = "bucket"): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(new Path(root, ResaltMarker)),
+      s"read: $path has an in-flight bucket migration ($ResaltMarker) — " +
+        "re-invoke SaltedStore.resalt with the original arguments to finish it")
+    val vs = values.distinct
+    def slowPath: DataFrame =
+      read(spark, path, format, schemaDDL, partitionPrefix)
+        .filter(org.apache.spark.sql.functions.col(partitionPrefix).isin(vs: _*))
+    if (fs.exists(new Path(root, CompactingMarker))) return slowPath
+    val present = vs.map(v => new Path(root, s"$partitionPrefix=$v"))
+      .filter(fs.exists)
+    val parked = vs.exists(v => fs.exists(new Path(root, s".old_$partitionPrefix=$v")))
+    if (parked || present.isEmpty) return slowPath
+    val df = spark.read.format(format).option("basePath", path)
+    val out = schemaDDL.fold(df)(s => df.schema(s)).load(present.map(_.toString): _*)
+    // a compact may have started between the marker check and the eager
+    // per-dir listing — same post-load re-check as read()'s fast path
+    if (fs.exists(new Path(root, CompactingMarker))) slowPath else out
+  }
+
   private def readAttempt(spark: SparkSession, path: String, format: String,
                           schemaDDL: Option[String], partitionPrefix: String,
                           retries: Int): DataFrame = {

@@ -117,15 +117,22 @@ class TextIndexSpec extends SparkSuite {
     assert(err.getMessage.contains("none of the source terms"))
   }
 
-  test("probe prunes to the probed term shards at file-listing time") {
-    val terms = Seq("cat")
-    val df = TextIndex.searchAll(spark, dir, terms)
-    val p = df.queryExecution.explainString(
-      org.apache.spark.sql.execution.FormattedMode)
-    assert(p.contains("PartitionFilters"), s"no partition filters in:\n$p")
+  test("probe prunes to the probed term shards at LISTING construction") {
     val shard = TextIndex.shardOfTerm("cat", TextIndex.DefaultShards)
-    assert(p.contains(s"shard#") && p.contains("isnotnull(shard"),
-      s"shard pruning predicate missing:\n$p")
+    // the probe read enumerates ONLY the probed shard dirs
+    // (SaltedStore.readPartitions): listing cost is O(probed terms),
+    // not O(shards) — the scan's file index roots prove it (AQE off:
+    // the adaptive wrapper hides the scan from a pre-execution collect)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val roots = try {
+      TextIndex.searchAll(spark, dir, Seq("cat"))
+        .queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.rootPaths.map(_.getName)
+        }.flatten.filter(_.startsWith("shard="))
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    assert(roots == Seq(s"shard=$shard"),
+      s"scan must root at exactly the probed shard, got $roots")
     // the shard column arithmetic agrees between driver and executors
     val stored = spark.read.parquet(dir).filter(col("t") === "cat")
       .select("shard").distinct().as[Int].collect().toSeq
@@ -133,11 +140,22 @@ class TextIndexSpec extends SparkSuite {
   }
 
   test("proximity probe prunes to the query terms' shards, in-shard term filter pushed") {
-    val df = TextIndex.searchProximity(spark, dir, Seq("cat", "dog"), 2)
-    val p = df.queryExecution.explainString(
-      org.apache.spark.sql.execution.FormattedMode)
-    assert(p.contains("PartitionFilters: [shard#"),
-      s"shard pruning predicate missing:\n$p")
+    val expected = Seq("cat", "dog")
+      .map(t => TextIndex.shardOfTerm(t, TextIndex.DefaultShards))
+      .distinct.map(s => s"shard=$s").sorted
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val roots = try {
+      TextIndex.searchProximity(spark, dir, Seq("cat", "dog"), 2)
+        .queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.rootPaths.map(_.getName)
+        }.flatten.filter(_.startsWith("shard=")).sorted
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    assert(roots == expected,
+      s"scan must root at exactly the probed shards $expected, got $roots")
+    val p = TextIndex.searchProximity(spark, dir, Seq("cat", "dog"), 2)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
     assert(p.contains("In(t, [cat,dog])") || p.contains("In(t, [dog,cat])"),
       s"term filter not pushed to the postings scan:\n$p")
   }

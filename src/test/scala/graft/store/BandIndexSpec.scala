@@ -55,11 +55,15 @@ class BandIndexSpec extends SparkSuite {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
       }.head
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
-    assert(scan.partitionFilters.nonEmpty, "no partition filter on the bands scan")
-    val surviving = scan.relation.location
-      .listFiles(scan.partitionFilters, scan.dataFilters)
-      .map(_.values.getInt(0)).sorted
+    // the probe read now prunes at LISTING CONSTRUCTION, stronger than a
+    // partition filter: only the probed shard dirs are ever enumerated
+    // (readPartitions — the O(probe) listing), so the scan's file index
+    // contains nothing but probed shards
+    val surviving = scan.relation.location.rootPaths
+      .map(_.getName).filter(_.startsWith("shard="))
+      .map(_.stripPrefix("shard=").toInt).sorted
     val total = new java.io.File(s"$p/bands").list().count(_.startsWith("shard="))
+    assert(surviving.nonEmpty, "scan must root at the probed shard dirs")
     assert(surviving.length <= Dedup.Bands,
       s"probe must touch <= ${Dedup.Bands} shards, got ${surviving.toSeq}")
     assert(surviving.length < total,
@@ -84,6 +88,93 @@ class BandIndexSpec extends SparkSuite {
         Dedup.bandRows(Dedup.docSketch(probe), "doc_id"), "doc_id")
       .as[(Long, Long)].collect().toSet
     assert(got.contains((42L, 5000L)), s"got $got")
+  }
+
+  test("probe during APPEND sees a verifiable generation (sketches-first ordering)") {
+    import spark.implicits._
+    // The mid-append snapshot a probe can observe under the write-order
+    // contract (sketches commit BEFORE bands): batch sketches visible,
+    // batch bands not. Plant that state deterministically: build
+    // idx(A) and idx(A∪B), then assemble a hybrid with idx(A)'s bands
+    // and idx(A∪B)'s sketches.
+    val corpusA = (0L until 40L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    val batchB = (0L until 5L).map(i => (3000L + i, doc(100L + i))).toDF("doc_id", "text")
+    val probe = (0L until 8L).map(i => (9000L + i, doc(i))).toDF("doc_id", "text")
+    val pA = tmp("iso_a"); val pAB = tmp("iso_ab"); val pHy = tmp("iso_hybrid")
+    BandIndex.write(Dedup.docSketch(corpusA), pA)
+    BandIndex.write(Dedup.docSketch(corpusA.union(batchB)), pAB)
+    val hy = new java.io.File(pHy); hy.mkdirs()
+    def cp(src: String, dst: String): Unit = {
+      val s = java.nio.file.Paths.get(src); val d = java.nio.file.Paths.get(dst)
+      java.nio.file.Files.walk(s).forEach { f =>
+        val t = d.resolve(s.relativize(f))
+        if (java.nio.file.Files.isDirectory(f)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(f, t)
+      }
+    }
+    cp(s"$pA/bands", s"$pHy/bands")
+    cp(s"$pAB/sketches", s"$pHy/sketches")
+    cp(s"$pA/${BandIndex.MetaFile}", s"$pHy/${BandIndex.MetaFile}")
+    val probeBands = Dedup.bandRows(Dedup.docSketch(probe), "doc_id")
+    val candHy = BandIndex.probeCandidates(spark, pHy, probeBands, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    val candA = BandIndex.probeCandidates(spark, pA, probeBands, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    // one generation: the probe sees exactly the old bands' candidates
+    assert(candHy === candA)
+    // and EVERY candidate is verifiable in the SAME snapshot — no
+    // candidate references a doc whose sketch hasn't committed
+    val sk = BandIndex.sketches(spark, pHy).select("doc_id").as[Long].collect().toSet
+    assert(candHy.map(_._1).forall(sk), "every candidate index doc has a sketch")
+    // the REVERSE ordering's observable state (new bands, old sketches)
+    // is exactly what the contract forbids: it would generate batch-B
+    // candidates with no sketch to verify against
+    val pRev = tmp("iso_reverse"); new java.io.File(pRev).mkdirs()
+    cp(s"$pAB/bands", s"$pRev/bands")
+    cp(s"$pA/sketches", s"$pRev/sketches")
+    cp(s"$pA/${BandIndex.MetaFile}", s"$pRev/${BandIndex.MetaFile}")
+    val probeB = Dedup.bandRows(Dedup.docSketch(
+      Seq((9500L, doc(100L))).toDF("doc_id", "text")), "doc_id")
+    val candRev = BandIndex.probeCandidates(spark, pRev, probeB, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    val skRev = BandIndex.sketches(spark, pRev).select("doc_id").as[Long].collect().toSet
+    assert(candRev.exists(c => !skRev(c._1)),
+      "reverse ordering really does strand unverifiable candidates — " +
+        "the sketches-first contract is load-bearing")
+  }
+
+  test("probe during a crashed/in-flight COMPACT still reads one full generation") {
+    import spark.implicits._
+    val corpus = (0L until 40L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    val probe = (0L until 8L).map(i => (9000L + i, doc(i))).toDF("doc_id", "text")
+    val p = tmp("iso_compact")
+    BandIndex.write(Dedup.docSketch(corpus), p)
+    val probeBands = Dedup.bandRows(Dedup.docSketch(probe), "doc_id")
+    val before = BandIndex.probeCandidates(spark, p, probeBands, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    // freeze a compact mid-swap on the bands layout: one probed shard
+    // parked as .old_, marker standing — the probe must fall back to
+    // the recovering read and still see the complete generation
+    val root = new org.apache.hadoop.fs.Path(s"$p/bands")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val firstShard = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("shard=")).sorted.head
+    assert(fs.rename(new org.apache.hadoop.fs.Path(root, firstShard),
+      new org.apache.hadoop.fs.Path(root, s".old_$firstShard")))
+    val m = fs.create(new org.apache.hadoop.fs.Path(root,
+      SaltedStore.CompactingMarker), true)
+    m.writeUTF(firstShard); m.close()
+    spark.conf.set("spark.graft.compact.waitMs", "0")
+    try {
+      val during = BandIndex.probeCandidates(spark, p, probeBands, "doc_id")
+        .as[(Long, Long)].collect().toSet
+      assert(during === before, "mid-compact probe must see one full generation")
+    } finally {
+      spark.conf.unset("spark.graft.compact.waitMs")
+      assert(fs.rename(new org.apache.hadoop.fs.Path(root, s".old_$firstShard"),
+        new org.apache.hadoop.fs.Path(root, firstShard)))
+      fs.delete(new org.apache.hadoop.fs.Path(root, SaltedStore.CompactingMarker), false)
+    }
   }
 
   test("delete hides a doc immediately; compact folds tombstones and small files") {
