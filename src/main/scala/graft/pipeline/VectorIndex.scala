@@ -347,8 +347,16 @@ object VectorIndex {
     verifyCodebook(spark, path, cents)
     val cells = probeCells(q, cents, nProbe)
     val qn2 = q.foldLeft(0.0)((a, x) => a + x * x)
-    live(read(spark, path)
-        .filter(col("cell").isin(cells: _*)), spark, path, idCol)
+    // listing-pruned probe read (O(nProbe) dir listing, not O(cells) —
+    // same fix as the text/band probes, graft.Scaling r14); the
+    // recluster-marker refusal mirrors read()'s
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, ReclusterMarker)),
+      s"read: $path has an in-flight codebook migration ($ReclusterMarker) — " +
+        "re-invoke VectorIndex.recluster with the original centroids to finish it")
+    live(graft.store.SaltedStore.readPartitions(spark, path, cells,
+        partitionPrefix = "cell"), spark, path, idCol)
       .withColumn("cos",
         graft.functions.VectorFunctions.dotProduct(col(vecCol), typedlit(q)) /
           (sqrt(lit(qn2)) * sqrt(col("n2"))))

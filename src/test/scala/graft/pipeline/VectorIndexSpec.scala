@@ -35,18 +35,17 @@ class VectorIndexSpec extends SparkSuite {
     val nProbe = 2
     val probed = VectorIndex.probeCells(q, cents, nProbe).toSet
     val df = VectorIndex.probe(spark, dir, "vec_id", "v", q, cents, nProbe, k = 5)
-    // the cell IN (...) predicate must land in PartitionFilters — pruning
-    // at file-listing time, not a post-scan filter (inputFiles can't show
-    // this: it lists the relation before partition filters apply)
-    val plan = df.queryExecution.explainString(
-      org.apache.spark.sql.execution.FormattedMode)
-    val pf = plan.linesIterator.find(_.contains("PartitionFilters:"))
-      .getOrElse(fail(s"no PartitionFilters line in:\n$plan"))
-    val inSet = "IN \\(([0-9,]+)\\)".r.findFirstMatchIn(pf)
-      .getOrElse(fail(s"no IN (...) partition filter in: $pf"))
-      .group(1).split(",").map(_.toLong).toSet
-    assert(pf.contains("cell") && inSet == probed,
-      s"expected cell IN $probed partition filter, got: $pf")
+    // the probe read now prunes at LISTING construction — stronger than
+    // a partition filter: only the probed cell dirs are ever enumerated
+    // (SaltedStore.readPartitions), so the scan's file index roots at
+    // exactly the probed cells
+    val roots = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.getName)
+    }.flatten.filter(_.startsWith("cell="))
+      .map(_.stripPrefix("cell=").toLong).toSet
+    assert(roots == probed,
+      s"scan must root at exactly the probed cells $probed, got $roots")
     // and the results really come only from those cells
     val cells = df.collect().map(_.getLong(0)).toSet
     val cellOf = VectorIndex.read(spark, dir)
