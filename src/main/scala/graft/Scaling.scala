@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   * grain (5k docs / 2k vectors), converting the "scales by design"
   * judgments into measured slopes. Families: band-index build+probe,
   * SemDedup (IVF blocking + subdivision + CC), text-index build+probe,
-  * PPJoin similarity self-join, exact-substring dedup, and one gated
-  * global-window rescue.
+  * PPJoin similarity self-join, exact-substring dedup, one gated
+  * global-window rescue, IVF vector-index build+point-probe, salted
+  * store write+point-get, the full MinHash-LSH dedup (sketch → band →
+  * cap → verify), and the asymmetric containment join.
   *
   * GENERATORS are pure codegen'd expressions (xxhash64-seeded, no UDF,
   * no driver loop): text is a pure function of doc_id, so duplicates
@@ -36,7 +38,8 @@ import org.apache.spark.sql.functions._
   *     tiersCsv    default "1,10,100" (multipliers of 5k docs / 2k vecs)
   *     outMd       default "SCALING.md" (absolute path recommended)
   *     familiesCsv default all of
-  *       text_index,band_index,semdedup,simjoin,substring,window_rescue
+  *       text_index,band_index,semdedup,simjoin,substring,window_rescue,
+  *       ivf_index,salted_store,minhash_lsh,containment
   */
 object Scaling {
   private val DocsBase = 5000L
@@ -227,6 +230,80 @@ object Scaling {
     }
   }
 
+  private def famIvfIndex(s: SparkSession, vecs: DataFrame, n: Long,
+                          tier: Int, tmp: String): Unit = {
+    val path = s"$tmp/vindex_x$tier"
+    // √N cells — the standard IVF sizing rule: assignment work is
+    // N·√N·d (the one superlinear-by-design phase in the whole suite,
+    // expectation slope ≈ √10 ≈ 3.2/tier), probed cell volume √N
+    val kCells = math.max(16, math.sqrt(n.toDouble).toInt)
+    val cents: IndexedSeq[Seq[Double]] = vecs.filter(col("vec_id") < kCells)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    timed("ivf_index", tier, "build", n) {
+      pipeline.VectorIndex.write(vecs.select(col("vec_id"), col("v")),
+        col("v"), cents, path); n
+    }
+    val q: Seq[Double] = vecs.filter(col("vec_id") === n / 2)
+      .collect()(0).getSeq[Double](1).toIndexedSeq
+    timed("ivf_index", tier, "probe", n) {
+      pipeline.VectorIndex.probe(s, path, "vec_id", "v", q, cents,
+        nProbe = 8, k = 10).count()
+    }
+  }
+
+  private def famSaltedStore(s: SparkSession, docs: DataFrame, n: Long,
+                             tier: Int, tmp: String): Unit = {
+    val path = s"$tmp/sstore_x$tier"
+    // bucket count ∝ N — the bounded-bucket-bytes sizing a production
+    // store uses (the decision SaltedStore.resalt exists to revise)
+    val dist = keys.HashPrefix(32 * tier)
+    timed("salted_store", tier, "write", n) {
+      store.SaltedStore.write(docs, col("doc_id"), dist, path); n
+    }
+    timed("salted_store", tier, "point_get", n) {
+      scan.DistributedScan.pointGet(
+        store.SaltedStore.read(s, path), col("doc_id"), n / 2, dist).count()
+    }
+  }
+
+  private def famMinhashLsh(s: SparkSession, docs: DataFrame, n: Long,
+                            tier: Int): Unit = {
+    timed("minhash_lsh", tier, "run", n) {
+      val sk = pipeline.Dedup.docSketch(docs).persist()
+      sk.count()
+      val cand = pipeline.Dedup.candidatePairs(
+        pipeline.Dedup.bandRows(sk, "doc_id"), "doc_id")
+      val full = sk.select(col("doc_id"), col("sh"))
+      // integer τ = 1/2 verify over the sketch's distinct hash sets —
+      // the q_dedup_minhash_lsh shape without its oracle projections
+      val out = cand
+        .join(full.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+        .join(full.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+        .withColumn("inter",
+          size(array_intersect(col("sha"), col("shb"))).cast("bigint"))
+        .filter(lit(3L) * col("inter") >=
+          size(col("sha")).cast("bigint") + size(col("shb")).cast("bigint"))
+        .count()
+      sk.unpersist()
+      out
+    }
+  }
+
+  private def famContainment(s: SparkSession, docs: DataFrame, n: Long,
+                             tier: Int): Unit = {
+    timed("containment", tier, "run", n) {
+      val sets = pipeline.TextAnalysis.shingleRows(docs)
+        .withColumn("x", pipeline.Dedup.baseHash32(col("s")))
+        .select("doc_id", "x").distinct().persist()
+      val out = queries.PipelineQueries
+        .containmentJoinCore(sets, s"scaling_cont_x$tier").count()
+      sets.unpersist()
+      queries.PipelineQueries.releaseCaches()
+      out
+    }
+  }
+
   // ---- report ---------------------------------------------------------
 
   /** slope(a→b) = (t_b/t_a) / (rows_b/rows_a): 1.0 = perfectly linear,
@@ -294,7 +371,8 @@ object Scaling {
     val outMd = args.lift(1).getOrElse("SCALING.md")
     val fams = args.lift(2).map(_.split(',').map(_.trim).toSet)
       .getOrElse(Set("text_index", "band_index", "semdedup", "simjoin",
-        "substring", "window_rescue"))
+        "substring", "window_rescue", "ivf_index", "salted_store",
+        "minhash_lsh", "containment"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val calibPre = Calib.bracketAll(cpus.toInt)
     val spark = SparkSession.builder()
@@ -323,6 +401,10 @@ object Scaling {
       if (fams("simjoin")) famSimjoin(spark, docs, nDocs, tier)
       if (fams("substring")) famSubstring(spark, docs, nDocs, tier)
       if (fams("window_rescue")) famWindowRescue(spark, nDocs, tier)
+      if (fams("ivf_index")) famIvfIndex(spark, vecs, nVecs, tier, tmp)
+      if (fams("salted_store")) famSaltedStore(spark, docs, nDocs, tier, tmp)
+      if (fams("minhash_lsh")) famMinhashLsh(spark, docs, nDocs, tier)
+      if (fams("containment")) famContainment(spark, docs, nDocs, tier)
       spark.catalog.clearCache()
     }
     val calibPost = Calib.bracketAll(cpus.toInt)

@@ -642,6 +642,53 @@ object PipelineQueries {
       .orderBy("a", "b")
   }
 
+  /** The containment-join pipeline from distinct (doc_id, x) set rows to
+    * verified (a, b, containment) pairs with C(a→b) = |A∩B|/|A| ≥ 3/4
+    * and na ≤ nb — shared by q_simjoin_containment and the scale
+    * harness (graft.Scaling). See the query's comment for the filter
+    * soundness arguments. */
+  def containmentJoinCore(sets: DataFrame, dir: String): DataFrame = {
+    val dfreq = sets.groupBy("x").agg(count(lit(1)).as("df"))
+    // full ranked index (B side keeps ALL tokens); persisted — the
+    // prefix cut below is a filter over it, so both join sides share
+    // this one materialization
+    val ranked = sets.join(dfreq, "x")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "x")).cast("bigint"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .select("doc_id", "x", "rn", "n")
+      .persist()
+    Persisted.swap("containment_ranked", dir, ranked)
+    val prefA = ranked.filter(
+      col("rn") <= col("n") - expr("(3*n + 3) div 4") + 1L)
+    // orientation (na < nb, ties by id) both canonicalizes the output
+    // and halves the candidate space; na ≤ nb subsumes the size
+    // filter (|A∩B| ≤ nb ≥ na ≥ ⌈τ·na⌉ is always reachable)
+    val cand = prefA.as("pa").join(ranked.as("pb"),
+        col("pa.x") === col("pb.x") &&
+          (col("pa.n") < col("pb.n") ||
+            (col("pa.n") === col("pb.n") &&
+              col("pa.doc_id") < col("pb.doc_id"))))
+      .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"),
+        col("pa.n").as("na"), col("pb.n").as("nb"),
+        col("pa.rn").as("i"), col("pb.rn").as("j"))
+      .groupBy("a", "b", "na", "nb")
+      .agg(min(col("i")).as("mi"), min(col("j")).as("mj"))
+      .filter(lit(4L) * (lit(1L) + least(col("na") - col("mi"),
+        col("nb") - col("mj"))) >= lit(3L) * col("na"))
+    val full = sets.groupBy("doc_id").agg(collect_list("x").as("sh"))
+    cand
+      .join(full.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(full.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("bigint"))
+      .filter(lit(4L) * col("inter") >= lit(3L) * col("na"))
+      .withColumn("containment",
+        col("inter").cast("double") / col("na").cast("double"))
+      .select("a", "b", "containment")
+      .orderBy("a", "b")
+  }
+
   private def langRunningTokens(s: SparkSession, dir: String): DataFrame = {
     val ordered = documents(s, dir)
       .withColumn("n_tokens", size(tokens(col("text"))).cast("bigint"))
@@ -849,6 +896,73 @@ object PipelineQueries {
       Persisted.swap("simjoin_sets", dir, sets)
       simjoinPrefixCore(sets, dir)
     }),
+
+    // CONTAINMENT similarity join — C(A→B) = |A∩B|/|A| ≥ 3/4 with
+    // |A| ≤ |B|: the doc-IN-doc detector (truncated copies, quoted
+    // passages, boilerplate-wrapped bodies) that symmetric Jaccard
+    // structurally misses — a 100-shingle doc fully inside a
+    // 1000-shingle doc has J ≈ 0.1 but C = 1.0. Same PPJoin machinery
+    // as q_simjoin_prefix recast for the asymmetric threshold:
+    //  - only the PROBE (contained) side is prefix-cut: C ≥ τ forces
+    //    |A∩B| ≥ ⌈τ·na⌉, so one of A's first na − ⌈τ·na⌉ + 1 tokens in
+    //    the global (df, x) order must hit B — but B can be arbitrarily
+    //    large and still contain all of A, so the INDEXED side keeps
+    //    every token (this is why containment self-joins cost more than
+    //    Jaccard ones: candidate volume is Σ prefix(A) × df(x), with no
+    //    prefix cut on the B side — rare-token-first df order is what
+    //    keeps it bounded);
+    //  - the positional filter carries over verbatim: both docs rank
+    //    their tokens by the SAME global total order, so the first
+    //    shared token attains both position minima (mi, mj) and
+    //    |A∩B| ≤ 1 + min(na−mi, nb−mj) — candidates whose bound can't
+    //    reach ⌈3·na/4⌉ die before the verify join;
+    //  - verify = ONE codegen'd array_intersect, pure-integer
+    //    threshold 4·|A∩B| ≥ 3·na (⟺ C ≥ 3/4, no float boundary).
+    // Oracle = the ALL-PAIRS exact containment join, so a hash match
+    // proves zero false negatives on this corpus (fuzzyCorpus mutants
+    // drop the last 2 tokens, so each mutant's shingle set is a strict
+    // subset of its original: planted containment = 1.0).
+    "q_simjoin_containment" -> ((s, dir) => {
+      val corpus = fuzzyCorpus(documents(s, dir))
+      // persisted: feeds the df agg, the rank window AND both verify
+      // sides — unpinned, the shingle+distinct pipeline runs three times
+      val sets = shingleRows(corpus)
+        .withColumn("x", baseHash32(col("s")))
+        .select("doc_id", "x").distinct().persist()
+      Persisted.swap("containment_sets", dir, sets)
+      containmentJoinCore(sets, dir)
+    }),
+
+    // CORPUS-LEVEL duplicate-n-gram fraction — the cross-document twin
+    // of q_text_repetition (which scores repetition WITHIN one doc):
+    // per doc, what share of its distinct shingles also appear in some
+    // OTHER document. The Gopher/RefinedWeb-style cheap scoring pass
+    // that ranks boilerplate-heavy and template-generated docs for
+    // removal without running any pairwise dedup. Scale shape: one
+    // distinct on (doc, x), one map-combined df groupBy on x, one
+    // equi-join back on x, one per-doc agg — no self-join, no explode;
+    // at 100 TB every stage is a hash exchange whose rows shrink
+    // map-side. df counts distinct docs BY CONSTRUCTION (the input is
+    // the distinct (doc, x) set), so "df ≥ 2" = "shared with another
+    // doc" with no count_distinct anywhere.
+    "q_ngram_novelty" -> ((s, dir) => {
+      val corpus = fuzzyCorpus(documents(s, dir))
+      val sets = shingleRows(corpus)
+        .withColumn("x", baseHash32(col("s")))
+        .select("doc_id", "x").distinct().persist()
+      Persisted.swap("novelty_sets", dir, sets)
+      val dfreq = sets.groupBy("x").agg(count(lit(1)).as("df"))
+      sets.join(dfreq, "x")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(when(col("df") >= 2L, 1L).otherwise(0L)).as("n_shared"))
+        .withColumn("dup_frac",
+          col("n_shared").cast("double") / col("n_distinct").cast("double"))
+        .withColumn("flagged", col("dup_frac") > 0.5)
+        .select("doc_id", "n_distinct", "n_shared", "dup_frac", "flagged")
+        .orderBy("doc_id")
+    }),
+
     // SimHash near-dup: 16-bit signatures; hamming(original, mutation)
     "q_dedup_simhash" -> ((s, dir) =>
       simhashPairs(fuzzyCorpus(documents(s, dir))).orderBy("doc_id")),
@@ -4300,6 +4414,48 @@ object PipelineQueries {
            FROM pairs
            WHERE ${duckJaccard("sha", "shb")} >= 0.5
            ORDER BY a, b""",
+
+      // all-pairs exact containment (proves the prefix+positional
+      // filters drop no true pair); sets are DISTINCT lists, so
+      // |A∩B| = na + nb − |A∪B| exactly, and the 4·inter ≥ 3·na
+      // integer threshold and inter/na division match the Spark side
+      // bit for bit
+      "q_simjoin_containment" ->
+        s"""WITH $duckFuzzyCorpus, $duckShingled,
+              e AS (SELECT doc_id, ${duckBaseHash32("s")} AS x
+                    FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+              sets AS (SELECT doc_id, list(DISTINCT x) AS sh
+                       FROM e GROUP BY doc_id),
+              pairs AS (SELECT sa.doc_id AS a, sb.doc_id AS b,
+                          CAST(len(sa.sh) AS BIGINT) AS na,
+                          CAST(len(sa.sh) + len(sb.sh)
+                            - len(list_distinct(list_concat(sa.sh, sb.sh)))
+                            AS BIGINT) AS inter
+                        FROM sets sa JOIN sets sb
+                          ON (len(sa.sh) < len(sb.sh)
+                              OR (len(sa.sh) = len(sb.sh)
+                                  AND sa.doc_id < sb.doc_id)))
+           SELECT a, b,
+             CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) AS containment
+           FROM pairs
+           WHERE 4 * inter >= 3 * na
+           ORDER BY a, b""",
+
+      "q_ngram_novelty" ->
+        s"""WITH $duckFuzzyCorpus, $duckShingled,
+              e AS (SELECT DISTINCT doc_id, ${duckBaseHash32("s")} AS x
+                    FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+              f AS (SELECT x, count(*) AS df FROM e GROUP BY x),
+              d AS (SELECT e.doc_id,
+                      CAST(count(*) AS BIGINT) AS n_distinct,
+                      CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_shared
+                    FROM e JOIN f USING (x) GROUP BY e.doc_id)
+           SELECT doc_id, n_distinct, n_shared,
+             CAST(n_shared AS DOUBLE) / CAST(n_distinct AS DOUBLE) AS dup_frac,
+             (CAST(n_shared AS DOUBLE) / CAST(n_distinct AS DOUBLE)) > 0.5
+               AS flagged
+           FROM d ORDER BY doc_id""",
 
       "q_dedup_simhash" -> duckSimhashSql,
 
