@@ -255,9 +255,11 @@ object Scaling {
   private def famSaltedStore(s: SparkSession, docs: DataFrame, n: Long,
                              tier: Int, tmp: String): Unit = {
     val path = s"$tmp/sstore_x$tier"
-    // bucket count ∝ N — the bounded-bucket-bytes sizing a production
-    // store uses (the decision SaltedStore.resalt exists to revise)
-    val dist = keys.HashPrefix(32 * tier)
+    // bucket count ∝ N up to the REFERENCE's own design limit of 256
+    // (one-byte hash prefix, wd/RowKeyDistributorByHashPrefix.java:57-63)
+    // — past it per-bucket bytes grow with the corpus, which is exactly
+    // the wall SaltedStore.resalt + MultiBytePrefix exist to move
+    val dist = keys.HashPrefix(math.min(256, 32 * tier))
     timed("salted_store", tier, "write", n) {
       store.SaltedStore.write(docs, col("doc_id"), dist, path); n
     }

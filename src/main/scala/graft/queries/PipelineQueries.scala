@@ -719,6 +719,31 @@ object PipelineQueries {
     // text analysis: token counting (whitespace + BPE-ish regex), length
     // stats, stopword ratio, rule-based quality score — narrow codegen'd
     // projections, run at scan speed at any scale
+    // TOKENIZER FERTILITY — tokens-per-word and chars-per-token by
+    // language: the standard tokenizer-evaluation metric (a high-
+    // fertility language pays more sequence positions per word, skewing
+    // both training cost and the effective mixture weights that
+    // q_domain_mix computes in documents). Pure integer sums into one
+    // tiny per-lang agg — map-side combined, no shuffle beyond the
+    // group-by exchange; at 100 TB this is a one-scan report.
+    "q_tokenizer_fertility" -> ((s, dir) =>
+      documents(s, dir)
+        .withColumn("w", tokens(col("text")))
+        .withColumn("bpe", bpeTokens(col("text")))
+        .filter(size(col("w")) >= 1)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("w")).cast("bigint")).as("n_words"),
+          sum(size(col("bpe")).cast("bigint")).as("n_bpe"),
+          sum(length(col("text")).cast("bigint")).as("n_chars"))
+        .withColumn("fertility",
+          col("n_bpe").cast("double") / col("n_words").cast("double"))
+        .withColumn("chars_per_token",
+          col("n_chars").cast("double") / col("n_bpe").cast("double"))
+        .select("lang", "n_docs", "n_words", "n_bpe", "n_chars",
+          "fertility", "chars_per_token")
+        .orderBy("lang")),
+
     "q_text_stats" -> ((s, dir) =>
       documents(s, dir)
         .withColumn("w", tokens(col("text")))
@@ -1050,6 +1075,32 @@ object PipelineQueries {
         .withColumn("cos", cosine(dot(col("qv"), col("v")), col("qn2"), col("n2")))
         .withColumn("rnk", row_number().over(w).cast("bigint"))
         .filter(col("rnk") <= 10)
+        .select("q_id", "vec_id", "cos", "rnk")
+        .orderBy("q_id", "rnk")
+    }),
+
+    // HARD-NEGATIVE MINING — the contrastive-training staple: for each
+    // query vector, the k nearest neighbors under cosine whose LABEL
+    // differs (confusable-but-wrong examples; easy negatives teach an
+    // embedding model nothing). Brute pattern (broadcast query set ×
+    // one linear corpus scan, label filter BEFORE the cosine so
+    // same-label rows never pay the dot product, per-query window
+    // top-k) — exact and oracle-checkable; the 100 TB path swaps the
+    // scan for VectorIndex.probeSet with this same label predicate, the
+    // recall/cost dial q_knn_recall already measures.
+    "q_hard_negatives" -> ((s, dir) => {
+      val v = embeddings(s, dir).select(col("vec_id"),
+        col("label").cast("long").as("label"), vd(col("embedding")).as("v"))
+      val q = v.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("v").as("qv"), norm2(col("v")).as("qn2"))
+      val c = v.filter(col("vec_id") >= 5).withColumn("n2", norm2(col("v")))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      broadcast(q).crossJoin(c)
+        .filter(col("label") =!= col("q_label"))
+        .withColumn("cos", cosine(dot(col("qv"), col("v")), col("qn2"), col("n2")))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 5)
         .select("q_id", "vec_id", "cos", "rnk")
         .orderBy("q_id", "rnk")
     }),
@@ -4264,6 +4315,23 @@ object PipelineQueries {
   def oracle: Map[String, String] = {
     val stop = duckMarkerCount("w", Stopwords)
     Map(
+      "q_tokenizer_fertility" ->
+        s"""SELECT lang,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(len(w)) AS BIGINT) AS n_words,
+              CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
+              CAST(sum(n_chars) AS BIGINT) AS n_chars,
+              CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(len(w)) AS DOUBLE)
+                AS fertility,
+              CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_bpe) AS DOUBLE)
+                AS chars_per_token
+            FROM (SELECT lang, ${duckTokens("text")} AS w,
+                    len(${duckBpeTokens("text")}) AS n_bpe,
+                    length(text) AS n_chars
+                  FROM documents)
+            WHERE len(w) >= 1
+            GROUP BY lang ORDER BY lang""",
+
       "q_text_stats" ->
         s"""SELECT doc_id, n_chars, n_tokens, n_tokens_bpe, avg_token_len, stopword_ratio,
               (CASE WHEN n_tokens BETWEEN 10 AND 2000 THEN 1 ELSE 0 END
@@ -4510,6 +4578,23 @@ object PipelineQueries {
             SELECT a, b, cos FROM p WHERE cos > 0.999 ORDER BY a, b""",
 
       "q_knn_cosine_brute" -> duckBruteKnn,
+
+      "q_hard_negatives" ->
+        s"""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                  ${duckVd("embedding")} AS v FROM embeddings),
+              q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv,
+                      ${duckNorm2("v")} AS qn2 FROM v WHERE vec_id < 5),
+              c AS (SELECT vec_id, label, v, ${duckNorm2("v")} AS n2
+                    FROM v WHERE vec_id >= 5),
+              s AS (SELECT q_id, vec_id,
+                      ${duckCosine(duckDot("qv", "v"), "qn2", "n2")} AS cos
+                    FROM q, c WHERE c.label <> q.q_label),
+              r AS (SELECT q_id, vec_id, cos,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+                    FROM s)
+           SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 5
+           ORDER BY q_id, rnk""",
 
       "q_knn_truncated" ->
         s"""WITH v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),

@@ -21,7 +21,9 @@ class PlanShapeSpec extends SparkSuite {
     // ground truth, so its plan contains brute's broadcast scan
     "q_knn_recall",
     // truncation recall runs the brute pattern twice (full + 16-dim)
-    "q_knn_truncated")
+    "q_knn_truncated",
+    // hard-negative mining is the brute pattern with a label filter
+    "q_hard_negatives")
 
   test("no BroadcastNestedLoopJoin or CartesianProduct outside the intentional kNN scans") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
