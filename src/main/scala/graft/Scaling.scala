@@ -39,7 +39,11 @@ import org.apache.spark.sql.functions._
   *     outMd       default "SCALING.md" (absolute path recommended)
   *     familiesCsv default all of
   *       text_index,band_index,semdedup,simjoin,substring,window_rescue,
-  *       ivf_index,salted_store,minhash_lsh,containment
+  *       ivf_index,salted_store,minhash_lsh,containment,gram_index
+  *     repeats     default 1 — full passes over all tiers; each
+  *                 (family, tier, phase) keeps its MIN (noise floor on a
+  *                 shared box). An untimed tiny-tier warm-up always runs
+  *                 first so JIT/codegen cost never lands in tier 1.
   */
 object Scaling {
   private val DocsBase = 5000L
@@ -111,13 +115,29 @@ object Scaling {
                      rows: Long, sec: Double, out: Long)
   private val results = scala.collection.mutable.ArrayBuffer[M]()
 
+  /** The warm-up pass runs every family once on tiny data with this set:
+    * JIT, codegen caches, parquet committers and shuffle services all
+    * pay their one-time cost OUTSIDE the measured tiers (the first
+    * measured phase otherwise absorbs ~10-20s of cold-session cost —
+    * the r14 tier-1 rows read 5-20× their steady state). */
+  private var warming = false
+
+  /** Repeated invocations of the same (family, tier, phase) keep the MIN
+    * — the standard noise-floor estimator on a shared box whose host
+    * contention is one-sided (times inflate, never deflate). */
   private def timed(family: String, tier: Int, phase: String, rows: Long)
                    (body: => Long): Unit = {
     val t0 = System.nanoTime()
     val out = body
     val sec = (System.nanoTime() - t0) / 1e9
-    results += M(family, tier, phase, rows, sec, out)
-    println(f"""{"family":"$family","tier":$tier,"phase":"$phase","rows":$rows,"sec":$sec%.2f,"out_rows":$out}""")
+    if (!warming) {
+      val i = results.indexWhere(m =>
+        m.family == family && m.tier == tier && m.phase == phase)
+      if (i < 0) results += M(family, tier, phase, rows, sec, out)
+      else if (sec < results(i).sec) results(i) = M(family, tier, phase, rows, sec, out)
+    }
+    val tag = if (warming) ""","warmup":true""" else ""
+    println(f"""{"family":"$family","tier":$tier,"phase":"$phase","rows":$rows,"sec":$sec%.2f,"out_rows":$out$tag}""")
   }
 
   // ---- families -------------------------------------------------------
@@ -208,8 +228,7 @@ object Scaling {
     }
   }
 
-  private def famWindowRescue(s: SparkSession, n: Long, tier: Int): Unit = {
-    val rows = WindowBase * tier
+  private def famWindowRescue(s: SparkSession, rows: Long, tier: Int): Unit = {
     val gateKey = plans.GlobalWindowGate.MinBytesKey
     val prev = s.conf.getOption(gateKey)
     s.conf.set(gateKey, "0") // pin the rescue open: ITS slope is the measurement
@@ -292,6 +311,24 @@ object Scaling {
     }
   }
 
+  private def famGramIndex(s: SparkSession, docs: DataFrame, n: Long,
+                           tier: Int, tmp: String): Unit = {
+    val path = s"$tmp/gindex_x$tier"
+    def setsOf(df: DataFrame) =
+      pipeline.TextAnalysis.shingleRows(df)
+        .withColumn("x", pipeline.Dedup.baseHash32(col("s")))
+        .select("doc_id", "x").distinct()
+    timed("gram_index", tier, "build", n) {
+      graft.store.GramIndex.write(setsOf(docs), path, nShards = 64 * tier); n
+    }
+    val batchSets = setsOf(synthBatch(s, n)).persist()
+    batchSets.count() // materialize outside the timed probe
+    timed("gram_index", tier, "probe", n) {
+      graft.store.GramIndex.probeContainment(s, path, batchSets).count()
+    }
+    batchSets.unpersist()
+  }
+
   private def famContainment(s: SparkSession, docs: DataFrame, n: Long,
                              tier: Int): Unit = {
     timed("containment", tier, "run", n) {
@@ -318,8 +355,10 @@ object Scaling {
     sb ++= "between tiers = (t_hi/t_lo)/(rows_hi/rows_lo): **1.0 = perfectly\n"
     sb ++= "linear**, <1 sublinear, >1 superlinear. Probe phases report\n"
     sb ++= "absolute seconds (expectation: ~flat — probes are batch-sized,\n"
-    sb ++= "not corpus-sized). Single-run wall times on a shared box — read\n"
-    sb ++= s"the calibration line before trusting deltas <1.5×.\n\nCalib: `$calib`\n\n"
+    sb ++= "not corpus-sized). Times are the MIN over repeated full passes\n"
+    sb ++= "after an untimed JIT warm-up tier (host contention is one-sided,\n"
+    sb ++= "so min is the noise floor); still wall times on a shared box —\n"
+    sb ++= s"read the calibration line before trusting deltas <1.5×.\n\nCalib: `$calib`\n\n"
     sb ++= "## Superlinear offenders this harness found (and their fixes)\n\n"
     sb ++= "The first full run (r14) measured two genuine engine defects that\n"
     sb ++= "sf0.1-scale testing could never see:\n\n"
@@ -374,7 +413,8 @@ object Scaling {
     val fams = args.lift(2).map(_.split(',').map(_.trim).toSet)
       .getOrElse(Set("text_index", "band_index", "semdedup", "simjoin",
         "substring", "window_rescue", "ivf_index", "salted_store",
-        "minhash_lsh", "containment"))
+        "minhash_lsh", "containment", "gram_index"))
+    val repeats = args.lift(3).map(_.trim.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val calibPre = Calib.bracketAll(cpus.toInt)
     val spark = SparkSession.builder()
@@ -385,9 +425,7 @@ object Scaling {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_scaling_p${ProcessHandle.current().pid()}"
-    for (tier <- tiers) {
-      val nDocs = DocsBase * tier
-      val nVecs = VecsBase * tier
+    def runTier(tier: Int, nDocs: Long, nVecs: Long, windowRows: Long): Unit = {
       // materialize generated inputs to parquet (untimed): the families
       // then measure real scans, not generator codegen
       val docsPath = s"$tmp/docs_x$tier"
@@ -402,13 +440,21 @@ object Scaling {
       if (fams("semdedup")) famSemDedup(spark, vecs, nVecs, tier)
       if (fams("simjoin")) famSimjoin(spark, docs, nDocs, tier)
       if (fams("substring")) famSubstring(spark, docs, nDocs, tier)
-      if (fams("window_rescue")) famWindowRescue(spark, nDocs, tier)
+      if (fams("window_rescue")) famWindowRescue(spark, windowRows, tier)
       if (fams("ivf_index")) famIvfIndex(spark, vecs, nVecs, tier, tmp)
       if (fams("salted_store")) famSaltedStore(spark, docs, nDocs, tier, tmp)
       if (fams("minhash_lsh")) famMinhashLsh(spark, docs, nDocs, tier)
       if (fams("containment")) famContainment(spark, docs, nDocs, tier)
+      if (fams("gram_index")) famGramIndex(spark, docs, nDocs, tier, tmp)
       spark.catalog.clearCache()
     }
+    // untimed warm-up on tiny data: JIT/codegen/committer first-touch
+    // cost lands here, not on the first measured tier
+    warming = true
+    runTier(0, 1000L, 400L, 10000L)
+    warming = false
+    for (r <- 0 until repeats; tier <- tiers)
+      runTier(tier, DocsBase * tier, VecsBase * tier, WindowBase * tier)
     val calibPost = Calib.bracketAll(cpus.toInt)
     val calib = Calib.json(cpus, calibPre, calibPost)
     val md = renderMd(tiers, calib)

@@ -42,6 +42,7 @@ object PipelineQueries {
     "q_knn_cosine_ivf_indexed_deep",
     "q_semdedup_incremental",
     "q_dedup_incremental_indexed",
+    "q_containment_incremental",
     "q_knn_delete",
     "q_text_search", "q_text_search_ranked", "q_text_boolean",
     "q_text_boolean_ranked", "q_text_bm25", "q_text_bm25_live",
@@ -149,6 +150,47 @@ object PipelineQueries {
          SELECT doc_id + 100000 AS doc_id, array_to_string(w[1:len(w)-2], ' ') AS text
          FROM (SELECT doc_id, ${duckTokens("text")} AS w FROM documents)
          WHERE len(w) >= 5)"""
+
+  /** The q_containment_incremental probe batch: per corpus doc with ≥ 8
+    * tokens, a truncated copy (last 2 tokens dropped, ids +200000 —
+    * contained at exactly 1.0), a token-3 mutation (ids +300000 — loses
+    * the 3 shingles covering position 3, so C = (m−3)/m clears τ = 3/4
+    * only for longer docs), and a fully novel 4-token doc (+400000 —
+    * no index token matches at all). */
+  private def containmentBatch(docs: DataFrame): DataFrame = {
+    val w = docs.withColumn("w", tokens(col("text"))).filter(size(col("w")) >= 8)
+    val truncated = w.select((col("doc_id") + 200000L).as("doc_id"),
+      array_join(slice(col("w"), lit(1), size(col("w")) - 2), " ").as("text"))
+    val mutated = w.select((col("doc_id") + 300000L).as("doc_id"),
+      array_join(concat(
+        slice(col("w"), lit(1), lit(2)),
+        array(concat(lit("qq"), (col("doc_id") + 300000L).cast("string"))),
+        slice(col("w"), lit(4), size(col("w")) - 3)), " ").as("text"))
+    val novel = w.select((col("doc_id") + 400000L).as("doc_id"),
+      concat(lit("zza"), col("doc_id").cast("string"),
+        lit(" zzb"), col("doc_id").cast("string"),
+        lit(" zzc"), col("doc_id").cast("string"),
+        lit(" zzd"), col("doc_id").cast("string")).as("text"))
+    truncated.union(mutated).union(novel)
+  }
+  private val duckContainmentBatch =
+    s"""batch AS (
+         WITH wd AS (SELECT doc_id, ${duckTokens("text")} AS w FROM documents)
+         SELECT doc_id + 200000 AS doc_id,
+           array_to_string(w[1:len(w)-2], ' ') AS text
+         FROM wd WHERE len(w) >= 8
+         UNION ALL
+         SELECT doc_id + 300000 AS doc_id,
+           array_to_string(list_concat(list_concat(w[1:2],
+             ['qq' || CAST(doc_id + 300000 AS VARCHAR)]), w[4:len(w)]), ' ')
+           AS text
+         FROM wd WHERE len(w) >= 8
+         UNION ALL
+         SELECT doc_id + 400000 AS doc_id,
+           'zza' || CAST(doc_id AS VARCHAR) || ' zzb' || CAST(doc_id AS VARCHAR)
+             || ' zzc' || CAST(doc_id AS VARCHAR) || ' zzd'
+             || CAST(doc_id AS VARCHAR) AS text
+         FROM wd WHERE len(w) >= 8)"""
 
   private val duckShingled =
     s"""sh AS (
@@ -956,6 +998,36 @@ object PipelineQueries {
         .select("doc_id", "x").distinct().persist()
       Persisted.swap("containment_sets", dir, sets)
       containmentJoinCore(sets, dir)
+    }),
+
+    // INCREMENTAL containment — q_simjoin_containment's batch-vs-history
+    // form: "is this new doc contained in some corpus doc?" probed
+    // against the PERSISTED gram index (graft.store.GramIndex: postings
+    // + df summary + profiles, hash-sharded; probes are three
+    // shard-pruned batch-sized reads — dfs pick each batch doc's RAREST
+    // na − ⌈3·na/4⌉ + 1 tokens, only those tokens' postings are read,
+    // only candidate docs' profiles verify). The planted batch makes the
+    // verdict non-trivial: ids +200000 drop the last 2 tokens
+    // (containment exactly 1.0), +300000 replace token 3 (3 of m
+    // shingles lost — passes τ = 3/4 only when the doc is long enough),
+    // +400000 are entirely novel (no candidates at all). Oracle = exact
+    // all-pairs batch × corpus containment, so a hash match proves the
+    // df-ordered prefix probe drops no true pair.
+    "q_containment_incremental" -> ((s, dir) => {
+      val base = documents(s, dir).select(col("doc_id"), col("text"))
+      // pid-suffixed ensure: built once per process, probed by every run
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_gramindex_" +
+        s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+      if (graft.store.GramIndex.storedShards(s, path).isEmpty)
+        graft.store.GramIndex.write(
+          shingleRows(base).withColumn("x", baseHash32(col("s")))
+            .select("doc_id", "x").distinct(), path)
+      val batchSets = shingleRows(containmentBatch(base))
+        .withColumn("x", baseHash32(col("s")))
+        .select("doc_id", "x").distinct().persist()
+      Persisted.swap("containment_incr_sets", dir, batchSets)
+      graft.store.GramIndex.probeContainment(s, path, batchSets)
+        .orderBy("a", "b")
     }),
 
     // CORPUS-LEVEL duplicate-n-gram fraction — the cross-document twin
@@ -4503,6 +4575,35 @@ object PipelineQueries {
                           ON (len(sa.sh) < len(sb.sh)
                               OR (len(sa.sh) = len(sb.sh)
                                   AND sa.doc_id < sb.doc_id)))
+           SELECT a, b,
+             CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) AS containment
+           FROM pairs
+           WHERE 4 * inter >= 3 * na
+           ORDER BY a, b""",
+
+      // exact all-pairs batch × corpus containment — proves the
+      // persisted-index probe (df-ranked prefix + size filter) drops no
+      // true pair; same distinct-list arithmetic as the self-join oracle
+      "q_containment_incremental" ->
+        s"""WITH $duckContainmentBatch,
+              ce AS (SELECT doc_id, ${duckBaseHash32("s")} AS x
+                     FROM (SELECT doc_id, unnest(${duckShingles3("w")}) AS s
+                           FROM (SELECT doc_id, ${duckTokens("text")} AS w
+                                 FROM documents)
+                           WHERE len(w) >= 3)),
+              be AS (SELECT doc_id, ${duckBaseHash32("s")} AS x
+                     FROM (SELECT doc_id, unnest(${duckShingles3("w")}) AS s
+                           FROM (SELECT doc_id, ${duckTokens("text")} AS w
+                                 FROM batch)
+                           WHERE len(w) >= 3)),
+              cs AS (SELECT doc_id, list(DISTINCT x) AS sh FROM ce GROUP BY doc_id),
+              bs AS (SELECT doc_id, list(DISTINCT x) AS sh FROM be GROUP BY doc_id),
+              pairs AS (SELECT b.doc_id AS a, c.doc_id AS b,
+                          CAST(len(b.sh) AS BIGINT) AS na,
+                          CAST(len(b.sh) + len(c.sh)
+                            - len(list_distinct(list_concat(b.sh, c.sh)))
+                            AS BIGINT) AS inter
+                        FROM bs b, cs c)
            SELECT a, b,
              CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) AS containment
            FROM pairs

@@ -1,0 +1,273 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED gram-postings index for INCREMENTAL CONTAINMENT probes —
+  * "is this new document contained in some corpus document?" asked at
+  * ingest (truncated re-crawls, quoted passages, eval questions embedded
+  * in web pages), without ever self-joining or re-reading the corpus.
+  * Completes the asymmetric-dedup story the way BandIndex completes the
+  * Jaccard one: q_simjoin_containment is the batch self-join,
+  * this store is its batch-vs-history form.
+  *
+  * Layout under `path` (all three hash-sharded, count pinned in meta —
+  * the same pinned-at-creation discipline as the reference's
+  * distributor params, wd/Parametrizable.java:24-27):
+  *  - `postings/shard=S` — (x, doc_id, n): one row per distinct
+  *    (shingle-hash, doc); `n` = that doc's distinct-set size rides
+  *    along so the τ size filter (den·n ≥ num·na) kills candidates
+  *    BEFORE any profile read. Sharded `pmod(hash(x), nShards)`.
+  *  - `dfs/shard=S` — (x, df): document-frequency SUMMARY, one small row
+  *    per token, same sharding. Appends add per-batch partial rows;
+  *    probes fold with a sum. df is an OPTIMIZATION INPUT ONLY: it picks
+  *    WHICH prefix tokens probe the postings, and the prefix filter is
+  *    sound for ANY (na − ⌈τ·na⌉ + 1)-subset of A's tokens (pigeonhole:
+  *    a qualifying B misses at most na − ⌈τ·na⌉ of them) — so stale,
+  *    partial, or tombstone-inflated dfs can cost candidates, never
+  *    correctness.
+  *  - `profiles/shard=S` — (doc_id, n, sh): the exact verification sets,
+  *    sharded on `pmod(hash(doc_id), nShards)`; the verify join reads
+  *    only the candidate docs' shards.
+  *  - `_gram_meta.json` — nShards.
+  *
+  * WRITE ORDER IS THE ISOLATION CONTRACT (the BandIndex discipline):
+  * profiles commit BEFORE postings. Candidates come off the postings
+  * scan and verify against profiles, so a probe catching an in-flight
+  * batch observes {old postings, any profiles} — every candidate it can
+  * generate has its verification profile. dfs commit last; a missing df
+  * row reads as df = 0 (sorts rarest-first), which the soundness
+  * argument above already covers.
+  *
+  * Append contract: batches carry DISJOINT doc sets. Takedowns:
+  * [[delete]] tombstones are anti-joined by every probe and folded at
+  * [[compact]]; dfs stay inflated until compact recomputes them from
+  * the compacted postings (sound, see above). */
+object GramIndex {
+  val MetaFile = "_gram_meta.json"
+  val DefaultShards = 64
+
+  private def fsOf(spark: SparkSession, path: String) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    (root.getFileSystem(spark.sessionState.newHadoopConf()), root)
+  }
+
+  def shardOf(c: Column, nShards: Int): Column = pmod(hash(c), lit(nShards))
+
+  private def writeMeta(spark: SparkSession, path: String, nShards: Int): Unit = {
+    val (fs, root) = fsOf(spark, path)
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, MetaFile), true)
+    try out.write(s"""{"n_shards":$nShards}""".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** nShards the index was created with; None if no index exists.
+    * Every probe's first call — refuses a mid-migration layout. */
+  def storedShards(spark: SparkSession, path: String): Option[Int] = {
+    val (fs, root) = fsOf(spark, path)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, ReshardMarker)),
+      s"probe: $path has an in-flight shard migration ($ReshardMarker) — " +
+        "re-invoke GramIndex.reshard with the original shard count to finish it")
+    val p = new org.apache.hadoop.fs.Path(root, MetaFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      """"n_shards":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+    }
+  }
+
+  /** (doc_id, x) DISTINCT set rows → the three sharded layouts. One
+    * shard exchange per layout (the repartition-before-partitionBy rule
+    * graft.Scaling r14 measured at 13× on the band index). */
+  def write(sets: DataFrame, path: String,
+            nShards: Int = DefaultShards): Unit = {
+    val spark = sets.sparkSession
+    writeLayouts(sets, path, nShards, "overwrite")
+    writeMeta(spark, path, nShards)
+  }
+
+  /** Append a batch's set rows (disjoint doc contract). Shard count from
+    * the stored meta — an append can never fork the layout. */
+  def append(sets: DataFrame, path: String): Unit = {
+    val nShards = storedShards(sets.sparkSession, path).getOrElse(
+      throw new IllegalStateException(s"no gram index at $path — write() first"))
+    writeLayouts(sets, path, nShards, "append")
+  }
+
+  private def writeLayouts(sets: DataFrame, path: String, nShards: Int,
+                           mode: String): Unit = {
+    val profiles = sets.groupBy("doc_id")
+      .agg(collect_list(col("x")).as("sh"), count(lit(1)).as("n"))
+    // profiles FIRST — see the isolation contract in the scaladoc
+    profiles
+      .withColumn("shard", shardOf(col("doc_id"), nShards))
+      .repartition(col("shard"))
+      .sortWithinPartitions("doc_id")
+      .write.mode(mode).partitionBy("shard").parquet(s"$path/profiles")
+    sets
+      .join(profiles.select(col("doc_id"), col("n")), "doc_id")
+      .select(col("x"), col("doc_id"), col("n"))
+      .withColumn("shard", shardOf(col("x"), nShards))
+      .repartition(col("shard"))
+      .sortWithinPartitions("x", "doc_id")
+      .write.mode(mode).partitionBy("shard").parquet(s"$path/postings")
+    sets.groupBy("x").agg(count(lit(1)).as("df"))
+      .withColumn("shard", shardOf(col("x"), nShards))
+      .repartition(col("shard"))
+      .sortWithinPartitions("x")
+      .write.mode(mode).partitionBy("shard").parquet(s"$path/dfs")
+  }
+
+  // ---- deletes (the BandIndex/VectorIndex tombstone shape) -----------
+
+  private def deletesPath(path: String) = s"$path/_deletes"
+
+  /** Tombstone corpus doc ids: excluded from every probe's candidates
+    * immediately, physically removed at [[compact]]. dfs are NOT
+    * corrected until compact — inflated df only re-orders the prefix
+    * choice (sound, see scaladoc). */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    require(storedShards(spark, path).nonEmpty, s"no gram index at $path")
+    import spark.implicits._
+    ids.toDF("doc_id").write.mode("append").parquet(deletesPath(path))
+  }
+
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val (fs, _) = fsOf(spark, deletesPath(path))
+    if (!fs.exists(new org.apache.hadoop.fs.Path(deletesPath(path)))) None
+    else Some(spark.read.parquet(deletesPath(path)).select("doc_id").distinct())
+  }
+
+  private def live(df: DataFrame, spark: SparkSession, path: String,
+                   idCol: String): DataFrame =
+    tombstones(spark, path) match {
+      case Some(t) =>
+        df.join(broadcast(t.select(col("doc_id").as(idCol))), Seq(idCol), "left_anti")
+      case None => df
+    }
+
+  /** Containment probe: for each batch doc A (distinct (doc_id, x) set
+    * rows), every live corpus doc B with |A∩B|/|A| ≥ num/den, with the
+    * exact containment value. Three shard-pruned reads, each
+    * batch-sized, never corpus-sized:
+    *  1. dfs of the batch's tokens (≤ |batch tokens| shards listed) —
+    *     picks A's na − ⌈τ·na⌉ + 1 RAREST tokens as its probe prefix;
+    *  2. postings of the prefix tokens only (rare by construction, so
+    *     Σ df(prefix) stays bounded) → candidates, size-filtered
+    *     den·nb ≥ num·na before any profile read;
+    *  3. profiles row-selectively joined on the candidate ids → ONE
+    *     codegen'd array_intersect verify per pair, pure-integer
+    *     threshold den·|A∩B| ≥ num·na.
+    * Output: (a, b, containment), exact. */
+  def probeContainment(spark: SparkSession, path: String, batchSets: DataFrame,
+                       num: Int = 3, den: Int = 4): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, s"threshold $num/$den not in (0,1]")
+    val nShards = storedShards(spark, path).getOrElse(
+      throw new IllegalStateException(s"no gram index at $path — write() first"))
+    val sets = batchSets.select(col("doc_id").as("a"), col("x"))
+    val withNa = sets.withColumn("na", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("a")).cast("bigint"))
+    // 1. df lookup — shard list is ≤ nShards by construction (pmod)
+    val tokShards = sets.select(shardOf(col("x"), nShards).as("s"))
+      .distinct().collect().map(_.getInt(0).toLong).toSeq
+    val dfOfTok = SaltedStore.readPartitions(spark, s"$path/dfs", tokShards,
+        partitionPrefix = "shard")
+      .join(broadcast(sets.select("x").distinct()), "x")
+      .groupBy("x").agg(sum(col("df")).as("df")) // fold per-batch partials
+    val prefix = withNa
+      .join(broadcast(dfOfTok), Seq("x"), "left")
+      .na.fill(0L, Seq("df")) // token unseen by the corpus: rarest of all
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("a")
+          .orderBy(col("df"), col("x"))).cast("bigint"))
+      .filter(col("rn") <=
+        expr(s"na - (($num * na + ${den - 1}) div $den) + 1"))
+      .select("a", "x", "na")
+    // 2. candidates off the prefix tokens' postings, size-filtered
+    val postShards = prefix.select(shardOf(col("x"), nShards).as("s"))
+      .distinct().collect().map(_.getInt(0).toLong).toSeq
+    val cand = live(
+        SaltedStore.readPartitions(spark, s"$path/postings", postShards,
+            partitionPrefix = "shard")
+          .select(col("x"), col("doc_id").as("b"), col("n").as("nb")),
+        spark, path, "b")
+      .join(broadcast(prefix), "x")
+      .filter(lit(den.toLong) * col("nb") >= lit(num.toLong) * col("na"))
+      .select("a", "b", "na", "nb").distinct()
+    // 3. verify against the candidate docs' profiles — row-selective
+    // join (candidate ids only), no listing pruning: deriving the
+    // candidates' doc-shards would mean EXECUTING the candidate join
+    // once just to prune a listing, then again for real (the BandIndex
+    // sketches read makes the same call)
+    val profs = spark.read.parquet(s"$path/profiles")
+      .select(col("doc_id").as("b"), col("sh").as("shb"))
+    val batchFull = sets.groupBy("a").agg(collect_list(col("x")).as("sha"))
+    cand
+      .join(profs, "b")
+      .join(broadcast(batchFull), "a")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("bigint"))
+      .filter(lit(den.toLong) * col("inter") >= lit(num.toLong) * col("na"))
+      .withColumn("containment",
+        col("inter").cast("double") / col("na").cast("double"))
+      .select("a", "b", "containment")
+  }
+
+  /** Fold tombstones into a physical rewrite on postings and profiles
+    * (SaltedStore.compact's marker-guarded per-partition swap), then
+    * recompute dfs EXACTLY from the compacted postings. A probe racing
+    * the dfs rewrite can read a partial summary — df = 0 for missing
+    * tokens — which only re-orders its prefix choice (sound). Same
+    * writer discipline as every compaction here: pause appends. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val nShards = storedShards(spark, path).getOrElse(
+      throw new IllegalStateException(s"no gram index at $path"))
+    val drop = tombstones(spark, path)
+    def strip(df: DataFrame): DataFrame = drop match {
+      case Some(t) => df.join(broadcast(t), Seq("doc_id"), "left_anti")
+      case None => df
+    }
+    SaltedStore.compact(spark, s"$path/postings", col("x"),
+      partitionPrefix = "shard", transform = strip)
+    SaltedStore.compact(spark, s"$path/profiles", col("doc_id"),
+      partitionPrefix = "shard", transform = strip)
+    spark.read.parquet(s"$path/postings")
+      .groupBy("x").agg(count(lit(1)).as("df"))
+      .withColumn("shard", shardOf(col("x"), nShards))
+      .repartition(col("shard"))
+      .sortWithinPartitions("x")
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/dfs")
+    val (fs, _) = fsOf(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(deletesPath(path)), true)
+  }
+
+  /** Marker for an in-flight shard-count migration (see [[reshard]]). */
+  val ReshardMarker = "_graft_resharding"
+
+  /** SHARD-COUNT MIGRATION on the shared StagedSwap protocol — all three
+    * layouts move as one generation (postings/dfs re-hashed on x,
+    * profiles on doc_id) plus a fresh meta; pending tombstones fold in.
+    * OFFLINE: pause writers and probes; [[storedShards]] (every probe's
+    * first call) refuses a standing marker. Resume = re-invoke with the
+    * same count. */
+  def reshard(spark: SparkSession, path: String, newShards: Int): Unit = {
+    require(newShards > 0, s"shard count must be positive, got $newShards")
+    val (fs0, root0) = fsOf(spark, path)
+    if (!fs0.exists(new org.apache.hadoop.fs.Path(root0, ReshardMarker)))
+      require(storedShards(spark, path).nonEmpty, s"no gram index at $path")
+    StagedSwap.migrate(spark, path, ReshardMarker,
+      ".reshard_new", ".reshard_old",
+      opName = "reshard", what = "shard count", tag = s"shards=$newShards",
+      parkFilter = _ => true, swapFilter = _ => true,
+      stage = { staging =>
+        val liveSets = live(
+          spark.read.parquet(s"$path/postings").select("doc_id", "x"),
+          spark, path, "doc_id")
+        // one staged rewrite through the same three-layout writer; meta
+        // commits into the staging dir, swapped in with the data
+        writeLayouts(liveSets, staging, newShards, "overwrite")
+        writeMeta(spark, staging, newShards)
+      })
+  }
+}

@@ -1,0 +1,188 @@
+package graft.store
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Persisted gram index: probe parity with a brute-force containment
+  * join, shard pruning at file-listing time, append growth, tombstone
+  * visibility, df-soundness under deletes, and the profiles-first
+  * isolation contract. */
+class GramIndexSpec extends SparkSuite {
+
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString + "/idx"
+
+  // 12 tokens → 10 shingles per doc; token9$i keeps docs distinct
+  private def doc(i: Long) =
+    s"alpha bravo charlie delta echo foxtrot golf hotel token$i india juliet kilo"
+
+  private def setsOf(df: org.apache.spark.sql.DataFrame) =
+    graft.pipeline.TextAnalysis.shingleRows(df)
+      .withColumn("x", graft.pipeline.Dedup.baseHash32(col("s")))
+      .select("doc_id", "x").distinct()
+
+  private def brute(batch: org.apache.spark.sql.DataFrame,
+                    corpus: org.apache.spark.sql.DataFrame) = {
+    val bs = setsOf(batch).groupBy("doc_id").agg(collect_list("x").as("sh"))
+    val cs = setsOf(corpus).groupBy("doc_id").agg(collect_list("x").as("sh"))
+    bs.as("b").crossJoin(cs.as("c"))
+      .select(col("b.doc_id").as("a"), col("c.doc_id").as("b"),
+        size(col("b.sh")).cast("bigint").as("na"),
+        size(array_intersect(col("b.sh"), col("c.sh"))).cast("bigint").as("inter"))
+      .filter(lit(4L) * col("inter") >= lit(3L) * col("na"))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / col("na").cast("double")).as("c"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+  }
+
+  private def probe(path: String, batch: org.apache.spark.sql.DataFrame) =
+    GramIndex.probeContainment(spark, path, setsOf(batch))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+
+  test("probeContainment matches brute-force all-pairs exactly") {
+    import spark.implicits._
+    val corpus = (0L until 40L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    // batch: truncations (contained, C=1.0), one mutation, novel docs
+    val batch = (
+      (0L until 5L).map(i => (1000L + i,
+        doc(i).split(" ").dropRight(2).mkString(" "))) ++
+      Seq((1500L, doc(3).replace("delta", "DELTAX"))) ++
+      (0L until 3L).map(i => (2000L + i, s"zulu$i yankee$i xray$i whiskey$i"))
+      ).toDF("doc_id", "text")
+    val p = tmp("gramidx_parity")
+    GramIndex.write(setsOf(corpus), p)
+    val got = probe(p, batch)
+    val want = brute(batch, corpus)
+    assert(want.nonEmpty)
+    assert(got === want,
+      s"missed: ${(want.keySet -- got.keySet).take(5)}; " +
+        s"spurious: ${(got.keySet -- want.keySet).take(5)}")
+    (0L until 5L).foreach(i => assert(got((1000L + i, i)) === 1.0))
+    (2000L until 2003L).foreach(b =>
+      assert(!got.keySet.exists(_._1 == b), s"novel doc $b matched"))
+  }
+
+  test("probe prunes all three layout scans to the batch's shards at listing time") {
+    import spark.implicits._
+    val corpus = (0L until 60L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    val p = tmp("gramidx_prune")
+    GramIndex.write(setsOf(corpus), p)
+    val one = Seq((999L, doc(7).split(" ").dropRight(2).mkString(" ")))
+      .toDF("doc_id", "text")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val scans = try {
+      GramIndex.probeContainment(spark, p, setsOf(one))
+        .queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    // dfs and postings prune at listing time; profiles deliberately
+    // read row-selectively (see probeContainment) — assert both probed
+    // layouts root at shard dirs and drop most of them
+    val pruned = Seq("dfs", "postings").map { layout =>
+      val scan = scans.find(_.relation.location.rootPaths
+        .exists(_.toString.contains(s"/$layout/")))
+        .getOrElse(fail(s"no $layout scan in the probe plan"))
+      val surviving = scan.relation.location.rootPaths
+        .map(_.getName).count(_.startsWith("shard="))
+      val total = new java.io.File(s"$p/$layout").list()
+        .count(_.startsWith("shard="))
+      assert(surviving > 0, s"$layout: scan must root at probed shard dirs")
+      assert(surviving < total,
+        s"$layout: pruning must drop shards ($total present, $surviving survive)")
+      surviving
+    }
+    assert(pruned.nonEmpty)
+  }
+
+  test("append grows the index; probes see appended docs; meta guards layout") {
+    import spark.implicits._
+    val p = tmp("gramidx_append")
+    val first = (0L until 30L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    intercept[IllegalStateException] {
+      GramIndex.append(setsOf(first), p)
+    }
+    GramIndex.write(setsOf(first), p)
+    val second = (30L until 50L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    GramIndex.append(setsOf(second), p)
+    val batch = Seq((5000L, doc(42).split(" ").dropRight(2).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = probe(p, batch)
+    assert(got.get((5000L, 42L)).contains(1.0), s"got $got")
+    // dfs folded across the two writes: the brute answer still matches
+    assert(got === brute(batch, (0L until 50L).map(i => (i, doc(i)))
+      .toDF("doc_id", "text")))
+  }
+
+  test("tombstoned docs vanish from probes immediately; compact folds them in") {
+    import spark.implicits._
+    val p = tmp("gramidx_delete")
+    val corpus = (0L until 20L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    GramIndex.write(setsOf(corpus), p)
+    val batch = Seq((9000L, doc(7).split(" ").dropRight(2).mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(probe(p, batch).contains((9000L, 7L)))
+    GramIndex.delete(spark, p, Seq(7L))
+    val after = probe(p, batch)
+    assert(!after.contains((9000L, 7L)), s"tombstoned doc still matched: $after")
+    GramIndex.compact(spark, p)
+    assert(!probe(p, batch).contains((9000L, 7L)))
+    // dfs were recomputed exactly: post-compact equals a fresh index
+    val fresh = tmp("gramidx_fresh")
+    GramIndex.write(setsOf(corpus.filter(col("doc_id") =!= 7L)), fresh)
+    assert(probe(p, batch) === probe(fresh, batch))
+  }
+
+  test("reshard migrates all three layouts; probes refuse mid-migration") {
+    import spark.implicits._
+    val p = tmp("gramidx_reshard")
+    val corpus = (0L until 25L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    GramIndex.write(setsOf(corpus), p, nShards = 8)
+    val batch = Seq((9000L, doc(11).split(" ").dropRight(2).mkString(" ")))
+      .toDF("doc_id", "text")
+    val before = probe(p, batch)
+    GramIndex.reshard(spark, p, 32)
+    assert(GramIndex.storedShards(spark, p).contains(32))
+    assert(probe(p, batch) === before)
+    // a standing marker makes every probe refuse
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(new org.apache.hadoop.fs.Path(p, GramIndex.ReshardMarker), true).close()
+    intercept[IllegalArgumentException] { probe(p, batch) }
+    fs.delete(new org.apache.hadoop.fs.Path(p, GramIndex.ReshardMarker), false)
+  }
+
+  test("probe during APPEND sees a verifiable generation (profiles-first ordering)") {
+    import spark.implicits._
+    // The mid-append snapshot a probe can observe under the write order
+    // (profiles commit before postings): {old postings, old+new
+    // profiles}. Simulate it directly: write gen-1, append ONLY the
+    // profiles of gen-2 (the prefix of an in-flight append), and assert
+    // the probe still returns exactly the gen-1 answer — every
+    // candidate it generates has its verification profile, and no
+    // unverifiable candidate exists.
+    val p = tmp("gramidx_isolation")
+    val gen1 = (0L until 20L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    GramIndex.write(setsOf(gen1), p)
+    val gen2 = (20L until 30L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    val nShards = GramIndex.storedShards(spark, p).get
+    setsOf(gen2).groupBy("doc_id")
+      .agg(collect_list(col("x")).as("sh"), count(lit(1)).as("n"))
+      .withColumn("shard", GramIndex.shardOf(col("doc_id"), nShards))
+      .repartition(col("shard"))
+      .write.mode("append").partitionBy("shard").parquet(s"$p/profiles")
+    val batch = Seq(
+      (9000L, doc(5).split(" ").dropRight(2).mkString(" ")),   // gen-1 hit
+      (9001L, doc(25).split(" ").dropRight(2).mkString(" ")))  // gen-2: not yet
+      .toDF("doc_id", "text")
+    val got = probe(p, batch)
+    assert(got.get((9000L, 5L)).contains(1.0))
+    // the probe's whole answer equals the GEN-1-ONLY brute answer: the
+    // batch docs may legitimately be contained in gen-1 docs (this
+    // template corpus shares 6 of 8 shingles across all docs — C = 0.75
+    // exactly), but no gen-2 pair can surface without its postings
+    assert(got === brute(batch, gen1))
+    assert(!got.contains((9001L, 25L)),
+      "gen-2 doc matched before its postings committed")
+  }
+}
