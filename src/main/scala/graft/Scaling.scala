@@ -449,9 +449,11 @@ object Scaling {
       spark.catalog.clearCache()
     }
     // untimed warm-up on tiny data: JIT/codegen/committer first-touch
-    // cost lands here, not on the first measured tier
+    // cost lands here, not on the first measured tier. Tier label 1 so
+    // every family's tier-scaled layout sizing stays valid; the real
+    // tier-1 pass overwrites the same paths right after.
     warming = true
-    runTier(0, 1000L, 400L, 10000L)
+    runTier(1, 1000L, 400L, 10000L)
     warming = false
     for (r <- 0 until repeats; tier <- tiers)
       runTier(tier, DocsBase * tier, VecsBase * tier, WindowBase * tier)

@@ -42,7 +42,9 @@ import org.apache.spark.sql.functions._
   * Append contract: batches carry DISJOINT doc sets. Takedowns:
   * [[delete]] tombstones are anti-joined by every probe and folded at
   * [[compact]]; dfs stay inflated until compact recomputes them from
-  * the compacted postings (sound, see above). */
+  * the compacted postings (sound, see above). Streaming maintenance:
+  * `StreamingIngest.gramIndexWriter`; containment-screened ingest
+  * (contained batch docs never enter): `screenGramIngestWriter`. */
 object GramIndex {
   val MetaFile = "_gram_meta.json"
   val DefaultShards = 64

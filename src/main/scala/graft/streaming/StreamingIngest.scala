@@ -238,6 +238,127 @@ object StreamingIngest {
     * re-aggregates bucket membership per probe over the pruned shards,
     * applying the deterministic hot-bucket cap at probe time — append
     * order can never change candidate semantics. */
+  /** The (doc_id, x) distinct shingle-hash set rows a gram-index batch
+    * ingests — the GramIndex write/probe input shape. */
+  private def gramSets(batch: DataFrame): DataFrame =
+    graft.pipeline.TextAnalysis.shingleRows(batch.select("doc_id", "text"))
+      .withColumn("x", graft.pipeline.Dedup.baseHash32(col("s")))
+      .select("doc_id", "x").distinct()
+
+  /** Continuous gram-index maintenance — the streaming twin of
+    * graft.store.GramIndex.write/append, under the same idempotent
+    * commit log as [[saltedWriter]]. Each micro-batch of (doc_id, text)
+    * rows is shingle-hashed and appended to the three sharded layouts;
+    * the store's profiles-before-postings write order keeps concurrent
+    * probes verifiable mid-append, and its df summary is fold-at-read,
+    * so per-batch partial df rows need no merge step here. First batch
+    * bootstraps the index; shard count is then pinned by the stored
+    * meta (an append can never fork the layout). */
+  def gramIndexWriter(stream: DataFrame, path: String,
+                      nShards: Int = graft.store.GramIndex.DefaultShards,
+                      commitTag: String = "q0"): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeGramBatchIdempotent(batch, batchId, path, nShards, commitTag)
+      }
+
+  /** One idempotent gram-index micro-batch (testing seam). */
+  def writeGramBatchIdempotent(batch: DataFrame, batchId: Long, path: String,
+                               nShards: Int = graft.store.GramIndex.DefaultShards,
+                               commitTag: String = "q0"): Unit =
+    withBatchCommit(batch, batchId, path, commitTag) {
+      import graft.store.GramIndex
+      val sets = gramSets(batch)
+      if (GramIndex.storedShards(batch.sparkSession, path).isEmpty)
+        GramIndex.write(sets, path, nShards)
+      else GramIndex.append(sets, path)
+    }
+
+  /** CONTAINMENT-SCREENED ingest — decontamination at the door: a
+    * micro-batch doc that is substantially CONTAINED in the corpus
+    * (|A∩B|/|A| ≥ num/den against some existing doc — truncated
+    * re-crawls, quoted passages, boilerplate-wrapped copies; subsumes
+    * exact-dup screening) never enters the index. The asymmetric twin
+    * of [[dedupBandIngestWriter]]'s Jaccard screen.
+    *
+    * Per batch, both checks token-equi-blocked (never all-pairs at the
+    * corpus grain):
+    *  1. WITHIN-BATCH: shared-token candidate pairs over the batch's
+    *     own set rows, exact verify; a doc contained in a LARGER peer
+    *     (ties: larger id contained in smaller) is dropped.
+    *  2. AGAINST THE INDEX: survivors run
+    *     [[graft.store.GramIndex.probeContainment]] (df-ranked rarest-
+    *     prefix probe, three shard-pruned batch-sized reads); any doc
+    *     with a qualifying container in the corpus is dropped.
+    * Survivor sets append under the idempotent commit log (replay is
+    * skipped BEFORE the probe — a replayed batch cannot screen against
+    * the rows its first attempt appended). The first batch bootstraps
+    * the index. Testing seam: [[screenGramBatchIdempotent]] returns
+    * the surviving doc ids. */
+  def screenGramIngestWriter(stream: DataFrame, path: String,
+                             num: Int = 3, den: Int = 4,
+                             nShards: Int = graft.store.GramIndex.DefaultShards,
+                             commitTag: String = "q0")
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        screenGramBatchIdempotent(batch, batchId, path, num, den, nShards, commitTag)
+        ()
+      }
+
+  /** One idempotent containment-screened micro-batch (testing seam).
+    * Returns the surviving doc ids when the batch ran, None on a
+    * replay skip. */
+  def screenGramBatchIdempotent(batch: DataFrame, batchId: Long, path: String,
+                                num: Int = 3, den: Int = 4,
+                                nShards: Int = graft.store.GramIndex.DefaultShards,
+                                commitTag: String = "q0"): Option[Seq[Long]] = {
+    import graft.store.GramIndex
+    var out: Option[Seq[Long]] = None
+    withBatchCommit(batch, batchId, path, commitTag) {
+      val spark = batch.sparkSession
+      val sets = gramSets(batch).persist()
+      try {
+        val full = sets.groupBy("doc_id")
+          .agg(collect_list(col("x")).as("sh"), count(lit(1)).as("n"))
+        // 1) within-batch: drop docs contained in a larger peer (ties:
+        // the larger id drops, so one of an identical pair survives)
+        val cand = sets.as("pa").join(sets.as("pb"),
+            col("pa.x") === col("pb.x") &&
+              col("pa.doc_id") =!= col("pb.doc_id"))
+          .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"))
+          .distinct()
+        val withinDropped: Set[Long] = cand
+          .join(full.select(col("doc_id").as("a"), col("sh").as("sha"),
+            col("n").as("na")), "a")
+          .join(full.select(col("doc_id").as("b"), col("sh").as("shb"),
+            col("n").as("nb")), "b")
+          .filter(col("nb") > col("na") ||
+            (col("nb") === col("na") && col("b") < col("a")))
+          .filter(lit(den.toLong) *
+            size(array_intersect(col("sha"), col("shb"))).cast("bigint") >=
+            lit(num.toLong) * col("na"))
+          .select(col("a")).distinct().collect().map(_.getLong(0)).toSet
+        val within = sets.filter(!col("doc_id").isin(withinDropped.toSeq: _*))
+        // 2) against the index (bootstrap: first batch creates it)
+        val indexDropped: Set[Long] =
+          if (GramIndex.storedShards(spark, path).isEmpty) Set.empty
+          else GramIndex.probeContainment(spark, path, within, num, den)
+            .select(col("a")).distinct().collect().map(_.getLong(0)).toSet
+        val dropped = withinDropped ++ indexDropped
+        val kept = sets.filter(!col("doc_id").isin(dropped.toSeq: _*))
+        if (GramIndex.storedShards(spark, path).isEmpty)
+          GramIndex.write(kept, path, nShards)
+        else GramIndex.append(kept, path)
+        out = Some(batch.select("doc_id").collect().map(_.getLong(0))
+          .filterNot(dropped).toSeq.sorted)
+      } finally sets.unpersist(blocking = false)
+    }
+    out
+  }
+
   def bandIndexWriter(stream: DataFrame, path: String,
                       nShards: Int = graft.store.BandIndex.DefaultShards,
                       commitTag: String = "q0"): DataStreamWriter[org.apache.spark.sql.Row] =

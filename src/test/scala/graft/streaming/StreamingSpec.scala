@@ -425,6 +425,69 @@ class StreamingSpec extends SparkSuite {
     assert(got.contains((25L, 9000L)), s"got $got")
   }
 
+  test("streaming gram-index ingest: bootstrap, append, replay skip, containment probes see growth") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("gramidx_stream").toString + "/idx"
+    val ckpt = Files.createTempDirectory("gramidx_ckpt").toString
+    // alternating unique/common tokens: every 3-shingle carries a
+    // doc-unique token, so cross-doc containment is exactly 0 and the
+    // only qualifying pairs are planted ones
+    def doc(i: Long) =
+      s"alpha$i bravo charlie$i delta echo$i foxtrot golf$i hotel india$i juliet kilo$i lima"
+    def gsets(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.TextAnalysis.shingleRows(df)
+        .withColumn("x", graft.pipeline.Dedup.baseHash32(col("s")))
+        .select("doc_id", "x").distinct()
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = gramIndexWriter(stream, dir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+    mem.addData((0L until 20L).map(i => (i, doc(i))): _*)
+    val r1 = q.start(); r1.awaitTermination()
+    mem.addData((20L until 30L).map(i => (i, doc(i))): _*)
+    val r2 = q.start(); r2.awaitTermination()
+    // replay of an already-committed batch is skipped
+    writeGramBatchIdempotent(
+      (0L until 20L).map(i => (i, doc(i))).toDF("doc_id", "text"), 0L, dir)
+    // a truncation of a SECOND-batch doc is contained at exactly 1.0
+    // through the grown layout (dfs folded across both appends)
+    val probe = Seq((9000L, doc(25).split(" ").dropRight(2).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.store.GramIndex.probeContainment(spark, dir, gsets(probe))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got === Map((9000L, 25L) -> 1.0), s"got $got")
+  }
+
+  test("containment screen at ingest: within-batch + against-index drops, replay skip") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gram_screen_stream").toString + "/idx"
+    def doc(i: Long) =
+      s"alpha$i bravo charlie$i delta echo$i foxtrot golf$i hotel india$i juliet kilo$i lima"
+    def trunc(i: Long) = doc(i).split(" ").dropRight(2).mkString(" ")
+    // batch 1 (bootstrap): 10 docs + a truncation of doc 3 at a larger
+    // id — contained within-batch (na < nb), never enters the index
+    val b1 = ((0L until 10L).map(i => (i, doc(i))) :+ (500L, trunc(3)))
+      .toDF("doc_id", "text")
+    val s1 = screenGramBatchIdempotent(b1, batchId = 0L, dir)
+    assert(s1.map(_.toList) === Some((0L until 10L).toList))
+    // batch 2: a truncation of an INDEXED doc (7) → index drop; a fresh
+    // doc → kept; an identical pair → the larger id drops (tie rule)
+    val b2 = Seq((600L, trunc(7)), (601L, doc(777L)),
+      (602L, doc(888L)), (603L, doc(888L))).toDF("doc_id", "text")
+    val s2 = screenGramBatchIdempotent(b2, batchId = 1L, dir)
+    assert(s2.map(_.toList) === Some(List(601L, 602L)))
+    // replay of batch 1 is skipped BEFORE the probe (else its own rows
+    // in the index would screen the whole batch out)
+    val s1r = screenGramBatchIdempotent(b1, batchId = 0L, dir)
+    assert(s1r.isEmpty)
+    // the index holds exactly the survivors
+    val profiles = spark.read.parquet(s"$dir/profiles")
+      .select("doc_id").as[Long].collect().toSet
+    assert(profiles === ((0L until 10L).toSet ++ Set(601L, 602L)))
+  }
+
   test("document dedup-at-ingest: within-batch + against-index drops, replay skip") {
     import spark.implicits._
     val dir = Files.createTempDirectory("band_dedup_stream").toString + "/idx"
