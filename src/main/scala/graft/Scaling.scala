@@ -378,7 +378,17 @@ object Scaling {
     sb ++= "   read. Fixed: `SaltedStore.readPartitions` constructs the\n"
     sb ++= "   probed shard dirs directly (basePath read, marker-aware\n"
     sb ++= "   fallback), so a probe's listing is O(probed shards) at any\n"
-    sb ++= "   corpus size — text and band probes both ride it now.\n\n"
+    sb ++= "   corpus size — text and band probes both ride it now.\n"
+    sb ++= "3. **gram-index probe grew ∝ corpus (2.4 → 4.5 → 15.9s for the\n"
+    sb ++= "   SAME 8-doc batch)** — the containment verify joined the\n"
+    sb ++= "   batch-sized candidate set against the corpus-sized profiles\n"
+    sb ++= "   table as a sort-merge join: every probe shuffled EVERY\n"
+    sb ++= "   profile row (arrays included). Fixed: the candidate set\n"
+    sb ++= "   broadcasts with the profile-shard key included, so the\n"
+    sb ++= "   broadcast hash join wires DYNAMIC PARTITION PRUNING into the\n"
+    sb ++= "   profiles scan (spec-pinned) — unprobed shard partitions are\n"
+    sb ++= "   skipped at runtime, no shuffle, no double candidate\n"
+    sb ++= "   execution.\n\n"
     sb ++= "The tables below are measured on the FIXED engine.\n\n"
     val fams = results.map(_.family).distinct
     for (f <- fams) {

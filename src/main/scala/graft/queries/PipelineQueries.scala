@@ -42,7 +42,8 @@ object PipelineQueries {
     "q_knn_cosine_ivf_indexed_deep",
     "q_semdedup_incremental",
     "q_dedup_incremental_indexed",
-    "q_containment_incremental",
+    "q_containment_incremental", "q_gram_reshard_migration",
+    "q_containment_screen",
     "q_knn_delete",
     "q_text_search", "q_text_search_ranked", "q_text_boolean",
     "q_text_boolean_ranked", "q_text_bm25", "q_text_bm25_live",
@@ -1026,6 +1027,95 @@ object PipelineQueries {
         .withColumn("x", baseHash32(col("s")))
         .select("doc_id", "x").distinct().persist()
       Persisted.swap("containment_incr_sets", dir, batchSets)
+      graft.store.GramIndex.probeContainment(s, path, batchSets)
+        .orderBy("a", "b")
+    }),
+
+    // CONTAINMENT-SCREEN VERDICTS — the batch twin of the streaming
+    // screenGramIngestWriter: for every batch doc, WOULD it enter the
+    // corpus, and if not, which rule fires (contained in a larger
+    // within-batch peer — ties: the larger id drops — and/or contained
+    // in some corpus doc via the persisted gram-index probe). The two
+    // flags are INDEPENDENT verdicts (the sequential writer probes only
+    // within-batch survivors, but `kept` — neither rule fires — is
+    // identical either way, and independent flags are what the exact
+    // oracle can replay). Batch = the q_containment_incremental plant:
+    // truncations contained at 1.0 in the corpus AND borderline-
+    // contained in their own mutation sibling within-batch, mutations
+    // length-dependent, novel docs untouched.
+    "q_containment_screen" -> ((s, dir) => {
+      val base = documents(s, dir).select(col("doc_id"), col("text"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_gramindex_" +
+        s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+      if (graft.store.GramIndex.storedShards(s, path).isEmpty)
+        graft.store.GramIndex.write(
+          shingleRows(base).withColumn("x", baseHash32(col("s")))
+            .select("doc_id", "x").distinct(), path)
+      val batch = containmentBatch(base)
+      val sets = shingleRows(batch)
+        .withColumn("x", baseHash32(col("s")))
+        .select("doc_id", "x").distinct().persist()
+      Persisted.swap("containment_screen_sets", dir, sets)
+      val full = sets.groupBy("doc_id")
+        .agg(collect_list(col("x")).as("sh"), count(lit(1)).as("n"))
+      val cand = sets.as("pa").join(sets.as("pb"),
+          col("pa.x") === col("pb.x") &&
+            col("pa.doc_id") =!= col("pb.doc_id"))
+        .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"))
+        .distinct()
+      val withinDropped = cand
+        .join(full.select(col("doc_id").as("a"), col("sh").as("sha"),
+          col("n").as("na")), "a")
+        .join(full.select(col("doc_id").as("b"), col("sh").as("shb"),
+          col("n").as("nb")), "b")
+        .filter(col("nb") > col("na") ||
+          (col("nb") === col("na") && col("b") < col("a")))
+        .filter(lit(4L) *
+          size(array_intersect(col("sha"), col("shb"))).cast("bigint") >=
+          lit(3L) * col("na"))
+        .select(col("a").as("doc_id")).distinct()
+        .withColumn("dropped_within", lit(true))
+      val indexDropped = graft.store.GramIndex.probeContainment(s, path, sets)
+        .select(col("a").as("doc_id")).distinct()
+        .withColumn("dropped_index", lit(true))
+      batch.select("doc_id")
+        .join(withinDropped, Seq("doc_id"), "left")
+        .join(indexDropped, Seq("doc_id"), "left")
+        .na.fill(false, Seq("dropped_within", "dropped_index"))
+        .withColumn("kept", !col("dropped_within") && !col("dropped_index"))
+        .select("doc_id", "dropped_within", "dropped_index", "kept")
+        .orderBy("doc_id")
+    }),
+
+    // GRAM-INDEX SHARD MIGRATION — the fourth store's instance of the
+    // pinned-parameter migration (resalt / recluster / text + band
+    // reshard → now gram reshard), on the same StagedSwap protocol: all
+    // three layouts re-hash as ONE crash-resumable generation, dfs
+    // recomputed exactly from the live postings. The query builds at 4
+    // shards, migrates to 9, and probes truncated copies through the
+    // MIGRATED layout; the oracle is the layout-independent exact
+    // all-pairs answer, so a hash match proves the migration moved
+    // every posting, df and profile.
+    "q_gram_reshard_migration" -> ((s, dir) => {
+      val base = documents(s, dir).select(col("doc_id"), col("text"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_greshard_" +
+        s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+      val marker = new org.apache.hadoop.fs.Path(path, "_RESHARDED")
+      val fs = marker.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(marker)) {
+        graft.store.GramIndex.write(
+          shingleRows(base).withColumn("x", baseHash32(col("s")))
+            .select("doc_id", "x").distinct(), path, nShards = 4)
+        graft.store.GramIndex.reshard(s, path, 9)
+        fs.create(marker, true).close()
+      }
+      val w = base.withColumn("w", tokens(col("text"))).filter(size(col("w")) >= 8)
+      val truncated = w.select((col("doc_id") + 200000L).as("doc_id"),
+        array_join(slice(col("w"), lit(1), size(col("w")) - 2), " ").as("text"))
+      val batchSets = shingleRows(truncated)
+        .withColumn("x", baseHash32(col("s")))
+        .select("doc_id", "x").distinct().persist()
+      Persisted.swap("gram_reshard_sets", dir, batchSets)
       graft.store.GramIndex.probeContainment(s, path, batchSets)
         .orderBy("a", "b")
     }),
@@ -4591,6 +4681,73 @@ object PipelineQueries {
                            FROM (SELECT doc_id, ${duckTokens("text")} AS w
                                  FROM documents)
                            WHERE len(w) >= 3)),
+              be AS (SELECT doc_id, ${duckBaseHash32("s")} AS x
+                     FROM (SELECT doc_id, unnest(${duckShingles3("w")}) AS s
+                           FROM (SELECT doc_id, ${duckTokens("text")} AS w
+                                 FROM batch)
+                           WHERE len(w) >= 3)),
+              cs AS (SELECT doc_id, list(DISTINCT x) AS sh FROM ce GROUP BY doc_id),
+              bs AS (SELECT doc_id, list(DISTINCT x) AS sh FROM be GROUP BY doc_id),
+              pairs AS (SELECT b.doc_id AS a, c.doc_id AS b,
+                          CAST(len(b.sh) AS BIGINT) AS na,
+                          CAST(len(b.sh) + len(c.sh)
+                            - len(list_distinct(list_concat(b.sh, c.sh)))
+                            AS BIGINT) AS inter
+                        FROM bs b, cs c)
+           SELECT a, b,
+             CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) AS containment
+           FROM pairs
+           WHERE 4 * inter >= 3 * na
+           ORDER BY a, b""",
+
+      // both screen rules replayed from exact all-pairs containment:
+      // within-batch (larger peer / tie smaller-id-wins) and
+      // against-corpus; kept = neither fires
+      "q_containment_screen" ->
+        s"""WITH $duckContainmentBatch,
+              be AS (SELECT doc_id, ${duckBaseHash32("s")} AS x
+                     FROM (SELECT doc_id, unnest(${duckShingles3("w")}) AS s
+                           FROM (SELECT doc_id, ${duckTokens("text")} AS w
+                                 FROM batch)
+                           WHERE len(w) >= 3)),
+              ce AS (SELECT doc_id, ${duckBaseHash32("s")} AS x
+                     FROM (SELECT doc_id, unnest(${duckShingles3("w")}) AS s
+                           FROM (SELECT doc_id, ${duckTokens("text")} AS w
+                                 FROM documents)
+                           WHERE len(w) >= 3)),
+              bs AS (SELECT doc_id, list(DISTINCT x) AS sh FROM be GROUP BY doc_id),
+              cs AS (SELECT doc_id, list(DISTINCT x) AS sh FROM ce GROUP BY doc_id),
+              win AS (SELECT DISTINCT a.doc_id
+                      FROM bs a JOIN bs b ON a.doc_id <> b.doc_id
+                        AND (len(b.sh) > len(a.sh)
+                             OR (len(b.sh) = len(a.sh) AND b.doc_id < a.doc_id))
+                      WHERE 4 * (len(a.sh) + len(b.sh)
+                          - len(list_distinct(list_concat(a.sh, b.sh))))
+                        >= 3 * len(a.sh)),
+              idx AS (SELECT DISTINCT a.doc_id
+                      FROM bs a JOIN cs c ON TRUE
+                      WHERE 4 * (len(a.sh) + len(c.sh)
+                          - len(list_distinct(list_concat(a.sh, c.sh))))
+                        >= 3 * len(a.sh))
+           SELECT t.doc_id,
+             (w.doc_id IS NOT NULL) AS dropped_within,
+             (i.doc_id IS NOT NULL) AS dropped_index,
+             (w.doc_id IS NULL AND i.doc_id IS NULL) AS kept
+           FROM (SELECT doc_id FROM batch) t
+           LEFT JOIN win w ON t.doc_id = w.doc_id
+           LEFT JOIN idx i ON t.doc_id = i.doc_id
+           ORDER BY t.doc_id""",
+
+      // layout-independent: truncated batch × corpus exact containment —
+      // the migrated 9-shard probe must reproduce it bit for bit
+      "q_gram_reshard_migration" ->
+        s"""WITH wd AS (SELECT doc_id, ${duckTokens("text")} AS w FROM documents),
+              batch AS (SELECT doc_id + 200000 AS doc_id,
+                          array_to_string(w[1:len(w)-2], ' ') AS text
+                        FROM wd WHERE len(w) >= 8),
+              ce AS (SELECT doc_id, ${duckBaseHash32("s")} AS x
+                     FROM (SELECT doc_id, unnest(${duckShingles3("w")}) AS s
+                           FROM wd WHERE len(w) >= 3)),
               be AS (SELECT doc_id, ${duckBaseHash32("s")} AS x
                      FROM (SELECT doc_id, unnest(${duckShingles3("w")}) AS s
                            FROM (SELECT doc_id, ${duckTokens("text")} AS w

@@ -197,16 +197,25 @@ object GramIndex {
       .join(broadcast(prefix), "x")
       .filter(lit(den.toLong) * col("nb") >= lit(num.toLong) * col("na"))
       .select("a", "b", "na", "nb").distinct()
-    // 3. verify against the candidate docs' profiles — row-selective
-    // join (candidate ids only), no listing pruning: deriving the
-    // candidates' doc-shards would mean EXECUTING the candidate join
-    // once just to prune a listing, then again for real (the BandIndex
-    // sketches read makes the same call)
-    val profs = spark.read.parquet(s"$path/profiles")
+    // 3. verify against the candidate docs' profiles. TWO corpus-sized
+    // costs hide in the naive spellings, both measured by the r14 scale
+    // harness (probe grew 2.4→4.5→15.9s with the corpus):
+    //  - a plain join shuffles ALL profiles (sort-merge over arrays) —
+    //    killed by BROADCASTING the batch-sized candidate set;
+    //  - a whole-root profiles read LISTS all O(corpus) shard dirs
+    //    before any pruning (dynamic partition pruning skips data, not
+    //    listing) — killed by deriving the candidate docs' shards from
+    //    the cand subtree (dfs + postings reads, both already
+    //    listing-pruned O(probe) — cheap to execute once more, unlike
+    //    profiles) and constructing only those profile dirs.
+    val candShards = cand.select(shardOf(col("b"), nShards).as("s"))
+      .distinct().collect().map(_.getInt(0).toLong).toSeq
+    val profs = SaltedStore.readPartitions(spark, s"$path/profiles", candShards,
+        partitionPrefix = "shard")
       .select(col("doc_id").as("b"), col("sh").as("shb"))
     val batchFull = sets.groupBy("a").agg(collect_list(col("x")).as("sha"))
-    cand
-      .join(profs, "b")
+    profs
+      .join(broadcast(cand), "b")
       .join(broadcast(batchFull), "a")
       .withColumn("inter",
         size(array_intersect(col("sha"), col("shb"))).cast("bigint"))

@@ -64,22 +64,37 @@ class GramIndexSpec extends SparkSuite {
 
   test("probe prunes all three layout scans to the batch's shards at listing time") {
     import spark.implicits._
-    val corpus = (0L until 60L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    // alternating unique/common tokens: every shingle carries a
+    // doc-unique token (df = 1), so the df-ranked prefix is all-rare and
+    // the candidate set is exactly the planted container. The shared
+    // template [[doc]] would be the WRONG corpus here: its prefix must
+    // by pigeonhole include one corpus-common shingle (p = na − ⌈τ·na⌉
+    // + 1 tokens, and only 2 are rare), whose postings ARE the whole
+    // corpus — candidate blow-up on boilerplate is inherent to
+    // containment, not a pruning defect.
+    def udoc(i: Long) =
+      s"alpha$i bravo charlie$i delta echo$i foxtrot golf$i hotel india$i juliet kilo$i lima"
+    val corpus = (0L until 60L).map(i => (i, udoc(i))).toDF("doc_id", "text")
     val p = tmp("gramidx_prune")
     GramIndex.write(setsOf(corpus), p)
-    val one = Seq((999L, doc(7).split(" ").dropRight(2).mkString(" ")))
+    val one = Seq((999L, udoc(7).split(" ").dropRight(2).mkString(" ")))
       .toDF("doc_id", "text")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val scans = try {
+      // dfs/postings scans live under the broadcast candidate subtree
+      // (a ReusedExchange referencing the DPP subquery) — traverse
+      // subqueries too
       GramIndex.probeContainment(spark, p, setsOf(one))
-        .queryExecution.executedPlan.collect {
+        .queryExecution.executedPlan.collectWithSubqueries {
           case f: org.apache.spark.sql.execution.FileSourceScanExec => f
         }
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
-    // dfs and postings prune at listing time; profiles deliberately
-    // read row-selectively (see probeContainment) — assert both probed
-    // layouts root at shard dirs and drop most of them
-    val pruned = Seq("dfs", "postings").map { layout =>
+    // ALL THREE layouts prune at LISTING time (readPartitions roots at
+    // the probed shard dirs only) — dynamic partition pruning was tried
+    // for profiles and rejected: it prunes DATA, not the O(corpus-
+    // shards) directory listing, which the r14 scale harness measured
+    // growing 2.4→4.5→15.9s for the same 8-doc batch
+    Seq("dfs", "postings", "profiles").foreach { layout =>
       val scan = scans.find(_.relation.location.rootPaths
         .exists(_.toString.contains(s"/$layout/")))
         .getOrElse(fail(s"no $layout scan in the probe plan"))
@@ -90,9 +105,7 @@ class GramIndexSpec extends SparkSuite {
       assert(surviving > 0, s"$layout: scan must root at probed shard dirs")
       assert(surviving < total,
         s"$layout: pruning must drop shards ($total present, $surviving survive)")
-      surviving
     }
-    assert(pruned.nonEmpty)
   }
 
   test("append grows the index; probes see appended docs; meta guards layout") {
