@@ -177,7 +177,12 @@ object GramIndex {
         partitionPrefix = "shard")
       .join(broadcast(sets.select("x").distinct()), "x")
       .groupBy("x").agg(sum(col("df")).as("df")) // fold per-batch partials
-    val prefix = withNa
+    // the prefix is batch-sized BY CONSTRUCTION (p tokens per doc), so
+    // ONE driver round-trip both ends the dfs subtree's lineage (as a
+    // lazy frame it would re-execute under the candidate-shard collect
+    // AND the returned plan — three dfs reads per probe) and yields the
+    // postings shard list for free
+    val prefixRows = withNa
       .join(broadcast(dfOfTok), Seq("x"), "left")
       .na.fill(0L, Seq("df")) // token unseen by the corpus: rarest of all
       .withColumn("rn", row_number().over(
@@ -185,10 +190,13 @@ object GramIndex {
           .orderBy(col("df"), col("x"))).cast("bigint"))
       .filter(col("rn") <=
         expr(s"na - (($num * na + ${den - 1}) div $den) + 1"))
-      .select("a", "x", "na")
+      .select(col("a"), col("x"), col("na"),
+        shardOf(col("x"), nShards).as("xs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    import spark.implicits._
+    val prefix = prefixRows.toSeq.toDF("a", "x", "na", "xs").select("a", "x", "na")
     // 2. candidates off the prefix tokens' postings, size-filtered
-    val postShards = prefix.select(shardOf(col("x"), nShards).as("s"))
-      .distinct().collect().map(_.getInt(0).toLong).toSeq
+    val postShards = prefixRows.map(_._4.toLong).distinct.toSeq
     val cand = live(
         SaltedStore.readPartitions(spark, s"$path/postings", postShards,
             partitionPrefix = "shard")

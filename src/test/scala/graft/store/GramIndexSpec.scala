@@ -89,12 +89,16 @@ class GramIndexSpec extends SparkSuite {
           case f: org.apache.spark.sql.execution.FileSourceScanExec => f
         }
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
-    // ALL THREE layouts prune at LISTING time (readPartitions roots at
-    // the probed shard dirs only) — dynamic partition pruning was tried
-    // for profiles and rejected: it prunes DATA, not the O(corpus-
-    // shards) directory listing, which the r14 scale harness measured
-    // growing 2.4→4.5→15.9s for the same 8-doc batch
-    Seq("dfs", "postings", "profiles").foreach { layout =>
+    // postings and profiles prune at LISTING time in the returned plan
+    // (readPartitions roots at the probed shard dirs only) — dynamic
+    // partition pruning was tried for profiles and rejected: it prunes
+    // DATA, not the O(corpus-shards) directory listing, which the r14
+    // scale harness measured growing 2.4→4.5→15.9s for the same 8-doc
+    // batch. The dfs read rides the SAME readPartitions call but runs
+    // eagerly inside probeContainment (the batch-sized prefix is
+    // collected once to end its lineage), so its scan cannot appear in
+    // the returned plan.
+    Seq("postings", "profiles").foreach { layout =>
       val scan = scans.find(_.relation.location.rootPaths
         .exists(_.toString.contains(s"/$layout/")))
         .getOrElse(fail(s"no $layout scan in the probe plan"))
