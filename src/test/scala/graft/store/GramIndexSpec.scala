@@ -169,6 +169,56 @@ class GramIndexSpec extends SparkSuite {
     fs.delete(new org.apache.hadoop.fs.Path(p, GramIndex.ReshardMarker), false)
   }
 
+  test("reshard crash mid-PARK and mid-SWAP both resume to the identical probe answer") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val corpus = (0L until 25L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    val batch = Seq((9000L, doc(11).split(" ").dropRight(2).mkString(" ")))
+      .toDF("doc_id", "text")
+    def freshAt(shards: Int): String = {
+      val p = tmp("gramidx_crash")
+      GramIndex.write(setsOf(corpus), p, nShards = shards)
+      p
+    }
+    // mid-PARK: staged generation + marker up, one layout already
+    // parked, no _DONE — a resume must finish the park and swap
+    val p1 = freshAt(8)
+    val want = probe(p1, batch)
+    val root1 = new Path(p1)
+    val fs = root1.getFileSystem(spark.sessionState.newHadoopConf())
+    // plant the crash: stage the 32-shard generation the way reshard's
+    // stage callback does (same three-layout writer + meta), marker up,
+    // postings parked, no _DONE
+    val sets1 = spark.read.parquet(s"$p1/postings").select("doc_id", "x")
+    GramIndex.write(sets1, s"$p1/.reshard_new", nShards = 32)
+    val m = fs.create(new Path(root1, GramIndex.ReshardMarker), true)
+    try m.writeUTF("shards=32") finally m.close()
+    fs.mkdirs(new Path(root1, ".reshard_old"))
+    assert(fs.rename(new Path(root1, "postings"),
+      new Path(root1, ".reshard_old/postings")))
+    GramIndex.reshard(spark, p1, 32) // resume
+    assert(GramIndex.storedShards(spark, p1).contains(32))
+    assert(probe(p1, batch) === want)
+    assert(!fs.exists(new Path(root1, GramIndex.ReshardMarker)))
+    // mid-SWAP: _DONE present, one staged layout already swapped in
+    val p2 = freshAt(8)
+    val root2 = new Path(p2)
+    GramIndex.write(spark.read.parquet(s"$p2/postings").select("doc_id", "x"),
+      s"$p2/.reshard_new", nShards = 32)
+    val m2 = fs.create(new Path(root2, GramIndex.ReshardMarker), true)
+    try m2.writeUTF("shards=32") finally m2.close()
+    fs.mkdirs(new Path(root2, ".reshard_old"))
+    Seq("postings", "dfs", "profiles", GramIndex.MetaFile).foreach { n =>
+      assert(fs.rename(new Path(root2, n), new Path(root2, s".reshard_old/$n")))
+    }
+    fs.create(new Path(root2, ".reshard_old/_DONE"), true).close()
+    assert(fs.rename(new Path(root2, ".reshard_new/profiles"),
+      new Path(root2, "profiles")))
+    GramIndex.reshard(spark, p2, 32) // resume
+    assert(GramIndex.storedShards(spark, p2).contains(32))
+    assert(probe(p2, batch) === want)
+  }
+
   test("probe during APPEND sees a verifiable generation (profiles-first ordering)") {
     import spark.implicits._
     // The mid-append snapshot a probe can observe under the write order
