@@ -1150,6 +1150,38 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // NOVELTY BY SOURCE — q_ngram_novelty's monitoring rollup: which
+    // crawl sources are boilerplate-heavy, at the stratum grain where
+    // ingest decisions are made (drop a feed, re-weight a domain). Over
+    // the RAW corpus (not the planted fuzzy one): cross-document
+    // sharing between real docs is the signal. Same two map-combined
+    // exchanges as the per-doc score plus one tiny per-source agg; the
+    // per-doc flag is the integer form 2·shared > distinct (⟺ dup_frac
+    // > 0.5, no float boundary).
+    "q_novelty_by_source" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val sets = shingleRows(docs.select("doc_id", "text"))
+        .withColumn("x", baseHash32(col("s")))
+        .select("doc_id", "x").distinct()
+      val dfreq = sets.groupBy("x").agg(count(lit(1)).as("df"))
+      val perDoc = sets.join(dfreq, "x").groupBy("doc_id")
+        .agg(count(lit(1)).as("nd"),
+          sum(when(col("df") >= 2L, 1L).otherwise(0L)).as("ns"))
+      docs.select("doc_id", "source").join(perDoc, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nd").as("n_shingles"), sum("ns").as("n_shared"),
+          sum(when(lit(2L) * col("ns") > col("nd"), 1L).otherwise(0L))
+            .as("n_flagged"))
+        .withColumn("dup_frac",
+          col("n_shared").cast("double") / col("n_shingles").cast("double"))
+        .withColumn("flagged_share",
+          col("n_flagged").cast("double") / col("n_docs").cast("double"))
+        .select("source", "n_docs", "n_shingles", "n_shared", "n_flagged",
+          "dup_frac", "flagged_share")
+        .orderBy("source")
+    }),
+
     // SimHash near-dup: 16-bit signatures; hamming(original, mutation)
     "q_dedup_simhash" -> ((s, dir) =>
       simhashPairs(fuzzyCorpus(documents(s, dir))).orderBy("doc_id")),
@@ -4782,6 +4814,32 @@ object PipelineQueries {
              (CAST(n_shared AS DOUBLE) / CAST(n_distinct AS DOUBLE)) > 0.5
                AS flagged
            FROM d ORDER BY doc_id""",
+
+      "q_novelty_by_source" ->
+        s"""WITH sets AS (SELECT DISTINCT doc_id, ${duckBaseHash32("s")} AS x
+                   FROM (SELECT doc_id, unnest(sh) AS s
+                         FROM (SELECT doc_id, ${duckShingles3("w")} AS sh
+                               FROM (SELECT doc_id, ${duckTokens("text")} AS w
+                                     FROM documents)
+                               WHERE len(w) >= 3))),
+              f AS (SELECT x, count(*) AS df FROM sets GROUP BY x),
+              d AS (SELECT sets.doc_id,
+                      CAST(count(*) AS BIGINT) AS nd,
+                      CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ns
+                    FROM sets JOIN f USING (x) GROUP BY sets.doc_id),
+              g AS (SELECT doc.source,
+                      CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(d.nd) AS BIGINT) AS n_shingles,
+                      CAST(sum(d.ns) AS BIGINT) AS n_shared,
+                      CAST(sum(CASE WHEN 2 * d.ns > d.nd THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_flagged
+                    FROM documents doc JOIN d ON doc.doc_id = d.doc_id
+                    GROUP BY doc.source)
+           SELECT source, n_docs, n_shingles, n_shared, n_flagged,
+             CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS dup_frac,
+             CAST(n_flagged AS DOUBLE) / CAST(n_docs AS DOUBLE) AS flagged_share
+           FROM g ORDER BY source""",
 
       "q_dedup_simhash" -> duckSimhashSql,
 
