@@ -78,6 +78,22 @@ object BandIndex {
   def write(sketch: DataFrame, path: String,
             nShards: Int = DefaultShards): Unit = {
     val spark = sketch.sparkSession
+    // an index overwrite means the WHOLE index (the VectorIndex rule):
+    // dynamic partition overwrite would leave untouched shard dirs of
+    // the old generation (possibly a different shard count) in place
+    val ovwMode = spark.conf
+      .get("spark.sql.sources.partitionOverwriteMode", "static")
+    require(!ovwMode.equalsIgnoreCase("dynamic"),
+      "BandIndex.write under spark.sql.sources.partitionOverwriteMode=" +
+        "dynamic is unsupported (stale shards/tombstones would survive); " +
+        "use static overwrite, or append + delete + compact")
+    // drop tombstones of the index being replaced — they refer to the
+    // OLD generation and would silently hide new docs with reused ids
+    // until a compact folded them
+    locally {
+      val (fs, _) = fsOf(spark, path)
+      fs.delete(new org.apache.hadoop.fs.Path(deletesPath(path)), true)
+    }
     // repartition ON the shard before the partitioned write: without it
     // every input task holds rows of ~every shard and the commit fans
     // out to tasks × shards FILES — measured 465s vs 36s for the same

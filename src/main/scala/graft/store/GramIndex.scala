@@ -85,6 +85,28 @@ object GramIndex {
   def write(sets: DataFrame, path: String,
             nShards: Int = DefaultShards): Unit = {
     val spark = sets.sparkSession
+    // an index overwrite means the WHOLE index (the VectorIndex rule):
+    // dynamic partition overwrite would leave untouched shard dirs of
+    // the old generation (possibly a different shard count) in place
+    val ovwMode = spark.conf
+      .get("spark.sql.sources.partitionOverwriteMode", "static")
+    require(!ovwMode.equalsIgnoreCase("dynamic"),
+      "GramIndex.write under spark.sql.sources.partitionOverwriteMode=" +
+        "dynamic is unsupported (stale shards/tombstones would survive); " +
+        "use static overwrite, or append + delete + compact")
+    // drop tombstones of the index being replaced — they refer to the
+    // OLD generation and would silently hide new docs with reused ids
+    // until a compact folded them
+    val (fs, root) = fsOf(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(deletesPath(path)), true)
+    // a standing streaming commit log belongs to the REPLACED index's
+    // query lifecycle: left in place (replay skipping is the commitTag
+    // contract), but a rebuild under the same tag would skip early
+    // batches — warn loudly rather than guess
+    if (fs.exists(new org.apache.hadoop.fs.Path(root, "_graft_commits")))
+      System.err.println(s"[graft] GramIndex.write: $path carries a " +
+        "_graft_commits log from a previous generation — streaming " +
+        "writers must use a fresh commitTag or clear it")
     writeLayouts(sets, path, nShards, "overwrite")
     writeMeta(spark, path, nShards)
   }
@@ -149,6 +171,19 @@ object GramIndex {
       case None => df
     }
 
+  /** Upper bound on prefix rows a probe may collect to the driver (see
+    * [[probeContainment]]). The collected prefix is (na − ⌈τ·na⌉ + 1)
+    * rows per batch doc — bounded by construction for ingest-sized
+    * batches, but a caller probing a huge backfill batch would
+    * otherwise grow driver memory with the batch. Past the bound the
+    * probe switches to the distributed plan: the prefix is
+    * localCheckpoint()ed on the executors (same lineage cut, no driver
+    * copy), shard lists come off ≤nShards-row DISTINCT collects, and
+    * the verify-side joins run as shuffles instead of broadcasts.
+    * Output is identical either way (GramIndexSpec pins it). */
+  val MaxPrefixCollectKey = "spark.graft.gram.maxPrefixCollect"
+  val DefaultMaxPrefixCollect = 1000000L
+
   /** Containment probe: for each batch doc A (distinct (doc_id, x) set
     * rows), every live corpus doc B with |A∩B|/|A| ≥ num/den, with the
     * exact containment value. Three shard-pruned reads, each
@@ -161,13 +196,34 @@ object GramIndex {
     *  3. profiles row-selectively joined on the candidate ids → ONE
     *     codegen'd array_intersect verify per pair, pure-integer
     *     threshold den·|A∩B| ≥ num·na.
-    * Output: (a, b, containment), exact. */
+    * Output: (a, b, containment), exact.
+    *
+    * BATCH-SIZE REGIMES. For ingest-sized batches the prefix collects
+    * to the driver (one round-trip ends the dfs subtree's lineage and
+    * yields the postings shard list for free) and the batch-sized
+    * frames BROADCAST into every downstream join. A backfill-sized
+    * batch (prefix rows > [[MaxPrefixCollectKey]], default 1M) must do
+    * neither — the probe then localCheckpoint()s the prefix and the
+    * candidate set on the executors (the same lineage cut without the
+    * driver copy; the only collects left are the ≤nShards-row shard
+    * lists, batch-size-independent) and joins by shuffle. The regime is
+    * decided UP FRONT by the exact prefix row count — computable from
+    * per-doc set sizes alone (the rank filter keeps exactly
+    * na − ⌈τ·na⌉ + 1 of each doc's na rows), one tiny batch-side agg. */
   def probeContainment(spark: SparkSession, path: String, batchSets: DataFrame,
                        num: Int = 3, den: Int = 4): DataFrame = {
     require(num > 0 && den > 0 && num <= den, s"threshold $num/$den not in (0,1]")
     val nShards = storedShards(spark, path).getOrElse(
       throw new IllegalStateException(s"no gram index at $path — write() first"))
     val sets = batchSets.select(col("doc_id").as("a"), col("x"))
+    val prefixBound = sets.groupBy("a").agg(count(lit(1)).as("na"))
+      .agg(coalesce(sum(
+        expr(s"na - (($num * na + ${den - 1}) div $den) + 1")), lit(0L)))
+      .head().getLong(0)
+    val maxCollect = spark.conf.getOption(MaxPrefixCollectKey)
+      .map(_.toLong).getOrElse(DefaultMaxPrefixCollect)
+    val small = prefixBound <= maxCollect
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val withNa = sets.withColumn("na", count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy("a")).cast("bigint"))
     // 1. df lookup — shard list is ≤ nShards by construction (pmod)
@@ -175,15 +231,14 @@ object GramIndex {
       .distinct().collect().map(_.getInt(0).toLong).toSeq
     val dfOfTok = SaltedStore.readPartitions(spark, s"$path/dfs", tokShards,
         partitionPrefix = "shard")
-      .join(broadcast(sets.select("x").distinct()), "x")
+      .join(bc(sets.select("x").distinct()), "x")
       .groupBy("x").agg(sum(col("df")).as("df")) // fold per-batch partials
-    // the prefix is batch-sized BY CONSTRUCTION (p tokens per doc), so
-    // ONE driver round-trip both ends the dfs subtree's lineage (as a
-    // lazy frame it would re-execute under the candidate-shard collect
-    // AND the returned plan — three dfs reads per probe) and yields the
-    // postings shard list for free
-    val prefixRows = withNa
-      .join(broadcast(dfOfTok), Seq("x"), "left")
+    // lazy, the dfs subtree would re-execute under the candidate-shard
+    // collect AND the returned plan (three dfs reads per probe) — cut
+    // its lineage once: a driver round-trip when the prefix is
+    // ingest-sized, an executor-side localCheckpoint when it is not
+    val prefixPlan = withNa
+      .join(bc(dfOfTok), Seq("x"), "left")
       .na.fill(0L, Seq("df")) // token unseen by the corpus: rarest of all
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("a")
@@ -192,30 +247,42 @@ object GramIndex {
         expr(s"na - (($num * na + ${den - 1}) div $den) + 1"))
       .select(col("a"), col("x"), col("na"),
         shardOf(col("x"), nShards).as("xs"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
-    import spark.implicits._
-    val prefix = prefixRows.toSeq.toDF("a", "x", "na", "xs").select("a", "x", "na")
+    val (prefix, postShards) =
+      if (small) {
+        val rows = prefixPlan.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        import spark.implicits._
+        (rows.toSeq.toDF("a", "x", "na", "xs").select("a", "x", "na"),
+          rows.map(_._4.toLong).distinct.toSeq)
+      } else {
+        val cp = prefixPlan.localCheckpoint() // eager: one job, lineage cut
+        (cp.select("a", "x", "na"),
+          cp.select("xs").distinct().collect().map(_.getInt(0).toLong).toSeq)
+      }
     // 2. candidates off the prefix tokens' postings, size-filtered
-    val postShards = prefixRows.map(_._4.toLong).distinct.toSeq
-    val cand = live(
+    val candPlan = live(
         SaltedStore.readPartitions(spark, s"$path/postings", postShards,
             partitionPrefix = "shard")
           .select(col("x"), col("doc_id").as("b"), col("n").as("nb")),
         spark, path, "b")
-      .join(broadcast(prefix), "x")
+      .join(bc(prefix), "x")
       .filter(lit(den.toLong) * col("nb") >= lit(num.toLong) * col("na"))
       .select("a", "b", "na", "nb").distinct()
+    // the cand subtree runs under the shard collect AND the returned
+    // plan: cheap to execute twice for an ingest batch (both reads are
+    // already listing-pruned O(probe)), checkpointed past the cap
+    val cand = if (small) candPlan else candPlan.localCheckpoint()
     // 3. verify against the candidate docs' profiles. TWO corpus-sized
     // costs hide in the naive spellings, both measured by the r14 scale
     // harness (probe grew 2.4→4.5→15.9s with the corpus):
     //  - a plain join shuffles ALL profiles (sort-merge over arrays) —
-    //    killed by BROADCASTING the batch-sized candidate set;
+    //    killed by joining against only the candidate rows (broadcast
+    //    for an ingest batch, shuffle past the cap — either way the
+    //    profiles side reads only candidate shards);
     //  - a whole-root profiles read LISTS all O(corpus) shard dirs
     //    before any pruning (dynamic partition pruning skips data, not
     //    listing) — killed by deriving the candidate docs' shards from
-    //    the cand subtree (dfs + postings reads, both already
-    //    listing-pruned O(probe) — cheap to execute once more, unlike
-    //    profiles) and constructing only those profile dirs.
+    //    the cand subtree and constructing only those profile dirs.
     val candShards = cand.select(shardOf(col("b"), nShards).as("s"))
       .distinct().collect().map(_.getInt(0).toLong).toSeq
     val profs = SaltedStore.readPartitions(spark, s"$path/profiles", candShards,
@@ -223,8 +290,8 @@ object GramIndex {
       .select(col("doc_id").as("b"), col("sh").as("shb"))
     val batchFull = sets.groupBy("a").agg(collect_list(col("x")).as("sha"))
     profs
-      .join(broadcast(cand), "b")
-      .join(broadcast(batchFull), "a")
+      .join(bc(cand), "b")
+      .join(bc(batchFull), "a")
       .withColumn("inter",
         size(array_intersect(col("sha"), col("shb"))).cast("bigint"))
       .filter(lit(den.toLong) * col("inter") >= lit(num.toLong) * col("na"))

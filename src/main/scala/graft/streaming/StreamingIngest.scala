@@ -108,6 +108,22 @@ object StreamingIngest {
     }
   }
 
+  /** Anti-join `df` against a driver-resident drop set on `doc_id` —
+    * the screen writers' dropped ids are driver literals BY DESIGN
+    * (batch-bounded, and collecting them is what isolates the probe
+    * from the append that follows), but an `isin` spelling builds one
+    * In-expression operand per id: a boilerplate-heavy micro-batch with
+    * thousands of contained docs pays slow analysis and 64KB-method
+    * codegen pressure. A broadcast anti-join keeps the driver-literal
+    * isolation at any drop-set size. */
+  private def antiIds(df: DataFrame, ids: Set[Long]): DataFrame =
+    if (ids.isEmpty) df
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.join(broadcast(ids.toSeq.toDF("doc_id")), Seq("doc_id"), "left_anti")
+    }
+
   /** Continuous vector-index ingest: each micro-batch of (id, vector)
     * rows is cell-assigned with the broadcast codebook (one narrow
     * nearest_centroid projection) and appended to the partitioned IVF
@@ -341,14 +357,14 @@ object StreamingIngest {
             size(array_intersect(col("sha"), col("shb"))).cast("bigint") >=
             lit(num.toLong) * col("na"))
           .select(col("a")).distinct().collect().map(_.getLong(0)).toSet
-        val within = sets.filter(!col("doc_id").isin(withinDropped.toSeq: _*))
+        val within = antiIds(sets, withinDropped)
         // 2) against the index (bootstrap: first batch creates it)
         val indexDropped: Set[Long] =
           if (GramIndex.storedShards(spark, path).isEmpty) Set.empty
           else GramIndex.probeContainment(spark, path, within, num, den)
             .select(col("a")).distinct().collect().map(_.getLong(0)).toSet
         val dropped = withinDropped ++ indexDropped
-        val kept = sets.filter(!col("doc_id").isin(dropped.toSeq: _*))
+        val kept = antiIds(sets, dropped)
         if (GramIndex.storedShards(spark, path).isEmpty)
           GramIndex.write(kept, path, nShards)
         else GramIndex.append(kept, path)
@@ -447,7 +463,7 @@ object StreamingIngest {
           .join(sketch.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
           .filter(Dedup.jaccardDistinct(col("sha"), col("shb")) >= tau)
           .select(col("b")).distinct().collect().map(_.getLong(0)).toSet
-        val within = sketch.filter(!col("doc_id").isin(withinDropped.toSeq: _*))
+        val within = antiIds(sketch, withinDropped)
         // 2) against the index (bootstrap: first batch creates it)
         val indexDropped: Set[Long] =
           if (BandIndex.storedShards(spark, path).isEmpty) Set.empty
@@ -459,7 +475,7 @@ object StreamingIngest {
             .filter(Dedup.jaccardDistinct(col("sha"), col("shb")) >= tau)
             .select(col("b")).distinct().collect().map(_.getLong(0)).toSet
         val dropped = withinDropped ++ indexDropped
-        val kept = sketch.filter(!col("doc_id").isin(dropped.toSeq: _*))
+        val kept = antiIds(sketch, dropped)
         if (BandIndex.storedShards(spark, path).isEmpty)
           BandIndex.write(kept, path, nShards)
         else BandIndex.append(kept, path)

@@ -215,4 +215,21 @@ class BandIndexSpec extends SparkSuite {
     assert(probeNow() === afterDel)
     assert(BandIndex.sketches(spark, p).count() === 59)
   }
+
+  test("write(overwrite) clears stale tombstones from the replaced generation") {
+    import spark.implicits._
+    val p = tmp("bandidx_staletomb")
+    val corpus = (0L until 30L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    BandIndex.write(Dedup.docSketch(corpus), p)
+    BandIndex.delete(spark, p, Seq(3L))
+    // full rebuild (corrected source, reused ids): the old generation's
+    // tombstone must not hide the NEW generation's doc 3
+    BandIndex.write(Dedup.docSketch(corpus), p)
+    val probe = Dedup.bandRows(Dedup.docSketch(
+      Seq((7000L, doc(3))).toDF("doc_id", "text")), "doc_id")
+    val got = BandIndex.probeCandidates(spark, p, probe, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got.contains((3L, 7000L)),
+      "stale tombstone from the replaced generation hid doc 3")
+  }
 }

@@ -150,6 +150,55 @@ class GramIndexSpec extends SparkSuite {
     assert(probe(p, batch) === probe(fresh, batch))
   }
 
+  test("past-cap probes take the distributed plan and return identical output") {
+    import spark.implicits._
+    val p = tmp("gramidx_cap")
+    val corpus = (0L until 40L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    GramIndex.write(setsOf(corpus), p)
+    val batch = (
+      (0L until 5L).map(i => (1000L + i,
+        doc(i).split(" ").dropRight(2).mkString(" "))) ++
+      (0L until 3L).map(i => (2000L + i, s"zulu$i yankee$i xray$i whiskey$i"))
+      ).toDF("doc_id", "text")
+    val collected = probe(p, batch)
+    assert(collected.nonEmpty)
+    val key = GramIndex.MaxPrefixCollectKey
+    spark.conf.set(key, "1") // every prefix is past this cap
+    try {
+      assert(probe(p, batch) === collected,
+        "distributed (past-cap) plan diverged from the collected plan")
+      // the regime really flipped: past the cap nothing batch-sized may
+      // broadcast (the driver-literal prefix is gone too, but that is
+      // not visible in the plan — the absence of EVERY broadcast hint
+      // is, since all three hints ride the same `small` switch)
+      val hints = GramIndex.probeContainment(spark, p, setsOf(batch))
+        .queryExecution.analyzed.collect {
+          case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+        }
+      assert(hints.isEmpty, s"past-cap plan still carries broadcast hints: $hints")
+    } finally spark.conf.unset(key)
+    val hintsSmall = GramIndex.probeContainment(spark, p, setsOf(batch))
+      .queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+    assert(hintsSmall.nonEmpty, "ingest-sized plan lost its broadcast hints")
+  }
+
+  test("write(overwrite) clears stale tombstones from the replaced generation") {
+    import spark.implicits._
+    val p = tmp("gramidx_staletomb")
+    val corpus = (0L until 20L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    GramIndex.write(setsOf(corpus), p)
+    GramIndex.delete(spark, p, Seq(7L))
+    // full rebuild (corrected source, reused ids): the old generation's
+    // tombstone must not hide the NEW generation's doc 7
+    GramIndex.write(setsOf(corpus), p)
+    val batch = Seq((9000L, doc(7).split(" ").dropRight(2).mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(probe(p, batch).contains((9000L, 7L)),
+      "stale tombstone from the replaced generation hid doc 7")
+  }
+
   test("reshard migrates all three layouts; probes refuse mid-migration") {
     import spark.implicits._
     val p = tmp("gramidx_reshard")
