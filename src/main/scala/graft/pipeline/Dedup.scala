@@ -338,6 +338,66 @@ object Dedup {
     inter.cast("double") / (size(sa) + size(sb) - inter).cast("double")
   }
 
+  /** PPJoin-style CONTAINMENT pair generation + exact verify over one
+    * distinct (doc_id, x) set frame — shared by the batch self-join
+    * (queries.PipelineQueries.containmentJoinCore), the within-batch
+    * half of the containment screens (batch query AND streaming
+    * writer), and the scale harness. Emits every ordered pair with
+    * C(a→b) = |A∩B|/|A| ≥ num/den and orientation `keep(na, nb, a, b)`
+    * true (callers orient so the contained side is never the larger;
+    * break size ties by id or every identical pair emits twice), as
+    * (a, b, na, nb, containment), EXACT — three sound cuts run before
+    * the one verify join:
+    *  - prefix cut on the PROBE (contained) side only: a qualifying B
+    *    shares ≥ ⌈num·na/den⌉ of A's na tokens, so by pigeonhole it
+    *    hits one of A's na − ⌈num·na/den⌉ + 1 RAREST tokens (the
+    *    rare-first df order is what keeps candidate fan-out bounded —
+    *    any subset of that size would be correct);
+    *  - positional bound: both docs rank tokens by the same global
+    *    (df, x) order, so |A∩B| ≤ 1 + min(na−mi, nb−mj) at the first
+    *    shared positions (mi, mj) — integer-exact, kills candidates
+    *    that cannot reach ⌈num·na/den⌉;
+    *  - verify: ONE codegen'd array_intersect per surviving pair,
+    *    pure-integer threshold den·|A∩B| ≥ num·na.
+    * `cache` wraps the shared ranked frame (both candidate-join sides
+    * read it): pass a persist/registry hook when the result stays lazy
+    * or feeds several actions; identity (default) is fine for
+    * collect-once batch uses over already-persisted sets. */
+  def containmentPairs(sets: DataFrame, num: Int, den: Int,
+                       keep: (Column, Column, Column, Column) => Column,
+                       cache: DataFrame => DataFrame = identity): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, s"threshold $num/$den not in (0,1]")
+    import org.apache.spark.sql.expressions.Window
+    val dfreq = sets.groupBy("x").agg(count(lit(1)).as("df"))
+    val ranked = cache(sets.join(dfreq, "x")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "x")).cast("bigint"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .select("doc_id", "x", "rn", "n"))
+    val prefA = ranked.filter(col("rn") <=
+      col("n") - expr(s"(($num*n + ${den - 1}) div $den)") + 1L)
+    val cand = prefA.as("pa").join(ranked.as("pb"),
+        col("pa.x") === col("pb.x") &&
+          keep(col("pa.n"), col("pb.n"), col("pa.doc_id"), col("pb.doc_id")))
+      .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"),
+        col("pa.n").as("na"), col("pb.n").as("nb"),
+        col("pa.rn").as("i"), col("pb.rn").as("j"))
+      .groupBy("a", "b", "na", "nb")
+      .agg(min(col("i")).as("mi"), min(col("j")).as("mj"))
+      .filter(lit(den.toLong) * (lit(1L) + least(col("na") - col("mi"),
+        col("nb") - col("mj"))) >= lit(num.toLong) * col("na"))
+    val full = sets.groupBy("doc_id").agg(collect_list("x").as("sh"))
+    cand
+      .join(full.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(full.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("bigint"))
+      .filter(lit(den.toLong) * col("inter") >= lit(num.toLong) * col("na"))
+      .withColumn("containment",
+        col("inter").cast("double") / col("na").cast("double"))
+      .select("a", "b", "na", "nb", "containment")
+  }
+
   def duckJaccard(sa: String, sb: String): String = {
     val na = s"len(list_distinct($sa))"
     val nb = s"len(list_distinct($sb))"

@@ -369,16 +369,28 @@ object VectorIndex {
     * one centroid_scores projection over the query vectors, broadcast,
     * and equi-joined on the partition column — eligible for dynamic
     * partition pruning, so the corpus side still skips unprobed `cell=N`
-    * partitions at runtime. `queries` must carry (qIdCol, qVecCol). */
+    * partitions at runtime. `queries` must carry (qIdCol, qVecCol); ALL
+    * other query columns ride along into the probed-cell join, so
+    * `pairFilter` may reference both sides — e.g. hard-negative mining's
+    * label predicate, `col("label") =!= col("q_label")`. The filter runs
+    * INSIDE the probed cells, before the per-query top-k window: the
+    * result is the k best QUALIFYING neighbors, not a post-filtered
+    * top-k (which would return fewer than k and miss qualifying rows
+    * ranked below the unfiltered k-th). */
   def probeSet(spark: SparkSession, path: String, idCol: String, vecCol: String,
                queries: DataFrame, qIdCol: String, qVecCol: String,
-               cents: IndexedSeq[Seq[Double]], nProbe: Int, k: Int): DataFrame = {
+               cents: IndexedSeq[Seq[Double]], nProbe: Int, k: Int,
+               pairFilter: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     verifyCodebook(spark, path, cents)
+    require(!Seq("cell", "ccos", "prnk", "qn2", "n2", "cos", "rnk")
+        .exists(queries.columns.contains),
+      "probeSet reserves columns cell/ccos/prnk/qn2/n2/cos/rnk; " +
+        "rename them in the query frame")
     val qn2 = graft.functions.VectorFunctions.dotProduct(col(qVecCol), col(qVecCol))
     val probes = queries
       .withColumn("qn2", qn2)
-      .select(col(qIdCol), col(qVecCol), col("qn2"),
+      .select(col("*"),
         posexplode(graft.functions.CentroidFunctions.centroidCosines(
           col(qVecCol), col("qn2"), cents)).as(Seq("cell", "ccos")))
       // cell stays INT: the index's partition column reads back as int,
@@ -387,12 +399,14 @@ object VectorIndex {
       .withColumn("prnk", row_number().over(
         Window.partitionBy(qIdCol).orderBy(col("ccos").desc, col("cell"))))
       .filter(col("prnk") <= nProbe)
-      .select(col(qIdCol), col(qVecCol), col("qn2"), col("cell"))
+      .drop("ccos", "prnk")
     val w = Window.partitionBy(qIdCol).orderBy(col("cos").desc, col(idCol))
     // tombstone anti-join sits ABOVE the cell equi-join: dynamic
     // partition pruning stays wired scan-to-join, and the anti-join
     // only processes the probed cells' rows
-    live(broadcast(probes).join(read(spark, path), "cell"), spark, path, idCol)
+    val joined = live(broadcast(probes).join(read(spark, path), "cell"),
+      spark, path, idCol)
+    pairFilter.map(joined.filter).getOrElse(joined)
       .withColumn("cos",
         graft.functions.VectorFunctions.dotProduct(col(qVecCol), col(vecCol)) /
           (sqrt(col("qn2")) * sqrt(col("n2"))))

@@ -337,25 +337,15 @@ object StreamingIngest {
       val spark = batch.sparkSession
       val sets = gramSets(batch).persist()
       try {
-        val full = sets.groupBy("doc_id")
-          .agg(collect_list(col("x")).as("sh"), count(lit(1)).as("n"))
         // 1) within-batch: drop docs contained in a larger peer (ties:
-        // the larger id drops, so one of an identical pair survives)
-        val cand = sets.as("pa").join(sets.as("pb"),
-            col("pa.x") === col("pb.x") &&
-              col("pa.doc_id") =!= col("pb.doc_id"))
-          .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"))
-          .distinct()
-        val withinDropped: Set[Long] = cand
-          .join(full.select(col("doc_id").as("a"), col("sh").as("sha"),
-            col("n").as("na")), "a")
-          .join(full.select(col("doc_id").as("b"), col("sh").as("shb"),
-            col("n").as("nb")), "b")
-          .filter(col("nb") > col("na") ||
-            (col("nb") === col("na") && col("b") < col("a")))
-          .filter(lit(den.toLong) *
-            size(array_intersect(col("sha"), col("shb"))).cast("bigint") >=
-            lit(num.toLong) * col("na"))
+        // the larger id drops, so one of an identical pair survives).
+        // Rides Dedup.containmentPairs' prefix-cut core — a bare
+        // shared-token pairing is batch² on a boilerplate-heavy batch.
+        // Collected once over the persisted sets, so the shared ranked
+        // frame needs no cache hook of its own.
+        val withinDropped: Set[Long] = graft.pipeline.Dedup
+          .containmentPairs(sets, num, den,
+            (na, nb, a, b) => nb > na || (nb === na && b < a))
           .select(col("a")).distinct().collect().map(_.getLong(0)).toSet
         val within = antiIds(sets, withinDropped)
         // 2) against the index (bootstrap: first batch creates it)

@@ -23,7 +23,11 @@ class PlanShapeSpec extends SparkSuite {
     // truncation recall runs the brute pattern twice (full + 16-dim)
     "q_knn_truncated",
     // hard-negative mining is the brute pattern with a label filter
-    "q_hard_negatives")
+    "q_hard_negatives",
+    // its recall report joins the INDEXED miner (hash equi-join probe,
+    // no nested loop of its own) against that brute ground truth, so
+    // the brute broadcast scan appears inside the comparison plan
+    "q_hard_negatives_recall")
 
   test("no BroadcastNestedLoopJoin or CartesianProduct outside the intentional kNN scans") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -65,6 +65,53 @@ class ContainmentSpec extends SparkSuite {
     brute.foreach { case (k, c) => assert(out(k) === c, s"pair $k") }
   }
 
+  test("screen-orientation containmentPairs: prefix cut in the plan, zero false negatives") {
+    import spark.implicits._
+    // boilerplate-heavy batch: every doc shares a 10-token template, so
+    // a bare shared-token pairing would generate every ordered pair —
+    // the regime the prefix cut exists for. Docs 100–104 are the bare
+    // template (contained in every extended doc AND identical to each
+    // other, exercising the tie rule: the larger id drops).
+    val tmpl = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = ((0L until 20L).map(i => (i, s"$tmpl kilo$i lima$i mike$i")) ++
+      (0L until 5L).map(i => (100L + i, tmpl))).toDF("doc_id", "text")
+    val sets = graft.pipeline.TextAnalysis.shingleRows(docs)
+      .withColumn("x", graft.pipeline.Dedup.baseHash32(col("s")))
+      .select("doc_id", "x").distinct().persist()
+    try {
+      val pairs = graft.pipeline.Dedup.containmentPairs(sets, 3, 4,
+        (na, nb, a, b) => nb > na || (nb === na && b < a))
+      val got = pairs.select("a", "b").as[(Long, Long)].collect().toSet
+      val full = sets.groupBy("doc_id").agg(collect_list("x").as("sh"))
+      val brute = full.as("fa").crossJoin(full.as("fb"))
+        .select(col("fa.doc_id").as("a"), col("fb.doc_id").as("b"),
+          size(col("fa.sh")).cast("bigint").as("na"),
+          size(col("fb.sh")).cast("bigint").as("nb"),
+          size(array_intersect(col("fa.sh"), col("fb.sh")))
+            .cast("bigint").as("inter"))
+        .filter(col("nb") > col("na") ||
+          (col("nb") === col("na") && col("b") < col("a")))
+        .filter(lit(4L) * col("inter") >= lit(3L) * col("na"))
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(brute.nonEmpty)
+      assert(got === brute,
+        s"missed: ${(brute -- got).take(5)}; spurious: ${(got -- brute).take(5)}")
+      // the templates are contained in every extended doc...
+      (100L until 105L).foreach(t =>
+        (0L until 20L).foreach(i => assert(got.contains((t, i)))))
+      // ...and of an identical pair only the larger id drops
+      assert(got.contains((104L, 100L)) && !got.contains((100L, 104L)))
+      // plan guard: the candidate join reads only PREFIX rows on the
+      // probe side — the rank-bound filter must sit in the plan
+      val filters = pairs.queryExecution.analyzed.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.sql
+      }
+      assert(filters.exists(s => s.contains("rn") && s.contains("<=")),
+        s"no prefix-cut filter in the candidate plan: $filters")
+    } finally sets.unpersist()
+  }
+
   test("q_ngram_novelty: every mutant's shingles are 100% corpus-shared") {
     val rows = SparkEntry.queries("q_ngram_novelty")(spark, sf()).collect()
     val mutants = rows.filter(_.getLong(0) >= 100000L)
