@@ -166,6 +166,73 @@ object Multimodal {
     }
   }
 
+  /** REAL audio perceptual fingerprint end to end — the audio twin of
+    * [[synthPerceptualHashes]], completing the modality symmetry: per
+    * document the original clip, a perturbed near-duplicate (every 97th
+    * sample +8 — the formula-level analog of re-encode jitter) and an
+    * envelope-INVERTED unrelated clip each run the FULL real WAV path
+    * (encodeWav → AudioSystem decode), then a 64-bit FRAME-ENERGY SIGN
+    * hash over the DECODED samples: the clip splits into 64 time frames
+    * (boundaries k·n/64), bit k = 1 iff frame k's mean energy exceeds
+    * the clip mean — cross-multiplied integers, no float boundary (the
+    * aHash discipline on the time-domain energy envelope; a
+    * spectral-band variant rides the same plumbing with a filterbank in
+    * place of the frame splitter). Clips carry a per-doc 32-bit
+    * envelope signature (Knuth-mix of doc_id, bits 0/31 pinned so both
+    * levels always occur), so the margin analysis is exact: the +8
+    * perturbation can shift a frame mean by ≤ 2 against a ≥ 3.75
+    * envelope margin — planted near-dups land at Hamming 0, the
+    * inverted clip at exactly 64. Every decoded byte is arithmetic in
+    * the generator constants, so a SQL oracle replays all frame sums
+    * and bits exactly, codec-free.
+    *
+    * Scale: one narrow mapPartitions, no shuffle, one clip in flight
+    * per task; downstream near-dup grouping is a 64-bit-key bucket
+    * join, never an audio-payload join. */
+  def synthAudioHashes(documents: DataFrame)(implicit s: SparkSession): Dataset[AudioHash] = {
+    import s.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val n = (256 + id % 512).toInt
+        val w32 = ((id + 1) * 2654435761L) & 0xFFFFFFFFL
+        // frame k's envelope bit; 0/31 pinned so both levels occur
+        def env(k: Int): Int = (k % 32) match {
+          case 0 => 0
+          case 31 => 1
+          case r => ((w32 >> r) & 1L).toInt
+        }
+        // frame containing sample i under the floor boundaries
+        // [k·n/64, (k+1)·n/64): k = ⌈64(i+1)/n⌉ − 1
+        def frameOf(i: Int): Int = ((64 * (i + 1) - 1) / n)
+        def fpOf(sample: Int => Int): Long = {
+          val dec = AudioCodec.decodeWav(AudioCodec.encodeWav(
+            Array.tabulate(n)(i => sample(i).toByte)))
+          val total = dec.iterator.map(b => (b & 0xff).toLong).sum
+          var fp = 0L
+          var k = 0
+          while (k < 64) {
+            val lo = k * n / 64
+            val hi = (k + 1) * n / 64
+            var fs = 0L
+            var i = lo
+            while (i < hi) { fs += dec(i) & 0xff; i += 1 }
+            if (fs * n > total * (hi - lo)) fp |= (1L << k)
+            k += 1
+          }
+          fp
+        }
+        def base(i: Int): Int = if (env(frameOf(i)) == 1) 180 else 60
+        val a = fpOf(base)
+        val b = fpOf(i => base(i) + (if (i % 97 == 0) 8 else 0))
+        val c = fpOf(i => if (env(frameOf(i)) == 1) 60 else 180)
+        val dab = java.lang.Long.bitCount(a ^ b).toLong
+        val dac = java.lang.Long.bitCount(a ^ c).toLong
+        AudioHash(id, a, b, c, dab, dac,
+          if (dab <= 10) 1L else 0L, if (dac <= 10) 1L else 0L)
+      }
+    }
+  }
+
   /** REAL video pixel decode end to end — the path that retired the
     * last codec stub: per document an MJPEG-style MP4 is synthesized
     * (each frame a standalone intra-coded image — PNG here, the
@@ -239,6 +306,13 @@ final case class DecodedMedia(doc_id: Long, width_px: Long, height_px: Long,
 final case class PerceptualHash(doc_id: Long, ahash_a: Long, ahash_b: Long,
                                 ahash_c: Long, ham_ab: Long, ham_ac: Long,
                                 near_ab: Long, near_ac: Long)
+
+/** One audio fingerprint row: frame-energy sign hashes of the original
+  * (a), the perturbed near-dup (b) and the envelope-inverted unrelated
+  * clip (c), all from REAL WAV decodes, plus Hamming verdicts. */
+final case class AudioHash(doc_id: Long, fp_a: Long, fp_b: Long,
+                           fp_c: Long, ham_ab: Long, ham_ac: Long,
+                           near_ab: Long, near_ac: Long)
 
 /** REAL image codec on the JDK's built-in ImageIO (PNG/JPEG/BMP/GIF ship
   * with the JVM — no external libs needed): grayscale encode, decode to

@@ -3473,6 +3473,22 @@ object PipelineQueries {
       Multimodal.synthPerceptualHashes(documents(s, dir))(s)
         .toDF().orderBy("doc_id")),
 
+    // AUDIO perceptual fingerprint — q_media_phash's audio twin,
+    // completing the modality symmetry: original clip, perturbed
+    // near-dup (every 97th sample +8 — re-encode jitter) and an
+    // envelope-inverted unrelated clip each run the REAL WAV path
+    // (encodeWav → AudioSystem decode), then a 64-bit frame-energy sign
+    // hash over the DECODED samples (bit k = frame k's mean energy
+    // above the clip mean, cross-multiplied integers — no float
+    // boundary). By the margin analysis in Multimodal.synthAudioHashes
+    // the near-dup lands at Hamming 0 and the inverted clip at exactly
+    // 64; the oracle replays every frame sum and bit arithmetically,
+    // codec-free. One narrow mapPartitions, no shuffle — downstream
+    // dedup is a 64-bit-key join, never an audio-payload join.
+    "q_media_audiohash" -> ((s, dir) =>
+      Multimodal.synthAudioHashes(documents(s, dir))(s)
+        .toDF().orderBy("doc_id")),
+
     // scalar-function coverage: strings
     "q_string_funcs" -> ((s, dir) =>
       customer(s, dir).select(
@@ -6190,6 +6206,53 @@ object PipelineQueries {
               CAST(CASE WHEN bit_count(xor(ahash_a, ahash_c)) <= 10
                    THEN 1 ELSE 0 END AS BIGINT) AS near_ac
             FROM hh ORDER BY doc_id"""
+      },
+
+      "q_media_audiohash" -> {
+        // replay of Multimodal.synthAudioHashes' integer arithmetic:
+        // frame k covers samples [k·n/64, (k+1)·n/64); its sum is
+        // len × level (+8 per perturbed sample for b — multiples of 97
+        // in [lo, hi) counted with floor division); bit k compares
+        // frame sum × n against clip sum × len, exactly as the Scala
+        val lvl = "CASE WHEN env = 1 THEN 180 ELSE 60 END"
+        val lvlInv = "CASE WHEN env = 1 THEN 60 ELSE 180 END"
+        def packed(s: String, t: String) =
+          s"""CAST(sum(CASE WHEN $s * fs.n <= $t * len THEN 0
+                            WHEN fs.k = 63 THEN -9223372036854775808
+                            ELSE (1::BIGINT << CAST(fs.k AS INTEGER)) END)
+                AS BIGINT)"""
+        s"""WITH d AS (SELECT doc_id, 256 + doc_id % 512 AS n,
+                  ((doc_id + 1) * 2654435761) % 4294967296 AS w
+                FROM documents),
+              f AS (SELECT doc_id, n, k,
+                      (k * n) // 64 AS lo, ((k + 1) * n) // 64 AS hi,
+                      CASE WHEN k % 32 = 31 THEN 1 WHEN k % 32 = 0 THEN 0
+                           ELSE (w // (1::BIGINT << CAST(k % 32 AS INTEGER))) % 2
+                      END AS env
+                    FROM d CROSS JOIN (SELECT unnest(range(64)) AS k)),
+              fs AS (SELECT doc_id, n, k, hi - lo AS len,
+                       (hi - lo) * ($lvl) AS sa,
+                       (hi - lo) * ($lvl)
+                         + 8 * ((hi - 1) // 97 - (lo - 1) // 97) AS sb,
+                       (hi - lo) * ($lvlInv) AS sc
+                     FROM f),
+              t AS (SELECT doc_id, sum(sa) AS ta, sum(sb) AS tb,
+                      sum(sc) AS tc
+                    FROM fs GROUP BY doc_id),
+              fp AS (SELECT fs.doc_id,
+                       ${packed("sa", "ta")} AS fp_a,
+                       ${packed("sb", "tb")} AS fp_b,
+                       ${packed("sc", "tc")} AS fp_c
+                     FROM fs JOIN t ON t.doc_id = fs.doc_id
+                     GROUP BY fs.doc_id)
+            SELECT doc_id, fp_a, fp_b, fp_c,
+              CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS ham_ab,
+              CAST(bit_count(xor(fp_a, fp_c)) AS BIGINT) AS ham_ac,
+              CAST(CASE WHEN bit_count(xor(fp_a, fp_b)) <= 10
+                   THEN 1 ELSE 0 END AS BIGINT) AS near_ab,
+              CAST(CASE WHEN bit_count(xor(fp_a, fp_c)) <= 10
+                   THEN 1 ELSE 0 END AS BIGINT) AS near_ac
+            FROM fp ORDER BY doc_id"""
       },
 
       "q_media_video_meta" ->

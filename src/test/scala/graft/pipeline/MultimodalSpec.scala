@@ -297,4 +297,30 @@ class MultimodalSpec extends SparkSuite {
       "unrelated images must overwhelmingly classify far")
     assert(rows.forall(r => r.ham_ab === java.lang.Long.bitCount(r.ahash_a ^ r.ahash_b)))
   }
+
+  test("audio fingerprints: perturbed clip at Hamming 0, inverted clip at exactly 64") {
+    import spark.implicits._
+    val docs = (0L until 40L).toDF("doc_id")
+    val rows = Multimodal.synthAudioHashes(docs)(spark).collect()
+    assert(rows.length === 40)
+    // the margin analysis is deterministic, so the verdicts are exact,
+    // not statistical: +8 jitter cannot flip any frame-energy sign
+    // (margin ≥ 3.75 vs shift ≤ 2.25), inversion flips every one
+    assert(rows.forall(_.ham_ab === 0L),
+      "every +8-perturbed clip must hash identically")
+    assert(rows.forall(_.ham_ac === 64L),
+      "the envelope-inverted clip must flip every bit")
+    assert(rows.forall(r => r.near_ab === 1L && r.near_ac === 0L))
+    // pinned envelope bits 0/31 → both levels always occur → the hash
+    // is never degenerate (all-zero / all-one)
+    assert(rows.forall(r => r.fp_a != 0L && r.fp_a != -1L))
+  }
+
+  test("audio fingerprint decode is REAL: a corrupted RIFF payload fails, not stubs through") {
+    val wav = AudioCodec.encodeWav(Array.tabulate(64)(i => i.toByte))
+    assert(AudioCodec.decodeWav(wav).length === 64)
+    val bad = wav.clone()
+    bad(0) = 'X'.toByte // break the RIFF magic
+    intercept[Exception] { AudioCodec.decodeWav(bad) }
+  }
 }
