@@ -122,8 +122,18 @@ object Bench {
     // line's head (with "value") falls outside it — the trailing copy
     // keeps the round total visible in every truncated capture
     val calibJson = Calib.json(cpus, calibPre, calibPost)
+    // memory-probe slowdown ratio vs the nominal single-thread chase
+    // (0.6–0.8 s controlled band, center 0.7): >1.5 means every
+    // per-query time in this artifact was taken on a memory-degraded
+    // box. Emitted next to the totals so comparisons can band-adjust
+    // (tools/bench_compare.py) — NOT divided into the total here,
+    // because memory pressure is per-stage, not uniform.
+    val memRatioPre = calibPre.mem1 / Calib.NominalMem1t
+    val memRatioPost = calibPost.mem1 / Calib.NominalMem1t
+    val memRatioJson =
+      f""""mem_ratio_pre":$memRatioPre%.2f,"mem_ratio_post":$memRatioPost%.2f"""
     def line(fmt: Double => String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qs(fmt)},"sf":"$sfDir","runs":$runs,"n_errors":$errCount,"index_warmup_sec":${fmt(indexWarmupSec)},"wall_sec":${fmt(wallSec)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","steal_pct":${f"$stealPct%.2f"},"calib_sec":$calibJson,"total_sec":${fmt(total)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qs(fmt)},"sf":"$sfDir","runs":$runs,"n_errors":$errCount,"index_warmup_sec":${fmt(indexWarmupSec)},"wall_sec":${fmt(wallSec)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","steal_pct":${f"$stealPct%.2f"},"calib_sec":$calibJson,$memRatioJson,"total_sec":${fmt(total)}}"""
     // stdout: 3-decimal medians — the driver captures only a ~4 KB log
     // TAIL, and full-precision doubles pushed the line past it two rounds
     // running (BENCH_r03/r04 both lost their head and parsed as null).
@@ -141,7 +151,7 @@ object Bench {
       .sortBy(-_._2).take(8)
       .map { case (k, v) => s"${jstr(k)}:${f"$v%.3f"}" }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_errors":$errCount,"sf":"$sfDir","runs":$runs,"index_warmup_sec":${f"$indexWarmupSec%.3f"},"wall_sec":${f"$wallSec%.3f"},"steal_pct":${f"$stealPct%.2f"},"calib_sec":$calibJson,"slowest":$slowest,"queries_full":"target/bench.json","total_sec":${f"$total%.3f"}}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_errors":$errCount,"sf":"$sfDir","runs":$runs,"index_warmup_sec":${f"$indexWarmupSec%.3f"},"wall_sec":${f"$wallSec%.3f"},"steal_pct":${f"$stealPct%.2f"},"calib_sec":$calibJson,$memRatioJson,"slowest":$slowest,"queries_full":"target/bench.json","total_sec":${f"$total%.3f"}}""")
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)

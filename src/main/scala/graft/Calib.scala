@@ -44,6 +44,12 @@ object Calib {
   val MemWords: Int = 1 << 25
   val MemSteps: Long = 1L << 23
 
+  /** Controlled-band center for the single-thread memory probe
+    * (measured 0.6–0.8 s on this box when healthy; r13/r14 degraded
+    * periods read 1.9–2.2 s). Artifacts carry mem_1t / this as their
+    * slowdown ratio so cross-round comparisons can band-adjust. */
+  val NominalMem1t: Double = 0.7
+
   @volatile private var sink: Long = 0L // defeats dead-code elimination
 
   private def spin(iters: Long): Long = {

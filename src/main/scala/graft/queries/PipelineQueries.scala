@@ -1974,6 +1974,136 @@ object PipelineQueries {
         .select("doc_id", "lang", "n_tokens", "seq_id")
         .orderBy("lang", "doc_id")),
 
+    // END-TO-END CORPUS CONSTRUCTION — every stage above, composed as
+    // ONE DAG the way a production run chains them: planted corpus
+    // (verbatim copies +100000, truncated mutants +200000 — both
+    // exploded from a SINGLE documents scan) → NFC clean (planted
+    // zero-width mess stripped by the codegen'd Expression; the cleaned
+    // text equals the raw text, which is what lets DuckDB replay the
+    // whole chain byte-exact) → exact dedup (min-id survivor per
+    // content hash) → MinHash-LSH fuzzy dedup (band candidates, exact
+    // Jaccard ≥ 0.5, connected components, apply) → decontamination vs
+    // the held-out eval slice (doc_id % 10 = 7: bench docs leave, and
+    // any train doc sharing an 8-token gram with them goes too) → hashed
+    // linear quality filter (keep score > 0) → hash split (31-poly
+    // bucket, keep the 80% train slice) → domain mix (integer
+    // repetition factor toward the uniform per-source token target,
+    // clamped [1, 3] — the epochs-per-domain knob) → sequence packing
+    // (per-language running token sum over the repeated docs, 500-token
+    // bins, the prefix-decomposable rule).
+    //
+    // Composition is where lineage hazards live (the r13 recacheByPath
+    // class), so the sharing discipline is explicit: the exact-survivor
+    // frame persists once and feeds the sketch, the dedup anti-join,
+    // the decon shingles, and the quality scan; the post-filter train
+    // frame persists once and feeds the mix census AND the pack — the
+    // e2e plan re-reads NO parquet outside those two caches
+    // (CorpusE2eSpec pins scan counts). Scale shape: every stage is a
+    // hash exchange or broadcast the standalone query already proved;
+    // the pack's running sum is the two-pass range-partition plan,
+    // never a single-task window.
+    "q_corpus_e2e" -> ((s, dir) => {
+      val D = 4096L
+      val planted = documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"),
+          tokens(col("text")).as("w"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(filter(array(
+            struct(lit(0L).as("off"), col("text").as("t")),
+            struct(lit(100000L).as("off"), col("text").as("t")),
+            struct(lit(200000L).as("off"),
+              when(size(col("w")) >= 5,
+                array_join(slice(col("w"), lit(1), size(col("w")) - 2), " "))
+                .as("t"))),
+            v => v.getField("t").isNotNull)).as("v"))
+        .select((col("doc_id") + col("v.off")).as("doc_id"),
+          col("lang"), col("source"), col("v.t").as("text"))
+      val cleaned = planted.withColumn("text",
+        graft.functions.NfcFunctions.nfcClean(
+          concat(lit("\u200B"), col("text"), lit("\uFEFF"))))
+      val exactSurv = cleaned
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
+        .filter(col("__rn") === 1).drop("__rn")
+        .persist()
+      Persisted.swap("corpus_e2e_exact", dir, exactSurv)
+      val sketch = shingleRows(exactSurv.select("doc_id", "text"))
+        .withColumn("x", baseHash32(col("s")))
+        .groupBy("doc_id")
+        .agg(collect_set(col("x")).as("sh"),
+          graft.functions.MinHashFunctions.minhashSketch(col("x")).as("sig"))
+        .select(col("doc_id") :: col("sh") ::
+          (0 until K).map(p => element_at(col("sig"), p + 1).as(s"h$p")).toList: _*)
+        .persist()
+      Persisted.swap("corpus_e2e_sketch", dir, sketch)
+      val pairs = candidatePairs(bandRows(sketch, "doc_id"), "doc_id")
+        .join(sketch.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+        .join(sketch.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+        .filter(jaccardDistinct(col("sha"), col("shb")) >= 0.5)
+        .select("a", "b")
+      val deduped = Dedup.applyDedup(exactSurv,
+        Dedup.connectedComponents(pairs), "doc_id")
+      // decontamination runs at the 8-token-gram grain (the ExactSubstr
+      // window), not the 3-shingle dedup grain: on a template-heavy
+      // corpus 3-shingles over-fire (431/450 sf0.01 docs share one with
+      // the eval slice), while an 8-gram match means a real quoted run
+      val grams = deduped.select(col("doc_id"),
+        graft.functions.WordShingles.wordShingles(tokens(col("text")), 8)
+          .as(Seq("pos", "g")))
+        .select("doc_id", "g")
+      val bench = grams.filter(pmod(col("doc_id"), lit(10L)) === 7L)
+        .select("g").distinct()
+      val contaminated = grams.filter(pmod(col("doc_id"), lit(10L)) =!= 7L)
+        .join(broadcast(bench), "g").select("doc_id").distinct()
+      val decon = deduped.filter(pmod(col("doc_id"), lit(10L)) =!= 7L)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      val model = s.range(D).select(col("id").as("b"),
+        ((col("id") * lit(2654435761L)) % 2001L - 1000L).as("w"))
+      val train = decon
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(tokens(col("text"))).as("t"))
+        .withColumn("b", baseHash32(col("t")) % D)
+        .join(broadcast(model), "b")
+        .groupBy("doc_id", "lang", "source")
+        .agg(count(lit(1)).as("n_tokens"), sum("w").as("raw_weight"))
+        .filter(col("raw_weight") > 0L)
+        .filter(graft.keys.Hash31.bucket(col("doc_id"), 100) < 80)
+        .select("doc_id", "lang", "source", "n_tokens")
+        .persist()
+      Persisted.swap("corpus_e2e_train", dir, train)
+      // normalizers as whole-report constant windows over |sources|
+      // rows (the zero-exchange rescue) — a 1-row crossJoin would plan
+      // the BroadcastNestedLoopJoin the no-BNLJ guard forbids
+      val wAll = Window.partitionBy()
+      val reps = train.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+        .withColumn("tot_tokens", sum("src_tokens").over(wAll))
+        .withColumn("n_src", count(lit(1)).over(wAll))
+        .select(col("source"), least(lit(3L), greatest(lit(1L),
+          expr("tot_tokens div (n_src * src_tokens)"))).as("n_rep"))
+      val ordered = train.join(broadcast(reps), "source")
+        .withColumn("eff", col("n_tokens") * col("n_rep"))
+        .repartitionByRange(col("lang"), col("doc_id"))
+        .sortWithinPartitions("lang", "doc_id")
+        .withColumn("__pid", spark_partition_id())
+      val wOff = Window.partitionBy("lang").orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = ordered.groupBy("__pid", "lang")
+        .agg(sum("eff").as("__s"))
+        .withColumn("__off", coalesce(sum("__s").over(wOff), lit(0L)))
+        .select("__pid", "lang", "__off")
+      val wLocal = Window.partitionBy("__pid", "lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ordered
+        .join(broadcast(offsets), Seq("__pid", "lang"), "left")
+        .withColumn("__off", coalesce(col("__off"),
+          raise_error(concat(lit("corpus_e2e: no offset for partition "),
+            col("__pid")))))
+        .withColumn("cum", col("__off") + sum("eff").over(wLocal))
+        .withColumn("seq_id", expr("(cum - eff) div 500"))
+        .select("doc_id", "lang", "source", "n_tokens", "n_rep", "seq_id")
+        .orderBy("lang", "doc_id")
+    }),
+
     // corpus construction: PADDING-WASTE REPORT — the length-batching
     // measurement behind every trainer's "sort by length" knob: batch
     // docs 32-at-a-time in ARRIVAL order vs LENGTH-SORTED order, pad each
@@ -5293,6 +5423,88 @@ object PipelineQueries {
                       CAST(len(${duckTokens("text")}) AS BIGINT) AS n_tokens
                     FROM documents))
             ORDER BY lang, doc_id""",
+
+      // the whole corpus-construction chain replayed relationally —
+      // every stage is the fragment its standalone oracle already
+      // proved, composed over the planted (copies + mutants) corpus
+      "q_corpus_e2e" -> {
+        val bandSelects = (0 until Bands).map(b =>
+          s"SELECT doc_id, $b AS band, ${duckBandSig(b)} AS bsig FROM sig")
+          .mkString(" UNION ALL ")
+        s"""WITH RECURSIVE
+              raw AS (SELECT doc_id, lang, source, text FROM documents),
+              wd0 AS (SELECT doc_id, lang, source, text,
+                        ${duckTokens("text")} AS w FROM raw),
+              corpus0 AS (
+                SELECT doc_id, lang, source, text FROM raw
+                UNION ALL
+                SELECT doc_id + 100000, lang, source, text FROM raw
+                UNION ALL
+                SELECT doc_id + 200000, lang, source,
+                  array_to_string(w[1:len(w)-2], ' ') AS text
+                FROM wd0 WHERE len(w) >= 5),
+              exact AS (SELECT doc_id, lang, source, text FROM (
+                  SELECT c.*, row_number() OVER (PARTITION BY md5(text)
+                    ORDER BY doc_id) AS rn
+                  FROM corpus0 c) WHERE rn = 1),
+              corpus AS (SELECT doc_id, text FROM exact),
+              $duckShingled, $duckMinhashSigs,
+              bands AS ($bandSelects),
+              ${duckCandidatePairs()},
+              shx AS (SELECT doc_id, list(x) AS sh FROM e GROUP BY doc_id),
+              j AS (SELECT a, b, ${duckJaccard("sa.sh", "sb.sh")} AS jaccard
+                    FROM cand JOIN shx sa ON sa.doc_id = a
+                              JOIN shx sb ON sb.doc_id = b),
+              p AS (SELECT a, b FROM j WHERE jaccard >= 0.5),
+              ${duckConnectedComponents("p")},
+              deduped AS (SELECT x.* FROM exact x
+                          LEFT JOIN cc ON cc.node = x.doc_id
+                          WHERE cc.label IS NULL OR cc.label = x.doc_id),
+              dw AS (SELECT d.doc_id, ${duckTokens("d.text")} AS w
+                     FROM deduped d),
+              dg AS (SELECT doc_id, array_to_string(w[p:p+7], ' ') AS g
+                     FROM dw, LATERAL unnest(generate_series(1,
+                       greatest(len(w) - 7, 0))) AS u(p)),
+              bench AS (SELECT DISTINCT g FROM dg WHERE doc_id % 10 = 7),
+              contaminated AS (SELECT DISTINCT t.doc_id FROM dg t
+                               JOIN bench bn ON bn.g = t.g
+                               WHERE t.doc_id % 10 <> 7),
+              decon AS (SELECT * FROM deduped
+                        WHERE doc_id % 10 <> 7
+                          AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+              f AS (SELECT doc_id, (${duckBaseHash32("t")}) % 4096 AS b
+                    FROM (SELECT doc_id, unnest(${duckTokens("text")}) AS t
+                          FROM decon)),
+              m AS (SELECT b, (b * 2654435761) % 2001 - 1000 AS wgt
+                    FROM (SELECT unnest(range(4096)) AS b)),
+              q AS (SELECT f.doc_id, count(*) AS n_tokens,
+                      sum(wgt) AS raw_weight
+                    FROM f JOIN m USING (b) GROUP BY 1),
+              train AS (SELECT d.doc_id, d.lang, d.source, q.n_tokens
+                        FROM decon d JOIN q ON q.doc_id = d.doc_id
+                        WHERE q.raw_weight > 0
+                          AND ${graft.keys.Hash31.duckBucket("d.doc_id", 100)} < 80),
+              mix AS (SELECT source, sum(n_tokens) AS src_tokens
+                      FROM train GROUP BY 1),
+              tot AS (SELECT sum(src_tokens) AS tot_tokens,
+                        count(*) AS n_src FROM mix),
+              reps AS (SELECT source, least(3, greatest(1,
+                         tot_tokens // (n_src * src_tokens))) AS n_rep
+                       FROM mix CROSS JOIN tot),
+              mixed AS (SELECT t.doc_id, t.lang, t.source, t.n_tokens,
+                          r.n_rep, t.n_tokens * r.n_rep AS eff
+                        FROM train t JOIN reps r USING (source)),
+              packed AS (SELECT doc_id, lang, source, n_tokens, n_rep,
+                           (SUM(eff) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            - eff) // 500 AS seq_id
+                         FROM mixed)
+            SELECT doc_id, lang, source,
+              CAST(n_tokens AS BIGINT) AS n_tokens,
+              CAST(n_rep AS BIGINT) AS n_rep,
+              CAST(seq_id AS BIGINT) AS seq_id
+            FROM packed ORDER BY lang, doc_id"""
+      },
 
       "q_batch_padding" ->
         s"""WITH toks AS (SELECT doc_id,
