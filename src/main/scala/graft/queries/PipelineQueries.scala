@@ -3707,6 +3707,56 @@ object PipelineQueries {
           lit(0.0)) <= 0.05).as("fp_rate_ok"))
     }),
 
+    // BLOOM-SCREENED EXACT DEDUP — the batch-vs-history screen for the
+    // corpus that has NO persisted index yet: the history's content
+    // hashes fold into ONE fixed-size bloom filter (the engine's
+    // runtime-filter sketch; bytes bounded by numBits regardless of
+    // corpus size), every batch doc tests LOCALLY against the literal
+    // filter (might_contain — no join, no shuffle, no corpus read), and
+    // only the POSITIVES (true dups + rate-bounded false positives)
+    // enter the exact verification join. No false negatives by the
+    // bloom contract, and a false positive costs one verify row, never
+    // a wrong verdict — the bloom is an optimization input ONLY (the
+    // gram index's df discipline), so the output is EXACT and the
+    // oracle replays it bloom-free. At 100 TB: the bloom build is one
+    // column-pruned corpus scan amortized across batches (persist the
+    // few-hundred-KiB bytes beside the corpus); the verify side reads
+    // the corpus hash column once, semi-joined against the BROADCAST
+    // candidate hashes (batch-bounded by the screen) — or point-gets a
+    // salted hash store where one exists. Batch plant: even ids return
+    // verbatim (true dups), odd ids token-reversed (novel).
+    "q_dedup_bloom_screen" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val hist = documents(s, dir).select(col("doc_id"), md5(col("text")).as("h"))
+      val base = documents(s, dir).select(col("doc_id"), col("text"))
+      val batch = base.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        .union(base.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            array_join(reverse(tokens(col("text"))), " ").as("text")))
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val bfAgg = ColumnBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          ColumnBridge.expression(xxhash64(col("h"))),
+          ColumnBridge.expression(lit(100000L)),
+          ColumnBridge.expression(lit(800000L))).toAggregateExpression())
+      val bfBytes = hist.agg(bfAgg.as("bf")).head().getAs[Array[Byte]]("bf")
+      val cand = batch.filter(ColumnBridge.column(
+          new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            ColumnBridge.expression(lit(bfBytes)),
+            ColumnBridge.expression(xxhash64(col("h"))))))
+      val matches = hist.join(broadcast(cand.select("h").distinct()), "h")
+        .groupBy("h").agg(min(col("doc_id")).as("match_id"))
+      batch
+        .join(broadcast(cand.join(broadcast(matches), Seq("h"), "left")
+          .filter(col("match_id").isNotNull)
+          .select("doc_id", "match_id")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("match_id").isNotNull, 1L).otherwise(0L).as("is_dup"),
+          col("match_id"))
+        .orderBy("doc_id")
+    }),
+
     // heavy hitters (frequent-items sketch): freqItems guarantees a
     // SUPERSET of the items above the support threshold (false positives
     // allowed, false negatives not) — so the checkable contract is that
@@ -6523,6 +6573,27 @@ object PipelineQueries {
              quantile_cont(value, 0.99) AS p99_exact,
              true AS p50_ok, true AS p99_ok
            FROM events""",
+
+      // the bloom is invisible in the exact output — the oracle is the
+      // plain exact-duplicate verdict (no false negatives by the bloom
+      // contract; false positives die in the verify join)
+      "q_dedup_bloom_screen" ->
+        s"""WITH batch AS (
+              SELECT doc_id + 100000 AS doc_id, text FROM documents
+              WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT doc_id + 300000 AS doc_id,
+                array_to_string(list_reverse(w), ' ') AS text
+              FROM (SELECT doc_id, ${duckTokens("text")} AS w FROM documents)
+              WHERE doc_id % 2 = 1),
+              hist AS (SELECT doc_id, md5(text) AS h FROM documents),
+              bh AS (SELECT doc_id, md5(text) AS h FROM batch),
+              m AS (SELECT h, min(doc_id) AS match_id FROM hist GROUP BY h)
+            SELECT b.doc_id,
+              CAST(CASE WHEN m.match_id IS NOT NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS is_dup,
+              m.match_id
+            FROM bh b LEFT JOIN m USING (h) ORDER BY b.doc_id""",
 
       "q_bloom_filter" ->
         """SELECT count(*) AS n_inserted, true AS no_false_negatives, true AS fp_rate_ok

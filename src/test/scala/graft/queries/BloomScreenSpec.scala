@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSuite}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** q_dedup_bloom_screen semantics the exact oracle cannot see: the
+  * screen must actually SCREEN (the bloom admits every true dup — its
+  * zero-false-negative contract — while passing only a rate-bounded
+  * sliver of the novel docs to the verify join). */
+class BloomScreenSpec extends SparkSuite {
+
+  test("verdicts: every verbatim copy is a dup with its source as match; novels fresh") {
+    val rows = SparkEntry.queries("q_dedup_bloom_screen")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val copies = rows.filter(r => r.getLong(0) >= 100000L && r.getLong(0) < 200000L)
+    assert(copies.nonEmpty)
+    copies.foreach { r =>
+      assert(r.getLong(1) === 1L, s"copy ${r.getLong(0)} not flagged")
+      assert(r.getLong(2) === r.getLong(0) - 100000L,
+        s"copy ${r.getLong(0)} matched ${r.getLong(2)}")
+    }
+    // token-reversed docs are novel unless the reversal is an identity
+    // (single-token or palindromic-token docs) — then BOTH engines call
+    // them dups, so just require that most land fresh
+    val novels = rows.filter(_.getLong(0) >= 300000L)
+    assert(novels.count(_.getLong(1) === 0L) > novels.length * 0.9)
+  }
+
+  test("the bloom screens: zero false negatives, novel pass-through rate-bounded") {
+    // rebuild the screen exactly as the query does and measure what the
+    // exact output hides: how many batch docs the bloom let through
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val hist = docs.select(md5(col("text")).as("h"))
+    val bfAgg = ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col("h"))),
+        ColumnBridge.expression(lit(100000L)),
+        ColumnBridge.expression(lit(800000L))).toAggregateExpression())
+    val bf = hist.agg(bfAgg.as("bf")).head().getAs[Array[Byte]]("bf")
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(ColumnBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          ColumnBridge.expression(lit(bf)),
+          ColumnBridge.expression(xxhash64(col("h")))))).count()
+    // every history hash hits (the no-false-negative contract the
+    // screen's correctness rests on)
+    assert(hits(hist) === hist.count())
+    // novel hashes pass at (well under) the configured fp rate: the
+    // verify join's input is a sliver of the batch, which is the point
+    val novel = docs.select(md5(concat(lit("novel:"), col("text"))).as("h"))
+    val fp = hits(novel)
+    assert(fp <= math.max(2L, novel.count() / 20),
+      s"$fp of ${novel.count()} novel hashes passed the screen")
+  }
+}

@@ -17,15 +17,18 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails = 0
 for name, sql in sorted(oracle.items()):
+    # skip BEFORE running the oracle: filtered Verify runs dump a few
+    # queries but the full oracle map, and some oracles (q_corpus_e2e at
+    # sf0.1) cost tens of minutes in DuckDB
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark result")
+        fails += 1
+        continue
     try:
         exp = con.sql(sql).df()
     except Exception as e:
         print(f"FAIL {name}: oracle error: {e}")
-        fails += 1
-        continue
-    files = glob.glob(f"{out_dir}/{name}/*.parquet")
-    if not files:
-        print(f"FAIL {name}: no spark result")
         fails += 1
         continue
     got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
