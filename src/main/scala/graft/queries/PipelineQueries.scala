@@ -492,9 +492,10 @@ object PipelineQueries {
        SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 5
        ORDER BY q_id, rnk"""
 
-  /** The indexed miner replayed relationally: IVF assignment, deep
-    * probe ladder, label predicate INSIDE the probed cells, top-5. */
-  private lazy val duckHardNegIndexed: String =
+  /** The indexed miner replayed relationally at probe width `probe`:
+    * IVF assignment, probe ladder, label predicate INSIDE the probed
+    * cells, top-5. */
+  private def duckHardNegIndexedAt(probe: Int): String =
     s"""WITH lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
                      FROM embeddings),
           ${duckIvfAsgCtes("vec_id >= 5")},
@@ -508,7 +509,7 @@ object PipelineQueries {
                            ORDER BY ${duckCosine(duckDot("q.qv", "c.cv"),
                              "q.qn2", "c.cn2")} DESC, c.cid) AS prnk
                        FROM q CROSS JOIN cents c)
-                     WHERE prnk <= $IvfProbeDeep),
+                     WHERE prnk <= $probe),
           sc AS (SELECT q_id, x.vec_id AS vec_id,
                    ${duckCosine(duckDot("p.qv", "x.v"), "p.qn2", "x.n2")} AS cos
                  FROM probes p JOIN asg x ON p.cell = x.cell
@@ -520,6 +521,9 @@ object PipelineQueries {
                 FROM sc)
         SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 5
         ORDER BY q_id, rnk"""
+
+  private lazy val duckHardNegIndexed: String =
+    duckHardNegIndexedAt(IvfProbeDeep)
 
   /** The persisted-index IVF query at probe width `nProbe`: write the
     * cell-partitioned index once (per process), then probe the query set
@@ -1352,19 +1356,37 @@ object PipelineQueries {
     // recall@5 of the indexed hard-negative miner vs the exact brute
     // ground truth — the q_knn_recall discipline applied to the
     // predicate probe, so the BNLJ-allowlisted brute form has its
-    // priced indexed alternative
+    // priced indexed alternative. The LADDER prices every rung
+    // (4/8/12 of 16 cells): predicate probes need wider nets than
+    // plain knn because same-label rows consume probed volume without
+    // qualifying — the ladder is what lets a user pick the narrowest
+    // rung that clears their recall bar. The corpus index is built
+    // once (process-shared ensure); each rung re-probes the same
+    // layout, which is exactly the production tuning loop.
     "q_hard_negatives_recall" -> ((s, dir) => {
-      val brute = queries("q_hard_negatives")(s, dir).select("q_id", "vec_id")
-      val idx = queries("q_hard_negatives_indexed")(s, dir)
-        .select(col("q_id"), col("vec_id"))
-      val hits = brute.join(idx, Seq("q_id", "vec_id"))
-        .groupBy("q_id").agg(count(lit(1)).as("__n"))
-      brute.select("q_id").distinct()
-        .join(hits, Seq("q_id"), "left")
-        .select(col("q_id"), coalesce(col("__n"), lit(0L)).as("n_hits"),
-          (coalesce(col("__n"), lit(0L)).cast("double") / lit(5.0))
-            .as("recall_at_5"))
-        .orderBy("q_id")
+      val (v, cents, path) = ensuredIvfIndex(s, dir)
+      val labels = embeddings(s, dir).select(col("vec_id"),
+        col("label").cast("long").as("q_label"))
+      val q = v.filter(col("vec_id") < 5).join(labels, "vec_id")
+        .select(col("vec_id").as("q_id"), col("q_label"), col("v").as("qv"))
+      // persisted: the brute ground truth joins against every rung
+      val brute = queries("q_hard_negatives")(s, dir)
+        .select("q_id", "vec_id").persist()
+      Persisted.swap("hard_neg_brute", dir, brute)
+      val qids = brute.select("q_id").distinct()
+      Seq(IvfProbe, IvfProbeWide, IvfProbeDeep).map { tier =>
+        val idx = VectorIndex.probeSet(s, path, "vec_id", "v", q, "q_id",
+            "qv", cents, tier, 5,
+            pairFilter = Some(col("label") =!= col("q_label")))
+          .select("q_id", "vec_id")
+        val hits = brute.join(idx, Seq("q_id", "vec_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("__n"))
+        qids.join(hits, Seq("q_id"), "left")
+          .select(lit(tier.toLong).as("n_probe"), col("q_id"),
+            coalesce(col("__n"), lit(0L)).as("n_hits"),
+            (coalesce(col("__n"), lit(0L)).cast("double") / lit(5.0))
+              .as("recall_at_5"))
+      }.reduce(_ unionByName _).orderBy("n_probe", "q_id")
     }),
 
     // MATRYOSHKA TRUNCATION RECALL — the MRL question: how much top-10
@@ -5163,17 +5185,25 @@ object PipelineQueries {
 
       "q_hard_negatives_indexed" -> duckHardNegIndexed,
 
-      "q_hard_negatives_recall" ->
+      "q_hard_negatives_recall" -> {
+        val tiers = Seq(IvfProbe, IvfProbeWide, IvfProbeDeep)
+        val ctes = tiers.map { t =>
+          s"""i_$t AS (SELECT q_id, vec_id FROM (${duckHardNegIndexedAt(t)})),
+              h_$t AS (SELECT b.q_id, count(*) AS n FROM brute b
+                       JOIN i_$t x ON x.q_id = b.q_id AND x.vec_id = b.vec_id
+                       GROUP BY b.q_id),
+              r_$t AS (SELECT CAST($t AS BIGINT) AS n_probe, q.q_id,
+                         CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+                         CAST(coalesce(h.n, 0) AS DOUBLE) / 5.0 AS recall_at_5
+                       FROM qids q LEFT JOIN h_$t h ON h.q_id = q.q_id)"""
+        }.mkString(",\n")
+        val un = tiers.map(t => s"SELECT * FROM r_$t").mkString(" UNION ALL ")
         s"""WITH brute AS (SELECT q_id, vec_id FROM ($duckHardNegBrute)),
-              idx AS (SELECT q_id, vec_id FROM ($duckHardNegIndexed)),
-              h AS (SELECT b.q_id, count(*) AS n FROM brute b
-                    JOIN idx x ON x.q_id = b.q_id AND x.vec_id = b.vec_id
-                    GROUP BY b.q_id)
-            SELECT q.q_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
-                   CAST(coalesce(h.n, 0) AS DOUBLE) / 5.0 AS recall_at_5
-            FROM (SELECT DISTINCT q_id FROM brute) q
-            LEFT JOIN h ON h.q_id = q.q_id
-            ORDER BY q.q_id""",
+              qids AS (SELECT DISTINCT q_id FROM brute),
+              $ctes
+            SELECT n_probe, q_id, n_hits, recall_at_5 FROM ($un)
+            ORDER BY n_probe, q_id"""
+      },
 
       "q_knn_truncated" ->
         s"""WITH v AS (SELECT vec_id, ${duckVd("embedding")} AS v FROM embeddings),

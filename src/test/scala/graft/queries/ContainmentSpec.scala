@@ -112,6 +112,36 @@ class ContainmentSpec extends SparkSuite {
     } finally sets.unpersist()
   }
 
+  test("containmentPairs fuzz: exact vs brute for arbitrary num/den and orientations") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 5) {
+      val den = 2 + rnd.nextInt(5) // 2..6
+      val num = 1 + rnd.nextInt(den) // 1..den — τ anywhere in (0, 1]
+      // 30 docs over a 25-token universe: heavy overlap, many ties
+      val docs = (0L until 30L).map { d =>
+        (d, Seq.fill(3 + rnd.nextInt(12))(rnd.nextInt(25).toLong).distinct)
+      }
+      val sets = docs.flatMap { case (d, xs) => xs.map(x => (d, x)) }
+        .toDF("doc_id", "x")
+      // keep EVERY ordered pair — correctness must not depend on the
+      // size orientation the production callers happen to use
+      val got = graft.pipeline.Dedup
+        .containmentPairs(sets, num, den, (_, _, a, b) => a =!= b)
+        .select(col("a"), col("b"), col("containment"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val want = (for {
+        (a, xa) <- docs; (b, xb) <- docs if a != b
+        inter = xa.toSet.intersect(xb.toSet).size
+        if den.toLong * inter >= num.toLong * xa.size
+      } yield ((a, b), inter.toDouble / xa.size)).toMap
+      assert(got === want,
+        s"trial $trial τ=$num/$den: missed ${(want.keySet -- got.keySet).take(5)}, " +
+          s"spurious ${(got.keySet -- want.keySet).take(5)}")
+      assert(want.nonEmpty, s"trial $trial degenerate: no qualifying pairs")
+    }
+  }
+
   test("q_ngram_novelty: every mutant's shingles are 100% corpus-shared") {
     val rows = SparkEntry.queries("q_ngram_novelty")(spark, sf()).collect()
     val mutants = rows.filter(_.getLong(0) >= 100000L)
