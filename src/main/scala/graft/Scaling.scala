@@ -40,7 +40,7 @@ import org.apache.spark.sql.functions._
   *     familiesCsv default all of
   *       text_index,band_index,semdedup,simjoin,substring,window_rescue,
   *       ivf_index,salted_store,minhash_lsh,containment,gram_index,
-  *       gram_batch
+  *       gram_batch,corpus_e2e
   *     repeats     default 1 — full passes over all tiers; each
   *                 (family, tier, phase) keeps its MIN (noise floor on a
   *                 shared box). An untimed tiny-tier warm-up always runs
@@ -364,6 +364,27 @@ object Scaling {
     }
   }
 
+  /** The COMPOSED corpus-construction chain (q_corpus_e2e's core —
+    * clean → exact dedup → LSH fuzzy dedup + CC → 8-gram decon →
+    * quality filter → split → mix → pack) at 1×/10×/100×: the stages
+    * are families measured alone elsewhere; this measures that the
+    * COMPOSITION preserves their slopes (two shared caches, one corpus
+    * scan, no lineage re-execution). Plant offsets scale with n so
+    * planted ids never collide with the corpus. */
+  private def famCorpusE2e(s: SparkSession, docs: DataFrame, n: Long,
+                           tier: Int): Unit = {
+    timed("corpus_e2e", tier, "run", n) {
+      val withMeta = docs
+        .withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(12L))))
+        .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(20L))))
+        .select("doc_id", "lang", "source", "text")
+      val out = queries.PipelineQueries.corpusE2eCore(
+        withMeta, s"scaling_e2e_x$tier", copyOff = n, mutOff = 2L * n).count()
+      queries.PipelineQueries.releaseCaches()
+      out
+    }
+  }
+
   private def famContainment(s: SparkSession, docs: DataFrame, n: Long,
                              tier: Int): Unit = {
     timed("containment", tier, "run", n) {
@@ -462,7 +483,8 @@ object Scaling {
     val fams = args.lift(2).map(_.split(',').map(_.trim).toSet)
       .getOrElse(Set("text_index", "band_index", "semdedup", "simjoin",
         "substring", "window_rescue", "ivf_index", "salted_store",
-        "minhash_lsh", "containment", "gram_index", "gram_batch"))
+        "minhash_lsh", "containment", "gram_index", "gram_batch",
+        "corpus_e2e"))
     val repeats = args.lift(3).map(_.trim.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val calibPre = Calib.bracketAll(cpus.toInt)
@@ -496,6 +518,7 @@ object Scaling {
       if (fams("containment")) famContainment(spark, docs, nDocs, tier)
       if (fams("gram_index")) famGramIndex(spark, docs, nDocs, tier, tmp)
       if (fams("gram_batch")) famGramBatch(spark, tier, tmp)
+      if (fams("corpus_e2e")) famCorpusE2e(spark, docs, nDocs, tier)
       spark.catalog.clearCache()
     }
     // untimed warm-up on tiny data: JIT/codegen/committer first-touch

@@ -795,6 +795,116 @@ object PipelineQueries {
 
   // ---- queries ------------------------------------------------------------
 
+  /** The q_corpus_e2e chain over an arbitrary (doc_id, lang, source,
+    * text) frame — shared by the query (over `documents`) and the scale
+    * harness (over graft.Scaling's synthetic corpora). `site` keys the
+    * persisted-frame registry (the exact-survivor and train caches the
+    * one-documents-scan guarantee rests on). Stages and sharing
+    * discipline: see the query's comment. */
+  def corpusE2eCore(docs: DataFrame, site: String,
+                    copyOff: Long = 100000L,
+                    mutOff: Long = 200000L): DataFrame = {
+    val D = 4096L
+    val planted = docs
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(filter(array(
+          struct(lit(0L).as("off"), col("text").as("t")),
+          struct(lit(copyOff).as("off"), col("text").as("t")),
+          struct(lit(mutOff).as("off"),
+            when(size(col("w")) >= 5,
+              array_join(slice(col("w"), lit(1), size(col("w")) - 2), " "))
+              .as("t"))),
+          v => v.getField("t").isNotNull)).as("v"))
+      .select((col("doc_id") + col("v.off")).as("doc_id"),
+        col("lang"), col("source"), col("v.t").as("text"))
+    val cleaned = planted.withColumn("text",
+      graft.functions.NfcFunctions.nfcClean(
+        concat(lit("\u200B"), col("text"), lit("\uFEFF"))))
+    val exactSurv = cleaned
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
+      .filter(col("__rn") === 1).drop("__rn")
+      .persist()
+    Persisted.swap("corpus_e2e_exact", site, exactSurv)
+    val sketch = shingleRows(exactSurv.select("doc_id", "text"))
+      .withColumn("x", baseHash32(col("s")))
+      .groupBy("doc_id")
+      .agg(collect_set(col("x")).as("sh"),
+        graft.functions.MinHashFunctions.minhashSketch(col("x")).as("sig"))
+      .select(col("doc_id") :: col("sh") ::
+        (0 until K).map(p => element_at(col("sig"), p + 1).as(s"h$p")).toList: _*)
+      .persist()
+    Persisted.swap("corpus_e2e_sketch", site, sketch)
+    val pairs = candidatePairs(bandRows(sketch, "doc_id"), "doc_id")
+      .join(sketch.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(sketch.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .filter(jaccardDistinct(col("sha"), col("shb")) >= 0.5)
+      .select("a", "b")
+    val deduped = Dedup.applyDedup(exactSurv,
+      Dedup.connectedComponents(pairs), "doc_id")
+    // decontamination runs at the 8-token-gram grain (the ExactSubstr
+    // window), not the 3-shingle dedup grain: on a template-heavy
+    // corpus 3-shingles over-fire (431/450 sf0.01 docs share one with
+    // the eval slice), while an 8-gram match means a real quoted run
+    val grams = deduped.select(col("doc_id"),
+      graft.functions.WordShingles.wordShingles(tokens(col("text")), 8)
+        .as(Seq("pos", "g")))
+      .select("doc_id", "g")
+    val bench = grams.filter(pmod(col("doc_id"), lit(10L)) === 7L)
+      .select("g").distinct()
+    val contaminated = grams.filter(pmod(col("doc_id"), lit(10L)) =!= 7L)
+      .join(broadcast(bench), "g").select("doc_id").distinct()
+    val decon = deduped.filter(pmod(col("doc_id"), lit(10L)) =!= 7L)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val model = docs.sparkSession.range(D).select(col("id").as("b"),
+      ((col("id") * lit(2654435761L)) % 2001L - 1000L).as("w"))
+    val train = decon
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(tokens(col("text"))).as("t"))
+      .withColumn("b", baseHash32(col("t")) % D)
+      .join(broadcast(model), "b")
+      .groupBy("doc_id", "lang", "source")
+      .agg(count(lit(1)).as("n_tokens"), sum("w").as("raw_weight"))
+      .filter(col("raw_weight") > 0L)
+      .filter(graft.keys.Hash31.bucket(col("doc_id"), 100) < 80)
+      .select("doc_id", "lang", "source", "n_tokens")
+      .persist()
+    Persisted.swap("corpus_e2e_train", site, train)
+    // normalizers as whole-report constant windows over |sources|
+    // rows (the zero-exchange rescue) — a 1-row crossJoin would plan
+    // the BroadcastNestedLoopJoin the no-BNLJ guard forbids
+    val wAll = Window.partitionBy()
+    val reps = train.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+      .withColumn("tot_tokens", sum("src_tokens").over(wAll))
+      .withColumn("n_src", count(lit(1)).over(wAll))
+      .select(col("source"), least(lit(3L), greatest(lit(1L),
+        expr("tot_tokens div (n_src * src_tokens)"))).as("n_rep"))
+    val ordered = train.join(broadcast(reps), "source")
+      .withColumn("eff", col("n_tokens") * col("n_rep"))
+      .repartitionByRange(col("lang"), col("doc_id"))
+      .sortWithinPartitions("lang", "doc_id")
+      .withColumn("__pid", spark_partition_id())
+    val wOff = Window.partitionBy("lang").orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ordered.groupBy("__pid", "lang")
+      .agg(sum("eff").as("__s"))
+      .withColumn("__off", coalesce(sum("__s").over(wOff), lit(0L)))
+      .select("__pid", "lang", "__off")
+    val wLocal = Window.partitionBy("__pid", "lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered
+      .join(broadcast(offsets), Seq("__pid", "lang"), "left")
+      .withColumn("__off", coalesce(col("__off"),
+        raise_error(concat(lit("corpus_e2e: no offset for partition "),
+          col("__pid")))))
+      .withColumn("cum", col("__off") + sum("eff").over(wLocal))
+      .withColumn("seq_id", expr("(cum - eff) div 500"))
+      .select("doc_id", "lang", "source", "n_tokens", "n_rep", "seq_id")
+      .orderBy("lang", "doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // text analysis: token counting (whitespace + BPE-ish regex), length
@@ -2024,107 +2134,9 @@ object PipelineQueries {
     // hash exchange or broadcast the standalone query already proved;
     // the pack's running sum is the two-pass range-partition plan,
     // never a single-task window.
-    "q_corpus_e2e" -> ((s, dir) => {
-      val D = 4096L
-      val planted = documents(s, dir)
-        .select(col("doc_id"), col("lang"), col("source"), col("text"),
-          tokens(col("text")).as("w"))
-        .select(col("doc_id"), col("lang"), col("source"),
-          explode(filter(array(
-            struct(lit(0L).as("off"), col("text").as("t")),
-            struct(lit(100000L).as("off"), col("text").as("t")),
-            struct(lit(200000L).as("off"),
-              when(size(col("w")) >= 5,
-                array_join(slice(col("w"), lit(1), size(col("w")) - 2), " "))
-                .as("t"))),
-            v => v.getField("t").isNotNull)).as("v"))
-        .select((col("doc_id") + col("v.off")).as("doc_id"),
-          col("lang"), col("source"), col("v.t").as("text"))
-      val cleaned = planted.withColumn("text",
-        graft.functions.NfcFunctions.nfcClean(
-          concat(lit("\u200B"), col("text"), lit("\uFEFF"))))
-      val exactSurv = cleaned
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
-        .filter(col("__rn") === 1).drop("__rn")
-        .persist()
-      Persisted.swap("corpus_e2e_exact", dir, exactSurv)
-      val sketch = shingleRows(exactSurv.select("doc_id", "text"))
-        .withColumn("x", baseHash32(col("s")))
-        .groupBy("doc_id")
-        .agg(collect_set(col("x")).as("sh"),
-          graft.functions.MinHashFunctions.minhashSketch(col("x")).as("sig"))
-        .select(col("doc_id") :: col("sh") ::
-          (0 until K).map(p => element_at(col("sig"), p + 1).as(s"h$p")).toList: _*)
-        .persist()
-      Persisted.swap("corpus_e2e_sketch", dir, sketch)
-      val pairs = candidatePairs(bandRows(sketch, "doc_id"), "doc_id")
-        .join(sketch.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
-        .join(sketch.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
-        .filter(jaccardDistinct(col("sha"), col("shb")) >= 0.5)
-        .select("a", "b")
-      val deduped = Dedup.applyDedup(exactSurv,
-        Dedup.connectedComponents(pairs), "doc_id")
-      // decontamination runs at the 8-token-gram grain (the ExactSubstr
-      // window), not the 3-shingle dedup grain: on a template-heavy
-      // corpus 3-shingles over-fire (431/450 sf0.01 docs share one with
-      // the eval slice), while an 8-gram match means a real quoted run
-      val grams = deduped.select(col("doc_id"),
-        graft.functions.WordShingles.wordShingles(tokens(col("text")), 8)
-          .as(Seq("pos", "g")))
-        .select("doc_id", "g")
-      val bench = grams.filter(pmod(col("doc_id"), lit(10L)) === 7L)
-        .select("g").distinct()
-      val contaminated = grams.filter(pmod(col("doc_id"), lit(10L)) =!= 7L)
-        .join(broadcast(bench), "g").select("doc_id").distinct()
-      val decon = deduped.filter(pmod(col("doc_id"), lit(10L)) =!= 7L)
-        .join(contaminated, Seq("doc_id"), "left_anti")
-      val model = s.range(D).select(col("id").as("b"),
-        ((col("id") * lit(2654435761L)) % 2001L - 1000L).as("w"))
-      val train = decon
-        .select(col("doc_id"), col("lang"), col("source"),
-          explode(tokens(col("text"))).as("t"))
-        .withColumn("b", baseHash32(col("t")) % D)
-        .join(broadcast(model), "b")
-        .groupBy("doc_id", "lang", "source")
-        .agg(count(lit(1)).as("n_tokens"), sum("w").as("raw_weight"))
-        .filter(col("raw_weight") > 0L)
-        .filter(graft.keys.Hash31.bucket(col("doc_id"), 100) < 80)
-        .select("doc_id", "lang", "source", "n_tokens")
-        .persist()
-      Persisted.swap("corpus_e2e_train", dir, train)
-      // normalizers as whole-report constant windows over |sources|
-      // rows (the zero-exchange rescue) — a 1-row crossJoin would plan
-      // the BroadcastNestedLoopJoin the no-BNLJ guard forbids
-      val wAll = Window.partitionBy()
-      val reps = train.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
-        .withColumn("tot_tokens", sum("src_tokens").over(wAll))
-        .withColumn("n_src", count(lit(1)).over(wAll))
-        .select(col("source"), least(lit(3L), greatest(lit(1L),
-          expr("tot_tokens div (n_src * src_tokens)"))).as("n_rep"))
-      val ordered = train.join(broadcast(reps), "source")
-        .withColumn("eff", col("n_tokens") * col("n_rep"))
-        .repartitionByRange(col("lang"), col("doc_id"))
-        .sortWithinPartitions("lang", "doc_id")
-        .withColumn("__pid", spark_partition_id())
-      val wOff = Window.partitionBy("lang").orderBy("__pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = ordered.groupBy("__pid", "lang")
-        .agg(sum("eff").as("__s"))
-        .withColumn("__off", coalesce(sum("__s").over(wOff), lit(0L)))
-        .select("__pid", "lang", "__off")
-      val wLocal = Window.partitionBy("__pid", "lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ordered
-        .join(broadcast(offsets), Seq("__pid", "lang"), "left")
-        .withColumn("__off", coalesce(col("__off"),
-          raise_error(concat(lit("corpus_e2e: no offset for partition "),
-            col("__pid")))))
-        .withColumn("cum", col("__off") + sum("eff").over(wLocal))
-        .withColumn("seq_id", expr("(cum - eff) div 500"))
-        .select("doc_id", "lang", "source", "n_tokens", "n_rep", "seq_id")
-        .orderBy("lang", "doc_id")
-    }),
+    "q_corpus_e2e" -> ((s, dir) =>
+      corpusE2eCore(documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("text")), dir)),
 
     // corpus construction: PADDING-WASTE REPORT — the length-batching
     // measurement behind every trainer's "sort by length" knob: batch
