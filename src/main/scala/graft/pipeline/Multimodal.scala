@@ -233,6 +233,52 @@ object Multimodal {
     }
   }
 
+  /** REAL video perceptual hash end to end — the third cell of the
+    * modality symmetry ([[synthPerceptualHashes]] for images,
+    * [[synthAudioHashes]] for audio): per document three MJPEG-style
+    * videos (original, +8-every-97th-pixel perturbed near-dup,
+    * unrelated content) are each CONTAINERIZED with real sample tables,
+    * DEMUXED back through the stsc-run walk, their MIDDLE frame decoded
+    * through ImageIO, thumbnailed 8×8 and hashed with
+    * [[ImageCodec.aHash64]] — the exact pipeline a production video
+    * dedup runs per keyframe (at scale: one narrow mapPartitions per
+    * sampled frame, dedup a 64-bit-key bucket join, never a video
+    * payload join). Frame pixels are arithmetic in the generator
+    * constants, so a SQL oracle replays the sampled thumbnail and every
+    * hash bit codec-free — while the Scala side really pays the
+    * container parse + image decode. */
+  def synthVideoHashes(documents: DataFrame)(implicit s: SparkSession): Dataset[PerceptualHash] = {
+    import s.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (16 + id % 32).toInt
+        val h = (16 + id % 24).toInt
+        val n = (4 + id % 6).toInt
+        val fi = n / 2 // the sampled keyframe
+        def hashOf(px: (Int, Int) => Long): Long = {
+          val frames = (0 until n).map { f =>
+            ImageCodec.encodeGrayPng(
+              Array.tabulate(w * h)(i => px(f, i).toByte), w, h)
+          }
+          val mp4 = VideoContainer.encodeMp4Frames(
+            w, h, timescale = 600, sampleDelta = 25, frames)
+          val (off, sz) = VideoContainer.videoSampleRanges(mp4)(fi)
+          val (dw, dh, dec) = ImageCodec.decodeGray(
+            java.util.Arrays.copyOfRange(mp4, off.toInt, (off + sz).toInt))
+          ImageCodec.aHash64(ImageCodec.resizeNearest(dec, dw, dh, 8, 8))
+        }
+        val a = hashOf((f, i) => (id * 31 + f * 7 + i) % 256)
+        val b = hashOf((f, i) =>
+          (id * 31 + f * 7 + i + (if (i % 97 == 0) 8 else 0)) % 256)
+        val c = hashOf((f, i) => (id * 37 + f * 11 + 5L * i) % 256)
+        val dab = java.lang.Long.bitCount(a ^ b).toLong
+        val dac = java.lang.Long.bitCount(a ^ c).toLong
+        PerceptualHash(id, a, b, c, dab, dac,
+          if (dab <= 10) 1L else 0L, if (dac <= 10) 1L else 0L)
+      }
+    }
+  }
+
   /** REAL video pixel decode end to end — the path that retired the
     * last codec stub: per document an MJPEG-style MP4 is synthesized
     * (each frame a standalone intra-coded image — PNG here, the

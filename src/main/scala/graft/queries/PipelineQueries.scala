@@ -3653,6 +3653,19 @@ object PipelineQueries {
       Multimodal.synthAudioHashes(documents(s, dir))(s)
         .toDF().orderBy("doc_id")),
 
+    // VIDEO perceptual hash — the third modality cell: per doc three
+    // real MJPEG-style containers (original / +8-perturbed / unrelated)
+    // each DEMUX their middle frame through the real sample-table walk,
+    // decode it through ImageIO, thumbnail 8×8 and aHash64 — keyframe
+    // dedup exactly as production runs it. Pixels are arithmetic in the
+    // generator constants, so the oracle replays the sampled thumbnail
+    // and every bit codec-free while the Scala side pays the container
+    // parse + decode. One narrow mapPartitions; dedup downstream is a
+    // 64-bit-key bucket join, never a video-payload join.
+    "q_media_videohash" -> ((s, dir) =>
+      Multimodal.synthVideoHashes(documents(s, dir))(s)
+        .toDF().orderBy("doc_id")),
+
     // scalar-function coverage: strings
     "q_string_funcs" -> ((s, dir) =>
       customer(s, dir).select(
@@ -6557,6 +6570,40 @@ object PipelineQueries {
               CAST(CASE WHEN bit_count(xor(fp_a, fp_c)) <= 10
                    THEN 1 ELSE 0 END AS BIGINT) AS near_ac
             FROM fp ORDER BY doc_id"""
+      },
+
+      "q_media_videohash" -> {
+        // q_media_phash's sampled-thumbnail arithmetic over the MIDDLE
+        // frame's pixel formula (fi = n_frames div 2); dims are the
+        // video track's
+        val w = "(16 + doc_id % 32)"
+        val h = "(16 + doc_id % 24)"
+        val fi = "((4 + doc_id % 6) // 2)"
+        val idx = s"(((k // 8) * $h // 8) * $w + ((k % 8) * $w // 8))"
+        val ta = s"list_transform(range(64), k -> (doc_id * 31 + $fi * 7 + $idx) % 256)"
+        val tb = s"list_transform(range(64), k -> (doc_id * 31 + $fi * 7 + $idx" +
+          s" + CASE WHEN $idx % 97 = 0 THEN 8 ELSE 0 END) % 256)"
+        val tc = s"list_transform(range(64), k -> (doc_id * 37 + $fi * 11 + 5 * $idx) % 256)"
+        def hashOf(t: String) =
+          s"""CAST(CASE WHEN $t[64] * 64 > list_sum($t)
+                        THEN -9223372036854775808 ELSE 0 END
+               + CAST(list_sum(list_transform(range(63), k ->
+                   CASE WHEN $t[k + 1] * 64 > list_sum($t)
+                        THEN (1::BIGINT << k) ELSE 0::BIGINT END)) AS BIGINT)
+               AS BIGINT)"""
+        s"""WITH t AS (SELECT doc_id, $ta AS ta, $tb AS tb, $tc AS tc
+                       FROM documents),
+              hh AS (SELECT doc_id, ${hashOf("ta")} AS ahash_a,
+                       ${hashOf("tb")} AS ahash_b,
+                       ${hashOf("tc")} AS ahash_c FROM t)
+            SELECT doc_id, ahash_a, ahash_b, ahash_c,
+              CAST(bit_count(xor(ahash_a, ahash_b)) AS BIGINT) AS ham_ab,
+              CAST(bit_count(xor(ahash_a, ahash_c)) AS BIGINT) AS ham_ac,
+              CAST(CASE WHEN bit_count(xor(ahash_a, ahash_b)) <= 10
+                   THEN 1 ELSE 0 END AS BIGINT) AS near_ab,
+              CAST(CASE WHEN bit_count(xor(ahash_a, ahash_c)) <= 10
+                   THEN 1 ELSE 0 END AS BIGINT) AS near_ac
+            FROM hh ORDER BY doc_id"""
       },
 
       "q_media_video_meta" ->

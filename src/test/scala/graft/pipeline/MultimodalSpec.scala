@@ -298,6 +298,18 @@ class MultimodalSpec extends SparkSuite {
     assert(rows.forall(r => r.ham_ab === java.lang.Long.bitCount(r.ahash_a ^ r.ahash_b)))
   }
 
+  test("video hashes: the demuxed+decoded keyframe classifies near/far like the image path") {
+    import spark.implicits._
+    val docs = (0L until 40L).toDF("doc_id")
+    val rows = Multimodal.synthVideoHashes(docs)(spark).collect()
+    assert(rows.length === 40)
+    assert(rows.forall(_.near_ab === 1L),
+      "every +8-perturbed video must classify as a near-dup")
+    assert(rows.count(_.near_ac === 0L) >= 35,
+      "unrelated videos must overwhelmingly classify far")
+    assert(rows.forall(r => r.ham_ab === java.lang.Long.bitCount(r.ahash_a ^ r.ahash_b)))
+  }
+
   test("audio fingerprints: perturbed clip at Hamming 0, inverted clip at exactly 64") {
     import spark.implicits._
     val docs = (0L until 40L).toDF("doc_id")
