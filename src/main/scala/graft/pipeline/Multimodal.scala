@@ -256,10 +256,16 @@ object Multimodal {
         val n = (4 + id % 6).toInt
         val fi = n / 2 // the sampled keyframe
         def hashOf(px: (Int, Int) => Long): Long = {
-          val frames = (0 until n).map { f =>
-            ImageCodec.encodeGrayPng(
-              Array.tabulate(w * h)(i => px(f, i).toByte), w, h)
-          }
+          // static scene outside the sampled keyframe: every non-fi slot
+          // reuses frame 0's bytes (a fixed camera), so the container
+          // keeps n REAL samples (stsz/stsc/stco walk unchanged) while
+          // the synthesis pays 2 PNG encodes per clip instead of n —
+          // the oracle replays only frame fi, which is unaffected
+          val f0 = ImageCodec.encodeGrayPng(
+            Array.tabulate(w * h)(i => px(0, i).toByte), w, h)
+          val fk = ImageCodec.encodeGrayPng(
+            Array.tabulate(w * h)(i => px(fi, i).toByte), w, h)
+          val frames = (0 until n).map(f => if (f == fi) fk else f0)
           val mp4 = VideoContainer.encodeMp4Frames(
             w, h, timescale = 600, sampleDelta = 25, frames)
           val (off, sz) = VideoContainer.videoSampleRanges(mp4)(fi)
