@@ -11,7 +11,11 @@ import org.apache.spark.sql.functions._
   * PPJoin similarity self-join, exact-substring dedup, one gated
   * global-window rescue, IVF vector-index build+point-probe, salted
   * store write+point-get, the full MinHash-LSH dedup (sketch → band →
-  * cap → verify), and the asymmetric containment join.
+  * cap → verify), the asymmetric containment join, the gram index's
+  * CORPUS axis (build + fixed-8-doc-batch probe) and BATCH axis
+  * (10²/10⁴/10⁶-doc probes against a fixed corpus — the top tier runs
+  * the past-cap distributed plan), and the COMPOSED q_corpus_e2e chain
+  * (does composition preserve the stage slopes?).
   *
   * GENERATORS are pure codegen'd expressions (xxhash64-seeded, no UDF,
   * no driver loop): text is a pure function of doc_id, so duplicates
