@@ -3666,6 +3666,39 @@ object PipelineQueries {
       Multimodal.synthVideoHashes(documents(s, dir))(s)
         .toDF().orderBy("doc_id")),
 
+    // CORPUS-SCALE HAMMING NEAR-DUP JOIN over the perceptual hashes —
+    // the step the three modality-hash queries stop short of: they
+    // classify PLANTED variants within a row; this finds EVERY
+    // cross-document pair within Hamming ≤ k over a hash corpus. The
+    // hash table is the image docs' (doc_id % 3 = 0, the media table's
+    // mime split) aHash triple through the REAL codec path — original,
+    // perturbed near-dup (+100000) and unrelated (+200000) as separate
+    // corpus rows — and the join is Dedup.hammingNearDupPairs: exact
+    // collapse of identical hashes, k+1-band pigeonhole bucket join
+    // over DISTINCT hashes (zero false negatives — the reference's
+    // hash-prefix bucketing applied to hash substrings), bit_count
+    // verify, group expansion. k = 6 holds every planted (a, b) pair
+    // with margin (measured max 6 across SFs). The oracle replays the
+    // hashes arithmetically and brute-forces the pair set over the
+    // distinct hashes — banding is an execution strategy, not a
+    // semantic, so band join vs brute must agree exactly.
+    "q_phash_join" -> ((s, dir) => {
+      val ph = Multimodal.synthPerceptualHashes(
+        documents(s, dir).filter(pmod(col("doc_id"), lit(3L)) === 0L))(s).toDF()
+      val ht = ph.select(col("doc_id").as("id"), col("ahash_a").as("hsh"))
+        .union(ph.select((col("doc_id") + 100000L).as("id"),
+          col("ahash_b").as("hsh")))
+        .union(ph.select((col("doc_id") + 200000L).as("id"),
+          col("ahash_c").as("hsh")))
+      Dedup.hammingNearDupPairs(ht, "id", "hsh", k = 6,
+        cache = { g =>
+          val p = g.persist()
+          Persisted.swap("phash_join_groups", dir, p)
+          p
+        })
+        .orderBy("a", "b")
+    }),
+
     // scalar-function coverage: strings
     "q_string_funcs" -> ((s, dir) =>
       customer(s, dir).select(
@@ -6604,6 +6637,52 @@ object PipelineQueries {
               CAST(CASE WHEN bit_count(xor(ahash_a, ahash_c)) <= 10
                    THEN 1 ELSE 0 END AS BIGINT) AS near_ac
             FROM hh ORDER BY doc_id"""
+      },
+
+      "q_phash_join" -> {
+        // the q_media_phash hash replay restricted to image docs, then
+        // the pair set brute-forced over DISTINCT hashes and expanded
+        // through the id groups — semantically identical to the Spark
+        // side's band-pigeonhole join (banding never changes the set)
+        val w = "(16 + doc_id % 64)"
+        val h = "(16 + doc_id % 48)"
+        val idx = s"(((k // 8) * $h // 8) * $w + ((k % 8) * $w // 8))"
+        val ta = s"list_transform(range(64), k -> (doc_id * 31 + $idx) % 256)"
+        val tb = s"list_transform(range(64), k -> (doc_id * 31 + $idx" +
+          s" + CASE WHEN $idx % 97 = 0 THEN 8 ELSE 0 END) % 256)"
+        val tc = s"list_transform(range(64), k -> (doc_id * 37 + 5 * $idx) % 256)"
+        def hashOf(t: String) =
+          s"""CAST(CASE WHEN $t[64] * 64 > list_sum($t)
+                        THEN -9223372036854775808 ELSE 0 END
+               + CAST(list_sum(list_transform(range(63), k ->
+                   CASE WHEN $t[k + 1] * 64 > list_sum($t)
+                        THEN (1::BIGINT << k) ELSE 0::BIGINT END)) AS BIGINT)
+               AS BIGINT)"""
+        s"""WITH t AS (SELECT doc_id, $ta AS ta, $tb AS tb, $tc AS tc
+                       FROM documents WHERE doc_id % 3 = 0),
+              hh AS (SELECT doc_id, ${hashOf("ta")} AS a,
+                       ${hashOf("tb")} AS b, ${hashOf("tc")} AS c FROM t),
+              ht AS (SELECT doc_id AS id, a AS hsh FROM hh
+                     UNION ALL SELECT doc_id + 100000, b FROM hh
+                     UNION ALL SELECT doc_id + 200000, c FROM hh),
+              g AS (SELECT hsh, list_sort(list(id)) AS ids
+                    FROM ht GROUP BY hsh),
+              within AS (SELECT x.a AS a, y.b AS b, 0::BIGINT AS hamming
+                         FROM g, unnest(g.ids) AS x(a), unnest(g.ids) AS y(b)
+                         WHERE x.a < y.b),
+              hp AS (SELECT x.hsh AS ha, y.hsh AS hb,
+                       CAST(bit_count(xor(x.hsh, y.hsh)) AS BIGINT) AS hamming
+                     FROM g x JOIN g y ON x.hsh < y.hsh
+                     WHERE bit_count(xor(x.hsh, y.hsh)) <= 6),
+              crossg AS (SELECT least(ua.ia, ub.ib) AS a,
+                           greatest(ua.ia, ub.ib) AS b, hp.hamming
+                         FROM hp
+                           JOIN g ga ON ga.hsh = hp.ha
+                           JOIN g gb ON gb.hsh = hp.hb,
+                           unnest(ga.ids) AS ua(ia), unnest(gb.ids) AS ub(ib))
+            SELECT a, b, hamming FROM
+              (SELECT * FROM within UNION ALL SELECT * FROM crossg)
+            ORDER BY a, b"""
       },
 
       "q_media_video_meta" ->
