@@ -179,10 +179,13 @@ object Multimodal {
     * spectral-band variant rides the same plumbing with a filterbank in
     * place of the frame splitter). Clips carry a per-doc 32-bit
     * envelope signature (Knuth-mix of doc_id, bits 0/31 pinned so both
-    * levels always occur), so the margin analysis is exact: the +8
-    * perturbation can shift a frame mean by ≤ 2 against a ≥ 3.75
-    * envelope margin — planted near-dups land at Hamming 0, the
-    * inverted clip at exactly 64. Every decoded byte is arithmetic in
+    * levels always occur), so the margin analysis is exact: each
+    * frame's mean sits ≥ 240·⌊n/64⌋/n from the clip mean (the floor
+    * boundaries make frame lengths uneven, so the worst case over
+    * n ∈ [256, 767] is ~3.0 near n = 319 — exactly 3.75 when 64 | n),
+    * while the +8 perturbation can shift the comparison by at most
+    * 8/⌊n/64⌋ + 64/n ≤ ~2.25 — planted near-dups land at Hamming 0,
+    * the inverted clip at exactly 64. Every decoded byte is arithmetic in
     * the generator constants, so a SQL oracle replays all frame sums
     * and bits exactly, codec-free.
     *

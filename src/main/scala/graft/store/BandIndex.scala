@@ -87,12 +87,17 @@ object BandIndex {
       "BandIndex.write under spark.sql.sources.partitionOverwriteMode=" +
         "dynamic is unsupported (stale shards/tombstones would survive); " +
         "use static overwrite, or append + delete + compact")
-    // drop tombstones of the index being replaced — they refer to the
-    // OLD generation and would silently hide new docs with reused ids
-    // until a compact folded them
+    // a standing streaming commit log belongs to the REPLACED index's
+    // query lifecycle: a writer resuming under the same commitTag would
+    // silently SKIP early batches of the new corpus — refused up front
+    // (same guard as GramIndex.write)
     locally {
-      val (fs, _) = fsOf(spark, path)
-      fs.delete(new org.apache.hadoop.fs.Path(deletesPath(path)), true)
+      val (fs, root) = fsOf(spark, path)
+      require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_graft_commits")),
+        s"BandIndex.write: $path carries a _graft_commits log from a " +
+          "previous generation — a streaming writer resuming under the same " +
+          "commitTag would silently skip early batches of the rebuilt index; " +
+          "clear the log or use a fresh commitTag, then rebuild")
     }
     // repartition ON the shard before the partitioned write: without it
     // every input task holds rows of ~every shard and the commit fans
@@ -121,6 +126,16 @@ object BandIndex {
       .sortWithinPartitions("sig", "doc_id")
       .write.mode("overwrite").partitionBy("shard").parquet(s"$path/bands")
     writeMeta(spark, path, nShards)
+    // drop tombstones of the REPLACED generation (they would silently
+    // hide new docs with reused ids) — AFTER the new layouts commit: a
+    // purge-first ordering would leave a crashed rebuild's still-live
+    // old index with its tombstones resurrected. The purge-last window
+    // can only HIDE reused-id docs from an in-flight probe — the same
+    // transient the append isolation contract already tolerates.
+    locally {
+      val (fs, _) = fsOf(spark, path)
+      fs.delete(new org.apache.hadoop.fs.Path(deletesPath(path)), true)
+    }
   }
 
   /** Append a batch's sketches (disjoint doc set contract). Shard count

@@ -94,21 +94,28 @@ object GramIndex {
       "GramIndex.write under spark.sql.sources.partitionOverwriteMode=" +
         "dynamic is unsupported (stale shards/tombstones would survive); " +
         "use static overwrite, or append + delete + compact")
-    // drop tombstones of the index being replaced — they refer to the
-    // OLD generation and would silently hide new docs with reused ids
-    // until a compact folded them
-    val (fs, root) = fsOf(spark, path)
-    fs.delete(new org.apache.hadoop.fs.Path(deletesPath(path)), true)
     // a standing streaming commit log belongs to the REPLACED index's
-    // query lifecycle: left in place (replay skipping is the commitTag
-    // contract), but a rebuild under the same tag would skip early
-    // batches — warn loudly rather than guess
-    if (fs.exists(new org.apache.hadoop.fs.Path(root, "_graft_commits")))
-      System.err.println(s"[graft] GramIndex.write: $path carries a " +
-        "_graft_commits log from a previous generation — streaming " +
-        "writers must use a fresh commitTag or clear it")
+    // query lifecycle: a writer resuming under the same commitTag would
+    // silently SKIP early batches of the new corpus as
+    // "already committed" — a data-loss path, refused up front (the
+    // dynamic-overwrite guard's philosophy). Rebuilders clear the log
+    // or restart their stream under a fresh commitTag.
+    val (fs, root) = fsOf(spark, path)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_graft_commits")),
+      s"GramIndex.write: $path carries a _graft_commits log from a " +
+        "previous generation — a streaming writer resuming under the same " +
+        "commitTag would silently skip early batches of the rebuilt index; " +
+        "clear the log or use a fresh commitTag, then rebuild")
     writeLayouts(sets, path, nShards, "overwrite")
     writeMeta(spark, path, nShards)
+    // drop tombstones of the REPLACED generation (they would silently
+    // hide new docs with reused ids) — but only AFTER the new layouts
+    // commit: purging first would leave a crashed rebuild's still-live
+    // old index with its tombstones resurrected. The purge-last window
+    // (new layouts up, old tombstones standing a moment longer) can
+    // only HIDE reused-id docs from an in-flight probe — the same
+    // transient the append isolation contract already tolerates.
+    fs.delete(new org.apache.hadoop.fs.Path(deletesPath(path)), true)
   }
 
   /** Append a batch's set rows (disjoint doc contract). Shard count from
@@ -207,22 +214,37 @@ object GramIndex {
     * candidate set on the executors (the same lineage cut without the
     * driver copy; the only collects left are the ≤nShards-row shard
     * lists, batch-size-independent) and joins by shuffle. The regime is
-    * decided UP FRONT by the exact prefix row count — computable from
-    * per-doc set sizes alone (the rank filter keeps exactly
-    * na − ⌈τ·na⌉ + 1 of each doc's na rows), one tiny batch-side agg. */
+    * decided UP FRONT and cheapest-test-first: a shuffle-free count()
+    * of the raw set rows (prefix rows can never exceed them) settles
+    * every ingest-sized batch; only a count past the cap pays the
+    * exact per-doc prefix bound (the rank filter keeps exactly
+    * na − ⌈τ·na⌉ + 1 of each doc's na rows — one tiny groupBy agg). */
   def probeContainment(spark: SparkSession, path: String, batchSets: DataFrame,
                        num: Int = 3, den: Int = 4): DataFrame = {
     require(num > 0 && den > 0 && num <= den, s"threshold $num/$den not in (0,1]")
     val nShards = storedShards(spark, path).getOrElse(
       throw new IllegalStateException(s"no gram index at $path — write() first"))
     val sets = batchSets.select(col("doc_id").as("a"), col("x"))
-    val prefixBound = sets.groupBy("a").agg(count(lit(1)).as("na"))
-      .agg(coalesce(sum(
-        expr(s"na - (($num * na + ${den - 1}) div $den) + 1")), lit(0L)))
-      .head().getLong(0)
     val maxCollect = spark.conf.getOption(MaxPrefixCollectKey)
-      .map(_.toLong).getOrElse(DefaultMaxPrefixCollect)
-    val small = prefixBound <= maxCollect
+      .map { v =>
+        require(v.matches("[0-9]+"),
+          s"$MaxPrefixCollectKey must be a positive integer, got '$v'")
+        v.toLong
+      }.getOrElse(DefaultMaxPrefixCollect)
+    // regime decision, cheapest test first: prefix rows ≤ set rows (the
+    // rank filter keeps a subset of each doc's rows), and count() is a
+    // shuffle-free partial-count job — so an ingest-sized batch (every
+    // streaming micro-batch) decides "small" without the groupBy
+    // exchange. Only a raw count past the cap pays the exact per-doc
+    // bound (one tiny agg), which can still come in under it (the
+    // prefix keeps ~na·(1−num/den) of each doc's na rows).
+    val small = sets.count() <= maxCollect || {
+      val prefixBound = sets.groupBy("a").agg(count(lit(1)).as("na"))
+        .agg(coalesce(sum(
+          expr(s"na - (($num * na + ${den - 1}) div $den) + 1")), lit(0L)))
+        .head().getLong(0)
+      prefixBound <= maxCollect
+    }
     def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val withNa = sets.withColumn("na", count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy("a")).cast("bigint"))

@@ -317,7 +317,9 @@ class MultimodalSpec extends SparkSuite {
     assert(rows.length === 40)
     // the margin analysis is deterministic, so the verdicts are exact,
     // not statistical: +8 jitter cannot flip any frame-energy sign
-    // (margin ≥ 3.75 vs shift ≤ 2.25), inversion flips every one
+    // (margin ≥ 240·⌊n/64⌋/n — worst ~3.0 at uneven frame splits,
+    // 3.75 when 64 | n — vs shift ≤ 8/⌊n/64⌋ + 64/n ≤ ~2.25),
+    // inversion flips every one
     assert(rows.forall(_.ham_ab === 0L),
       "every +8-perturbed clip must hash identically")
     assert(rows.forall(_.ham_ac === 64L),

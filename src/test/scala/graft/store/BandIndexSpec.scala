@@ -232,4 +232,44 @@ class BandIndexSpec extends SparkSuite {
     assert(got.contains((3L, 7000L)),
       "stale tombstone from the replaced generation hid doc 3")
   }
+
+  test("a FAILED rebuild keeps the old generation's tombstones live (purge-last ordering)") {
+    import spark.implicits._
+    val p = tmp("bandidx_failtomb")
+    val corpus = (0L until 30L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    BandIndex.write(Dedup.docSketch(corpus), p)
+    BandIndex.delete(spark, p, Seq(3L))
+    def hits() = BandIndex.probeCandidates(spark, p,
+        Dedup.bandRows(Dedup.docSketch(
+          Seq((7000L, doc(3))).toDF("doc_id", "text")), "doc_id"), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(!hits().contains((3L, 7000L)))
+    // a rebuild that dies before its layouts commit (malformed sketch —
+    // no sh column — fails at analysis, before any file IO): the old
+    // index stays live and doc 3's tombstone must STAY with it
+    intercept[Throwable] {
+      BandIndex.write(corpus.select(col("doc_id")), p)
+    }
+    assert(!hits().contains((3L, 7000L)),
+      "failed rebuild resurrected a tombstoned doc — purge ran before the layouts committed")
+  }
+
+  test("write refuses a standing streaming commit log (resume-skip data loss)") {
+    import spark.implicits._
+    val p = tmp("bandidx_commitlog")
+    val corpus = (0L until 10L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    BandIndex.write(Dedup.docSketch(corpus), p)
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val log = new org.apache.hadoop.fs.Path(p, "_graft_commits/q0")
+    fs.mkdirs(log)
+    fs.create(new org.apache.hadoop.fs.Path(log, "0"), true).close()
+    val e = intercept[IllegalArgumentException] {
+      BandIndex.write(Dedup.docSketch(corpus), p)
+    }
+    assert(e.getMessage.contains("_graft_commits"))
+    fs.delete(new org.apache.hadoop.fs.Path(p, "_graft_commits"), true)
+    BandIndex.write(Dedup.docSketch(corpus), p)
+    assert(BandIndex.storedShards(spark, p).nonEmpty)
+  }
 }

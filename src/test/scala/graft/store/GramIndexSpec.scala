@@ -199,6 +199,62 @@ class GramIndexSpec extends SparkSuite {
       "stale tombstone from the replaced generation hid doc 7")
   }
 
+  test("a FAILED rebuild keeps the old generation's tombstones live (purge-last ordering)") {
+    import spark.implicits._
+    val p = tmp("gramidx_failtomb")
+    val corpus = (0L until 20L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    GramIndex.write(setsOf(corpus), p)
+    GramIndex.delete(spark, p, Seq(7L))
+    val batch = Seq((9000L, doc(7).split(" ").dropRight(2).mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(!probe(p, batch).contains((9000L, 7L)))
+    // a rebuild that dies before its layouts commit (malformed input —
+    // no x column — fails at analysis, before any file IO): the old
+    // index stays live and doc 7's tombstone must STAY with it; a
+    // purge-first ordering would have resurrected the deleted doc here
+    intercept[Throwable] {
+      GramIndex.write(corpus.select(col("doc_id")), p)
+    }
+    assert(!probe(p, batch).contains((9000L, 7L)),
+      "failed rebuild resurrected a tombstoned doc — purge ran before the layouts committed")
+  }
+
+  test("write refuses a standing streaming commit log (resume-skip data loss)") {
+    import spark.implicits._
+    val p = tmp("gramidx_commitlog")
+    val corpus = (0L until 10L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    GramIndex.write(setsOf(corpus), p)
+    // plant the log a streaming writer would leave behind
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val log = new org.apache.hadoop.fs.Path(p, "_graft_commits/q0")
+    fs.mkdirs(log)
+    fs.create(new org.apache.hadoop.fs.Path(log, "0"), true).close()
+    val e = intercept[IllegalArgumentException] {
+      GramIndex.write(setsOf(corpus), p)
+    }
+    assert(e.getMessage.contains("_graft_commits"))
+    // clearing the log re-enables the rebuild
+    fs.delete(new org.apache.hadoop.fs.Path(p, "_graft_commits"), true)
+    GramIndex.write(setsOf(corpus), p)
+    assert(GramIndex.storedShards(spark, p).nonEmpty)
+  }
+
+  test("malformed maxPrefixCollect conf fails loudly with the key name") {
+    import spark.implicits._
+    val p = tmp("gramidx_badconf")
+    val corpus = (0L until 5L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    GramIndex.write(setsOf(corpus), p)
+    spark.conf.set(GramIndex.MaxPrefixCollectKey, "1m")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        GramIndex.probeContainment(spark, p,
+          setsOf(Seq((9000L, doc(1))).toDF("doc_id", "text")))
+      }
+      assert(e.getMessage.contains(GramIndex.MaxPrefixCollectKey))
+    } finally spark.conf.unset(GramIndex.MaxPrefixCollectKey)
+  }
+
   test("reshard migrates all three layouts; probes refuse mid-migration") {
     import spark.implicits._
     val p = tmp("gramidx_reshard")
