@@ -186,6 +186,44 @@ object Dedup {
                  FROM bkt, unnest(bkt.ids) AS x(a), unnest(bkt.ids) AS y(b)
                  WHERE x.a < y.b)"""
 
+  // ---- history bloom for the exact-dedup screen -----------------------------
+
+  /** Bits per inserted item for [[sizedHistoryBloom]] — 8 bits/item ≈ 2%
+    * false-positive rate at the aggregate's optimal hash count. A false
+    * positive costs one verify-join row, never a wrong verdict. */
+  val BloomBitsPerItem = 8L
+
+  /** History-side bloom filter for the exact-dedup screen, ADAPTIVELY
+    * SIZED: a filter sized to a guess that the history has outgrown
+    * saturates silently — correctness survives (the exact verify join
+    * is what decides), but the screen stops screening and the verify
+    * join re-inherits the whole batch. So the build is one agg
+    * computing the filter AND the history count in the same scan; a
+    * count past the guess rebuilds at the true count (one extra
+    * history scan, logged loudly — size the guess from a maintained
+    * count to avoid it). Returns (filterBytes, historyCount);
+    * filterBytes is null for an empty history (nothing can screen in —
+    * callers treat it as "no candidates"). */
+  def sizedHistoryBloom(hist: DataFrame, keyed: Column,
+                        nItemsGuess: Long): (Array[Byte], Long) = {
+    require(nItemsGuess > 0, s"bloom item guess must be positive, got $nItemsGuess")
+    import org.apache.spark.sql.graft.ColumnBridge
+    def agg(n: Long) = ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(keyed)),
+        ColumnBridge.expression(lit(n)),
+        ColumnBridge.expression(lit(n * BloomBitsPerItem))).toAggregateExpression())
+    val row = hist.agg(agg(nItemsGuess).as("bf"), count(lit(1)).as("n")).head()
+    val n = row.getLong(1)
+    if (n <= nItemsGuess) (row.getAs[Array[Byte]](0), n)
+    else {
+      System.err.println(s"[graft] sizedHistoryBloom: history has $n items, " +
+        s"past the $nItemsGuess guess — rebuilding at the true count so the " +
+        s"~${BloomBitsPerItem} bits/item fp contract holds (one extra scan)")
+      (hist.agg(agg(n).as("bf")).head().getAs[Array[Byte]](0), n)
+    }
+  }
+
   // ---- Hamming near-dup join (perceptual hashes) ---------------------------
 
   /** The k+1 contiguous bit bands of a `totalBits`-wide hash as

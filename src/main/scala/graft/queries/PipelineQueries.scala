@@ -3803,8 +3803,12 @@ object PipelineQueries {
     // few-hundred-KiB bytes beside the corpus); the verify side reads
     // the corpus hash column once, semi-joined against the BROADCAST
     // candidate hashes (batch-bounded by the screen) — or point-gets a
-    // salted hash store where one exists. Batch plant: even ids return
-    // verbatim (true dups), odd ids token-reversed (novel).
+    // salted hash store where one exists. Sizing is ADAPTIVE
+    // (Dedup.sizedHistoryBloom): the build agg counts the history in
+    // the same scan, and a history past the guess rebuilds the filter
+    // at the true count — a saturated filter stays CORRECT (the verify
+    // join decides) but silently stops screening. Batch plant: even
+    // ids return verbatim (true dups), odd ids token-reversed (novel).
     "q_dedup_bloom_screen" -> ((s, dir) => {
       import org.apache.spark.sql.graft.ColumnBridge
       val hist = documents(s, dir).select(col("doc_id"), md5(col("text")).as("h"))
@@ -3815,12 +3819,8 @@ object PipelineQueries {
           .select((col("doc_id") + 300000L).as("doc_id"),
             array_join(reverse(tokens(col("text"))), " ").as("text")))
         .select(col("doc_id"), md5(col("text")).as("h"))
-      val bfAgg = ColumnBridge.column(
-        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          ColumnBridge.expression(xxhash64(col("h"))),
-          ColumnBridge.expression(lit(100000L)),
-          ColumnBridge.expression(lit(800000L))).toAggregateExpression())
-      val bfBytes = hist.agg(bfAgg.as("bf")).head().getAs[Array[Byte]]("bf")
+      val (bfBytes, _) =
+        Dedup.sizedHistoryBloom(hist.select("h"), col("h"), 100000L)
       val cand = batch.filter(ColumnBridge.column(
           new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
             ColumnBridge.expression(lit(bfBytes)),

@@ -53,4 +53,39 @@ class BloomScreenSpec extends SparkSuite {
     assert(fp <= math.max(2L, novel.count() / 20),
       s"$fp of ${novel.count()} novel hashes passed the screen")
   }
+
+  test("over-capacity history rebuilds the filter at the true count — the fp contract survives") {
+    import graft.pipeline.Dedup
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val hist = docs.select(md5(col("text")).as("h"))
+    val n = hist.count()
+    assert(n > 50L)
+    // a guess the history has outgrown 10x: the adaptive path must
+    // rebuild at the true count instead of silently saturating
+    val (bf, got) = Dedup.sizedHistoryBloom(hist, col("h"), 50L)
+    assert(got === n)
+    def hits(filter: Array[Byte], df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(ColumnBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          ColumnBridge.expression(lit(filter)),
+          ColumnBridge.expression(xxhash64(col("h")))))).count()
+    // zero false negatives (the bloom contract, any sizing)
+    assert(hits(bf, hist) === n)
+    // the fp rate holds the ~8 bits/item contract despite the bad guess
+    val novel = docs.select(md5(concat(lit("novel2:"), col("text"))).as("h"))
+    val fp = hits(bf, novel)
+    assert(fp <= math.max(2L, novel.count() / 20),
+      s"$fp of ${novel.count()} novel hashes passed the rebuilt screen")
+    // contrast — the saturated filter the guard replaces: built AT the
+    // 50-item guess over the same history, it passes novel hashes at a
+    // useless rate (the perf footgun this sizing exists to kill)
+    val smallAgg = ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col("h"))),
+        ColumnBridge.expression(lit(50L)),
+        ColumnBridge.expression(lit(400L))).toAggregateExpression())
+    val saturated = hist.agg(smallAgg.as("bf")).head().getAs[Array[Byte]]("bf")
+    assert(hits(saturated, novel) > fp * 5,
+      "the saturated filter should be dramatically leakier than the rebuilt one")
+  }
 }
