@@ -288,6 +288,77 @@ object Multimodal {
     }
   }
 
+  /** VIDEO SEQUENCE near-dup hashing — the operator that catches
+    * TRIMMED/SHIFTED copies a single middle-keyframe hash
+    * ([[synthVideoHashes]]) structurally misses: per video doc, three
+    * clips run the full real path (PNG frames → ISO-BMFF container →
+    * stsc-walk demux → ImageIO decode → 8×8 thumbnail →
+    * [[ImageCodec.aHash64]] PER KEYFRAME): the original (n frames), a
+    * TRIMMED copy missing the first frame (n−1 frames — the re-upload
+    * that cut the intro), and unrelated content. Clips match by
+    * hash-MULTISET overlap: matched = Σ_h min(cnt_a(h), cnt_b(h)), a
+    * near-dup iff ≥ 3/4 of the shorter clip's keyframe hashes appear
+    * in the longer's (integer cross-multiplied — no float ratio).
+    *
+    * Every keyframe is hashed, not a 4-slot percentile schedule: under
+    * a one-frame shift the ⌊k·n/4⌋ grids of the two clips can be fully
+    * DISJOINT (n = 9 trims sample {0,2,4,6} vs shifted {1,3,5,7} — the
+    * parity blind spot), so percentile sampling cannot give a shift
+    * tolerance no matter the matcher. Production video dedup hashes
+    * the (sparse) keyframe track for the same reason; MJPEG demux
+    * yields exactly that track. The single-frame blind spot is kept
+    * VISIBLE in the output: mid_ab compares the two clips' middle
+    * keyframes — the trim shifts the middle index, so it matches for
+    * even n always and for odd n only by hash accident (a majority of
+    * odd trims defeat it), while the sequence match holds at (n−1)/n
+    * for every n.
+    *
+    * Scale: one narrow mapPartitions, one container in flight per
+    * task, no shuffle; downstream corpus-wide matching feeds the
+    * per-keyframe 64-bit hashes to [[Dedup.hammingNearDupPairs]] — a
+    * banded join, never a payload join. Frame pixels are arithmetic in
+    * the generator constants and the trimmed clip's bytes are
+    * identical to the original's frames 1..n−1, so a SQL oracle
+    * replays every hash and both multiset overlaps codec-free. */
+  def synthVideoSeqHashes(documents: DataFrame)(implicit s: SparkSession): Dataset[VideoSeqHash] = {
+    import s.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (16 + id % 32).toInt
+        val h = (16 + id % 24).toInt
+        val n = (4 + id % 6).toInt
+        def clipHashes(nf: Int, px: (Int, Int) => Long): IndexedSeq[Long] = {
+          val frames = (0 until nf).map(f => ImageCodec.encodeGrayPng(
+            Array.tabulate(w * h)(i => px(f, i).toByte), w, h))
+          val mp4 = VideoContainer.encodeMp4Frames(
+            w, h, timescale = 600, sampleDelta = 25, frames)
+          val ranges = VideoContainer.videoSampleRanges(mp4)
+          (0 until nf).map { f =>
+            val (off, sz) = ranges(f)
+            val (dw, dh, dec) = ImageCodec.decodeGray(
+              java.util.Arrays.copyOfRange(mp4, off.toInt, (off + sz).toInt))
+            ImageCodec.aHash64(ImageCodec.resizeNearest(dec, dw, dh, 8, 8))
+          }
+        }
+        def pa(f: Int, i: Int): Long = (id * 31 + f * 7 + i) % 256
+        val a = clipHashes(n, pa)
+        val b = clipHashes(n - 1, (f, i) => pa(f + 1, i))
+        val c = clipHashes(n, (f, i) => (id * 37 + f * 11 + 5L * i) % 256)
+        def overlap(x: Seq[Long], y: Seq[Long]): Long = {
+          val cy = y.groupBy(identity).map { case (k, v) => (k, v.size) }
+          x.groupBy(identity).iterator
+            .map { case (k, v) => math.min(v.size, cy.getOrElse(k, 0)) }.sum.toLong
+        }
+        val mab = overlap(a, b)
+        val mac = overlap(a, c)
+        val mid = if (a(n / 2) == b((n - 1) / 2)) 1L else 0L
+        VideoSeqHash(id, n.toLong, mab, mac, mid,
+          if (mab * 4L >= (n - 1).toLong * 3L) 1L else 0L,
+          if (mac * 4L >= (n - 1).toLong * 3L) 1L else 0L)
+      }
+    }
+  }
+
   /** REAL video pixel decode end to end — the path that retired the
     * last codec stub: per document an MJPEG-style MP4 is synthesized
     * (each frame a standalone intra-coded image — PNG here, the
@@ -336,6 +407,15 @@ object Multimodal {
     }
   }
 }
+
+/** Per-doc video SEQUENCE match report: keyframe-hash multiset overlaps
+  * of the original vs its trimmed copy (matched_ab) and vs unrelated
+  * content (matched_ac), the single-middle-frame comparison (mid_ab —
+  * the blind spot), and the ≥3/4-overlap sequence verdicts. */
+final case class VideoSeqHash(doc_id: Long, n_frames: Long,
+                              matched_ab: Long, matched_ac: Long,
+                              mid_ab: Long, near_seq_ab: Long,
+                              near_seq_ac: Long)
 
 /** One decoded video frame: schedule slot `k`, demuxed frame index, and
   * features from the REAL ImageIO decode of the frame's sample bytes. */

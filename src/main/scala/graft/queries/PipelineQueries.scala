@@ -3666,6 +3666,27 @@ object PipelineQueries {
       Multimodal.synthVideoHashes(documents(s, dir))(s)
         .toDF().orderBy("doc_id")),
 
+    // VIDEO SEQUENCE NEAR-DUP — the trimmed/shifted-copy catcher the
+    // single middle-keyframe hash (q_media_videohash) structurally
+    // misses: per VIDEO doc (doc_id % 3 = 2, the media table's mime
+    // split) the original clip, a first-frame-TRIMMED copy and an
+    // unrelated clip each hash EVERY keyframe through the real
+    // demux+decode path, and clips match by hash-multiset overlap
+    // (≥ 3/4 of the shorter clip's hashes found). Every keyframe, not
+    // a 4-slot schedule: a one-frame shift can make the two ⌊k·n/4⌋
+    // grids fully disjoint (n = 9 → {0,2,4,6} vs {1,3,5,7}), so
+    // percentile sampling has a parity blind spot no matcher fixes.
+    // mid_ab keeps the single-frame comparison visible: the trim
+    // shifts the middle index, so it matches for even n always and for
+    // odd n only by hash accident, while the sequence holds (n−1)/n
+    // everywhere. The oracle replays every
+    // frame hash arithmetically (the trimmed clip's frames are
+    // byte-identical to the original's 1..n−1) and both overlaps.
+    "q_media_videohash_seq" -> ((s, dir) =>
+      Multimodal.synthVideoSeqHashes(
+        documents(s, dir).filter(pmod(col("doc_id"), lit(3L)) === 2L))(s)
+        .toDF().orderBy("doc_id")),
+
     // CORPUS-SCALE HAMMING NEAR-DUP JOIN over the perceptual hashes —
     // the step the three modality-hash queries stop short of: they
     // classify PLANTED variants within a row; this finds EVERY
@@ -6637,6 +6658,59 @@ object PipelineQueries {
               CAST(CASE WHEN bit_count(xor(ahash_a, ahash_c)) <= 10
                    THEN 1 ELSE 0 END AS BIGINT) AS near_ac
             FROM hh ORDER BY doc_id"""
+      },
+
+      "q_media_videohash_seq" -> {
+        // per-keyframe hash replay over the video docs: the trimmed
+        // clip's frames are byte-identical to the original's 1..n−1, so
+        // ONE hash list A(f) serves both sides; overlaps are multiset
+        // min-count sums, the b-side counts just skip f = 0
+        val idx = "(((k // 8) * h // 8) * w + ((k % 8) * w // 8))"
+        val ta = s"list_transform(range(64), k -> (doc_id * 31 + f * 7 + $idx) % 256)"
+        val tc = s"list_transform(range(64), k -> (doc_id * 37 + f * 11 + 5 * $idx) % 256)"
+        def hashOf(t: String) =
+          s"""CAST(CASE WHEN $t[64] * 64 > list_sum($t)
+                        THEN -9223372036854775808 ELSE 0 END
+               + CAST(list_sum(list_transform(range(63), k ->
+                   CASE WHEN $t[k + 1] * 64 > list_sum($t)
+                        THEN (1::BIGINT << k) ELSE 0::BIGINT END)) AS BIGINT)
+               AS BIGINT)"""
+        s"""WITH g AS (SELECT doc_id, 16 + doc_id % 32 AS w,
+                         16 + doc_id % 24 AS h, 4 + doc_id % 6 AS n
+                       FROM documents WHERE doc_id % 3 = 2),
+              fr AS (SELECT doc_id, w, h, n, unnest(range(n)) AS f FROM g),
+              th AS (SELECT doc_id, n, f, $ta AS ta, $tc AS tc FROM fr),
+              hh AS (SELECT doc_id, n, f, ${hashOf("ta")} AS ha,
+                       ${hashOf("tc")} AS hc FROM th),
+              ab AS (SELECT doc_id, CAST(sum(least(na, nb)) AS BIGINT) AS matched_ab
+                     FROM (SELECT doc_id, ha, count(*) AS na,
+                             count(*) FILTER (WHERE f >= 1) AS nb
+                           FROM hh GROUP BY doc_id, ha)
+                     GROUP BY doc_id),
+              cnta AS (SELECT doc_id, ha AS hsh, count(*) AS na
+                       FROM hh GROUP BY 1, 2),
+              cntc AS (SELECT doc_id, hc AS hsh, count(*) AS nc
+                       FROM hh GROUP BY 1, 2),
+              ac AS (SELECT doc_id,
+                       CAST(sum(least(coalesce(na, 0), coalesce(nc, 0)))
+                         AS BIGINT) AS matched_ac
+                     FROM cnta FULL JOIN cntc USING (doc_id, hsh)
+                     GROUP BY doc_id),
+              mid AS (SELECT a1.doc_id,
+                        CAST(CASE WHEN a1.ha = a2.ha THEN 1 ELSE 0 END
+                          AS BIGINT) AS mid_ab
+                      FROM hh a1 JOIN hh a2 ON a1.doc_id = a2.doc_id
+                        AND a1.f = a1.n // 2
+                        AND a2.f = (a2.n - 1) // 2 + 1)
+            SELECT doc_id, CAST(n AS BIGINT) AS n_frames,
+              matched_ab, matched_ac, mid_ab,
+              CAST(CASE WHEN matched_ab * 4 >= (n - 1) * 3
+                   THEN 1 ELSE 0 END AS BIGINT) AS near_seq_ab,
+              CAST(CASE WHEN matched_ac * 4 >= (n - 1) * 3
+                   THEN 1 ELSE 0 END AS BIGINT) AS near_seq_ac
+            FROM g JOIN ab USING (doc_id) JOIN ac USING (doc_id)
+              JOIN mid USING (doc_id)
+            ORDER BY doc_id"""
       },
 
       "q_phash_join" -> {

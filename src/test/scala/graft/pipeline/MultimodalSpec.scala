@@ -310,6 +310,35 @@ class MultimodalSpec extends SparkSuite {
     assert(rows.forall(r => r.ham_ab === java.lang.Long.bitCount(r.ahash_a ^ r.ahash_b)))
   }
 
+  test("video sequence hashes: trimmed copy caught by the multiset, missed by the middle frame on odd n") {
+    import spark.implicits._
+    val docs = (0L until 40L).toDF("doc_id")
+    val rows = Multimodal.synthVideoSeqHashes(docs)(spark).collect()
+    assert(rows.length === 40)
+    rows.foreach { r =>
+      // the trimmed copy's keyframes are a sub-multiset of the original's
+      assert(r.matched_ab === r.n_frames - 1,
+        s"doc ${r.doc_id}: trimmed overlap ${r.matched_ab} != ${r.n_frames - 1}")
+      assert(r.near_seq_ab === 1L)
+      // the blind spot is deterministic: the trim shifts the middle
+      // keyframe index, so the single-frame comparison holds exactly
+      // when n is even (odd n may still collide by hash accident)
+      if (r.n_frames % 2 == 0)
+        assert(r.mid_ab === 1L, s"doc ${r.doc_id}: even-n middle frames differ")
+    }
+    // odd-n middles hold DIFFERENT content, but aHash is invariant to a
+    // uniform pixel shift that avoids mod-256 wraps, so some odd
+    // middles still collide (+7·Δf is uniform within a frame) — the
+    // blind spot only needs to be COMMON to make the sequence operator
+    // necessary, and it is: a majority of odd-n trims defeat the
+    // single-frame hash while the sequence match catches every one
+    val odd = rows.filter(_.n_frames % 2 == 1)
+    assert(odd.count(_.mid_ab === 0L) > odd.length * 0.5,
+      "a majority of odd-n trims must defeat the single middle-frame hash")
+    assert(rows.count(_.near_seq_ac === 0L) >= 36,
+      "unrelated clips must overwhelmingly classify far")
+  }
+
   test("audio fingerprints: perturbed clip at Hamming 0, inverted clip at exactly 64") {
     import spark.implicits._
     val docs = (0L until 40L).toDF("doc_id")
