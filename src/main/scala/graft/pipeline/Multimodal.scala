@@ -175,9 +175,10 @@ object Multimodal {
     * hash over the DECODED samples: the clip splits into 64 time frames
     * (boundaries k·n/64), bit k = 1 iff frame k's mean energy exceeds
     * the clip mean — cross-multiplied integers, no float boundary (the
-    * aHash discipline on the time-domain energy envelope; a
-    * spectral-band variant rides the same plumbing with a filterbank in
-    * place of the frame splitter). Clips carry a per-doc 32-bit
+    * aHash discipline on the time-domain energy envelope; the
+    * spectral-band variant [[synthSpectralAudioHashes]] rides the same
+    * plumbing with a first-difference filterbank in place of the raw
+    * frame means, buying exact gain invariance). Clips carry a per-doc 32-bit
     * envelope signature (Knuth-mix of doc_id, bits 0/31 pinned so both
     * levels always occur), so the margin analysis is exact: each
     * frame's mean sits ≥ 240·⌊n/64⌋/n from the clip mean (the floor
@@ -283,6 +284,87 @@ object Multimodal {
         val dab = java.lang.Long.bitCount(a ^ b).toLong
         val dac = java.lang.Long.bitCount(a ^ c).toLong
         PerceptualHash(id, a, b, c, dab, dac,
+          if (dab <= 10) 1L else 0L, if (dac <= 10) 1L else 0L)
+      }
+    }
+  }
+
+  /** SPECTRAL-BAND audio fingerprint — the filterbank variant the
+    * [[synthAudioHashes]] scaladoc promises, closing the gain-invariance
+    * gap: the frame-ENERGY hash compares absolute frame means, so it is
+    * robust to additive jitter but keys on LEVELS; this variant hashes
+    * the per-frame HIGH-BAND energy H(k) = Σ |s(i+1) − s(i)| over the
+    * frame's decoded samples (the high output of a 2-tap first-difference
+    * filterbank — "how much does this frame wiggle", not "how loud is
+    * it"), bit k = 1 iff H(k)·(n−64) > H_tot·(len_k−1) (the same
+    * cross-multiplied mean-sign discipline). Both sides of the
+    * comparison scale linearly under gain, so an EXACT ×2 gain-scaled
+    * clip (no rounding, no clipping — levels sized for it) hashes
+    * IDENTICALLY: the planted near-dup is the loudness-normalized
+    * re-encode the energy hash has no margin story for. The unrelated
+    * clip swaps wiggling and flat frames (spectral inversion) and lands
+    * at exactly Hamming 64: a spec-frame bit reduces to n−64 > S_spec
+    * (S_spec = Σ_spec(len−1), strictly smaller — two flat frames are
+    * pinned), so fp = the spec bitmask exactly, complement under
+    * inversion. Content: per-frame level 30/90 by the envelope word
+    * (levels cancel in the differences — the hash must NOT see them),
+    * ±16 alternation on spec frames by a second Knuth-mix word, bits
+    * 0/31 pinned so both frame classes always occur. Same real WAV
+    * encode→decode path, same narrow mapPartitions scale shape; every
+    * decoded byte is arithmetic, so the oracle replays all energies and
+    * bits codec-free. */
+  def synthSpectralAudioHashes(documents: DataFrame)(implicit s: SparkSession): Dataset[AudioHash] = {
+    import s.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val n = (256 + id % 512).toInt
+        val wEnv = ((id + 1) * 2654435761L) & 0xFFFFFFFFL
+        val wSpec = ((id + 7) * 2654435761L) & 0xFFFFFFFFL
+        def pinned(w: Long, k: Int): Int = (k % 32) match {
+          case 0 => 0
+          case 31 => 1
+          case r => ((w >> r) & 1L).toInt
+        }
+        def frameOf(i: Int): Int = ((64 * (i + 1) - 1) / n)
+        def fpOf(sample: Int => Int): Long = {
+          val dec = AudioCodec.decodeWav(AudioCodec.encodeWav(
+            Array.tabulate(n)(i => sample(i).toByte)))
+          val hk = new Array[Long](64)
+          var tot = 0L
+          var k = 0
+          while (k < 64) {
+            val lo = k * n / 64
+            val hi = (k + 1) * n / 64
+            var e = 0L
+            var i = lo
+            while (i < hi - 1) {
+              e += math.abs((dec(i + 1) & 0xff) - (dec(i) & 0xff)); i += 1
+            }
+            hk(k) = e; tot += e; k += 1
+          }
+          var fp = 0L
+          val d = (n - 64).toLong
+          k = 0
+          while (k < 64) {
+            val lo = k * n / 64
+            val hi = (k + 1) * n / 64
+            if (hk(k) * d > tot * (hi - lo - 1)) fp |= (1L << k)
+            k += 1
+          }
+          fp
+        }
+        def clip(specOf: Int => Int)(i: Int): Int = {
+          val f = frameOf(i)
+          val lvl = if (pinned(wEnv, f) == 1) 90 else 30
+          lvl + (if (specOf(f) == 1) (if (i % 2 == 1) 16 else -16) else 0)
+        }
+        val base = clip(f => pinned(wSpec, f)) _
+        val a = fpOf(base)
+        val b = fpOf(i => base(i) * 2) // exact ×2 gain: max 212, no clip
+        val c = fpOf(clip(f => 1 - pinned(wSpec, f)))
+        val dab = java.lang.Long.bitCount(a ^ b).toLong
+        val dac = java.lang.Long.bitCount(a ^ c).toLong
+        AudioHash(id, a, b, c, dab, dac,
           if (dab <= 10) 1L else 0L, if (dac <= 10) 1L else 0L)
       }
     }

@@ -3653,6 +3653,21 @@ object PipelineQueries {
       Multimodal.synthAudioHashes(documents(s, dir))(s)
         .toDF().orderBy("doc_id")),
 
+    // SPECTRAL-BAND audio fingerprint — the gain-invariant variant of
+    // q_media_audiohash: bit k signs the frame's HIGH-BAND energy
+    // (first-difference filterbank, Σ|s(i+1)−s(i)| over decoded
+    // samples) against the clip mean, cross-multiplied integers. Both
+    // comparison sides scale linearly under gain, so the planted EXACT
+    // ×2 gain clip (the loudness-normalized re-encode) hashes
+    // IDENTICALLY — Hamming 0 — while the spectrally-inverted clip
+    // (wiggling and flat frames swapped) lands at exactly 64: the bit
+    // reduces to the spec mask (n−64 > S_spec, two flat frames
+    // pinned). Same real WAV encode→decode path, one narrow
+    // mapPartitions; the oracle replays every frame energy and bit.
+    "q_media_audiohash_spectral" -> ((s, dir) =>
+      Multimodal.synthSpectralAudioHashes(documents(s, dir))(s)
+        .toDF().orderBy("doc_id")),
+
     // VIDEO perceptual hash — the third modality cell: per doc three
     // real MJPEG-style containers (original / +8-perturbed / unrelated)
     // each DEMUX their middle frame through the real sample-table walk,
@@ -6614,6 +6629,51 @@ object PipelineQueries {
                        ${packed("sa", "ta")} AS fp_a,
                        ${packed("sb", "tb")} AS fp_b,
                        ${packed("sc", "tc")} AS fp_c
+                     FROM fs JOIN t ON t.doc_id = fs.doc_id
+                     GROUP BY fs.doc_id)
+            SELECT doc_id, fp_a, fp_b, fp_c,
+              CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS ham_ab,
+              CAST(bit_count(xor(fp_a, fp_c)) AS BIGINT) AS ham_ac,
+              CAST(CASE WHEN bit_count(xor(fp_a, fp_b)) <= 10
+                   THEN 1 ELSE 0 END AS BIGINT) AS near_ab,
+              CAST(CASE WHEN bit_count(xor(fp_a, fp_c)) <= 10
+                   THEN 1 ELSE 0 END AS BIGINT) AS near_ac
+            FROM fp ORDER BY doc_id"""
+      },
+
+      "q_media_audiohash_spectral" -> {
+        // replay of Multimodal.synthSpectralAudioHashes: frame k's
+        // high-band energy is 32·(len−1) on spec frames (|±16
+        // alternation| = 32 per consecutive pair, levels cancel), 0 on
+        // flat ones; the ×2 gain clip doubles both comparison sides;
+        // the inverted clip swaps the classes. Bit k compares
+        // e·(n−64) against tot·(len−1), exactly as the Scala.
+        def packed(e: String, t: String) =
+          s"""CAST(sum(CASE WHEN $e * (fs.n - 64) <= $t * (fs.len - 1) THEN 0
+                            WHEN fs.k = 63 THEN -9223372036854775808
+                            ELSE (1::BIGINT << CAST(fs.k AS INTEGER)) END)
+                AS BIGINT)"""
+        s"""WITH d AS (SELECT doc_id, 256 + doc_id % 512 AS n,
+                  ((doc_id + 7) * 2654435761) % 4294967296 AS ws
+                FROM documents),
+              f AS (SELECT doc_id, n, k,
+                      (k * n) // 64 AS lo, ((k + 1) * n) // 64 AS hi,
+                      CASE WHEN k % 32 = 31 THEN 1 WHEN k % 32 = 0 THEN 0
+                           ELSE (ws // (1::BIGINT << CAST(k % 32 AS INTEGER))) % 2
+                      END AS sp
+                    FROM d CROSS JOIN (SELECT unnest(range(64)) AS k)),
+              fs AS (SELECT doc_id, n, k, hi - lo AS len,
+                       CASE WHEN sp = 1 THEN 32 * (hi - lo - 1) ELSE 0 END AS ea,
+                       CASE WHEN sp = 1 THEN 64 * (hi - lo - 1) ELSE 0 END AS eb,
+                       CASE WHEN sp = 0 THEN 32 * (hi - lo - 1) ELSE 0 END AS ec
+                     FROM f),
+              t AS (SELECT doc_id, sum(ea) AS ta, sum(eb) AS tb,
+                      sum(ec) AS tc
+                    FROM fs GROUP BY doc_id),
+              fp AS (SELECT fs.doc_id,
+                       ${packed("ea", "ta")} AS fp_a,
+                       ${packed("eb", "tb")} AS fp_b,
+                       ${packed("ec", "tc")} AS fp_c
                      FROM fs JOIN t ON t.doc_id = fs.doc_id
                      GROUP BY fs.doc_id)
             SELECT doc_id, fp_a, fp_b, fp_c,

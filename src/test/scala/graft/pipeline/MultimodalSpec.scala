@@ -359,6 +359,31 @@ class MultimodalSpec extends SparkSuite {
     assert(rows.forall(r => r.fp_a != 0L && r.fp_a != -1L))
   }
 
+  test("spectral audio fingerprints: exact x2 gain at Hamming 0, spectral inversion at exactly 64") {
+    import spark.implicits._
+    val docs = (0L until 40L).toDF("doc_id")
+    val rows = Multimodal.synthSpectralAudioHashes(docs)(spark).collect()
+    assert(rows.length === 40)
+    // gain invariance is EXACT (both comparison sides scale linearly,
+    // no rounding, no clipping), not a margin argument
+    assert(rows.forall(_.ham_ab === 0L),
+      "every x2 gain-scaled clip must hash identically")
+    assert(rows.forall(_.ham_ac === 64L),
+      "the spectrally-inverted clip must flip every bit")
+    assert(rows.forall(r => r.near_ab === 1L && r.near_ac === 0L))
+    // pinned spec bits 0/31 → both frame classes always occur → the
+    // hash is never degenerate
+    assert(rows.forall(r => r.fp_a != 0L && r.fp_a != -1L))
+    // contrast with the ENERGY hash: it keys on levels, so the gain
+    // clip is where the spectral variant earns its keep — verify the
+    // spectral hash actually differs from the energy hash's bitmask
+    // (they sign different signals off the same clips)
+    val energy = Multimodal.synthAudioHashes(docs)(spark).collect()
+      .map(r => r.doc_id -> r.fp_a).toMap
+    assert(rows.count(r => energy(r.doc_id) != r.fp_a) > 30,
+      "spectral and energy hashes should rarely coincide")
+  }
+
   test("audio fingerprint decode is REAL: a corrupted RIFF payload fails, not stubs through") {
     val wav = AudioCodec.encodeWav(Array.tabulate(64)(i => i.toByte))
     assert(AudioCodec.decodeWav(wav).length === 64)
