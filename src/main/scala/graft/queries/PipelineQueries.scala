@@ -1012,12 +1012,17 @@ object PipelineQueries {
       .localCheckpoint()
     val s2 = s1
       .join(broadcast(contDrop.select("doc_id")), Seq("doc_id"), "left_anti")
-    // 4. fuzzy screen (persisted band index)
+    // 4. fuzzy screen (persisted band index); the verify side reads
+    // ONLY the candidate docs' sketch shards (sketchesFor — a whole-
+    // table sketches read made a fixed increment's screen grow with
+    // the corpus), off the checkpointed candidate set
     val probeSk = Dedup.docSketch(s2.select("doc_id", "text")).persist()
     val candFz = histScreen.select(col("doc_id").as("a"))
       .join(broadcast(graft.store.BandIndex.probeCandidates(
         s, bandPath, bandRows(probeSk, "doc_id"), "doc_id")), Seq("a"))
-    val fuzzyDrop = graft.store.BandIndex.sketches(s, bandPath)
+      .localCheckpoint()
+    val fuzzyDrop = graft.store.BandIndex
+      .sketchesFor(s, bandPath, candFz.select("a"))
       .select(col("doc_id").as("a"), col("sh").as("sha"))
       .join(broadcast(candFz), Seq("a"))
       .join(broadcast(probeSk.select(col("doc_id").as("b"), col("sh").as("shb"))), Seq("b"))
@@ -1235,10 +1240,12 @@ object PipelineQueries {
     val s2b = s1b
       .join(broadcast(contDrop2.select("doc_id")), Seq("doc_id"), "left_anti")
     val probeSk2 = Dedup.docSketch(s2b.select("doc_id", "text")).persist()
-    val fuzzyDrop2 = graft.store.BandIndex.sketches(s, bandPath)
+    val candFz2 = graft.store.BandIndex.probeCandidates(
+      s, bandPath, bandRows(probeSk2, "doc_id"), "doc_id").localCheckpoint()
+    val fuzzyDrop2 = graft.store.BandIndex
+      .sketchesFor(s, bandPath, candFz2.select("a"))
       .select(col("doc_id").as("a"), col("sh").as("sha"))
-      .join(broadcast(graft.store.BandIndex.probeCandidates(
-        s, bandPath, bandRows(probeSk2, "doc_id"), "doc_id")), Seq("a"))
+      .join(broadcast(candFz2), Seq("a"))
       .join(broadcast(probeSk2.select(col("doc_id").as("b"), col("sh").as("shb"))), Seq("b"))
       .filter(jaccardDistinct(col("sha"), col("shb")) >= 0.5)
       .groupBy(col("b").as("doc_id")).agg(min(col("a")).as("match_id"))
@@ -4617,10 +4624,13 @@ object PipelineQueries {
         graft.store.BandIndex.write(Dedup.docSketch(base), path)
       val probeSketch = Dedup.docSketch(batch).persist()
       Persisted.swap("incr_dedup_indexed", dir, probeSketch)
+      // candidates checkpointed (batch-bounded), verification sets read
+      // from ONLY the candidate docs' sketch shards — the whole-table
+      // sketches read grew the verify with the corpus (see sketchesFor)
       val cand = graft.store.BandIndex.probeCandidates(
-        s, path, bandRows(probeSketch, "doc_id"), "doc_id")
+        s, path, bandRows(probeSketch, "doc_id"), "doc_id").localCheckpoint()
       incrementalVerdicts(batch, cand,
-        graft.store.BandIndex.sketches(s, path)
+        graft.store.BandIndex.sketchesFor(s, path, cand.select("a"))
           .select(col("doc_id").as("a"), col("sh").as("sha")), probeSketch)
     }),
 

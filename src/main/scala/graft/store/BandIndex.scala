@@ -211,9 +211,35 @@ object BandIndex {
   }
 
   /** The LIVE per-doc verification sets (doc_id, sh) — tombstoned docs
-    * excluded, same visibility rule as the probes. */
+    * excluded, same visibility rule as the probes. Reads (and LISTS)
+    * the whole table: fine for audits and whole-corpus jobs, wrong for
+    * a probe's verify side — use [[sketchesFor]] there. */
   def sketches(spark: SparkSession, path: String): DataFrame =
     live(spark.read.parquet(s"$path/sketches"), spark, path, "doc_id")
+
+  /** The LIVE verification sets for exactly the given candidate ids'
+    * doc-shards — the probe-side read. A full [[sketches]] read on the
+    * verify side costs O(corpus) twice at scale: the shard-dir LISTING
+    * grows with the ∝-corpus shard count (the r14 offender the
+    * gram-index profiles read already fixed — listing happens before
+    * any pruning can act), and the scan reads every live sketch row to
+    * feed a candidate-bounded join (measured: a fixed 500-doc
+    * increment's screen grew 8.5→60s across a 100× corpus on exactly
+    * this read). Here the candidate ids' doc-shards are derived first
+    * (one increment-bounded distinct-collect, ≤ nShards rows) and only
+    * those shard dirs are constructed and read — listing and scan both
+    * O(probed). `ids`'s FIRST column is hashed with the sketch
+    * layout's own shard function, so the read can never miss a live
+    * candidate's shard. */
+  def sketchesFor(spark: SparkSession, path: String, ids: DataFrame): DataFrame = {
+    val nShards = storedShards(spark, path).getOrElse(
+      throw new IllegalStateException(s"no band index at $path — write() first"))
+    val shards = ids
+      .select(pmod(hash(col(ids.columns.head)), lit(nShards)).as("s"))
+      .distinct().collect().map(_.getInt(0).toLong).toSeq
+    live(graft.store.SaltedStore.readPartitions(spark, s"$path/sketches",
+      shards, partitionPrefix = "shard"), spark, path, "doc_id")
+  }
 
   /** Fold tombstones into a physical rewrite and coalesce streaming-
     * append small files, reusing [[SaltedStore.compact]]'s marker-

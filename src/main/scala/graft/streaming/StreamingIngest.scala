@@ -457,13 +457,22 @@ object StreamingIngest {
         // 2) against the index (bootstrap: first batch creates it)
         val indexDropped: Set[Long] =
           if (BandIndex.storedShards(spark, path).isEmpty) Set.empty
-          else BandIndex.probeCandidates(spark, path,
-              Dedup.bandRows(within, "doc_id"), "doc_id")
-            .join(BandIndex.sketches(spark, path)
-              .select(col("doc_id").as("a"), col("sh").as("sha")), "a")
-            .join(within.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
-            .filter(Dedup.jaccardDistinct(col("sha"), col("shb")) >= tau)
-            .select(col("b")).distinct().collect().map(_.getLong(0)).toSet
+          else {
+            // verification sets from ONLY the candidate docs' sketch
+            // shards (BandIndex.sketchesFor): the whole-table sketches
+            // read re-listed and re-scanned the corpus every
+            // micro-batch — the per-batch cost then grows with the
+            // index, the exact anti-pattern the gram writer's
+            // listing-pruned reads avoid
+            val cand = BandIndex.probeCandidates(spark, path,
+              Dedup.bandRows(within, "doc_id"), "doc_id").localCheckpoint()
+            BandIndex.sketchesFor(spark, path, cand.select("a"))
+              .select(col("doc_id").as("a"), col("sh").as("sha"))
+              .join(cand, "a")
+              .join(within.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+              .filter(Dedup.jaccardDistinct(col("sha"), col("shb")) >= tau)
+              .select(col("b")).distinct().collect().map(_.getLong(0)).toSet
+          }
         val dropped = withinDropped ++ indexDropped
         val kept = antiIds(sketch, dropped)
         if (BandIndex.storedShards(spark, path).isEmpty)

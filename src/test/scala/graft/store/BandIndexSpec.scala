@@ -90,6 +90,32 @@ class BandIndexSpec extends SparkSuite {
     assert(got.contains((42L, 5000L)), s"got $got")
   }
 
+  test("sketchesFor reads only the candidate shards, same live-visibility as sketches") {
+    import spark.implicits._
+    val p = tmp("bandidx_sketchfor")
+    BandIndex.write(Dedup.docSketch(
+      (0L until 50L).map(i => (i, doc(i))).toDF("doc_id", "text")), p,
+      nShards = 16)
+    BandIndex.delete(spark, p, Seq(7L, 13L))
+    val want = Seq(5L, 7L, 13L, 42L).toDF("a")
+    val got = BandIndex.sketchesFor(spark, p, want)
+      .select("doc_id").as[Long].collect().toSet
+    // every LIVE requested id is readable (its shard was constructed)…
+    assert(got.contains(5L) && got.contains(42L))
+    // …tombstones apply exactly as in the full read…
+    assert(!got.contains(7L) && !got.contains(13L))
+    // …and the read is genuinely pruned: only the 4 candidate shards'
+    // resident docs appear, not the whole corpus
+    val candShards = Seq(5L, 7L, 13L, 42L)
+      .map(i => java.lang.Math.floorMod(
+        org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+          .hash(i, org.apache.spark.sql.types.LongType, 42L).toInt, 16)).toSet
+    assert(got.forall(i => candShards.contains(java.lang.Math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(i, org.apache.spark.sql.types.LongType, 42L).toInt, 16))))
+    assert(got.size < 50)
+  }
+
   test("probe during APPEND sees a verifiable generation (sketches-first ordering)") {
     import spark.implicits._
     // The mid-append snapshot a probe can observe under the write-order
