@@ -53,14 +53,30 @@ object BandIndex {
     try out.write(s"""{"n_shards":$nShards}""".getBytes("UTF-8")) finally out.close()
   }
 
+  /** Marker for an in-flight delta fold (see [[compact]]): while it
+    * stands, segment rows may exist in BOTH the sharded base and the
+    * delta, so probes refuse loudly instead of double-counting. */
+  val FoldingMarker = "_band_folding"
+
   /** nShards the index was created with; None if no index exists. */
   def storedShards(spark: SparkSession, path: String): Option[Int] = {
     val (fs, root) = fsOf(spark, path)
     // every probe's first call — refuse a mid-migration layout (the
     // shard-dir set changes during reshard; no consistent prune exists)
+    // and a mid-fold delta (rows may sit on both sides)
     require(!fs.exists(new org.apache.hadoop.fs.Path(root, ReshardMarker)),
       s"probe: $path has an in-flight shard migration ($ReshardMarker) — " +
         "re-invoke BandIndex.reshard with the original shard count to finish it")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, FoldingMarker)),
+      s"probe: $path has an in-flight delta fold ($FoldingMarker) — " +
+        "re-run BandIndex.compact to finish it")
+    readMeta(spark, path)
+  }
+
+  /** Raw meta read with NO marker guards — for the maintenance ops that
+    * must run exactly when a marker stands (compact's fold recovery). */
+  private def readMeta(spark: SparkSession, path: String): Option[Int] = {
+    val (fs, root) = fsOf(spark, path)
     val p = new org.apache.hadoop.fs.Path(root, MetaFile)
     if (!fs.exists(p)) None
     else {
@@ -68,6 +84,21 @@ object BandIndex {
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       """"n_shards":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+    }
+  }
+
+  /** One parquet frame per delta LAYER across all published segments —
+    * None when no segment exists (the GramIndex delta shape). */
+  private def deltaLayer(spark: SparkSession, path: String,
+                         layer: String): Option[DataFrame] = {
+    val d = new org.apache.hadoop.fs.Path(path, "delta")
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(d)) None
+    else {
+      val segs = fs.listStatus(d).map(_.getPath)
+        .filter(_.getName.startsWith("seg_"))
+      if (segs.isEmpty) None
+      else Some(spark.read.parquet(segs.map(p => s"$p/$layer").toSeq: _*))
     }
   }
 
@@ -133,28 +164,39 @@ object BandIndex {
     // can only HIDE reused-id docs from an in-flight probe — the same
     // transient the append isolation contract already tolerates.
     locally {
-      val (fs, _) = fsOf(spark, path)
+      val (fs, root) = fsOf(spark, path)
       fs.delete(new org.apache.hadoop.fs.Path(deletesPath(path)), true)
+      // unfolded segments of the replaced generation would resurrect
+      // replaced docs — same purge-last reasoning as the tombstones
+      fs.delete(new org.apache.hadoop.fs.Path(root, "delta"), true)
     }
   }
 
-  /** Append a batch's sketches (disjoint doc set contract). Shard count
-    * comes from the stored meta — an append can never fork the layout. */
+  /** Append a batch's sketches (disjoint doc set contract) as ONE DELTA
+    * SEGMENT, published atomically by rename — the GramIndex append
+    * grain: two single-file layers instead of ~one file commit per
+    * touched shard per layout (the O(nShards) LSM floor the r16 scale
+    * harness measured). Probes union the (bounded) delta; [[compact]]
+    * folds segments into the sharded base. Atomic publish supersedes
+    * the sketches-first mid-append contract for delta appends (a probe
+    * sees either no segment or both layers). */
   def append(sketch: DataFrame, path: String): Unit = {
     val spark = sketch.sparkSession
-    val nShards = storedShards(spark, path).getOrElse(
+    storedShards(spark, path).getOrElse(
       throw new IllegalStateException(s"no band index at $path — write() first"))
-    // sketches BEFORE bands — see write()'s isolation contract
-    sketch.select("doc_id", "sh")
-      .withColumn("shard", pmod(hash(col("doc_id")), lit(nShards)))
-      .repartition(col("shard"))
-      .sortWithinPartitions("doc_id")
-      .write.mode("append").partitionBy("shard").parquet(s"$path/sketches")
+    val (fs, root) = fsOf(spark, path)
+    val segId = java.lang.Long.toHexString(System.nanoTime()) +
+      s"_p${ProcessHandle.current().pid()}"
+    val tmp = new org.apache.hadoop.fs.Path(root, s"delta/.tmp_$segId")
+    // sketches BEFORE bands — uniform with write(); within the hidden
+    // tmp dir the ordering is writer-only
+    sketch.select("doc_id", "sh").repartition(1)
+      .write.mode("overwrite").parquet(s"$tmp/sketches")
     Dedup.bandRows(sketch, "doc_id")
-      .withColumn("shard", shardOf(col("sig"), nShards))
-      .repartition(col("shard"))
-      .sortWithinPartitions("sig", "doc_id")
-      .write.mode("append").partitionBy("shard").parquet(s"$path/bands")
+      .select("doc_id", "band", "sig").repartition(1)
+      .write.mode("overwrite").parquet(s"$tmp/bands")
+    val seg = new org.apache.hadoop.fs.Path(root, s"delta/seg_$segId")
+    require(fs.rename(tmp, seg), s"band append: publishing $seg failed")
   }
 
   // ---- deletes (takedown lifecycle, the VectorIndex tombstone shape) ----
@@ -204,9 +246,16 @@ object BandIndex {
     // enumerated (O(probe) listing — a full-listing read grows with the
     // shard count, which is sized ∝ corpus), marker-aware via the
     // SaltedStore fallback when a compact is in flight
-    val idx = live(graft.store.SaltedStore.readPartitions(spark, s"$path/bands",
+    val base = graft.store.SaltedStore.readPartitions(spark, s"$path/bands",
         shards.map(_.toLong), partitionPrefix = "shard")
-      .select(idCol, "band", "sig"), spark, path, idCol)
+      .select(idCol, "band", "sig")
+    // unfolded delta segments union in before the bucket aggregation
+    // (bounded by appends since the last compact); the hot-bucket cap
+    // then sees exactly the same membership a folded layout would
+    val idx = live(deltaLayer(spark, path, "bands")
+        .map(d => base.unionByName(d.select(idCol, "band", "sig")))
+        .getOrElse(base),
+      spark, path, idCol)
     Dedup.probePairs(idx, probeBands, idCol, maxBucket)
   }
 
@@ -214,8 +263,12 @@ object BandIndex {
     * excluded, same visibility rule as the probes. Reads (and LISTS)
     * the whole table: fine for audits and whole-corpus jobs, wrong for
     * a probe's verify side — use [[sketchesFor]] there. */
-  def sketches(spark: SparkSession, path: String): DataFrame =
-    live(spark.read.parquet(s"$path/sketches"), spark, path, "doc_id")
+  def sketches(spark: SparkSession, path: String): DataFrame = {
+    val base = spark.read.parquet(s"$path/sketches").select("doc_id", "sh")
+    live(deltaLayer(spark, path, "sketches")
+      .map(d => base.unionByName(d.select("doc_id", "sh"))).getOrElse(base),
+      spark, path, "doc_id")
+  }
 
   /** The LIVE verification sets for exactly the given candidate ids'
     * doc-shards — the probe-side read. A full [[sketches]] read on the
@@ -237,8 +290,11 @@ object BandIndex {
     val shards = ids
       .select(pmod(hash(col(ids.columns.head)), lit(nShards)).as("s"))
       .distinct().collect().map(_.getInt(0).toLong).toSeq
-    live(graft.store.SaltedStore.readPartitions(spark, s"$path/sketches",
-      shards, partitionPrefix = "shard"), spark, path, "doc_id")
+    val base = graft.store.SaltedStore.readPartitions(spark, s"$path/sketches",
+      shards, partitionPrefix = "shard").select("doc_id", "sh")
+    live(deltaLayer(spark, path, "sketches")
+      .map(d => base.unionByName(d.select("doc_id", "sh"))).getOrElse(base),
+      spark, path, "doc_id")
   }
 
   /** Fold tombstones into a physical rewrite and coalesce streaming-
@@ -249,6 +305,34 @@ object BandIndex {
     * keeps anti-joining — the fold is idempotent, never lossy. Same
     * writer discipline as every compaction here: pause appends. */
   def compact(spark: SparkSession, path: String): Unit = {
+    val nShards = readMeta(spark, path).getOrElse(
+      throw new IllegalStateException(s"no band index at $path"))
+    val (fsF, rootF) = fsOf(spark, path)
+    val foldMarker = new org.apache.hadoop.fs.Path(rootF, FoldingMarker)
+    if (fsF.exists(foldMarker)) {
+      // a previous fold crashed mid-append: recover through the staged
+      // full rewrite (reshard at the unchanged count dedups rows that
+      // sit on both sides), then clear the marker
+      reshard(spark, path, nShards)
+      fsF.delete(foldMarker, false)
+      return
+    }
+    deltaLayer(spark, path, "bands").foreach { dBands =>
+      // fold published segments into the sharded base — O(touched
+      // shards) commits ONCE per compact cadence, not per append;
+      // probes refuse the fold window (storedShards checks the marker)
+      fsF.create(foldMarker, true).close()
+      deltaLayer(spark, path, "sketches").foreach(
+        _.withColumn("shard", pmod(hash(col("doc_id")), lit(nShards)))
+          .repartition(col("shard")).sortWithinPartitions("doc_id")
+          .write.mode("append").partitionBy("shard").parquet(s"$path/sketches"))
+      dBands
+        .withColumn("shard", shardOf(col("sig"), nShards))
+        .repartition(col("shard")).sortWithinPartitions("sig", "doc_id")
+        .write.mode("append").partitionBy("shard").parquet(s"$path/bands")
+      fsF.delete(new org.apache.hadoop.fs.Path(rootF, "delta"), true)
+      fsF.delete(foldMarker, false)
+    }
     val drop = tombstones(spark, path)
     def strip(df: DataFrame): DataFrame = drop match {
       case Some(t) => df.join(broadcast(t), Seq("doc_id"), "left_anti")
@@ -281,20 +365,32 @@ object BandIndex {
     // refuse by design — only a fresh start validates the old layout
     val (fs0, root0) = fsOf(spark, path)
     if (!fs0.exists(new org.apache.hadoop.fs.Path(root0, ReshardMarker)))
-      require(storedShards(spark, path).nonEmpty, s"no band index at $path")
+      // readMeta, not storedShards: reshard is also compact's recovery
+      // path for a crashed delta fold, which runs under FoldingMarker
+      require(readMeta(spark, path).nonEmpty, s"no band index at $path")
     StagedSwap.migrate(spark, path, ReshardMarker,
       ".reshard_new", ".reshard_old",
       opName = "reshard", what = "shard count", tag = s"shards=$newShards",
       parkFilter = _ => true, swapFilter = _ => true,
       stage = { staging =>
-        live(spark.read.parquet(s"$path/bands").drop("shard"),
-            spark, path, "doc_id")
+        // base ∪ unfolded delta, deduped per key: a crashed fold may
+        // have the same segment rows on both sides
+        val bandsBase = spark.read.parquet(s"$path/bands").drop("shard")
+          .select("doc_id", "band", "sig")
+        val bandsAll = deltaLayer(spark, path, "bands")
+          .map(d => bandsBase.unionByName(d.select("doc_id", "band", "sig")))
+          .getOrElse(bandsBase).distinct()
+        live(bandsAll, spark, path, "doc_id")
           .withColumn("shard", shardOf(col("sig"), newShards))
           .repartition(col("shard"))
           .sortWithinPartitions("sig", "doc_id")
           .write.mode("overwrite").partitionBy("shard").parquet(s"$staging/bands")
-        live(spark.read.parquet(s"$path/sketches").drop("shard"),
-            spark, path, "doc_id")
+        val skBase = spark.read.parquet(s"$path/sketches").drop("shard")
+          .select("doc_id", "sh")
+        val skAll = deltaLayer(spark, path, "sketches")
+          .map(d => skBase.unionByName(d.select("doc_id", "sh")))
+          .getOrElse(skBase).dropDuplicates("doc_id")
+        live(skAll, spark, path, "doc_id")
           .withColumn("shard", pmod(hash(col("doc_id")), lit(newShards)))
           .repartition(col("shard"))
           .sortWithinPartitions("doc_id")

@@ -29,6 +29,14 @@ import org.apache.spark.sql.functions._
   *  - `profiles/shard=S` — (doc_id, n, sh): the exact verification sets,
   *    sharded on `pmod(hash(doc_id), nShards)`; the verify join reads
   *    only the candidate docs' shards.
+  *  - `delta/seg_*` — unfolded APPEND segments (one single-file
+  *    postings/dfs/profiles layer each, published atomically by
+  *    rename): an append costs 3 file commits instead of ~one per
+  *    touched shard per layout — the O(nShards) LSM commit floor the
+  *    r16 scale harness measured at 165s per 151-doc insert on a
+  *    6400-shard base. Probes union the (bounded) delta under their
+  *    batch-bounded filters; [[compact]] folds segments into the
+  *    sharded base.
   *  - `_gram_meta.json` — nShards.
   *
   * WRITE ORDER IS THE ISOLATION CONTRACT (the BandIndex discipline):
@@ -49,6 +57,11 @@ object GramIndex {
   val MetaFile = "_gram_meta.json"
   val DefaultShards = 64
 
+  /** Marker for an in-flight delta fold (see [[compact]]): while it
+    * stands, segment rows may exist in BOTH the sharded base and the
+    * delta, so probes refuse loudly instead of double-counting. */
+  val FoldingMarker = "_gram_folding"
+
   private def fsOf(spark: SparkSession, path: String) = {
     val root = new org.apache.hadoop.fs.Path(path)
     (root.getFileSystem(spark.sessionState.newHadoopConf()), root)
@@ -63,12 +76,23 @@ object GramIndex {
   }
 
   /** nShards the index was created with; None if no index exists.
-    * Every probe's first call — refuses a mid-migration layout. */
+    * Every probe's first call — refuses a mid-migration layout and a
+    * mid-fold delta (either can double-count or half-read). */
   def storedShards(spark: SparkSession, path: String): Option[Int] = {
     val (fs, root) = fsOf(spark, path)
     require(!fs.exists(new org.apache.hadoop.fs.Path(root, ReshardMarker)),
       s"probe: $path has an in-flight shard migration ($ReshardMarker) — " +
         "re-invoke GramIndex.reshard with the original shard count to finish it")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, FoldingMarker)),
+      s"probe: $path has an in-flight delta fold ($FoldingMarker) — " +
+        "re-run GramIndex.compact to finish it")
+    readMeta(spark, path)
+  }
+
+  /** Raw meta read with NO marker guards — for the maintenance ops that
+    * must run exactly when a marker stands (compact's fold recovery). */
+  private def readMeta(spark: SparkSession, path: String): Option[Int] = {
+    val (fs, root) = fsOf(spark, path)
     val p = new org.apache.hadoop.fs.Path(root, MetaFile)
     if (!fs.exists(p)) None
     else {
@@ -76,6 +100,25 @@ object GramIndex {
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       """"n_shards":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+    }
+  }
+
+  // ---- delta segments (the append grain) -----------------------------
+
+  /** One parquet frame per delta LAYER across all published segments —
+    * None when no segment exists. Hidden `.tmp_*` dirs (in-flight
+    * publishes) are excluded by construction (dot-prefixed paths are
+    * invisible to Spark's listing, and we glob explicit seg dirs). */
+  private def deltaLayer(spark: SparkSession, path: String,
+                         layer: String): Option[DataFrame] = {
+    val d = new org.apache.hadoop.fs.Path(path, "delta")
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(d)) None
+    else {
+      val segs = fs.listStatus(d).map(_.getPath)
+        .filter(_.getName.startsWith("seg_"))
+      if (segs.isEmpty) None
+      else Some(spark.read.parquet(segs.map(p => s"$p/$layer").toSeq: _*))
     }
   }
 
@@ -108,22 +151,56 @@ object GramIndex {
         "clear the log or use a fresh commitTag, then rebuild")
     writeLayouts(sets, path, nShards, "overwrite")
     writeMeta(spark, path, nShards)
-    // drop tombstones of the REPLACED generation (they would silently
-    // hide new docs with reused ids) — but only AFTER the new layouts
-    // commit: purging first would leave a crashed rebuild's still-live
-    // old index with its tombstones resurrected. The purge-last window
-    // (new layouts up, old tombstones standing a moment longer) can
-    // only HIDE reused-id docs from an in-flight probe — the same
-    // transient the append isolation contract already tolerates.
+    // drop tombstones AND unfolded delta segments of the REPLACED
+    // generation (stale tombstones would silently hide new docs with
+    // reused ids; stale segments would resurrect replaced docs) — but
+    // only AFTER the new layouts commit: purging first would leave a
+    // crashed rebuild's still-live old index with its tombstones
+    // resurrected / its appends lost. Rebuilds are offline by contract,
+    // so the purge-last window is writer-only.
     fs.delete(new org.apache.hadoop.fs.Path(deletesPath(path)), true)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "delta"), true)
   }
 
-  /** Append a batch's set rows (disjoint doc contract). Shard count from
-    * the stored meta — an append can never fork the layout. */
+  /** Append a batch's set rows (disjoint doc contract) as ONE DELTA
+    * SEGMENT, published atomically by rename. The previous sharded
+    * append paid ~one file commit per touched shard per layout — the
+    * r16 scale harness measured 165s for a 151-doc insert against a
+    * 6400-shard base (a 500-doc batch carries ~30k distinct grams, so
+    * the postings/dfs layers touch nearly every shard): the
+    * O(nShards) commit floor of LSM write amplification. A segment is
+    * three single-file layers instead; probes union the (bounded)
+    * delta under the same batch-bounded filters, and [[compact]] folds
+    * segments into the sharded base — O(touched shards) ONCE per
+    * compact cadence, not once per append. Atomic publish also
+    * strengthens the isolation contract for appends: a probe sees
+    * either no segment or all three layers (the profiles-first
+    * ordering below is kept for uniformity; it matters only to the
+    * base layout's in-place writes). Segments are ingest-grain by the
+    * append contract — each layer is one narrow exchange to a
+    * single-task file write; corpus-scale loads belong to [[write]]. */
   def append(sets: DataFrame, path: String): Unit = {
-    val nShards = storedShards(sets.sparkSession, path).getOrElse(
+    val spark = sets.sparkSession
+    val nShards = storedShards(spark, path).getOrElse(
       throw new IllegalStateException(s"no gram index at $path — write() first"))
-    writeLayouts(sets, path, nShards, "append")
+    val _ = nShards // layout validated; delta layers are unsharded
+    val (fs, root) = fsOf(spark, path)
+    val segId = java.lang.Long.toHexString(System.nanoTime()) +
+      s"_p${ProcessHandle.current().pid()}"
+    val tmp = new org.apache.hadoop.fs.Path(root, s"delta/.tmp_$segId")
+    val profiles = sets.groupBy("doc_id")
+      .agg(collect_list(col("x")).as("sh"), count(lit(1)).as("n"))
+    profiles.repartition(1)
+      .write.mode("overwrite").parquet(s"$tmp/profiles")
+    sets.join(profiles.select(col("doc_id"), col("n")), "doc_id")
+      .select("x", "doc_id", "n")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$tmp/postings")
+    sets.groupBy("x").agg(count(lit(1)).as("df"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$tmp/dfs")
+    val seg = new org.apache.hadoop.fs.Path(root, s"delta/seg_$segId")
+    require(fs.rename(tmp, seg), s"gram append: publishing $seg failed")
   }
 
   private def writeLayouts(sets: DataFrame, path: String, nShards: Int,
@@ -248,11 +325,19 @@ object GramIndex {
     def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val withNa = sets.withColumn("na", count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy("a")).cast("bigint"))
+    // unfolded delta segments (appends since the last compact): each
+    // layer unions under the SAME batch-bounded filters as its base
+    // read — one bounded delta scan per layer, never a corpus read
+    val deltaDfs = deltaLayer(spark, path, "dfs")
+    val deltaPostings = deltaLayer(spark, path, "postings")
+    val deltaProfiles = deltaLayer(spark, path, "profiles")
     // 1. df lookup — shard list is ≤ nShards by construction (pmod)
     val tokShards = sets.select(shardOf(col("x"), nShards).as("s"))
       .distinct().collect().map(_.getInt(0).toLong).toSeq
-    val dfOfTok = SaltedStore.readPartitions(spark, s"$path/dfs", tokShards,
-        partitionPrefix = "shard")
+    val dfBase = SaltedStore.readPartitions(spark, s"$path/dfs", tokShards,
+        partitionPrefix = "shard").select("x", "df")
+    val dfOfTok = deltaDfs.map(d => dfBase.unionByName(d.select("x", "df")))
+      .getOrElse(dfBase)
       .join(bc(sets.select("x").distinct()), "x")
       .groupBy("x").agg(sum(col("df")).as("df")) // fold per-batch partials
     // lazy, the dfs subtree would re-execute under the candidate-shard
@@ -282,10 +367,13 @@ object GramIndex {
           cp.select("xs").distinct().collect().map(_.getInt(0).toLong).toSeq)
       }
     // 2. candidates off the prefix tokens' postings, size-filtered
+    val postBase = SaltedStore.readPartitions(spark, s"$path/postings",
+        postShards, partitionPrefix = "shard")
+      .select(col("x"), col("doc_id").as("b"), col("n").as("nb"))
     val candPlan = live(
-        SaltedStore.readPartitions(spark, s"$path/postings", postShards,
-            partitionPrefix = "shard")
-          .select(col("x"), col("doc_id").as("b"), col("n").as("nb")),
+        deltaPostings.map(d => postBase.unionByName(
+          d.select(col("x"), col("doc_id").as("b"), col("n").as("nb"))))
+          .getOrElse(postBase),
         spark, path, "b")
       .join(bc(prefix), "x")
       .filter(lit(den.toLong) * col("nb") >= lit(num.toLong) * col("na"))
@@ -307,9 +395,12 @@ object GramIndex {
     //    the cand subtree and constructing only those profile dirs.
     val candShards = cand.select(shardOf(col("b"), nShards).as("s"))
       .distinct().collect().map(_.getInt(0).toLong).toSeq
-    val profs = SaltedStore.readPartitions(spark, s"$path/profiles", candShards,
-        partitionPrefix = "shard")
+    val profBase = SaltedStore.readPartitions(spark, s"$path/profiles",
+        candShards, partitionPrefix = "shard")
       .select(col("doc_id").as("b"), col("sh").as("shb"))
+    val profs = deltaProfiles.map(d => profBase.unionByName(
+        d.select(col("doc_id").as("b"), col("sh").as("shb"))))
+      .getOrElse(profBase)
     val batchFull = sets.groupBy("a").agg(collect_list(col("x")).as("sha"))
     profs
       .join(bc(cand), "b")
@@ -329,8 +420,38 @@ object GramIndex {
     * tokens — which only re-orders its prefix choice (sound). Same
     * writer discipline as every compaction here: pause appends. */
   def compact(spark: SparkSession, path: String): Unit = {
-    val nShards = storedShards(spark, path).getOrElse(
+    val nShards = readMeta(spark, path).getOrElse(
       throw new IllegalStateException(s"no gram index at $path"))
+    val (fsF, rootF) = fsOf(spark, path)
+    val foldMarker = new org.apache.hadoop.fs.Path(rootF, FoldingMarker)
+    if (fsF.exists(foldMarker)) {
+      // a previous fold crashed mid-append: segment rows may now exist
+      // in BOTH the sharded base and the delta. Recover through the
+      // staged full rewrite (reshard at the unchanged count): it unions
+      // base ∪ delta, DISTINCTs the set rows, folds tombstones, and
+      // recomputes dfs exactly before the atomic swap.
+      reshard(spark, path, nShards)
+      fsF.delete(foldMarker, false)
+      return
+    }
+    deltaLayer(spark, path, "postings").foreach { dPost =>
+      // fold published segments into the sharded base — the O(touched
+      // shards) commit cost paid ONCE per compact cadence instead of
+      // once per append. Probes refuse the fold window (storedShards
+      // checks the marker); dfs layers need no fold — the exact
+      // recompute below reads the folded postings.
+      fsF.create(foldMarker, true).close()
+      deltaLayer(spark, path, "profiles").foreach(
+        _.withColumn("shard", shardOf(col("doc_id"), nShards))
+          .repartition(col("shard")).sortWithinPartitions("doc_id")
+          .write.mode("append").partitionBy("shard").parquet(s"$path/profiles"))
+      dPost
+        .withColumn("shard", shardOf(col("x"), nShards))
+        .repartition(col("shard")).sortWithinPartitions("x", "doc_id")
+        .write.mode("append").partitionBy("shard").parquet(s"$path/postings")
+      fsF.delete(new org.apache.hadoop.fs.Path(rootF, "delta"), true)
+      fsF.delete(foldMarker, false)
+    }
     val drop = tombstones(spark, path)
     def strip(df: DataFrame): DataFrame = drop match {
       case Some(t) => df.join(broadcast(t), Seq("doc_id"), "left_anti")
@@ -363,17 +484,25 @@ object GramIndex {
     require(newShards > 0, s"shard count must be positive, got $newShards")
     val (fs0, root0) = fsOf(spark, path)
     if (!fs0.exists(new org.apache.hadoop.fs.Path(root0, ReshardMarker)))
-      require(storedShards(spark, path).nonEmpty, s"no gram index at $path")
+      // readMeta, not storedShards: reshard is also compact's recovery
+      // path for a crashed delta fold, which runs under FoldingMarker
+      require(readMeta(spark, path).nonEmpty, s"no gram index at $path")
     StagedSwap.migrate(spark, path, ReshardMarker,
       ".reshard_new", ".reshard_old",
       opName = "reshard", what = "shard count", tag = s"shards=$newShards",
       parkFilter = _ => true, swapFilter = _ => true,
       stage = { staging =>
-        val liveSets = live(
-          spark.read.parquet(s"$path/postings").select("doc_id", "x"),
-          spark, path, "doc_id")
+        // base ∪ unfolded delta, DISTINCT: a crashed fold may have the
+        // same segment rows on both sides — the rewrite dedups them
+        val baseSets = spark.read.parquet(s"$path/postings")
+          .select("doc_id", "x")
+        val allSets = deltaLayer(spark, path, "postings")
+          .map(d => baseSets.unionByName(d.select("doc_id", "x")))
+          .getOrElse(baseSets).distinct()
+        val liveSets = live(allSets, spark, path, "doc_id")
         // one staged rewrite through the same three-layout writer; meta
-        // commits into the staging dir, swapped in with the data
+        // commits into the staging dir, swapped in with the data (the
+        // parked old generation — delta included — is dropped after)
         writeLayouts(liveSets, staging, newShards, "overwrite")
         writeMeta(spark, staging, newShards)
       })

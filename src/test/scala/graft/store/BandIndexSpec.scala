@@ -116,6 +116,57 @@ class BandIndexSpec extends SparkSuite {
     assert(got.size < 50)
   }
 
+  test("append publishes ONE 2-file delta segment; compact folds it; answers identical") {
+    import spark.implicits._
+    val p = tmp("bandidx_delta")
+    BandIndex.write(Dedup.docSketch(
+      (0L until 30L).map(i => (i, doc(i))).toDF("doc_id", "text")), p)
+    BandIndex.append(Dedup.docSketch(
+      (30L until 40L).map(i => (i, doc(i))).toDF("doc_id", "text")), p)
+    val segs = new java.io.File(s"$p/delta").listFiles()
+      .filter(_.getName.startsWith("seg_"))
+    assert(segs.length === 1, s"expected one segment, got ${segs.toSeq}")
+    Seq("sketches", "bands").foreach { layer =>
+      val files = new java.io.File(segs(0), layer).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"$layer: ${files.toSeq}")
+    }
+    // probes see delta docs; sketches (full + pruned) see them too
+    def candidates = {
+      val probe = Seq((5000L, doc(35))).toDF("doc_id", "text")
+      BandIndex.probeCandidates(spark, p,
+          Dedup.bandRows(Dedup.docSketch(probe), "doc_id"), "doc_id")
+        .as[(Long, Long)].collect().toSet
+    }
+    val preFold = candidates
+    assert(preFold.contains((35L, 5000L)), s"delta doc not probed: $preFold")
+    assert(BandIndex.sketches(spark, p).count() === 40L)
+    assert(BandIndex.sketchesFor(spark, p, Seq(35L).toDF("a"))
+      .filter(col("doc_id") === 35L).count() === 1L)
+    // compact folds the segment into the sharded base, answers unchanged
+    BandIndex.compact(spark, p)
+    assert(!new java.io.File(s"$p/delta").exists(), "delta survived compact")
+    assert(candidates === preFold)
+    assert(BandIndex.sketches(spark, p).count() === 40L)
+    // crashed-fold recovery: plant half-folded state (bands folded,
+    // delta + marker standing) — probes refuse, compact recovers exact
+    BandIndex.append(Dedup.docSketch(
+      Seq((77L, doc(77))).toDF("doc_id", "text")), p)
+    val clean = candidates
+    val nShards = BandIndex.storedShards(spark, p).get
+    Dedup.bandRows(Dedup.docSketch(Seq((77L, doc(77))).toDF("doc_id", "text")), "doc_id")
+      .withColumn("shard", BandIndex.shardOf(col("sig"), nShards))
+      .repartition(col("shard"))
+      .write.mode("append").partitionBy("shard").parquet(s"$p/bands")
+    val marker = new java.io.File(s"$p/${BandIndex.FoldingMarker}")
+    assert(marker.createNewFile())
+    val e = intercept[IllegalArgumentException] { candidates }
+    assert(e.getMessage.contains(BandIndex.FoldingMarker))
+    BandIndex.compact(spark, p)
+    assert(!marker.exists() && !new java.io.File(s"$p/delta").exists())
+    assert(candidates === clean)
+  }
+
   test("probe during APPEND sees a verifiable generation (sketches-first ordering)") {
     import spark.implicits._
     // The mid-append snapshot a probe can observe under the write-order

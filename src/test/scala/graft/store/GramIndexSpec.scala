@@ -324,6 +324,88 @@ class GramIndexSpec extends SparkSuite {
     assert(probe(p2, batch) === want)
   }
 
+  test("append publishes ONE 3-file delta segment; compact folds it; answers identical") {
+    import spark.implicits._
+    val p = tmp("gramidx_delta")
+    val gen1 = (0L until 30L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    GramIndex.write(setsOf(gen1), p)
+    val gen2 = (30L until 40L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    GramIndex.append(setsOf(gen2), p)
+    // the append grain: one published segment, one data file per layer —
+    // 3 commits total, NOT one per touched shard per layout (the
+    // O(nShards) floor the r16 harness measured at 165s/append)
+    val segs = new java.io.File(s"$p/delta").listFiles()
+      .filter(_.getName.startsWith("seg_"))
+    assert(segs.length === 1, s"expected one segment, got ${segs.toSeq}")
+    Seq("profiles", "postings", "dfs").foreach { layer =>
+      val files = new java.io.File(segs(0), layer).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"$layer: ${files.toSeq}")
+    }
+    // probes see delta docs through the unions, answers = brute over all
+    val batch = Seq(
+      (9000L, doc(5).split(" ").dropRight(2).mkString(" ")),   // base hit
+      (9001L, doc(35).split(" ").dropRight(2).mkString(" ")))  // delta hit
+      .toDF("doc_id", "text")
+    val preFold = probe(p, batch)
+    assert(preFold.get((9001L, 35L)).contains(1.0), "delta doc not probed")
+    assert(preFold === brute(batch, gen1.union(gen2)))
+    // compact folds the segment into the sharded base, answers unchanged
+    GramIndex.compact(spark, p)
+    assert(!new java.io.File(s"$p/delta").exists(), "delta survived compact")
+    assert(probe(p, batch) === preFold)
+  }
+
+  test("a crashed delta fold refuses probes and recovers to exact answers") {
+    import spark.implicits._
+    val p = tmp("gramidx_foldcrash")
+    val gen1 = (0L until 25L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    GramIndex.write(setsOf(gen1), p)
+    val gen2 = (25L until 30L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    GramIndex.append(setsOf(gen2), p)
+    val batch = Seq(
+      (9000L, doc(27).split(" ").dropRight(2).mkString(" ")))
+      .toDF("doc_id", "text")
+    val clean = probe(p, batch)
+    assert(clean.get((9000L, 27L)).contains(1.0))
+    // plant the crash: fold the postings layer into the base (as a
+    // dying compact would) but leave the delta AND the marker standing
+    // — segment rows now sit on BOTH sides
+    val nShards = GramIndex.storedShards(spark, p).get
+    setsOf(gen2).groupBy("doc_id")
+      .agg(count(lit(1)).as("n"))
+      .join(setsOf(gen2), "doc_id").select("x", "doc_id", "n")
+      .withColumn("shard", GramIndex.shardOf(col("x"), nShards))
+      .repartition(col("shard"))
+      .write.mode("append").partitionBy("shard").parquet(s"$p/postings")
+    val marker = new java.io.File(s"$p/${GramIndex.FoldingMarker}")
+    assert(marker.createNewFile())
+    // probes refuse the half-folded state loudly…
+    val e = intercept[IllegalArgumentException] { probe(p, batch) }
+    assert(e.getMessage.contains(GramIndex.FoldingMarker))
+    // …and re-running compact recovers through the staged full rewrite:
+    // marker cleared, delta folded+deduped, answers exactly the clean ones
+    GramIndex.compact(spark, p)
+    assert(!marker.exists())
+    assert(!new java.io.File(s"$p/delta").exists())
+    assert(probe(p, batch) === clean)
+  }
+
+  test("write(overwrite) clears unfolded delta segments of the replaced generation") {
+    import spark.implicits._
+    val p = tmp("gramidx_deltapurge")
+    val gen1 = (0L until 20L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    GramIndex.write(setsOf(gen1), p)
+    GramIndex.append(setsOf(
+      Seq((77L, doc(77))).toDF("doc_id", "text")), p)
+    // rebuild WITHOUT doc 77: its stale segment must not resurrect it
+    GramIndex.write(setsOf(gen1), p)
+    val batch = Seq((9000L, doc(77).split(" ").dropRight(2).mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(!probe(p, batch).keySet.exists(_._2 == 77L),
+      "a replaced generation's delta segment leaked into the rebuilt index")
+  }
+
   test("probe during APPEND sees a verifiable generation (profiles-first ordering)") {
     import spark.implicits._
     // The mid-append snapshot a probe can observe under the write order

@@ -482,7 +482,9 @@ class StreamingSpec extends SparkSuite {
     // in the index would screen the whole batch out)
     val s1r = screenGramBatchIdempotent(b1, batchId = 0L, dir)
     assert(s1r.isEmpty)
-    // the index holds exactly the survivors
+    // the index holds exactly the survivors (batch-2's live in an
+    // unfolded delta segment until compact folds them into the base)
+    graft.store.GramIndex.compact(spark, dir)
     val profiles = spark.read.parquet(s"$dir/profiles")
       .select("doc_id").as[Long].collect().toSet
     assert(profiles === ((0L until 10L).toSet ++ Set(601L, 602L)))
