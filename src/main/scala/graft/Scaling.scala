@@ -368,6 +368,125 @@ object Scaling {
     }
   }
 
+  /** JOINT worst case of the gram-index probe — BOTH axes large at
+    * once (the single-axis families prove corpus-flat at a small batch
+    * and batch-sublinear at a small corpus, but a 10⁶-doc backfill
+    * against the 100×-corpus index has postings reads big on BOTH
+    * sides): corpus 5k·tier, batch 100·tier², so the standard
+    * 1/10/100 list tops out at a 10⁶-doc batch against the 500k-doc
+    * index, through the distributed (past-cap) probe plan.
+    * Expectation: per-batch-row cost ≤ the gram_batch family's at the
+    * same batch size — the extra corpus decade shows up only through
+    * the prefix tokens' df-bounded postings, never a corpus scan. */
+  private def famGramJoint(s: SparkSession, tier: Int, tmp: String): Unit = {
+    val corpusN = 5000L * tier
+    val batchN = 100L * tier * tier
+    val path = s"$tmp/gjoint_x$tier"
+    def setsOf(df: DataFrame) =
+      pipeline.TextAnalysis.shingleRows(df)
+        .withColumn("x", pipeline.Dedup.baseHash32(col("s")))
+        .select("doc_id", "x").distinct()
+    if (graft.store.GramIndex.storedShards(s, path).isEmpty)
+      graft.store.GramIndex.write(setsOf(synthDocs(s, corpusN)), path,
+        nShards = 64 * tier)
+    val setsPath = s"$tmp/gjoint_sets_x$tier"
+    setsOf(synthBatch(s, corpusN, batchN))
+      .write.mode("overwrite").parquet(setsPath)
+    val batchSets = s.read.parquet(setsPath)
+    timed("gram_joint", tier, "probe", batchN) {
+      graft.store.GramIndex.probeContainment(s, path, batchSets).count()
+    }
+  }
+
+  /** The INCREMENTAL refresh chain (q_refresh_e2e's gen-1 core —
+    * update split → bloom exact screen → gram containment screen →
+    * band fuzzy screen → index + CDC appends → incremental mix) on two
+    * axes, one family each:
+    *  - refresh_e2e: corpus FIXED at 50k docs, increment 500·tier —
+    *    cost must scale with the increment (slope ≈ 1 on increment
+    *    rows);
+    *  - refresh_corpus: increment FIXED at 500 docs, corpus 5k·tier —
+    *    cost must stay ~flat (the probes are listing-pruned and every
+    *    stage frame is increment-bounded). The one O(corpus) term left
+    *    in `screens` is the history bloom fold over the CACHED sidecar
+    *    (production persists the filter bytes beside the corpus and
+    *    folds only deltas); the sidecar build itself is untimed — it
+    *    is the maintained stats table, amortized per corpus.
+    * Store builds are per-tier and untimed (the amortized write path).
+    * The planted increment: 1/4 verbatim dups, 1/4 truncations, 1/4
+    * junk-tail extensions, 1/4 novel — no update/delete classes here
+    * (key maintenance is correctness, pinned by RefreshE2eSpec; this
+    * family measures the screen/append cost shape). */
+  private def famRefresh(s: SparkSession, tier: Int, tmp: String,
+                         corpusN: Long, incN: Long, fam: String): Unit = {
+    import queries.PipelineQueries
+    val gramPath = s"$tmp/${fam}_gram_x$tier"
+    val bandPath = s"$tmp/${fam}_band_x$tier"
+    val cdcPath = s"$tmp/${fam}_cdc_x$tier"
+    def setsOf(df: DataFrame) =
+      pipeline.TextAnalysis.shingleRows(df)
+        .withColumn("x", pipeline.Dedup.baseHash32(col("s")))
+        .select("doc_id", "x").distinct()
+    val nShards = math.max(64, (64L * corpusN / 5000L).toInt)
+    val docsPath = s"$tmp/${fam}_docs_x$tier"
+    if (graft.store.GramIndex.storedShards(s, gramPath).isEmpty) {
+      synthDocs(s, corpusN)
+        .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(20L))))
+        .write.mode("overwrite").parquet(docsPath)
+      val d = s.read.parquet(docsPath)
+      graft.store.GramIndex.write(setsOf(d), gramPath, nShards)
+      graft.store.BandIndex.write(
+        pipeline.Dedup.docSketch(d.select("doc_id", "text")), bandPath, nShards)
+      graft.store.CdcStore.writeBase(d, col("doc_id"),
+        keys.HashPrefix(16), cdcPath)
+    }
+    val docs = s.read.parquet(docsPath)
+    val histKeyed = PipelineQueries.refreshHistKeyed(docs).persist()
+    histKeyed.count() // the maintained sidecar — amortized, untimed
+    // the planted increment, materialized untimed (probe cost is the
+    // measurement, not the generator)
+    val v = vocabOf(corpusN)
+    val pick = pmod(xxhash64(lit("pick"), col("id")), lit(corpusN))
+    val base = textOf(pick, v)
+    val w = split(base, " ")
+    val junk = array_join(transform(
+      sequence(lit(1L), ((size(w) - 2) / 3 + 1).cast("long")),
+      i => concat(lit("qq"), (col("id") + corpusN).cast("string"),
+        lit("x"), i.cast("string"))), " ")
+    val incPath = s"$tmp/${fam}_inc_x$tier"
+    s.range(incN).select(
+      (col("id") + corpusN).as("doc_id"),
+      concat(lit("s"), pmod(col("id"), lit(20L))).as("source"),
+      when(pmod(col("id"), lit(4L)) === 0L, base)
+        .when(pmod(col("id"), lit(4L)) === 1L,
+          array_join(slice(w, lit(1), size(w) - 2), " "))
+        .when(pmod(col("id"), lit(4L)) === 2L, concat(base, lit(" "), junk))
+        .otherwise(textOf(col("id") + corpusN + 7L, v)).as("text"))
+      .write.mode("overwrite").parquet(incPath)
+    val crawl = s.read.parquet(incPath)
+    val noDel = s.range(0).select(col("id").as("doc_id"))
+    var verdicts: PipelineQueries.RefreshVerdicts = null
+    timed(fam, tier, "screens", incN) {
+      verdicts = PipelineQueries.refreshScreens(s, histKeyed, crawl, noDel,
+        gramPath, bandPath, s"${fam}_x$tier", _ => (), bloomGuess = corpusN)
+      verdicts.inserted.count()
+    }
+    timed(fam, tier, "mix", incN) {
+      PipelineQueries.refreshMix(histKeyed, verdicts, noDel).count()
+    }
+    timed(fam, tier, "apply", incN) {
+      graft.store.GramIndex.append(setsOf(verdicts.inserted), gramPath)
+      graft.store.BandIndex.append(
+        pipeline.Dedup.docSketch(verdicts.inserted.select("doc_id", "text")),
+        bandPath)
+      graft.store.CdcStore.append(
+        verdicts.inserted.withColumn("op", lit("I")), 0L, cdcPath)
+      verdicts.inserted.count()
+    }
+    queries.PipelineQueries.releaseCaches()
+    histKeyed.unpersist()
+  }
+
   /** The COMPOSED corpus-construction chain (q_corpus_e2e's core —
     * clean → exact dedup → LSH fuzzy dedup + CC → 8-gram decon →
     * quality filter → split → mix → pack) at 1×/10×/100×: the stages
@@ -488,7 +607,7 @@ object Scaling {
       .getOrElse(Set("text_index", "band_index", "semdedup", "simjoin",
         "substring", "window_rescue", "ivf_index", "salted_store",
         "minhash_lsh", "containment", "gram_index", "gram_batch",
-        "corpus_e2e"))
+        "gram_joint", "corpus_e2e", "refresh_e2e", "refresh_corpus"))
     val repeats = args.lift(3).map(_.trim.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val calibPre = Calib.bracketAll(cpus.toInt)
@@ -522,7 +641,10 @@ object Scaling {
       if (fams("containment")) famContainment(spark, docs, nDocs, tier)
       if (fams("gram_index")) famGramIndex(spark, docs, nDocs, tier, tmp)
       if (fams("gram_batch")) famGramBatch(spark, tier, tmp)
+      if (fams("gram_joint")) famGramJoint(spark, tier, tmp)
       if (fams("corpus_e2e")) famCorpusE2e(spark, docs, nDocs, tier)
+      if (fams("refresh_e2e")) famRefresh(spark, tier, tmp, 50000L, 500L * tier, "refresh_e2e")
+      if (fams("refresh_corpus")) famRefresh(spark, tier, tmp, 5000L * tier, 500L, "refresh_corpus")
       spark.catalog.clearCache()
     }
     // untimed warm-up on tiny data: JIT/codegen/committer first-touch
