@@ -128,6 +128,21 @@ object Scaling {
     * the r14 tier-1 rows read 5-20× their steady state). */
   private var warming = false
 
+  /** Record an externally-measured phase (same min-keeping rule as
+    * [[timed]]) — for stage timings harvested from inside an operator
+    * (e.g. the gram probe's stageTimer) rather than around it. */
+  private def record(family: String, tier: Int, phase: String,
+                     rows: Long, sec: Double, out: Long = 0L): Unit = {
+    if (!warming) {
+      val i = results.indexWhere(m =>
+        m.family == family && m.tier == tier && m.phase == phase)
+      if (i < 0) results += M(family, tier, phase, rows, sec, out)
+      else if (sec < results(i).sec) results(i) = M(family, tier, phase, rows, sec, out)
+    }
+    val tag = if (warming) ""","warmup":true""" else ""
+    println(f"""{"family":"$family","tier":$tier,"phase":"$phase","rows":$rows,"sec":$sec%.2f,"out_rows":$out$tag}""")
+  }
+
   /** Repeated invocations of the same (family, tier, phase) keep the MIN
     * — the standard noise-floor estimator on a shared box whose host
     * contention is one-sided (times inflate, never deflate). */
@@ -162,6 +177,25 @@ object Scaling {
     }
     timed("text_index", tier, "probe_bm25", n) {
       pipeline.TextIndex.searchRanked(s, path, Seq("w1", "w5", "w13"), b = 0.75).count()
+    }
+    // APPEND on the corpus axis: a fixed 151-doc batch against the
+    // ∝N-sharded base — the row that exposed the O(nShards) commit
+    // floor on gram/band in r16 (165s for the same insert at 6400
+    // shards) and must now be FLAT: a delta-segment append is one file
+    // commit at any shard count. The appended segment is removed after
+    // (delta dir delete — the famRefresh undo rule), so repeats and
+    // the probes above see the same store.
+    val batch = synthBatch(s, n, 151L).persist()
+    batch.count() // materialize outside the timed append
+    timed("text_index", tier, "append", n) {
+      pipeline.TextIndex.write(batch, path, mode = "append"); 151L
+    }
+    batch.unpersist()
+    locally {
+      val d = new org.apache.hadoop.fs.Path(
+        s"$path/${pipeline.TextIndex.DeltaDir}")
+      val fs = d.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(d)) fs.delete(d, true)
     }
   }
 
@@ -393,9 +427,25 @@ object Scaling {
     setsOf(synthBatch(s, corpusN, batchN))
       .write.mode("overwrite").parquet(setsPath)
     val batchSets = s.read.parquet(setsPath)
+    // STAGE ATTRIBUTION rides the same run: the probe's first two
+    // stages execute eagerly at construction (stageTimer hooks them),
+    // the remainder of the timed action is the verify join — so the
+    // joint-axis worst case is one number PLUS the stage that owns it
+    // (dfs/prefix read vs postings/candidate cut vs profiles verify)
+    val stages = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var total = 0.0
     timed("gram_joint", tier, "probe", batchN) {
-      graft.store.GramIndex.probeContainment(s, path, batchSets).count()
+      val t0 = System.nanoTime()
+      val out = graft.store.GramIndex.probeContainment(s, path, batchSets,
+        stageTimer = (st, sec) => stages(st) = sec).count()
+      total = (System.nanoTime() - t0) / 1e9
+      out
     }
+    stages.foreach { case (st, sec) =>
+      record("gram_joint", tier, s"stage_$st", batchN, sec)
+    }
+    record("gram_joint", tier, "stage_verify", batchN,
+      math.max(0.0, total - stages.values.sum))
   }
 
   /** The INCREMENTAL refresh chain (q_refresh_e2e's gen-1 core —
@@ -482,6 +532,22 @@ object Scaling {
       graft.store.CdcStore.append(
         verdicts.inserted.withColumn("op", lit("I")), 0L, cdcPath)
       verdicts.inserted.count()
+    }
+    // UNDO the timed appends (untimed): the per-tier stores are reused
+    // across the warm-up pass and every repeat, and re-appending the
+    // SAME inserted doc_ids each invocation would violate the stores'
+    // disjoint-doc append contract (duplicate profiles/postings/bands,
+    // double-counted delta dfs) and inflate later repeats' delta reads
+    // — every pass must see the store state the base build left. The
+    // appends land ONLY as delta dirs (gram/band: unfolded `delta/seg_*`
+    // segments; CDC: the `delta/seq=N` generation — nothing in this
+    // family reads it back), so deleting those dirs restores exactly
+    // the post-build state with no rewrite.
+    val hcf = s.sessionState.newHadoopConf()
+    Seq(s"$gramPath/delta", s"$bandPath/delta", s"$cdcPath/delta").foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(hcf)
+      if (fs.exists(p)) fs.delete(p, true)
     }
     queries.PipelineQueries.releaseCaches()
     histKeyed.unpersist()

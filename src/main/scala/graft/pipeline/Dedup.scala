@@ -284,10 +284,19 @@ object Dedup {
     * callers with degenerate band values (e.g. all-black thumbnails
     * hashing to 0) should pre-filter those, visible via the stage-1
     * group sizes. `cache` wraps the shared group frame (three
-    * consumers); identity is fine under a caller-level persist. */
+    * consumers); identity is fine under a caller-level persist.
+    *
+    * `bucketStat`: the no-silent-caps discipline applied to a NO-CAP
+    * operator — pass an `Observation` and the band join reports
+    * `max_bucket` (largest (band, bits) bucket, in DISTINCT hashes) and
+    * `n_buckets` alongside the run, so a degenerate-hash corpus (one
+    * hot band value → in-bucket m²/2 expansion) surfaces as a NUMBER
+    * before it surfaces as an OOM/straggler. Free: the metrics ride
+    * the existing bucket aggregation, no extra pass. */
   def hammingNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
                           k: Int,
-                          cache: DataFrame => DataFrame = identity): DataFrame = {
+                          cache: DataFrame => DataFrame = identity,
+                          bucketStat: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val bands = hammingBandRanges(k)
     val groups = cache(hashes.groupBy(col(hashCol).as("__h"))
       .agg(sort_array(collect_set(col(idCol))).as("__ids")))
@@ -302,8 +311,11 @@ object Dedup {
           shiftrightunsigned(col("__h"), off).bitwiseAND(lit(mask)).as("bits"))
       }: _*)).as("bb"))
       .select(col("__h"), col("bb.band").as("band"), col("bb.bits").as("bits"))
-    val hashPairs = banded.groupBy("band", "bits")
+    val buckets = banded.groupBy("band", "bits")
       .agg(collect_set(col("__h")).as("hs"))
+    val hashPairs = bucketStat.fold(buckets)(o => buckets.observe(o,
+        coalesce(max(size(col("hs"))), lit(0)).as("max_bucket"),
+        count(lit(1)).as("n_buckets")))
       .filter(size(col("hs")) > 1)
       .select(explode(candidatePairsOf(array_sort(col("hs")))).as("p"))
       .select(col("p.a").as("__ha"), col("p.b").as("__hb"))

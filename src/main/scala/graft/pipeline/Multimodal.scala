@@ -402,6 +402,25 @@ object Multimodal {
     * the generator constants and the trimmed clip's bytes are
     * identical to the original's frames 1..n−1, so a SQL oracle
     * replays every hash and both multiset overlaps codec-free. */
+  /** Per-keyframe aHash list of ONE synthesized clip — the shared real
+    * path of [[synthVideoSeqHashes]] and [[synthVideoSeqFrameHashes]]:
+    * nf PNG frames → real ISO-BMFF container → stsc-walk demux →
+    * ImageIO decode → 8×8 thumbnail → aHash64 per keyframe. */
+  private def clipFrameHashes(w: Int, h: Int, nf: Int,
+                              px: (Int, Int) => Long): IndexedSeq[Long] = {
+    val frames = (0 until nf).map(f => ImageCodec.encodeGrayPng(
+      Array.tabulate(w * h)(i => px(f, i).toByte), w, h))
+    val mp4 = VideoContainer.encodeMp4Frames(
+      w, h, timescale = 600, sampleDelta = 25, frames)
+    val ranges = VideoContainer.videoSampleRanges(mp4)
+    (0 until nf).map { f =>
+      val (off, sz) = ranges(f)
+      val (dw, dh, dec) = ImageCodec.decodeGray(
+        java.util.Arrays.copyOfRange(mp4, off.toInt, (off + sz).toInt))
+      ImageCodec.aHash64(ImageCodec.resizeNearest(dec, dw, dh, 8, 8))
+    }
+  }
+
   def synthVideoSeqHashes(documents: DataFrame)(implicit s: SparkSession): Dataset[VideoSeqHash] = {
     import s.implicits._
     documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
@@ -409,19 +428,8 @@ object Multimodal {
         val w = (16 + id % 32).toInt
         val h = (16 + id % 24).toInt
         val n = (4 + id % 6).toInt
-        def clipHashes(nf: Int, px: (Int, Int) => Long): IndexedSeq[Long] = {
-          val frames = (0 until nf).map(f => ImageCodec.encodeGrayPng(
-            Array.tabulate(w * h)(i => px(f, i).toByte), w, h))
-          val mp4 = VideoContainer.encodeMp4Frames(
-            w, h, timescale = 600, sampleDelta = 25, frames)
-          val ranges = VideoContainer.videoSampleRanges(mp4)
-          (0 until nf).map { f =>
-            val (off, sz) = ranges(f)
-            val (dw, dh, dec) = ImageCodec.decodeGray(
-              java.util.Arrays.copyOfRange(mp4, off.toInt, (off + sz).toInt))
-            ImageCodec.aHash64(ImageCodec.resizeNearest(dec, dw, dh, 8, 8))
-          }
-        }
+        def clipHashes(nf: Int, px: (Int, Int) => Long): IndexedSeq[Long] =
+          clipFrameHashes(w, h, nf, px)
         def pa(f: Int, i: Int): Long = (id * 31 + f * 7 + i) % 256
         val a = clipHashes(n, pa)
         val b = clipHashes(n - 1, (f, i) => pa(f + 1, i))
@@ -437,6 +445,39 @@ object Multimodal {
         VideoSeqHash(id, n.toLong, mab, mac, mid,
           if (mab * 4L >= (n - 1).toLong * 3L) 1L else 0L,
           if (mac * 4L >= (n - 1).toLong * 3L) 1L else 0L)
+      }
+    }
+  }
+
+  /** The CORPUS form of the video-sequence hashes — one row per
+    * (clip, keyframe) with the clip's 64-bit frame aHash, the input
+    * [[graft.pipeline.Dedup.hammingNearDupPairs]]-style corpus matching
+    * consumes (closing the scaladoc promise above: downstream matching
+    * is a banded join over these 8-byte hashes, never a payload join).
+    * Per video doc three clips land as separate corpus rows — the
+    * original (clip_id = doc_id), its first-frame-TRIMMED copy
+    * (+100000; frames byte-identical to the original's 1..n−1 through
+    * the REAL container encode→demux→decode path) and unrelated
+    * content (+200000) — so a cross-clip join must recover exactly the
+    * planted (id, id+100000) pairs under the ≥3/4 multiset-overlap
+    * verify. Same narrow mapPartitions scale shape as every codec
+    * stage; the hash rows are 16 bytes each through any shuffle. */
+  def synthVideoSeqFrameHashes(documents: DataFrame)(implicit s: SparkSession): Dataset[VideoFrameHashRow] = {
+    import s.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.flatMap { id =>
+        val w = (16 + id % 32).toInt
+        val h = (16 + id % 24).toInt
+        val n = (4 + id % 6).toInt
+        def pa(f: Int, i: Int): Long = (id * 31 + f * 7 + i) % 256
+        def rows(off: Long, hs: IndexedSeq[Long]) =
+          hs.zipWithIndex.map { case (fh, f) =>
+            VideoFrameHashRow(id + off, f.toLong, fh)
+          }
+        rows(0L, clipFrameHashes(w, h, n, pa)) ++
+          rows(100000L, clipFrameHashes(w, h, n - 1, (f, i) => pa(f + 1, i))) ++
+          rows(200000L, clipFrameHashes(w, h, n,
+            (f, i) => (id * 37 + f * 11 + 5L * i) % 256))
       }
     }
   }
@@ -498,6 +539,10 @@ final case class VideoSeqHash(doc_id: Long, n_frames: Long,
                               matched_ab: Long, matched_ac: Long,
                               mid_ab: Long, near_seq_ab: Long,
                               near_seq_ac: Long)
+
+/** One (clip, keyframe) hash row — the corpus form video near-dup
+  * matching joins on (see `synthVideoSeqFrameHashes`). */
+final case class VideoFrameHashRow(clip_id: Long, f: Long, fh: Long)
 
 /** One decoded video frame: schedule slot `k`, demuxed frame index, and
   * features from the REAL ImageIO decode of the frame's sample bytes. */

@@ -65,6 +65,83 @@ object TextIndex {
     (root.getFileSystem(spark.sessionState.newHadoopConf()), root)
   }
 
+  // ---- delta segments (the append grain) -----------------------------
+
+  /** Unfolded append segments live under `_delta/seg_*` — underscore-
+    * prefixed so the sharded root keeps reading clean (Spark's file
+    * listing skips `_`-prefixed dirs, the `_deletes` trick), each
+    * segment ONE single-file parquet layer of plain posting rows
+    * (t, doc_id, tf, dl, positions), published atomically by rename.
+    * This is the GramIndex/BandIndex delta discipline ported to the
+    * text index: the previous sharded append paid ~one file commit per
+    * touched shard — the O(nShards) LSM commit floor the r16 scale
+    * harness measured at 165s for a 151-doc insert on a 6400-shard
+    * gram base (a realistic micro-batch's terms touch nearly every
+    * shard), re-paid here by EVERY streaming text micro-batch. A
+    * segment costs one file commit; probes union the (bounded) delta
+    * under their own term filters; [[compact]] folds segments into the
+    * sharded base — O(touched shards) once per compact cadence. */
+  val DeltaDir = "_delta"
+
+  /** Marker for an in-flight delta fold (see [[compact]]): while it
+    * stands, segment rows may exist in BOTH the sharded base and the
+    * delta, so probes refuse loudly instead of double-counting tf. */
+  val FoldingMarker = "_text_folding"
+
+  private val PostingsCols = Seq("t", "doc_id", "tf", "dl", "positions")
+
+  /** One parquet frame over all published delta segments — None when no
+    * segment exists. In-flight publishes sit at dot-prefixed `.tmp_*`
+    * (invisible: only explicit `seg_*` dirs are globbed). */
+  private def deltaPostings(spark: SparkSession, path: String): Option[DataFrame] = {
+    val d = new org.apache.hadoop.fs.Path(path, DeltaDir)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(d)) None
+    else {
+      val segs = fs.listStatus(d).map(_.getPath)
+        .filter(_.getName.startsWith("seg_"))
+      if (segs.isEmpty) None
+      else Some(spark.read.parquet(segs.map(_.toString).toSeq: _*))
+    }
+  }
+
+  /** Whether unfolded append segments exist (the fold-pending signal —
+    * [[compactIfNeeded]]'s delta arm and [[merge]]'s fold-first rule). */
+  def hasDeltaSegments(spark: SparkSession, path: String): Boolean =
+    deltaAdvisory(spark, path)._1 > 0
+
+  /** Delta accumulation advisory: (published segment count, delta
+    * bytes). Every probe unions EVERY published segment, so a caller
+    * that appends per-micro-batch and never compacts converts the
+    * removed write amplification into unbounded read amplification —
+    * this is the number that tells them (the `needsCompaction`
+    * discipline applied to the delta layer). Pure driver listing. */
+  def deltaAdvisory(spark: SparkSession, path: String): (Long, Long) = {
+    val d = new org.apache.hadoop.fs.Path(path, DeltaDir)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(d)) (0L, 0L)
+    else {
+      val segs = fs.listStatus(d).filter(_.getPath.getName.startsWith("seg_"))
+      val bytes = segs.map(s =>
+        fs.listStatus(s.getPath).filter(_.isFile).map(_.getLen).sum).sum
+      (segs.length.toLong, bytes)
+    }
+  }
+
+  /** The pruned LIVE postings a probe reads: the named terms' shards of
+    * the sharded base (listing-pruned at construction) UNIONed with the
+    * delta segments under the same term filter — one bounded delta scan,
+    * never a corpus read — tombstones anti-joined over the whole. */
+  private def probePostings(spark: SparkSession, path: String,
+                            shards: Seq[Long], flt: DataFrame => DataFrame): DataFrame = {
+    val base = flt(graft.store.SaltedStore.readPartitions(spark, path, shards,
+      partitionPrefix = "shard")).select(PostingsCols.map(col): _*)
+    val all = deltaPostings(spark, path)
+      .map(d => base.unionByName(flt(d).select(PostingsCols.map(col): _*)))
+      .getOrElse(base)
+    live(all, spark, path)
+  }
+
   /** Build the index from `docs(doc_id, text)`: tokenize, count term
     * frequency per (term, doc), shard by term hash, write sorted
     * postings. The manifest lands strictly after the data (matching
@@ -74,7 +151,10 @@ object TextIndex {
     * existing layout — and requires batches with DISJOINT doc sets (the
     * same contract as any append ingest); [[searchAll]] aggregates per
     * doc across files, so a doc whose postings span batches still sums
-    * correctly.
+    * correctly. An append onto an EXISTING layout lands as ONE atomic
+    * DELTA SEGMENT ([[DeltaDir]]) — one file commit per micro-batch
+    * instead of the O(nShards) sharded-write floor — which probes union
+    * under their term filters and [[compact]] folds into the base.
     *
     * Single corpus pass: the tokenize→shuffle lineage executes exactly
     * once (the parquet write). The doc count the manifest needs for idf
@@ -139,7 +219,7 @@ object TextIndex {
     // no second tokenize of an appended batch. Batches append DISJOINT
     // doc sets (the ingest contract), so stored + observed is exact.
     val obs = org.apache.spark.sql.Observation()
-    docs
+    val rows = docs
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("dl"),
         posexplode(col("toks")).as(Seq("pos", "t")))
@@ -148,10 +228,37 @@ object TextIndex {
         count(lit(1)).as("tokens"))
       .groupBy("t", "doc_id").agg(count(lit(1)).as("tf"), max("dl").as("dl"),
         sort_array(collect_list(col("pos"))).as("positions"))
-      .withColumn("shard", shardOf(col("t"), nShards))
-      .repartition(col("shard"))
-      .sortWithinPartitions("t", "doc_id")
-      .write.partitionBy("shard").mode(mode).parquet(path)
+    if (mode == "append" && storedShards(spark, path).nonEmpty) {
+      // append onto an EXISTING layout = one atomic delta segment: one
+      // file commit per batch instead of ~one per touched shard (the
+      // O(nShards) commit floor — see [[DeltaDir]]). A fresh path still
+      // takes the sharded branch below (the bootstrap append the
+      // streaming writer's first batch makes creates the layout).
+      val (fs, root) = fsOf(spark, path)
+      require(!fs.exists(new org.apache.hadoop.fs.Path(root, FoldingMarker)),
+        s"append: $path has an in-flight delta fold ($FoldingMarker) — " +
+          "re-run TextIndex.compact to finish it")
+      val segId = java.lang.Long.toHexString(System.nanoTime()) +
+        s"_p${ProcessHandle.current().pid()}"
+      val tmp = new org.apache.hadoop.fs.Path(root, s"$DeltaDir/.tmp_$segId")
+      rows.repartition(1).sortWithinPartitions("t", "doc_id")
+        .write.mode("overwrite").parquet(tmp.toString)
+      val seg = new org.apache.hadoop.fs.Path(root, s"$DeltaDir/seg_$segId")
+      require(fs.rename(tmp, seg), s"text append: publishing $seg failed")
+    } else {
+      rows
+        .withColumn("shard", shardOf(col("t"), nShards))
+        .repartition(col("shard"))
+        .sortWithinPartitions("t", "doc_id")
+        .write.partitionBy("shard").mode(mode).parquet(path)
+      if (mode != "append") {
+        // an overwrite replaces the GENERATION: unfolded segments of the
+        // replaced index would resurrect replaced postings — purge them
+        // AFTER the new layout commits (the GramIndex purge-last rule)
+        val (fs, root) = fsOf(spark, path)
+        fs.delete(new org.apache.hadoop.fs.Path(root, DeltaDir), true)
+      }
+    }
     val m = obs.get
     val (n, tokens) =
       (prevDocs + m("docs").asInstanceOf[Long],
@@ -197,9 +304,14 @@ object TextIndex {
     // and cost nothing; dl is per-doc constant, max() survives the
     // file split. One column-pruned postings scan per delete batch.
     val t = tombstones(spark, path).get
-    val affected = graft.store.SaltedStore
+    // the recount must see DELTA postings too — a delete may target a
+    // doc whose postings still sit in an unfolded append segment
+    val baseDl = graft.store.SaltedStore
       .read(spark, path, partitionPrefix = "shard")
       .select("doc_id", "dl")
+    val allDl = deltaPostings(spark, path)
+      .map(d => baseDl.unionByName(d.select("doc_id", "dl"))).getOrElse(baseDl)
+    val affected = allDl
       .join(broadcast(t), Seq("doc_id"), "left_semi")
       .groupBy("doc_id").agg(max("dl").as("dl"))
       .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
@@ -257,6 +369,35 @@ object TextIndex {
     * vector index). */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val nShardsM = storedShards(spark, path).getOrElse(
+      throw new IllegalStateException(s"no text index at $path"))
+    val (fsF, rootF) = fsOf(spark, path)
+    val foldMarker = new org.apache.hadoop.fs.Path(rootF, FoldingMarker)
+    if (fsF.exists(foldMarker)) {
+      // a previous fold crashed mid-append: segment rows may now exist
+      // in BOTH the sharded base and the delta. Recover through the
+      // staged full rewrite (reshard at the unchanged count): it unions
+      // base ∪ delta, dedups the crash-duplicated rows, folds
+      // tombstones and recounts the manifest before the atomic swap.
+      reshard(spark, path, nShardsM)
+      fsF.delete(foldMarker, false)
+      return
+    }
+    deltaPostings(spark, path).foreach { d =>
+      // fold published append segments into the sharded base — the
+      // O(touched shards) commit cost paid ONCE per compact cadence
+      // instead of once per append. Probes refuse the fold window
+      // (layoutShards checks the marker); pause in-flight probes too
+      // (the gram/band fold discipline — a lazily-executing probe
+      // constructed pre-marker could read a segment from both sides).
+      fsF.create(foldMarker, true).close()
+      d.select(PostingsCols.map(col): _*)
+        .withColumn("shard", shardOf(col("t"), nShardsM))
+        .repartition(col("shard")).sortWithinPartitions("t", "doc_id")
+        .write.mode("append").partitionBy("shard").parquet(path)
+      fsF.delete(new org.apache.hadoop.fs.Path(rootF, DeltaDir), true)
+      fsF.delete(foldMarker, false)
+    }
     val del = tombstones(spark, path)
     graft.store.SaltedStore.compact(spark, path, col("t"), targetBytes,
       partitionPrefix = "shard",
@@ -282,10 +423,15 @@ object TextIndex {
     * Returns whether a compaction ran. */
   def compactIfNeeded(spark: SparkSession, path: String,
                       targetBytes: Long = 128L * 1024 * 1024,
-                      maxFilesPerShard: Int = 4): Boolean = {
+                      maxFilesPerShard: Int = 4,
+                      maxDeltaSegments: Int = 8): Boolean = {
     val need = hasPendingDeletes(spark, path) ||
       graft.store.SaltedStore.needsCompaction(
-        spark, path, maxFilesPerShard, partitionPrefix = "shard")
+        spark, path, maxFilesPerShard, partitionPrefix = "shard") ||
+      // appends land as delta segments now, so the per-shard file count
+      // no longer grows between compactions — the accumulation signal
+      // moved to the delta layer (every probe unions every segment)
+      deltaAdvisory(spark, path)._1 > maxDeltaSegments
     if (need) compact(spark, path, targetBytes)
     need
   }
@@ -322,8 +468,13 @@ object TextIndex {
         s"text index at $p has layout format ${f.getOrElse(1)}, merge " +
           s"requires $Format — re-index first")
     }
-    if (hasPendingDeletes(spark, destPath)) compact(spark, destPath)
-    if (hasPendingDeletes(spark, srcPath)) compact(spark, srcPath)
+    // fold pending tombstones AND unfolded delta segments first: the
+    // src read below sees only the sharded base, and totals add over
+    // live postings only
+    if (hasPendingDeletes(spark, destPath) || hasDeltaSegments(spark, destPath))
+      compact(spark, destPath)
+    if (hasPendingDeletes(spark, srcPath) || hasDeltaSegments(spark, srcPath))
+      compact(spark, srcPath)
     val src = graft.store.SaltedStore.read(spark, srcPath, partitionPrefix = "shard")
     if (checkDisjoint) {
       val dest = graft.store.SaltedStore.read(spark, destPath, partitionPrefix = "shard")
@@ -473,11 +624,10 @@ object TextIndex {
       s"text index at $path has no LIVE documents (every doc is " +
         "tombstoned; run compact() to fold deletes) — nothing to rank")
     val shards = terms.map(shardOfTerm(_, nShards)).distinct
-    val postings = live(
-      graft.store.SaltedStore.readPartitions(spark, path, shards, partitionPrefix = "shard")
-        .filter(col("t").isin(terms: _*)), spark, path)
-      // re-aggregate per (t, doc): append-safe (postings may span files);
-      // dl is per-doc constant, max() just survives the file split
+    val postings = probePostings(spark, path, shards,
+        _.filter(col("t").isin(terms: _*)))
+      // re-aggregate per (t, doc): append-safe (postings may span files
+      // and delta segments); dl is per-doc constant, max() survives
       .groupBy("t", "doc_id").agg(sum("tf").as("tf"), max("dl").as("dl"))
     val df = postings.groupBy("t").agg(count_distinct(col("doc_id")).as("df"))
     // saturation denominator: tf + k1·(1−b + b·dl/avgdl); at b=0 the
@@ -542,8 +692,7 @@ object TextIndex {
     require(terms.nonEmpty, "termDf needs at least one term")
     val nShards = layoutShards(spark, path)
     val shards = terms.map(shardOfTerm(_, nShards)).distinct
-    live(graft.store.SaltedStore.readPartitions(spark, path, shards, partitionPrefix = "shard")
-        .filter(col("t").isin(terms: _*)), spark, path)
+    probePostings(spark, path, shards, _.filter(col("t").isin(terms: _*)))
       .groupBy("t").agg(count_distinct(col("doc_id")).as("df"))
   }
 
@@ -578,8 +727,7 @@ object TextIndex {
                            terms: Seq[String]): DataFrame = {
     val nShards = layoutShards(spark, path)
     val shards = terms.map(shardOfTerm(_, nShards)).distinct
-    live(graft.store.SaltedStore.readPartitions(spark, path, shards, partitionPrefix = "shard")
-        .filter(col("t").isin(terms: _*)), spark, path)
+    probePostings(spark, path, shards, _.filter(col("t").isin(terms: _*)))
       .select(col("doc_id").as("__ex_id")).distinct()
   }
 
@@ -598,6 +746,11 @@ object TextIndex {
     require(!fs.exists(new org.apache.hadoop.fs.Path(root, ReshardMarker)),
       s"probe: $path has an in-flight shard migration ($ReshardMarker) — " +
         "re-invoke TextIndex.reshard with the original shard count to finish it")
+    // a mid-fold delta has segment rows on BOTH sides — a probe would
+    // double-count tf; refuse loudly (the GramIndex fold discipline)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, FoldingMarker)),
+      s"probe: $path has an in-flight delta fold ($FoldingMarker) — " +
+        "re-run TextIndex.compact to finish it")
     storedShards(spark, path).getOrElse(throw new IllegalStateException(
       s"no $ManifestFile manifest at $path — not a graft text index " +
         "(the shard count is a stored layout parameter; a probe cannot guess it)"))
@@ -625,17 +778,30 @@ object TextIndex {
     // on a RESUME the marker stands and layoutShards refuses by design —
     // only a fresh start validates the old layout
     val (fs0, root0) = fsOf(spark, path)
-    if (!fs0.exists(new org.apache.hadoop.fs.Path(root0, ReshardMarker)))
-      layoutShards(spark, path) // fail loudly if this is not an index
+    if (!fs0.exists(new org.apache.hadoop.fs.Path(root0, ReshardMarker)) &&
+        !fs0.exists(new org.apache.hadoop.fs.Path(root0, FoldingMarker)))
+      // storedShards, not layoutShards: reshard is also compact's
+      // recovery path for a crashed delta fold (runs under FoldingMarker)
+      require(storedShards(spark, path).nonEmpty, s"no text index at $path")
     graft.store.StagedSwap.migrate(spark, path, ReshardMarker,
       ".reshard_new", ".reshard_old",
       opName = "reshard", what = "shard count", tag = s"shards=$newShards",
       // whole root is generation-owned: shard dirs, manifest, tombstones
       parkFilter = _ => true, swapFilter = _ => true,
       stage = { staging =>
-        val postings = live(
-          graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
-            .drop("shard"), spark, path)
+        // base ∪ unfolded delta, DISTINCT: a crashed fold may have the
+        // same segment rows on both sides — the rewrite dedups them
+        // (identical (t, doc, tf, dl, positions) rows, so distinct is
+        // exact; under the disjoint-doc append contract no LEGITIMATE
+        // duplicate posting row exists to collapse)
+        val baseP = graft.store.SaltedStore
+          .read(spark, path, partitionPrefix = "shard")
+          .select(PostingsCols.map(col): _*)
+        val allP = deltaPostings(spark, path)
+          .map(d => baseP.unionByName(d.select(PostingsCols.map(col): _*))
+            .distinct())
+          .getOrElse(baseP)
+        val postings = live(allP, spark, path)
         postings
           .withColumn("shard", shardOf(col("t"), newShards))
           .repartition(col("shard"))
@@ -667,9 +833,8 @@ object TextIndex {
     val shards = terms.map(shardOfTerm(_, nShards)).distinct
     import spark.implicits._
     val slots = phrase.zipWithIndex.map { case (t, i) => (i, t) }.toDF("slot", "st")
-    val fetched = live(
-      graft.store.SaltedStore.readPartitions(spark, path, shards, partitionPrefix = "shard")
-        .filter(col("t").isin(terms: _*)), spark, path)
+    val fetched = probePostings(spark, path, shards,
+        _.filter(col("t").isin(terms: _*)))
       // append-safe: a doc's postings may span appended micro-batch files
       .groupBy("t", "doc_id")
       .agg(sort_array(flatten(collect_list(col("positions")))).as("positions"))
@@ -713,9 +878,8 @@ object TextIndex {
     val shards = dterms.map(shardOfTerm(_, nShards)).distinct
     import spark.implicits._
     val slots = dterms.zipWithIndex.map { case (t, i) => (i, t) }.toDF("slot", "st")
-    val fetched = live(
-      graft.store.SaltedStore.readPartitions(spark, path, shards, partitionPrefix = "shard")
-        .filter(col("t").isin(dterms: _*)), spark, path)
+    val fetched = probePostings(spark, path, shards,
+        _.filter(col("t").isin(dterms: _*)))
       // append-safe: a doc's postings may span appended micro-batch files
       .groupBy("t", "doc_id")
       .agg(sort_array(flatten(collect_list(col("positions")))).as("positions"))
@@ -749,8 +913,13 @@ object TextIndex {
   def searchPrefix(spark: SparkSession, path: String, prefix: String): DataFrame = {
     require(prefix.nonEmpty, "searchPrefix needs a non-empty prefix")
     layoutShards(spark, path) // fail loudly on a foreign/incomplete dir
-    live(graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
-        .filter(col("t").startsWith(prefix)), spark, path)
+    val base = graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
+      .filter(col("t").startsWith(prefix)).select(PostingsCols.map(col): _*)
+    val all = deltaPostings(spark, path)
+      .map(d => base.unionByName(
+        d.filter(col("t").startsWith(prefix)).select(PostingsCols.map(col): _*)))
+      .getOrElse(base)
+    live(all, spark, path)
       // append-safe: re-aggregate per (t, doc) before counting df
       .groupBy("t", "doc_id").agg(sum("tf").as("tf"))
       .groupBy("t").agg(count(lit(1)).as("df"), sum("tf").as("total_tf"))
@@ -769,8 +938,7 @@ object TextIndex {
     // SaltedStore's marker-aware read on the shard layout: a probe during
     // (or after a crash of) compact waits out the swap instead of
     // silently missing a shard
-    live(graft.store.SaltedStore.readPartitions(spark, path, shards, partitionPrefix = "shard")
-        .filter(col("t").isin(terms: _*)), spark, path)
+    probePostings(spark, path, shards, _.filter(col("t").isin(terms: _*)))
       .groupBy("doc_id")
       // count_distinct, not count: a doc whose postings span appended
       // micro-batch files carries one row per (term, file-batch)

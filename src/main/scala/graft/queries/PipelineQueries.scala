@@ -1017,12 +1017,19 @@ object PipelineQueries {
     // table sketches read made a fixed increment's screen grow with
     // the corpus), off the checkpointed candidate set
     val probeSk = Dedup.docSketch(s2.select("doc_id", "text")).persist()
-    val candFz = histScreen.select(col("doc_id").as("a"))
+    // candidates COLLECTED once (increment-bounded): one driver
+    // round-trip instead of the r16 localCheckpoint + sketch-shard
+    // distinct-collect pair — the LocalRelation broadcasts below, and
+    // the candidate sketch shards are driver arithmetic
+    // (sketchesForIds), cutting the probe's fixed per-batch job count
+    import s.implicits._
+    val candFzRows = histScreen.select(col("doc_id").as("a"))
       .join(broadcast(graft.store.BandIndex.probeCandidates(
         s, bandPath, bandRows(probeSk, "doc_id"), "doc_id")), Seq("a"))
-      .localCheckpoint()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val candFz = candFzRows.toDF("a", "b")
     val fuzzyDrop = graft.store.BandIndex
-      .sketchesFor(s, bandPath, candFz.select("a"))
+      .sketchesForIds(s, bandPath, candFzRows.map(_._1).distinct)
       .select(col("doc_id").as("a"), col("sh").as("sha"))
       .join(broadcast(candFz), Seq("a"))
       .join(broadcast(probeSk.select(col("doc_id").as("b"), col("sh").as("shb"))), Seq("b"))
@@ -1153,6 +1160,18 @@ object PipelineQueries {
         col("lang"), col("source"))
       .persist()
     val histKeyed = refreshHistKeyed(docs).persist()
+    // the planted classes live at doc_id + 100000·class and the oracle
+    // splits gen-1/gen-2 bands at those offsets, while the manifest
+    // joins drop frames by doc_id alone — a corpus whose ids reach the
+    // first offset would CROSS-ASSIGN verdicts and silently diverge
+    // from the oracle, so refuse it loudly (this also bounds gen-1
+    // insert ids < 500000, under gen-2's +1000000 band). The agg rides
+    // the cached sidecar this query materializes anyway.
+    val maxId = histKeyed.agg(max(col("doc_id"))).head().getLong(0)
+    require(maxId < 100000L,
+      s"refreshE2e: corpus doc_ids reach $maxId >= 100000 — the planted " +
+        "class offsets (+100000·k) and the oracle's id bands would " +
+        "collide; re-key the corpus or raise the offsets together")
     val delKeys = histKeyed
       .filter(pmod(col("doc_id"), lit(10L)) === 9L).select("doc_id")
     Persisted.swap("refresh_inputs", dir, crawl, histKeyed)
@@ -1240,10 +1259,14 @@ object PipelineQueries {
     val s2b = s1b
       .join(broadcast(contDrop2.select("doc_id")), Seq("doc_id"), "left_anti")
     val probeSk2 = Dedup.docSketch(s2b.select("doc_id", "text")).persist()
-    val candFz2 = graft.store.BandIndex.probeCandidates(
-      s, bandPath, bandRows(probeSk2, "doc_id"), "doc_id").localCheckpoint()
+    // collect-once + driver-side sketch shards (see refreshScreens)
+    import s.implicits._
+    val candFz2Rows = graft.store.BandIndex.probeCandidates(
+        s, bandPath, bandRows(probeSk2, "doc_id"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val candFz2 = candFz2Rows.toDF("a", "b")
     val fuzzyDrop2 = graft.store.BandIndex
-      .sketchesFor(s, bandPath, candFz2.select("a"))
+      .sketchesForIds(s, bandPath, candFz2Rows.map(_._1).distinct)
       .select(col("doc_id").as("a"), col("sh").as("sha"))
       .join(broadcast(candFz2), Seq("a"))
       .join(broadcast(probeSk2.select(col("doc_id").as("b"), col("sh").as("shb"))), Seq("b"))
@@ -4116,6 +4139,67 @@ object PipelineQueries {
         .orderBy("a", "b")
     }),
 
+    // the AUDIO corpus through the same Hamming join — the audio docs'
+    // (doc_id % 3 = 1) spectral fingerprints as separate corpus rows:
+    // original, the EXACT ×2 gain-scaled re-encode (+100000 — hashes
+    // IDENTICALLY by the energy-ratio construction, so the planted
+    // near-dup pair sits at distance 0) and the spectrally-inverted
+    // unrelated clip (+200000 — exactly Hamming 64, safely outside any
+    // radius). Same operator, same plan shape, same brute-force oracle
+    // rule as q_phash_join: banding is an execution strategy, so the
+    // pair set must equal the brute bit_count join exactly.
+    "q_phash_join_audio" -> ((s, dir) => {
+      val ah = Multimodal.synthSpectralAudioHashes(
+        documents(s, dir).filter(pmod(col("doc_id"), lit(3L)) === 1L))(s).toDF()
+      val ht = ah.select(col("doc_id").as("id"), col("fp_a").as("hsh"))
+        .union(ah.select((col("doc_id") + 100000L).as("id"),
+          col("fp_b").as("hsh")))
+        .union(ah.select((col("doc_id") + 200000L).as("id"),
+          col("fp_c").as("hsh")))
+      Dedup.hammingNearDupPairs(ht, "id", "hsh", k = 6,
+        cache = { g =>
+          val p = g.persist()
+          Persisted.swap("phash_join_audio_groups", dir, p)
+          p
+        })
+        .orderBy("a", "b")
+    }),
+
+    // VIDEO SEQUENCE near-dup JOIN — the corpus-scale form of
+    // q_media_videohash_seq's per-row classification: every video doc's
+    // three clips (original / first-frame-trimmed +100000 / unrelated
+    // +200000) land as per-KEYFRAME hash rows through the real
+    // demux+decode path, and cross-clip matching is a bucket join on
+    // the 64-bit frame hash (the degenerate one-band Hamming join —
+    // the trimmed copy's frames are byte-identical, so hash EQUALITY is
+    // the blocking key and the multiset verify is exact, zero false
+    // negatives by construction) followed by the ≥3/4-of-the-shorter-
+    // clip multiset-overlap verify: matched = Σ_h min(cnt_a, cnt_b),
+    // integer cross-multiplied. Plan shape: one (clip, fh) count agg,
+    // one clip-partitioned window for sizes, one hash join on fh —
+    // quadratic only within an fh bucket of clips sharing a frame
+    // hash; hash rows are 16 bytes, never a payload join, no cartesian
+    // (VideoSeqJoinSpec pins the plan and the brute-force parity).
+    "q_videoseq_join" -> ((s, dir) => {
+      val fr = Multimodal.synthVideoSeqFrameHashes(
+        documents(s, dir).filter(pmod(col("doc_id"), lit(3L)) === 2L))(s).toDF()
+      val cnt = fr.groupBy("clip_id", "fh").agg(count(lit(1)).as("c"))
+        .withColumn("n", sum("c").over(Window.partitionBy("clip_id")))
+        .persist()
+      Persisted.swap("videoseq_join_cnt", dir, cnt)
+      cnt.select(col("clip_id").as("a"), col("fh"),
+          col("c").as("ca"), col("n").as("tmp_na"))
+        .join(cnt.select(col("clip_id").as("b"), col("fh"),
+          col("c").as("cb"), col("n").as("tmp_nb")), Seq("fh"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b")
+        .agg(sum(least(col("ca"), col("cb"))).as("matched"),
+          max(col("tmp_na")).as("n_a"), max(col("tmp_nb")).as("n_b"))
+        .filter(col("matched") * 4L >= least(col("n_a"), col("n_b")) * 3L)
+        .select("a", "b", "matched", "n_a", "n_b")
+        .orderBy("a", "b")
+    }),
+
     // scalar-function coverage: strings
     "q_string_funcs" -> ((s, dir) =>
       customer(s, dir).select(
@@ -4624,13 +4708,22 @@ object PipelineQueries {
         graft.store.BandIndex.write(Dedup.docSketch(base), path)
       val probeSketch = Dedup.docSketch(batch).persist()
       Persisted.swap("incr_dedup_indexed", dir, probeSketch)
-      // candidates checkpointed (batch-bounded), verification sets read
-      // from ONLY the candidate docs' sketch shards — the whole-table
-      // sketches read grew the verify with the corpus (see sketchesFor)
-      val cand = graft.store.BandIndex.probeCandidates(
-        s, path, bandRows(probeSketch, "doc_id"), "doc_id").localCheckpoint()
+      // candidates COLLECTED once (batch-bounded by the probe contract):
+      // one driver round-trip replaces the r16 spelling's three fixed
+      // per-probe jobs (localCheckpoint materialization + the sketch-
+      // shard distinct-collect) — the LocalRelation broadcasts into the
+      // verify join for free, and the candidate docs' sketch shards are
+      // pure driver arithmetic (sketchesForIds). The verify still reads
+      // ONLY those shards — the whole-table sketches read grew the
+      // verify with the corpus (see sketchesFor).
+      import s.implicits._
+      val candRows = graft.store.BandIndex.probeCandidates(
+          s, path, bandRows(probeSketch, "doc_id"), "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val cand = candRows.toDF("a", "b")
       incrementalVerdicts(batch, cand,
-        graft.store.BandIndex.sketchesFor(s, path, cand.select("a"))
+        graft.store.BandIndex
+          .sketchesForIds(s, path, candRows.map(_._1).distinct)
           .select(col("doc_id").as("a"), col("sh").as("sha")), probeSketch)
     }),
 
@@ -7394,6 +7487,108 @@ object PipelineQueries {
                            unnest(ga.ids) AS ua(ia), unnest(gb.ids) AS ub(ib))
             SELECT a, b, hamming FROM
               (SELECT * FROM within UNION ALL SELECT * FROM crossg)
+            ORDER BY a, b"""
+      },
+
+      "q_phash_join_audio" -> {
+        // the q_media_audiohash_spectral fingerprint replay restricted
+        // to audio docs, then the q_phash_join brute-force pair rule
+        // over distinct hashes + id-group expansion — the band join is
+        // an execution strategy, the pair SET is the semantic
+        val packed = (e: String, t: String) =>
+          s"""CAST(sum(CASE WHEN $e * (fs.n - 64) <= $t * (fs.len - 1) THEN 0
+                            WHEN fs.k = 63 THEN -9223372036854775808
+                            ELSE (1::BIGINT << CAST(fs.k AS INTEGER)) END)
+                AS BIGINT)"""
+        s"""WITH d AS (SELECT doc_id, 256 + doc_id % 512 AS n,
+                  ((doc_id + 7) * 2654435761) % 4294967296 AS ws
+                FROM documents WHERE doc_id % 3 = 1),
+              f AS (SELECT doc_id, n, k,
+                      (k * n) // 64 AS lo, ((k + 1) * n) // 64 AS hi,
+                      CASE WHEN k % 32 = 31 THEN 1 WHEN k % 32 = 0 THEN 0
+                           ELSE (ws // (1::BIGINT << CAST(k % 32 AS INTEGER))) % 2
+                      END AS sp
+                    FROM d CROSS JOIN (SELECT unnest(range(64)) AS k)),
+              fs AS (SELECT doc_id, n, k, hi - lo AS len,
+                       CASE WHEN sp = 1 THEN 32 * (hi - lo - 1) ELSE 0 END AS ea,
+                       CASE WHEN sp = 1 THEN 64 * (hi - lo - 1) ELSE 0 END AS eb,
+                       CASE WHEN sp = 0 THEN 32 * (hi - lo - 1) ELSE 0 END AS ec
+                     FROM f),
+              t AS (SELECT doc_id, sum(ea) AS ta, sum(eb) AS tb,
+                      sum(ec) AS tc
+                    FROM fs GROUP BY doc_id),
+              fp AS (SELECT fs.doc_id,
+                       ${packed("ea", "ta")} AS fp_a,
+                       ${packed("eb", "tb")} AS fp_b,
+                       ${packed("ec", "tc")} AS fp_c
+                     FROM fs JOIN t ON t.doc_id = fs.doc_id
+                     GROUP BY fs.doc_id),
+              ht AS (SELECT doc_id AS id, fp_a AS hsh FROM fp
+                     UNION ALL SELECT doc_id + 100000, fp_b FROM fp
+                     UNION ALL SELECT doc_id + 200000, fp_c FROM fp),
+              g AS (SELECT hsh, list_sort(list(id)) AS ids
+                    FROM ht GROUP BY hsh),
+              within AS (SELECT x.a AS a, y.b AS b, 0::BIGINT AS hamming
+                         FROM g, unnest(g.ids) AS x(a), unnest(g.ids) AS y(b)
+                         WHERE x.a < y.b),
+              hp AS (SELECT x.hsh AS ha, y.hsh AS hb,
+                       CAST(bit_count(xor(x.hsh, y.hsh)) AS BIGINT) AS hamming
+                     FROM g x JOIN g y ON x.hsh < y.hsh
+                     WHERE bit_count(xor(x.hsh, y.hsh)) <= 6),
+              crossg AS (SELECT least(ua.ia, ub.ib) AS a,
+                           greatest(ua.ia, ub.ib) AS b, hp.hamming
+                         FROM hp
+                           JOIN g ga ON ga.hsh = hp.ha
+                           JOIN g gb ON gb.hsh = hp.hb,
+                           unnest(ga.ids) AS ua(ia), unnest(gb.ids) AS ub(ib))
+            SELECT a, b, hamming FROM
+              (SELECT * FROM within UNION ALL SELECT * FROM crossg)
+            ORDER BY a, b"""
+      },
+
+      "q_videoseq_join" -> {
+        // the q_media_videohash_seq per-keyframe hash replay (the
+        // trimmed clip's frames are byte-identical to the original's
+        // 1..n−1, the unrelated clip has its own formula), exploded to
+        // clip rows, then the multiset-overlap join replayed as plain
+        // relational algebra: per-(clip, hash) counts, hash-equality
+        // join, Σ min(counts), ≥3/4-of-shorter verify
+        val idx = "(((k // 8) * h // 8) * w + ((k % 8) * w // 8))"
+        val ta = s"list_transform(range(64), k -> (doc_id * 31 + f * 7 + $idx) % 256)"
+        val tc = s"list_transform(range(64), k -> (doc_id * 37 + f * 11 + 5 * $idx) % 256)"
+        def hashOf(t: String) =
+          s"""CAST(CASE WHEN $t[64] * 64 > list_sum($t)
+                        THEN -9223372036854775808 ELSE 0 END
+               + CAST(list_sum(list_transform(range(63), k ->
+                   CASE WHEN $t[k + 1] * 64 > list_sum($t)
+                        THEN (1::BIGINT << k) ELSE 0::BIGINT END)) AS BIGINT)
+               AS BIGINT)"""
+        s"""WITH g AS (SELECT doc_id, 16 + doc_id % 32 AS w,
+                         16 + doc_id % 24 AS h, 4 + doc_id % 6 AS n
+                       FROM documents WHERE doc_id % 3 = 2),
+              fr AS (SELECT doc_id, w, h, n, unnest(range(n)) AS f FROM g),
+              th AS (SELECT doc_id, n, f, $ta AS ta, $tc AS tc FROM fr),
+              hh AS (SELECT doc_id, n, f, ${hashOf("ta")} AS ha,
+                       ${hashOf("tc")} AS hc FROM th),
+              clips AS (SELECT doc_id AS clip_id, ha AS fh FROM hh
+                        UNION ALL
+                        SELECT doc_id + 100000, ha FROM hh WHERE f >= 1
+                        UNION ALL
+                        SELECT doc_id + 200000, hc FROM hh),
+              cnt AS (SELECT clip_id, fh, count(*) AS c
+                      FROM clips GROUP BY 1, 2),
+              sz AS (SELECT clip_id, count(*) AS n FROM clips GROUP BY 1),
+              pairs AS (SELECT x.clip_id AS a, y.clip_id AS b,
+                          CAST(sum(least(x.c, y.c)) AS BIGINT) AS matched
+                        FROM cnt x JOIN cnt y
+                          ON x.fh = y.fh AND x.clip_id < y.clip_id
+                        GROUP BY 1, 2)
+            SELECT a, b, matched,
+              CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
+            FROM pairs
+              JOIN sz sa ON sa.clip_id = pairs.a
+              JOIN sz sb ON sb.clip_id = pairs.b
+            WHERE matched * 4 >= least(sa.n, sb.n) * 3
             ORDER BY a, b"""
       },
 

@@ -47,6 +47,23 @@ object BandIndex {
   def shardOf(sig: org.apache.spark.sql.Column, nShards: Int): org.apache.spark.sql.Column =
     pmod(hash(sig), lit(nShards))
 
+  private val Layers = Seq("bands", "sketches")
+
+  /** Manifest-backed pruned shard read with listing fallback — see
+    * [[GramIndex.readLayer]]: removes the per-dir exists/list work that
+    * made probe reads grow with the ∝-corpus shard count. */
+  private def readLayer(spark: SparkSession, path: String, layer: String,
+                        shards: Seq[Long]): DataFrame =
+    FileManifest.readPartitions(spark, s"$path/$layer", shards)
+      .getOrElse(SaltedStore.readPartitions(spark, s"$path/$layer", shards,
+        partitionPrefix = "shard"))
+
+  private def writeManifests(spark: SparkSession, path: String): Unit =
+    Layers.foreach(l => FileManifest.write(spark, s"$path/$l"))
+
+  private def dropManifests(spark: SparkSession, path: String): Unit =
+    Layers.foreach(l => FileManifest.delete(spark, s"$path/$l"))
+
   private def writeMeta(spark: SparkSession, path: String, nShards: Int): Unit = {
     val (fs, root) = fsOf(spark, path)
     val out = fs.create(new org.apache.hadoop.fs.Path(root, MetaFile), true)
@@ -101,6 +118,30 @@ object BandIndex {
       else Some(spark.read.parquet(segs.map(p => s"$p/$layer").toSeq: _*))
     }
   }
+
+  /** Delta accumulation advisory: (published segment count, delta
+    * bytes across both layers) — see [[GramIndex.deltaAdvisory]]: probes
+    * union every published segment, so unbounded segment accumulation
+    * is read amplification nothing else reports. Driver listing only. */
+  def deltaAdvisory(spark: SparkSession, path: String): (Long, Long) = {
+    val d = new org.apache.hadoop.fs.Path(path, "delta")
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(d)) (0L, 0L)
+    else {
+      val segs = fs.listStatus(d).filter(_.getPath.getName.startsWith("seg_"))
+      val bytes = segs.map { s =>
+        fs.listStatus(s.getPath).filter(_.isDirectory).map(l =>
+          fs.listStatus(l.getPath).filter(_.isFile).map(_.getLen).sum).sum
+      }.sum
+      (segs.length.toLong, bytes)
+    }
+  }
+
+  /** Whether the unfolded delta has accumulated past `maxSegments` —
+    * the maintenance-loop compaction signal (one directory listing). */
+  def needsCompaction(spark: SparkSession, path: String,
+                      maxSegments: Int = 8): Boolean =
+    deltaAdvisory(spark, path)._1 > maxSegments
 
   /** Create the index from a per-doc sketch frame (the
     * [[Dedup.docSketch]] shape: doc_id, sh, h0..h{K-1}). Both layouts
@@ -157,6 +198,7 @@ object BandIndex {
       .sortWithinPartitions("sig", "doc_id")
       .write.mode("overwrite").partitionBy("shard").parquet(s"$path/bands")
     writeMeta(spark, path, nShards)
+    writeManifests(spark, path)
     // drop tombstones of the REPLACED generation (they would silently
     // hide new docs with reused ids) — AFTER the new layouts commit: a
     // purge-first ordering would leave a crashed rebuild's still-live
@@ -242,12 +284,15 @@ object BandIndex {
       throw new IllegalStateException(s"no band index at $path — write() first"))
     val shards = probeBands.select(shardOf(col("sig"), nShards).as("s"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    // listing-pruned probe read: only the probed sig-shards' dirs are
-    // enumerated (O(probe) listing — a full-listing read grows with the
-    // shard count, which is sized ∝ corpus), marker-aware via the
-    // SaltedStore fallback when a compact is in flight
-    val base = graft.store.SaltedStore.readPartitions(spark, s"$path/bands",
-        shards.map(_.toLong), partitionPrefix = "shard")
+    // empty probe (no band rows — an empty micro-batch): no candidate
+    // can exist; short-circuit rather than letting readPartitions fall
+    // back to the O(corpus-shard-dirs) full-listing slowPath. The
+    // empty-index side of probePairs keeps the output schema/types.
+    if (shards.isEmpty)
+      return Dedup.probePairs(probeBands.limit(0), probeBands, idCol, maxBucket)
+    // manifest-backed probe read (listing-free at any corpus size),
+    // marker-aware via the SaltedStore fallback when no manifest stands
+    val base = readLayer(spark, path, "bands", shards.map(_.toLong))
       .select(idCol, "band", "sig")
     // unfolded delta segments union in before the bucket aggregation
     // (bounded by appends since the last compact); the hot-bucket cap
@@ -290,8 +335,46 @@ object BandIndex {
     val shards = ids
       .select(pmod(hash(col(ids.columns.head)), lit(nShards)).as("s"))
       .distinct().collect().map(_.getInt(0).toLong).toSeq
-    val base = graft.store.SaltedStore.readPartitions(spark, s"$path/sketches",
-      shards, partitionPrefix = "shard").select("doc_id", "sh")
+    sketchesForShards(spark, path, shards)
+  }
+
+  /** [[sketchesFor]] with the candidate ids already COLLECTED — the
+    * probe-side read when the caller holds the (increment-bounded)
+    * candidate rows on the driver anyway: the shard set is then pure
+    * driver arithmetic ([[shardOfId]] — bit-identical to the layout's
+    * `pmod(hash(doc_id), n)`), zero extra Spark jobs. A probe that
+    * derives its ids from an already-collected frame should prefer this
+    * over [[sketchesFor]]'s distinct-collect round-trip. */
+  def sketchesForIds(spark: SparkSession, path: String, ids: Seq[Long]): DataFrame = {
+    val nShards = storedShards(spark, path).getOrElse(
+      throw new IllegalStateException(s"no band index at $path — write() first"))
+    sketchesForShards(spark, path, ids.map(shardOfId(_, nShards)).distinct)
+  }
+
+  /** Driver-side twin of the sketch layout's shard function
+    * `pmod(hash(doc_id), nShards)`: Spark's `hash()` on a single BIGINT
+    * column is Murmur3 (x86 32-bit) over the 8-byte value at seed 42 —
+    * the same arithmetic `Murmur3_x86_32.hashLong` exposes.
+    * BandIndexSpec pins the parity against the SQL expression. */
+  def shardOfId(id: Long, nShards: Int): Long = {
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(id, 42)
+    val m = h % nShards
+    (if (m < 0) m + nShards else m).toLong
+  }
+
+  private def sketchesForShards(spark: SparkSession, path: String,
+                                shards: Seq[Long]): DataFrame = {
+    // empty candidate set: nothing can verify — return the empty frame
+    // directly instead of letting readPartitions fall back to its
+    // full-table slowPath (whose ROOT LISTING alone is O(corpus shard
+    // dirs); a no-candidate micro-batch — common in streaming — would
+    // silently re-pay the cost this pruned read exists to remove)
+    if (shards.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, sh ARRAY<BIGINT>"))
+    val base = readLayer(spark, path, "sketches", shards).select("doc_id", "sh")
     live(deltaLayer(spark, path, "sketches")
       .map(d => base.unionByName(d.select("doc_id", "sh"))).getOrElse(base),
       spark, path, "doc_id")
@@ -302,12 +385,23 @@ object BandIndex {
     * guarded per-partition swap on BOTH sharded layouts (bands sorted
     * by sig, sketches by doc_id). Tombstone markers are cleared LAST:
     * a crash between the rewrites leaves them in place and every probe
-    * keeps anti-joining — the fold is idempotent, never lossy. Same
-    * writer discipline as every compaction here: pause appends. */
+    * keeps anti-joining — the fold is idempotent, never lossy.
+    *
+    * OFFLINE FOR PROBES AS WELL AS APPENDS when delta segments exist:
+    * [[FoldingMarker]] refuses probes that START during the fold, but
+    * a probe constructed BEFORE the marker went up executes lazily and
+    * can read a segment's rows from both the appended base and the
+    * still-present delta (double-counted band rows → spurious
+    * candidates) — pause probes for the fold window. The tombstone
+    * half keeps the weaker appends-only rule (SaltedStore's
+    * CompactingMarker slowPath serves racing readers there). */
   def compact(spark: SparkSession, path: String): Unit = {
     val nShards = readMeta(spark, path).getOrElse(
       throw new IllegalStateException(s"no band index at $path"))
     val (fsF, rootF) = fsOf(spark, path)
+    // manifests die first: everything below mutates the sharded file
+    // sets; probes fall back to the listing read until the final rewrite
+    dropManifests(spark, path)
     val foldMarker = new org.apache.hadoop.fs.Path(rootF, FoldingMarker)
     if (fsF.exists(foldMarker)) {
       // a previous fold crashed mid-append: recover through the staged
@@ -344,6 +438,7 @@ object BandIndex {
       partitionPrefix = "shard", transform = strip)
     val (fs, _) = fsOf(spark, path)
     fs.delete(new org.apache.hadoop.fs.Path(deletesPath(path)), true)
+    writeManifests(spark, path) // at rest again: listing-free probes resume
   }
 
   /** Marker for an in-flight shard-count migration (see [[reshard]]). */
@@ -396,6 +491,7 @@ object BandIndex {
           .sortWithinPartitions("doc_id")
           .write.mode("overwrite").partitionBy("shard").parquet(s"$staging/sketches")
         writeMeta(spark, staging, newShards)
+        writeManifests(spark, staging)
       })
   }
 }

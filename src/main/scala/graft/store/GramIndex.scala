@@ -69,6 +69,30 @@ object GramIndex {
 
   def shardOf(c: Column, nShards: Int): Column = pmod(hash(c), lit(nShards))
 
+  private val Layers = Seq("postings", "dfs", "profiles")
+
+  /** The probe-side shard read: manifest-backed when the layout has a
+    * file manifest ([[FileManifest]] — ZERO exists/list calls, the fix
+    * for the one probe cost that grew with the corpus: the per-dir
+    * listing of ∝-corpus many shard dirs, measured as refresh_corpus's
+    * 10.5→37.7s screen growth for a FIXED increment), falling back to
+    * the marker-aware listing read for layouts mid-maintenance or
+    * written before the manifest existed. */
+  private def readLayer(spark: SparkSession, path: String, layer: String,
+                        shards: Seq[Long]): DataFrame =
+    FileManifest.readPartitions(spark, s"$path/$layer", shards)
+      .getOrElse(SaltedStore.readPartitions(spark, s"$path/$layer", shards,
+        partitionPrefix = "shard"))
+
+  private def writeManifests(spark: SparkSession, path: String): Unit =
+    Layers.foreach(l => FileManifest.write(spark, s"$path/$l"))
+
+  /** Manifests die BEFORE any op that mutates the sharded file sets and
+    * are reborn only after it commits — mid-op probes fall back to the
+    * listing read, which handles every in-flight state. */
+  private def dropManifests(spark: SparkSession, path: String): Unit =
+    Layers.foreach(l => FileManifest.delete(spark, s"$path/$l"))
+
   private def writeMeta(spark: SparkSession, path: String, nShards: Int): Unit = {
     val (fs, root) = fsOf(spark, path)
     val out = fs.create(new org.apache.hadoop.fs.Path(root, MetaFile), true)
@@ -122,6 +146,35 @@ object GramIndex {
     }
   }
 
+  /** Delta accumulation advisory: (published segment count, delta
+    * bytes across all three layers). Every probe unions EVERY published
+    * segment into its batch-bounded reads, so a caller that appends
+    * per-micro-batch and never compacts converts the removed write
+    * amplification into unbounded READ amplification — this number is
+    * what tells them (the `SaltedStore.needsCompaction` discipline
+    * applied to the delta layer). Pure driver listing, no Spark job —
+    * free to call every maintenance tick. */
+  def deltaAdvisory(spark: SparkSession, path: String): (Long, Long) = {
+    val d = new org.apache.hadoop.fs.Path(path, "delta")
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(d)) (0L, 0L)
+    else {
+      val segs = fs.listStatus(d).filter(_.getPath.getName.startsWith("seg_"))
+      val bytes = segs.map { s =>
+        fs.listStatus(s.getPath).filter(_.isDirectory).map(l =>
+          fs.listStatus(l.getPath).filter(_.isFile).map(_.getLen).sum).sum
+      }.sum
+      (segs.length.toLong, bytes)
+    }
+  }
+
+  /** Whether the unfolded delta has accumulated past `maxSegments` —
+    * the signal a periodic maintenance loop keys [[compact]] on (which
+    * also folds tombstones). Steady state costs one directory listing. */
+  def needsCompaction(spark: SparkSession, path: String,
+                      maxSegments: Int = 8): Boolean =
+    deltaAdvisory(spark, path)._1 > maxSegments
+
   /** (doc_id, x) DISTINCT set rows → the three sharded layouts. One
     * shard exchange per layout (the repartition-before-partitionBy rule
     * graft.Scaling r14 measured at 13× on the band index). */
@@ -151,6 +204,7 @@ object GramIndex {
         "clear the log or use a fresh commitTag, then rebuild")
     writeLayouts(sets, path, nShards, "overwrite")
     writeMeta(spark, path, nShards)
+    writeManifests(spark, path)
     // drop tombstones AND unfolded delta segments of the REPLACED
     // generation (stale tombstones would silently hide new docs with
     // reused ids; stale segments would resurrect replaced docs) — but
@@ -297,8 +351,18 @@ object GramIndex {
     * exact per-doc prefix bound (the rank filter keeps exactly
     * na − ⌈τ·na⌉ + 1 of each doc's na rows — one tiny groupBy agg). */
   def probeContainment(spark: SparkSession, path: String, batchSets: DataFrame,
-                       num: Int = 3, den: Int = 4): DataFrame = {
+                       num: Int = 3, den: Int = 4,
+                       stageTimer: (String, Double) => Unit = (_, _) => ()): DataFrame = {
+    // stageTimer: attribution seam for the scale harness — the probe's
+    // first two stages (dfs read + prefix choice; postings read +
+    // candidate cut) execute EAGERLY here (driver collect in the
+    // ingest regime, localCheckpoint past the cap), so only an
+    // internal hook can attribute their wall time; the remainder of
+    // the caller's action is then the verify join. Reported per stage
+    // in SCALING.md's gram_joint rows so a regression on either axis
+    // is attributable to its stage.
     require(num > 0 && den > 0 && num <= den, s"threshold $num/$den not in (0,1]")
+    val tStart = System.nanoTime()
     val nShards = storedShards(spark, path).getOrElse(
       throw new IllegalStateException(s"no gram index at $path — write() first"))
     val sets = batchSets.select(col("doc_id").as("a"), col("x"))
@@ -331,11 +395,21 @@ object GramIndex {
     val deltaDfs = deltaLayer(spark, path, "dfs")
     val deltaPostings = deltaLayer(spark, path, "postings")
     val deltaProfiles = deltaLayer(spark, path, "profiles")
-    // 1. df lookup — shard list is ≤ nShards by construction (pmod)
+    // 1. df lookup — shard list is ≤ nShards by construction (pmod);
+    // all three reads below are manifest-backed (readLayer): listing-
+    // free path construction at any corpus size
     val tokShards = sets.select(shardOf(col("x"), nShards).as("s"))
       .distinct().collect().map(_.getInt(0).toLong).toSeq
-    val dfBase = SaltedStore.readPartitions(spark, s"$path/dfs", tokShards,
-        partitionPrefix = "shard").select("x", "df")
+    // empty batch (a no-doc micro-batch): nothing can be contained —
+    // return the empty frame instead of letting every readPartitions
+    // below fall back to its full-listing slowPath on an empty shard
+    // list (three O(corpus-shard-dirs) listings for zero output)
+    if (tokShards.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "a BIGINT, b BIGINT, containment DOUBLE"))
+    val dfBase = readLayer(spark, path, "dfs", tokShards).select("x", "df")
     val dfOfTok = deltaDfs.map(d => dfBase.unionByName(d.select("x", "df")))
       .getOrElse(dfBase)
       .join(bc(sets.select("x").distinct()), "x")
@@ -366,9 +440,10 @@ object GramIndex {
         (cp.select("a", "x", "na"),
           cp.select("xs").distinct().collect().map(_.getInt(0).toLong).toSeq)
       }
+    stageTimer("dfs_prefix", (System.nanoTime() - tStart) / 1e9)
+    val tCand = System.nanoTime()
     // 2. candidates off the prefix tokens' postings, size-filtered
-    val postBase = SaltedStore.readPartitions(spark, s"$path/postings",
-        postShards, partitionPrefix = "shard")
+    val postBase = readLayer(spark, path, "postings", postShards)
       .select(col("x"), col("doc_id").as("b"), col("n").as("nb"))
     val candPlan = live(
         deltaPostings.map(d => postBase.unionByName(
@@ -395,8 +470,8 @@ object GramIndex {
     //    the cand subtree and constructing only those profile dirs.
     val candShards = cand.select(shardOf(col("b"), nShards).as("s"))
       .distinct().collect().map(_.getInt(0).toLong).toSeq
-    val profBase = SaltedStore.readPartitions(spark, s"$path/profiles",
-        candShards, partitionPrefix = "shard")
+    stageTimer("cand_postings", (System.nanoTime() - tCand) / 1e9)
+    val profBase = readLayer(spark, path, "profiles", candShards)
       .select(col("doc_id").as("b"), col("sh").as("shb"))
     val profs = deltaProfiles.map(d => profBase.unionByName(
         d.select(col("doc_id").as("b"), col("sh").as("shb"))))
@@ -417,12 +492,25 @@ object GramIndex {
     * (SaltedStore.compact's marker-guarded per-partition swap), then
     * recompute dfs EXACTLY from the compacted postings. A probe racing
     * the dfs rewrite can read a partial summary — df = 0 for missing
-    * tokens — which only re-orders its prefix choice (sound). Same
-    * writer discipline as every compaction here: pause appends. */
+    * tokens — which only re-orders its prefix choice (sound).
+    *
+    * OFFLINE FOR PROBES AS WELL AS APPENDS when delta segments exist:
+    * the [[FoldingMarker]] refuses probes that START during the fold,
+    * but a probe CONSTRUCTED before the marker went up executes lazily
+    * — its action can land mid-fold and read a segment's rows from
+    * BOTH the freshly-appended base and the still-present delta,
+    * double-counting postings (spurious dup verdicts) — so pause
+    * probes for the fold window, the same discipline
+    * [[SaltedStore.compact]] demands of writers. (The tombstone-fold
+    * half below keeps the weaker appends-only rule: SaltedStore's
+    * CompactingMarker slowPath serves racing readers there.) */
   def compact(spark: SparkSession, path: String): Unit = {
     val nShards = readMeta(spark, path).getOrElse(
       throw new IllegalStateException(s"no gram index at $path"))
     val (fsF, rootF) = fsOf(spark, path)
+    // manifests die first: everything below mutates the sharded file
+    // sets; probes fall back to the listing read until the final rewrite
+    dropManifests(spark, path)
     val foldMarker = new org.apache.hadoop.fs.Path(rootF, FoldingMarker)
     if (fsF.exists(foldMarker)) {
       // a previous fold crashed mid-append: segment rows may now exist
@@ -469,6 +557,7 @@ object GramIndex {
       .write.mode("overwrite").partitionBy("shard").parquet(s"$path/dfs")
     val (fs, _) = fsOf(spark, path)
     fs.delete(new org.apache.hadoop.fs.Path(deletesPath(path)), true)
+    writeManifests(spark, path) // at rest again: listing-free probes resume
   }
 
   /** Marker for an in-flight shard-count migration (see [[reshard]]). */
@@ -501,10 +590,12 @@ object GramIndex {
           .getOrElse(baseSets).distinct()
         val liveSets = live(allSets, spark, path, "doc_id")
         // one staged rewrite through the same three-layout writer; meta
-        // commits into the staging dir, swapped in with the data (the
-        // parked old generation — delta included — is dropped after)
+        // + file manifests commit into the staging dir, swapped in with
+        // the data (the parked old generation — delta included — is
+        // dropped after)
         writeLayouts(liveSets, staging, newShards, "overwrite")
         writeMeta(spark, staging, newShards)
+        writeManifests(spark, staging)
       })
   }
 }

@@ -279,6 +279,24 @@ object StreamingIngest {
         writeGramBatchIdempotent(batch, batchId, path, nShards, commitTag)
       }
 
+  /** Default unfolded-segment count past which the streaming writers
+    * LOG a compaction advisory: each append publishes one delta segment
+    * and every probe unions all of them, so a never-compacted store
+    * turns the removed write amplification into silent read
+    * amplification — the log line is the "no silent caps" discipline
+    * applied to the delta layer. The writers only ADVISE (compaction
+    * needs the pause-probes discipline the caller owns). */
+  val AdviseDeltaSegments = 8
+
+  private def adviseDeltaFold(kind: String, path: String,
+                              advisory: (Long, Long)): Unit = {
+    val (segs, bytes) = advisory
+    if (segs > AdviseDeltaSegments)
+      System.err.println(s"[graft] $kind at $path holds $segs unfolded " +
+        s"delta segments ($bytes bytes) — every probe unions all of " +
+        s"them; pause writers+probes and run $kind.compact")
+  }
+
   /** One idempotent gram-index micro-batch (testing seam). */
   def writeGramBatchIdempotent(batch: DataFrame, batchId: Long, path: String,
                                nShards: Int = graft.store.GramIndex.DefaultShards,
@@ -288,7 +306,11 @@ object StreamingIngest {
       val sets = gramSets(batch)
       if (GramIndex.storedShards(batch.sparkSession, path).isEmpty)
         GramIndex.write(sets, path, nShards)
-      else GramIndex.append(sets, path)
+      else {
+        GramIndex.append(sets, path)
+        adviseDeltaFold("GramIndex", path,
+          GramIndex.deltaAdvisory(batch.sparkSession, path))
+      }
     }
 
   /** CONTAINMENT-SCREENED ingest — decontamination at the door: a
@@ -357,7 +379,10 @@ object StreamingIngest {
         val kept = antiIds(sets, dropped)
         if (GramIndex.storedShards(spark, path).isEmpty)
           GramIndex.write(kept, path, nShards)
-        else GramIndex.append(kept, path)
+        else {
+          GramIndex.append(kept, path)
+          adviseDeltaFold("GramIndex", path, GramIndex.deltaAdvisory(spark, path))
+        }
         out = Some(batch.select("doc_id").collect().map(_.getLong(0))
           .filterNot(dropped).toSeq.sorted)
       } finally sets.unpersist(blocking = false)
@@ -383,7 +408,11 @@ object StreamingIngest {
       val sketch = graft.pipeline.Dedup.docSketch(batch)
       if (BandIndex.storedShards(batch.sparkSession, path).isEmpty)
         BandIndex.write(sketch, path, nShards)
-      else BandIndex.append(sketch, path)
+      else {
+        BandIndex.append(sketch, path)
+        adviseDeltaFold("BandIndex", path,
+          BandIndex.deltaAdvisory(batch.sparkSession, path))
+      }
     }
 
   /** DEDUP-AT-INGEST document writer — the text-modality twin of
@@ -464,9 +493,17 @@ object StreamingIngest {
             // micro-batch — the per-batch cost then grows with the
             // index, the exact anti-pattern the gram writer's
             // listing-pruned reads avoid
-            val cand = BandIndex.probeCandidates(spark, path,
-              Dedup.bandRows(within, "doc_id"), "doc_id").localCheckpoint()
-            BandIndex.sketchesFor(spark, path, cand.select("a"))
+            // candidates COLLECTED once (batch-bounded): replaces the
+            // localCheckpoint + sketch-shard distinct-collect pair with
+            // one driver round-trip; the candidate docs' sketch shards
+            // are then driver arithmetic (sketchesForIds) — per-micro-
+            // batch fixed job count matters here most of all
+            import spark.implicits._
+            val candRows = BandIndex.probeCandidates(spark, path,
+                Dedup.bandRows(within, "doc_id"), "doc_id")
+              .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+            val cand = candRows.toDF("a", "b")
+            BandIndex.sketchesForIds(spark, path, candRows.map(_._1).distinct)
               .select(col("doc_id").as("a"), col("sh").as("sha"))
               .join(cand, "a")
               .join(within.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
@@ -477,7 +514,10 @@ object StreamingIngest {
         val kept = antiIds(sketch, dropped)
         if (BandIndex.storedShards(spark, path).isEmpty)
           BandIndex.write(kept, path, nShards)
-        else BandIndex.append(kept, path)
+        else {
+          BandIndex.append(kept, path)
+          adviseDeltaFold("BandIndex", path, BandIndex.deltaAdvisory(spark, path))
+        }
         out = Some(batch.select("doc_id").collect().map(_.getLong(0))
           .filterNot(dropped).toSeq.sorted)
       } finally sketch.unpersist(blocking = false)
@@ -491,9 +531,12 @@ object StreamingIngest {
     * graft.pipeline.TextIndex.write, under the same idempotent commit
     * log. Search stays consistent while the index grows (appended files
     * land inside their `shard=N` partition; searchAll aggregates per doc
-    * across files). Batches must carry DISJOINT doc sets — the standard
-    * append-ingest contract. Small files accumulate per batch; compact
-    * with TextIndex.compact under the marker-guarded swap. */
+    * across files and delta segments). Batches must carry DISJOINT doc
+    * sets — the standard append-ingest contract. Appends past the first
+    * land as atomic DELTA SEGMENTS (one file commit per micro-batch —
+    * the O(nShards) sharded-append floor is gone); segments accumulate
+    * per batch and fold with TextIndex.compact (see
+    * TextIndex.compactIfNeeded's maxDeltaSegments arm). */
   def textIndexWriter(stream: DataFrame, path: String,
                       commitTag: String = "q0"): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
@@ -507,6 +550,8 @@ object StreamingIngest {
                                commitTag: String = "q0"): Unit =
     withBatchCommit(batch, batchId, path, commitTag) {
       graft.pipeline.TextIndex.write(batch, path, mode = "append")
+      adviseDeltaFold("TextIndex", path,
+        graft.pipeline.TextIndex.deltaAdvisory(batch.sparkSession, path))
     }
 
   /** Continuous secondary-index maintenance: each micro-batch of base

@@ -172,16 +172,22 @@ class TextIndexSpec extends SparkSuite {
     // replayed batch (same id) must be a no-op, not a double append
     graft.streaming.StreamingIngest.writeTextBatchIdempotent(b1, 1L, d3, "t")
     assert(hits == Seq((1L, 2L), (3L, 3L)))
-    // compaction merges the per-batch files, results unchanged; the
-    // need-check fires on accumulated per-batch files and goes quiet
-    // once shards are single-file (the maintenance-loop contract)
-    val filesBefore = shardFiles(d3)
-    assert(TextIndex.compactIfNeeded(spark, d3, maxFilesPerShard = 1),
-      "multi-file shards must trigger compaction")
-    assert(!TextIndex.compactIfNeeded(spark, d3, maxFilesPerShard = 1),
-      "compacted shards must not re-compact")
+    // appended batches land as atomic DELTA SEGMENTS now (one file
+    // commit per batch, not one per touched shard); the accumulation
+    // signal compactIfNeeded keys on moved with them — segments, since
+    // shard dirs no longer grow between compactions
+    val (nSegs, segBytes) = TextIndex.deltaAdvisory(spark, d3)
+    assert(nSegs == 1L && segBytes > 0L,
+      s"expected 1 published delta segment, got $nSegs")
+    // compaction folds the segments, results unchanged; the need-check
+    // fires on accumulated segments and goes quiet once folded (the
+    // maintenance-loop contract)
+    assert(TextIndex.compactIfNeeded(spark, d3, maxDeltaSegments = 0),
+      "published delta segments must trigger compaction")
+    assert(!TextIndex.compactIfNeeded(spark, d3, maxDeltaSegments = 0),
+      "a folded index must not re-compact")
     assert(hits == Seq((1L, 2L), (3L, 3L)))
-    assert(shardFiles(d3) <= filesBefore)
+    assert(TextIndex.deltaAdvisory(spark, d3) == (0L, 0L))
     assert(new java.io.File(d3).listFiles().map(_.getName)
       .count(_.startsWith("shard=")) > 0)
     // the grown-then-compacted index answers exactly like a one-shot
@@ -196,10 +202,6 @@ class TextIndexSpec extends SparkSuite {
     assert(TextIndex.storedDocs(spark, d3) == TextIndex.storedDocs(spark, dOne))
     assert(TextIndex.storedTokens(spark, d3) == TextIndex.storedTokens(spark, dOne))
   }
-
-  private def shardFiles(d: String): Int =
-    new java.io.File(d).listFiles().filter(_.getName.startsWith("shard="))
-      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
 
   test("phrase search verifies adjacency from positions alone") {
     // "the cat": doc 1 only (doc 3 has cat but not preceded by the)
@@ -446,5 +448,100 @@ class TextIndexSpec extends SparkSuite {
     assert(TextIndex.ensure(docs, d2), "missing manifest rebuilds")
     assert(TextIndex.ensure(docs, d2, shards = 4), "diverged layout rebuilds")
     assert(TextIndex.storedShards(spark, d2).contains(4))
+  }
+
+  // ---- delta-segment appends (the gram/band discipline ported) --------
+
+  test("append publishes ONE single-file delta segment; every probe sees it; compact folds it") {
+    val p = java.nio.file.Files.createTempDirectory("tindex_delta").toString
+    TextIndex.write(docs, p, shards = 6)
+    TextIndex.write(Seq((6L, "cat cat dog newterm"), (7L, "bird of prey"))
+      .toDF("doc_id", "text"), p, mode = "append")
+    // segment grain: one seg dir, ONE data file — the O(nShards) commit
+    // floor is gone (the sharded append wrote ~one file per touched shard)
+    val segs = new java.io.File(s"$p/${TextIndex.DeltaDir}").listFiles()
+      .filter(_.getName.startsWith("seg_"))
+    assert(segs.length == 1, s"expected one segment, got ${segs.length}")
+    assert(segs.head.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    // manifest totals carried the appended batch (6 + 3 tokens, 2 docs)
+    assert(TextIndex.storedDocs(spark, p).contains(7L))
+    // every probe family unions the delta:
+    def allHits = TextIndex.searchAll(spark, p, Seq("cat", "dog"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(allHits == Seq((3L, 2L), (6L, 3L)), s"searchAll: $allHits")
+    val ranked = TextIndex.searchRanked(spark, p, Seq("newterm"))
+      .as[(Long, Double)].collect().toMap
+    assert(ranked.contains(6L) && ranked.size == 1, "BM25 missed the delta doc")
+    val phrase = TextIndex.searchPhrase(spark, p, Seq("cat", "dog"))
+      .as[(Long, Long)].collect().toMap
+    assert(phrase == Map(6L -> 1L), s"phrase: $phrase")
+    val prox = TextIndex.searchProximity(spark, p, Seq("bird", "prey"), slop = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(prox == Map(7L -> 1L), s"proximity: $prox")
+    val pref = TextIndex.searchPrefix(spark, p, "newt")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(pref == Seq(("newterm", 1L, 1L)), s"prefix: $pref")
+    val dfs = TextIndex.termDf(spark, p, Seq("cat"))
+      .as[(String, Long)].collect().toMap
+    assert(dfs == Map("cat" -> 3L), s"termDf: $dfs")
+    val excl = TextIndex.searchBoolean(spark, p, Seq("cat"), Seq("newterm"))
+      .orderBy("doc_id").as[(Long, Long)].collect().map(_._1).toSeq
+    assert(excl == Seq(1L, 3L), "mustNot missed the delta doc's postings")
+    // fold: answers identical, delta gone, totals recounted exact
+    TextIndex.compact(spark, p)
+    assert(!new java.io.File(s"$p/${TextIndex.DeltaDir}").exists())
+    assert(allHits == Seq((3L, 2L), (6L, 3L)))
+    assert(TextIndex.storedDocs(spark, p).contains(7L))
+  }
+
+  test("a crashed delta fold refuses probes and recovers to exact answers") {
+    val p = java.nio.file.Files.createTempDirectory("tindex_crash").toString
+    TextIndex.write(docs, p, shards = 4)
+    TextIndex.write(Seq((8L, "cat nap")).toDF("doc_id", "text"), p,
+      mode = "append")
+    // simulate the crash: fold the segment into the base (as a dying
+    // compact would) but leave the delta AND the marker standing —
+    // rows now sit on BOTH sides
+    val root = new org.apache.hadoop.fs.Path(p)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    spark.read.parquet(new java.io.File(s"$p/${TextIndex.DeltaDir}")
+        .listFiles().filter(_.getName.startsWith("seg_")).head.toString)
+      .withColumn("shard", TextIndex.shardOf(col("t"), 4))
+      .repartition(col("shard")).sortWithinPartitions("t", "doc_id")
+      .write.mode("append").partitionBy("shard").parquet(p)
+    fs.create(new org.apache.hadoop.fs.Path(root, TextIndex.FoldingMarker),
+      true).close()
+    // probes refuse the torn state loudly (double-counted tf otherwise)
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.searchAll(spark, p, Seq("cat"))
+    }
+    assert(e.getMessage.contains(TextIndex.FoldingMarker))
+    // appends refuse too
+    val e2 = intercept[IllegalArgumentException] {
+      TextIndex.write(Seq((9L, "more text")).toDF("doc_id", "text"), p,
+        mode = "append")
+    }
+    assert(e2.getMessage.contains(TextIndex.FoldingMarker))
+    // recovery: compact routes through the staged rewrite, dedups the
+    // two-sided rows, clears marker + delta — answers exactly clean
+    TextIndex.compact(spark, p)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, TextIndex.FoldingMarker)))
+    assert(!new java.io.File(s"$p/${TextIndex.DeltaDir}").exists())
+    val got = TextIndex.searchAll(spark, p, Seq("cat"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (3L, 1L), (8L, 1L)), s"recovered: $got")
+    assert(TextIndex.storedDocs(spark, p).contains(6L))
+  }
+
+  test("write(overwrite) purges unfolded delta segments of the replaced generation") {
+    val p = java.nio.file.Files.createTempDirectory("tindex_purge").toString
+    TextIndex.write(docs, p)
+    TextIndex.write(Seq((10L, "stale doc")).toDF("doc_id", "text"), p,
+      mode = "append")
+    assert(TextIndex.hasDeltaSegments(spark, p))
+    TextIndex.write(docs, p) // rebuild
+    assert(!TextIndex.hasDeltaSegments(spark, p),
+      "a replaced generation's delta segment leaked into the rebuilt index")
+    assert(TextIndex.searchAll(spark, p, Seq("stale")).isEmpty)
   }
 }

@@ -69,6 +69,24 @@ class PhashJoinSpec extends SparkSuite {
     assert(out.forall(_._2 <= 6L), "a pair past the radius survived the verify")
   }
 
+  test("bucketStat surfaces a degenerate band as a number, not an OOM") {
+    import spark.implicits._
+    // plant the degenerate corpus the scaladoc warns about: 40 hashes
+    // sharing the whole low half (band values collide) + 10 diverse
+    val rows = (0 until 40).map(i => (i.toLong, (i.toLong << 56))) ++
+      (0 until 10).map(i => (100L + i, 0x0123456789ABCDEFL ^ (255L << (i * 4))))
+    val obs = org.apache.spark.sql.Observation()
+    val out = Dedup.hammingNearDupPairs(rows.toDF("id", "hsh"), "id", "hsh",
+      k = 3, bucketStat = Some(obs))
+    out.count() // one action completes the observation
+    val m = obs.get
+    val maxBucket = m("max_bucket").asInstanceOf[Int]
+    // the 40 planted hashes differ only in their top byte, so the three
+    // LOW bands (k=3 → 4×16-bit bands) each hold all 40 as one bucket
+    assert(maxBucket >= 40, s"max_bucket=$maxBucket — hot bucket invisible")
+    assert(m("n_buckets").asInstanceOf[Long] > 0L)
+  }
+
   test("q_phash_join plans band equi-joins — no cross join, no BNLJ") {
     val p = SparkEntry.queries("q_phash_join")(spark, sf())
       .queryExecution.executedPlan.toString

@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSuite}
+import org.apache.spark.sql.functions._
+
+/** q_videoseq_join / q_phash_join_audio semantics the DuckDB oracle
+  * cannot see: zero-false-negative recovery of every planted pair
+  * (trimmed video copies, gain-scaled audio re-encodes) against
+  * in-test brute-force computations, and the plan shape — hash-key
+  * bucket joins over 8/16-byte rows, never a cartesian or a payload
+  * join of the media corpus. */
+class VideoSeqJoinSpec extends SparkSuite {
+
+  test("q_videoseq_join: every planted trimmed-copy pair found; overlap matches brute force") {
+    val out = SparkEntry.queries("q_videoseq_join")(spark, sf())
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
+    val pairs = out.map(_._1).toSet
+    val vids = spark.read.parquet(s"${sf()}/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(3L)) === 2L)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(vids.nonEmpty)
+    // zero false negatives: the trimmed copy shares n−1 of the
+    // original's n frame hashes byte-identically, and (n−1)·4 ≥
+    // min(n, n−1)·3 for every n ≥ 1 — the pair MUST survive
+    vids.foreach { id =>
+      assert(pairs.contains((id, id + 100000L)),
+        s"planted trimmed-copy pair ($id, ${id + 100000L}) missed")
+    }
+    // brute-force parity of the reported overlap on the planted pairs:
+    // matched = Σ_h min(cnt_orig(h), cnt_trim(h)) over the generator's
+    // own frame-hash rows
+    implicit val s = spark
+    val fr = graft.pipeline.Multimodal.synthVideoSeqFrameHashes(
+        spark.read.parquet(s"${sf()}/documents.parquet")
+          .filter(pmod(col("doc_id"), lit(3L)) === 2L))
+      .collect().groupBy(_.clip_id)
+    def counts(cid: Long): Map[Long, Int] =
+      fr(cid).groupBy(_.fh).map { case (k, v) => (k, v.length) }
+    out.foreach { case ((a, b), (matched, na, nb)) =>
+      val ca = counts(a); val cb = counts(b)
+      val want = ca.iterator.map { case (h, n) => math.min(n, cb.getOrElse(h, 0)) }.sum
+      assert(matched == want.toLong, s"pair ($a,$b): matched=$matched want=$want")
+      assert(na == ca.values.sum.toLong && nb == cb.values.sum.toLong)
+      assert(matched * 4 >= math.min(na, nb) * 3, "verify threshold violated")
+    }
+  }
+
+  test("q_phash_join_audio: gain-scaled pair at distance 0; exact pair set vs brute") {
+    implicit val s = spark
+    val out = SparkEntry.queries("q_phash_join_audio")(spark, sf())
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    val got = out.map { case ((a, b), d) => (a, b, d) }.toSet
+    val fps = graft.pipeline.Multimodal.synthSpectralAudioHashes(
+        spark.read.parquet(s"${sf()}/documents.parquet")
+          .filter(pmod(col("doc_id"), lit(3L)) === 1L)).collect()
+    assert(fps.nonEmpty)
+    // the ×2 gain clip hashes IDENTICALLY — its pair is planted at 0
+    fps.foreach { r =>
+      assert(got.contains((r.doc_id, r.doc_id + 100000L, 0L)),
+        s"planted gain-scaled pair (${r.doc_id}, ${r.doc_id + 100000L}) missed")
+    }
+    // exact pair set vs brute-force bit_count over the id/hash corpus
+    val rows = fps.flatMap(r => Seq((r.doc_id, r.fp_a),
+      (r.doc_id + 100000L, r.fp_b), (r.doc_id + 200000L, r.fp_c)))
+    val brute = (for {
+      (ia, ha) <- rows; (ib, hb) <- rows if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb).toLong if d <= 6
+    } yield (ia, ib, d)).toSet
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+  }
+
+  test("both joins plan hash equi-joins — no cartesian, no BNLJ, no payload join") {
+    Seq("q_videoseq_join", "q_phash_join_audio").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, sf())
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q: cross join in:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: BNLJ in:\n$p")
+    }
+  }
+}

@@ -59,11 +59,17 @@ class BandIndexSpec extends SparkSuite {
     // partition filter: only the probed shard dirs are ever enumerated
     // (readPartitions — the O(probe) listing), so the scan's file index
     // contains nothing but probed shards
-    val surviving = scan.relation.location.rootPaths
-      .map(_.getName).filter(_.startsWith("shard="))
-      .map(_.stripPrefix("shard=").toInt).sorted
+    // the probe now reads through the MANIFEST index (listing-free) and
+    // its file set is confined to the probed sig-shards — strictly
+    // stronger than the old rootPaths assertion
+    assert(scan.relation.location.isInstanceOf[ManifestFileIndex],
+      "probe scan fell back to a listing file index")
+    val surviving = scan.relation.location.inputFiles
+      .map(f => new java.io.File(f).getParentFile.getName)
+      .filter(_.startsWith("shard="))
+      .map(_.stripPrefix("shard=").toInt).distinct.sorted
     val total = new java.io.File(s"$p/bands").list().count(_.startsWith("shard="))
-    assert(surviving.nonEmpty, "scan must root at the probed shard dirs")
+    assert(surviving.nonEmpty, "scan must read the probed shards' files")
     assert(surviving.length <= Dedup.Bands,
       s"probe must touch <= ${Dedup.Bands} shards, got ${surviving.toSeq}")
     assert(surviving.length < total,
@@ -114,6 +120,74 @@ class BandIndexSpec extends SparkSuite {
       org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
         .hash(i, org.apache.spark.sql.types.LongType, 42L).toInt, 16))))
     assert(got.size < 50)
+  }
+
+  test("shardOfId is bit-identical to the layout's pmod(hash(doc_id), n) for every n") {
+    import spark.implicits._
+    val ids = (-5L until 50L).toSeq ++ Seq(Long.MaxValue, Long.MinValue, 0L)
+    for (n <- Seq(1, 7, 16, 64, 6400)) {
+      val want = ids.toDF("doc_id")
+        .select(col("doc_id"), pmod(hash(col("doc_id")), lit(n)).as("s"))
+        .as[(Long, Int)].collect().toMap
+      ids.foreach(i => assert(BandIndex.shardOfId(i, n) === want(i).toLong,
+        s"id=$i n=$n"))
+    }
+  }
+
+  test("sketchesForIds equals sketchesFor on the same candidate set") {
+    import spark.implicits._
+    val p = tmp("bandidx_sketchforids")
+    BandIndex.write(Dedup.docSketch(
+      (0L until 50L).map(i => (i, doc(i))).toDF("doc_id", "text")), p,
+      nShards = 16)
+    BandIndex.delete(spark, p, Seq(7L))
+    val ids = Seq(5L, 7L, 42L)
+    val viaDf = BandIndex.sketchesFor(spark, p, ids.toDF("a"))
+      .select("doc_id").as[Long].collect().toSet
+    val viaSeq = BandIndex.sketchesForIds(spark, p, ids)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaSeq === viaDf)
+    assert(viaSeq.contains(5L) && !viaSeq.contains(7L))
+  }
+
+  test("deltaAdvisory reports unfolded segments; needsCompaction keys on them") {
+    import spark.implicits._
+    val p = tmp("bandidx_advisory")
+    BandIndex.write(Dedup.docSketch(
+      (0L until 20L).map(i => (i, doc(i))).toDF("doc_id", "text")), p)
+    assert(BandIndex.deltaAdvisory(spark, p) == (0L, 0L))
+    (0 until 2).foreach { b =>
+      BandIndex.append(Dedup.docSketch(Seq((1000L + b, doc(90L + b)))
+        .toDF("doc_id", "text")), p)
+    }
+    val (segs, bytes) = BandIndex.deltaAdvisory(spark, p)
+    assert(segs == 2L && bytes > 0L, s"advisory: ($segs, $bytes)")
+    assert(BandIndex.needsCompaction(spark, p, maxSegments = 1))
+    BandIndex.compact(spark, p)
+    assert(BandIndex.deltaAdvisory(spark, p) == (0L, 0L))
+  }
+
+  test("empty candidate/probe sets short-circuit — no full-table slowPath read") {
+    import spark.implicits._
+    val p = tmp("bandidx_empty")
+    BandIndex.write(Dedup.docSketch(
+      (0L until 30L).map(i => (i, doc(i))).toDF("doc_id", "text")), p)
+    // empty ids: an empty frame with the sketch schema, zero scan jobs
+    val sk = BandIndex.sketchesForIds(spark, p, Seq.empty)
+    assert(sk.columns.toSeq === Seq("doc_id", "sh"))
+    assert(sk.count() === 0L)
+    assert(BandIndex.sketchesFor(spark, p,
+      Seq.empty[Long].toDF("a")).count() === 0L)
+    // the empty frames must be LEAVES (LocalRelation), never a parquet
+    // scan of the store — the slowPath fallback this guard removes
+    assert(!sk.queryExecution.optimizedPlan.toString.contains("Relation ["),
+      "empty-candidate read still plans a file scan")
+    // empty probe bands: empty candidates, no file scan of the bands
+    val emptyBands = Dedup.bandRows(
+      Dedup.docSketch(Seq.empty[(Long, String)].toDF("doc_id", "text")), "doc_id")
+    val cand = BandIndex.probeCandidates(spark, p, emptyBands, "doc_id")
+    assert(cand.count() === 0L)
+    assert(cand.columns.toSeq === Seq("a", "b"))
   }
 
   test("append publishes ONE 2-file delta segment; compact folds it; answers identical") {

@@ -100,15 +100,22 @@ class GramIndexSpec extends SparkSuite {
     // the returned plan.
     Seq("postings", "profiles").foreach { layout =>
       val scan = scans.find(_.relation.location.rootPaths
-        .exists(_.toString.contains(s"/$layout/")))
+        .exists(_.toString.contains(s"/$layout")))
         .getOrElse(fail(s"no $layout scan in the probe plan"))
-      val surviving = scan.relation.location.rootPaths
-        .map(_.getName).count(_.startsWith("shard="))
+      // the probe now reads through the MANIFEST index (listing-free:
+      // zero exists/listStatus at any shard count) and its file set is
+      // confined to the probed shards — strictly stronger than the old
+      // rootPaths assertion (pruned listing construction)
+      assert(scan.relation.location.isInstanceOf[ManifestFileIndex],
+        s"$layout: probe scan fell back to a listing file index")
+      val shardsTouched = scan.relation.location.inputFiles
+        .map(f => new java.io.File(f).getParentFile.getName)
+        .filter(_.startsWith("shard=")).distinct
       val total = new java.io.File(s"$p/$layout").list()
         .count(_.startsWith("shard="))
-      assert(surviving > 0, s"$layout: scan must root at probed shard dirs")
-      assert(surviving < total,
-        s"$layout: pruning must drop shards ($total present, $surviving survive)")
+      assert(shardsTouched.nonEmpty, s"$layout: scan must read probed shard files")
+      assert(shardsTouched.length < total,
+        s"$layout: pruning must drop shards ($total present, ${shardsTouched.length} survive)")
     }
   }
 
@@ -322,6 +329,43 @@ class GramIndexSpec extends SparkSuite {
     GramIndex.reshard(spark, p2, 32) // resume
     assert(GramIndex.storedShards(spark, p2).contains(32))
     assert(probe(p2, batch) === want)
+  }
+
+  test("deltaAdvisory reports unfolded segments; needsCompaction keys on them") {
+    import spark.implicits._
+    val p = tmp("gramidx_advisory")
+    GramIndex.write(setsOf(
+      (0L until 20L).map(i => (i, doc(i))).toDF("doc_id", "text")), p)
+    assert(GramIndex.deltaAdvisory(spark, p) == (0L, 0L))
+    assert(!GramIndex.needsCompaction(spark, p, maxSegments = 0))
+    // a never-compacted appender accumulates one segment per batch —
+    // and the advisory is what reports it (probes union every segment)
+    (0 until 3).foreach { b =>
+      GramIndex.append(setsOf(Seq((1000L + b, doc(90L + b)))
+        .toDF("doc_id", "text")), p)
+    }
+    val (segs, bytes) = GramIndex.deltaAdvisory(spark, p)
+    assert(segs == 3L && bytes > 0L, s"advisory: ($segs, $bytes)")
+    assert(GramIndex.needsCompaction(spark, p, maxSegments = 2))
+    assert(!GramIndex.needsCompaction(spark, p, maxSegments = 3))
+    GramIndex.compact(spark, p)
+    assert(GramIndex.deltaAdvisory(spark, p) == (0L, 0L))
+    assert(!GramIndex.needsCompaction(spark, p, maxSegments = 0))
+  }
+
+  test("an EMPTY batch short-circuits the probe — no full-table slowPath reads") {
+    import spark.implicits._
+    val p = tmp("gramidx_empty")
+    GramIndex.write(setsOf(
+      (0L until 30L).map(i => (i, doc(i))).toDF("doc_id", "text")), p)
+    val out = GramIndex.probeContainment(spark, p,
+      setsOf(Seq.empty[(Long, String)].toDF("doc_id", "text")))
+    assert(out.columns.toSeq === Seq("a", "b", "containment"))
+    assert(out.count() === 0L)
+    // the empty result must be a LEAF, never the three-layout
+    // full-listing fallback an empty shard list would otherwise take
+    assert(!out.queryExecution.optimizedPlan.toString.contains("Relation ["),
+      "empty-batch probe still plans a file scan")
   }
 
   test("append publishes ONE 3-file delta segment; compact folds it; answers identical") {
