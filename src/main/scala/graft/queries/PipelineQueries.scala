@@ -124,6 +124,69 @@ object PipelineQueries {
         col("match_id"))
       .orderBy("doc_id")
 
+  /** The image-hash Hamming join (q_phash_join core): the image docs'
+    * aHash triple (original / +100000 perturbed / +200000 unrelated)
+    * as corpus rows through [[Dedup.hammingNearDupPairs]] at k = 6 —
+    * (a, b, hamming), exact. Shared with q_media_dedup_e2e. */
+  private def phashJoinCore(s: SparkSession, dir: String): DataFrame = {
+    val ph = Multimodal.synthPerceptualHashes(
+      documents(s, dir).filter(pmod(col("doc_id"), lit(3L)) === 0L))(s).toDF()
+    val ht = ph.select(col("doc_id").as("id"), col("ahash_a").as("hsh"))
+      .union(ph.select((col("doc_id") + 100000L).as("id"),
+        col("ahash_b").as("hsh")))
+      .union(ph.select((col("doc_id") + 200000L).as("id"),
+        col("ahash_c").as("hsh")))
+    Dedup.hammingNearDupPairs(ht, "id", "hsh", k = 6,
+      cache = { g =>
+        val p = g.persist()
+        Persisted.swap("phash_join_groups", dir, p)
+        p
+      })
+  }
+
+  /** The audio-fingerprint Hamming join (q_phash_join_audio core):
+    * spectral fingerprints of the audio docs — original / exact
+    * ×2-gain re-encode (identical hash, distance 0) / spectrally
+    * inverted (exactly 64) — through the same banded join. */
+  private def phashAudioJoinCore(s: SparkSession, dir: String): DataFrame = {
+    val ah = Multimodal.synthSpectralAudioHashes(
+      documents(s, dir).filter(pmod(col("doc_id"), lit(3L)) === 1L))(s).toDF()
+    val ht = ah.select(col("doc_id").as("id"), col("fp_a").as("hsh"))
+      .union(ah.select((col("doc_id") + 100000L).as("id"),
+        col("fp_b").as("hsh")))
+      .union(ah.select((col("doc_id") + 200000L).as("id"),
+        col("fp_c").as("hsh")))
+    Dedup.hammingNearDupPairs(ht, "id", "hsh", k = 6,
+      cache = { g =>
+        val p = g.persist()
+        Persisted.swap("phash_join_audio_groups", dir, p)
+        p
+      })
+  }
+
+  /** The video keyframe-sequence join (q_videoseq_join core): per-clip
+    * frame-hash multisets bucket-joined on the 64-bit frame hash, then
+    * the ≥3/4-of-the-shorter multiset-overlap verify (Σ min counts,
+    * integer cross-multiplied) — (a, b, matched, n_a, n_b), exact. */
+  private def videoSeqJoinCore(s: SparkSession, dir: String): DataFrame = {
+    val fr = Multimodal.synthVideoSeqFrameHashes(
+      documents(s, dir).filter(pmod(col("doc_id"), lit(3L)) === 2L))(s).toDF()
+    val cnt = fr.groupBy("clip_id", "fh").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum("c").over(Window.partitionBy("clip_id")))
+      .persist()
+    Persisted.swap("videoseq_join_cnt", dir, cnt)
+    cnt.select(col("clip_id").as("a"), col("fh"),
+        col("c").as("ca"), col("n").as("tmp_na"))
+      .join(cnt.select(col("clip_id").as("b"), col("fh"),
+        col("c").as("cb"), col("n").as("tmp_nb")), Seq("fh"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(sum(least(col("ca"), col("cb"))).as("matched"),
+        max(col("tmp_na")).as("n_a"), max(col("tmp_nb")).as("n_b"))
+      .filter(col("matched") * 4L >= least(col("n_a"), col("n_b")) * 3L)
+      .select("a", "b", "matched", "n_a", "n_b")
+  }
+
   private def exactCorpus(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
     base.union(base.select(col("doc_id") + 100000L, col("text")))
@@ -4122,22 +4185,7 @@ object PipelineQueries {
     // hashes arithmetically and brute-forces the pair set over the
     // distinct hashes — banding is an execution strategy, not a
     // semantic, so band join vs brute must agree exactly.
-    "q_phash_join" -> ((s, dir) => {
-      val ph = Multimodal.synthPerceptualHashes(
-        documents(s, dir).filter(pmod(col("doc_id"), lit(3L)) === 0L))(s).toDF()
-      val ht = ph.select(col("doc_id").as("id"), col("ahash_a").as("hsh"))
-        .union(ph.select((col("doc_id") + 100000L).as("id"),
-          col("ahash_b").as("hsh")))
-        .union(ph.select((col("doc_id") + 200000L).as("id"),
-          col("ahash_c").as("hsh")))
-      Dedup.hammingNearDupPairs(ht, "id", "hsh", k = 6,
-        cache = { g =>
-          val p = g.persist()
-          Persisted.swap("phash_join_groups", dir, p)
-          p
-        })
-        .orderBy("a", "b")
-    }),
+    "q_phash_join" -> ((s, dir) => phashJoinCore(s, dir).orderBy("a", "b")),
 
     // the AUDIO corpus through the same Hamming join — the audio docs'
     // (doc_id % 3 = 1) spectral fingerprints as separate corpus rows:
@@ -4148,22 +4196,8 @@ object PipelineQueries {
     // radius). Same operator, same plan shape, same brute-force oracle
     // rule as q_phash_join: banding is an execution strategy, so the
     // pair set must equal the brute bit_count join exactly.
-    "q_phash_join_audio" -> ((s, dir) => {
-      val ah = Multimodal.synthSpectralAudioHashes(
-        documents(s, dir).filter(pmod(col("doc_id"), lit(3L)) === 1L))(s).toDF()
-      val ht = ah.select(col("doc_id").as("id"), col("fp_a").as("hsh"))
-        .union(ah.select((col("doc_id") + 100000L).as("id"),
-          col("fp_b").as("hsh")))
-        .union(ah.select((col("doc_id") + 200000L).as("id"),
-          col("fp_c").as("hsh")))
-      Dedup.hammingNearDupPairs(ht, "id", "hsh", k = 6,
-        cache = { g =>
-          val p = g.persist()
-          Persisted.swap("phash_join_audio_groups", dir, p)
-          p
-        })
-        .orderBy("a", "b")
-    }),
+    "q_phash_join_audio" -> ((s, dir) =>
+      phashAudioJoinCore(s, dir).orderBy("a", "b")),
 
     // VIDEO SEQUENCE near-dup JOIN — the corpus-scale form of
     // q_media_videohash_seq's per-row classification: every video doc's
@@ -4180,24 +4214,33 @@ object PipelineQueries {
     // quadratic only within an fh bucket of clips sharing a frame
     // hash; hash rows are 16 bytes, never a payload join, no cartesian
     // (VideoSeqJoinSpec pins the plan and the brute-force parity).
-    "q_videoseq_join" -> ((s, dir) => {
-      val fr = Multimodal.synthVideoSeqFrameHashes(
-        documents(s, dir).filter(pmod(col("doc_id"), lit(3L)) === 2L))(s).toDF()
-      val cnt = fr.groupBy("clip_id", "fh").agg(count(lit(1)).as("c"))
-        .withColumn("n", sum("c").over(Window.partitionBy("clip_id")))
-        .persist()
-      Persisted.swap("videoseq_join_cnt", dir, cnt)
-      cnt.select(col("clip_id").as("a"), col("fh"),
-          col("c").as("ca"), col("n").as("tmp_na"))
-        .join(cnt.select(col("clip_id").as("b"), col("fh"),
-          col("c").as("cb"), col("n").as("tmp_nb")), Seq("fh"))
-        .filter(col("a") < col("b"))
-        .groupBy("a", "b")
-        .agg(sum(least(col("ca"), col("cb"))).as("matched"),
-          max(col("tmp_na")).as("n_a"), max(col("tmp_nb")).as("n_b"))
-        .filter(col("matched") * 4L >= least(col("n_a"), col("n_b")) * 3L)
-        .select("a", "b", "matched", "n_a", "n_b")
-        .orderBy("a", "b")
+    "q_videoseq_join" -> ((s, dir) =>
+      videoSeqJoinCore(s, dir).orderBy("a", "b")),
+
+    // CROSS-MODAL NEAR-DUP CLUSTERS — the three corpus-scale hash
+    // joins composed into ONE dedup decision: image aHash pairs, audio
+    // fingerprint pairs and video keyframe-sequence pairs union into a
+    // single pair graph (id spaces disjoint by construction: base ids
+    // partition by doc_id % 3 and the planted offsets are common), and
+    // connected components elect one survivor per cluster — the same
+    // min-label election the text pipeline uses, now spanning
+    // modalities. This is the step a production media pipeline runs
+    // after per-modality matching: one takedown/keep decision per
+    // CLUSTER, not per pair. Plan shape: three banded hash joins (no
+    // payload ever shuffles; each was plan-guarded alone) + the
+    // driver-loop-free CC (per-round join+groupBy, converges in
+    // O(log diameter)). The oracle replays all three pair sets
+    // arithmetically and the clustering as a recursive CTE.
+    "q_media_dedup_e2e" -> ((s, dir) => {
+      val pairs = phashJoinCore(s, dir).select("a", "b")
+        .unionByName(phashAudioJoinCore(s, dir).select("a", "b"))
+        .unionByName(videoSeqJoinCore(s, dir).select("a", "b"))
+      Dedup.connectedComponents(pairs)
+        .select(col("node"), col("label"),
+          when(pmod(pmod(col("node"), lit(100000L)), lit(3L)) === 0L, lit("image"))
+            .when(pmod(pmod(col("node"), lit(100000L)), lit(3L)) === 1L, lit("audio"))
+            .otherwise(lit("video")).as("modality"))
+        .orderBy("node")
     }),
 
     // scalar-function coverage: strings
@@ -7590,6 +7633,134 @@ object PipelineQueries {
               JOIN sz sb ON sb.clip_id = pairs.b
             WHERE matched * 4 >= least(sa.n, sb.n) * 3
             ORDER BY a, b"""
+      },
+
+      "q_media_dedup_e2e" -> {
+        // the three modality pair replays (image aHash brute join,
+        // audio fingerprint brute join, video keyframe multiset join —
+        // each identical to its standalone oracle, CTEs prefixed
+        // i/a2/v) unioned into one pair graph, clustered by the
+        // recursive min-label CTE. Modality decodes from the id: the
+        // planted offsets are multiples of 100000 and base ids
+        // partition by doc_id % 3.
+        def hashOf(t: String) =
+          s"""CAST(CASE WHEN $t[64] * 64 > list_sum($t)
+                        THEN -9223372036854775808 ELSE 0 END
+               + CAST(list_sum(list_transform(range(63), k ->
+                   CASE WHEN $t[k + 1] * 64 > list_sum($t)
+                        THEN (1::BIGINT << k) ELSE 0::BIGINT END)) AS BIGINT)
+               AS BIGINT)"""
+        val iw = "(16 + doc_id % 64)"
+        val ih = "(16 + doc_id % 48)"
+        val iIdx = s"(((k // 8) * $ih // 8) * $iw + ((k % 8) * $iw // 8))"
+        val iTa = s"list_transform(range(64), k -> (doc_id * 31 + $iIdx) % 256)"
+        val iTb = s"list_transform(range(64), k -> (doc_id * 31 + $iIdx" +
+          s" + CASE WHEN $iIdx % 97 = 0 THEN 8 ELSE 0 END) % 256)"
+        val iTc = s"list_transform(range(64), k -> (doc_id * 37 + 5 * $iIdx) % 256)"
+        val packed = (e: String, t: String) =>
+          s"""CAST(sum(CASE WHEN $e * (afs.n - 64) <= $t * (afs.len - 1) THEN 0
+                            WHEN afs.k = 63 THEN -9223372036854775808
+                            ELSE (1::BIGINT << CAST(afs.k AS INTEGER)) END)
+                AS BIGINT)"""
+        val vIdx = "(((k // 8) * h // 8) * w + ((k % 8) * w // 8))"
+        val vTa = s"list_transform(range(64), k -> (doc_id * 31 + f * 7 + $vIdx) % 256)"
+        val vTc = s"list_transform(range(64), k -> (doc_id * 37 + f * 11 + 5 * $vIdx) % 256)"
+        s"""WITH RECURSIVE
+              it AS (SELECT doc_id, $iTa AS ta, $iTb AS tb, $iTc AS tc
+                     FROM documents WHERE doc_id % 3 = 0),
+              ihh AS (SELECT doc_id, ${hashOf("ta")} AS a,
+                        ${hashOf("tb")} AS b, ${hashOf("tc")} AS c FROM it),
+              iht AS (SELECT doc_id AS id, a AS hsh FROM ihh
+                      UNION ALL SELECT doc_id + 100000, b FROM ihh
+                      UNION ALL SELECT doc_id + 200000, c FROM ihh),
+              ig AS (SELECT hsh, list_sort(list(id)) AS ids
+                     FROM iht GROUP BY hsh),
+              iwithin AS (SELECT x.a AS a, y.b AS b
+                          FROM ig, unnest(ig.ids) AS x(a), unnest(ig.ids) AS y(b)
+                          WHERE x.a < y.b),
+              ihp AS (SELECT x.hsh AS ha, y.hsh AS hb
+                      FROM ig x JOIN ig y ON x.hsh < y.hsh
+                      WHERE bit_count(xor(x.hsh, y.hsh)) <= 6),
+              icross AS (SELECT least(ua.ia, ub.ib) AS a,
+                           greatest(ua.ia, ub.ib) AS b
+                         FROM ihp
+                           JOIN ig ga ON ga.hsh = ihp.ha
+                           JOIN ig gb ON gb.hsh = ihp.hb,
+                           unnest(ga.ids) AS ua(ia), unnest(gb.ids) AS ub(ib)),
+              ad AS (SELECT doc_id, 256 + doc_id % 512 AS n,
+                       ((doc_id + 7) * 2654435761) % 4294967296 AS ws
+                     FROM documents WHERE doc_id % 3 = 1),
+              af AS (SELECT doc_id, n, k,
+                       (k * n) // 64 AS lo, ((k + 1) * n) // 64 AS hi,
+                       CASE WHEN k % 32 = 31 THEN 1 WHEN k % 32 = 0 THEN 0
+                            ELSE (ws // (1::BIGINT << CAST(k % 32 AS INTEGER))) % 2
+                       END AS sp
+                     FROM ad CROSS JOIN (SELECT unnest(range(64)) AS k)),
+              afs AS (SELECT doc_id, n, k, hi - lo AS len,
+                        CASE WHEN sp = 1 THEN 32 * (hi - lo - 1) ELSE 0 END AS ea,
+                        CASE WHEN sp = 1 THEN 64 * (hi - lo - 1) ELSE 0 END AS eb,
+                        CASE WHEN sp = 0 THEN 32 * (hi - lo - 1) ELSE 0 END AS ec
+                      FROM af),
+              att AS (SELECT doc_id, sum(ea) AS ta, sum(eb) AS tb,
+                        sum(ec) AS tc
+                      FROM afs GROUP BY doc_id),
+              afp AS (SELECT afs.doc_id,
+                        ${packed("ea", "ta")} AS fp_a,
+                        ${packed("eb", "tb")} AS fp_b,
+                        ${packed("ec", "tc")} AS fp_c
+                      FROM afs JOIN att ON att.doc_id = afs.doc_id
+                      GROUP BY afs.doc_id),
+              aht AS (SELECT doc_id AS id, fp_a AS hsh FROM afp
+                      UNION ALL SELECT doc_id + 100000, fp_b FROM afp
+                      UNION ALL SELECT doc_id + 200000, fp_c FROM afp),
+              ag AS (SELECT hsh, list_sort(list(id)) AS ids
+                     FROM aht GROUP BY hsh),
+              awithin AS (SELECT x.a AS a, y.b AS b
+                          FROM ag, unnest(ag.ids) AS x(a), unnest(ag.ids) AS y(b)
+                          WHERE x.a < y.b),
+              ahp AS (SELECT x.hsh AS ha, y.hsh AS hb
+                      FROM ag x JOIN ag y ON x.hsh < y.hsh
+                      WHERE bit_count(xor(x.hsh, y.hsh)) <= 6),
+              across2 AS (SELECT least(ua.ia, ub.ib) AS a,
+                            greatest(ua.ia, ub.ib) AS b
+                          FROM ahp
+                            JOIN ag ga ON ga.hsh = ahp.ha
+                            JOIN ag gb ON gb.hsh = ahp.hb,
+                            unnest(ga.ids) AS ua(ia), unnest(gb.ids) AS ub(ib)),
+              vg AS (SELECT doc_id, 16 + doc_id % 32 AS w,
+                       16 + doc_id % 24 AS h, 4 + doc_id % 6 AS n
+                     FROM documents WHERE doc_id % 3 = 2),
+              vfr AS (SELECT doc_id, w, h, n, unnest(range(n)) AS f FROM vg),
+              vth AS (SELECT doc_id, n, f, $vTa AS ta, $vTc AS tc FROM vfr),
+              vhh AS (SELECT doc_id, n, f, ${hashOf("ta")} AS ha,
+                        ${hashOf("tc")} AS hc FROM vth),
+              vclips AS (SELECT doc_id AS clip_id, ha AS fh FROM vhh
+                         UNION ALL
+                         SELECT doc_id + 100000, ha FROM vhh WHERE f >= 1
+                         UNION ALL
+                         SELECT doc_id + 200000, hc FROM vhh),
+              vcnt AS (SELECT clip_id, fh, count(*) AS c
+                       FROM vclips GROUP BY 1, 2),
+              vsz AS (SELECT clip_id, count(*) AS n FROM vclips GROUP BY 1),
+              vpairs AS (SELECT x.clip_id AS a, y.clip_id AS b,
+                           sum(least(x.c, y.c)) AS matched
+                         FROM vcnt x JOIN vcnt y
+                           ON x.fh = y.fh AND x.clip_id < y.clip_id
+                         GROUP BY 1, 2),
+              p AS (SELECT a, b FROM iwithin UNION ALL SELECT a, b FROM icross
+                    UNION ALL SELECT a, b FROM awithin
+                    UNION ALL SELECT a, b FROM across2
+                    UNION ALL
+                    SELECT vpairs.a, vpairs.b
+                    FROM vpairs
+                      JOIN vsz sa ON sa.clip_id = vpairs.a
+                      JOIN vsz sb ON sb.clip_id = vpairs.b
+                    WHERE matched * 4 >= least(sa.n, sb.n) * 3),
+              ${Dedup.duckConnectedComponents("p")}
+            SELECT node, label,
+              CASE ((node % 100000) % 3) WHEN 0 THEN 'image'
+                   WHEN 1 THEN 'audio' ELSE 'video' END AS modality
+            FROM cc ORDER BY node"""
       },
 
       "q_media_video_meta" ->
