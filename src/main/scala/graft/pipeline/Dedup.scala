@@ -224,6 +224,103 @@ object Dedup {
     }
   }
 
+  /** PERSISTED form of [[sizedHistoryBloom]] — the corpus-axis fix for
+    * the refresh screens' last O(corpus) term: re-FOLDING the history
+    * filter per refresh costs one full corpus agg per invocation
+    * (measured as refresh_corpus screens' residual ~1.4×/decade after
+    * the listing fix), while the filter's CONTENT only changes by the
+    * increment. So the filter lives beside the corpus — one small file
+    * (count + capacity + the sketch bytes, written atomically) — built
+    * once per corpus generation and extended per increment by
+    * [[appendHistoryBloom]] (driver-side putLong of the new keys'
+    * xxhash64s: increment-bounded, zero Spark jobs).
+    *
+    * SOUNDNESS: the filter is an optimization input ONLY — positives
+    * feed an exact verify join that decides — so a persisted filter
+    * may be a SUPERSET of the live corpus (tombstoned/superseded docs
+    * stay in until a rebuild): false positives cost verify rows,
+    * never verdicts. It must never be a subset: rebuild (delete the
+    * file) when the corpus is REPLACED rather than appended. Returns
+    * (filterBytes, count); bytes null for an empty history. */
+  def ensureHistoryBloom(spark: org.apache.spark.sql.SparkSession, path: String,
+                         hist: DataFrame, keyed: Column,
+                         nItemsGuess: Long): (Array[Byte], Long) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try {
+        val n = in.readLong()
+        val len = in.readInt()
+        if (len == 0) (null, n)
+        else {
+          val bytes = new Array[Byte](len)
+          in.readFully(bytes)
+          (bytes, n)
+        }
+      } finally in.close()
+    } else {
+      val (bytes, n) = sizedHistoryBloom(hist, keyed, nItemsGuess)
+      writeBloomFile(fs, p, bytes, n)
+      (bytes, n)
+    }
+  }
+
+  private def writeBloomFile(fs: org.apache.hadoop.fs.FileSystem,
+                             p: org.apache.hadoop.fs.Path,
+                             bytes: Array[Byte], n: Long): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      "." + p.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try {
+      out.writeLong(n)
+      out.writeInt(if (bytes == null) 0 else bytes.length)
+      if (bytes != null) out.write(bytes)
+    } finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"history-bloom rename failed: $tmp -> $p")
+  }
+
+  /** Fold an INCREMENT's keys into the persisted filter — driver-side
+    * (increments are screen-sized by contract), atomic rewrite. The
+    * inserted hash is the same `xxhash64(key)` the aggregate and the
+    * `might_contain` probe use, so membership is bit-compatible. The
+    * bits/item contract degrades as appends accumulate past the build
+    * size; past ~10% expected fp the advisory prints — rebuild by
+    * deleting the file (the next ensure re-sizes from the corpus). */
+  def appendHistoryBloom(spark: org.apache.spark.sql.SparkSession, path: String,
+                         keys: Seq[String]): Unit = {
+    if (keys.isEmpty) return
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"no history bloom at $path — ensureHistoryBloom first")
+    val in = fs.open(p)
+    val (n, bytes) = try {
+      val n0 = in.readLong()
+      val len = in.readInt()
+      require(len > 0, s"history bloom at $path is the empty-history " +
+        "sentinel — rebuild (delete the file) instead of appending")
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      (n0, b)
+    } finally in.close()
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    keys.foreach { k =>
+      bf.putLong(org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(k),
+        org.apache.spark.sql.types.StringType, 42L))
+    }
+    if (bf.expectedFpp() > 0.10)
+      System.err.println(s"[graft] appendHistoryBloom: filter at $path has " +
+        f"grown to expected fp ${bf.expectedFpp()}%.3f (> 0.10) — the exact " +
+        "verify join stays correct but stops being screened; rebuild the " +
+        "filter (delete the file) at the next maintenance window")
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    writeBloomFile(fs, p, bos.toByteArray, n + keys.size)
+  }
+
   // ---- Hamming near-dup join (perceptual hashes) ---------------------------
 
   /** The k+1 contiguous bit bands of a `totalBits`-wide hash as

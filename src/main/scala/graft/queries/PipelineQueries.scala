@@ -1019,7 +1019,8 @@ object PipelineQueries {
       crawl: DataFrame, delKeys: DataFrame, gramPath: String,
       bandPath: String, dirKey: String,
       ensureStores: Seq[Long] => Unit,
-      bloomGuess: Long = 100000L): RefreshVerdicts = {
+      bloomGuess: Long = 100000L,
+      bloomPath: Option[String] = None): RefreshVerdicts = {
     import org.apache.spark.sql.graft.ColumnBridge
     // EVERY increment-bounded verdict frame below is localCheckpoint()ed
     // (the GramIndex probe's lineage-cut), NOT persist()ed: each stage
@@ -1049,9 +1050,21 @@ object PipelineQueries {
     // increment supersedes (sidecar-derived, no extra corpus scan)
     val histScreen = histKeyed
       .join(broadcast(superseded), Seq("doc_id"), "left_anti")
-    // 2. exact screen
-    val (bfBytes, _) =
-      Dedup.sizedHistoryBloom(histScreen.select("h"), col("h"), bloomGuess)
+    // 2. exact screen. With a bloomPath the filter comes off the
+    // PERSISTED corpus sidecar (built once per corpus generation,
+    // extended per increment — Dedup.ensureHistoryBloom): that filter
+    // covers the FULL history including this increment's superseded
+    // keys — a SUPERSET, which is sound because positives feed the
+    // exact verify join against histScreen (which excludes them).
+    // Without a path the filter folds per invocation over the live
+    // screen targets — the corpus-sized agg the persisted form
+    // amortizes away (the refresh_corpus residual, SCALING.md).
+    val (bfBytes, _) = bloomPath match {
+      case Some(bp) =>
+        Dedup.ensureHistoryBloom(s, bp, histKeyed.select("h"), col("h"), bloomGuess)
+      case None =>
+        Dedup.sizedHistoryBloom(histScreen.select("h"), col("h"), bloomGuess)
+    }
     val hashed = newDocs.select(col("doc_id"), md5(col("text")).as("h"))
     val candEx = hashed.filter(ColumnBridge.column(
       new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
@@ -1250,7 +1263,8 @@ object PipelineQueries {
     // tombstones are folded (delete → compact re-opens the keys for
     // their appended new versions) before the first probe constructs
     val v = refreshScreens(s, histKeyed, crawl, delKeys, gramPath, bandPath,
-      dir, supIds => if (!fs.exists(mBase)) {
+      dir, bloomPath = Some(s"$root/history_bloom"),
+      ensureStores = supIds => if (!fs.exists(mBase)) {
         graft.store.GramIndex.write(setsOf(docs), gramPath)
         graft.store.BandIndex.write(
           Dedup.docSketch(docs.select("doc_id", "text")), bandPath)
@@ -1283,6 +1297,12 @@ object PipelineQueries {
           .withColumn("n_chars", lit(0L)).withColumn("op", lit("D"))
           .select("doc_id", "text", "lang", "source", "n_chars", "op"))
       graft.store.CdcStore.append(delta, 0L, cdcPath)
+      // fold the increment's content keys into the PERSISTED history
+      // filter (driver-side, increment-bounded) — the write-path half
+      // of the amortized-bloom contract: the next refresh screens
+      // against base + this increment without re-folding the corpus
+      Dedup.appendHistoryBloom(s, s"$root/history_bloom",
+        appendDocs.select(md5(col("text"))).collect().map(_.getString(0)).toSeq)
       fs.create(mDone, true).close()
     }
     // the refreshed corpus, through the real merge-on-read path

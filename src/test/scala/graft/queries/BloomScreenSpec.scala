@@ -88,4 +88,43 @@ class BloomScreenSpec extends SparkSuite {
     assert(hits(saturated, novel) > fp * 5,
       "the saturated filter should be dramatically leakier than the rebuilt one")
   }
+
+  test("persisted history bloom: build-once, increment appends fold in, superset stays sound") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("hbloom").toString
+    val path = s"$dir/history_bloom"
+    val hist = (0L until 2000L).map(i => s"key$i").toDF("h").persist()
+    // first call BUILDS and persists; second call READS the file —
+    // bit-identical bytes, no corpus agg (the amortization contract)
+    val (b1, n1) = Dedup.ensureHistoryBloom(spark, path, hist, col("h"), 2000L)
+    assert(n1 === 2000L)
+    val (b2, n2) = Dedup.ensureHistoryBloom(spark, path,
+      spark.range(0).selectExpr("'x' AS h"), col("h"), 1L) // hist unread
+    assert(n2 === 2000L && java.util.Arrays.equals(b1, b2),
+      "second ensure must serve the persisted filter, not rebuild")
+    // an increment's keys fold in driver-side and probe bit-compatibly
+    // through the same might_contain the screens use
+    Dedup.appendHistoryBloom(spark, path, Seq("newkeyA", "newkeyB"))
+    val (b3, n3) = Dedup.ensureHistoryBloom(spark, path,
+      spark.range(0).selectExpr("'x' AS h"), col("h"), 1L)
+    assert(n3 === 2002L)
+    def contains(bytes: Array[Byte], k: String): Boolean = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      Seq(k).toDF("h").filter(ColumnBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          ColumnBridge.expression(lit(bytes)),
+          ColumnBridge.expression(xxhash64(col("h")))))).count() == 1L
+    }
+    assert(contains(b3, "newkeyA") && contains(b3, "newkeyB"),
+      "appended keys must probe positive through might_contain")
+    assert(contains(b3, "key7"), "original membership must survive the append")
+    // zero false negatives over the whole history — the screen contract
+    val misses = hist.filter(!ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ColumnBridge.expression(lit(b3)),
+        ColumnBridge.expression(xxhash64(col("h")))))).count()
+    assert(misses === 0L)
+    hist.unpersist()
+  }
 }
