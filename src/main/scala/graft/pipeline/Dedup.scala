@@ -144,15 +144,70 @@ object Dedup {
     * boilerplate, not near-dups — and its members-×-batch expansion
     * would be the quadratic term); [[oversizedBuckets]] on the index
     * bands reports what was capped. Pair orientation is fixed:
-    * `a` = index id, `b` = probe id. */
+    * `a` = index id, `b` = probe id.
+    *
+    * `bucketStat`: pass an `Observation` and the index-side bucket
+    * aggregation reports `max_bucket` (largest PRE-cap member count),
+    * `n_buckets` and `n_capped` (buckets the cap truncated) alongside
+    * the run — the no-silent-caps number a production probe loop logs
+    * per batch ([[logBucketStat]]). The metrics ride the existing
+    * aggregation (the cap slice moves after the observe node); results
+    * are identical with or without it. */
   def probePairs(indexBands: DataFrame, probeBands: DataFrame, idCol: String,
-                 maxBucket: Int = MaxBucket): DataFrame =
-    indexBands.groupBy("band", "sig")
-      .agg(slice(array_sort(collect_set(col(idCol))), 1, maxBucket).as("ids"))
+                 maxBucket: Int = MaxBucket,
+                 bucketStat: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val bkt = bucketStat match {
+      case None =>
+        indexBands.groupBy("band", "sig")
+          .agg(slice(array_sort(collect_set(col(idCol))), 1, maxBucket).as("ids"))
+      case Some(o) =>
+        indexBands.groupBy("band", "sig")
+          .agg(array_sort(collect_set(col(idCol))).as("__all"))
+          .observe(o,
+            coalesce(max(size(col("__all"))), lit(0)).as("max_bucket"),
+            count(lit(1)).as("n_buckets"),
+            coalesce(sum(when(size(col("__all")) > maxBucket, 1L).otherwise(0L)),
+              lit(0L)).as("n_capped"))
+          .select(col("band"), col("sig"),
+            slice(col("__all"), 1, maxBucket).as("ids"))
+    }
+    bkt
       .join(probeBands.select(col(idCol).as("__pid"), col("band"), col("sig")),
         Seq("band", "sig"))
       .select(explode(col("ids")).as("a"), col("__pid").as("b"))
       .distinct()
+  }
+
+  /** Log an `Observation`'s bucket metrics to stderr once its action
+    * completes, WITHOUT blocking the caller — a daemon watcher thread
+    * parks on `obs.get` (a plan constructed but never executed just
+    * parks the daemon for the process's life; it holds no Spark
+    * resources). This is how the production join cores surface their
+    * degenerate-bucket numbers: the cores return LAZY frames, so only
+    * a completion hook can report what the run actually saw. A
+    * `max_bucket` past `warnAt` upgrades the line to an explicit
+    * hot-bucket warning — the in-bucket m²/2 pair expansion is the one
+    * scale hazard these exact (no-cap) joins carry. */
+  def logBucketStat(tag: String, obs: org.apache.spark.sql.Observation,
+                    warnAt: Long = 10000L): Unit = {
+    val t = new Thread(() => {
+      try {
+        val m = obs.get
+        val rendered = m.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }.mkString(" ")
+        val hot = m.get("max_bucket").collect {
+          case n: Number if n.longValue() > warnAt =>
+            s" — HOT BUCKET: ${n.longValue()} members expand to " +
+              s"~${n.longValue() * (n.longValue() - 1) / 2} in-bucket pairs; " +
+              "pre-filter the degenerate hash/frame value (e.g. black " +
+              "frames hashing equal) or this stage stragglers at scale"
+        }.getOrElse("")
+        System.err.println(s"[graft] $tag: $rendered$hot")
+      } catch { case _: InterruptedException => () }
+    }, s"graft-bucketstat-${tag.takeWhile(_ != ' ')}")
+    t.setDaemon(true)
+    t.start()
+  }
 
   /** DuckDB twin of [[probePairs]] including the index-side cap.
     * Expects CTEs `ibands(doc_id, band, bsig)` and
@@ -230,50 +285,89 @@ object Dedup {
     * (measured as refresh_corpus screens' residual ~1.4×/decade after
     * the listing fix), while the filter's CONTENT only changes by the
     * increment. So the filter lives beside the corpus — one small file
-    * (count + capacity + the sketch bytes, written atomically) — built
-    * once per corpus generation and extended per increment by
-    * [[appendHistoryBloom]] (driver-side putLong of the new keys'
-    * xxhash64s: increment-bounded, zero Spark jobs).
+    * (count + generation tag + capacity + the sketch bytes, written
+    * atomically) — built once per corpus generation and extended per
+    * increment by [[appendHistoryBloom]] (driver-side putLong of the
+    * new keys' xxhash64s: increment-bounded, zero Spark jobs).
     *
     * SOUNDNESS: the filter is an optimization input ONLY — positives
     * feed an exact verify join that decides — so a persisted filter
     * may be a SUPERSET of the live corpus (tombstoned/superseded docs
     * stay in until a rebuild): false positives cost verify rows,
-    * never verdicts. It must never be a subset: rebuild (delete the
-    * file) when the corpus is REPLACED rather than appended. Returns
-    * (filterBytes, count); bytes null for an empty history. */
+    * never verdicts. It must never be a subset — a subset's false
+    * NEGATIVES skip the verify join entirely (silently missed exact
+    * dups). That hazard is now ENFORCED, not just documented: pass
+    * `generation` = a cheap fingerprint of the corpus generation the
+    * filter must cover (e.g. count ^ bit_xor of the key hashes —
+    * derivable from aggregates a maintained sidecar computes anyway,
+    * so checking costs no extra corpus scan), and a standing file
+    * whose stored tag differs is REBUILT from `hist` instead of
+    * trusted — a caller that swaps the corpus and forgets the delete
+    * gets one loud rebuild, never a subset filter. `generation = None`
+    * keeps the caller-managed-delete contract for filters with no
+    * natural fingerprint.
+    *
+    * CONCURRENCY: the ensure/append pair is SINGLE-WRITER by contract
+    * (one refresh pipeline owns a corpus's filter — the same
+    * single-maintainer discipline as every store here); appends are a
+    * read-modify-write and two concurrent writers would lose one
+    * increment's keys, i.e. manufacture exactly the subset state this
+    * tag exists to prevent. The swap itself is detectable: the writer
+    * publishes via `.tmp` + delete + rename, so a missing filter WITH
+    * a standing `.tmp` sibling is a swap in flight (or crashed) — this
+    * method then fails LOUDLY instead of racing a rebuild against the
+    * other writer's rename. Returns (filterBytes, count); bytes null
+    * for an empty history. */
   def ensureHistoryBloom(spark: org.apache.spark.sql.SparkSession, path: String,
                          hist: DataFrame, keyed: Column,
-                         nItemsGuess: Long): (Array[Byte], Long) = {
+                         nItemsGuess: Long,
+                         generation: Option[Long] = None): (Array[Byte], Long) = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = tmpOf(p)
     if (fs.exists(p)) {
       val in = fs.open(p)
-      try {
-        val n = in.readLong()
+      val (n, gen, bytes) = try {
+        val n0 = in.readLong()
+        val g0 = in.readLong()
         val len = in.readInt()
-        if (len == 0) (null, n)
+        if (len == 0) (n0, g0, null: Array[Byte])
         else {
-          val bytes = new Array[Byte](len)
-          in.readFully(bytes)
-          (bytes, n)
+          val b = new Array[Byte](len)
+          in.readFully(b)
+          (n0, g0, b)
         }
       } finally in.close()
+      if (generation.forall(_ == gen)) return (bytes, n)
+      System.err.println(s"[graft] ensureHistoryBloom: filter at $path " +
+        s"carries generation tag $gen but the corpus fingerprint is " +
+        s"${generation.get} — the corpus was REPLACED under a standing " +
+        "filter (a subset filter would silently miss exact dups); " +
+        "rebuilding from the live history")
+      fs.delete(p, false)
     } else {
-      val (bytes, n) = sizedHistoryBloom(hist, keyed, nItemsGuess)
-      writeBloomFile(fs, p, bytes, n)
-      (bytes, n)
+      require(!fs.exists(tmp),
+        s"ensureHistoryBloom: no filter at $path but its swap file $tmp " +
+          "stands — a concurrent (or crashed) writer is mid-publish; the " +
+          "ensure/append pair is single-writer by contract. Retry after " +
+          "the writer finishes, or remove the debris if it crashed")
     }
+    val (bytes, n) = sizedHistoryBloom(hist, keyed, nItemsGuess)
+    writeBloomFile(fs, p, bytes, n, generation.getOrElse(0L))
+    (bytes, n)
   }
+
+  private def tmpOf(p: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(p.getParent, "." + p.getName + ".tmp")
 
   private def writeBloomFile(fs: org.apache.hadoop.fs.FileSystem,
                              p: org.apache.hadoop.fs.Path,
-                             bytes: Array[Byte], n: Long): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
-      "." + p.getName + ".tmp")
+                             bytes: Array[Byte], n: Long, gen: Long): Unit = {
+    val tmp = tmpOf(p)
     val out = fs.create(tmp, true)
     try {
       out.writeLong(n)
+      out.writeLong(gen)
       out.writeInt(if (bytes == null) 0 else bytes.length)
       if (bytes != null) out.write(bytes)
     } finally out.close()
@@ -282,31 +376,42 @@ object Dedup {
   }
 
   /** Fold an INCREMENT's keys into the persisted filter — driver-side
-    * (increments are screen-sized by contract), atomic rewrite. The
-    * inserted hash is the same `xxhash64(key)` the aggregate and the
-    * `might_contain` probe use, so membership is bit-compatible. The
-    * bits/item contract degrades as appends accumulate past the build
-    * size; past ~10% expected fp the advisory prints — rebuild by
-    * deleting the file (the next ensure re-sizes from the corpus). */
+    * (increments are screen-sized by contract), atomic rewrite, the
+    * stored generation tag carried through unchanged (appends extend a
+    * generation; only a corpus REPLACE changes the tag). SINGLE-WRITER
+    * by contract (see [[ensureHistoryBloom]]): a concurrent append
+    * would lose this one's keys into the subset state the tag guards
+    * against. Keys are de-duplicated before counting, so the stored
+    * load `n` tracks distinct insertions. The inserted hash is the
+    * same `xxhash64(key)` the aggregate and the `might_contain` probe
+    * use, so membership is bit-compatible. The bits/item contract
+    * degrades as appends accumulate past the build size; past ~10%
+    * expected fp the advisory prints — rebuild by deleting the file
+    * (the next ensure re-sizes from the corpus). */
   def appendHistoryBloom(spark: org.apache.spark.sql.SparkSession, path: String,
                          keys: Seq[String]): Unit = {
-    if (keys.isEmpty) return
+    val ks = keys.distinct
+    if (ks.isEmpty) return
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(p), s"no history bloom at $path — ensureHistoryBloom first")
+    require(fs.exists(p), s"no history bloom at $path — ensureHistoryBloom first" +
+      (if (fs.exists(tmpOf(p))) s" (a swap file ${tmpOf(p)} stands: a " +
+        "concurrent or crashed writer is mid-publish — single-writer contract)"
+       else ""))
     val in = fs.open(p)
-    val (n, bytes) = try {
+    val (n, gen, bytes) = try {
       val n0 = in.readLong()
+      val g0 = in.readLong()
       val len = in.readInt()
       require(len > 0, s"history bloom at $path is the empty-history " +
         "sentinel — rebuild (delete the file) instead of appending")
       val b = new Array[Byte](len)
       in.readFully(b)
-      (n0, b)
+      (n0, g0, b)
     } finally in.close()
     val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
       new java.io.ByteArrayInputStream(bytes))
-    keys.foreach { k =>
+    ks.foreach { k =>
       bf.putLong(org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
         org.apache.spark.unsafe.types.UTF8String.fromString(k),
         org.apache.spark.sql.types.StringType, 42L))
@@ -318,7 +423,7 @@ object Dedup {
         "filter (delete the file) at the next maintenance window")
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
-    writeBloomFile(fs, p, bos.toByteArray, n + keys.size)
+    writeBloomFile(fs, p, bos.toByteArray, n + ks.size, gen)
   }
 
   // ---- Hamming near-dup join (perceptual hashes) ---------------------------

@@ -90,19 +90,17 @@ object TextIndex {
 
   private val PostingsCols = Seq("t", "doc_id", "tf", "dl", "positions")
 
-  /** One parquet frame over all published delta segments — None when no
-    * segment exists. In-flight publishes sit at dot-prefixed `.tmp_*`
-    * (invisible: only explicit `seg_*` dirs are globbed). */
+  /** One parquet frame over all published UNFOLDED delta segments —
+    * None when no live segment exists. In-flight publishes sit at
+    * dot-prefixed `.tmp_*` (invisible: only explicit `seg_*` dirs are
+    * globbed); segments already folded into the base but not yet
+    * reclaimed are excluded via [[graft.store.DeltaSegments]]. */
   private def deltaPostings(spark: SparkSession, path: String): Option[DataFrame] = {
     val d = new org.apache.hadoop.fs.Path(path, DeltaDir)
     val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(d)) None
-    else {
-      val segs = fs.listStatus(d).map(_.getPath)
-        .filter(_.getName.startsWith("seg_"))
-      if (segs.isEmpty) None
-      else Some(spark.read.parquet(segs.map(_.toString).toSeq: _*))
-    }
+    val segs = graft.store.DeltaSegments.liveSegs(fs, d)
+    if (segs.isEmpty) None
+    else Some(spark.read.parquet(segs.map(_.toString): _*))
   }
 
   /** Whether unfolded append segments exist (the fold-pending signal —
@@ -119,23 +117,25 @@ object TextIndex {
   def deltaAdvisory(spark: SparkSession, path: String): (Long, Long) = {
     val d = new org.apache.hadoop.fs.Path(path, DeltaDir)
     val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(d)) (0L, 0L)
-    else {
-      val segs = fs.listStatus(d).filter(_.getPath.getName.startsWith("seg_"))
-      val bytes = segs.map(s =>
-        fs.listStatus(s.getPath).filter(_.isFile).map(_.getLen).sum).sum
-      (segs.length.toLong, bytes)
-    }
+    val segs = graft.store.DeltaSegments.liveSegs(fs, d)
+    val bytes = segs.map(s =>
+      fs.listStatus(s).filter(_.isFile).map(_.getLen).sum).sum
+    (segs.length.toLong, bytes)
   }
 
   /** The pruned LIVE postings a probe reads: the named terms' shards of
-    * the sharded base (listing-pruned at construction) UNIONed with the
-    * delta segments under the same term filter — one bounded delta scan,
-    * never a corpus read — tombstones anti-joined over the whole. */
+    * the sharded base — MANIFEST-BACKED ([[graft.store.FileManifest]]:
+    * zero exists/list calls at any shard count, the same listing-free
+    * path the gram/band probes ride; the marker-aware listing read
+    * serves layouts mid-maintenance or written before the manifest
+    * existed) — UNIONed with the delta segments under the same term
+    * filter (one bounded delta scan, never a corpus read), tombstones
+    * anti-joined over the whole. */
   private def probePostings(spark: SparkSession, path: String,
                             shards: Seq[Long], flt: DataFrame => DataFrame): DataFrame = {
-    val base = flt(graft.store.SaltedStore.readPartitions(spark, path, shards,
-      partitionPrefix = "shard")).select(PostingsCols.map(col): _*)
+    val base = flt(graft.store.FileManifest.readPartitions(spark, path, shards)
+      .getOrElse(graft.store.SaltedStore.readPartitions(spark, path, shards,
+        partitionPrefix = "shard"))).select(PostingsCols.map(col): _*)
     val all = deltaPostings(spark, path)
       .map(d => base.unionByName(flt(d).select(PostingsCols.map(col): _*)))
       .getOrElse(base)
@@ -258,6 +258,9 @@ object TextIndex {
         val (fs, root) = fsOf(spark, path)
         fs.delete(new org.apache.hadoop.fs.Path(root, DeltaDir), true)
       }
+      // the layout is at rest: record the file set so probes go
+      // listing-free (the gram/band FileManifest lifecycle)
+      graft.store.FileManifest.write(spark, path)
     }
     val m = obs.get
     val (n, tokens) =
@@ -354,85 +357,116 @@ object TextIndex {
     write(docs, path, mode = "append")
   }
 
-  /** Compact streaming-appended postings: one file set per micro-batch
-    * per shard accumulates until probe cost is file-open cost — the
-    * memstore problem again, solved the same way: SaltedStore.compact's
-    * marker-guarded two-rename swap on the `shard=N` layout, each shard
-    * rewritten sorted by term. Pending TOMBSTONES are folded into the
-    * same rewrite (each shard anti-joins the deleted ids while it is
-    * being rewritten anyway — the fold is free), then cleared, and the
-    * manifest (docs, tokens) totals are recounted from the surviving
-    * postings — a column-pruned pass over an index this call just
-    * rewrote wholesale, so proportionally negligible, and the one
-    * moment the totals can be made exact again. Pause the streaming
-    * writer while compacting (same discipline as the salted store /
-    * vector index). */
+  /** Compact = a PROBE-ATOMIC delta fold plus, when warranted, the
+    * major tombstone-fold/coalescing rewrite — the text-index instance
+    * of the GramIndex/BandIndex compact contract (full argument:
+    * [[graft.store.DeltaSegments]]).
+    *
+    * THE FOLD is strictly ADDITIVE (the r17 pause-probes caveat is
+    * gone): segment postings append as NEW files into the sharded base
+    * (no existing file moves), the file manifest is atomically
+    * rewritten, and the folded segments are MARKED in the delta's
+    * `_folded` list rather than deleted — reclaimed at the next
+    * maintenance op. A probe constructed before the fold reads exactly
+    * the old state (pinned manifest file set + still-present segs);
+    * after, exactly the new one; during, refused by [[FoldingMarker]]
+    * — never a silent tf double count.
+    *
+    * THE MAJOR HALF runs only when tombstones are pending or a shard's
+    * manifest-counted file count exceeds `maxFilesPerShard`:
+    * SaltedStore.compact's marker-guarded two-rename swap on the
+    * `shard=N` layout, each shard rewritten sorted by term, pending
+    * TOMBSTONES folded into the same rewrite (free — every row is
+    * already moving), then the (docs, tokens) totals recounted from the
+    * surviving postings — the one moment they can be made exact again.
+    * It MOVES base files: pause the streaming writer for it (same
+    * discipline as the salted store / vector index), and a
+    * pre-constructed probe executing past it fails loudly
+    * (FileNotFound), never silently. */
   def compact(spark: SparkSession, path: String,
-              targetBytes: Long = 128L * 1024 * 1024): Unit = {
+              targetBytes: Long = 128L * 1024 * 1024,
+              maxFilesPerShard: Int = 4): Unit = {
     val nShardsM = storedShards(spark, path).getOrElse(
       throw new IllegalStateException(s"no text index at $path"))
     val (fsF, rootF) = fsOf(spark, path)
+    val deltaDir = new org.apache.hadoop.fs.Path(rootF, DeltaDir)
     val foldMarker = new org.apache.hadoop.fs.Path(rootF, FoldingMarker)
     if (fsF.exists(foldMarker)) {
       // a previous fold crashed mid-append: segment rows may now exist
       // in BOTH the sharded base and the delta. Recover through the
       // staged full rewrite (reshard at the unchanged count): it unions
-      // base ∪ delta, dedups the crash-duplicated rows, folds
-      // tombstones and recounts the manifest before the atomic swap.
+      // base ∪ live delta, dedups the crash-duplicated rows, folds
+      // tombstones and recounts the manifest before the atomic swap
+      // (folded-segment debris parks with the old generation).
       reshard(spark, path, nShardsM)
       fsF.delete(foldMarker, false)
       return
     }
-    deltaPostings(spark, path).foreach { d =>
-      // fold published append segments into the sharded base — the
-      // O(touched shards) commit cost paid ONCE per compact cadence
-      // instead of once per append. Probes refuse the fold window
-      // (layoutShards checks the marker); pause in-flight probes too
-      // (the gram/band fold discipline — a lazily-executing probe
-      // constructed pre-marker could read a segment from both sides).
+    // deferred reclamation of the PREVIOUS fold's segments — probes
+    // constructed before it have had a full maintenance cycle to finish
+    graft.store.DeltaSegments.reclaimFolded(fsF, deltaDir)
+    val liveSegNames = graft.store.DeltaSegments.liveSegs(fsF, deltaDir).map(_.getName)
+    if (liveSegNames.nonEmpty) {
       fsF.create(foldMarker, true).close()
-      d.select(PostingsCols.map(col): _*)
-        .withColumn("shard", shardOf(col("t"), nShardsM))
-        .repartition(col("shard")).sortWithinPartitions("t", "doc_id")
-        .write.mode("append").partitionBy("shard").parquet(path)
-      fsF.delete(new org.apache.hadoop.fs.Path(rootF, DeltaDir), true)
+      deltaPostings(spark, path).foreach(
+        _.select(PostingsCols.map(col): _*)
+          .withColumn("shard", shardOf(col("t"), nShardsM))
+          .repartition(col("shard")).sortWithinPartitions("t", "doc_id")
+          .write.mode("append").partitionBy("shard").parquet(path))
+      // atomic manifest swap: a reader sees the pre-fold file set or
+      // the post-fold one, never a mix
+      graft.store.FileManifest.write(spark, path)
+      graft.store.DeltaSegments.markFolded(fsF, deltaDir, liveSegNames)
       fsF.delete(foldMarker, false)
     }
     val del = tombstones(spark, path)
-    graft.store.SaltedStore.compact(spark, path, col("t"), targetBytes,
-      partitionPrefix = "shard",
-      transform = del match {
-        case Some(t) => df => df.join(broadcast(t), Seq("doc_id"), "left_anti")
-        case None => identity
-      })
-    if (del.isDefined) {
-      val (fs, root) = fsOf(spark, path)
-      fs.delete(deletesPath(root), true)
-      val r = graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
-        .agg(count_distinct(col("doc_id")), coalesce(sum("tf"), lit(0L))).head()
-      val nShards = layoutShards(spark, path)
-      // tombstones folded: totals exact again, pending counters to zero
-      writeManifest(spark, path, nShards, r.getLong(0), r.getLong(1))
+    val needMajor = del.isDefined ||
+      graft.store.FileManifest.maxFilesPerPartition(spark, path)
+        .getOrElse(Int.MaxValue) > maxFilesPerShard
+    if (needMajor) {
+      // the file manifest dies first: the per-shard swap mutates the
+      // file set; probes fall back to the listing read until at rest
+      graft.store.FileManifest.delete(spark, path)
+      graft.store.SaltedStore.compact(spark, path, col("t"), targetBytes,
+        partitionPrefix = "shard",
+        transform = del match {
+          case Some(t) => df => df.join(broadcast(t), Seq("doc_id"), "left_anti")
+          case None => identity
+        })
+      if (del.isDefined) {
+        fsF.delete(deletesPath(rootF), true)
+        val r = graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
+          .agg(count_distinct(col("doc_id")), coalesce(sum("tf"), lit(0L))).head()
+        val nShards = layoutShards(spark, path)
+        // tombstones folded: totals exact again, pending counters to zero
+        writeManifest(spark, path, nShards, r.getLong(0), r.getLong(1))
+      }
+      graft.store.FileManifest.write(spark, path) // listing-free probes resume
     }
   }
 
   /** Compact only when some shard has accumulated more than
-    * `maxFilesPerShard` posting files (the flush-accumulation signal) or
-    * deletions are pending — the call a periodic maintenance loop makes:
-    * steady state costs one directory listing, not a full index rewrite.
+    * `maxFilesPerShard` posting files (the flush-accumulation signal —
+    * counted from the FILE MANIFEST when one stands, so the steady-state
+    * check costs one small file read instead of an O(shards) per-dir
+    * listing; the listing check serves pre-manifest layouts) or
+    * deletions are pending or the unfolded delta has accumulated past
+    * `maxDeltaSegments` — the call a periodic maintenance loop makes.
     * Returns whether a compaction ran. */
   def compactIfNeeded(spark: SparkSession, path: String,
                       targetBytes: Long = 128L * 1024 * 1024,
                       maxFilesPerShard: Int = 4,
                       maxDeltaSegments: Int = 8): Boolean = {
     val need = hasPendingDeletes(spark, path) ||
-      graft.store.SaltedStore.needsCompaction(
-        spark, path, maxFilesPerShard, partitionPrefix = "shard") ||
+      graft.store.FileManifest.maxFilesPerPartition(spark, path)
+        .map(_ > maxFilesPerShard)
+        .getOrElse(graft.store.SaltedStore.needsCompaction(
+          spark, path, maxFilesPerShard, partitionPrefix = "shard")) ||
       // appends land as delta segments now, so the per-shard file count
       // no longer grows between compactions — the accumulation signal
       // moved to the delta layer (every probe unions every segment)
       deltaAdvisory(spark, path)._1 > maxDeltaSegments
-    if (need) compact(spark, path, targetBytes)
+    if (need) compact(spark, path, targetBytes, maxFilesPerShard)
     need
   }
 
@@ -490,6 +524,9 @@ object TextIndex {
       storedTokens(spark, destPath).getOrElse(0L))
     val (docsB, tokensB) = (storedDocs(spark, srcPath).getOrElse(0L),
       storedTokens(spark, srcPath).getOrElse(0L))
+    // the file manifest dies before the file-set mutation (probes fall
+    // back to the listing read mid-merge) and is reborn at rest below
+    graft.store.FileManifest.delete(spark, destPath)
     src
       .withColumn("shard", shardOf(col("t"), destShards))
       .repartition(col("shard"))
@@ -500,6 +537,7 @@ object TextIndex {
     // append leaves dest's OLD manifest: see writeManifest's recovery
     // note (compact dest, don't re-run the merge).
     writeManifest(spark, destPath, destShards, docsA + docsB, tokensA + tokensB)
+    graft.store.FileManifest.write(spark, destPath)
   }
 
   /** Atomic manifest write: temp file + rename into place, so a reader
@@ -811,6 +849,9 @@ object TextIndex {
         val r = spark.read.parquet(staging)
           .agg(count_distinct(col("doc_id")), coalesce(sum("tf"), lit(0L))).head()
         writeManifest(spark, staging, newShards, r.getLong(0), r.getLong(1))
+        // file manifest commits into staging and swaps in with the data
+        // (relative paths survive the rename — the gram/band pattern)
+        graft.store.FileManifest.write(spark, staging)
       })
   }
 
@@ -903,17 +944,20 @@ object TextIndex {
   /** PREFIX term search (vocabulary browse / autocomplete): terms
     * matching `prefix` with their document frequency and total tf. A
     * hash-sharded layout cannot prune shards for a prefix — the matching
-    * terms are unknown — so ALL shards are listed; but postings are
+    * terms are unknown — so ALL shards are read; but postings are
     * SORTED by term within each shard, so the pushed StringStartsWith
     * filter (visible as `PushedFilters` on the scan) skips every row
     * group whose term min/max excludes the prefix range: read cost is
-    * O(matching postings + one row-group boundary per shard), listing
-    * cost O(shards) — the honest trade of hash sharding, and why the
-    * shard count is sized at build time, not compiled in. */
+    * O(matching postings + one row-group boundary per shard). The file
+    * SET comes off the manifest when one stands
+    * ([[graft.store.FileManifest.readAllPartitions]] — zero per-dir
+    * listing even though every shard participates), the O(shards)
+    * listing read serving mid-maintenance layouts. */
   def searchPrefix(spark: SparkSession, path: String, prefix: String): DataFrame = {
     require(prefix.nonEmpty, "searchPrefix needs a non-empty prefix")
     layoutShards(spark, path) // fail loudly on a foreign/incomplete dir
-    val base = graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard")
+    val base = graft.store.FileManifest.readAllPartitions(spark, path)
+      .getOrElse(graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard"))
       .filter(col("t").startsWith(prefix)).select(PostingsCols.map(col): _*)
     val all = deltaPostings(spark, path)
       .map(d => base.unionByName(

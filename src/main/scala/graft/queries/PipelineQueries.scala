@@ -87,12 +87,45 @@ object PipelineQueries {
     * explicit hook a long-lived session calls between corpora. */
   def releaseCaches(): Unit = Persisted.releaseAll()
 
+  /** The planted-id-band guard, generalized out of refreshE2e (the r17
+    * watch item): every planted corpus/batch builder here derives its
+    * synthetic ids as source_id + 100000·class, and the ORACLES split
+    * the same bands arithmetically — a source corpus whose ids reach
+    * the first offset would CROSS-ASSIGN classes on both sides at once
+    * (mostly hash-consistently wrong together, with modality labels
+    * and pair semantics silently conflated). Refuse it loudly instead.
+    * Cost: one column-pruned max() per (builder, input plan) per
+    * process — memoized on the analyzed plan's semantic hash, so
+    * steady-state bench passes pay nothing. A failing input is NOT
+    * memoized: every later call refuses again. */
+  private val idBandChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
+  private[graft] def requireIdHeadroom(docs: DataFrame, what: String,
+                                       idCol: String = "doc_id",
+                                       bound: Long = 100000L): DataFrame = {
+    val key = (what, docs.queryExecution.analyzed.semanticHash())
+    if (!idBandChecked.contains(key)) {
+      val maxId = docs.agg(max(col(idCol))).head().get(0) match {
+        case null => -1L // empty input sits under any band
+        case v: java.lang.Number => v.longValue()
+      }
+      require(maxId < bound,
+        s"$what: source ${idCol}s reach $maxId >= $bound — the planted " +
+          s"class offsets (+${bound}*k) and the oracle's id bands would " +
+          "collide and silently conflate classes; re-key the corpus or " +
+          "raise the offsets together")
+      idBandChecked.add(key)
+    }
+    docs
+  }
+
   /** The planted incremental-arrival batch over `documents`: even ids
     * return as near-dups (last 2 tokens dropped, +100000), odd ids as
     * fresh content (token order reversed, +300000). Shared by the
     * in-memory and persisted-index incremental dedup queries. */
   private def incrementalBatch(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), col("text"))
+    val base = requireIdHeadroom(docs, "incrementalBatch")
+      .select(col("doc_id"), col("text"))
     val near = base
       .withColumn("w", tokens(col("text")))
       .filter(pmod(col("doc_id"), lit(2L)) === 0L && size(col("w")) >= 5)
@@ -129,19 +162,27 @@ object PipelineQueries {
     * as corpus rows through [[Dedup.hammingNearDupPairs]] at k = 6 —
     * (a, b, hamming), exact. Shared with q_media_dedup_e2e. */
   private def phashJoinCore(s: SparkSession, dir: String): DataFrame = {
-    val ph = Multimodal.synthPerceptualHashes(
-      documents(s, dir).filter(pmod(col("doc_id"), lit(3L)) === 0L))(s).toDF()
+    val ph = Multimodal.synthPerceptualHashes(requireIdHeadroom(
+      documents(s, dir).filter(pmod(col("doc_id"), lit(3L)) === 0L),
+      "phashJoinCore"))(s).toDF()
     val ht = ph.select(col("doc_id").as("id"), col("ahash_a").as("hsh"))
       .union(ph.select((col("doc_id") + 100000L).as("id"),
         col("ahash_b").as("hsh")))
       .union(ph.select((col("doc_id") + 200000L).as("id"),
         col("ahash_c").as("hsh")))
+    // degenerate-bucket observability in the PRODUCTION path: this join
+    // is exact (no cap), so a hot (band, bits) bucket — e.g. black
+    // thumbnails all hashing 0 — is an m²/2 expansion nothing else
+    // reports; the stats log when the query's action completes
+    val obs = org.apache.spark.sql.Observation()
+    Dedup.logBucketStat("q_phash_join image-hash band buckets", obs)
     Dedup.hammingNearDupPairs(ht, "id", "hsh", k = 6,
       cache = { g =>
         val p = g.persist()
         Persisted.swap("phash_join_groups", dir, p)
         p
-      })
+      },
+      bucketStat = Some(obs))
   }
 
   /** The audio-fingerprint Hamming join (q_phash_join_audio core):
@@ -149,19 +190,23 @@ object PipelineQueries {
     * ×2-gain re-encode (identical hash, distance 0) / spectrally
     * inverted (exactly 64) — through the same banded join. */
   private def phashAudioJoinCore(s: SparkSession, dir: String): DataFrame = {
-    val ah = Multimodal.synthSpectralAudioHashes(
-      documents(s, dir).filter(pmod(col("doc_id"), lit(3L)) === 1L))(s).toDF()
+    val ah = Multimodal.synthSpectralAudioHashes(requireIdHeadroom(
+      documents(s, dir).filter(pmod(col("doc_id"), lit(3L)) === 1L),
+      "phashAudioJoinCore"))(s).toDF()
     val ht = ah.select(col("doc_id").as("id"), col("fp_a").as("hsh"))
       .union(ah.select((col("doc_id") + 100000L).as("id"),
         col("fp_b").as("hsh")))
       .union(ah.select((col("doc_id") + 200000L).as("id"),
         col("fp_c").as("hsh")))
+    val obs = org.apache.spark.sql.Observation()
+    Dedup.logBucketStat("q_phash_join_audio fingerprint band buckets", obs)
     Dedup.hammingNearDupPairs(ht, "id", "hsh", k = 6,
       cache = { g =>
         val p = g.persist()
         Persisted.swap("phash_join_audio_groups", dir, p)
         p
-      })
+      },
+      bucketStat = Some(obs))
   }
 
   /** The video keyframe-sequence join (q_videoseq_join core): per-clip
@@ -169,26 +214,60 @@ object PipelineQueries {
     * the ≥3/4-of-the-shorter multiset-overlap verify (Σ min counts,
     * integer cross-multiplied) — (a, b, matched, n_a, n_b), exact. */
   private def videoSeqJoinCore(s: SparkSession, dir: String): DataFrame = {
-    val fr = Multimodal.synthVideoSeqFrameHashes(
-      documents(s, dir).filter(pmod(col("doc_id"), lit(3L)) === 2L))(s).toDF()
-    val cnt = fr.groupBy("clip_id", "fh").agg(count(lit(1)).as("c"))
-      .withColumn("n", sum("c").over(Window.partitionBy("clip_id")))
-      .persist()
-    Persisted.swap("videoseq_join_cnt", dir, cnt)
-    cnt.select(col("clip_id").as("a"), col("fh"),
-        col("c").as("ca"), col("n").as("tmp_na"))
-      .join(cnt.select(col("clip_id").as("b"), col("fh"),
-        col("c").as("cb"), col("n").as("tmp_nb")), Seq("fh"))
-      .filter(col("a") < col("b"))
-      .groupBy("a", "b")
-      .agg(sum(least(col("ca"), col("cb"))).as("matched"),
-        max(col("tmp_na")).as("n_a"), max(col("tmp_nb")).as("n_b"))
+    val fr = Multimodal.synthVideoSeqFrameHashes(requireIdHeadroom(
+      documents(s, dir).filter(pmod(col("doc_id"), lit(3L)) === 2L),
+      "videoSeqJoinCore"))(s).toDF()
+    val obs = org.apache.spark.sql.Observation()
+    Dedup.logBucketStat("q_videoseq_join frame-hash buckets", obs)
+    videoSeqPairsCore(fr.select("clip_id", "fh"),
+      cache = { c =>
+        val p = c.persist()
+        Persisted.swap("videoseq_join_cnt", dir, p)
+        p
+      },
+      bucketStat = Some(obs))
+  }
+
+  /** Frame-hash multiset-overlap pair join over raw (clip_id, fh)
+    * keyframe rows — shared by q_videoseq_join / q_media_dedup_e2e and
+    * the scale harness's media family. One bucket aggregation on the
+    * 64-bit frame hash (the [[Dedup.candidatePairs]] single-exchange
+    * shape: members expand to ordered pairs in place — a self-equi-join
+    * would shuffle the count rows twice), then the exact Σ min-counts
+    * verify at ≥ 3/4 of the shorter clip. Quadratic ONLY within one
+    * frame-hash bucket, which is the join's honest failure mode: a
+    * keyframe shared corpus-wide (a black frame, a title card) makes
+    * one bucket m²-hot with no number to warn about it — so the bucket
+    * aggregation reports `max_bucket`/`n_buckets` through `bucketStat`
+    * (same Observation contract as [[Dedup.hammingNearDupPairs]]; the
+    * metrics ride the existing exchange, zero extra passes). */
+  private[graft] def videoSeqPairsCore(frames: DataFrame,
+      cache: DataFrame => DataFrame = identity,
+      bucketStat: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val cnt = cache(frames.groupBy("clip_id", "fh").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum("c").over(Window.partitionBy("clip_id"))))
+    val buckets = cnt.groupBy("fh")
+      .agg(collect_list(struct(col("clip_id"), col("c"), col("n"))).as("ms"))
+    val observed = bucketStat.fold(buckets)(o => buckets.observe(o,
+      coalesce(max(size(col("ms"))), lit(0)).as("max_bucket"),
+      count(lit(1)).as("n_buckets")))
+    observed.filter(size(col("ms")) > 1)
+      .select(explode(filter(
+        flatten(transform(col("ms"), x => transform(col("ms"), y =>
+          struct(x.getField("clip_id").as("a"), y.getField("clip_id").as("b"),
+            x.getField("c").as("ca"), y.getField("c").as("cb"),
+            x.getField("n").as("na"), y.getField("n").as("nb"))))),
+        p => p.getField("a") < p.getField("b"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(least(col("p.ca"), col("p.cb"))).as("matched"),
+        max(col("p.na")).as("n_a"), max(col("p.nb")).as("n_b"))
       .filter(col("matched") * 4L >= least(col("n_a"), col("n_b")) * 3L)
       .select("a", "b", "matched", "n_a", "n_b")
   }
 
   private def exactCorpus(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), col("text"))
+    val base = requireIdHeadroom(docs, "exactCorpus")
+      .select(col("doc_id"), col("text"))
     base.union(base.select(col("doc_id") + 100000L, col("text")))
   }
   private val duckExactCorpus =
@@ -200,8 +279,9 @@ object PipelineQueries {
   /** documents ∪ near-dup copy (ids +100000, last 2 tokens dropped):
     * fuzzy-dup corpus — pairs (d, d+100000) have shingle-Jaccard ≈ 0.9. */
   private def fuzzyCorpus(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), col("text"))
-    val mutated = docs
+    val guarded = requireIdHeadroom(docs, "fuzzyCorpus")
+    val base = guarded.select(col("doc_id"), col("text"))
+    val mutated = guarded
       .withColumn("w", tokens(col("text")))
       .filter(size(col("w")) >= 5)
       .select((col("doc_id") + 100000L).as("doc_id"),
@@ -223,7 +303,8 @@ object PipelineQueries {
     * only for longer docs), and a fully novel 4-token doc (+400000 —
     * no index token matches at all). */
   private def containmentBatch(docs: DataFrame): DataFrame = {
-    val w = docs.withColumn("w", tokens(col("text"))).filter(size(col("w")) >= 8)
+    val w = requireIdHeadroom(docs, "containmentBatch")
+      .withColumn("w", tokens(col("text"))).filter(size(col("w")) >= 8)
     val truncated = w.select((col("doc_id") + 200000L).as("doc_id"),
       array_join(slice(col("w"), lit(1), size(col("w")) - 2), " ").as("text"))
     val mutated = w.select((col("doc_id") + 300000L).as("doc_id"),
@@ -1020,7 +1101,13 @@ object PipelineQueries {
       bandPath: String, dirKey: String,
       ensureStores: Seq[Long] => Unit,
       bloomGuess: Long = 100000L,
-      bloomPath: Option[String] = None): RefreshVerdicts = {
+      bloomPath: Option[String] = None,
+      // fingerprint of the BASE corpus generation (count ^ bit_xor of
+      // the content hashes — the base table is immutable here, its
+      // increments live in the CDC delta): a persisted filter carrying
+      // a different tag was built for a REPLACED corpus and is rebuilt
+      // instead of trusted (Dedup.ensureHistoryBloom's subset guard)
+      bloomGeneration: Option[Long] = None): RefreshVerdicts = {
     import org.apache.spark.sql.graft.ColumnBridge
     // EVERY increment-bounded verdict frame below is localCheckpoint()ed
     // (the GramIndex probe's lineage-cut), NOT persist()ed: each stage
@@ -1061,7 +1148,8 @@ object PipelineQueries {
     // amortizes away (the refresh_corpus residual, SCALING.md).
     val (bfBytes, _) = bloomPath match {
       case Some(bp) =>
-        Dedup.ensureHistoryBloom(s, bp, histKeyed.select("h"), col("h"), bloomGuess)
+        Dedup.ensureHistoryBloom(s, bp, histKeyed.select("h"), col("h"),
+          bloomGuess, bloomGeneration)
       case None =>
         Dedup.sizedHistoryBloom(histScreen.select("h"), col("h"), bloomGuess)
     }
@@ -1242,8 +1330,15 @@ object PipelineQueries {
     // first offset would CROSS-ASSIGN verdicts and silently diverge
     // from the oracle, so refuse it loudly (this also bounds gen-1
     // insert ids < 500000, under gen-2's +1000000 band). The agg rides
-    // the cached sidecar this query materializes anyway.
-    val maxId = histKeyed.agg(max(col("doc_id"))).head().getLong(0)
+    // the cached sidecar this query materializes anyway — and the same
+    // pass yields the corpus-generation fingerprint (count ^ bit_xor of
+    // the content hashes) that binds the persisted history bloom to
+    // THIS corpus: a filter surviving from a replaced corpus would be a
+    // subset (silently missed exact dups) and is rebuilt on mismatch.
+    val idAgg = histKeyed.agg(max(col("doc_id")), count(lit(1)),
+      expr("bit_xor(xxhash64(h))")).head()
+    val maxId = idAgg.getLong(0)
+    val bloomGen = idAgg.getLong(1) ^ idAgg.getLong(2)
     require(maxId < 100000L,
       s"refreshE2e: corpus doc_ids reach $maxId >= 100000 — the planted " +
         "class offsets (+100000·k) and the oracle's id bands would " +
@@ -1264,7 +1359,15 @@ object PipelineQueries {
     // their appended new versions) before the first probe constructs
     val v = refreshScreens(s, histKeyed, crawl, delKeys, gramPath, bandPath,
       dir, bloomPath = Some(s"$root/history_bloom"),
+      bloomGeneration = Some(bloomGen),
       ensureStores = supIds => if (!fs.exists(mBase)) {
+        // a store rebuild means the previous corpus GENERATION is gone:
+        // a history bloom surviving it could be a SUBSET of the new
+        // history (the stale-filter case) — drop it with the stores.
+        // The generation tag above would catch a different corpus
+        // anyway; this keeps the two lifecycle keys (mBase marker,
+        // bloom file) from ever diverging in the first place.
+        fs.delete(new org.apache.hadoop.fs.Path(root, "history_bloom"), false)
         graft.store.GramIndex.write(setsOf(docs), gramPath)
         graft.store.BandIndex.write(
           Dedup.docSketch(docs.select("doc_id", "text")), bandPath)

@@ -104,19 +104,17 @@ object BandIndex {
     }
   }
 
-  /** One parquet frame per delta LAYER across all published segments —
-    * None when no segment exists (the GramIndex delta shape). */
+  /** One parquet frame per delta LAYER across all published UNFOLDED
+    * segments — None when no live segment exists (the GramIndex delta
+    * shape; folded-but-unreclaimed segments are excluded via
+    * [[DeltaSegments]]). */
   private def deltaLayer(spark: SparkSession, path: String,
                          layer: String): Option[DataFrame] = {
     val d = new org.apache.hadoop.fs.Path(path, "delta")
     val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(d)) None
-    else {
-      val segs = fs.listStatus(d).map(_.getPath)
-        .filter(_.getName.startsWith("seg_"))
-      if (segs.isEmpty) None
-      else Some(spark.read.parquet(segs.map(p => s"$p/$layer").toSeq: _*))
-    }
+    val segs = DeltaSegments.liveSegs(fs, d)
+    if (segs.isEmpty) None
+    else Some(spark.read.parquet(segs.map(p => s"$p/$layer"): _*))
   }
 
   /** Delta accumulation advisory: (published segment count, delta
@@ -126,15 +124,12 @@ object BandIndex {
   def deltaAdvisory(spark: SparkSession, path: String): (Long, Long) = {
     val d = new org.apache.hadoop.fs.Path(path, "delta")
     val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(d)) (0L, 0L)
-    else {
-      val segs = fs.listStatus(d).filter(_.getPath.getName.startsWith("seg_"))
-      val bytes = segs.map { s =>
-        fs.listStatus(s.getPath).filter(_.isDirectory).map(l =>
-          fs.listStatus(l.getPath).filter(_.isFile).map(_.getLen).sum).sum
-      }.sum
-      (segs.length.toLong, bytes)
-    }
+    val segs = DeltaSegments.liveSegs(fs, d) // folded segs are read by no probe
+    val bytes = segs.map { s =>
+      fs.listStatus(s).filter(_.isDirectory).map(l =>
+        fs.listStatus(l.getPath).filter(_.isFile).map(_.getLen).sum).sum
+    }.sum
+    (segs.length.toLong, bytes)
   }
 
   /** Whether the unfolded delta has accumulated past `maxSegments` —
@@ -279,7 +274,8 @@ object BandIndex {
     * aggregation. */
   def probeCandidates(spark: SparkSession, path: String, probeBands: DataFrame,
                       idCol: String,
-                      maxBucket: Int = Dedup.MaxBucket): DataFrame = {
+                      maxBucket: Int = Dedup.MaxBucket,
+                      bucketStat: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val nShards = storedShards(spark, path).getOrElse(
       throw new IllegalStateException(s"no band index at $path — write() first"))
     val shards = probeBands.select(shardOf(col("sig"), nShards).as("s"))
@@ -287,9 +283,11 @@ object BandIndex {
     // empty probe (no band rows — an empty micro-batch): no candidate
     // can exist; short-circuit rather than letting readPartitions fall
     // back to the O(corpus-shard-dirs) full-listing slowPath. The
-    // empty-index side of probePairs keeps the output schema/types.
+    // empty-index side of probePairs keeps the output schema/types
+    // (and still fires a passed Observation — zeros, not a hang).
     if (shards.isEmpty)
-      return Dedup.probePairs(probeBands.limit(0), probeBands, idCol, maxBucket)
+      return Dedup.probePairs(probeBands.limit(0), probeBands, idCol,
+        maxBucket, bucketStat)
     // manifest-backed probe read (listing-free at any corpus size),
     // marker-aware via the SaltedStore fallback when no manifest stands
     val base = readLayer(spark, path, "bands", shards.map(_.toLong))
@@ -301,7 +299,7 @@ object BandIndex {
         .map(d => base.unionByName(d.select(idCol, "band", "sig")))
         .getOrElse(base),
       spark, path, idCol)
-    Dedup.probePairs(idx, probeBands, idCol, maxBucket)
+    Dedup.probePairs(idx, probeBands, idCol, maxBucket, bucketStat)
   }
 
   /** The LIVE per-doc verification sets (doc_id, sh) — tombstoned docs
@@ -380,65 +378,83 @@ object BandIndex {
       spark, path, "doc_id")
   }
 
-  /** Fold tombstones into a physical rewrite and coalesce streaming-
-    * append small files, reusing [[SaltedStore.compact]]'s marker-
-    * guarded per-partition swap on BOTH sharded layouts (bands sorted
-    * by sig, sketches by doc_id). Tombstone markers are cleared LAST:
-    * a crash between the rewrites leaves them in place and every probe
-    * keeps anti-joining — the fold is idempotent, never lossy.
+  /** Compact = a PROBE-ATOMIC delta fold plus, when warranted, the
+    * major tombstone-fold/coalescing rewrite (the GramIndex.compact
+    * contract — see [[DeltaSegments]] for the full argument).
     *
-    * OFFLINE FOR PROBES AS WELL AS APPENDS when delta segments exist:
-    * [[FoldingMarker]] refuses probes that START during the fold, but
-    * a probe constructed BEFORE the marker went up executes lazily and
-    * can read a segment's rows from both the appended base and the
-    * still-present delta (double-counted band rows → spurious
-    * candidates) — pause probes for the fold window. The tombstone
-    * half keeps the weaker appends-only rule (SaltedStore's
-    * CompactingMarker slowPath serves racing readers there). */
-  def compact(spark: SparkSession, path: String): Unit = {
+    * THE FOLD is strictly ADDITIVE (the r17 pause-probes caveat is
+    * gone): segment rows append as NEW files into both sharded layouts
+    * (sketches first — the write-order isolation contract), the file
+    * manifests are atomically rewritten, and the folded segments are
+    * MARKED in the delta's `_folded` list rather than deleted; physical
+    * reclamation waits for the next maintenance op. A probe constructed
+    * before the fold reads exactly the old state (its pinned manifest
+    * file set and segment paths all still exist); after, exactly the
+    * new one; during, it is refused by [[FoldingMarker]] — never a
+    * silent double count.
+    *
+    * THE MAJOR HALF (runs only when tombstones are pending or a shard's
+    * manifest-counted file count exceeds `maxFilesPerShard`) reuses
+    * [[SaltedStore.compact]]'s marker-guarded per-partition swap on
+    * BOTH layouts (bands sorted by sig, sketches by doc_id). Tombstone
+    * markers are cleared LAST: a crash between the rewrites leaves them
+    * in place and every probe keeps anti-joining — idempotent, never
+    * lossy. It MOVES base files, so a pre-constructed probe executing
+    * past it fails loudly (FileNotFound), never silently. */
+  def compact(spark: SparkSession, path: String,
+              maxFilesPerShard: Int = 4): Unit = {
     val nShards = readMeta(spark, path).getOrElse(
       throw new IllegalStateException(s"no band index at $path"))
     val (fsF, rootF) = fsOf(spark, path)
-    // manifests die first: everything below mutates the sharded file
-    // sets; probes fall back to the listing read until the final rewrite
-    dropManifests(spark, path)
+    val deltaDir = new org.apache.hadoop.fs.Path(rootF, "delta")
     val foldMarker = new org.apache.hadoop.fs.Path(rootF, FoldingMarker)
     if (fsF.exists(foldMarker)) {
       // a previous fold crashed mid-append: recover through the staged
       // full rewrite (reshard at the unchanged count dedups rows that
-      // sit on both sides), then clear the marker
+      // sit on both sides and parks the folded-segment debris with the
+      // old generation), then clear the marker
       reshard(spark, path, nShards)
       fsF.delete(foldMarker, false)
       return
     }
-    deltaLayer(spark, path, "bands").foreach { dBands =>
-      // fold published segments into the sharded base — O(touched
-      // shards) commits ONCE per compact cadence, not per append;
-      // probes refuse the fold window (storedShards checks the marker)
+    // deferred reclamation of the PREVIOUS fold's segments — probes
+    // constructed before it have had a full maintenance cycle to finish
+    DeltaSegments.reclaimFolded(fsF, deltaDir)
+    val liveSegNames = DeltaSegments.liveSegs(fsF, deltaDir).map(_.getName)
+    if (liveSegNames.nonEmpty) {
       fsF.create(foldMarker, true).close()
       deltaLayer(spark, path, "sketches").foreach(
         _.withColumn("shard", pmod(hash(col("doc_id")), lit(nShards)))
           .repartition(col("shard")).sortWithinPartitions("doc_id")
           .write.mode("append").partitionBy("shard").parquet(s"$path/sketches"))
-      dBands
-        .withColumn("shard", shardOf(col("sig"), nShards))
-        .repartition(col("shard")).sortWithinPartitions("sig", "doc_id")
-        .write.mode("append").partitionBy("shard").parquet(s"$path/bands")
-      fsF.delete(new org.apache.hadoop.fs.Path(rootF, "delta"), true)
+      deltaLayer(spark, path, "bands").foreach(
+        _.withColumn("shard", shardOf(col("sig"), nShards))
+          .repartition(col("shard")).sortWithinPartitions("sig", "doc_id")
+          .write.mode("append").partitionBy("shard").parquet(s"$path/bands"))
+      // atomic per-layer manifest swaps: old file set or new, never a mix
+      writeManifests(spark, path)
+      DeltaSegments.markFolded(fsF, deltaDir, liveSegNames)
       fsF.delete(foldMarker, false)
     }
     val drop = tombstones(spark, path)
-    def strip(df: DataFrame): DataFrame = drop match {
-      case Some(t) => df.join(broadcast(t), Seq("doc_id"), "left_anti")
-      case None => df
+    val needMajor = drop.isDefined ||
+      Layers.exists(l => FileManifest.maxFilesPerPartition(spark, s"$path/$l")
+        .getOrElse(Int.MaxValue) > maxFilesPerShard)
+    if (needMajor) {
+      // manifests die first: the per-shard swaps mutate the file sets;
+      // probes fall back to the listing read until the rewrite rests
+      dropManifests(spark, path)
+      def strip(df: DataFrame): DataFrame = drop match {
+        case Some(t) => df.join(broadcast(t), Seq("doc_id"), "left_anti")
+        case None => df
+      }
+      SaltedStore.compact(spark, s"$path/bands", col("sig"),
+        partitionPrefix = "shard", transform = strip)
+      SaltedStore.compact(spark, s"$path/sketches", col("doc_id"),
+        partitionPrefix = "shard", transform = strip)
+      fsF.delete(new org.apache.hadoop.fs.Path(deletesPath(path)), true)
+      writeManifests(spark, path) // at rest again: listing-free probes resume
     }
-    SaltedStore.compact(spark, s"$path/bands", col("sig"),
-      partitionPrefix = "shard", transform = strip)
-    SaltedStore.compact(spark, s"$path/sketches", col("doc_id"),
-      partitionPrefix = "shard", transform = strip)
-    val (fs, _) = fsOf(spark, path)
-    fs.delete(new org.apache.hadoop.fs.Path(deletesPath(path)), true)
-    writeManifests(spark, path) // at rest again: listing-free probes resume
   }
 
   /** Marker for an in-flight shard-count migration (see [[reshard]]). */

@@ -47,7 +47,18 @@ object FileManifest {
   /** Record the CURRENT file set of a `prefix=N`-partitioned layout.
     * One recursive driver listing (the same cost one probe's listing
     * pays, paid once per maintenance cadence instead). Call only with
-    * the layout at rest — after write/compact/reshard commit. */
+    * the layout at rest — after write/compact/reshard commit.
+    *
+    * Every recorded name is VALIDATED here, not trusted at read time:
+    * the manifest's hand-built JSON is parsed by regex, so a partition
+    * value that is not a plain integer or a file name carrying '"',
+    * '\\' or ']' would silently DROP entries from a probe's file set
+    * (rows missing, no error). Spark's own writers never produce such
+    * names (partition dirs are `prefix=<int>`, part files are
+    * `part-NNNNN-<uuid>` + extension), so a hit here means a foreign
+    * file landed in the layout — refuse loudly at write() (the same
+    * fail-at-write contract as the schema-DDL guard below) rather than
+    * corrupt probes later. */
   def write(spark: SparkSession, layoutPath: String,
             partitionPrefix: String = "shard"): Unit = {
     val (fs, root) = fsOf(spark, layoutPath)
@@ -55,16 +66,29 @@ object FileManifest {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partitionPrefix="))
     val sb = new StringBuilder
     var firstFile: Option[Path] = None
+    var nFiles = 0L
     sb ++= "{\"parts\":{"
     var firstPart = true
     parts.foreach { p =>
       val v = p.getPath.getName.stripPrefix(s"$partitionPrefix=")
+      require(v.nonEmpty && v.forall(_.isDigit),
+        s"file-manifest: partition dir '${p.getPath.getName}' does not carry " +
+          s"a plain non-negative integer value — the regex-parsed manifest " +
+          "would silently drop it from every probe; fix the layout")
       val files = fs.listStatus(p.getPath).filter(f => f.isFile &&
         !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      files.foreach { f =>
+        val n = f.getPath.getName
+        require(!n.exists(c => c == '"' || c == '\\' || c == ']'),
+          s"file-manifest: data file name '$n' in ${p.getPath} contains a " +
+            "JSON/regex metacharacter (\", \\ or ]) — it would be silently " +
+            "dropped from the probe file set; rename the foreign file")
+      }
       if (files.nonEmpty) {
         if (firstFile.isEmpty) firstFile = Some(files.head.getPath)
         if (!firstPart) sb += ','
         firstPart = false
+        nFiles += files.length
         sb ++= s""""$v":["""
         sb ++= files.map(f =>
           s"""["${p.getPath.getName}/${f.getPath.getName}",${f.getLen},${f.getModificationTime}]""")
@@ -72,7 +96,7 @@ object FileManifest {
         sb ++= "]"
       }
     }
-    sb ++= "},\"schema\":\""
+    sb ++= s"},\"nfiles\":$nFiles,\"schema\":\""
     val schema = firstFile match {
       case Some(f) => spark.read.parquet(f.toString).schema.toDDL
       case None => ""
@@ -109,9 +133,31 @@ object FileManifest {
     * exists or a compaction marker stands — callers fall back to
     * [[SaltedStore.readPartitions]], which handles every in-flight
     * state. Output schema = data columns ++ `partitionPrefix` (int),
-    * the discovered-partition shape of the listing read. */
+    * the discovered-partition shape of the listing read.
+    *
+    * Foreign-mutation hardening (the trust boundary of a file recorded
+    * by someone else): before handing the file set to Spark the read
+    * (a) cross-checks the parsed TOTAL file count against the `nfiles`
+    * field write() stored — a torn/corrupted manifest whose entries the
+    * regex silently skipped degrades to the listing fallback instead of
+    * missing rows; and (b) `exists`-probes the FIRST selected file — a
+    * manually deleted or partially copied layout degrades to the
+    * fallback instead of a task-level FileNotFoundException. One driver
+    * RPC, not one per file: the owner's delete-before-mutate discipline
+    * covers the library's own ops; this catches the foreign hand. */
   def readPartitions(spark: SparkSession, layoutPath: String, values: Seq[Long],
-                     partitionPrefix: String = "shard"): Option[DataFrame] = {
+                     partitionPrefix: String = "shard"): Option[DataFrame] =
+    readImpl(spark, layoutPath, Some(values.map(_.toString).toSet), partitionPrefix)
+
+  /** [[readPartitions]] over EVERY recorded partition — the whole-layout
+    * read (prefix probes, audits) without the O(partitions) dir listing. */
+  def readAllPartitions(spark: SparkSession, layoutPath: String,
+                        partitionPrefix: String = "shard"): Option[DataFrame] =
+    readImpl(spark, layoutPath, None, partitionPrefix)
+
+  private def readImpl(spark: SparkSession, layoutPath: String,
+                       wanted: Option[Set[String]],
+                       partitionPrefix: String): Option[DataFrame] = {
     val (fs, root) = fsOf(spark, layoutPath)
     val mf = new Path(root, ManifestFile)
     // belt-and-braces: the owner deletes the manifest before compacting,
@@ -127,25 +173,62 @@ object FileManifest {
     if (schemaDdl.isEmpty) return None // empty layout: let the caller's fallback decide
     val dataSchema = StructType.fromDDL(schemaDdl)
     val partSchema = StructType(Seq(StructField(partitionPrefix, IntegerType)))
-    val wanted = values.map(_.toString).toSet
     val partRe = """"(\d+)":\[((?:\[[^\]]*\],?)*)\]""".r
     val fileRe = """\["([^"]+)",(\d+),(\d+)\]""".r
+    var parsedFiles = 0L
     val dirs: Seq[(Int, Seq[FileStatusWithMetadata])] =
       partRe.findAllMatchIn(txt).flatMap { m =>
-        if (!wanted.contains(m.group(1))) None
-        else Some((m.group(1).toInt,
-          fileRe.findAllMatchIn(m.group(2)).map { f =>
-            FileStatusWithMetadata(new FileStatus(
-              f.group(2).toLong, false, 1, 128L * 1024 * 1024,
-              f.group(3).toLong, new Path(root, f.group(1))),
-              Map.empty)
-          }.toSeq))
+        val files = fileRe.findAllMatchIn(m.group(2)).map { f =>
+          FileStatusWithMetadata(new FileStatus(
+            f.group(2).toLong, false, 1, 128L * 1024 * 1024,
+            f.group(3).toLong, new Path(root, f.group(1))),
+            Map.empty)
+        }.toSeq
+        parsedFiles += files.size
+        if (wanted.exists(!_.contains(m.group(1)))) None
+        else Some((m.group(1).toInt, files))
       }.toSeq
+    // (a) stored-total cross-check: entries the regex skipped (a torn
+    // write, foreign edits) must not silently shrink the probe file set
+    val stored = """"nfiles":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+    if (stored.exists(_ != parsedFiles)) {
+      System.err.println(s"[graft] FileManifest at $layoutPath parsed " +
+        s"$parsedFiles file entries but records nfiles=${stored.get} — " +
+        "corrupted/foreign-edited manifest; falling back to the listing read")
+      return None
+    }
+    // (b) spot-check one recorded file still exists (foreign deletion)
+    val gone = dirs.iterator.flatMap(_._2.headOption).nextOption()
+      .filter(f => !fs.exists(f.getPath))
+    if (gone.isDefined) {
+      System.err.println(s"[graft] FileManifest at $layoutPath lists " +
+        s"${gone.get.getPath}, which no longer exists — the file set was " +
+        "mutated outside the owner's lifecycle; falling back to the listing read")
+      return None
+    }
     val idx = new ManifestFileIndex(root, partSchema, dirs)
     val rel = HadoopFsRelation(idx, partSchema, dataSchema, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
       Map.empty)(spark)
     Some(spark.baseRelationToDataFrame(rel))
+  }
+
+  /** The largest recorded per-partition file count, manifest-only —
+    * the `SaltedStore.needsCompaction` signal WITHOUT its O(partitions)
+    * per-dir listing (which itself grows with a ∝-corpus shard count).
+    * None when no manifest stands (callers take the listing check). */
+  def maxFilesPerPartition(spark: SparkSession, layoutPath: String): Option[Int] = {
+    val (fs, root) = fsOf(spark, layoutPath)
+    val mf = new Path(root, ManifestFile)
+    if (!fs.exists(mf)) return None
+    val in = fs.open(mf)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val partRe = """"(\d+)":\[((?:\[[^\]]*\],?)*)\]""".r
+    val fileRe = """\["([^"]+)",(\d+),(\d+)\]""".r
+    val counts = partRe.findAllMatchIn(txt)
+      .map(m => fileRe.findAllMatchIn(m.group(2)).size).toSeq
+    Some(if (counts.isEmpty) 0 else counts.max)
   }
 }
 
@@ -153,7 +236,7 @@ object FileManifest {
   * filesystem listing — `listFiles` serves pre-built statuses and
   * honors partition filters by interpreting them against the partition
   * rows (the `PartitioningAwareFileIndex.prunePartitions` contract). */
-private[store] class ManifestFileIndex(
+private[graft] class ManifestFileIndex(
     root: Path,
     override val partitionSchema: StructType,
     dirs: Seq[(Int, Seq[FileStatusWithMetadata])]) extends FileIndex {

@@ -129,21 +129,19 @@ object GramIndex {
 
   // ---- delta segments (the append grain) -----------------------------
 
-  /** One parquet frame per delta LAYER across all published segments —
-    * None when no segment exists. Hidden `.tmp_*` dirs (in-flight
-    * publishes) are excluded by construction (dot-prefixed paths are
-    * invisible to Spark's listing, and we glob explicit seg dirs). */
+  /** One parquet frame per delta LAYER across all published UNFOLDED
+    * segments — None when no live segment exists. Hidden `.tmp_*` dirs
+    * (in-flight publishes) are excluded by construction (dot-prefixed
+    * paths are invisible to Spark's listing, and we glob explicit seg
+    * dirs); segments already folded into the base but not yet reclaimed
+    * ([[DeltaSegments]]) are excluded by the `_folded` list. */
   private def deltaLayer(spark: SparkSession, path: String,
                          layer: String): Option[DataFrame] = {
     val d = new org.apache.hadoop.fs.Path(path, "delta")
     val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(d)) None
-    else {
-      val segs = fs.listStatus(d).map(_.getPath)
-        .filter(_.getName.startsWith("seg_"))
-      if (segs.isEmpty) None
-      else Some(spark.read.parquet(segs.map(p => s"$p/$layer").toSeq: _*))
-    }
+    val segs = DeltaSegments.liveSegs(fs, d)
+    if (segs.isEmpty) None
+    else Some(spark.read.parquet(segs.map(p => s"$p/$layer"): _*))
   }
 
   /** Delta accumulation advisory: (published segment count, delta
@@ -157,15 +155,12 @@ object GramIndex {
   def deltaAdvisory(spark: SparkSession, path: String): (Long, Long) = {
     val d = new org.apache.hadoop.fs.Path(path, "delta")
     val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(d)) (0L, 0L)
-    else {
-      val segs = fs.listStatus(d).filter(_.getPath.getName.startsWith("seg_"))
-      val bytes = segs.map { s =>
-        fs.listStatus(s.getPath).filter(_.isDirectory).map(l =>
-          fs.listStatus(l.getPath).filter(_.isFile).map(_.getLen).sum).sum
-      }.sum
-      (segs.length.toLong, bytes)
-    }
+    val segs = DeltaSegments.liveSegs(fs, d) // folded segs are read by no probe
+    val bytes = segs.map { s =>
+      fs.listStatus(s).filter(_.isDirectory).map(l =>
+        fs.listStatus(l.getPath).filter(_.isFile).map(_.getLen).sum).sum
+    }.sum
+    (segs.length.toLong, bytes)
   }
 
   /** Whether the unfolded delta has accumulated past `maxSegments` —
@@ -488,76 +483,104 @@ object GramIndex {
       .select("a", "b", "containment")
   }
 
-  /** Fold tombstones into a physical rewrite on postings and profiles
-    * (SaltedStore.compact's marker-guarded per-partition swap), then
-    * recompute dfs EXACTLY from the compacted postings. A probe racing
-    * the dfs rewrite can read a partial summary — df = 0 for missing
-    * tokens — which only re-orders its prefix choice (sound).
+  /** Compact = a PROBE-ATOMIC delta fold plus, when warranted, the
+    * major tombstone-fold/coalescing rewrite.
     *
-    * OFFLINE FOR PROBES AS WELL AS APPENDS when delta segments exist:
-    * the [[FoldingMarker]] refuses probes that START during the fold,
-    * but a probe CONSTRUCTED before the marker went up executes lazily
-    * — its action can land mid-fold and read a segment's rows from
-    * BOTH the freshly-appended base and the still-present delta,
-    * double-counting postings (spurious dup verdicts) — so pause
-    * probes for the fold window, the same discipline
-    * [[SaltedStore.compact]] demands of writers. (The tombstone-fold
-    * half below keeps the weaker appends-only rule: SaltedStore's
-    * CompactingMarker slowPath serves racing readers there.) */
-  def compact(spark: SparkSession, path: String): Unit = {
+    * THE FOLD ([[DeltaSegments]] — the r17 pause-probes caveat is
+    * gone): strictly ADDITIVE. Segment rows append as NEW files into
+    * the sharded base (no existing file moves), the file manifests are
+    * atomically rewritten, and the folded segments are MARKED — not
+    * deleted — in the delta's `_folded` list; physical reclamation is
+    * deferred to the start of the NEXT maintenance op. A probe
+    * constructed before the fold therefore reads exactly the old state
+    * (its pinned manifest file set and segment paths are all still
+    * present); a probe constructed after reads exactly the new one;
+    * one constructed during is refused by [[FoldingMarker]] — never a
+    * silent double count. dfs segments fold as per-batch PARTIAL rows
+    * (the summary probes already sum per token); the exact recompute
+    * happens in the major half.
+    *
+    * THE MAJOR HALF runs only when tombstones are pending (their fold
+    * is this method's correctness contract) or some shard's file count
+    * exceeds `maxFilesPerShard` (manifest-counted — no per-dir
+    * listing): SaltedStore.compact's per-shard swap on postings and
+    * profiles, then dfs recomputed EXACTLY from the compacted
+    * postings. It MOVES base files, so a probe constructed before it
+    * and executed after fails LOUDLY (FileNotFound on its pinned
+    * paths) — the appends-only pause rule applies to it, as to every
+    * SaltedStore.compact. A probe racing the dfs rewrite can read a
+    * partial summary — df = 0 for missing tokens — which only
+    * re-orders its prefix choice (sound). */
+  def compact(spark: SparkSession, path: String,
+              maxFilesPerShard: Int = 4): Unit = {
     val nShards = readMeta(spark, path).getOrElse(
       throw new IllegalStateException(s"no gram index at $path"))
     val (fsF, rootF) = fsOf(spark, path)
-    // manifests die first: everything below mutates the sharded file
-    // sets; probes fall back to the listing read until the final rewrite
-    dropManifests(spark, path)
+    val deltaDir = new org.apache.hadoop.fs.Path(rootF, "delta")
     val foldMarker = new org.apache.hadoop.fs.Path(rootF, FoldingMarker)
     if (fsF.exists(foldMarker)) {
       // a previous fold crashed mid-append: segment rows may now exist
-      // in BOTH the sharded base and the delta. Recover through the
-      // staged full rewrite (reshard at the unchanged count): it unions
-      // base ∪ delta, DISTINCTs the set rows, folds tombstones, and
-      // recomputes dfs exactly before the atomic swap.
+      // in BOTH the sharded base and unfolded segments. Recover through
+      // the staged full rewrite (reshard at the unchanged count): it
+      // unions base ∪ live delta, DISTINCTs the set rows, folds
+      // tombstones, recomputes dfs exactly, and parks the whole old
+      // generation (folded-segment debris included) before the swap.
       reshard(spark, path, nShards)
       fsF.delete(foldMarker, false)
       return
     }
-    deltaLayer(spark, path, "postings").foreach { dPost =>
-      // fold published segments into the sharded base — the O(touched
-      // shards) commit cost paid ONCE per compact cadence instead of
-      // once per append. Probes refuse the fold window (storedShards
-      // checks the marker); dfs layers need no fold — the exact
-      // recompute below reads the folded postings.
+    // deferred reclamation of segments folded by the PREVIOUS compact —
+    // any probe constructed before that fold has had a full maintenance
+    // cycle to finish (the DeltaSegments grace contract)
+    DeltaSegments.reclaimFolded(fsF, deltaDir)
+    val liveSegNames = DeltaSegments.liveSegs(fsF, deltaDir).map(_.getName)
+    if (liveSegNames.nonEmpty) {
       fsF.create(foldMarker, true).close()
+      // additive appends, profiles first (the write-order isolation
+      // contract), one new file per touched shard per layer
       deltaLayer(spark, path, "profiles").foreach(
         _.withColumn("shard", shardOf(col("doc_id"), nShards))
           .repartition(col("shard")).sortWithinPartitions("doc_id")
           .write.mode("append").partitionBy("shard").parquet(s"$path/profiles"))
-      dPost
-        .withColumn("shard", shardOf(col("x"), nShards))
-        .repartition(col("shard")).sortWithinPartitions("x", "doc_id")
-        .write.mode("append").partitionBy("shard").parquet(s"$path/postings")
-      fsF.delete(new org.apache.hadoop.fs.Path(rootF, "delta"), true)
+      deltaLayer(spark, path, "postings").foreach(
+        _.withColumn("shard", shardOf(col("x"), nShards))
+          .repartition(col("shard")).sortWithinPartitions("x", "doc_id")
+          .write.mode("append").partitionBy("shard").parquet(s"$path/postings"))
+      deltaLayer(spark, path, "dfs").foreach(
+        _.withColumn("shard", shardOf(col("x"), nShards))
+          .repartition(col("shard")).sortWithinPartitions("x")
+          .write.mode("append").partitionBy("shard").parquet(s"$path/dfs"))
+      // atomic per-layer manifest swaps: a reader sees the pre-fold file
+      // set or the post-fold one, never a mix of generations
+      writeManifests(spark, path)
+      DeltaSegments.markFolded(fsF, deltaDir, liveSegNames)
       fsF.delete(foldMarker, false)
     }
     val drop = tombstones(spark, path)
-    def strip(df: DataFrame): DataFrame = drop match {
-      case Some(t) => df.join(broadcast(t), Seq("doc_id"), "left_anti")
-      case None => df
+    val needMajor = drop.isDefined ||
+      Layers.exists(l => FileManifest.maxFilesPerPartition(spark, s"$path/$l")
+        .getOrElse(Int.MaxValue) > maxFilesPerShard)
+    if (needMajor) {
+      // manifests die first: the per-shard swaps below mutate the file
+      // sets; probes fall back to the listing read until the rewrite rests
+      dropManifests(spark, path)
+      def strip(df: DataFrame): DataFrame = drop match {
+        case Some(t) => df.join(broadcast(t), Seq("doc_id"), "left_anti")
+        case None => df
+      }
+      SaltedStore.compact(spark, s"$path/postings", col("x"),
+        partitionPrefix = "shard", transform = strip)
+      SaltedStore.compact(spark, s"$path/profiles", col("doc_id"),
+        partitionPrefix = "shard", transform = strip)
+      spark.read.parquet(s"$path/postings")
+        .groupBy("x").agg(count(lit(1)).as("df"))
+        .withColumn("shard", shardOf(col("x"), nShards))
+        .repartition(col("shard"))
+        .sortWithinPartitions("x")
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$path/dfs")
+      fsF.delete(new org.apache.hadoop.fs.Path(deletesPath(path)), true)
+      writeManifests(spark, path) // at rest again: listing-free probes resume
     }
-    SaltedStore.compact(spark, s"$path/postings", col("x"),
-      partitionPrefix = "shard", transform = strip)
-    SaltedStore.compact(spark, s"$path/profiles", col("doc_id"),
-      partitionPrefix = "shard", transform = strip)
-    spark.read.parquet(s"$path/postings")
-      .groupBy("x").agg(count(lit(1)).as("df"))
-      .withColumn("shard", shardOf(col("x"), nShards))
-      .repartition(col("shard"))
-      .sortWithinPartitions("x")
-      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/dfs")
-    val (fs, _) = fsOf(spark, path)
-    fs.delete(new org.apache.hadoop.fs.Path(deletesPath(path)), true)
-    writeManifests(spark, path) // at rest again: listing-free probes resume
   }
 
   /** Marker for an in-flight shard-count migration (see [[reshard]]). */

@@ -499,9 +499,20 @@ object StreamingIngest {
             // are then driver arithmetic (sketchesForIds) — per-micro-
             // batch fixed job count matters here most of all
             import spark.implicits._
+            // the probe's bucket stats log per batch (max PRE-cap
+            // member count + how many buckets the cap truncated): the
+            // degenerate-bucket failure mode surfaces as a number in
+            // the writer's own log, not as a straggler at scale. The
+            // collect below executes the observed plan, so the metrics
+            // are available synchronously.
+            val bucketObs = org.apache.spark.sql.Observation()
             val candRows = BandIndex.probeCandidates(spark, path,
-                Dedup.bandRows(within, "doc_id"), "doc_id")
+                Dedup.bandRows(within, "doc_id"), "doc_id",
+                bucketStat = Some(bucketObs))
               .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+            System.err.println(s"[graft] dedupBandIngestWriter batch $batchId " +
+              s"index-bucket stats: " + bucketObs.get.toSeq.sortBy(_._1)
+                .map { case (k, v) => s"$k=$v" }.mkString(" "))
             val cand = candRows.toDF("a", "b")
             BandIndex.sketchesForIds(spark, path, candRows.map(_._1).distinct)
               .select(col("doc_id").as("a"), col("sh").as("sha"))

@@ -487,11 +487,20 @@ class TextIndexSpec extends SparkSuite {
     val excl = TextIndex.searchBoolean(spark, p, Seq("cat"), Seq("newterm"))
       .orderBy("doc_id").as[(Long, Long)].collect().map(_._1).toSeq
     assert(excl == Seq(1L, 3L), "mustNot missed the delta doc's postings")
-    // fold: answers identical, delta gone, totals recounted exact
+    // fold: answers identical; the segment is MARKED folded, not
+    // deleted (probe-atomicity — FoldAtomicSpec: pre-fold probes keep
+    // their pinned paths readable), and the NEXT maintenance op
+    // reclaims the debris
     TextIndex.compact(spark, p)
-    assert(!new java.io.File(s"$p/${TextIndex.DeltaDir}").exists())
+    val deltaDir = new org.apache.hadoop.fs.Path(p, TextIndex.DeltaDir)
+    val dFs = deltaDir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(graft.store.DeltaSegments.liveSegs(dFs, deltaDir).isEmpty,
+      "a live segment survived the fold")
     assert(allHits == Seq((3L, 2L), (6L, 3L)))
     assert(TextIndex.storedDocs(spark, p).contains(7L))
+    TextIndex.compact(spark, p) // next maintenance op: debris reclaimed
+    assert(!new java.io.File(s"$p/${TextIndex.DeltaDir}").exists())
+    assert(allHits == Seq((3L, 2L), (6L, 3L)))
   }
 
   test("a crashed delta fold refuses probes and recovers to exact answers") {

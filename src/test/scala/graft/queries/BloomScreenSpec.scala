@@ -127,4 +127,57 @@ class BloomScreenSpec extends SparkSuite {
     assert(misses === 0L)
     hist.unpersist()
   }
+
+  test("generation-bound bloom: a REPLACED corpus under a standing filter auto-rebuilds") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    import org.apache.spark.sql.graft.ColumnBridge
+    val dir = java.nio.file.Files.createTempDirectory("hbloom_gen").toString
+    val path = s"$dir/history_bloom"
+    def contains(bytes: Array[Byte], k: String): Boolean =
+      Seq(k).toDF("h").filter(ColumnBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          ColumnBridge.expression(lit(bytes)),
+          ColumnBridge.expression(xxhash64(col("h")))))).count() == 1L
+    val corpus1 = Seq("oldA", "oldB", "oldC").toDF("h")
+    val (b1, n1) = Dedup.ensureHistoryBloom(spark, path, corpus1, col("h"),
+      100L, generation = Some(11L))
+    assert(n1 === 3L && contains(b1, "oldA"))
+    // same generation: the persisted filter is served (no rebuild)
+    val (b1b, _) = Dedup.ensureHistoryBloom(spark, path,
+      spark.range(0).selectExpr("'x' AS h"), col("h"), 1L,
+      generation = Some(11L))
+    assert(java.util.Arrays.equals(b1, b1b))
+    // increments extend the GENERATION, they don't change its tag
+    Dedup.appendHistoryBloom(spark, path, Seq("inc1", "inc1", "inc2"))
+    val (b1c, n1c) = Dedup.ensureHistoryBloom(spark, path,
+      spark.range(0).selectExpr("'x' AS h"), col("h"), 1L,
+      generation = Some(11L))
+    assert(n1c === 5L, "append must count DISTINCT keys into the stored load")
+    assert(contains(b1c, "inc1") && contains(b1c, "oldB"))
+    // the corpus is REPLACED (new generation tag): before r18 this
+    // silently served a SUBSET filter — false negatives skip the exact
+    // verify join entirely; now the mismatch rebuilds from the new hist
+    val corpus2 = Seq("newA", "newB").toDF("h")
+    val (b2, n2) = Dedup.ensureHistoryBloom(spark, path, corpus2, col("h"),
+      100L, generation = Some(22L))
+    assert(n2 === 2L, "replacement must rebuild at the new corpus count")
+    assert(contains(b2, "newA") && contains(b2, "newB"),
+      "the rebuilt filter must cover the REPLACED corpus (no subset state)")
+    // an unbound caller (no tag) keeps the caller-managed-delete contract
+    val (b3, n3) = Dedup.ensureHistoryBloom(spark, path,
+      spark.range(0).selectExpr("'x' AS h"), col("h"), 1L)
+    assert(n3 === 2L && java.util.Arrays.equals(b2, b3))
+    // mid-swap debris detection: a missing filter with a standing .tmp
+    // sibling is a concurrent/crashed writer — ensure fails LOUDLY
+    // instead of racing a rebuild against the other writer's rename
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(path), false)
+    fs.create(new org.apache.hadoop.fs.Path(dir, ".history_bloom.tmp"), true).close()
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ensureHistoryBloom(spark, path, corpus2, col("h"), 100L)
+    }
+    assert(e.getMessage.contains("single-writer"))
+  }
 }

@@ -217,11 +217,20 @@ class BandIndexSpec extends SparkSuite {
     assert(BandIndex.sketches(spark, p).count() === 40L)
     assert(BandIndex.sketchesFor(spark, p, Seq(35L).toDF("a"))
       .filter(col("doc_id") === 35L).count() === 1L)
-    // compact folds the segment into the sharded base, answers unchanged
+    // compact folds the segment into the sharded base, answers unchanged.
+    // The segment is MARKED folded, not deleted (probe-atomicity —
+    // FoldAtomicSpec); no live segment remains, and the NEXT
+    // maintenance op reclaims the debris.
     BandIndex.compact(spark, p)
-    assert(!new java.io.File(s"$p/delta").exists(), "delta survived compact")
+    val deltaDir = new org.apache.hadoop.fs.Path(p, "delta")
+    val dfs = deltaDir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(DeltaSegments.liveSegs(dfs, deltaDir).isEmpty,
+      "a live segment survived the fold")
     assert(candidates === preFold)
     assert(BandIndex.sketches(spark, p).count() === 40L)
+    BandIndex.compact(spark, p) // next maintenance op: debris reclaimed
+    assert(!new java.io.File(s"$p/delta").exists(), "folded debris survived reclaim")
+    assert(candidates === preFold)
     // crashed-fold recovery: plant half-folded state (bands folded,
     // delta + marker standing) — probes refuse, compact recovers exact
     BandIndex.append(Dedup.docSketch(

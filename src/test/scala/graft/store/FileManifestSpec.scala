@@ -99,4 +99,75 @@ class FileManifestSpec extends SparkSuite {
       "manifest served a read under a foreign compactor's marker")
     finally fs.delete(marker, false)
   }
+
+  private def fsOf(p: String) = new org.apache.hadoop.fs.Path(p)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  test("a CORRUPTED manifest (entries the regex drops) degrades to the listing fallback, loudly — never missing rows") {
+    val p = tmp("fmanifest_corrupt")
+    GramIndex.write(setsOf(
+      (0L until 20L).map(i => (i, doc(i))).toDF("doc_id", "text")), p,
+      nShards = 8)
+    val layer = s"$p/postings"
+    val mf = new org.apache.hadoop.fs.Path(layer, FileManifest.ManifestFile)
+    val fs = fsOf(layer)
+    // read the manifest, mangle ONE file entry so the regex skips it
+    // (the silent-shrink hazard): the parsed count then disagrees with
+    // the stored nfiles total and the read must refuse itself
+    val in = fs.open(mf)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val mangled = txt.replaceFirst("""\["shard""", """[@"shard""")
+    assert(mangled != txt)
+    val out = fs.create(mf, true)
+    try out.write(mangled.getBytes("UTF-8")) finally out.close()
+    assert(FileManifest.readPartitions(spark, layer, (0L until 8L)).isEmpty,
+      "a manifest whose parsed file count disagrees with nfiles must not serve")
+    // probes stay exact through the listing fallback
+    val batch = Seq((9000L, doc(7).split(" ").dropRight(2).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = GramIndex.probeContainment(spark, p, setsOf(batch))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((9000L, 7L)))
+  }
+
+  test("a STALE manifest (file deleted outside the owner's lifecycle) degrades to the listing fallback") {
+    val p = tmp("fmanifest_stale")
+    GramIndex.write(setsOf(
+      (0L until 20L).map(i => (i, doc(i))).toDF("doc_id", "text")), p,
+      nShards = 4)
+    val layer = s"$p/profiles"
+    val fs = fsOf(layer)
+    // foreign mutation: delete one recorded data file (but keep the dir)
+    val shardDirs = fs.listStatus(new org.apache.hadoop.fs.Path(layer))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+    val victim = fs.listStatus(shardDirs.head.getPath)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_")).head.getPath
+    fs.delete(victim, false)
+    // the spot-check sees the hole and falls back instead of letting the
+    // scan die with a task-level FileNotFoundException
+    val vShard = shardDirs.head.getPath.getName.stripPrefix("shard=").toLong
+    assert(FileManifest.readPartitions(spark, layer, Seq(vShard)).isEmpty,
+      "a manifest listing a deleted file must fall back, not FileNotFound")
+  }
+
+  test("write() refuses foreign names the regex parser would silently drop") {
+    val p = tmp("fmanifest_badnames") + "/layout"
+    val fs = fsOf(p)
+    // a partition dir whose value is not a plain integer
+    fs.mkdirs(new org.apache.hadoop.fs.Path(p, "shard=x7"))
+    val e1 = intercept[IllegalArgumentException] {
+      FileManifest.write(spark, p)
+    }
+    assert(e1.getMessage.contains("plain non-negative integer"))
+    fs.delete(new org.apache.hadoop.fs.Path(p, "shard=x7"), true)
+    // a data file name carrying a JSON/regex metacharacter
+    fs.mkdirs(new org.apache.hadoop.fs.Path(p, "shard=0"))
+    fs.create(new org.apache.hadoop.fs.Path(p, "shard=0/we[i]rd]name.parquet"),
+      true).close()
+    val e2 = intercept[IllegalArgumentException] {
+      FileManifest.write(spark, p)
+    }
+    assert(e2.getMessage.contains("metacharacter"))
+  }
 }

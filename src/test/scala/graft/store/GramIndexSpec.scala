@@ -394,9 +394,19 @@ class GramIndexSpec extends SparkSuite {
     val preFold = probe(p, batch)
     assert(preFold.get((9001L, 35L)).contains(1.0), "delta doc not probed")
     assert(preFold === brute(batch, gen1.union(gen2)))
-    // compact folds the segment into the sharded base, answers unchanged
+    // compact folds the segment into the sharded base, answers unchanged.
+    // The segment is MARKED folded, not deleted (probe-atomicity: a
+    // pre-fold probe keeps its pinned paths readable — FoldAtomicSpec);
+    // no live segment remains, and the NEXT maintenance op reclaims.
     GramIndex.compact(spark, p)
-    assert(!new java.io.File(s"$p/delta").exists(), "delta survived compact")
+    val deltaDir = new org.apache.hadoop.fs.Path(p, "delta")
+    val fs = deltaDir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(DeltaSegments.liveSegs(fs, deltaDir).isEmpty,
+      "a live segment survived the fold")
+    assert(DeltaSegments.foldedNames(fs, deltaDir).size === 1)
+    assert(probe(p, batch) === preFold)
+    GramIndex.compact(spark, p) // next maintenance op: debris reclaimed
+    assert(!new java.io.File(s"$p/delta").exists(), "folded debris survived reclaim")
     assert(probe(p, batch) === preFold)
   }
 
