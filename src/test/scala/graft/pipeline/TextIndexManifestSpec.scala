@@ -30,7 +30,10 @@ class TextIndexManifestSpec extends SparkSuite {
     val p = tmp("tmanifest_plan")
     TextIndex.write(corpus(30), p, shards = 8)
     assert(FileManifest.exists(spark, p), "write must leave a file manifest")
-    for (df <- Seq(
+    // AQE off for the plan collect: the adaptive wrapper hides the scan
+    // from a pre-execution executedPlan walk (the TextIndexSpec rule)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try for (df <- Seq(
         TextIndex.searchAll(spark, p, Seq("alpha", "token7")),
         TextIndex.searchRanked(spark, p, Seq("alpha", "bravo"), b = 0.75),
         TextIndex.searchPhrase(spark, p, Seq("alpha", "bravo")),
@@ -43,7 +46,7 @@ class TextIndexManifestSpec extends SparkSuite {
       scans.foreach(sc => assert(
         sc.relation.location.isInstanceOf[ManifestFileIndex],
         s"text probe built a listing file index:\n${df.queryExecution.executedPlan}"))
-    }
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
   test("manifest read = listing read, bit for bit, incl. the delta union") {
@@ -89,11 +92,17 @@ class TextIndexManifestSpec extends SparkSuite {
     TextIndex.reshard(spark, p, 9)
     assert(TextIndex.storedShards(spark, p) === Some(9))
     assert(FileManifest.exists(spark, p))
-    val df = TextIndex.searchAll(spark, p, Seq("alpha"))
-    df.queryExecution.executedPlan.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-    }.foreach(sc => assert(sc.relation.location.isInstanceOf[ManifestFileIndex],
-      "post-reshard probe must ride the staged-then-swapped manifest"))
-    assert(df.collect().map(_.getLong(0)).sorted.toSeq === afterMerge.toSeq)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = TextIndex.searchAll(spark, p, Seq("alpha"))
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty)
+      scans.foreach(sc => assert(
+        sc.relation.location.isInstanceOf[ManifestFileIndex],
+        "post-reshard probe must ride the staged-then-swapped manifest"))
+      assert(df.collect().map(_.getLong(0)).sorted.toSeq === afterMerge.toSeq)
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 }

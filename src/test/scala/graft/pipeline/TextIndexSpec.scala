@@ -123,16 +123,23 @@ class TextIndexSpec extends SparkSuite {
     // (SaltedStore.readPartitions): listing cost is O(probed terms),
     // not O(shards) — the scan's file index roots prove it (AQE off:
     // the adaptive wrapper hides the scan from a pre-execution collect)
+    // since r18 the file set comes off the persisted FILE MANIFEST
+    // (ManifestFileIndex — zero exists/list calls at any shard count,
+    // stronger than the constructed-dir listing this test originally
+    // pinned), so the proof moved from rootPaths to the file set itself
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val roots = try {
       TextIndex.searchAll(spark, dir, Seq("cat"))
         .queryExecution.executedPlan.collect {
           case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-            f.relation.location.rootPaths.map(_.getName)
-        }.flatten.filter(_.startsWith("shard="))
+            assert(f.relation.location.isInstanceOf[graft.store.ManifestFileIndex],
+              s"text probe scan built a listing file index")
+            f.relation.location.inputFiles
+              .flatMap(_.split('/').find(_.startsWith("shard="))).toSeq
+        }.flatten.distinct
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
     assert(roots == Seq(s"shard=$shard"),
-      s"scan must root at exactly the probed shard, got $roots")
+      s"scan must cover exactly the probed shard, got $roots")
     // the shard column arithmetic agrees between driver and executors
     val stored = spark.read.parquet(dir).filter(col("t") === "cat")
       .select("shard").distinct().as[Int].collect().toSeq
@@ -148,11 +155,12 @@ class TextIndexSpec extends SparkSuite {
       TextIndex.searchProximity(spark, dir, Seq("cat", "dog"), 2)
         .queryExecution.executedPlan.collect {
           case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-            f.relation.location.rootPaths.map(_.getName)
-        }.flatten.filter(_.startsWith("shard=")).sorted
+            f.relation.location.inputFiles
+              .flatMap(_.split('/').find(_.startsWith("shard="))).toSeq
+        }.flatten.distinct.sorted
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
     assert(roots == expected,
-      s"scan must root at exactly the probed shards $expected, got $roots")
+      s"scan must cover exactly the probed shards $expected, got $roots")
     val p = TextIndex.searchProximity(spark, dir, Seq("cat", "dog"), 2)
       .queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
