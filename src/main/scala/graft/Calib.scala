@@ -155,4 +155,20 @@ object Calib {
       s""""post_1t":${f"${post.alu1}%.3f"},"post_${cpus}t":${f"${post.aluN}%.3f"},""" +
       s""""mem_pre_1t":${f"${pre.mem1}%.3f"},"mem_pre_${cpus}t":${f"${pre.memN}%.3f"},""" +
       s""""mem_post_1t":${f"${post.mem1}%.3f"},"mem_post_${cpus}t":${f"${post.memN}%.3f"}}"""
+
+  /** Standalone probe: ONE bracket as a JSON line (no Spark session).
+    * The clean-window scout — every bench/scale artifact since r13 has
+    * carried mem ratios of 2.5-3.1 because the runs launched blind into
+    * whatever box state stood; this main costs ~3s and answers "is the
+    * box clean RIGHT NOW?" so the expensive measured runs can be
+    * launched into a window actually worth measuring (mem_1t/0.7 below
+    * ~2 ≈ the healthy band; r17's SCALING caught 1.5-1.9 that way). */
+  def main(args: Array[String]): Unit = {
+    val threads = args.headOption.map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+    val s = bracketAll(threads)
+    println(s"""{"alu_1t":${f"${s.alu1}%.3f"},"alu_${threads}t":${f"${s.aluN}%.3f"},""" +
+      s""""mem_1t":${f"${s.mem1}%.3f"},"mem_${threads}t":${f"${s.memN}%.3f"},""" +
+      s""""mem_ratio":${f"${s.mem1 / NominalMem1t}%.2f"}}""")
+  }
 }

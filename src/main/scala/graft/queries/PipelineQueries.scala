@@ -751,6 +751,39 @@ object PipelineQueries {
 
   /** Full dedup-pair oracle SQL, factored so the quality report can run
     * each method as a derived table (the duckXxxKnn pattern). */
+  /** Shared DuckDB replay of the video keyframe corpus as
+    * `clips(clip_id, fh)` rows — the arithmetic twin of
+    * `Multimodal.synthVideoSeqFrameHashes` through the real container
+    * demux + pixel decode (the trimmed clip's frames byte-identical to
+    * the original's 1..n−1, the unrelated clip on its own formula).
+    * Prefix CTE chain g → fr → th → hh → clips; consumed by the
+    * q_videoseq_join and q_media_bucket_profile oracles (the
+    * q_media_dedup_e2e oracle carries a v-prefixed copy). */
+  private lazy val duckVideoClips: String = {
+    val idx = "(((k // 8) * h // 8) * w + ((k % 8) * w // 8))"
+    val ta = s"list_transform(range(64), k -> (doc_id * 31 + f * 7 + $idx) % 256)"
+    val tc = s"list_transform(range(64), k -> (doc_id * 37 + f * 11 + 5 * $idx) % 256)"
+    def hashOf(t: String) =
+      s"""CAST(CASE WHEN $t[64] * 64 > list_sum($t)
+                    THEN -9223372036854775808 ELSE 0 END
+           + CAST(list_sum(list_transform(range(63), k ->
+               CASE WHEN $t[k + 1] * 64 > list_sum($t)
+                    THEN (1::BIGINT << k) ELSE 0::BIGINT END)) AS BIGINT)
+           AS BIGINT)"""
+    s"""g AS (SELECT doc_id, 16 + doc_id % 32 AS w,
+                16 + doc_id % 24 AS h, 4 + doc_id % 6 AS n
+              FROM documents WHERE doc_id % 3 = 2),
+        fr AS (SELECT doc_id, w, h, n, unnest(range(n)) AS f FROM g),
+        th AS (SELECT doc_id, n, f, $ta AS ta, $tc AS tc FROM fr),
+        hh AS (SELECT doc_id, n, f, ${hashOf("ta")} AS ha,
+                 ${hashOf("tc")} AS hc FROM th),
+        clips AS (SELECT doc_id AS clip_id, ha AS fh FROM hh
+                  UNION ALL
+                  SELECT doc_id + 100000, ha FROM hh WHERE f >= 1
+                  UNION ALL
+                  SELECT doc_id + 200000, hc FROM hh)"""
+  }
+
   private lazy val duckLshPairsSql: String = {
     val bandSelects = (0 until Bands).map(b =>
       s"SELECT doc_id, $b AS band, ${duckBandSig(b)} AS bsig FROM sig").mkString(" UNION ALL ")
@@ -4341,6 +4374,32 @@ object PipelineQueries {
     "q_videoseq_join" -> ((s, dir) =>
       videoSeqJoinCore(s, dir).orderBy("a", "b")),
 
+    // HOT-BUCKET PROFILES — the no-silent-caps reports as first-class
+    // ORACLE-VERIFIED operators, not just Observation log lines: the
+    // queries a production team runs BEFORE a corpus-scale dedup pass
+    // to price its in-bucket m²/2 expansion (a corpus-wide black frame
+    // or boilerplate band value surfaces here as a number). Both are
+    // one groupBy over rows the modality pipelines already produce; the
+    // top-k ordering is fully deterministic (count desc, key asc).
+    "q_media_bucket_profile" -> ((s, dir) => {
+      val fr = Multimodal.synthVideoSeqFrameHashes(requireIdHeadroom(
+        documents(s, dir).filter(pmod(col("doc_id"), lit(3L)) === 2L),
+        "videoSeqJoinCore"))(s).toDF()
+      fr.groupBy("fh")
+        .agg(count_distinct(col("clip_id")).as("n_clips"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("n_clips").desc, col("fh"))
+        .limit(20)
+    }),
+    "q_lsh_bucket_profile" -> ((s, dir) => {
+      val sk = minhashSigs(fuzzyCorpus(documents(s, dir)))
+      bandRows(sk, "doc_id")
+        .groupBy(col("band").cast("bigint").as("band"), col("sig"))
+        .agg(count_distinct(col("doc_id")).as("n_ids"))
+        .orderBy(col("n_ids").desc, col("band"), col("sig"))
+        .limit(20)
+    }),
+
     // CROSS-MODAL NEAR-DUP CLUSTERS — the three corpus-scale hash
     // joins composed into ONE dedup decision: image aHash pairs, audio
     // fingerprint pairs and video keyframe-sequence pairs union into a
@@ -7720,28 +7779,7 @@ object PipelineQueries {
         // clip rows, then the multiset-overlap join replayed as plain
         // relational algebra: per-(clip, hash) counts, hash-equality
         // join, Σ min(counts), ≥3/4-of-shorter verify
-        val idx = "(((k // 8) * h // 8) * w + ((k % 8) * w // 8))"
-        val ta = s"list_transform(range(64), k -> (doc_id * 31 + f * 7 + $idx) % 256)"
-        val tc = s"list_transform(range(64), k -> (doc_id * 37 + f * 11 + 5 * $idx) % 256)"
-        def hashOf(t: String) =
-          s"""CAST(CASE WHEN $t[64] * 64 > list_sum($t)
-                        THEN -9223372036854775808 ELSE 0 END
-               + CAST(list_sum(list_transform(range(63), k ->
-                   CASE WHEN $t[k + 1] * 64 > list_sum($t)
-                        THEN (1::BIGINT << k) ELSE 0::BIGINT END)) AS BIGINT)
-               AS BIGINT)"""
-        s"""WITH g AS (SELECT doc_id, 16 + doc_id % 32 AS w,
-                         16 + doc_id % 24 AS h, 4 + doc_id % 6 AS n
-                       FROM documents WHERE doc_id % 3 = 2),
-              fr AS (SELECT doc_id, w, h, n, unnest(range(n)) AS f FROM g),
-              th AS (SELECT doc_id, n, f, $ta AS ta, $tc AS tc FROM fr),
-              hh AS (SELECT doc_id, n, f, ${hashOf("ta")} AS ha,
-                       ${hashOf("tc")} AS hc FROM th),
-              clips AS (SELECT doc_id AS clip_id, ha AS fh FROM hh
-                        UNION ALL
-                        SELECT doc_id + 100000, ha FROM hh WHERE f >= 1
-                        UNION ALL
-                        SELECT doc_id + 200000, hc FROM hh),
+        s"""WITH $duckVideoClips,
               cnt AS (SELECT clip_id, fh, count(*) AS c
                       FROM clips GROUP BY 1, 2),
               sz AS (SELECT clip_id, count(*) AS n FROM clips GROUP BY 1),
@@ -7757,6 +7795,31 @@ object PipelineQueries {
               JOIN sz sb ON sb.clip_id = pairs.b
             WHERE matched * 4 >= least(sa.n, sb.n) * 3
             ORDER BY a, b"""
+      },
+
+      // the frame-hash bucket profile over the same clips replay: how
+      // many clips share each keyframe hash (the video join's in-bucket
+      // expansion driver), top-20 by clip count
+      "q_media_bucket_profile" ->
+        s"""WITH $duckVideoClips
+            SELECT fh, CAST(count(DISTINCT clip_id) AS BIGINT) AS n_clips,
+              CAST(count(*) AS BIGINT) AS n_rows
+            FROM clips GROUP BY fh
+            ORDER BY n_clips DESC, fh LIMIT 20""",
+
+      // the LSH band-bucket profile over the fuzzy corpus: distinct
+      // docs per (band, signature) bucket — what the hot-bucket cap
+      // prices — top-20 by member count
+      "q_lsh_bucket_profile" -> {
+        val bandSelects = (0 until Bands).map(b =>
+          s"SELECT doc_id, $b AS band, ${duckBandSig(b)} AS bsig FROM sig")
+          .mkString(" UNION ALL ")
+        s"""WITH $duckFuzzyCorpus, $duckShingled, $duckMinhashSigs,
+              bands AS ($bandSelects)
+            SELECT CAST(band AS BIGINT) AS band, bsig AS sig,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids
+            FROM bands GROUP BY 1, 2
+            ORDER BY n_ids DESC, band, sig LIMIT 20"""
       },
 
       "q_media_dedup_e2e" -> {

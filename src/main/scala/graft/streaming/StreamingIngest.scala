@@ -284,8 +284,10 @@ object StreamingIngest {
     * and every probe unions all of them, so a never-compacted store
     * turns the removed write amplification into silent read
     * amplification — the log line is the "no silent caps" discipline
-    * applied to the delta layer. The writers only ADVISE (compaction
-    * needs the pause-probes discipline the caller owns). */
+    * applied to the delta layer. The writers only ADVISE: compaction
+    * still needs the WRITER pause the caller owns (the fold itself is
+    * probe-atomic since r18 — [[graft.store.DeltaSegments]] — so
+    * probes no longer need pausing for it). */
   val AdviseDeltaSegments = 8
 
   private def adviseDeltaFold(kind: String, path: String,
@@ -294,7 +296,7 @@ object StreamingIngest {
     if (segs > AdviseDeltaSegments)
       System.err.println(s"[graft] $kind at $path holds $segs unfolded " +
         s"delta segments ($bytes bytes) — every probe unions all of " +
-        s"them; pause writers+probes and run $kind.compact")
+        s"them; pause writers and run $kind.compact")
   }
 
   /** One idempotent gram-index micro-batch (testing seam). */
