@@ -214,18 +214,25 @@ object PipelineQueries {
     * the ≥3/4-of-the-shorter multiset-overlap verify (Σ min counts,
     * integer cross-multiplied) — (a, b, matched, n_a, n_b), exact. */
   private def videoSeqJoinCore(s: SparkSession, dir: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    Dedup.logBucketStat("q_videoseq_join frame-hash buckets", obs)
+    videoSeqPairsFromCnt(videoCntCached(s, dir), Some(obs))
+  }
+
+  /** The per-(clip, frame-hash) count frame of the video corpus — the
+    * one decode all three video consumers share (q_videoseq_join,
+    * q_media_dedup_e2e's video leg, q_media_bucket_profile): the
+    * demux+decode synth is the expensive stage, the registry-cached
+    * cnt its 16-byte-row summary. */
+  private def videoCntCached(s: SparkSession, dir: String): DataFrame = {
     val fr = Multimodal.synthVideoSeqFrameHashes(requireIdHeadroom(
       documents(s, dir).filter(pmod(col("doc_id"), lit(3L)) === 2L),
       "videoSeqJoinCore"))(s).toDF()
-    val obs = org.apache.spark.sql.Observation()
-    Dedup.logBucketStat("q_videoseq_join frame-hash buckets", obs)
-    videoSeqPairsCore(fr.select("clip_id", "fh"),
-      cache = { c =>
-        val p = c.persist()
-        Persisted.swap("videoseq_join_cnt", dir, p)
-        p
-      },
-      bucketStat = Some(obs))
+    val p = fr.groupBy("clip_id", "fh").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum("c").over(Window.partitionBy("clip_id")))
+      .persist()
+    Persisted.swap("videoseq_join_cnt", dir, p)
+    p
   }
 
   /** Frame-hash multiset-overlap pair join over raw (clip_id, fh)
@@ -243,9 +250,16 @@ object PipelineQueries {
     * metrics ride the existing exchange, zero extra passes). */
   private[graft] def videoSeqPairsCore(frames: DataFrame,
       cache: DataFrame => DataFrame = identity,
-      bucketStat: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
-    val cnt = cache(frames.groupBy("clip_id", "fh").agg(count(lit(1)).as("c"))
-      .withColumn("n", sum("c").over(Window.partitionBy("clip_id"))))
+      bucketStat: Option[org.apache.spark.sql.Observation] = None): DataFrame =
+    videoSeqPairsFromCnt(
+      cache(frames.groupBy("clip_id", "fh").agg(count(lit(1)).as("c"))
+        .withColumn("n", sum("c").over(Window.partitionBy("clip_id")))),
+      bucketStat)
+
+  /** The bucket-join tail over an already-built (clip_id, fh, c, n)
+    * count frame (see [[videoSeqPairsCore]] for the full contract). */
+  private def videoSeqPairsFromCnt(cnt: DataFrame,
+      bucketStat: Option[org.apache.spark.sql.Observation]): DataFrame = {
     val buckets = cnt.groupBy("fh")
       .agg(collect_list(struct(col("clip_id"), col("c"), col("n"))).as("ms"))
     val observed = bucketStat.fold(buckets)(o => buckets.observe(o,
@@ -4381,16 +4395,15 @@ object PipelineQueries {
     // or boilerplate band value surfaces here as a number). Both are
     // one groupBy over rows the modality pipelines already produce; the
     // top-k ordering is fully deterministic (count desc, key asc).
-    "q_media_bucket_profile" -> ((s, dir) => {
-      val fr = Multimodal.synthVideoSeqFrameHashes(requireIdHeadroom(
-        documents(s, dir).filter(pmod(col("doc_id"), lit(3L)) === 2L),
-        "videoSeqJoinCore"))(s).toDF()
-      fr.groupBy("fh")
-        .agg(count_distinct(col("clip_id")).as("n_clips"),
-          count(lit(1)).as("n_rows"))
+    "q_media_bucket_profile" -> ((s, dir) =>
+      // one agg over the SHARED cached (clip, fh) count frame — the
+      // profile re-uses the video decode the join queries already paid
+      // (cnt has one row per (clip, fh), so bucket clip-counts are
+      // plain row counts and frame-row totals are Σc)
+      videoCntCached(s, dir).groupBy("fh")
+        .agg(count(lit(1)).as("n_clips"), sum("c").as("n_rows"))
         .orderBy(col("n_clips").desc, col("fh"))
-        .limit(20)
-    }),
+        .limit(20)),
     "q_lsh_bucket_profile" -> ((s, dir) => {
       val sk = minhashSigs(fuzzyCorpus(documents(s, dir)))
       bandRows(sk, "doc_id")
