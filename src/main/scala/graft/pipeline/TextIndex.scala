@@ -131,16 +131,31 @@ object TextIndex {
     * existed) — UNIONed with the delta segments under the same term
     * filter (one bounded delta scan, never a corpus read), tombstones
     * anti-joined over the whole. */
-  private def probePostings(spark: SparkSession, path: String,
-                            shards: Seq[Long], flt: DataFrame => DataFrame): DataFrame = {
-    val base = flt(graft.store.FileManifest.readPartitions(spark, path, shards)
-      .getOrElse(graft.store.SaltedStore.readPartitions(spark, path, shards,
-        partitionPrefix = "shard"))).select(PostingsCols.map(col): _*)
-    val all = deltaPostings(spark, path)
-      .map(d => base.unionByName(flt(d).select(PostingsCols.map(col): _*)))
-      .getOrElse(base)
-    live(all, spark, path)
+  /** Construction-coherence guard for every text probe
+    * (ConcurrentFoldSpec): the manifest read and the delta listing must
+    * come from the same side of a racing fold's publish, or folded
+    * rows double-count/vanish. */
+  private def coherentProbe[T](spark: SparkSession, path: String)(build: => T): T = {
+    val (fs, root) = fsOf(spark, path)
+    graft.store.DeltaSegments.coherentSnapshot(fs,
+      new org.apache.hadoop.fs.Path(root, DeltaDir),
+      new org.apache.hadoop.fs.Path(root, FoldingMarker),
+      Seq(new org.apache.hadoop.fs.Path(root,
+        graft.store.FileManifest.ManifestFile)),
+      "text probe")(build)
   }
+
+  private def probePostings(spark: SparkSession, path: String,
+                            shards: Seq[Long], flt: DataFrame => DataFrame): DataFrame =
+    coherentProbe(spark, path) {
+      val base = flt(graft.store.FileManifest.readPartitions(spark, path, shards)
+        .getOrElse(graft.store.SaltedStore.readPartitions(spark, path, shards,
+          partitionPrefix = "shard"))).select(PostingsCols.map(col): _*)
+      val all = deltaPostings(spark, path)
+        .map(d => base.unionByName(flt(d).select(PostingsCols.map(col): _*)))
+        .getOrElse(base)
+      live(all, spark, path)
+    }
 
   /** Build the index from `docs(doc_id, text)`: tokenize, count term
     * frequency per (term, doc), shard by term hash, write sorted
@@ -956,17 +971,19 @@ object TextIndex {
   def searchPrefix(spark: SparkSession, path: String, prefix: String): DataFrame = {
     require(prefix.nonEmpty, "searchPrefix needs a non-empty prefix")
     layoutShards(spark, path) // fail loudly on a foreign/incomplete dir
-    val base = graft.store.FileManifest.readAllPartitions(spark, path)
-      .getOrElse(graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard"))
-      .filter(col("t").startsWith(prefix)).select(PostingsCols.map(col): _*)
-    val all = deltaPostings(spark, path)
-      .map(d => base.unionByName(
-        d.filter(col("t").startsWith(prefix)).select(PostingsCols.map(col): _*)))
-      .getOrElse(base)
-    live(all, spark, path)
-      // append-safe: re-aggregate per (t, doc) before counting df
-      .groupBy("t", "doc_id").agg(sum("tf").as("tf"))
-      .groupBy("t").agg(count(lit(1)).as("df"), sum("tf").as("total_tf"))
+    coherentProbe(spark, path) {
+      val base = graft.store.FileManifest.readAllPartitions(spark, path)
+        .getOrElse(graft.store.SaltedStore.read(spark, path, partitionPrefix = "shard"))
+        .filter(col("t").startsWith(prefix)).select(PostingsCols.map(col): _*)
+      val all = deltaPostings(spark, path)
+        .map(d => base.unionByName(
+          d.filter(col("t").startsWith(prefix)).select(PostingsCols.map(col): _*)))
+        .getOrElse(base)
+      live(all, spark, path)
+        // append-safe: re-aggregate per (t, doc) before counting df
+        .groupBy("t", "doc_id").agg(sum("tf").as("tf"))
+        .groupBy("t").agg(count(lit(1)).as("df"), sum("tf").as("total_tf"))
+    }
   }
 
   /** Conjunctive (all-terms) search against the persisted index: the

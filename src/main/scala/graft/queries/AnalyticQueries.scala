@@ -678,15 +678,15 @@ object AnalyticQueries {
             lag("event_type", 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
         .withColumn("seg", sum("chg").over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .persist()
-      graft.queries.PipelineQueries.Persisted.swap("scd2_pit_events", dir, e)
-      val dim = e.filter(col("chg") === 1L)
+      val eP = graft.queries.PipelineQueries.Persisted
+        .persistSwap1("scd2_pit_events", dir, e)
+      val dim = eP.filter(col("chg") === 1L)
         .select(col("user_id"), col("seg"), col("event_type").as("seg_type"))
       val prior = dim
         .withColumn("prior_state",
           lag("seg_type", 1).over(Window.partitionBy("user_id").orderBy("seg")))
         .select("user_id", "seg", "prior_state")
-      e.filter(col("event_type") === "purchase")
+      eP.filter(col("event_type") === "purchase")
         .join(prior, Seq("user_id", "seg"))
         .select("user_id", "event_id", "ts_us", "prior_state")
         .orderBy("user_id", "ts_us", "event_id")
@@ -743,7 +743,8 @@ object AnalyticQueries {
           col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
-      val e = graft.operators.PageRank.edges(pairs).persist()
+      val e = PipelineQueries.Persisted.persistSwap1("pagerank_edges", dir,
+        graft.operators.PageRank.edges(pairs))
       // the iteration chain is a fixed-shape tiny-stage loop — run it
       // eagerly with AQE off (its per-stage re-planning barrier
       // multiplies by round count; same treatment as the CC loop in
@@ -762,10 +763,9 @@ object AnalyticQueries {
         val nEdges = e.count()
         s.conf.set("spark.sql.shuffle.partitions",
           math.max(1L, math.min(prevParts.toLong, nEdges / 500000L + 1L)).toString)
-        val r = graft.operators.PageRank
-          .iterate(e, graft.operators.PageRank.initRanks(e), 3)
-          .persist()
-        PipelineQueries.Persisted.swap("pagerank_edges", dir, e, r)
+        val r = PipelineQueries.Persisted.persistSwap1("pagerank_ranks", dir,
+          graft.operators.PageRank
+            .iterate(e, graft.operators.PageRank.initRanks(e), 3))
         r.count()
         r.orderBy(col("rank").desc, col("node")).limit(20)
       } finally {
@@ -789,14 +789,13 @@ object AnalyticQueries {
     "q_triangles" -> ((s, dir) => {
       val li = lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val e = li.as("x").join(li.as("y"),
-          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-        .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
-        .agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 2L)
-        .select("a", "b")
-        .persist()
-      PipelineQueries.Persisted.swap("triangle_edges", dir, e)
+      val e = PipelineQueries.Persisted.persistSwap1("triangle_edges", dir,
+        li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+          .agg(count(lit(1)).as("sup"))
+          .filter(col("sup") >= 2L)
+          .select("a", "b"))
       val w = e.as("e1").join(broadcast(e.as("e2")),
           col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
         .select(col("e1.b").as("x"), col("e2.b").as("y"))

@@ -272,10 +272,32 @@ object BandIndex {
     * file-listing time, so probe cost is bucket-sized, never
     * corpus-sized. Tombstoned docs are excluded before the bucket
     * aggregation. */
+  /** Construction-coherence guard shared by every probe entry here
+    * (ConcurrentFoldSpec): the manifest reads and the delta listing
+    * must come from the same side of a racing fold's publish, or
+    * folded rows double-count/vanish. */
+  private def coherentProbe[T](spark: SparkSession, path: String,
+                               what: String)(build: => T): T = {
+    val (fs, root) = fsOf(spark, path)
+    DeltaSegments.coherentSnapshot(fs,
+      new org.apache.hadoop.fs.Path(root, "delta"),
+      new org.apache.hadoop.fs.Path(root, FoldingMarker),
+      Layers.map(l => new org.apache.hadoop.fs.Path(root,
+        s"$l/${FileManifest.ManifestFile}")),
+      what)(build)
+  }
+
   def probeCandidates(spark: SparkSession, path: String, probeBands: DataFrame,
                       idCol: String,
                       maxBucket: Int = Dedup.MaxBucket,
-                      bucketStat: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+                      bucketStat: Option[org.apache.spark.sql.Observation] = None): DataFrame =
+    coherentProbe(spark, path, "band probe") {
+      probeCandidatesImpl(spark, path, probeBands, idCol, maxBucket, bucketStat)
+    }
+
+  private def probeCandidatesImpl(spark: SparkSession, path: String,
+                      probeBands: DataFrame, idCol: String, maxBucket: Int,
+                      bucketStat: Option[org.apache.spark.sql.Observation]): DataFrame = {
     val nShards = storedShards(spark, path).getOrElse(
       throw new IllegalStateException(s"no band index at $path — write() first"))
     val shards = probeBands.select(shardOf(col("sig"), nShards).as("s"))
@@ -306,12 +328,13 @@ object BandIndex {
     * excluded, same visibility rule as the probes. Reads (and LISTS)
     * the whole table: fine for audits and whole-corpus jobs, wrong for
     * a probe's verify side — use [[sketchesFor]] there. */
-  def sketches(spark: SparkSession, path: String): DataFrame = {
-    val base = spark.read.parquet(s"$path/sketches").select("doc_id", "sh")
-    live(deltaLayer(spark, path, "sketches")
-      .map(d => base.unionByName(d.select("doc_id", "sh"))).getOrElse(base),
-      spark, path, "doc_id")
-  }
+  def sketches(spark: SparkSession, path: String): DataFrame =
+    coherentProbe(spark, path, "band sketches read") {
+      val base = spark.read.parquet(s"$path/sketches").select("doc_id", "sh")
+      live(deltaLayer(spark, path, "sketches")
+        .map(d => base.unionByName(d.select("doc_id", "sh"))).getOrElse(base),
+        spark, path, "doc_id")
+    }
 
   /** The LIVE verification sets for exactly the given candidate ids'
     * doc-shards — the probe-side read. A full [[sketches]] read on the
@@ -361,6 +384,12 @@ object BandIndex {
   }
 
   private def sketchesForShards(spark: SparkSession, path: String,
+                                shards: Seq[Long]): DataFrame =
+    coherentProbe(spark, path, "band sketch-shard read") {
+      sketchesForShardsImpl(spark, path, shards)
+    }
+
+  private def sketchesForShardsImpl(spark: SparkSession, path: String,
                                 shards: Seq[Long]): DataFrame = {
     // empty candidate set: nothing can verify — return the empty frame
     // directly instead of letting readPartitions fall back to its
@@ -400,7 +429,10 @@ object BandIndex {
     * markers are cleared LAST: a crash between the rewrites leaves them
     * in place and every probe keeps anti-joining — idempotent, never
     * lossy. It MOVES base files, so a pre-constructed probe executing
-    * past it fails loudly (FileNotFound), never silently. */
+    * past it dies on its pinned paths (FileNotFound), never silently —
+    * callers holding the probe CONSTRUCTION recover through
+    * [[ProbeRetry.retryOnce]] (retries once against the rewritten
+    * manifest, then fails loudly). */
   def compact(spark: SparkSession, path: String,
               maxFilesPerShard: Int = 4): Unit = {
     val nShards = readMeta(spark, path).getOrElse(

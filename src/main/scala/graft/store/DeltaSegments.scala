@@ -42,8 +42,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * The one discipline that remains: the MAJOR compaction half
   * (tombstone fold / small-file coalescing through
   * [[SaltedStore.compact]]'s per-shard swap) still moves base files, so
-  * a pre-constructed probe executing past IT fails loudly
-  * (FileNotFoundException on its pinned paths) — never silently wrong. */
+  * a pre-constructed probe executing past IT dies on its pinned paths
+  * (FileNotFoundException) — never silently wrong. Callers that hold
+  * the probe CONSTRUCTION rather than a frame recover automatically:
+  * [[ProbeRetry.retryOnce]] reconstructs once against the rewritten
+  * manifest (the store is at rest again by then) and re-runs, so the
+  * read side is probe-atomic across the ENTIRE maintenance surface —
+  * retries once, then fails loudly. */
 object DeltaSegments {
   /** The folded-segment list file inside a delta dir: one seg name per
     * line, published by atomic rename. Underscore-prefixed so Spark's
@@ -86,6 +91,54 @@ object DeltaSegments {
     finally out.close()
     if (fs.exists(dst)) fs.delete(dst, false)
     require(fs.rename(tmp, dst), s"folded-list rename failed: $tmp -> $dst")
+  }
+
+  /** Run a probe CONSTRUCTION under an optimistic-concurrency loop
+    * against the fold's publication files — the missing half of probe
+    * atomicity that only shows under REAL concurrency
+    * (ConcurrentFoldSpec found it): a construction is several driver
+    * reads (marker check, per-layout manifest reads, the `_folded`
+    * list + delta listing), and a fold that PUBLISHES between them
+    * hands the probe a MIXED generation — new manifest (folded rows in
+    * base) with the old `_folded` list (segment still live) double
+    * counts every folded row; the opposite order silently loses them.
+    * No pair of files can be renamed atomically, so the standard fix:
+    * stamp the publication state (marker existence, `_folded` CONTENT
+    * — tiny, and names only accumulate — and each layout manifest's
+    * (exists, length, mtime)) BEFORE and AFTER the construction, and
+    * rebuild if anything moved; the retried construction reads the
+    * post-fold state coherently. A marker standing at either stamp
+    * refuses loudly (the existing mid-fold contract); `maxAttempts`
+    * folds racing one construction refuses too (maintenance churn that
+    * fast means the caller's world is changing under it). Steady-state
+    * cost: two driver stats per manifest + two tiny `_folded` reads
+    * per probe construction — nothing at execution time. */
+  def coherentSnapshot[T](fs: FileSystem, deltaDir: Path, marker: Path,
+                          manifests: Seq[Path], what: String,
+                          maxAttempts: Int = 8)(build: => T): T = {
+    def stamp(): (Boolean, String, Seq[Option[(Long, Long)]]) = (
+      fs.exists(marker),
+      foldedNames(fs, deltaDir).toSeq.sorted.mkString(","),
+      manifests.map { m =>
+        if (!fs.exists(m)) None
+        else { val st = fs.getFileStatus(m); Some((st.getLen, st.getModificationTime)) }
+      })
+    var attempts = 0
+    while (true) {
+      val s1 = stamp()
+      require(!s1._1,
+        s"$what: in-flight delta fold (${marker.getName}) — re-run compact " +
+          "to finish it, then reconstruct the probe")
+      val result = build
+      val s2 = stamp()
+      if (s1 == s2) return result
+      attempts += 1
+      require(attempts < maxAttempts,
+        s"$what: a delta fold republished $attempts times during one probe " +
+          "construction — maintenance is churning faster than probes can " +
+          "snapshot; pause the compactor or retry later")
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Physically delete every folded segment (and the list file once

@@ -348,6 +348,23 @@ object GramIndex {
   def probeContainment(spark: SparkSession, path: String, batchSets: DataFrame,
                        num: Int = 3, den: Int = 4,
                        stageTimer: (String, Double) => Unit = (_, _) => ()): DataFrame = {
+    // construction-coherence guard (ConcurrentFoldSpec): the manifest
+    // reads and the delta listing below must come from the same side of
+    // a racing fold's publish, or folded rows double-count/vanish
+    val (fsC, rootC) = fsOf(spark, path)
+    DeltaSegments.coherentSnapshot(fsC,
+      new org.apache.hadoop.fs.Path(rootC, "delta"),
+      new org.apache.hadoop.fs.Path(rootC, FoldingMarker),
+      Layers.map(l => new org.apache.hadoop.fs.Path(rootC,
+        s"$l/${FileManifest.ManifestFile}")),
+      "gram probe") {
+      probeContainmentImpl(spark, path, batchSets, num, den, stageTimer)
+    }
+  }
+
+  private def probeContainmentImpl(spark: SparkSession, path: String,
+                       batchSets: DataFrame, num: Int, den: Int,
+                       stageTimer: (String, Double) => Unit): DataFrame = {
     // stageTimer: attribution seam for the scale harness — the probe's
     // first two stages (dfs read + prefix choice; postings read +
     // candidate cut) execute EAGERLY here (driver collect in the
@@ -506,9 +523,11 @@ object GramIndex {
     * listing): SaltedStore.compact's per-shard swap on postings and
     * profiles, then dfs recomputed EXACTLY from the compacted
     * postings. It MOVES base files, so a probe constructed before it
-    * and executed after fails LOUDLY (FileNotFound on its pinned
-    * paths) — the appends-only pause rule applies to it, as to every
-    * SaltedStore.compact. A probe racing the dfs rewrite can read a
+    * and executed after dies LOUDLY (FileNotFound on its pinned
+    * paths) — callers holding the probe CONSTRUCTION recover through
+    * [[ProbeRetry.retryOnce]] (one reconstruction against the
+    * rewritten manifest, then fail loudly); the appends-only pause
+    * rule applies to it, as to every SaltedStore.compact. A probe racing the dfs rewrite can read a
     * partial summary — df = 0 for missing tokens — which only
     * re-orders its prefix choice (sound). */
   def compact(spark: SparkSession, path: String,

@@ -507,14 +507,22 @@ object StreamingIngest {
             // the writer's own log, not as a straggler at scale. The
             // collect below executes the observed plan, so the metrics
             // are available synchronously.
-            val bucketObs = org.apache.spark.sql.Observation()
-            val candRows = BandIndex.probeCandidates(spark, path,
+            // probe EXECUTION goes through the stale-file retry: a
+            // maintainer's MAJOR compact between this probe's
+            // construction and its collect reconstructs once against
+            // the rewritten manifest instead of failing the batch
+            // (ProbeRetry). A fresh Observation per construction — an
+            // Observation object is single-registration, and a failed
+            // attempt consumes its own.
+            var bucketObs: org.apache.spark.sql.Observation = null
+            val candRows = graft.store.ProbeRetry.retryOnce {
+              bucketObs = org.apache.spark.sql.Observation()
+              BandIndex.probeCandidates(spark, path,
                 Dedup.bandRows(within, "doc_id"), "doc_id",
                 bucketStat = Some(bucketObs))
-              .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+            }(_.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
             System.err.println(s"[graft] dedupBandIngestWriter batch $batchId " +
-              s"index-bucket stats: " + bucketObs.get.toSeq.sortBy(_._1)
-                .map { case (k, v) => s"$k=$v" }.mkString(" "))
+              s"index-bucket stats: " + Dedup.renderBucketStat(bucketObs.get))
             val cand = candRows.toDF("a", "b")
             BandIndex.sketchesForIds(spark, path, candRows.map(_._1).distinct)
               .select(col("doc_id").as("a"), col("sh").as("sha"))
