@@ -124,11 +124,11 @@ object Dedup {
                      maxBucket: Int = MaxBucket): DataFrame =
     pairExpand(
       bands.groupBy("band", "sig")
-        // the sort is the CAP's determinism (smallest-ids prefix), not
-        // pair canonicalization — pairExpand's a<b cut handles that
+        // the sort is the CAP's determinism (smallest-ids prefix) AND
+        // the forward-pairing order pairExpand rides (sorted = true)
         .agg(slice(array_sort(collect_set(col(idCol))), 1, maxBucket).as("ids"))
         .filter(size(col("ids")) > 1),
-      "ids")
+      "ids", sorted = true)
       .distinct()
 
   /** Asymmetric LSH probe — candidate (index, probe) pairs between a
@@ -539,7 +539,8 @@ object Dedup {
     val bands = hammingBandRanges(k)
     val groups = cache(hashes.groupBy(col(hashCol).as("__h"))
       .agg(sort_array(collect_set(col(idCol))).as("__ids")))
-    val within = pairExpand(groups.filter(size(col("__ids")) > 1), "__ids")
+    val within = pairExpand(groups.filter(size(col("__ids")) > 1), "__ids",
+      sorted = true)
       .select(col("a"), col("b"), lit(0L).as("hamming"))
     val banded = groups.select(
       col("__h"),
@@ -579,11 +580,26 @@ object Dedup {
     * scale. The a<b cut makes pair order canonical regardless of the
     * input array's order (no sort needed); other input columns are
     * dropped — callers re-join what they need. */
-  private def pairExpand(rows: DataFrame, listCol: String): DataFrame =
-    rows.select(explode(col(listCol)).as("a"), col(listCol))
-      .select(col("a"), explode(col(listCol)).as("b"))
-      .filter(col("a") < col("b"))
+  /** Expand each row's member list to its unordered pairs (a < b) via
+    * two codegen'd generators: the list is sorted (members are distinct
+    * — collect_set upstream — so sorted order IS the a<b order) and
+    * each position pairs only FORWARD (posexplode × explode-of-slice),
+    * generating exactly m(m−1)/2 rows instead of the m² an
+    * explode × explode + a<b cut generates and half-discards. The 2×
+    * matters precisely on the hot buckets that set these joins'
+    * straggler ceiling (hammingNearDupPairs is no-cap by contract).
+    * Pass `sorted = true` when the list is already ordered
+    * (sort_array/slice upstream) to skip the re-sort. */
+  private def pairExpand(rows: DataFrame, listCol: String,
+                         sorted: Boolean = false): DataFrame = {
+    val src =
+      if (sorted) rows
+      else rows.withColumn(listCol, array_sort(col(listCol)))
+    src.select(posexplode(col(listCol)).as(Seq("i", "a")), col(listCol))
+      .select(col("a"),
+        explode(slice(col(listCol), col("i") + lit(2), size(col(listCol)))).as("b"))
       .select(col("a"), col("b"))
+  }
 
   // ---- duplicate clusters (connected components) --------------------------
 
