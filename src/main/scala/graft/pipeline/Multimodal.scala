@@ -37,6 +37,30 @@ final case class MediaRow(
   */
 object Multimodal {
 
+  /** The doc_id feed for every synth/codec pipeline below, with a
+    * scale-adaptive PARALLELISM FLOOR (optimization guide §2.5 "input
+    * skew": one small unsplittable input serializes the whole stage).
+    * The codec stages are CPU-bound (real PNG/WAV/MP4 encode+decode per
+    * row), so their wall time is task-parallelism-bound — but a small
+    * corpus arrives as ONE parquet row group and therefore ONE scan
+    * partition, pinning minutes of codec CPU to a single core while the
+    * rest idle (measured at sf0.1: q_media_videohash_seq ran 2 tasks on
+    * 32 cores, 4.4 task-sec ≈ 4.4 s wall). Repartitioning costs one
+    * exchange of ONLY the 8-byte ids (the §8 lightweight-proxy rule:
+    * the payloads are synthesized/decoded AFTER the exchange), hashed
+    * by doc_id (deterministic row→partition assignment — safe under
+    * task retry, unlike round-robin of a non-deterministic input), and
+    * only fires when the scan's own parallelism is BELOW the session's
+    * (defaultParallelism) — a production-scale scan with enough splits
+    * keeps its partitioning and pays nothing. */
+  private def idsSpread(documents: DataFrame)(implicit s: SparkSession): Dataset[Long] = {
+    import s.implicits._
+    val ids = documents.select(col("doc_id")).as[Long]
+    val target = s.sparkContext.defaultParallelism
+    if (ids.rdd.getNumPartitions < target) ids.repartition(target, col("doc_id"))
+    else ids
+  }
+
   /** Synthesize the `media` table from `documents` (deterministic: payload
     * bytes from md5 of the text — the container has no real image files).
     * payload = unhex(md5(text) ⧺ md5(lang ⧺ ':' ⧺ text)) → 32 bytes. */
@@ -108,7 +132,7 @@ object Multimodal {
     * replaced by reading stored payloads. */
   def synthDecodedMedia(documents: DataFrame)(implicit s: SparkSession): Dataset[DecodedMedia] = {
     import s.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    idsSpread(documents).mapPartitions { ids =>
       ids.map { id =>
         val w = (16 + id % 64).toInt
         val h = (16 + id % 48).toInt
@@ -143,7 +167,7 @@ object Multimodal {
     * downstream dedup is a 64-bit-key bucket join, not an image join. */
   def synthPerceptualHashes(documents: DataFrame)(implicit s: SparkSession): Dataset[PerceptualHash] = {
     import s.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    idsSpread(documents).mapPartitions { ids =>
       ids.map { id =>
         val w = (16 + id % 64).toInt
         val h = (16 + id % 48).toInt
@@ -195,7 +219,7 @@ object Multimodal {
     * join, never an audio-payload join. */
   def synthAudioHashes(documents: DataFrame)(implicit s: SparkSession): Dataset[AudioHash] = {
     import s.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    idsSpread(documents).mapPartitions { ids =>
       ids.map { id =>
         val n = (256 + id % 512).toInt
         val w32 = ((id + 1) * 2654435761L) & 0xFFFFFFFFL
@@ -253,7 +277,7 @@ object Multimodal {
     * container parse + image decode. */
   def synthVideoHashes(documents: DataFrame)(implicit s: SparkSession): Dataset[PerceptualHash] = {
     import s.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    idsSpread(documents).mapPartitions { ids =>
       ids.map { id =>
         val w = (16 + id % 32).toInt
         val h = (16 + id % 24).toInt
@@ -315,7 +339,7 @@ object Multimodal {
     * bits codec-free. */
   def synthSpectralAudioHashes(documents: DataFrame)(implicit s: SparkSession): Dataset[AudioHash] = {
     import s.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    idsSpread(documents).mapPartitions { ids =>
       ids.map { id =>
         val n = (256 + id % 512).toInt
         val wEnv = ((id + 1) * 2654435761L) & 0xFFFFFFFFL
@@ -423,7 +447,7 @@ object Multimodal {
 
   def synthVideoSeqHashes(documents: DataFrame)(implicit s: SparkSession): Dataset[VideoSeqHash] = {
     import s.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    idsSpread(documents).mapPartitions { ids =>
       ids.map { id =>
         val w = (16 + id % 32).toInt
         val h = (16 + id % 24).toInt
@@ -464,7 +488,7 @@ object Multimodal {
     * stage; the hash rows are 16 bytes each through any shuffle. */
   def synthVideoSeqFrameHashes(documents: DataFrame)(implicit s: SparkSession): Dataset[VideoFrameHashRow] = {
     import s.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    idsSpread(documents).mapPartitions { ids =>
       ids.flatMap { id =>
         val w = (16 + id % 32).toInt
         val h = (16 + id % 24).toInt
@@ -504,7 +528,7 @@ object Multimodal {
     * lossless frames so the gate stays bit-exact. */
   def synthVideoFrames(documents: DataFrame)(implicit s: SparkSession): Dataset[VideoFrame] = {
     import s.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    idsSpread(documents).mapPartitions { ids =>
       ids.flatMap { id =>
         val w = (16 + id % 32).toInt
         val h = (16 + id % 24).toInt
@@ -617,16 +641,49 @@ object ImageCodec {
     out.toByteArray
   }
 
+  // Decode-side plumbing reuse: ImageIO.read scans the provider registry
+  // and builds a fresh ImageReader PER CALL — measured at ~half the
+  // decode cost of a thumbnail-sized PNG (0.105 → 0.054 s / 3000 decodes
+  // single-thread, and the registry scan contends across 32 decode
+  // tasks: 0.176 → 0.062 s). The decoded image is bit-identical (same
+  // PNGImageReader underneath); one reader per task thread, reset
+  // between payloads. Falls back to the registry path for any payload
+  // the pinned PNG reader rejects (JPEG/BMP/GIF callers).
+  private val pngReader = new ThreadLocal[javax.imageio.ImageReader] {
+    override def initialValue(): javax.imageio.ImageReader =
+      ImageIO.getImageReadersByFormatName("png").next()
+  }
+  private val PngMagic = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47)
+
   /** Decode an image payload to (width, height, grayscale samples) via
     * ImageIO — the REAL decode call site. Works on any ImageIO-readable
     * format; samples are the first band (= luma for grayscale). */
   def decodeGray(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
-    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    val img =
+      if (payload.length >= 4 && payload(0) == PngMagic(0) &&
+          payload(1) == PngMagic(1) && payload(2) == PngMagic(2) &&
+          payload(3) == PngMagic(3)) {
+        val rd = pngReader.get()
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new ByteArrayInputStream(payload))
+        try { rd.setInput(iis, true, true); rd.read(0) }
+        finally { rd.setInput(null); iis.close() }
+      } else ImageIO.read(new ByteArrayInputStream(payload))
     require(img != null, "undecodable image payload")
     val (w, h) = (img.getWidth, img.getHeight)
-    val samples = new Array[Int](w * h)
-    img.getRaster.getSamples(0, 0, w, h, 0, samples)
-    (w, h, samples.map(_.toByte))
+    // fast path: an 8-bit single-band raster exposes its samples as the
+    // backing byte array directly (PNG grayscale lands here) — same
+    // values as getSamples, without the int[] detour + per-pixel copy
+    img.getRaster.getDataBuffer match {
+      case db: java.awt.image.DataBufferByte
+          if db.getSize == w * h && img.getRaster.getNumBands == 1 &&
+            db.getOffset == 0 =>
+        (w, h, db.getData.clone())
+      case _ =>
+        val samples = new Array[Int](w * h)
+        img.getRaster.getSamples(0, 0, w, h, 0, samples)
+        (w, h, samples.map(_.toByte))
+    }
   }
 
   /** 64-bit average hash of an 8×8 grayscale thumbnail — the classic
@@ -678,23 +735,65 @@ object ImageCodec {
 object AudioCodec {
   import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
   import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+  import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter}
 
   private def pcm8Mono = new AudioFormat(
     AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1, 8000f, false)
+
+  // Provider pinning: AudioSystem.write / getAudioInputStream re-scan the
+  // SPI registry on EVERY call (and the scan contends across concurrent
+  // decode tasks) — measured at 5-10x the cost of the actual WAV work for
+  // clip-sized payloads (32-thread microbench: 0.30-0.38 s → 0.04-0.06 s
+  // per 12.8k clips). Resolve the JDK's own WAVE provider ONCE and call
+  // it directly: the very same codec object the registry would return,
+  // byte-identical output (asserted in the microbench and MultimodalSpec).
+  // Providers are stateless per call (each write/read builds its own
+  // stream state), so one shared instance is thread-safe. Null-guarded:
+  // an exotic JRE without the provider falls back to the registry path.
+  private val waveWriter: AudioFileWriter = {
+    val it = java.util.ServiceLoader.load(classOf[AudioFileWriter]).iterator()
+    var found: AudioFileWriter = null
+    while (found == null && it.hasNext) {
+      val w = it.next()
+      if (w.isFileTypeSupported(AudioFileFormat.Type.WAVE)) found = w
+    }
+    found
+  }
+  private val waveReader: AudioFileReader = {
+    // the STANDARD PCM reader (WaveFileReader) — the float/extensible
+    // variants reject plain PCM payloads and defer to it anyway
+    val it = java.util.ServiceLoader.load(classOf[AudioFileReader]).iterator()
+    var found: AudioFileReader = null
+    while (it.hasNext) {
+      val r = it.next()
+      val n = r.getClass.getSimpleName
+      if (n == "WaveFileReader") found = r
+    }
+    found
+  }
 
   /** Encode 8-bit unsigned samples as a WAV file (RIFF header + PCM). */
   def encodeWav(samples: Array[Byte]): Array[Byte] = {
     val in = new AudioInputStream(
       new ByteArrayInputStream(samples), pcm8Mono, samples.length.toLong)
     val out = new ByteArrayOutputStream()
-    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    if (waveWriter != null) waveWriter.write(in, AudioFileFormat.Type.WAVE, out)
+    else AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
     out.toByteArray
   }
 
-  /** Decode a WAV payload to its PCM samples via AudioSystem — the REAL
-    * decode call site (parses the RIFF container, not our writer). */
+  /** Decode a WAV payload to its PCM samples via the real RIFF parser
+    * (the JDK's WAVE AudioFileReader — parses the container, not our
+    * writer); falls back to the full AudioSystem registry for anything
+    * the standard PCM reader rejects. */
   def decodeWav(payload: Array[Byte]): Array[Byte] = {
-    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    val in =
+      if (waveReader != null)
+        try waveReader.getAudioInputStream(new ByteArrayInputStream(payload))
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException =>
+          AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+        }
+      else AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
     try in.readAllBytes() finally in.close()
   }
 }

@@ -132,6 +132,18 @@ object PipelineQueries {
     * explicit hook a long-lived session calls between corpora. */
   def releaseCaches(): Unit = Persisted.releaseAll()
 
+  /** Label every job an eager block spawns (guide §1.5: the composed
+    * pipelines run dozens of checkpoint/collect/probe jobs per
+    * invocation and unlabeled listeners/UIs can't attribute their
+    * seconds). Thread-local, restored on exit; SQLExecution's future
+    * threads inherit it via withThreadLocalCaptured. */
+  private[graft] def labeled[T](s: SparkSession, d: String)(f: => T): T = {
+    val sc = s.sparkContext
+    val old = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(d)
+    try f finally sc.setJobDescription(old)
+  }
+
   /** The planted-id-band guard, generalized out of refreshE2e (the r17
     * watch item): every planted corpus/batch builder here derives its
     * synthetic ids as source_id + 100000·class, and the ORACLES split
@@ -1230,13 +1242,19 @@ object PipelineQueries {
     // stay persist()ed — they are shallow and reused across re-runs.
     // 1. update split: corpus-side scan comes off the CACHED sidecar,
     // increment side broadcasts — output is increment-bounded
-    val updKeys = histKeyed.select("doc_id")
-      .join(broadcast(crawl.select("doc_id")), Seq("doc_id"), "left_semi")
-      .localCheckpoint()
-    val superseded = updKeys.unionByName(delKeys).localCheckpoint()
+    val updKeys = labeled(s, "refresh: update split") {
+      histKeyed.select("doc_id")
+        .join(broadcast(crawl.select("doc_id")), Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+    }
+    val superseded = labeled(s, "refresh: superseded set") {
+      updKeys.unionByName(delKeys).localCheckpoint()
+    }
     // the stores must drop the superseded keys before any probe below
     // runs (probes are eager at construction) — increment-bounded collect
-    ensureStores(superseded.collect().map(_.getLong(0)).toSeq)
+    labeled(s, "refresh: ensureStores") {
+      ensureStores(superseded.collect().map(_.getLong(0)).toSeq)
+    }
     val updates = crawl.join(broadcast(updKeys), Seq("doc_id"), "left_semi")
     val newDocs = crawl.join(broadcast(updKeys), Seq("doc_id"), "left_anti")
     // live gen-1 screen targets = base keys minus what this very
@@ -1252,12 +1270,14 @@ object PipelineQueries {
     // Without a path the filter folds per invocation over the live
     // screen targets — the corpus-sized agg the persisted form
     // amortizes away (the refresh_corpus residual, SCALING.md).
-    val (bfBytes, _) = bloomPath match {
-      case Some(bp) =>
-        Dedup.ensureHistoryBloom(s, bp, histKeyed.select("h"), col("h"),
-          bloomGuess, bloomGeneration)
-      case None =>
-        Dedup.sizedHistoryBloom(histScreen.select("h"), col("h"), bloomGuess)
+    val (bfBytes, _) = labeled(s, "refresh: history bloom") {
+      bloomPath match {
+        case Some(bp) =>
+          Dedup.ensureHistoryBloom(s, bp, histKeyed.select("h"), col("h"),
+            bloomGuess, bloomGeneration)
+        case None =>
+          Dedup.sizedHistoryBloom(histScreen.select("h"), col("h"), bloomGuess)
+      }
     }
     val hashed = newDocs.select(col("doc_id"), md5(col("text")).as("h"))
     val candEx = hashed.filter(ColumnBridge.column(
@@ -1267,50 +1287,57 @@ object PipelineQueries {
     val exMatches = histScreen
       .join(broadcast(candEx.select("h").distinct()), "h")
       .groupBy("h").agg(min(col("doc_id")).as("match_id"))
-    val exactDrop = hashed.join(broadcast(exMatches), "h")
-      .select("doc_id", "match_id").localCheckpoint()
+    val exactDrop = labeled(s, "refresh: exact screen") {
+      hashed.join(broadcast(exMatches), "h")
+        .select("doc_id", "match_id").localCheckpoint()
+    }
     val s1 = newDocs
       .join(broadcast(exactDrop.select("doc_id")), Seq("doc_id"), "left_anti")
     // 3. containment screen (persisted gram index)
-    val s1Sets = Persisted.persistSwap1("refresh_screens_s1sets", dirKey,
-      shingleRows(s1.select("doc_id", "text"))
-        .withColumn("x", baseHash32(col("s")))
-        .select("doc_id", "x").distinct())
-    val contRaw = graft.store.GramIndex.probeContainment(s, gramPath, s1Sets)
-    val contDrop = histScreen.select(col("doc_id").as("b"))
-      .join(broadcast(contRaw.select("a", "b")), Seq("b"))
-      .groupBy(col("a").as("doc_id")).agg(min(col("b")).as("match_id"))
-      .localCheckpoint()
+    val contDrop = labeled(s, "refresh: containment screen") {
+      val s1Sets = Persisted.persistSwap1("refresh_screens_s1sets", dirKey,
+        shingleRows(s1.select("doc_id", "text"))
+          .withColumn("x", baseHash32(col("s")))
+          .select("doc_id", "x").distinct())
+      val contRaw = graft.store.GramIndex.probeContainment(s, gramPath, s1Sets)
+      histScreen.select(col("doc_id").as("b"))
+        .join(broadcast(contRaw.select("a", "b")), Seq("b"))
+        .groupBy(col("a").as("doc_id")).agg(min(col("b")).as("match_id"))
+        .localCheckpoint()
+    }
     val s2 = s1
       .join(broadcast(contDrop.select("doc_id")), Seq("doc_id"), "left_anti")
     // 4. fuzzy screen (persisted band index); the verify side reads
     // ONLY the candidate docs' sketch shards (sketchesFor — a whole-
     // table sketches read made a fixed increment's screen grow with
     // the corpus), off the checkpointed candidate set
-    val probeSk = Persisted.persistSwap1("refresh_screens_probesk", dirKey,
-      Dedup.docSketch(s2.select("doc_id", "text")))
-    // candidates COLLECTED once (increment-bounded): one driver
-    // round-trip instead of the r16 localCheckpoint + sketch-shard
-    // distinct-collect pair — the LocalRelation broadcasts below, and
-    // the candidate sketch shards are driver arithmetic
-    // (sketchesForIds), cutting the probe's fixed per-batch job count
-    import s.implicits._
-    val candFzRows = histScreen.select(col("doc_id").as("a"))
-      .join(broadcast(graft.store.BandIndex.probeCandidates(
-        s, bandPath, bandRows(probeSk, "doc_id"), "doc_id")), Seq("a"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val candFz = candFzRows.toDF("a", "b")
-    val fuzzyDrop = graft.store.BandIndex
-      .sketchesForIds(s, bandPath, candFzRows.map(_._1).distinct)
-      .select(col("doc_id").as("a"), col("sh").as("sha"))
-      .join(broadcast(candFz), Seq("a"))
-      .join(broadcast(probeSk.select(col("doc_id").as("b"), col("sh").as("shb"))), Seq("b"))
-      .filter(jaccardDistinct(col("sha"), col("shb")) >= 0.5)
-      .groupBy(col("b").as("doc_id")).agg(min(col("a")).as("match_id"))
-      .localCheckpoint()
-    val inserted = s2
-      .join(broadcast(fuzzyDrop.select("doc_id")), Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+    val fuzzyDrop = labeled(s, "refresh: fuzzy screen") {
+      val probeSk = Persisted.persistSwap1("refresh_screens_probesk", dirKey,
+        Dedup.docSketch(s2.select("doc_id", "text")))
+      // candidates COLLECTED once (increment-bounded): one driver
+      // round-trip instead of the r16 localCheckpoint + sketch-shard
+      // distinct-collect pair — the LocalRelation broadcasts below, and
+      // the candidate sketch shards are driver arithmetic
+      // (sketchesForIds), cutting the probe's fixed per-batch job count
+      import s.implicits._
+      val candFzRows = histScreen.select(col("doc_id").as("a"))
+        .join(broadcast(graft.store.BandIndex.probeCandidates(
+          s, bandPath, bandRows(probeSk, "doc_id"), "doc_id")), Seq("a"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val candFz = candFzRows.toDF("a", "b")
+      graft.store.BandIndex
+        .sketchesForIds(s, bandPath, candFzRows.map(_._1).distinct)
+        .select(col("doc_id").as("a"), col("sh").as("sha"))
+        .join(broadcast(candFz), Seq("a"))
+        .join(broadcast(probeSk.select(col("doc_id").as("b"), col("sh").as("shb"))), Seq("b"))
+        .filter(jaccardDistinct(col("sha"), col("shb")) >= 0.5)
+        .groupBy(col("b").as("doc_id")).agg(min(col("a")).as("match_id"))
+        .localCheckpoint()
+    }
+    val inserted = labeled(s, "refresh: inserted set") {
+      s2.join(broadcast(fuzzyDrop.select("doc_id")), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+    }
     RefreshVerdicts(updKeys, superseded, updates,
       exactDrop, contDrop, fuzzyDrop, inserted)
   }
@@ -1443,8 +1470,10 @@ object PipelineQueries {
     // the content hashes) that binds the persisted history bloom to
     // THIS corpus: a filter surviving from a replaced corpus would be a
     // subset (silently missed exact dups) and is rebuilt on mismatch.
-    val idAgg = histKeyed.agg(max(col("doc_id")), count(lit(1)),
-      expr("bit_xor(xxhash64(h))")).head()
+    val idAgg = labeled(s, "refresh: id headroom + corpus fingerprint") {
+      histKeyed.agg(max(col("doc_id")), count(lit(1)),
+        expr("bit_xor(xxhash64(h))")).head()
+    }
     val maxId = idAgg.getLong(0)
     val bloomGen = idAgg.getLong(1) ^ idAgg.getLong(2)
     require(maxId < 100000L,
@@ -1489,7 +1518,7 @@ object PipelineQueries {
     // apply the refresh (once per process): index appends + the CDC
     // U/I/D delta as generation 0
     val mDone = new org.apache.hadoop.fs.Path(root, "_REFRESHED")
-    if (!fs.exists(mDone)) {
+    if (!fs.exists(mDone)) labeled(s, "refresh: apply (index+cdc appends)") {
       val appendDocs = v.updates.unionByName(v.inserted)
       graft.store.GramIndex.append(setsOf(appendDocs), gramPath)
       graft.store.BandIndex.append(
@@ -1522,7 +1551,7 @@ object PipelineQueries {
     val mix = refreshMix(histKeyed, v, delKeys)
     // ---- generation 2: probe the refreshed state ----
     val insW = v.inserted.withColumn("w", tokens(col("text")))
-    val crawl2 = insW
+    val crawl2 = labeled(s, "refresh gen2: crawl plant") { insW
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
           col("lang"), col("source"))
       .unionByName(insW.filter(size(col("w")) >= 8)
@@ -1535,39 +1564,46 @@ object PipelineQueries {
         .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
           col("lang"), col("source")))
       .localCheckpoint() // increment-bounded lineage cut (see refreshScreens)
+      }
     val hashed2 = crawl2.select(col("doc_id"), md5(col("text")).as("h"))
     val exMatches2 = snapHashed
       .join(broadcast(hashed2.select("h").distinct()), "h")
       .groupBy("h").agg(min(col("doc_id")).as("match_id"))
-    val exactDrop2 = hashed2.join(broadcast(exMatches2), "h")
-      .select("doc_id", "match_id").localCheckpoint()
+    val exactDrop2 = labeled(s, "refresh gen2: exact vs snapshot") {
+      hashed2.join(broadcast(exMatches2), "h")
+        .select("doc_id", "match_id").localCheckpoint()
+    }
     val s1b = crawl2
       .join(broadcast(exactDrop2.select("doc_id")), Seq("doc_id"), "left_anti")
-    val sets2 = Persisted.persistSwap1("refresh_gen2_sets", dir, setsOf(s1b))
-    // post-maintenance the index content EQUALS the snapshot, so gen-2
-    // needs no live-target filter (and appends nothing — re-runs are
-    // trivially identical)
-    val contDrop2 = graft.store.GramIndex.probeContainment(s, gramPath, sets2)
-      .groupBy(col("a").as("doc_id")).agg(min(col("b")).as("match_id"))
-      .localCheckpoint()
+    val contDrop2 = labeled(s, "refresh gen2: containment probe") {
+      val sets2 = Persisted.persistSwap1("refresh_gen2_sets", dir, setsOf(s1b))
+      // post-maintenance the index content EQUALS the snapshot, so gen-2
+      // needs no live-target filter (and appends nothing — re-runs are
+      // trivially identical)
+      graft.store.GramIndex.probeContainment(s, gramPath, sets2)
+        .groupBy(col("a").as("doc_id")).agg(min(col("b")).as("match_id"))
+        .localCheckpoint()
+    }
     val s2b = s1b
       .join(broadcast(contDrop2.select("doc_id")), Seq("doc_id"), "left_anti")
-    val probeSk2 = Persisted.persistSwap1("refresh_gen2_probesk", dir,
-      Dedup.docSketch(s2b.select("doc_id", "text")))
-    // collect-once + driver-side sketch shards (see refreshScreens)
-    import s.implicits._
-    val candFz2Rows = graft.store.BandIndex.probeCandidates(
-        s, bandPath, bandRows(probeSk2, "doc_id"), "doc_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val candFz2 = candFz2Rows.toDF("a", "b")
-    val fuzzyDrop2 = graft.store.BandIndex
-      .sketchesForIds(s, bandPath, candFz2Rows.map(_._1).distinct)
-      .select(col("doc_id").as("a"), col("sh").as("sha"))
-      .join(broadcast(candFz2), Seq("a"))
-      .join(broadcast(probeSk2.select(col("doc_id").as("b"), col("sh").as("shb"))), Seq("b"))
-      .filter(jaccardDistinct(col("sha"), col("shb")) >= 0.5)
-      .groupBy(col("b").as("doc_id")).agg(min(col("a")).as("match_id"))
-      .localCheckpoint()
+    val fuzzyDrop2 = labeled(s, "refresh gen2: band probe") {
+      val probeSk2 = Persisted.persistSwap1("refresh_gen2_probesk", dir,
+        Dedup.docSketch(s2b.select("doc_id", "text")))
+      // collect-once + driver-side sketch shards (see refreshScreens)
+      import s.implicits._
+      val candFz2Rows = graft.store.BandIndex.probeCandidates(
+          s, bandPath, bandRows(probeSk2, "doc_id"), "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val candFz2 = candFz2Rows.toDF("a", "b")
+      graft.store.BandIndex
+        .sketchesForIds(s, bandPath, candFz2Rows.map(_._1).distinct)
+        .select(col("doc_id").as("a"), col("sh").as("sha"))
+        .join(broadcast(candFz2), Seq("a"))
+        .join(broadcast(probeSk2.select(col("doc_id").as("b"), col("sh").as("shb"))), Seq("b"))
+        .filter(jaccardDistinct(col("sha"), col("shb")) >= 0.5)
+        .groupBy(col("b").as("doc_id")).agg(min(col("a")).as("match_id"))
+        .localCheckpoint()
+    }
     // ---- the manifest ----
     val delRows = histKeyed.join(broadcast(delKeys), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("source"))
