@@ -387,7 +387,7 @@ object PipelineQueries {
     * the 3 shingles covering position 3, so C = (m−3)/m clears τ = 3/4
     * only for longer docs), and a fully novel 4-token doc (+400000 —
     * no index token matches at all). */
-  private def containmentBatch(docs: DataFrame): DataFrame = {
+  private[graft] def containmentBatch(docs: DataFrame): DataFrame = {
     val w = requireIdHeadroom(docs, "containmentBatch")
       .withColumn("w", tokens(col("text"))).filter(size(col("w")) >= 8)
     val truncated = w.select((col("doc_id") + 200000L).as("doc_id"),

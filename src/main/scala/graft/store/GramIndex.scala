@@ -465,10 +465,14 @@ object GramIndex {
       .join(bc(prefix), "x")
       .filter(lit(den.toLong) * col("nb") >= lit(num.toLong) * col("na"))
       .select("a", "b", "na", "nb").distinct()
-    // the cand subtree runs under the shard collect AND the returned
-    // plan: cheap to execute twice for an ingest batch (both reads are
-    // already listing-pruned O(probe)), checkpointed past the cap
-    val cand = if (small) candPlan else candPlan.localCheckpoint()
+    // ingest regime: collect the candidate set ONCE (it already fit a
+    // broadcast — the old spelling executed the subtree under the shard
+    // collect AND again under the returned plan's broadcast build, one
+    // postings read + distinct exchange per execution; measured -0.6 s
+    // per probe at sf0.1). The shard list becomes driver arithmetic off
+    // the same rows (a 5th projected column, so the Column-side shardOf
+    // stays the single hash definition). Past the cap: localCheckpoint,
+    // unchanged.
     // 3. verify against the candidate docs' profiles. TWO corpus-sized
     // costs hide in the naive spellings, both measured by the r14 scale
     // harness (probe grew 2.4→4.5→15.9s with the corpus):
@@ -480,8 +484,21 @@ object GramIndex {
     //    before any pruning (dynamic partition pruning skips data, not
     //    listing) — killed by deriving the candidate docs' shards from
     //    the cand subtree and constructing only those profile dirs.
-    val candShards = cand.select(shardOf(col("b"), nShards).as("s"))
-      .distinct().collect().map(_.getInt(0).toLong).toSeq
+    val (cand, candShards) =
+      if (small) {
+        val rows = candPlan
+          .withColumn("bs", shardOf(col("b"), nShards))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getInt(4)))
+        import spark.implicits._
+        (rows.toSeq.toDF("a", "b", "na", "nb").select("a", "b", "na", "nb"),
+          rows.map(_._5.toLong).distinct.toSeq)
+      } else {
+        val cp = candPlan.localCheckpoint()
+        (cp, cp.select(shardOf(col("b"), nShards).as("s"))
+          .distinct().collect().map(_.getInt(0).toLong).toSeq)
+      }
     stageTimer("cand_postings", (System.nanoTime() - tCand) / 1e9)
     val profBase = readLayer(spark, path, "profiles", candShards)
       .select(col("doc_id").as("b"), col("sh").as("shb"))

@@ -30,8 +30,11 @@ object ProfStages {
 
     final case class JobAgg(site: String, var t0: Long = 0, var t1: Long = 0,
       var taskSec: Double = 0, var nTasks: Int = 0, var nStages: Int = 0)
+    final case class StageAgg(name: String, taskSec: Double, nTasks: Int,
+      shuffleReadMB: Double, shuffleWriteMB: Double)
     val jobs = mutable.LinkedHashMap.empty[Int, JobAgg]
     val stageJob = mutable.Map.empty[Int, Int]
+    val stages = mutable.ArrayBuffer.empty[StageAgg]
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = synchronized {
         val site = Option(j.properties)
@@ -50,6 +53,16 @@ object ProfStages {
           a.nTasks += si.numTasks
           a.nStages += 1
         }
+        // prefer the first graft frame in the stage's submission stack —
+        // SQLExecution futures (broadcast builds, checkpoint jobs) all
+        // share the same uninformative callsite name otherwise
+        val graftFrame = si.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("ProfStages"))
+          .map(_.trim.stripPrefix("at ").take(90))
+        stages += StageAgg(graftFrame.getOrElse(si.name.linesIterator.next().take(90)),
+          si.taskMetrics.executorRunTime / 1e3, si.numTasks,
+          si.taskMetrics.shuffleReadMetrics.totalBytesRead / 1e6,
+          si.taskMetrics.shuffleWriteMetrics.bytesWritten / 1e6)
       }
     }
 
@@ -63,7 +76,7 @@ object ProfStages {
     if (SparkEntry.pinsRescueGate(qname)) s.conf.set(gateKey, "0")
     val fn = SparkEntry.queries(qname)
     for (r <- 1 to reps) {
-      jobs.clear(); stageJob.clear()
+      jobs.clear(); stageJob.clear(); stages.clear()
       s.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
       val n = fn(s, dir).count()
@@ -81,6 +94,16 @@ object ProfStages {
       }.toSeq.sortBy(-_._2)
       bySite.take(topN).foreach { case (site, w, ts, nj, nt) =>
         println(f"  jobs $nj%3d  wall $w%7.2f s  task $ts%8.1f s  tasks $nt%5d  $site")
+      }
+      // per-stage view (grouped by stage name = last action call site):
+      // the "which operator owns the CPU" answer when jobs are unlabeled
+      val byStage = stages.groupBy(_.name).map { case (n, ss) =>
+        (n, ss.map(_.taskSec).sum, ss.map(_.nTasks).sum, ss.size,
+          ss.map(_.shuffleReadMB).sum, ss.map(_.shuffleWriteMB).sum)
+      }.toSeq.sortBy(-_._2)
+      println("  -- top stages by task-sec --")
+      byStage.take(topN).foreach { case (n, ts, nt, ns, srd, swr) =>
+        println(f"  stages $ns%3d  task $ts%8.1f s  tasks $nt%5d  shufR ${srd}%7.1f MB  shufW ${swr}%7.1f MB  $n")
       }
     }
     s.stop()
