@@ -439,18 +439,28 @@ object GramIndex {
       .filter(col("rn") <=
         expr(s"na - (($num * na + ${den - 1}) div $den) + 1"))
       .select(col("a"), col("x"), col("na"),
-        shardOf(col("x"), nShards).as("xs"))
-    val (prefix, postShards) =
+        shardOf(col("x"), nShards).as("xs"), col("df"))
+    // candBound: Σ df over the prefix rows = EXACT pre-distinct row count
+    // of the candidate join below (one postings row per (x, doc) by index
+    // construction, delta layers folded into df the same way) — free off
+    // the rows the small regime collects anyway, and the guard the
+    // candidate collect-once needs: `small` bounds PREFIX rows, not
+    // candidates, and a boilerplate-heavy batch can hit a common token
+    // whose postings are the corpus.
+    val (prefix, postShards, candBound) =
       if (small) {
         val rows = prefixPlan.collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+            r.getLong(4)))
         import spark.implicits._
-        (rows.toSeq.toDF("a", "x", "na", "xs").select("a", "x", "na"),
-          rows.map(_._4.toLong).distinct.toSeq)
+        (rows.toSeq.toDF("a", "x", "na", "xs", "df").select("a", "x", "na"),
+          rows.map(_._4.toLong).distinct.toSeq,
+          rows.iterator.map(_._5).sum)
       } else {
         val cp = prefixPlan.localCheckpoint() // eager: one job, lineage cut
         (cp.select("a", "x", "na"),
-          cp.select("xs").distinct().collect().map(_.getInt(0).toLong).toSeq)
+          cp.select("xs").distinct().collect().map(_.getInt(0).toLong).toSeq,
+          Long.MaxValue)
       }
     stageTimer("dfs_prefix", (System.nanoTime() - tStart) / 1e9)
     val tCand = System.nanoTime()
@@ -465,14 +475,6 @@ object GramIndex {
       .join(bc(prefix), "x")
       .filter(lit(den.toLong) * col("nb") >= lit(num.toLong) * col("na"))
       .select("a", "b", "na", "nb").distinct()
-    // ingest regime: collect the candidate set ONCE (it already fit a
-    // broadcast — the old spelling executed the subtree under the shard
-    // collect AND again under the returned plan's broadcast build, one
-    // postings read + distinct exchange per execution; measured -0.6 s
-    // per probe at sf0.1). The shard list becomes driver arithmetic off
-    // the same rows (a 5th projected column, so the Column-side shardOf
-    // stays the single hash definition). Past the cap: localCheckpoint,
-    // unchanged.
     // 3. verify against the candidate docs' profiles. TWO corpus-sized
     // costs hide in the naive spellings, both measured by the r14 scale
     // harness (probe grew 2.4→4.5→15.9s with the corpus):
@@ -484,15 +486,27 @@ object GramIndex {
     //    before any pruning (dynamic partition pruning skips data, not
     //    listing) — killed by deriving the candidate docs' shards from
     //    the cand subtree and constructing only those profile dirs.
+    // ingest regime: collect the candidate set ONCE (it already fit a
+    // broadcast — the old spelling executed the subtree under the shard
+    // collect AND again under the returned plan's broadcast build, one
+    // postings read + distinct exchange per execution; r20 same-box A/B
+    // over the four probe consumers: 33.3s vs 37.2s lazy, q_refresh_e2e
+    // 16.9 vs 21.5). The shard list becomes driver arithmetic off the
+    // same rows (the 5th projected column keeps the Column-side shardOf
+    // as the single hash definition). The collect is BOUNDED by
+    // candBound ≤ maxCollect — `small` alone bounds prefix rows, not
+    // candidates — and past either cap the localCheckpoint spelling is
+    // unchanged.
     val (cand, candShards) =
-      if (small) {
+      if (small && candBound <= maxCollect) {
         val rows = candPlan
           .withColumn("bs", shardOf(col("b"), nShards))
           .collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
             r.getInt(4)))
         import spark.implicits._
-        (rows.toSeq.toDF("a", "b", "na", "nb").select("a", "b", "na", "nb"),
+        (rows.toSeq.toDF("a", "b", "na", "nb", "bs")
+          .select("a", "b", "na", "nb"),
           rows.map(_._5.toLong).distinct.toSeq)
       } else {
         val cp = candPlan.localCheckpoint()

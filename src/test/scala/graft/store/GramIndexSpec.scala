@@ -89,33 +89,63 @@ class GramIndexSpec extends SparkSuite {
           case f: org.apache.spark.sql.execution.FileSourceScanExec => f
         }
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
-    // postings and profiles prune at LISTING time in the returned plan
+    // profiles prunes at LISTING time in the returned plan
     // (readPartitions roots at the probed shard dirs only) — dynamic
     // partition pruning was tried for profiles and rejected: it prunes
     // DATA, not the O(corpus-shards) directory listing, which the r14
     // scale harness measured growing 2.4→4.5→15.9s for the same 8-doc
-    // batch. The dfs read rides the SAME readPartitions call but runs
-    // eagerly inside probeContainment (the batch-sized prefix is
-    // collected once to end its lineage), so its scan cannot appear in
-    // the returned plan.
-    Seq("postings", "profiles").foreach { layout =>
-      val scan = scans.find(_.relation.location.rootPaths
-        .exists(_.toString.contains(s"/$layout")))
-        .getOrElse(fail(s"no $layout scan in the probe plan"))
-      // the probe now reads through the MANIFEST index (listing-free:
-      // zero exists/listStatus at any shard count) and its file set is
-      // confined to the probed shards — strictly stronger than the old
-      // rootPaths assertion (pruned listing construction)
-      assert(scan.relation.location.isInstanceOf[ManifestFileIndex],
-        s"$layout: probe scan fell back to a listing file index")
-      val shardsTouched = scan.relation.location.inputFiles
+    // batch. The dfs AND postings reads ride the SAME readPartitions
+    // call but run eagerly inside probeContainment (the batch-sized
+    // prefix — and, since the r19 collect-once, the candidate set — is
+    // collected once to end its lineage), so neither scan can appear in
+    // the returned plan: its presence would mean the candidate subtree
+    // regressed to executing under the shard collect AND the returned
+    // plan again (the r20 A/B measured that double execution at +4.6 s
+    // on q_refresh_e2e alone).
+    assert(!scans.exists(_.relation.location.rootPaths
+        .exists(p => p.toString.contains("/postings") ||
+          p.toString.contains("/dfs"))),
+      "postings/dfs scan in the returned plan — the candidate/prefix " +
+        "subtrees must execute eagerly (collect-once), not lazily twice")
+    val scan = scans.find(_.relation.location.rootPaths
+      .exists(_.toString.contains("/profiles")))
+      .getOrElse(fail("no profiles scan in the probe plan"))
+    // the probe reads through the MANIFEST index (listing-free: zero
+    // exists/listStatus at any shard count) and its file set is
+    // confined to the probed shards — strictly stronger than the old
+    // rootPaths assertion (pruned listing construction)
+    assert(scan.relation.location.isInstanceOf[ManifestFileIndex],
+      "profiles: probe scan fell back to a listing file index")
+    val shardsTouched = scan.relation.location.inputFiles
+      .map(f => new java.io.File(f).getParentFile.getName)
+      .filter(_.startsWith("shard=")).distinct
+    val totalProf = new java.io.File(s"$p/profiles").list()
+      .count(_.startsWith("shard="))
+    assert(shardsTouched.nonEmpty, "profiles: scan must read probed shard files")
+    assert(shardsTouched.length < totalProf,
+      s"profiles: pruning must drop shards ($totalProf present, ${shardsTouched.length} survive)")
+    // the eager dfs/postings reads ride readLayer = the manifest read
+    // below — assert the same manifest-backed, file-confined contract on
+    // it directly for both layouts (the probe's shard lists are
+    // batch-derived; parity tests pin that wiring behaviorally)
+    Seq("postings", "dfs").foreach { layout =>
+      val present = new java.io.File(s"$p/$layout").list().toSeq
+        .filter(_.startsWith("shard=")).map(_.stripPrefix("shard=").toLong).sorted
+      assert(present.size >= 2, s"$layout: need ≥2 shards to show pruning")
+      val want = present.take(1)
+      val df = FileManifest.readPartitions(spark, s"$p/$layout", want)
+        .getOrElse(fail(s"$layout: no manifest-backed read"))
+      val sc = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.headOption.getOrElse(fail(s"$layout: no file scan"))
+      assert(sc.relation.location.isInstanceOf[ManifestFileIndex],
+        s"$layout: readPartitions fell back to a listing file index")
+      val touched = sc.relation.location.inputFiles
         .map(f => new java.io.File(f).getParentFile.getName)
         .filter(_.startsWith("shard=")).distinct
-      val total = new java.io.File(s"$p/$layout").list()
-        .count(_.startsWith("shard="))
-      assert(shardsTouched.nonEmpty, s"$layout: scan must read probed shard files")
-      assert(shardsTouched.length < total,
-        s"$layout: pruning must drop shards ($total present, ${shardsTouched.length} survive)")
+      assert(touched.toSeq == want.map(v => s"shard=$v"),
+        s"$layout: file set not confined to requested shards " +
+          s"(want shard=${want.mkString(",")}, got ${touched.mkString(",")})")
     }
   }
 
