@@ -2032,9 +2032,15 @@ object PipelineQueries {
     // > 0.5, no float boundary).
     "q_novelty_by_source" -> ((s, dir) => {
       val docs = documents(s, dir).select(col("doc_id"), col("source"), col("text"))
-      val sets = shingleRows(docs.select("doc_id", "text"))
-        .withColumn("x", baseHash32(col("s")))
-        .select("doc_id", "x").distinct()
+      // persisted (r20, guide §5/§1.2): the RAW-corpus set rows feed the
+      // df agg AND the join side — unpinned, the shingle+distinct
+      // pipeline ran twice (the q_ngram_novelty sets are the PLANTED
+      // corpus's, so no cross-query share exists to lean on; A/B in
+      // OPTIMIZATION_r20.md)
+      val sets = Persisted.persistSwap1("novelty_by_source_sets", dir,
+        shingleRows(docs.select("doc_id", "text"))
+          .withColumn("x", baseHash32(col("s")))
+          .select("doc_id", "x").distinct())
       val dfreq = sets.groupBy("x").agg(count(lit(1)).as("df"))
       val perDoc = sets.join(dfreq, "x").groupBy("doc_id")
         .agg(count(lit(1)).as("nd"),
@@ -5230,7 +5236,15 @@ object PipelineQueries {
       val cols = Seq("event_id", "user_id", "event_type", "ts_us")
       val e = events(s, dir).select(cols.map(col): _*)
       // verdict harness: exact counts, collected as ONE 1-row aggregate
-      // and carried as literals (a 1-row crossJoin would plan a BNLJ)
+      // and carried as literals (a 1-row crossJoin would plan a BNLJ).
+      // KEEP THE TWO PASSES SEPARATE (r20, measured): folding the exact
+      // count_distincts INTO the approx aggregate reads as "one scan
+      // instead of two" (guide §1.2) but plans SortAggregate over the
+      // multi-distinct Expand — the HLL sketch is a TypedImperative
+      // aggregate, hash aggregation is off the table for the combined
+      // node, and SORTING the 5×-expanded input measured 3.6 s → 186.9 s
+      // at sf0.1. Two passes: the exact harness stays a HashAggregate
+      // over Expand, the approx report a narrow single-pass agg.
       val exactAggs = cols.map(c => count_distinct(col(c)).as(s"${c}__xdist"))
       val exactRow = e.agg(exactAggs.head, exactAggs.tail: _*).head()
       val xdist = cols.zipWithIndex
