@@ -664,9 +664,11 @@ object Dedup {
     // the two symmetrized directions cannot collide, and every consumer
     // below is a min-aggregation — duplicate edges could not change the
     // result anyway. Dropping it removes a full shuffle.
-    val edges = p.select(col("a").as("x"), col("b").as("y"))
+    val edgesWide = p.select(col("a").as("x"), col("b").as("y"))
       .union(p.select(col("b").as("x"), col("a").as("y")))
-    val nEdges = edges.count()
+    // = edgesWide.count(), reading the pairs checkpoint once, not twice:
+    // the two symmetrized directions are disjoint by a<b construction
+    val nEdges = 2L * p.count()
     // AQE is off for the loop (see connectedComponents), so size the loop
     // shuffles manually: the label/edge sets are typically orders of
     // magnitude smaller than the corpus that produced them, and a tiny
@@ -675,9 +677,20 @@ object Dedup {
     // the session setting (a 100 TB corpus keeps its full parallelism).
     val sessParts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val loopParts = math.max(1, math.min(sessParts.toLong, nEdges / 500000L + 1L)).toInt
+    // Materialize the edge list ONCE at the loop's partition count. The
+    // pairs checkpoint inherits the upstream cores' partitioning (the
+    // union of three persisted pipelines ran ~160 blocks at sf0.1), and
+    // a lazy `edges` re-read ALL of them twice per round: ProfStages
+    // measured 58.7 of q_media_dedup_e2e's 82.9 warm task-seconds in
+    // cut-stage reads, 1843 tasks for a 15 MB graph (guide §2.2 — fewer,
+    // larger tasks; §2.4 — the per-round work should touch loopParts
+    // blocks, not the corpus pipelines' partition count). coalesce, not
+    // repartition: narrow, and at scale loopParts = the session setting,
+    // where coalesce-to-same-count is a no-op.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", loopParts)
     try {
+      val edges = cut(edgesWide.coalesce(loopParts))
       // seed with the min direct neighbor — saves one full round
       var labels = cut(edges.groupBy(col("x").as("node"))
         .agg(least(min(col("y")), first(col("x"))).as("label")))
